@@ -1,0 +1,64 @@
+"""Test-data loaders for the driver-generated TPC-H-ish tables.
+
+Tables live at ``{sf_dir}/{table}.parquet`` (see TESTDATA.md). Loading
+is a plain parquet scan so Catalyst keeps predicate pushdown, column
+pruning and partition pruning — at 100 TB these scans are the single
+biggest lever, so nothing here materializes or caches by default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["TABLES", "DEFAULT_SF_DIR", "load_table", "load_tables", "register_views"]
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables that should always broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Columns stored as parquet TIMESTAMP(NANOS). Spark reads them as
+#: long nanos (``spark.sql.legacy.parquet.nanosAsLong``); we convert
+#: to TimestampType by integer-dividing to micros — same truncation
+#: DuckDB applies when casting nanos → its micro timestamps, so the
+#: oracle sees identical values.
+_NANO_TS_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,223 @@
+"""The engine's operator surface.
+
+Two layers:
+
+1. **The reference's pipeline surface** (SURVEY.md §2.1, aregee/etlp):
+   per-record transducer ops re-expressed as Column/DataFrame
+   combinators — ``map_cols`` (T1), ``where`` (T2), ``flatten`` (T3
+   mapcat), ``keep`` (T4), ``batch_id`` (T5 partition-all),
+   ``array_sum`` (T6 in-record reduce), ``concat_lines`` (T8 string
+   join), ``compose`` (T9 transducer comp). Reference citations:
+   map/filter/mapcat/keep in ``test/etlp/connector_test.clj:106-137``
+   and ``src/etlp/processors/stdout.clj:42-47``; partition-all 100 at
+   ``src/etlp/processors/stdout.clj:44``; ``(reduce + lst)`` at
+   ``test/etlp/connector_test.clj:110``; ``(s/join "\\r" segments)``
+   at ``README.md:31-32``.
+
+2. **The relational layer** the reference lacks (SURVEY.md §2.2):
+   joins (broadcast/semi/anti), aggregations, windows, set ops,
+   sort/limit — thin wrappers over native Spark so Catalyst keeps
+   full optimization freedom.
+
+Scale notes (100 TB):
+
+- Everything here stays inside Catalyst expressions → whole-stage
+  codegen; no Python in the row path.
+- ``flatten`` uses ``explode`` which is pipelined (no shuffle).
+- ``batch_id`` derives batches from a *data* column, never from
+  ``monotonically_increasing_id`` order, so it is deterministic and
+  partition-stable.
+- Joins: pass ``broadcast=True`` for dimension tables (< ~100 MB);
+  large-large joins rely on AQE skew handling configured in
+  ``session.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "map_cols",
+    "where",
+    "flatten",
+    "keep",
+    "batch_id",
+    "array_sum",
+    "concat_lines",
+    "compose",
+    "join",
+    "semi_join",
+    "anti_join",
+    "union_merge",
+    "top_k",
+    "dedupe_exact",
+]
+
+Transform = Callable[[DataFrame], DataFrame]
+
+
+# ---------------------------------------------------------------- layer 1
+
+def map_cols(**exprs: Column) -> Transform:
+    """T1 map — add/replace columns with expressions (ref: ``(map f)``)."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        return df.withColumns(dict(exprs))
+
+    return _t
+
+
+def where(pred: Column | str) -> Transform:
+    """T2 filter (ref: ``(filter pred)``)."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        return df.where(pred)
+
+    return _t
+
+
+def flatten(col: str, out: str, keep: Sequence[str] | None = None) -> Transform:
+    """T3 mapcat — explode an array column into one row per element.
+
+    ``explode`` is a generator in the same stage as the scan: no
+    shuffle, no Python. (ref: ``(mapcat f)``,
+    ``test/etlp/connector_test.clj:108``)
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        cols = [F.col(c) for c in (keep if keep is not None else df.columns)]
+        return df.select(*cols, F.explode(F.col(col)).alias(out))
+
+    return _t
+
+
+def keep(expr: Column, out: str) -> Transform:
+    """T4 keep — map then drop nulls (ref: ``(keep f)``,
+    ``src/etlp/processors/stdout.clj:47``)."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        return df.withColumn(out, expr).where(F.col(out).isNotNull())
+
+    return _t
+
+
+def batch_id(key: Column | str, n: int, out: str = "batch_id") -> Transform:
+    """T5 partition-all — assign records to fixed-size batches keyed by
+    a monotone data column (ref: ``(partition-all 100)``,
+    ``src/etlp/processors/stdout.clj:44``).
+
+    Spark has no ordered stream, so batching is defined on data, not
+    arrival order: ``floor(key / n)``. Deterministic, shuffle-free.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        k = F.col(key) if isinstance(key, str) else key
+        return df.withColumn(out, F.floor(k / F.lit(n)).cast("long"))
+
+    return _t
+
+
+def array_sum(col: str, out: str, scale: int | None = None) -> Transform:
+    """T6 in-record reduce — left-fold ``+`` over an array column
+    (ref: ``(reduce + lst)``, ``test/etlp/connector_test.clj:110``).
+
+    Uses the higher-order ``aggregate`` so the fold runs in the JVM
+    per-row; accumulates in DOUBLE (left fold, element order) so the
+    result is bit-reproducible.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        acc = F.aggregate(F.col(col), F.lit(0.0), lambda a, x: a + x.cast("double"))
+        if scale is not None:
+            acc = F.round(acc, scale)
+        return df.withColumn(out, acc)
+
+    return _t
+
+
+def concat_lines(sep: str, col: str, out: str, sort: bool = True) -> Transform:
+    """T8 string join — reassemble grouped segments into one string
+    (ref: ``(s/join "\\r" segments)``, ``README.md:31-32``).
+
+    Sorts elements first by default: engine semantics are
+    order-insensitive (SURVEY.md §4.2), so any deterministic output
+    must pick an explicit order.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        arr = F.array_sort(F.col(col)) if sort else F.col(col)
+        return df.withColumn(out, F.array_join(arr, sep))
+
+    return _t
+
+
+def compose(*transforms: Transform) -> Transform:
+    """T9 transducer composition — fuse transforms into one pipeline.
+
+    Catalyst collapses the chained projections/filters into a single
+    whole-stage-codegen'd pass, which is exactly what ``comp`` of
+    transducers bought the reference
+    (``src/etlp/processors/stdout.clj:42-47``).
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        for t in transforms:
+            df = t(df)
+        return df
+
+    return _t
+
+
+# ---------------------------------------------------------------- layer 2
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str] | Column,
+    how: str = "inner",
+    broadcast: bool = False,
+) -> DataFrame:
+    """Join with an explicit broadcast switch for dimension tables.
+
+    At 100 TB the difference between a broadcast-hash join and a
+    shuffled sort-merge join on a fact table is the whole game: pass
+    ``broadcast=True`` whenever the right side fits in executor
+    memory (dimensions, lookup maps).
+    """
+    r = F.broadcast(right) if broadcast else right
+    return left.join(r, on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -> DataFrame:
+    """EXISTS — keeps left rows with a match; never duplicates rows."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -> DataFrame:
+    """NOT EXISTS — keeps left rows without a match."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def union_merge(*dfs: DataFrame) -> DataFrame:
+    """D5 merge — channel-union ≈ UNION ALL by column name
+    (ref: ``a/merge``, ``src/etlp/connector/core.clj:59``)."""
+    it: Iterable[DataFrame] = iter(dfs)
+    out = next(it)
+    for df in it:
+        out = out.unionByName(df)
+    return out
+
+
+def top_k(df: DataFrame, k: int, *order: Column) -> DataFrame:
+    """Global top-k. Spark plans ``orderBy().limit(k)`` as
+    TakeOrderedAndProject: per-partition heaps + a k-row merge on the
+    driver — no global sort, safe at any scale."""
+    return df.orderBy(*order).limit(k)
+
+
+def dedupe_exact(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Exact dedup — hash-aggregate on the key columns (shuffles once
+    on the dedup key; AQE handles skew)."""
+    return df.dropDuplicates(list(cols) if cols else None)

@@ -1,0 +1,84 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Mirrors the contract in ``__spark_entry__.py``: run the Spark query
+and the oracle SQL on the same parquet tables, then compare row count,
+column-name set, and order-insensitive values (columns sorted by
+name, rows sorted by stringified tuple; floats compared with a small
+tolerance so genuine mismatches surface while cross-engine ulp noise
+does not — the driver's hash is exact, which is why every declared
+query rounds its doubles).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+
+from etlp_spark.io import TABLES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty = match)."""
+    problems: list[str] = []
+    sp_rows = [r.asDict() for r in spark_df.collect()]
+    du = con.execute(sql)
+    du_cols = [d[0] for d in du.description]
+    du_rows = [dict(zip(du_cols, row)) for row in du.fetchall()]
+
+    sp_cols = sorted(spark_df.columns)
+    if sorted(du_cols) != sp_cols:
+        problems.append(f"columns differ: spark={sp_cols} duckdb={sorted(du_cols)}")
+        return problems
+    if len(sp_rows) != len(du_rows):
+        problems.append(f"row count differs: spark={len(sp_rows)} duckdb={len(du_rows)}")
+
+    def keyify(rows):
+        return sorted(
+            tuple(_norm(r[c]) for c in sp_cols) for r in rows
+        ), None
+
+    try:
+        sp_sorted, _ = keyify(sp_rows)
+        du_sorted, _ = keyify(du_rows)
+    except TypeError as e:  # unorderable mixed types
+        problems.append(f"sort failed: {e}")
+        return problems
+
+    for i, (a, b) in enumerate(zip(sp_sorted, du_sorted)):
+        if a == b:
+            continue
+        ok = len(a) == len(b)
+        if ok:
+            for x, y in zip(a, b):
+                if isinstance(x, float) and isinstance(y, float):
+                    if not (math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)):
+                        ok = False
+                        break
+                elif x != y:
+                    ok = False
+                    break
+        if not ok:
+            problems.append(f"row {i} differs: spark={a} duckdb={b}")
+            if len(problems) > 5:
+                break
+    return problems
