@@ -1,0 +1,131 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure Column expressions (whole-stage codegen, no Python, no
+shuffle) — at 100 TB these run at parquet-scan speed. Determinism:
+every fold over arrays is an ordered left-fold so results are
+bit-identical across engines and partitionings.
+
+Reference parity note: the reference's only text handling is JSON
+decode and line join (``src/etlp/utils/reducers.clj:43-45``,
+``README.md:31-32``); this module is the engine-added north-star
+surface (SURVEY.md §7 M7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "bpe_ish_tokens",
+    "avg_token_len",
+    "punct_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "LANG_MARKERS",
+    "PUNCT_CLASS",
+]
+
+#: tiny per-language marker vocabularies for the n-gram/stopword
+#: language-ID heuristic. Deliberately small — the point is the
+#: scalable argmax-over-scores shape, not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to"),
+    "de": ("der", "und", "die", "ist", "nicht"),
+    "es": ("el", "y", "los", "es", "que"),
+    "fr": ("le", "et", "les", "est", "que"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+PUNCT_CLASS = r"[.,!?;:()\[\]\"']"
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-flavored tokenization: runs of letters, runs of digits, or
+    single punctuation marks — the standard pre-tokenizer split
+    (regex, JVM-side), not a learned merge table."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.regexp_extract_all(F.lower(c), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), 1),
+        lambda t: t != "",
+    )
+
+
+def avg_token_len(col: Column | str, scale: int = 6) -> Column:
+    """Mean token length; int sums so exact on any engine."""
+    toks = tokens(col)
+    total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    return F.round(total.cast("double") / F.size(toks), scale)
+
+
+def punct_ratio(col: Column | str, scale: int = 6) -> Column:
+    """Fraction of characters that are punctuation (explicit class so
+    every engine agrees on membership)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return F.round(n_punct.cast("double") / F.length(c), scale)
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"], scale: int = 6) -> Column:
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.round(hits.cast("double") / F.size(toks), scale)
+
+
+def quality_score(col: Column | str, scale: int = 6) -> Column:
+    """Composite document-quality heuristic in [0, 1]:
+
+    0.4 · length_score  (saturating at 200 tokens)
+    + 0.3 · (1 − punct_ratio)
+    + 0.3 · stopword_presence  (saturating at 10%)
+
+    The weights are arbitrary; the shape (cheap per-row expression →
+    filter/sort at scan speed) is the point.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c).cast("double")
+    length_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    sw = stopword_ratio(c, scale=9)
+    sw_score = F.least(sw * 10.0, F.lit(1.0))
+    return F.round(0.4 * length_score + 0.3 * (1.0 - punct_ratio(c, scale=9)) + 0.3 * sw_score, scale)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Marker-token language ID: score each language by marker-token
+    hits, pick the argmax (first-wins tie-break in LANG_MARKERS
+    order). One pass over the token array per language — a handful of
+    JVM filter ops per row, no shuffle, no UDF."""
+    toks = tokens(col)
+
+    def _hits(markers: tuple[str, ...]):
+        # NB: a factory, not a default-arg lambda — PySpark treats a
+        # two-parameter lambda as the (element, index) variant.
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    expr = None
+    for lang in LANG_MARKERS:
+        cond = scores[lang] == best
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical document fingerprint: md5 of the
+    whitespace-normalized, lowercased text. Identical normalization →
+    identical fingerprint, so exact dedup is a groupBy on this."""
+    return F.md5(F.array_join(tokens(col), " "))

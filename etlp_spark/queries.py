@@ -576,3 +576,283 @@ def g1_rollup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g2_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("users"))
+
+
+# =====================================================================
+# North-star scale operators (SURVEY.md §7 M7; BASELINE.json) —
+# dedup / similarity / text analysis over documents & embeddings.
+# The DuckDB oracles reproduce every md5-derived hash bit-for-bit.
+# =====================================================================
+
+# DuckDB token expression shared by the text oracles (must mirror
+# etlp_spark.functions.text.tokens exactly).
+_O_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
+
+
+@_register(
+    "x1_text_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKS} AS tk, text FROM documents)
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           round(list_reduce(list_transform(tk, t -> length(t)), (a, b) -> a + b)::DOUBLE
+                 / len(tk), 6) AS avg_tok_len,
+           round((length(text) - length(regexp_replace(text, '[.,!?;:()\\[\\]"'']', '', 'g')))::DOUBLE
+                 / length(text), 6) AS punct_ratio
+    FROM toks
+    """,
+)
+def x1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + document stats (functions.text). Pure column
+    expressions: runs at parquet-scan speed, no shuffle."""
+    from etlp_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.avg_token_len("text").alias("avg_tok_len"),
+        T.punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+_O_LANG_SCORES = {
+    "en": "('the','and','of','is','to')",
+    "de": "('der','und','die','ist','nicht')",
+    "es": "('el','y','los','es','que')",
+    "fr": "('le','et','les','est','que')",
+    "zh": "('de5','shi4','le5','zai4','he2')",
+}
+_O_SCORE_COLS = ",\n           ".join(
+    f"len(list_filter(tk, t -> t IN {m})) AS s_{lang}" for lang, m in _O_LANG_SCORES.items()
+)
+_O_LANG_CASE = "CASE " + " ".join(
+    f"WHEN s_{lang} = m THEN '{lang}'" for lang in _O_LANG_SCORES
+) + " ELSE 'und' END"
+
+
+@_register(
+    "x2_lang_id",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_O_TOKS} AS tk FROM documents),
+    scored AS (SELECT doc_id, lang,
+           {_O_SCORE_COLS},
+           greatest(s_en, s_de, s_es, s_fr, s_zh) AS m
+    FROM toks)
+    SELECT doc_id, lang AS lang_label, {_O_LANG_CASE} AS lang_pred FROM scored
+    """,
+)
+def x2_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (functions.text.lang_id): argmax over
+    per-language hit counts, first-wins ties."""
+    from etlp_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_label"), T.lang_id("text").alias("lang_pred")
+    )
+
+
+@_register(
+    "x3_quality_score",
+    f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKS} AS tk, text FROM documents),
+    feats AS (SELECT doc_id,
+           len(tk)::DOUBLE AS n,
+           round((length(text) - length(regexp_replace(text, '[.,!?;:()\\[\\]"'']', '', 'g')))::DOUBLE
+                 / length(text), 9) AS pr,
+           round(len(list_filter(tk, t -> t IN ('the','and','of','is','to')))::DOUBLE
+                 / len(tk), 9) AS sw
+    FROM toks)
+    SELECT doc_id,
+           round(0.4 * least(n / 200.0, 1.0) + 0.3 * (1.0 - pr)
+                 + 0.3 * least(sw * 10.0, 1.0), 6) AS quality
+    FROM feats
+    """,
+)
+def x3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (functions.text.quality_score)."""
+    from etlp_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+@_register(
+    "x4_exact_dedup",
+    f"""
+    WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents),
+    fps AS (SELECT doc_id,
+                   md5(array_to_string({_O_TOKS}, ' ')) AS fp
+            FROM doubled)
+    SELECT fp, min(doc_id) AS keeper, count(*) AS n_dups
+    FROM fps GROUP BY fp
+    """,
+)
+def x4_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (functions.dedup.exact_dedup) over a deliberately
+    doubled corpus — every group collapses 2→1. One shuffle on the
+    uniform fingerprint key."""
+    from etlp_spark.functions.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs.unionByName(docs))
+
+
+# ---- MinHash-LSH near-dup candidates (flagship dedup pipeline) ------
+_MINHASH_K = 8
+_MINHASH_BANDS = 4
+_O_SHINGLES = f"""
+    toks AS (SELECT doc_id, {_O_TOKS} AS tk FROM documents),
+    pos AS (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i FROM toks),
+    shingles AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh FROM pos)
+"""
+_O_SIGS = "sigs AS (SELECT doc_id, " + ", ".join(
+    f"min(md5('{i}|' || sh)) AS sig_{i}" for i in range(_MINHASH_K)
+) + " FROM shingles GROUP BY doc_id)"
+_O_BANDS = "banded AS (SELECT doc_id, " + ", ".join(
+    f"md5(sig_{b * 2} || '|' || sig_{b * 2 + 1}) AS band_{b}" for b in range(_MINHASH_BANDS)
+) + " FROM sigs)"
+_O_BUCKETS = "buckets AS (" + " UNION ALL ".join(
+    f"SELECT band_{b} AS bucket, doc_id FROM banded" for b in range(_MINHASH_BANDS)
+) + ")"
+_O_EST = " + ".join(
+    f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)" for i in range(_MINHASH_K)
+)
+
+
+@_register(
+    "x5_minhash_lsh",
+    f"""
+    WITH {_O_SHINGLES},
+    {_O_SIGS},
+    {_O_BANDS},
+    {_O_BUCKETS},
+    sized AS (SELECT bucket, list(doc_id) AS ids, count(*) AS sz
+              FROM buckets GROUP BY bucket),
+    kept AS (SELECT bucket, ids FROM sized WHERE sz <= 50),
+    pairs AS (SELECT DISTINCT a, b FROM
+                (SELECT unnest(ids) AS a, ids FROM kept),
+                LATERAL (SELECT unnest(ids) AS b)
+              WHERE a < b)
+    SELECT pairs.a, pairs.b,
+           round(({_O_EST}) / {_MINHASH_K}.0, 6) AS est_jaccard
+    FROM pairs
+    JOIN sigs sa ON sa.doc_id = pairs.a
+    JOIN sigs sb ON sb.doc_id = pairs.b
+    """,
+)
+def x5_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (functions.dedup): shingle →
+    k-min signature (one shuffle) → banded self-join with a bucket
+    cap (skew guard) → estimated Jaccard per candidate pair."""
+    from etlp_spark.functions.dedup import lsh_candidates, minhash_signature
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signature(docs, k=_MINHASH_K, n=3)
+    return lsh_candidates(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=50)
+
+
+@_register(
+    "x6_simhash",
+    f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKS} AS tk FROM documents),
+    tok_rows AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+    hashes AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok_rows),
+    bit_votes AS (SELECT doc_id, h, unnest(range(0, 32)) AS bit FROM hashes),
+    tallies AS (SELECT doc_id, bit,
+                       sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+                FROM bit_votes GROUP BY doc_id, bit)
+    SELECT doc_id,
+           sum(CASE WHEN tally > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+    FROM tallies GROUP BY doc_id
+    """,
+)
+def x6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (functions.dedup.simhash32): one
+    ordered fold per row, no shuffle, no UDF."""
+    from etlp_spark.functions.dedup import simhash32
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash32("text").cast("bigint").alias("simhash"))
+
+
+@_register(
+    "x7_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+    scored AS (
+      SELECT query_id, cand_id,
+             round(
+               list_reduce(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b)
+               / (sqrt(list_reduce(list_transform(list_zip(qv, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b))
+                  * sqrt(list_reduce(list_transform(list_zip(cv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b))),
+               9) AS cos
+      FROM q, c)
+    SELECT query_id, cand_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+    FROM scored
+    QUALIFY rnk <= 5
+    """,
+)
+def x7_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (functions.similarity.cosine_topk):
+    broadcast queries × partitioned candidates; ordered-fold dot
+    products; deterministic per-query ranking."""
+    from etlp_spark.functions.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.where(F.col("vec_id") < 10), emb.where(F.col("vec_id") >= 10), k=5)
+
+
+@_register(
+    "x8_srp_buckets",
+    """
+    SELECT vec_id,
+           array_to_string(
+             list_transform(range(0, 16), j ->
+               CASE WHEN
+                 list_reduce(
+                   list_transform(list_zip(embedding,
+                     list_transform(range(0, 64), d ->
+                       ('0x' || substr(md5('plane' || j || '_' || d), 1, 8))::BIGINT::DOUBLE
+                       / 2147483648.0 - 1.0)),
+                     p -> p[1]::DOUBLE * p[2]::DOUBLE),
+                   (a, b) -> a + b) > 0
+               THEN '1' ELSE '0' END),
+             '') AS bucket
+    FROM embeddings
+    """,
+)
+def x8_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH bucketing (functions.similarity):
+    deterministic md5-derived hyperplanes; ANN = equi-join on bucket
+    then exact re-rank, instead of an all-pairs cross join."""
+    from etlp_spark.functions.similarity import srp_buckets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return srp_buckets(emb, n_planes=16, dims=64)
+
+
+@_register(
+    "x9_multimodal_features",
+    """
+    SELECT CAST(doc_id AS INT) AS media_id,
+           'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def x9_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing (functions.multimodal): BinaryType
+    column → Arrow-batched mapInPandas feature kernel. The decode
+    step is stubbed (no codecs in container); byte length + digest
+    are oracle-checked, the feature vector is exercised in unit
+    tests."""
+    from etlp_spark.functions.multimodal import attach_fake_media, extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = extract_features(attach_fake_media(docs))
+    return feats.select("media_id", "mime", "n_bytes", "digest")

@@ -1,0 +1,125 @@
+"""Unit tests for the north-star operator modules (SURVEY.md §7 M7)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlp_spark.functions import text as T
+from etlp_spark.functions.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signature,
+    word_shingles,
+)
+from etlp_spark.functions.multimodal import attach_fake_media, decode_image, extract_features
+from etlp_spark.functions.similarity import cosine_topk, srp_buckets
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "der schnelle braune fuchs ist nicht hier und die katze"),
+        (4, "completely different words entirely unrelated text here now"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (6, "ab"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_tokens_and_stats(spark):
+    df = spark.createDataFrame([(1, "  Hello   WORLD  ")], ["id", "text"])
+    row = df.select(
+        T.tokens("text").alias("t"),
+        T.token_count("text").alias("n"),
+        T.avg_token_len("text").alias("avg"),
+    ).first()
+    assert row.t == ["hello", "world"]
+    assert row.n == 2
+    assert row.avg == 5.0
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([(1, "Hello, world42!")], ["id", "text"])
+    row = df.select(T.bpe_ish_tokens("text").alias("t")).first()
+    assert row.t == ["hello", ",", "world", "42", "!"]
+
+
+def test_lang_id_markers(spark, docs):
+    got = {r.doc_id: r.pred for r in docs.select("doc_id", T.lang_id("text").alias("pred")).collect()}
+    assert got[1] == "en"
+    assert got[3] == "de"
+
+
+def test_punct_and_quality_bounds(spark, docs):
+    rows = docs.select(T.punct_ratio("text").alias("p"), T.quality_score("text").alias("q")).collect()
+    for r in rows:
+        assert 0.0 <= r.p <= 1.0
+        assert 0.0 <= r.q <= 1.0
+
+
+def test_exact_dedup_collapses(spark, docs):
+    out = exact_dedup(docs).collect()
+    by_keeper = {r.keeper: r.n_dups for r in out}
+    assert by_keeper[1] == 2  # docs 1 and 5 identical
+    assert 5 not in by_keeper
+
+
+def test_word_shingles_short_doc_empty(spark, docs):
+    row = docs.where(F.col("doc_id") == 6).select(word_shingles("text", 3).alias("sh")).first()
+    assert row.sh == []
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    sigs = minhash_signature(docs, k=16, n=3)
+    pairs = {(r.a, r.b): r.est_jaccard for r in lsh_candidates(sigs, k=16, bands=8).collect()}
+    # identical docs must collide with est_jaccard == 1.0
+    assert pairs.get((1, 5)) == 1.0
+    # near-dups 1/2 share most shingles; est should be well above 0
+    if (1, 2) in pairs:
+        assert pairs[(1, 2)] > 0.3
+
+
+def test_jaccard_exact(spark, docs):
+    sigs = minhash_signature(docs, k=16, n=3)
+    cands = lsh_candidates(sigs, k=16, bands=8)
+    jac = {(r.a, r.b): r.jaccard for r in jaccard_pairs(docs, cands.select("a", "b")).collect()}
+    assert jac.get((1, 5)) == 1.0
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(3)]
+    rows.append((10, [1.0, 0.0, 0.0, 0.0]))  # same direction as vec 0
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cosine_topk(df.where(F.col("vec_id") < 3), df.where(F.col("vec_id") >= 3), k=1)
+    got = {r.query_id: (r.cand_id, r.cos) for r in out.collect()}
+    assert got[0] == (10, 1.0)
+    assert got[1][1] == 0.0
+
+
+def test_srp_buckets_identical_vectors_collide(spark):
+    rows = [(1, [0.5] * 64), (2, [0.5] * 64), (3, [-0.5] * 64)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r.bucket for r in srp_buckets(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert len(out[1]) == 16 and set(out[1]) <= {"0", "1"}
+
+
+def test_multimodal_feature_plumbing(spark, docs):
+    feats = extract_features(attach_fake_media(docs)).collect()
+    assert len(feats) == docs.count()
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[1].digest == by_id[5].digest  # identical payloads
+    assert by_id[1].n_bytes == len("the quick brown fox jumps over the lazy dog")
+    assert len(by_id[1].feature) == 8
+    assert all(-1.0 <= v <= 1.0 for v in by_id[1].feature)
+    assert by_id[1].feature == by_id[5].feature  # deterministic kernel
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
