@@ -1,0 +1,184 @@
+"""File sources/sinks (ref: S3-S6, K1-K2 in SURVEY.md §2.1).
+
+- ``TextFileSource``: line-scan reader (ref ``read-lines``,
+  ``src/etlp/utils/reducers.clj:18-34``) — ``spark.read.text`` over a
+  file/dir/glob; directory listing (ref ``files-processor``,
+  ``reducers.clj:9-15``) is Spark's native glob handling.
+- ``JsonLinesSource``: the reference's ``json-reducer``
+  (``reducers.clj:43-52``): JSON per line + ``{:file path}``
+  provenance merge → ``from_json`` + ``input_file_name()``, with the
+  reference's log-and-continue error behavior
+  (``src/etlp/connector/dag.clj:39-45``) mapped to PERMISSIVE parse +
+  a separated errors DataFrame.
+- ``ConsoleSink``: the stdout destination (K1,
+  ``src/etlp/processors/stdout.clj:29-58``) — prints a bounded sample
+  and tracks the running record count via ``observe`` (the
+  reference's atom-held count, ``stdout.clj:20-27``, without the
+  cross-batch side effects Spark can't order).
+
+Scale notes: file sources are plain DataFrameReader scans — splittable,
+predicate-pushing, partition-pruning. Nothing here collects to the
+driver except the console sample (explicitly bounded).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from etlp_spark.connectors.base import Destination, Source, WriteResult
+
+
+@dataclass
+class TextFileSource(Source):
+    path: str
+    stream_name: str = "text-stream"
+    with_provenance: bool = True
+
+    def spec(self) -> dict[str, Any]:
+        return {"type": "file/text", "path": self.path, "provenance": self.with_provenance}
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        df = spark.read.text(self.path)
+        if self.with_provenance:
+            df = df.withColumn("file", F.input_file_name())
+        return df
+
+
+@dataclass
+class JsonLinesSource(Source):
+    """JSON-lines with schema + error routing.
+
+    ``read`` returns good records (parsed columns + ``file``
+    provenance); ``errors_of`` splits out unparseable lines as an
+    error DataFrame (reference behavior: log & continue — E1/E2).
+    """
+
+    path: str
+    schema: StructType | str | None = None
+    stream_name: str = "jsonl-stream"
+
+    def spec(self) -> dict[str, Any]:
+        return {"type": "file/jsonl", "path": self.path, "schema": str(self.schema)}
+
+    def _raw(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read
+        if self.schema is not None:
+            schema = self.schema
+            if isinstance(schema, str):
+                schema = StructType.fromDDL(schema)
+            if "_corrupt_record" not in schema.names:
+                schema = schema.add("_corrupt_record", "string")
+            reader = reader.schema(schema)
+        df = (
+            reader.option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(self.path)
+        )
+        return df.withColumn("file", F.input_file_name())
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        df = self._raw(spark)
+        if "_corrupt_record" in df.columns:
+            df = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+        return df
+
+    def errors_of(self, spark: SparkSession) -> DataFrame:
+        """The reference wraps failures as error envelopes on a side
+        channel (``src/etlp/utils/async.clj:49-51``); here they are a
+        first-class DataFrame.
+
+        Spark refuses plans that reference *only* ``_corrupt_record``
+        (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the
+        parsed frame is cached first — the error path is a debugging
+        flow; at 100 TB you'd land both sides from one pass instead.
+        """
+        df = self._raw(spark)
+        if "_corrupt_record" not in df.columns:
+            return df.limit(0).select(F.lit("").alias("_corrupt_record"), "file").limit(0)
+        return df.cache().where(F.col("_corrupt_record").isNotNull()).select("_corrupt_record", "file")
+
+
+@dataclass
+class CsvSource(Source):
+    path: str
+    header: bool = True
+    infer_schema: bool = False
+    schema: StructType | str | None = None
+    stream_name: str = "csv-stream"
+
+    def spec(self) -> dict[str, Any]:
+        return {"type": "file/csv", "path": self.path, "header": self.header}
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read.option("header", self.header)
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        elif self.infer_schema:
+            reader = reader.option("inferSchema", True)
+        return reader.csv(self.path)
+
+
+@dataclass
+class ParquetSource(Source):
+    path: str
+    stream_name: str = "parquet-stream"
+
+    def spec(self) -> dict[str, Any]:
+        return {"type": "file/parquet", "path": self.path}
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+
+@dataclass
+class ParquetSink(Destination):
+    path: str
+    mode: str = "overwrite"
+    partition_by: tuple[str, ...] = ()
+
+    def spec(self) -> dict[str, Any]:
+        return {"type": "file/parquet", "path": self.path, "mode": self.mode}
+
+    def write(self, df: DataFrame) -> WriteResult:
+        from pyspark.sql import Observation
+
+        # Row count rides the write itself via observe() — no second
+        # scan (the reference's running-count atom, A1, as a metric).
+        obs = Observation("etlp_sink")
+        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        writer = observed.write.mode(self.mode)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
+        return WriteResult(rows=obs.get["rows"], target=self.path)
+
+
+@dataclass
+class ConsoleSink(Destination):
+    """K1/K2: print a bounded sample, report the exact count.
+
+    The reference batches 100 records then updates a running count
+    atom (``stdout.clj:44-47``); ``observe`` gives the same metric
+    without breaking distributed execution.
+    """
+
+    limit: int = 20
+    collected: list = field(default_factory=list)
+
+    def spec(self) -> dict[str, Any]:
+        return {"type": "console", "limit": self.limit}
+
+    def write(self, df: DataFrame) -> WriteResult:
+        # NB: an Observation riding limit() short-circuits (it only
+        # sees the sampled partitions), so the exact count is its own
+        # action — the console sink is a debugging endpoint, the extra
+        # scan is deliberate.
+        sample = df.limit(self.limit).collect()
+        self.collected = sample
+        for row in sample:
+            print(row.asDict())
+        return WriteResult(rows=df.count(), target="console")

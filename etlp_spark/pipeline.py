@@ -1,0 +1,107 @@
+"""Pipeline: the reference's ``connect → start-job`` surface
+(``src/etlp/connector/core.clj:40-73``, ``src/etlp/core.clj:91-109``)
+as a thin object over DataFrames.
+
+Reference shape:
+
+    EtlpConnect{source, destination, xform, threads}
+    start  → wire source channel → N-thread transducer pipeline →
+             destination channel (``core.clj:47-59``)
+    drain  → block until the channel closes (``core.clj:97-108``)
+    stop   → close the channel (``core.clj:60-63``)
+
+Spark mapping: building the Pipeline builds a DataFrame lineage
+(logical plan — nothing runs); ``run`` invokes the sink action, which
+*is* the drain (a batch action blocks until complete); ``stop`` is a
+no-op for batch. ``threads``/``partitions`` knobs are deliberately
+dropped — parallelism belongs to Spark configs (SURVEY.md §7).
+
+The engine registry (``Engine``) covers the reference's component
+system: ``etlp-component`` registration (``src/etlp/core.clj:15-30``),
+app init (``core.clj:133-147``) and command dispatch ``::start`` /
+``::check`` (``core.clj:111-131``) — without Integrant: plain dicts
+and closures.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etlp_spark.connectors.base import CheckResult, Destination, Source, WriteResult
+from etlp_spark.ops import Transform
+
+SourceLike = Source | Callable[[SparkSession], DataFrame] | DataFrame
+
+
+@dataclass
+class Pipeline:
+    source: SourceLike
+    transforms: Sequence[Transform] = ()
+    sink: Destination | None = None
+    name: str = "etlp-stream"
+
+    def dataframe(self, spark: SparkSession) -> DataFrame:
+        """Resolve source → composed transforms (the fused transducer
+        chain, T9 — Catalyst collapses it into one codegen stage)."""
+        if isinstance(self.source, DataFrame):
+            df = self.source
+        elif isinstance(self.source, Source):
+            df = self.source.read(spark)
+        else:
+            df = self.source(spark)
+        for t in self.transforms:
+            df = t(df)
+        return df
+
+    def run(self, spark: SparkSession) -> WriteResult:
+        """start-job: execute the sink action and block to completion
+        (C4 drain). Without a sink, counts rows (a pure action)."""
+        df = self.dataframe(spark)
+        if self.sink is None:
+            return WriteResult(rows=df.count(), target="void")
+        return self.sink.write(df)
+
+    def check(self, spark: SparkSession) -> CheckResult:
+        """::check command (ref ``src/etlp/core.clj:118-121``)."""
+        if isinstance(self.source, Source):
+            return self.source.check(spark)
+        return CheckResult(True, "inline source")
+
+
+class Engine:
+    """Component registry + command dispatch (R1-R3).
+
+    ``register`` stores a pipeline factory under a name (the
+    reference stores ``{:process-fn :etlp-config :etlp-mapper}`` under
+    ``[::processors name]``); ``run`` dispatches commands like the
+    reference's ``invoke-connector`` (``::start``/``::check``);
+    unknown names/commands raise ``ValueError`` like the reference's
+    ``IllegalArgumentException`` (``src/etlp/core.clj:28-30``).
+    """
+
+    def __init__(self, spark: SparkSession, config: dict[str, Any] | None = None):
+        self.spark = spark
+        self.config = config or {}
+        self._processors: dict[str, Callable[[dict[str, Any]], Pipeline]] = {}
+
+    def register(self, name: str, factory: Callable[[dict[str, Any]], Pipeline]) -> None:
+        self._processors[name] = factory
+
+    def processors(self) -> list[str]:
+        return sorted(self._processors)
+
+    def run(self, name: str, command: str = "start", options: dict[str, Any] | None = None):
+        if name not in self._processors:
+            raise ValueError(f"unknown processor {name!r}; registered: {self.processors()}")
+        pipeline = self._processors[name]({**self.config, **(options or {})})
+        if command == "start":
+            return pipeline.run(self.spark)
+        if command == "check":
+            return pipeline.check(self.spark)
+        if command == "dataframe":
+            return pipeline.dataframe(self.spark)
+        raise ValueError(f"unknown command {command!r}; expected start|check|dataframe")

@@ -1,0 +1,154 @@
+"""Pipeline / Engine / connector protocol tests (SURVEY.md §2.1
+C1-C5, R1-R3, S3-S6, K1-K3, E1-E2, S2)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlp_spark import ops
+from etlp_spark.connectors import (
+    ConsoleSink,
+    HttpPollingSource,
+    JdbcSink,
+    JsonLinesSource,
+    ParquetSink,
+    ParquetSource,
+    TextFileSource,
+)
+from etlp_spark.connectors.jdbc import specs_to_column_types
+from etlp_spark.pipeline import Engine, Pipeline
+
+
+@pytest.fixture()
+def jsonl_dir(tmp_path):
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"id": 1, "name": "a", "tags": ["x","y"]}\n'
+        '{"id": 2, "name": "b", "tags": []}\n'
+        "{this is not json\n"
+    )
+    (p / "b.jsonl").write_text('{"id": 3, "name": "c", "tags": ["z"]}\n')
+    return str(p)
+
+
+def test_text_source_provenance(spark, tmp_path):
+    f = tmp_path / "lines.txt"
+    f.write_text("hello\n\nwörld\n")
+    df = TextFileSource(str(f)).read(spark)
+    rows = [r.value for r in df.collect()]
+    assert sorted(rows) == ["", "hello", "wörld"]
+    assert all(r.file.endswith("lines.txt") for r in df.collect())
+
+
+def test_jsonl_source_error_routing(spark, jsonl_dir):
+    """E1/E2: reference logs-and-continues on bad records
+    (dag.clj:39-45); here good rows and errors are separate frames."""
+    src = JsonLinesSource(jsonl_dir, schema="id long, name string, tags array<string>")
+    good = src.read(spark)
+    errs = src.errors_of(spark)
+    assert sorted(r.id for r in good.collect()) == [1, 2, 3]
+    bad = errs.collect()
+    assert len(bad) == 1 and "{this is not json" in bad[0]._corrupt_record
+    assert bad[0].file.endswith("a.jsonl")
+
+
+def test_connector_spec_check_discover(spark, jsonl_dir):
+    """C1/C2 protocol ops (connector/protocols.clj:4-13)."""
+    src = JsonLinesSource(jsonl_dir, schema="id long, name string, tags array<string>")
+    assert src.spec()["type"] == "file/jsonl"
+    assert src.check(spark).ok
+    catalog = src.discover(spark)
+    props = catalog["streams"][0]["schema"]["properties"]
+    assert props["id"] == {"type": "integer"}
+    assert props["name"] == {"type": "string"}
+    # failing check reports, never raises
+    assert not TextFileSource("/nonexistent/nowhere").check(spark).ok
+
+
+def test_pipeline_end_to_end(spark, jsonl_dir, tmp_path):
+    """M1 slice: source → transforms → sink with observed count."""
+    out = str(tmp_path / "out.parquet")
+    pipe = Pipeline(
+        source=JsonLinesSource(jsonl_dir, schema="id long, name string, tags array<string>"),
+        transforms=[
+            ops.where(F.col("id") > 1),
+            ops.map_cols(n_tags=F.size("tags")),
+        ],
+        sink=ParquetSink(out),
+    )
+    result = pipe.run(spark)
+    assert result.rows == 2
+    back = ParquetSource(out).read(spark)
+    assert sorted((r.id, r.n_tags) for r in back.collect()) == [(2, 0), (3, 1)]
+
+
+def test_console_sink_counts(spark):
+    sink = ConsoleSink(limit=2)
+    result = Pipeline(source=lambda s: s.range(100), sink=sink).run(spark)
+    assert result.rows == 100
+    assert len(sink.collected) == 2
+
+
+def test_engine_registry_dispatch(spark):
+    """R1-R3: register/run/check; unknown name raises like the
+    reference's IllegalArgumentException (core.clj:28-30)."""
+    engine = Engine(spark, config={"limit": 5})
+    engine.register(
+        "numbers",
+        lambda cfg: Pipeline(source=lambda s: s.range(cfg["limit"]), sink=ConsoleSink(limit=1)),
+    )
+    assert engine.processors() == ["numbers"]
+    assert engine.run("numbers", "start").rows == 5
+    assert engine.run("numbers", "check").ok
+    with pytest.raises(ValueError, match="unknown processor"):
+        engine.run("ghost")
+    with pytest.raises(ValueError, match="unknown command"):
+        engine.run("numbers", "explode")
+
+
+def test_jdbc_specs_ddl():
+    """K3 DDL parity (README.md:72-81)."""
+    ddl = specs_to_column_types(
+        [("id", "serial", "PRIMARY KEY"), ("key", "varchar"), ("created_at", "timestamp", "DEFAULT", "CURRENT_TIMESTAMP")]
+    )
+    assert ddl == "id SERIAL PRIMARY KEY, key VARCHAR, created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP"
+    sink = JdbcSink(url="jdbc:postgresql://x/db", table="t", specs=[("id", "serial", "PRIMARY KEY")])
+    assert sink.spec()["createTableColumnTypes"] == "id SERIAL PRIMARY KEY"
+
+
+def test_http_polling_source_state_machine(spark):
+    """S2 (http.clj:17-95): start → poll until 200 → manifest fetch →
+    distributed json read. Fake transport, zero network."""
+    polls = {"n": 0}
+
+    def transport(method, url, headers):
+        if url == "https://api.example/export":
+            if headers.get("prefer") != "respond-async":
+                return 200, {}, b"{}"  # plain health probe (check())
+            return 202, {"Content-Location": "https://api.example/jobs/42"}, b""
+        if url == "https://api.example/jobs/42":
+            polls["n"] += 1
+            if polls["n"] < 3:
+                return 202, {}, b""
+            manifest = {"output": [{"url": "https://api.example/files/1"}]}
+            return 200, {}, json.dumps(manifest).encode()
+        if url == "https://api.example/files/1":
+            return 200, {}, b'{"pid": 7, "status": "ok"}\n{"pid": 8, "status": "err"}'
+        raise AssertionError(f"unexpected url {url}")
+
+    src = HttpPollingSource("https://api.example/export", transport=transport, poll_interval_s=0.0)
+    df = src.read(spark)
+    assert sorted(r.pid for r in df.collect()) == [7, 8]
+    assert polls["n"] == 3
+    assert src.check(spark).ok
+
+
+def test_http_polling_timeout():
+    src = HttpPollingSource(
+        "https://x/", transport=lambda m, u, h: (202, {"Content-Location": "https://x/j"}, b""),
+        poll_interval_s=0.0, max_polls=2,
+    )
+    with pytest.raises(TimeoutError):
+        src.poll("https://x/j")
