@@ -856,3 +856,36 @@ def x9_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     feats = extract_features(attach_fake_media(docs))
     return feats.select("media_id", "mime", "n_bytes", "digest")
+
+
+# =====================================================================
+# M1 mapping DSL (ref: JUTE templates, src/etlp/utils/mapper.clj:27-48)
+# Template compiled to Column exprs — runs inside codegen; the oracle
+# reproduces the mapped output with plain SQL.
+# =====================================================================
+
+@_register(
+    "m1_mapping_dsl",
+    """
+    SELECT event_id,
+           event_type AS typ,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           'evt-' || event_id || '/' || event_type AS label
+    FROM events
+    """,
+)
+def m1_mapping_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etlp_spark.mapping import apply_template
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "props_parsed", F.from_json("props", "k bigint")
+    )
+    return apply_template(
+        ev,
+        {
+            "event_id": "$.event_id",
+            "typ": "$.event_type",
+            "k": "$.props_parsed.k",
+            "label": "evt-{{ $.event_id }}/{{ $.event_type }}",
+        },
+    )

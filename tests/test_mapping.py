@@ -1,0 +1,104 @@
+"""Mapping DSL tests (FIXTURES.md §B6; ref src/etlp/utils/mapper.clj)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlp_spark.mapping import (
+    MappingRegistry,
+    TemplateError,
+    apply_interpreted,
+    apply_template,
+    compile_template,
+)
+
+
+@pytest.fixture()
+def people(spark):
+    return spark.createDataFrame(
+        [
+            (1, "ada", {"city": "london", "zip": "N1"}, ["x", "y"]),
+            (2, "alan", {"city": "bletchley", "zip": None}, []),
+        ],
+        "id long, name string, addr struct<city:string,zip:string>, tags array<string>",
+    )
+
+
+def test_literals_refs_struct(spark, people):
+    out = apply_template(
+        people,
+        {
+            "pid": "$.id",
+            "label": {"$concat": ["person-", "$.id"]},
+            "city": "$.addr.city",
+            "fixed": 42,
+        },
+    ).collect()
+    rows = {r.pid: r for r in out}
+    assert rows[1].label == "person-1" and rows[1].city == "london"
+    assert rows[2].fixed == 42
+
+
+def test_interpolation(spark, people):
+    out = apply_template(people, {"s": "{{ $.name }}@{{ $.addr.city }}"}).collect()
+    assert sorted(r.s for r in out) == ["ada@london", "alan@bletchley"]
+
+
+def test_if_coalesce(spark, people):
+    out = apply_template(
+        people,
+        {
+            "zip_or_na": {"$coalesce": ["$.addr.zip", "NA"]},
+            "has_tags": {"$if": "$.tags", "$then": "yes", "$else": "no"},
+        },
+    ).collect()
+    by = {i: r for i, r in zip((1, 2), sorted(out, key=lambda r: r.zip_or_na != "N1"))}
+    assert by[1].zip_or_na == "N1"
+    assert by[2].zip_or_na == "NA"
+
+
+def test_map_over_array(spark, people):
+    out = apply_template(
+        people,
+        {"tagged": {"$map": "$.tags", "$as": "t", "$body": {"$concat": ["$t", "!"]}}},
+    ).collect()
+    assert sorted(map(tuple, (r.tagged for r in out))) == [(), ("x!", "y!")]
+
+
+def test_nested_struct_output(spark, people):
+    row = apply_template(
+        people, {"doc": {"who": "$.name", "where": {"town": "$.addr.city"}}}
+    ).orderBy(F.col("doc.who")).first()
+    assert row.doc.who == "ada" and row.doc.where.town == "london"
+
+
+def test_unknown_directive_raises():
+    with pytest.raises(TemplateError, match="unknown directive"):
+        compile_template({"$frobnicate": 1})
+
+
+def test_registry_stores_errors_as_strings(tmp_path):
+    """ref mapper.clj:44-47 — compile errors live in the registry."""
+    (tmp_path / "good.yaml").write_text("out: '$.id'\n")
+    (tmp_path / "bad.yaml").write_text("out:\n  $bogus: 1\n")
+    reg = MappingRegistry(base_dir=str(tmp_path))
+    entries = reg.fetch({"g": "good", "b": "bad", "missing": "nope"})
+    assert callable(entries["g"])
+    assert isinstance(entries["b"], str) and "unknown directive" in entries["b"]
+    assert isinstance(entries["missing"], str) and "FileNotFoundError" in entries["missing"]
+
+
+def test_registry_compiled_mapping_runs(spark, people, tmp_path):
+    (tmp_path / "m.yaml").write_text("pid: '$.id'\ncity: '$.addr.city'\n")
+    reg = MappingRegistry(base_dir=str(tmp_path))
+    entries = reg.fetch({"m": "m"})
+    out = entries["m"](people).collect()
+    assert sorted((r.pid, r.city) for r in out) == [(1, "london"), (2, "bletchley")]
+
+
+def test_interpreter_escape_hatch(spark, people):
+    out = apply_interpreted(
+        people.select("id", "name"),
+        {"pid": "$.id", "shout": "$.name"},
+        "pid long, shout string",
+    ).collect()
+    assert sorted((r.pid, r.shout) for r in out) == [(1, "ada"), (2, "alan")]
