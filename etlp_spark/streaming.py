@@ -1,0 +1,155 @@
+"""Structured Streaming parity (SURVEY.md §7 M6).
+
+The reference is a streaming framework with *no* event time, *no*
+watermarks and *no* recovery: records flow through channels, state
+lives in process-local atoms lost on crash
+(``src/etlp/utils/async.clj:8``, ``src/etlp/processors/stdout.clj:61``).
+This module is the strict upgrade: the same pipeline surface on
+Structured Streaming with event-time windows, watermarked late-data
+handling, checkpointed exactly-once state, and the A1 running count
+as a real streaming aggregation.
+
+Mapping (SURVEY.md §2.1):
+
+- S1 stdin/channel source  → ``rate`` / file stream / socket
+- T5 partition-all          → micro-batches; ``foreach_batch`` for
+  per-batch side effects (the reference's batch-then-act)
+- A1 running count atom     → ``running_counts`` streaming agg in
+  update mode (checkpointable, crash-safe — the atom was neither)
+- C4 drain                  → ``process_all`` (block until caught up)
+- C5 stop                   → ``StreamingQuery.stop()``
+
+Scale notes: watermark delay bounds state size (without it, windowed
+state grows forever); ``maxFilesPerTrigger``/``maxOffsetsPerTrigger``
+are the backpressure knobs standing in for the reference's bounded
+channel buffers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from etlp_spark.ops import Transform
+
+__all__ = [
+    "file_stream",
+    "rate_stream",
+    "with_event_time",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "running_counts",
+    "StreamingPipeline",
+]
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-drop source (the streaming twin of the reference's
+    directory lister S3). New files in ``path`` become micro-batches;
+    ``max_files_per_trigger`` is the backpressure bound."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """Synthetic ticking source (S1 stand-in for tests/demos)."""
+    return spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+
+
+def with_event_time(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Watermark: bounds both late-data wait and state size."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_counts(
+    df: DataFrame, ts_col: str, window: str, *keys: str, aggs: Sequence | None = None
+) -> DataFrame:
+    """Event-time tumbling window aggregation."""
+    agg_list = list(aggs) if aggs else [F.count(F.lit(1)).alias("n")]
+    return df.groupBy(F.window(ts_col, window), *keys).agg(*agg_list)
+
+
+def sliding_counts(
+    df: DataFrame, ts_col: str, window: str, slide: str, *keys: str, aggs: Sequence | None = None
+) -> DataFrame:
+    agg_list = list(aggs) if aggs else [F.count(F.lit(1)).alias("n")]
+    return df.groupBy(F.window(ts_col, window, slide), *keys).agg(*agg_list)
+
+
+def session_counts(
+    df: DataFrame, ts_col: str, gap: str, *keys: str, aggs: Sequence | None = None
+) -> DataFrame:
+    """Session windows (gap-based) — state bounded by the watermark."""
+    agg_list = list(aggs) if aggs else [F.count(F.lit(1)).alias("n")]
+    return df.groupBy(F.session_window(ts_col, gap), *keys).agg(*agg_list)
+
+
+def running_counts(df: DataFrame, *keys: str) -> DataFrame:
+    """A1 parity: the reference logs a running record count from an
+    atom every 100 records (``stdout.clj:20-27``). As a streaming
+    aggregation in update mode the count is exact, checkpointed and
+    emitted once per micro-batch — Spark cannot (and should not)
+    reproduce cross-batch ordered side effects (SURVEY.md §7 hard
+    list #2)."""
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    return grouped.agg(F.count(F.lit(1)).alias("n"))
+
+
+@dataclass
+class StreamingPipeline:
+    """The Pipeline surface over readStream/writeStream.
+
+    ``sink`` options: ``("memory", name)`` for tests, ``("parquet",
+    path)`` for files, ``("console", None)``, or a ``foreach_batch``
+    callable (T5 batch-then-act).
+    """
+
+    source: DataFrame | Callable[[SparkSession], DataFrame]
+    transforms: Sequence[Transform] = ()
+    output_mode: str = "append"
+    checkpoint: str | None = None
+
+    def dataframe(self, spark: SparkSession) -> DataFrame:
+        df = self.source if isinstance(self.source, DataFrame) else self.source(spark)
+        for t in self.transforms:
+            df = t(df)
+        return df
+
+    def start(
+        self,
+        spark: SparkSession,
+        sink: tuple[str, str | None] | Callable[[DataFrame, int], Any],
+        query_name: str = "etlp-stream",
+    ) -> StreamingQuery:
+        df = self.dataframe(spark)
+        if callable(sink):
+            writer = df.writeStream.foreachBatch(sink)
+        else:
+            fmt, target = sink
+            writer = df.writeStream.format(fmt)
+            if fmt == "memory":
+                writer = writer.queryName(target or query_name)
+            elif target is not None:
+                writer = writer.option("path", target)
+        writer = writer.outputMode(self.output_mode)
+        if self.checkpoint:
+            writer = writer.option("checkpointLocation", self.checkpoint)
+        return writer.start()
+
+    @staticmethod
+    def process_all(query: StreamingQuery) -> None:
+        """C4 drain: block until the stream is caught up."""
+        query.processAllAvailable()

@@ -1,0 +1,124 @@
+"""Streaming parity tests (M6): file-drop source → watermarked
+event-time windows → memory sink, plus running-count (A1) and
+foreachBatch (T5) behavior. All deterministic: processAllAvailable
+drains each stage, no sleeps."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlp_spark import ops
+from etlp_spark.streaming import (
+    StreamingPipeline,
+    file_stream,
+    running_counts,
+    tumbling_counts,
+    with_event_time,
+)
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    return d
+
+
+def _write_batch(d, name, rows):
+    (d / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def test_file_stream_tumbling_window_with_late_data(spark, stream_dir, tmp_path):
+    _write_batch(
+        stream_dir,
+        "b1.jsonl",
+        [
+            {"ts": "2024-01-01 00:00:30", "user": 1},
+            {"ts": "2024-01-01 00:01:10", "user": 2},
+            {"ts": "2024-01-01 00:02:20", "user": 1},
+        ],
+    )
+    src = file_stream(spark, str(stream_dir), "ts timestamp, user long", fmt="json")
+    windowed = tumbling_counts(with_event_time(src, "ts", "10 minutes"), "ts", "1 minute")
+    pipe = StreamingPipeline(source=windowed, output_mode="complete")
+    q = pipe.start(spark, ("memory", "win1"))
+    try:
+        q.processAllAvailable()
+        # late arrival within the 10-minute watermark joins its window
+        _write_batch(stream_dir, "b2.jsonl", [{"ts": "2024-01-01 00:00:45", "user": 3}])
+        q.processAllAvailable()
+        got = {
+            r.window.start.strftime("%H:%M"): r.n
+            for r in spark.sql("select * from win1").collect()
+        }
+        assert got == {"00:00": 2, "00:01": 1, "00:02": 1}
+    finally:
+        q.stop()
+
+
+def test_running_counts_update_mode(spark, stream_dir):
+    """A1: the atom-held running count as a streaming aggregation."""
+    _write_batch(stream_dir, "b1.jsonl", [{"k": "a"}, {"k": "a"}, {"k": "b"}])
+    src = file_stream(spark, str(stream_dir), "k string", fmt="json")
+    pipe = StreamingPipeline(source=running_counts(src, "k"), output_mode="complete")
+    q = pipe.start(spark, ("memory", "counts1"))
+    try:
+        q.processAllAvailable()
+        _write_batch(stream_dir, "b2.jsonl", [{"k": "a"}])
+        q.processAllAvailable()
+        got = {r.k: r.n for r in spark.sql("select * from counts1").collect()}
+        assert got == {"a": 3, "b": 1}
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_side_effects(spark, stream_dir):
+    """T5 batch-then-act: per-micro-batch callback like the
+    reference's partition-all + save-into-database."""
+    _write_batch(stream_dir, "b1.jsonl", [{"v": 1}, {"v": 2}])
+    seen: list[tuple[int, int]] = []
+
+    def per_batch(df, epoch_id):
+        seen.append((epoch_id, df.count()))
+
+    src = file_stream(spark, str(stream_dir), "v long", fmt="json")
+    pipe = StreamingPipeline(source=src, transforms=[ops.where(F.col("v") > 0)])
+    q = pipe.start(spark, per_batch)
+    try:
+        q.processAllAvailable()
+        _write_batch(stream_dir, "b2.jsonl", [{"v": 3}])
+        q.processAllAvailable()
+        assert sorted(seen) == [(0, 2), (1, 1)]
+    finally:
+        q.stop()
+
+
+def test_checkpoint_recovery(spark, stream_dir, tmp_path):
+    """The reference loses its atoms on crash (SURVEY.md §4.2); here
+    state survives a stop/restart via the checkpoint."""
+    ckpt = str(tmp_path / "ckpt")
+    out_tbl = "recov1"
+    _write_batch(stream_dir, "b1.jsonl", [{"k": "a"}])
+
+    def build():
+        src = file_stream(spark, str(stream_dir), "k string", fmt="json")
+        return StreamingPipeline(
+            source=running_counts(src, "k"), output_mode="complete", checkpoint=ckpt
+        )
+
+    q1 = build().start(spark, ("memory", out_tbl))
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    _write_batch(stream_dir, "b2.jsonl", [{"k": "a"}, {"k": "b"}])
+    q2 = build().start(spark, ("memory", out_tbl))
+    try:
+        q2.processAllAvailable()
+        got = {r.k: r.n for r in spark.sql(f"select * from {out_tbl}").collect()}
+        # counts include the pre-restart batch exactly once
+        assert got == {"a": 2, "b": 1}
+    finally:
+        q2.stop()
