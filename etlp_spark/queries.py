@@ -889,3 +889,219 @@ def m1_mapping_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label": "evt-{{ $.event_id }}/{{ $.event_type }}",
         },
     )
+
+
+# =====================================================================
+# Relational coverage round 2 (engine-added; SURVEY.md §2.2):
+# as-of join, range join, cube, time-bucket rollup, percentiles,
+# approx-distinct honesty check, envelope roundtrip, TPC-H Q3 shape.
+# =====================================================================
+
+@_register(
+    "j5_asof_last_signup",
+    """
+    SELECT l.event_id, l.user_id,
+           (SELECT r.value FROM events r
+            WHERE r.user_id = l.user_id AND r.event_type = 'signup'
+              AND r.ts < l.ts
+            ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS value_asof
+    FROM events l WHERE l.event_type = 'click'
+    """,
+)
+def j5_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no native asof): for
+    each click, the value of the user's most recent strictly-prior
+    signup. union+window implementation: ONE shuffle on user_id, no
+    pair explosion (ops_temporal.as_of_join)."""
+    from etlp_spark.ops_temporal import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    signups = ev.where(F.col("event_type") == "signup")
+    joined = as_of_join(
+        clicks, signups, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], tiebreak="event_id", strict=True,
+    )
+    return joined.select("event_id", "user_id", "value_asof")
+
+
+@_register(
+    "j6_range_join_ship_window",
+    """
+    SELECT o_orderkey, count(*) AS n_in_window
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderkey
+    """,
+)
+def j6_range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-anchored range join: hash join on orderkey, interval
+    post-filter (ops_temporal.range_join)."""
+    from etlp_spark.ops_temporal import range_join
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = range_join(
+        o, li,
+        equi=F.col("l_orderkey") == F.col("o_orderkey"),
+        lower=F.col("l_shipdate") >= F.col("o_orderdate"),
+        upper=F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+    )
+    return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_in_window"))
+
+
+@_register(
+    "g3_cube_flags",
+    """
+    SELECT coalesce(l_returnflag, '*') AS l_returnflag,
+           coalesce(l_linestatus, '*') AS l_linestatus,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def g3_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("*")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("*")).alias("l_linestatus"),
+            "n",
+        )
+    )
+
+
+@_register(
+    "g4_time_bucket_rollup",
+    f"""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           count(*) AS n, {_o_money('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def g4_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: time_bucket is the shuffle key; at
+    scale this is the continuous-aggregate pattern (partial agg
+    map-side, one shuffle on (bucket, type))."""
+    from etlp_spark.ops_temporal import time_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(time_bucket("ts", "hour").alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _money(F.col("value")).alias("total_value"))
+    )
+
+
+@_register(
+    "g5_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def g5_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines implement the
+    same linear-interpolation definition). At 100 TB you'd swap in
+    percentile_approx (t-digest) — kept exact here for the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+
+
+@_register(
+    "g6_approx_distinct_guard",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS users_exact, true AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def g6_approx_distinct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) can't hash-match a different
+    engine's sketch, so the declared output is the exact count plus a
+    bound check that the sketch landed within 5% — if HLL drifts out
+    of tolerance the value hash fails."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("users_exact"),
+        (
+            F.abs(F.approx_count_distinct("user_id") - F.count_distinct("user_id"))
+            <= F.count_distinct("user_id") * 0.05
+        ).alias("approx_ok"),
+    )
+
+
+@_register(
+    "m2b_envelope_roundtrip",
+    """
+    SELECT event_id, 'record' AS typ, event_type AS data
+    FROM events
+    """,
+)
+def m2b_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wrap → unwrap roundtrip (envelope.unwrap via from_json)."""
+    from etlp_spark.envelope import unwrap, wrap_record
+
+    ev = _t(spark, sf_dir, "events")
+    wrapped = ev.select("event_id", wrap_record(F.col("event_type"), timestamp=0).alias("env"))
+    parsed = wrapped.select("event_id", unwrap(F.col("env")).alias("e"))
+    return parsed.select("event_id", F.col("e.type").alias("typ"), F.col("e.data").alias("data"))
+
+
+@_register(
+    "q03_shipping_priority",
+    f"""
+    SELECT o_orderkey,
+           {_o_money('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → broadcast join into the
+    fact → group → top-k on an exact decimal (deterministic order).
+    Ordering key is the DECIMAL revenue: exact, so LIMIT is stable."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    joined = li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@_register(
+    "s3_distinct_pairs",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def s3_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etlp_spark.ops import dedupe_exact
+
+    li = _t(spark, sf_dir, "lineitem")
+    return dedupe_exact(li.select("l_returnflag", "l_linestatus"))

@@ -1,0 +1,72 @@
+"""as_of_join / range_join edge cases (ops_temporal)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlp_spark.ops_temporal import as_of_join, range_join
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, ts("2024-01-01 10:00:00")),
+            (2, 100, ts("2024-01-01 11:00:00")),
+            (3, 200, ts("2024-01-01 10:30:00")),
+            (4, 300, ts("2024-01-01 09:00:00")),  # key with no right rows
+        ],
+        "lid long, key long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 100, ts("2024-01-01 09:59:00"), 1.0),
+            (11, 100, ts("2024-01-01 10:00:00"), 2.0),  # == left 1's ts
+            (12, 100, ts("2024-01-01 10:30:00"), 3.0),
+            (13, 100, ts("2024-01-01 10:30:00"), 4.0),  # tie on ts, higher rid
+            (14, 200, ts("2024-01-01 10:00:00"), 5.0),
+        ],
+        "rid long, key long, rts timestamp, val double",
+    )
+    return left, right
+
+
+def test_asof_strict_excludes_equal_ts(spark, frames):
+    left, right = frames
+    out = as_of_join(left, right, "key", "lts", "rts", ["val"], tiebreak="rid", strict=True)
+    got = {r.lid: r.val_asof for r in out.collect()}
+    assert got[1] == 1.0  # 10:00 left sees only 09:59, not the == row
+    assert got[2] == 4.0  # tie at 10:30 resolved to the higher rid
+    assert got[3] == 5.0
+    assert got[4] is None  # no prior right row
+
+
+def test_asof_nonstrict_includes_equal_ts(spark, frames):
+    left, right = frames
+    out = as_of_join(left, right, "key", "lts", "rts", ["val"], tiebreak="rid", strict=False)
+    got = {r.lid: r.val_asof for r in out.collect()}
+    assert got[1] == 2.0  # equal-ts right row now visible
+    assert got[3] == 5.0
+
+
+def test_asof_preserves_left_rowcount(spark, frames):
+    left, right = frames
+    out = as_of_join(left, right, "key", "lts", "rts", ["val"], tiebreak="rid")
+    assert out.count() == left.count()
+
+
+def test_range_join_bounds(spark):
+    left = spark.createDataFrame([(1, 10), (2, 20)], "k long, lo long")
+    right = spark.createDataFrame([(1, 12), (1, 31), (2, 25)], "k long, v long")
+    out = range_join(
+        left, right,
+        equi=left.k == right.k,
+        lower=right.v >= left.lo,
+        upper=right.v <= left.lo + 10,
+    )
+    assert sorted((r.k, r.v) for r in out.select(left.k, right.v).collect()) == [(1, 12), (2, 25)]
