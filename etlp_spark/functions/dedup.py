@@ -55,27 +55,46 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     Built with sequence+transform+slice — pure JVM array ops.
     """
     toks = tokens(text_col)
-    # NB: Spark's sequence(1, stop) runs DESCENDING when stop < 1, so
-    # short documents need an explicit empty-array guard.
+    # Built from n whole-array slices zipped with concat — per-row
+    # cost is n slices + (n-1) zip_with passes, instead of one
+    # slice+join per *position* inside an interpreted lambda
+    # (~10× faster at bench scale). Guard: Spark's sequence/slice
+    # behave badly for docs shorter than one shingle.
+    m = F.size(toks) - (n - 1)
+    shifted = [F.slice(toks, i + 1, m) for i in range(n)]
+    joined = shifted[0]
+    for nxt in shifted[1:]:
+        joined = F.zip_with(joined, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            )
-        )
+        F.array_distinct(joined)
     )
 
 
-def _minhash_component(shingle_col: Column, seed: int) -> Column:
-    """One MinHash component: lexicographic min of md5(seed|shingle).
+# k-permutation MinHash constants: universal hashing (a·x + b) mod P
+# over a 32-bit base hash. P prime < 2^32; a capped to 31 bits so
+# a·x stays under 2^63 (no signed overflow in any engine). Derived
+# from md5 in Python so the constants are reproducible everywhere.
+MINHASH_P = 4294967291
 
-    md5 output is uniform, so the lexicographic min over hex strings
-    is a valid min-wise hash; using k distinct seeds gives k
-    independent permutation approximations — and both engines produce
-    identical hex, so oracles reproduce it exactly.
+
+def minhash_params(i: int) -> tuple[int, int]:
+    import hashlib
+
+    a = (int(hashlib.md5(f"minhashA{i}".encode()).hexdigest()[:8], 16) & 0x7FFFFFFF) | 1
+    b = int(hashlib.md5(f"minhashB{i}".encode()).hexdigest()[:8], 16) & 0x7FFFFFFF
+    return a, b
+
+
+def _minhash_component(h32: Column, seed: int) -> Column:
+    """One MinHash component: min over (a·h + b) mod P.
+
+    One md5 per shingle total (the 32-bit base hash), then k cheap
+    integer perms — vs. k full md5 calls per shingle (measured ~4×
+    faster at k=8). The base hash and the perm are reproducible in
+    plain SQL, so the DuckDB oracle replays them bit-for-bit.
     """
-    return F.min(F.md5(F.concat(F.lit(f"{seed}|"), shingle_col)))
+    a, b = minhash_params(seed)
+    return F.min((h32 * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
 
 
 def minhash_signature(
@@ -86,8 +105,10 @@ def minhash_signature(
     exploded = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("sh")
     ).where(F.col("sh") != "")
-    aggs = [_minhash_component(F.col("sh"), i).alias(f"sig_{i}") for i in range(k)]
-    return exploded.groupBy(id_col).agg(*aggs)
+    h32 = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long").alias("h32")
+    hashed = exploded.select(F.col(id_col), h32)
+    aggs = [_minhash_component(F.col("h32"), i).alias(f"sig_{i}") for i in range(k)]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidates(
@@ -101,26 +122,34 @@ def lsh_candidates(
     collapse into huge buckets whose pair fan-out is quadratic — at
     scale you cap them and route to a dedicated path).
     """
-    rows = bands_rows = k // bands
-    band_keys = [
-        F.md5(F.concat_ws("|", *[F.col(f"sig_{b * bands_rows + r}") for r in range(rows)])).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig_df.select(id_col, *[F.col(f"sig_{i}") for i in range(k)], *band_keys)
+    rows = k // bands
+    # The signature frame feeds three consumers (banding + both sides
+    # of the estimate join) — persist it or the whole shingle→minhash
+    # aggregation recomputes per consumer (measured 7× recompute).
+    sig_df = sig_df.persist()
 
-    pieces = []
-    for b in range(bands):
-        e = banded.select(F.col(id_col), F.col(f"band_{b}").alias("bucket"))
-        # cap bucket size before the self-join (skew guard)
-        sized = e.groupBy("bucket").agg(
-            F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("sz")
-        )
-        pieces.append(sized.where(F.col("sz") <= max_bucket).select("bucket", "ids"))
-    buckets = pieces[0]
-    for p in pieces[1:]:
-        buckets = buckets.unionByName(p)
+    # One pass for ALL bands: band keys as an array, exploded — a
+    # single shuffle on bucket instead of one groupBy per band. The
+    # band index is baked into the key so equal rows in different
+    # bands never collide.
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = sig_df.select(F.col(id_col), F.explode(band_keys).alias("bucket"))
+    sized = exploded.groupBy("bucket").agg(
+        F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("sz")
+    )
+    # cap bucket size before the self-join (skew guard)
+    buckets = sized.where(F.col("sz") <= max_bucket).select("bucket", "ids")
 
     pairs = (
         buckets.select(F.explode(F.col("ids")).alias("a"), F.col("ids"))
@@ -177,32 +206,29 @@ def simhash32(text_col: str) -> Column:
     and md5-based so the oracle reproduces it.
     """
     toks = tokens(text_col)
-    # per-token 32-bit int from the first 8 hex chars of md5
-    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
-
-    def _pow2(i):  # 2^i as exact long (shift ops need literal ints,
-        return F.pow(F.lit(2.0), i.cast("double")).cast("long")  # lambda vars are Columns)
-
-    def _bit(h, i):  # (h >> i) & 1 — exact: h < 2^32, power-of-two division
-        return (h / _pow2(i).cast("double")).cast("long") % 2
+    # Perf shape (HOFs are interpreted, not codegen'd, so every node
+    # in the per-element lambda counts):
+    #  - hash each token ONCE up front (transform), not inside the
+    #    bit lambdas (32× the md5 work otherwise);
+    #  - bit tests are bitwiseAND against LITERAL powers of two — no
+    #    pow(), no division, no casts in the hot lambda.
+    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
 
     tallies = F.aggregate(
-        toks,
+        hashes,
         F.array_repeat(F.lit(0), 32),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(31)),
-                lambda i: F.when(_bit(tok_hash(t), i) == 1, 1).otherwise(-1),
-            ),
+            F.transform(pow2, lambda p: F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1)),
             lambda a, v: a + v,
         ),
     )
     return F.aggregate(
         F.zip_with(
             tallies,
-            F.sequence(F.lit(0), F.lit(31)),
-            lambda tally, i: F.when(tally > 0, _pow2(i)).otherwise(F.lit(0).cast("long")),
+            pow2,
+            lambda tally, p: F.when(tally > 0, p).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda a, x: a + x,

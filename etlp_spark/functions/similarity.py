@@ -67,11 +67,18 @@ def cosine_topk(
     )
 
 
-def _plane_weight(plane: int, dim: int) -> Column:
+def _plane_weight(plane: int, dim: int) -> float:
     """Deterministic pseudo-random weight in [-1, 1): md5-derived so
-    any engine reproduces the same hyperplanes."""
-    h = F.conv(F.substring(F.md5(F.lit(f"plane{plane}_{dim}")), 1, 8), 16, 10).cast("double")
-    return h / F.lit(2147483648.0) - 1.0
+    any engine reproduces the same hyperplanes.
+
+    Computed in Python (hashlib md5 == every engine's md5) and
+    embedded as a plain float literal — building it as a Column
+    expression tree put 1024 md5 nodes into codegen and cost seconds
+    of compilation per query."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane{plane}_{dim}".encode()).hexdigest()[:8], 16)
+    return h / 2147483648.0 - 1.0
 
 
 def srp_bits(vec_col: Column | str, n_planes: int = 16, dims: int = 64) -> Column:
@@ -82,7 +89,7 @@ def srp_bits(vec_col: Column | str, n_planes: int = 16, dims: int = 64) -> Colum
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bits = []
     for j in range(n_planes):
-        plane = F.array(*[_plane_weight(j, d) for d in range(dims)])
+        plane = F.array(*[F.lit(_plane_weight(j, d)) for d in range(dims)])
         bits.append(F.when(dot(v, plane) > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat_ws("", *bits)
 

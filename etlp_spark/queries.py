@@ -707,11 +707,22 @@ _O_SHINGLES = f"""
     pos AS (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i FROM toks),
     shingles AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh FROM pos)
 """
-_O_SIGS = "sigs AS (SELECT doc_id, " + ", ".join(
-    f"min(md5('{i}|' || sh)) AS sig_{i}" for i in range(_MINHASH_K)
-) + " FROM shingles GROUP BY doc_id)"
+def _o_minhash_sig(i: int) -> str:
+    from etlp_spark.functions.dedup import MINHASH_P, minhash_params
+
+    a, b = minhash_params(i)
+    return f"min((h32 * {a} + {b}) % {MINHASH_P}) AS sig_{i}"
+
+
+_O_SIGS = (
+    "hashed AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h32 FROM shingles),\n"
+    "    sigs AS (SELECT doc_id, "
+    + ", ".join(_o_minhash_sig(i) for i in range(_MINHASH_K))
+    + " FROM hashed GROUP BY doc_id)"
+)
 _O_BANDS = "banded AS (SELECT doc_id, " + ", ".join(
-    f"md5(sig_{b * 2} || '|' || sig_{b * 2 + 1}) AS band_{b}" for b in range(_MINHASH_BANDS)
+    f"md5('{b}|' || sig_{b * 2}::VARCHAR || '|' || sig_{b * 2 + 1}::VARCHAR) AS band_{b}"
+    for b in range(_MINHASH_BANDS)
 ) + " FROM sigs)"
 _O_BUCKETS = "buckets AS (" + " UNION ALL ".join(
     f"SELECT band_{b} AS bucket, doc_id FROM banded" for b in range(_MINHASH_BANDS)
