@@ -221,3 +221,47 @@ def dedupe_exact(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """Exact dedup — hash-aggregate on the key columns (shuffles once
     on the dedup key; AQE handles skew)."""
     return df.dropDuplicates(list(cols) if cols else None)
+
+
+def reassemble(
+    df,
+    value_col: str = "value",
+    order_col: str = "line_id",
+    group_cols: Sequence[str] = ("file",),
+    boundary_prefix: str = "MSH|",
+    sep: str = "\r",
+):
+    """Multi-line record reassembly (ref: the hl7-xform example,
+    ``README.md:28-33`` — segments joined by ``\\r`` with a record
+    boundary on lines starting ``MSH|``).
+
+    Record id = running count of boundary lines in (group, order)
+    order — one window pass; then one groupBy with an in-group sort
+    for deterministic segment order. Two shuffles total, both on
+    (group, message) keys; no Python.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = df.withColumn(
+        "__msg_id",
+        F.sum(F.when(F.col(value_col).startswith(boundary_prefix), 1).otherwise(0)).over(w),
+    ).where(F.col("__msg_id") > 0)
+    assembled = (
+        marked.groupBy(*group_cols, "__msg_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(value_col).alias("v")))
+            ).alias("segs")
+        )
+        .select(
+            *group_cols,
+            F.col("__msg_id").alias("msg_id"),
+            F.array_join(F.transform("segs", lambda s: s.getField("v")), sep).alias("message"),
+        )
+    )
+    return assembled

@@ -1116,3 +1116,103 @@ def s3_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return dedupe_exact(li.select("l_returnflag", "l_linestatus"))
+
+
+# =====================================================================
+# SQL scalar function library coverage (SURVEY.md §2.2 row: "string/
+# date/math/array/json functions — absent in reference, native here").
+# One query per family, exercised over real columns.
+# =====================================================================
+
+@_register(
+    "f1_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_up,
+           substr(p_name, 1, 8) AS name_prefix,
+           replace(p_type, ' ', '_') AS type_slug,
+           length(p_name) AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           CASE WHEN p_name LIKE '%gold%' THEN 1 ELSE 0 END AS has_gold
+    FROM part
+    """,
+)
+def f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.when(F.col("p_name").like("%gold%"), 1).otherwise(0).alias("has_gold"),
+    )
+
+
+@_register(
+    "f2_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS INT) AS days_to_y2k,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    """,
+)
+def f2_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_y2k"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@_register(
+    "f3_array_funcs",
+    """
+    SELECT p_partkey,
+           array_to_string(list_sort(string_split(p_name, ' ')), ',') AS words_sorted,
+           len(string_split(p_name, ' ')) AS n_words,
+           CASE WHEN list_contains(string_split(p_name, ' '), 'gold') THEN 1 ELSE 0 END AS has_gold_el
+    FROM part
+    """,
+)
+def f3_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.array_join(F.array_sort(words), ",").alias("words_sorted"),
+        F.size(words).alias("n_words"),
+        F.when(F.array_contains(words, "gold"), 1).otherwise(0).alias("has_gold_el"),
+    )
+
+
+@_register(
+    "f4_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_quantity), 6) AS qty_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil7,
+           abs(l_discount - 0.05) < 0.011 AS near_five_pct
+    FROM lineitem
+    """,
+)
+def f4_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
+        (F.abs(F.col("l_discount") - 0.05) < 0.011).alias("near_five_pct"),
+    )

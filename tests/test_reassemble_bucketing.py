@@ -1,0 +1,64 @@
+"""HL7-style multi-line reassembly (FIXTURES.md §B4) and the
+bucketed-table co-located join scale pattern."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlp_spark.ops import reassemble
+
+
+def test_hl7_reassembly(spark):
+    """ref README.md:28-33: segments joined by \\r, boundary MSH|."""
+    lines = [
+        ("f1", 1, "MSH|^~\\&|A"),
+        ("f1", 2, "PID|123"),
+        ("f1", 3, "OBX|x"),
+        ("f1", 4, "MSH|^~\\&|B"),
+        ("f1", 5, "PID|456"),
+        ("f2", 1, "MSH|^~\\&|C"),
+        ("f2", 2, "NTE|note"),
+    ]
+    df = spark.createDataFrame(lines, "file string, line_id long, value string")
+    out = {(r.file, r.msg_id): r.message for r in reassemble(df).collect()}
+    assert out[("f1", 1)] == "MSH|^~\\&|A\rPID|123\rOBX|x"
+    assert out[("f1", 2)] == "MSH|^~\\&|B\rPID|456"
+    assert out[("f2", 1)] == "MSH|^~\\&|C\rNTE|note"
+
+
+def test_hl7_leading_garbage_dropped(spark):
+    """Lines before the first boundary belong to no record."""
+    df = spark.createDataFrame(
+        [("f", 1, "junk"), ("f", 2, "MSH|1"), ("f", 3, "PID|x")],
+        "file string, line_id long, value string",
+    )
+    msgs = [r.message for r in reassemble(df).collect()]
+    assert msgs == ["MSH|1\rPID|x"]
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """The co-located join pattern for repeated 100 TB joins: bucket
+    both tables on the join key at write time; Spark then plans the
+    join with ZERO Exchange (shuffle) nodes."""
+    import shutil
+
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bk_a", "bk_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bk_a")
+    b.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bk_b")
+    # disable broadcast so the large-large (shuffle-vs-bucket) path is
+    # what gets planned — at real scale neither side broadcasts
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, (
+            f"bucketed join still shuffles:\n{plan[:2000]}"
+        )
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
