@@ -182,3 +182,35 @@ class ConsoleSink(Destination):
         for row in sample:
             print(row.asDict())
         return WriteResult(rows=df.count(), target="console")
+
+
+@dataclass
+class StdinSource(Source):
+    """S1: the reference's stdin line source
+    (``src/etlp/processors/stdin.clj:5-54`` — read-line loop with an
+    ``:etlp-stdin-eof`` sentinel, hand-written discover catalog).
+
+    Batch model: drain stdin on the driver (bounded by ``max_lines``)
+    and parallelize — stdin is an inherently driver-side, single-node
+    endpoint, so this is the honest mapping; no sentinel rows (Spark
+    ends streams natively, SURVEY.md §1.1). An injectable ``stream``
+    makes it testable. For unbounded use, prefer the socket source
+    (``spark.readStream.format("socket")``).
+    """
+
+    stream: Any = None  # file-like; defaults to sys.stdin
+    max_lines: int = 1_000_000
+    stream_name: str = "stdin_stream"
+
+    def spec(self) -> dict[str, Any]:
+        return {"type": "stdin", "max_lines": self.max_lines}
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        import sys
+        from itertools import islice
+
+        stream = self.stream if self.stream is not None else sys.stdin
+        lines = [(line.rstrip("\n"),) for line in islice(stream, self.max_lines)]
+        return spark.createDataFrame(lines, "value string") if lines else spark.createDataFrame(
+            [], "value string"
+        )

@@ -194,3 +194,26 @@ def apply_interpreted(df: DataFrame, tmpl: dict[str, Any], schema: str):
             yield pd.DataFrame([{k: interp_value(v, r) for k, v in tmpl.items()} for r in records])
 
     return df.mapInPandas(kernel, schema)
+
+
+def http_loader(base_url: str, transport=None):
+    """Loader fetching templates over HTTP like the reference
+    (``mapper.clj:27-38``: GET {base-url}/mappings/{id}, YAML parse).
+
+    ``transport(url) -> bytes`` is injectable for tests; default uses
+    urllib (which also serves file:// URLs).
+    """
+    import urllib.request
+
+    import yaml
+
+    def _fetch(mapping_id: str):
+        url = f"{base_url.rstrip('/')}/mappings/{mapping_id}"
+        if transport is not None:
+            body = transport(url)
+        else:
+            with urllib.request.urlopen(url) as resp:  # noqa: S310 — connector by design
+                body = resp.read()
+        return yaml.safe_load(body)
+
+    return _fetch

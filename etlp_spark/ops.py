@@ -265,3 +265,54 @@ def reassemble(
         )
     )
     return assembled
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    salt: int = 16,
+    count_alias: str = "n",
+):
+    """Two-phase aggregation for skewed group keys.
+
+    Phase 1 groups on (keys + salt bucket) so a hot key's rows spread
+    over ``salt`` reducers; phase 2 re-aggregates the partials on the
+    real keys (tiny input: one row per key per bucket). Counts and
+    sums compose exactly; this helper covers count + sums, which is
+    the common hot-key rollup shape.
+
+    At 100 TB this is the manual fallback when AQE's skew handling
+    can't help (e.g. a single pathological key inside one partition).
+    """
+    salt_col = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt))
+    phase1 = (
+        df.withColumn("__salt", salt_col)
+        .groupBy(*keys, "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            *[F.sum(c).alias(f"__sum_{c}") for c in sum_cols],
+        )
+    )
+    return phase1.groupBy(*keys).agg(
+        F.sum("__cnt").alias(count_alias),
+        *[F.sum(f"__sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: replicate the (small-ish) right side once
+    per salt bucket, scatter left rows uniformly across buckets, join
+    on (key, salt). A hot left key now lands on ``salt`` reducers
+    instead of one. Result is identical to the plain join.
+    """
+    buckets = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
+    r = right.select("*", buckets)
+    l = left.withColumn("__salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt)))
+    return l.join(r, on=[key, "__salt"], how=how).drop("__salt")

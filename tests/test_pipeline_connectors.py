@@ -152,3 +152,26 @@ def test_http_polling_timeout():
     )
     with pytest.raises(TimeoutError):
         src.poll("https://x/j")
+
+
+def test_stdin_source(spark):
+    import io as _io
+
+    from etlp_spark.connectors.files import StdinSource
+
+    src = StdinSource(stream=_io.StringIO("alpha\nbeta\n\ngamma\n"))
+    df = src.read(spark)
+    assert [r.value for r in df.collect()] == ["alpha", "beta", "", "gamma"]
+    assert src.discover(spark)["streams"][0]["stream_name"] == "stdin_stream"
+    empty = StdinSource(stream=_io.StringIO(""))
+    assert empty.read(spark).count() == 0
+
+
+def test_mapping_http_loader(spark, tmp_path):
+    from etlp_spark.mapping import MappingRegistry, http_loader
+
+    served = {"http://fake/mappings/m1": b"out: '$.id'\n"}
+    reg = MappingRegistry(loader=http_loader("http://fake", transport=lambda u: served[u]))
+    entries = reg.fetch({"m1": "m1", "m404": "m404"})
+    assert callable(entries["m1"])
+    assert isinstance(entries["m404"], str) and "KeyError" in entries["m404"]

@@ -1,0 +1,99 @@
+"""Skew-handling ops + hypothesis property tests for core operators."""
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from etlp_spark.ops import salted_agg, salted_join
+from etlp_spark.ops_temporal import as_of_join
+
+
+def test_salted_agg_matches_plain(spark):
+    rows = [("hot", float(i % 7)) for i in range(5000)] + [(f"k{i}", 1.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    plain = {(r.k): (r.n, r.s) for r in df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")).collect()}
+    salted = {(r.k): (r.n, r.sum_v) for r in salted_agg(df, ["k"], sum_cols=["v"]).collect()}
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(1000)] + [("cold", 1)], "k string, lv long"
+    )
+    right = spark.createDataFrame([("hot", 10), ("cold", 20), ("miss", 30)], "k string, rv long")
+    plain = sorted((r.k, r.lv, r.rv) for r in left.join(right, "k").collect())
+    salted = sorted((r.k, r.lv, r.rv) for r in salted_join(left, right, "k").collect())
+    assert salted == plain
+
+
+# ---------------------------------------------------------------------
+# property tests: the Spark as-of join against a pure-Python reference
+# ---------------------------------------------------------------------
+
+def _py_asof(left, right, strict):
+    out = {}
+    for lid, key, lts in left:
+        best = None
+        for rid, rkey, rts, val in right:
+            if rkey != key:
+                continue
+            if (rts < lts) if strict else (rts <= lts):
+                if best is None or (rts, rid) > (best[0], best[1]):
+                    best = (rts, rid, val)
+        out[lid] = None if best is None else best[2]
+    return out
+
+
+ts_strategy = st.integers(min_value=0, max_value=50).map(
+    lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=s)
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    left=st.lists(st.tuples(st.integers(0, 10**6), st.integers(0, 3), ts_strategy),
+                  min_size=1, max_size=8, unique_by=lambda t: t[0]),
+    right=st.lists(st.tuples(st.integers(0, 10**6), st.integers(0, 3), ts_strategy,
+                             st.floats(allow_nan=False, allow_infinity=False, width=32)),
+                   min_size=0, max_size=8, unique_by=lambda t: t[0]),
+    strict=st.booleans(),
+)
+def test_asof_join_matches_python_reference(spark, left, right, strict):
+    ldf = spark.createDataFrame(left, "lid long, key long, lts timestamp")
+    rdf = spark.createDataFrame(
+        right, "rid long, key long, rts timestamp, val double"
+    ) if right else spark.createDataFrame([], "rid long, key long, rts timestamp, val double")
+    got = {
+        r.lid: r.val_asof
+        for r in as_of_join(ldf, rdf, "key", "lts", "rts", ["val"], tiebreak="rid",
+                            strict=strict).collect()
+    }
+    assert got == _py_asof(left, right, strict)
+
+
+# ---------------------------------------------------------------------
+# property test: exact Jaccard from the pipeline == set-math Jaccard
+# ---------------------------------------------------------------------
+
+words = st.sampled_from(["a", "b", "c", "d", "e", "f"])
+texts = st.lists(words, min_size=3, max_size=12).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(t1=texts, t2=texts)
+def test_jaccard_matches_set_math(spark, t1, t2):
+    from etlp_spark.functions.dedup import jaccard_pairs
+
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    docs = spark.createDataFrame([(1, t1), (2, t2)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2)], ["a", "b"])
+    got = jaccard_pairs(docs, pairs).first().jaccard
+    s1, s2 = shingles(t1), shingles(t2)
+    expected = round(len(s1 & s2) / len(s1 | s2), 6)
+    assert got == expected
