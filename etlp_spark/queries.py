@@ -1216,3 +1216,171 @@ def f4_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
         (F.abs(F.col("l_discount") - 0.05) < 0.011).alias("near_five_pct"),
     )
+
+
+# =====================================================================
+# Relational coverage round 3: outer join, window frames, union
+# distinct, grouping sets, pivot, ANN rerank.
+# =====================================================================
+
+@_register(
+    "j7_outer_join_counts",
+    """
+    SELECT c_custkey,
+           coalesce(o_cnt, 0) AS orders_n
+    FROM customer LEFT JOIN
+         (SELECT o_custkey, count(*) AS o_cnt FROM orders GROUP BY o_custkey) o
+      ON c_custkey = o_custkey
+    """,
+)
+def j7_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.count(F.lit(1)).alias("o_cnt"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select("c_custkey", F.coalesce("o_cnt", F.lit(0)).alias("orders_n"))
+    )
+
+
+@_register(
+    "w3_running_sum",
+    f"""
+    SELECT event_id, user_id,
+           sum(CAST(value AS DECIMAL(30,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+    FROM events
+    """,
+)
+def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame (rowsBetween running total) — decimal accumulator
+    so the prefix sums are exact on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(_DEC_IN)).over(w).alias("running_value"),
+    )
+
+
+@_register(
+    "s4_union_distinct",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def s4_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_totalprice") > 150000).select("o_custkey")
+    return a.union(b).distinct()
+
+
+@_register(
+    "g7_grouping_sets",
+    f"""
+    SELECT coalesce(l_returnflag, '*') AS l_returnflag,
+           coalesce(l_linestatus, '*') AS l_linestatus,
+           {_o_money('l_extendedprice')} AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def g7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (the DataFrame API only exposes
+    cube/rollup; arbitrary sets need spark.sql over a view)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        f"""
+        SELECT coalesce(l_returnflag, '*') AS l_returnflag,
+               coalesce(l_linestatus, '*') AS l_linestatus,
+               sum(CAST(l_extendedprice AS {_DEC_IN})) AS total
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@_register(
+    "p1_pivot_event_types",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click_n,
+           count(*) FILTER (WHERE event_type = 'view')     AS view_n,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup_n,
+           count(*) FILTER (WHERE event_type = 'error')    AS error_n
+    FROM events GROUP BY user_id
+    """,
+)
+def p1_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a FIXED value list (never pivot on discovered values
+    at scale — that's a driver-side distinct over 100 TB)."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(k), F.lit(0)).alias(f"{k}_n") for k in kinds],
+        )
+    )
+
+
+@_register(
+    "x10_ann_rerank",
+    """
+    WITH planes AS (
+      SELECT vec_id,
+             array_to_string(
+               list_transform(range(0, 16), j ->
+                 CASE WHEN
+                   list_reduce(
+                     list_transform(list_zip(embedding,
+                       list_transform(range(0, 64), d ->
+                         ('0x' || substr(md5('plane' || j || '_' || d), 1, 8))::BIGINT::DOUBLE
+                         / 2147483648.0 - 1.0)),
+                       p -> p[1]::DOUBLE * p[2]::DOUBLE),
+                     (a, b) -> a + b) > 0
+                 THEN '1' ELSE '0' END),
+               '') AS bucket,
+             embedding
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid, a.embedding AS qv, b.embedding AS cv
+      FROM planes a JOIN planes b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT qid, cid,
+           round(
+             list_reduce(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b)
+             / (sqrt(list_reduce(list_transform(list_zip(qv, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b))
+                * sqrt(list_reduce(list_transform(list_zip(cv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b))),
+             9) AS cos
+    FROM pairs
+    """,
+)
+def x10_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN scale path end-to-end: SRP bucket equi-join prefilter
+    (no cross join) → exact cosine rerank inside buckets only."""
+    from etlp_spark.functions.similarity import cosine, srp_buckets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketed = srp_buckets(emb).join(emb, "vec_id")
+    a = bucketed.select(
+        F.col("vec_id").alias("qid"), F.col("bucket"), F.col("embedding").alias("qv")
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("cid"), F.col("bucket"), F.col("embedding").alias("cv")
+    )
+    pairs = a.join(b, "bucket").where(F.col("qid") < F.col("cid"))
+    return pairs.select(
+        "qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("cos")
+    )
