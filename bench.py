@@ -25,8 +25,12 @@ def main() -> None:
     from etlp_spark.session import get_spark
 
     spark = get_spark(app_name="etlp-spark-bench")
-    # warm the JVM + parquet footers once so timings measure the plans
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # warm the JVM + every table's parquet footers once so per-query
+    # timings measure plan+execute, not first-touch file listing
+    from etlp_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
 
     times: dict[str, float] = {}
     for name, q in sorted(QUERIES.items()):

@@ -64,12 +64,15 @@ class JsonLinesSource(Source):
     def spec(self) -> dict[str, Any]:
         return {"type": "file/jsonl", "path": self.path, "schema": str(self.schema)}
 
+    def _schema(self) -> StructType | None:
+        if self.schema is None:
+            return None
+        return StructType.fromDDL(self.schema) if isinstance(self.schema, str) else self.schema
+
     def _raw(self, spark: SparkSession) -> DataFrame:
         reader = spark.read
-        if self.schema is not None:
-            schema = self.schema
-            if isinstance(schema, str):
-                schema = StructType.fromDDL(schema)
+        schema = self._schema()
+        if schema is not None:
             if "_corrupt_record" not in schema.names:
                 schema = schema.add("_corrupt_record", "string")
             reader = reader.schema(schema)
@@ -81,10 +84,17 @@ class JsonLinesSource(Source):
         return df.withColumn("file", F.input_file_name())
 
     def read(self, spark: SparkSession) -> DataFrame:
-        df = self._raw(spark)
-        if "_corrupt_record" in df.columns:
-            df = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-        return df
+        """Good records only — DROPMALFORMED, the reference's
+        log-and-continue (E1). NB: filtering a PERMISSIVE read on
+        ``_corrupt_record IS NULL`` instead would poison downstream
+        ``count()``s with Spark's corrupt-record-only plan restriction
+        (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)."""
+        reader = spark.read
+        schema = self._schema()
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.option("mode", "DROPMALFORMED").json(self.path)
+        return df.withColumn("file", F.input_file_name())
 
     def errors_of(self, spark: SparkSession) -> DataFrame:
         """The reference wraps failures as error envelopes on a side
@@ -177,11 +187,29 @@ class ConsoleSink(Destination):
         # sees the sampled partitions), so the exact count is its own
         # action — the console sink is a debugging endpoint, the extra
         # scan is deliberate.
+        import json
+        import time
+
         sample = df.limit(self.limit).collect()
         self.collected = sample
         for row in sample:
             print(row.asDict())
-        return WriteResult(rows=df.count(), target="console")
+        rows = df.count()
+        # A1 parity: the reference logs the running count as a log
+        # envelope (stdout.clj:25-27 via wrap-log, utils/core.clj:19).
+        print(
+            json.dumps(
+                {
+                    "type": "log",
+                    "timestamp": int(time.time() * 1000),
+                    "version": "0.1.0",
+                    "schema": "etlp_raw",
+                    "source_stream": "etlp-stream",
+                    "data": f"row_count: {rows}",
+                }
+            )
+        )
+        return WriteResult(rows=rows, target="console")
 
 
 @dataclass

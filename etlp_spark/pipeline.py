@@ -71,6 +71,18 @@ class Pipeline:
             return self.source.check(spark)
         return CheckResult(True, "inline source")
 
+    def run_with_errors(self, spark: SparkSession) -> tuple[WriteResult, DataFrame | None]:
+        """D7/E2 parity: run the pipeline AND return the source's
+        error-record frame (the reference routes failures to an error
+        channel via the pipeline ex-handler,
+        ``src/etlp/utils/async.clj:49-51``). Sources without an error
+        side-channel return ``None``."""
+        result = self.run(spark)
+        errors = None
+        if isinstance(self.source, Source) and hasattr(self.source, "errors_of"):
+            errors = self.source.errors_of(spark)
+        return result, errors
+
 
 class Engine:
     """Component registry + command dispatch (R1-R3).
