@@ -1384,3 +1384,30 @@ def x10_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("cos")
     )
+
+
+@_register(
+    "x11_bpe_tokens",
+    r"""
+    WITH toks AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])')
+                         AS tk
+                  FROM documents)
+    SELECT doc_id, len(tk) AS n_bpe,
+           array_to_string(tk[1:5], '|') AS head5
+    FROM toks
+    """,
+)
+def x11_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-flavored pre-tokenizer counts (functions.text.bpe_ish_tokens):
+    letter runs, digit runs, single punctuation — the standard LLM
+    pre-tokenization split, pure regex in the scan stage."""
+    from etlp_spark.functions.text import bpe_ish_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = bpe_ish_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(tk).alias("n_bpe"),
+        F.array_join(F.slice(tk, 1, 5), "|").alias("head5"),
+    )

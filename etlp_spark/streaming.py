@@ -153,3 +153,81 @@ class StreamingPipeline:
     def process_all(query: StreamingQuery) -> None:
         """C4 drain: block until the stream is caught up."""
         query.processAllAvailable()
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    timeout: str = "NoTimeout",
+):
+    """Custom stateful operator: gap-based sessionization via
+    ``applyInPandasWithState`` — the engine's pattern for state
+    machines that windowed aggs can't express (the reference's only
+    state was an atom; this is its distributed, checkpointed,
+    arbitrary-logic upgrade).
+
+    Emits one row per CLOSED session: (key, session_start,
+    session_end, n_events). A session closes when a later event
+    arrives more than ``gap_seconds`` after the previous one. With
+    ``timeout="ProcessingTimeTimeout"`` the open session also flushes
+    after ``gap_seconds`` of wall-clock silence (production mode —
+    NB: a ProcessingTimeTimeout state op keeps the stream scheduling
+    timeout batches, so ``processAllAvailable`` never settles; tests
+    use the NoTimeout default and drive closure with data).
+
+    Scale notes: state is per-key and O(1) (start/end/count of the
+    open session only); keys shuffle once; Arrow batches carry the
+    group's rows.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} long, session_start timestamp, session_end timestamp, n_events int"
+    )
+    state_schema = "start long, end long, n int"
+
+    def fn(key, pdfs, state: GroupState):
+        gap_us = gap_seconds * 1_000_000
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us, end_us, n = None, None, 0
+        closed = []
+        if getattr(state, "hasTimedOut", False):
+            # wall-clock flush of the open session (production mode)
+            if start_us is not None:
+                closed.append((key[0], start_us, end_us, n))
+            start_us = None
+        for pdf in pdfs:
+            for ts in sorted(pdf[ts_col]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if start_us is None:
+                    start_us, end_us, n = ts_us, ts_us, 1
+                elif ts_us - end_us > gap_us:
+                    closed.append((key[0], start_us, end_us, n))
+                    start_us, end_us, n = ts_us, ts_us, 1
+                else:
+                    end_us, n = ts_us, n + 1
+        if start_us is None:
+            state.remove()
+        else:
+            state.update((start_us, end_us, n))
+            if timeout == "ProcessingTimeTimeout":
+                state.setTimeoutDuration(gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )

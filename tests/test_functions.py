@@ -123,3 +123,33 @@ def test_multimodal_feature_plumbing(spark, docs):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_envelope_golden(spark):
+    """FIXTURES.md §B5: exact wire-format keys and constants
+    (ref src/etlp/utils/core.clj:4-20)."""
+    import json
+
+    from etlp_spark.envelope import unwrap, wrap_error, wrap_log, wrap_record
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("payload",)], ["data"])
+    row = df.select(
+        wrap_record(F.col("data"), timestamp=1234).alias("r"),
+        wrap_error(F.col("data"), timestamp=1234).alias("e"),
+        wrap_log(F.col("data"), timestamp=1234).alias("l"),
+    ).first()
+    rec = json.loads(row.r)
+    assert list(rec) == ["type", "timestamp", "version", "schema", "source_stream", "data"]
+    assert rec == {
+        "type": "record",
+        "timestamp": 1234,
+        "version": "0.1.0",
+        "schema": "etlp_raw",
+        "source_stream": "etlp-stream",
+        "data": "payload",
+    }
+    assert json.loads(row.e)["type"] == "error"
+    assert json.loads(row.l)["type"] == "log"
+    back = df.select(unwrap(wrap_record(F.col("data"), timestamp=1234)).alias("u")).first().u
+    assert back.data == "payload" and back.type == "record"

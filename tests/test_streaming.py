@@ -122,3 +122,42 @@ def test_checkpoint_recovery(spark, stream_dir, tmp_path):
         assert got == {"a": 2, "b": 1}
     finally:
         q2.stop()
+
+
+def test_sessionize_stateful(spark, stream_dir):
+    """applyInPandasWithState sessionization: state survives across
+    micro-batches; sessions close when the gap is exceeded."""
+    from etlp_spark.streaming import sessionize
+
+    _write_batch(
+        stream_dir,
+        "b1.jsonl",
+        [
+            {"ts": "2024-01-01 00:00:00", "user": 1},
+            {"ts": "2024-01-01 00:10:00", "user": 1},
+        ],
+    )
+    src = file_stream(spark, str(stream_dir), "ts timestamp, user long", fmt="json")
+    q = (
+        sessionize(src, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sessions1")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # b2: one event inside the gap (extends), one far outside (closes)
+        _write_batch(stream_dir, "b2.jsonl", [{"ts": "2024-01-01 00:20:00", "user": 1}])
+        q.processAllAvailable()
+        assert spark.sql("select * from sessions1").count() == 0  # still open
+        _write_batch(stream_dir, "b3.jsonl", [{"ts": "2024-01-01 09:00:00", "user": 1}])
+        q.processAllAvailable()
+        rows = spark.sql("select * from sessions1").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.n_events == 3  # the three-event session closed
+        assert r.session_start.strftime("%H:%M") == "00:00"
+        assert r.session_end.strftime("%H:%M") == "00:20"
+    finally:
+        q.stop()
