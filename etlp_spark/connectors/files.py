@@ -242,3 +242,54 @@ class StdinSource(Source):
         return spark.createDataFrame(lines, "value string") if lines else spark.createDataFrame(
             [], "value string"
         )
+
+
+@dataclass
+class UpsertParquetSink(Destination):
+    """Merge-by-key parquet sink: new rows replace existing rows with
+    the same key (last-writer-wins by an optional version column).
+
+    Without a transactional table format in the container (Delta/
+    Iceberg), merge = read-existing ∪ incoming → keep one row per key
+    → atomic swap via staging dir. At real scale this is the pattern
+    table formats implement natively; the operator surface (upsert on
+    key) is what the engine guarantees.
+    """
+
+    path: str
+    key: tuple[str, ...] = ("id",)
+    version_col: str | None = None
+
+    def spec(self) -> dict[str, Any]:
+        return {"type": "file/parquet-upsert", "path": self.path, "key": list(self.key)}
+
+    def write(self, df: DataFrame) -> WriteResult:
+        import os
+        import shutil
+
+        from pyspark.sql import Window
+
+        spark = df.sparkSession
+        if os.path.exists(self.path):
+            existing = spark.read.parquet(self.path)
+            merged = existing.withColumn("__gen", F.lit(0)).unionByName(
+                df.withColumn("__gen", F.lit(1))
+            )
+        else:
+            merged = df.withColumn("__gen", F.lit(1))
+        order = [F.col("__gen").desc()]
+        if self.version_col:
+            order.insert(0, F.col(self.version_col).desc())
+        w = Window.partitionBy(*self.key).orderBy(*order)
+        deduped = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__gen")
+        )
+        staging = f"{self.path}.__staging__"
+        deduped.write.mode("overwrite").parquet(staging)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.rename(staging, self.path)
+        rows = spark.read.parquet(self.path).count()
+        return WriteResult(rows=rows, target=self.path)

@@ -104,3 +104,82 @@ def srp_buckets(
     """(id, bucket): equal buckets ≈ high-cosine candidates. ANN
     search = equi-join on bucket, then exact re-rank inside buckets."""
     return df.select(F.col(id_col), srp_bits(vec_col, n_planes, dims).alias("bucket"))
+
+
+def ivf_train(df: DataFrame, k: int = 8, iters: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic k-means coarse quantizer (IVF training).
+
+    Init = the k lowest-id vectors (deterministic, no RNG); then
+    ``iters`` Lloyd rounds. Each round is one Spark pass: centroids
+    broadcast as literals, assignment via argmin of squared L2 (an
+    ordered fold per centroid), new means via groupBy + per-dimension
+    avg (posexplode → (cell, dim) partial aggregation — scales to any
+    corpus; only the k×dims centroid matrix ever reaches the driver).
+    """
+    dims = len(df.select(vec_col).first()[0])
+    init = [list(r[1]) for r in df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()]
+    centroids = [[float(x) for x in c] for c in init]
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # keep empty cells stable
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.dim] = r.m
+        for cell, dim_map in by_cell.items():
+            new[cell] = [dim_map[d] for d in range(dims)]
+        centroids = new
+    return centroids
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid cell (argmin L2²).
+    Centroids ride as literal arrays — no join, no shuffle."""
+    v = F.col(vec_col)
+    d2s = []
+    for c in centroids:
+        carr = F.array(*[F.lit(x) for x in c])
+        diff2 = F.zip_with(v, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b))
+        d2s.append(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+    best = F.array_position(
+        F.array(*d2s), F.array_min(F.array(*d2s))
+    ) - 1  # 1-based → 0-based cell id
+    return df.select(F.col(id_col), v.alias(vec_col), best.cast("int").alias("cell"))
+
+
+def ivf_search(
+    df: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 5,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``n_probe`` nearest cells for one query vector, exact
+    cosine rerank inside them. The scan prunes to the probed cells'
+    inverted lists — the 1/k (or n_probe/k) cost reduction that makes
+    ANN viable at 100 TB."""
+
+    def d2(c):
+        return sum((a - b) ** 2 for a, b in zip(query_vec, c))
+
+    probes = sorted(range(len(centroids)), key=lambda i: d2(centroids[i]))[:n_probe]
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.where(F.col("cell").isin(*probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qarr), 9).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )

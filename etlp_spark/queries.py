@@ -1411,3 +1411,106 @@ def x11_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tk).alias("n_bpe"),
         F.array_join(F.slice(tk, 1, 5), "|").alias("head5"),
     )
+
+
+# =====================================================================
+# TPC-H shapes round 2: q7 (volume shipping) and q10 (returned items).
+# =====================================================================
+
+@_register(
+    "q07_volume_shipping",
+    f"""
+    SELECT n_name, CAST(year(l_shipdate) AS INT) AS l_year,
+           {_o_money('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name, l_year
+    """,
+)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: date-bounded fact scan (predicate pushed),
+    dims broadcast, group by (nation, year)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name", F.year("l_shipdate").alias("l_year")).agg(
+        _money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@_register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           {_o_money('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue.
+    Exact decimal ordering key → stable LIMIT."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+# =====================================================================
+# IVF approximate nearest neighbors (iterative k-means — genuinely
+# non-SQL-expressible, so no oracle: the driver records the weaker
+# rows-only check, per the contract).
+# =====================================================================
+
+@_register("x12_ivf_ann", None)
+def x12_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer (Lloyd
+    iterations; centroids broadcast each round), then search probes
+    only the nearest cell's inverted list instead of the full corpus.
+    Iterative → no SQL oracle (rows-only check); correctness is
+    unit-tested on planted clusters."""
+    from etlp_spark.functions.similarity import ivf_assign, ivf_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = ivf_train(emb, k=8, iters=2)
+    assigned = ivf_assign(emb, centroids)
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+    )

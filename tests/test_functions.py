@@ -153,3 +153,38 @@ def test_envelope_golden(spark):
     assert json.loads(row.l)["type"] == "log"
     back = df.select(unwrap(wrap_record(F.col("data"), timestamp=1234)).alias("u")).first().u
     assert back.data == "payload" and back.type == "record"
+
+
+def test_ivf_planted_clusters(spark):
+    """IVF on planted clusters: train converges to the two cluster
+    directions; search probes only the right cell and finds the true
+    nearest neighbor."""
+    from etlp_spark.functions.similarity import ivf_assign, ivf_search, ivf_train
+
+    rows = []
+    for i in range(20):  # cluster A around +e0
+        rows.append((i, [1.0 + 0.01 * (i % 5)] + [0.0] * 7))
+    for i in range(20, 40):  # cluster B around +e1
+        rows.append((i, [0.0, 1.0 + 0.01 * (i % 5)] + [0.0] * 6))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = ivf_train(df, k=2, iters=2)
+    assigned = {r.vec_id: r.cell for r in ivf_assign(df, cents).collect()}
+    cells_a = {assigned[i] for i in range(20)}
+    cells_b = {assigned[i] for i in range(20, 40)}
+    assert len(cells_a) == 1 and len(cells_b) == 1 and cells_a != cells_b
+    hits = ivf_search(df, cents, query_vec=[1.0] + [0.0] * 7, k=3).collect()
+    assert all(h.vec_id < 20 for h in hits)  # only cluster A probed
+    assert hits[0].cos == 1.0
+
+
+def test_upsert_parquet_sink(spark, tmp_path):
+    from etlp_spark.connectors.files import UpsertParquetSink
+
+    path = str(tmp_path / "tbl")
+    sink = UpsertParquetSink(path, key=("id",))
+    r1 = sink.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    assert r1.rows == 2
+    r2 = sink.write(spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"))
+    assert r2.rows == 3
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
