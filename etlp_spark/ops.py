@@ -316,3 +316,13 @@ def salted_join(
     r = right.select("*", buckets)
     l = left.withColumn("__salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt)))
     return l.join(r, on=[key, "__salt"], how=how).drop("__salt")
+
+
+def apply_grouped(df: DataFrame, keys: Sequence[str], fn, schema: str) -> DataFrame:
+    """Group-map escape hatch: ``applyInPandas`` over key groups —
+    for per-group logic that genuinely can't be a Column expression
+    (model scoring, scipy fits). Arrow-batched; one shuffle on keys.
+    Everything expressible as expressions should stay expressions
+    (see w4_per_user_trend: even regression slopes don't need this).
+    """
+    return df.groupBy(*keys).applyInPandas(fn, schema)

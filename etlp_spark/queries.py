@@ -1514,3 +1514,69 @@ def x12_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+@_register(
+    "w4_per_user_trend",
+    """
+    WITH pts AS (SELECT user_id,
+                        epoch_us(ts) // 1000000 - 1704067200 AS x,
+                        CAST(round(value * 100) AS BIGINT) AS yc
+                 FROM events),
+    sums AS (SELECT user_id, count(*) AS n,
+                    CAST(sum(x) AS BIGINT) AS sx,
+                    CAST(sum(yc) AS BIGINT) AS sy,
+                    CAST(sum(x * yc) AS BIGINT) AS sxy,
+                    CAST(sum(x * x) AS BIGINT) AS sxx
+             FROM pts GROUP BY user_id)
+    SELECT user_id,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) / 100.0,
+                 12) AS slope
+    FROM sums
+    """,
+)
+def w4_per_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear-regression slope from EXACT integer moment
+    sums: x = centered epoch seconds, y = value in cents, so n, Σx,
+    Σy, Σxy, Σx² and the closed-form numerator/denominator are all
+    exact int64 (no decimal→double ulp drift, no catastrophic
+    cancellation noise — the naive uncentered double form disagreed
+    with DuckDB at 1e-6 relative). One shuffle, no per-group sort."""
+    ev = _t(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts") - F.lit(1704067200)).cast("long")
+    yc = F.round(F.col("value") * 100, 0).cast("long")
+    pts = ev.select("user_id", x.alias("x"), yc.alias("yc"))
+    sums = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return sums.select(
+        "user_id",
+        F.round(num / F.nullif(den, F.lit(0.0)) / 100.0, 12).alias("slope"),
+    )
+
+
+@_register(
+    "f5_regex_json",
+    """
+    SELECT event_id,
+           regexp_extract(props, '"k":\\s*(\\d+)', 1) AS k_str,
+           CASE WHEN regexp_matches(props, '^\\{') THEN 1 ELSE 0 END AS is_obj,
+           length(regexp_replace(props, '[0-9]', '', 'g')) AS n_nondigit
+    FROM events
+    """,
+)
+def f5_regex_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).alias("k_str"),
+        F.when(F.col("props").rlike(r"^\{"), 1).otherwise(0).alias("is_obj"),
+        F.length(F.regexp_replace("props", "[0-9]", "")).alias("n_nondigit"),
+    )

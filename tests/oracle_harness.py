@@ -11,7 +11,6 @@ query rounds its doubles).
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
@@ -64,20 +63,13 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
         problems.append(f"sort failed: {e}")
         return problems
 
+    # EXACT comparison — the driver's value hash has no tolerance, so
+    # neither does this harness: every declared query is designed to
+    # be bit-identical across engines (decimal sums, exact-scale
+    # rounding, integer moments). A float tolerance here once masked a
+    # real driver-level mismatch (w4 slopes).
     for i, (a, b) in enumerate(zip(sp_sorted, du_sorted)):
-        if a == b:
-            continue
-        ok = len(a) == len(b)
-        if ok:
-            for x, y in zip(a, b):
-                if isinstance(x, float) and isinstance(y, float):
-                    if not (math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)):
-                        ok = False
-                        break
-                elif x != y:
-                    ok = False
-                    break
-        if not ok:
+        if a != b:
             problems.append(f"row {i} differs: spark={a} duckdb={b}")
             if len(problems) > 5:
                 break

@@ -97,3 +97,37 @@ def test_jaccard_matches_set_math(spark, t1, t2):
     s1, s2 = shingles(t1), shingles(t2)
     expected = round(len(s1 & s2) / len(s1 | s2), 6)
     assert got == expected
+
+
+def test_apply_grouped_matches_expression_slope(spark):
+    """The applyInPandas group-map escape hatch computes the same
+    slope as the exact decimal-sums expression form (w4)."""
+    import pandas as pd
+
+    from etlp_spark.ops import apply_grouped
+    from etlp_spark.queries import QUERIES
+
+    def slope_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["ts"].astype("int64") / 1e9
+        y = pdf["value"]
+        n = len(pdf)
+        sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]],
+             "slope": [round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)]}
+        )
+
+    from etlp_spark.io import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select("user_id", "ts", "value")
+    pandas_slopes = {
+        r.user_id: r.slope
+        for r in apply_grouped(ev, ["user_id"], slope_fn, "user_id long, slope double").collect()
+    }
+    expr_slopes = {
+        r.user_id: round(r.slope, 6)
+        for r in QUERIES["w4_per_user_trend"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(pandas_slopes) == set(expr_slopes)
+    for u in expr_slopes:
+        assert abs(pandas_slopes[u] - expr_slopes[u]) < 1e-4
