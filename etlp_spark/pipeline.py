@@ -117,3 +117,24 @@ class Engine:
         if command == "dataframe":
             return pipeline.dataframe(self.spark)
         raise ValueError(f"unknown command {command!r}; expected start|check|dataframe")
+
+
+def register_udf(spark: SparkSession, name: str, fn, return_type: str = "string",
+                 vectorized: bool = False):
+    """UDF registry (SURVEY.md §2.2 last row — the reference treats
+    any Clojure fn in an xform as an informal UDF; here registration
+    makes it callable from SQL and ``F.call_udf``).
+
+    ``vectorized=True`` registers an Arrow-batched pandas UDF —
+    always prefer it in hot paths (~10-100× over row-at-a-time).
+    """
+    if vectorized:
+        from pyspark.sql.functions import pandas_udf
+
+        udf_obj = pandas_udf(fn, return_type)
+    else:
+        from pyspark.sql.functions import udf as _udf
+
+        udf_obj = _udf(fn, return_type)
+    spark.udf.register(name, udf_obj)
+    return udf_obj

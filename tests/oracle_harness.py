@@ -3,10 +3,9 @@
 Mirrors the contract in ``__spark_entry__.py``: run the Spark query
 and the oracle SQL on the same parquet tables, then compare row count,
 column-name set, and order-insensitive values (columns sorted by
-name, rows sorted by stringified tuple; floats compared with a small
-tolerance so genuine mismatches surface while cross-engine ulp noise
-does not — the driver's hash is exact, which is why every declared
-query rounds its doubles).
+name, rows sorted by normalized tuple; values compared EXACTLY — the
+driver's hash has no tolerance, and every declared query is designed
+to be bit-identical across engines).
 """
 
 from __future__ import annotations

@@ -175,3 +175,18 @@ def test_mapping_http_loader(spark, tmp_path):
     entries = reg.fetch({"m1": "m1", "m404": "m404"})
     assert callable(entries["m1"])
     assert isinstance(entries["m404"], str) and "KeyError" in entries["m404"]
+
+
+def test_register_udf_row_and_vectorized(spark):
+    import pandas as pd
+
+    from etlp_spark.pipeline import register_udf
+
+    register_udf(spark, "shout", lambda s: s.upper() + "!", "string")
+    assert spark.sql("select shout('abc') as x").first().x == "ABC!"
+
+    register_udf(
+        spark, "vec_double", lambda s: s * 2, "long", vectorized=True
+    )
+    df = spark.range(3).selectExpr("vec_double(id) as y")
+    assert [r.y for r in df.collect()] == [0, 2, 4]
