@@ -129,3 +129,20 @@ def fingerprint(col: Column | str) -> Column:
     whitespace-normalized, lowercased text. Identical normalization →
     identical fingerprint, so exact dedup is a groupBy on this."""
     return F.md5(F.array_join(tokens(col), " "))
+
+
+def char_shingles(col: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text (the char-
+    level alternative to word shingles for near-dup detection — more
+    robust to tokenization differences, denser per document).
+    Built like word shingles: n whole-string slices via substring
+    over a sequence of offsets stays cheap because substring is O(1)
+    per position on UTF8String."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.array_join(tokens(c), " ")
+    m = F.length(norm) - (n - 1)
+    return F.when(m < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), m), lambda i: F.substring(norm, i, n))
+        )
+    )

@@ -326,3 +326,29 @@ def apply_grouped(df: DataFrame, keys: Sequence[str], fn, schema: str) -> DataFr
     (see w4_per_user_trend: even regression slopes don't need this).
     """
     return df.groupBy(*keys).applyInPandas(fn, schema)
+
+
+def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Column profiling (ANALYZE-style data-quality summary): one
+    pass, one aggregation — per column: null fraction, approx
+    distinct, min/max as strings. The per-column metrics are computed
+    in a single job (no per-column scans) and unpivoted via stack.
+    """
+    cols = list(cols) if cols else df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"__null_{c}"),
+            F.approx_count_distinct(c).alias(f"__dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', `__null_{c}`, `__dist_{c}`, `__min_{c}`, `__max_{c}`" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) as (column, null_frac, approx_distinct, min_s, max_s)"
+        )
+    )

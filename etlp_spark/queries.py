@@ -1580,3 +1580,106 @@ def f5_regex_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("props").rlike(r"^\{"), 1).otherwise(0).alias("is_obj"),
         F.length(F.regexp_replace("props", "[0-9]", "")).alias("n_nondigit"),
     )
+
+
+@_register(
+    "x13_char_ngram_jaccard",
+    r"""
+    WITH norm AS (SELECT doc_id,
+                         array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                                     t -> t <> ''), ' ') AS nt
+                  FROM documents),
+    grams AS (SELECT doc_id,
+                     (SELECT list(DISTINCT g) FROM
+                        (SELECT nt[i:i+4] AS g
+                         FROM unnest(range(1, greatest(length(nt) - 4, 0) + 1)) AS t(i))) AS gs
+              FROM norm),
+    pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, a.gs AS ga, b.gs AS gb
+              FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1)
+    SELECT a, b,
+           round(len(list_intersect(ga, gb))::DOUBLE
+                 / (len(ga) + len(gb) - len(list_intersect(ga, gb))), 6) AS jac5
+    FROM pairs
+    """,
+)
+def x13_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-5-gram Jaccard between consecutive docs (functions.text.
+    char_shingles): the char-level near-dup metric; deterministic
+    pairing keeps the oracle simple — production pairing comes from
+    the LSH candidates (x5)."""
+    from etlp_spark.functions.text import char_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select("doc_id", char_shingles("text", 5).alias("gs"))
+    a = g.select(F.col("doc_id").alias("a"), F.col("gs").alias("ga"))
+    b = g.select(F.col("doc_id").alias("b"), F.col("gs").alias("gb"))
+    pairs = a.join(b, F.col("b") == F.col("a") + 1)
+    inter = F.size(F.array_intersect("ga", "gb"))
+    return pairs.select(
+        "a",
+        "b",
+        F.round(
+            inter.cast("double") / (F.size("ga") + F.size("gb") - inter), 6
+        ).alias("jac5"),
+    )
+
+
+@_register(
+    "x14_edit_distance",
+    """
+    SELECT a.p_partkey AS a, b.p_partkey AS b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+    """,
+)
+def x14_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance between consecutive part names —
+    exact integer metric, identical in every engine; the fuzzy-match
+    primitive for short strings (names/titles), complementing
+    shingle Jaccard for documents."""
+    p = _t(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey").alias("a"), F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("b"), F.col("p_name").alias("nb"))
+    return (
+        a.join(b, F.col("b") == F.col("a") + 1)
+        .select("a", "b", F.levenshtein("na", "nb").alias("dist"))
+    )
+
+
+@_register(
+    "x15_profile",
+    """
+    SELECT 'o_custkey' AS column,
+           round(avg(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_frac,
+           count(DISTINCT o_custkey) AS exact_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_s,
+           CAST(max(o_custkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           round(avg(CASE WHEN o_orderstatus IS NULL THEN 1.0 ELSE 0.0 END), 6),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    """,
+)
+def x15_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (ops.profile shape, exact-distinct variant
+    for the oracle): null fraction + distinct + min/max per column,
+    single-pass unpivoted."""
+    o = _t(spark, sf_dir, "orders")
+    rows = []
+    for c in ("o_custkey", "o_orderstatus"):
+        rows.append(
+            o.agg(
+                F.lit(c).alias("column"),
+                F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias("null_frac"),
+                F.count_distinct(F.col(c)).alias("exact_distinct"),
+                F.min(F.col(c)).cast("string").alias("min_s"),
+                F.max(F.col(c)).cast("string").alias("max_s"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

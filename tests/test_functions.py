@@ -188,3 +188,22 @@ def test_upsert_parquet_sink(spark, tmp_path):
     assert r2.rows == 3
     got = {r.id: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_char_shingles(spark):
+    from etlp_spark.functions.text import char_shingles
+
+    df = spark.createDataFrame([(1, "AB  cd"), (2, "ab")], ["id", "text"])
+    got = {r.id: r.sh for r in df.select("id", char_shingles("text", 3).alias("sh")).collect()}
+    assert got[1] == ["ab ", "b c", " cd"]
+    assert got[2] == []  # shorter than one shingle
+
+
+def test_profile_op(spark):
+    from etlp_spark.ops import profile
+
+    df = spark.createDataFrame([(1, "a"), (2, None), (3, "c")], "id long, v string")
+    rows = {r.column: r for r in profile(df).collect()}
+    assert rows["v"].null_frac == round(1 / 3, 6)
+    assert rows["id"].min_s == "1" and rows["id"].max_s == "3"
+    assert rows["id"].null_frac == 0.0
