@@ -293,3 +293,34 @@ class UpsertParquetSink(Destination):
         os.rename(staging, self.path)
         rows = spark.read.parquet(self.path).count()
         return WriteResult(rows=rows, target=self.path)
+
+
+#: S5/K4 parity: the reference's per-format reducer registry
+#: (``README.md:25-36``: ``:reducers {:json-reducer ... :csv-reducer
+#: ...}`` + ``:reducer`` selector). Formats map to Source classes;
+#: ``make_source`` is the ``create-s3-source!``-shaped factory — the
+#: path may be any Hadoop-FS URI (file://, s3a://bucket/prefix, ...).
+FORMAT_REDUCERS: dict[str, type[Source]] = {
+    "text": TextFileSource,
+    "jsonl": JsonLinesSource,
+    "json": JsonLinesSource,
+    "csv": CsvSource,
+    "parquet": ParquetSource,
+}
+
+
+def make_source(path: str, reducer: str = "jsonl", **opts: Any) -> Source:
+    """Factory mirroring the reference's source construction:
+
+        (create-s3-source! {:bucket b :prefix p
+                            :reducers registry :reducer :json-reducer})
+
+    → ``make_source("s3a://b/p", reducer="jsonl", schema=...)``.
+    Unknown reducers raise with the registry listing (the reference
+    throws IllegalArgumentException for unknown components).
+    """
+    if reducer not in FORMAT_REDUCERS:
+        raise ValueError(
+            f"unknown reducer {reducer!r}; registered: {sorted(FORMAT_REDUCERS)}"
+        )
+    return FORMAT_REDUCERS[reducer](path, **opts)

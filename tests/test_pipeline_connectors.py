@@ -190,3 +190,12 @@ def test_register_udf_row_and_vectorized(spark):
     )
     df = spark.range(3).selectExpr("vec_double(id) as y")
     assert [r.y for r in df.collect()] == [0, 2, 4]
+
+
+def test_make_source_format_registry(spark, jsonl_dir):
+    from etlp_spark.connectors.files import make_source
+
+    src = make_source(jsonl_dir, reducer="jsonl", schema="id long, name string, tags array<string>")
+    assert sorted(r.id for r in src.read(spark).collect()) == [1, 2, 3]
+    with pytest.raises(ValueError, match="unknown reducer"):
+        make_source("/x", reducer="hl7")
