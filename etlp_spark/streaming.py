@@ -231,3 +231,27 @@ def sessionize(
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream join: right events join left events
+    with matching key whose timestamps fall within ``[left_ts,
+    left_ts + within]``. Both sides MUST be watermarked by the caller
+    (the watermark bounds the join state buffer — without it state
+    grows forever; SURVEY.md M6)."""
+    l = left.alias("l")
+    r = right.alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts} "
+            f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {within}"
+        ),
+    )

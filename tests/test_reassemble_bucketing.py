@@ -62,3 +62,35 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert joined.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    """ParquetSink(partition_by): reading with a partition filter
+    must prune at the PLAN level (PartitionFilters, not a post-scan
+    filter) — the other half of the 100 TB scan story."""
+    from etlp_spark.connectors.files import ParquetSink, ParquetSource
+    from etlp_spark.io import load_table
+
+    out = str(tmp_path / "ev_part")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    res = ParquetSink(out, partition_by=("event_type",)).write(ev)
+    assert res.rows == ev.count()
+    df = ParquetSource(out).read(spark).where(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    n_click = ev.where(F.col("event_type") == "click").count()
+    assert df.count() == n_click
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    from etlp_spark.ops import compact
+
+    path = str(tmp_path / "frag")
+    spark.range(10000).repartition(64).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) == 64
+    n = compact(spark, path, target_partitions=2)
+    assert n == 2
+    assert len(glob.glob(f"{path}/*.parquet")) == 2
+    assert spark.read.parquet(path).count() == 10000

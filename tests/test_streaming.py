@@ -161,3 +161,31 @@ def test_sessionize_stateful(spark, stream_dir):
         assert r.session_end.strftime("%H:%M") == "00:20"
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: clicks attach to impressions
+    of the same key within the interval."""
+    import pathlib
+
+    from etlp_spark.streaming import interval_join
+
+    d1 = tmp_path / "imps"; d1.mkdir()
+    d2 = tmp_path / "clicks"; d2.mkdir()
+    (d1 / "b1.jsonl").write_text(
+        '{"k": 1, "its": "2024-01-01 00:00:00"}\n{"k": 2, "its": "2024-01-01 00:00:30"}\n'
+    )
+    (d2 / "b1.jsonl").write_text(
+        '{"k": 1, "cts": "2024-01-01 00:04:00"}\n'   # within 10 min → joins
+        '{"k": 2, "cts": "2024-01-01 02:00:00"}\n'   # outside → dropped
+    )
+    imps = file_stream(spark, str(d1), "k long, its timestamp").withWatermark("its", "1 hour")
+    clicks = file_stream(spark, str(d2), "k long, cts timestamp").withWatermark("cts", "1 hour")
+    joined = interval_join(imps, clicks, "k", "its", "cts", within="10 minutes")
+    q = joined.select("l.k", "its", "cts").writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from ssj").collect()
+        assert [(r.k) for r in rows] == [1]
+    finally:
+        q.stop()
