@@ -58,6 +58,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return io.load_table(spark, sf_dir, name)
 
 
+def _t_fanout(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table and guarantee the scan fans out to every core.
+
+    For compute-bound per-row work (shingling, hashing, Arrow
+    kernels) the bottleneck is input splits, not bytes: a table small
+    enough to be one parquet row-group gives ONE task no matter how
+    many cores exist. On a real cluster a 100 TB scan splits
+    naturally and this repartition collapses to a no-op cost (one
+    narrow round-robin pass of the already-distributed scan); locally
+    it is what turns a 1-core query into a 32-core one."""
+    df = io.load_table(spark, sf_dir, name)
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want)
+    return df
+
+
 # Cross-engine float discipline: the two engines sum doubles in
 # different orders and round .xx5 boundaries differently, so any sum
 # over money columns goes through DECIMAL — the inputs are exact
@@ -759,7 +776,7 @@ def x5_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap (skew guard) → estimated Jaccard per candidate pair."""
     from etlp_spark.functions.dedup import lsh_candidates, minhash_signature
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fanout(spark, sf_dir, "documents")
     sigs = minhash_signature(docs, k=_MINHASH_K, n=3)
     return lsh_candidates(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=50)
 
@@ -784,7 +801,7 @@ def x6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered fold per row, no shuffle, no UDF."""
     from etlp_spark.functions.dedup import simhash32
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fanout(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash32("text").cast("bigint").alias("simhash"))
 
 
@@ -864,7 +881,7 @@ def x9_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests."""
     from etlp_spark.functions.multimodal import attach_fake_media, extract_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fanout(spark, sf_dir, "documents")
     feats = extract_features(attach_fake_media(docs))
     return feats.select("media_id", "mime", "n_bytes", "digest")
 
@@ -1372,7 +1389,7 @@ def x10_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no cross join) → exact cosine rerank inside buckets only."""
     from etlp_spark.functions.similarity import cosine, srp_buckets
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_fanout(spark, sf_dir, "embeddings")
     bucketed = srp_buckets(emb).join(emb, "vec_id")
     a = bucketed.select(
         F.col("vec_id").alias("qid"), F.col("bucket"), F.col("embedding").alias("qv")
@@ -1507,8 +1524,13 @@ def x12_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit-tested on planted clusters."""
     from etlp_spark.functions.similarity import ivf_assign, ivf_train
 
-    emb = _t(spark, sf_dir, "embeddings")
-    centroids = ivf_train(emb, k=8, iters=2)
+    # Persist: k-means scans the table 2·iters+2 times — at any scale
+    # you pay the scan once, not six times. Train on a deterministic
+    # 1-in-10 sample: the standard IVF recipe (the quantizer needs a
+    # representative sample, not the corpus), which caps training cost
+    # at 100 TB while assignment still covers every vector.
+    emb = _t_fanout(spark, sf_dir, "embeddings").persist()
+    centroids = ivf_train(emb.where(F.col("vec_id") % 10 == 0), k=8, iters=2)
     assigned = ivf_assign(emb, centroids)
     return assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vectors"),
@@ -1609,7 +1631,7 @@ def x13_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH candidates (x5)."""
     from etlp_spark.functions.text import char_shingles
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fanout(spark, sf_dir, "documents")
     g = docs.select("doc_id", char_shingles("text", 5).alias("gs"))
     a = g.select(F.col("doc_id").alias("a"), F.col("gs").alias("ga"))
     b = g.select(F.col("doc_id").alias("b"), F.col("gs").alias("gb"))
