@@ -21,7 +21,16 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["dot", "norm", "cosine", "cosine_topk", "srp_bits", "srp_buckets"]
+__all__ = [
+    "dot",
+    "norm",
+    "cosine",
+    "cosine_topk",
+    "srp_bits",
+    "srp_buckets",
+    "banded_srp_pairs",
+    "embedding_neardup",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -104,6 +113,86 @@ def srp_buckets(
     """(id, bucket): equal buckets ≈ high-cosine candidates. ANN
     search = equi-join on bucket, then exact re-rank inside buckets."""
     return df.select(F.col(id_col), srp_bits(vec_col, n_planes, dims).alias("bucket"))
+
+
+def banded_srp_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 2,
+    planes_per_band: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """LSH candidate pairs via banded sign-random-projection.
+
+    The MinHash-banding recipe applied to SRP bits: split the
+    ``bands·planes_per_band``-bit signature into ``bands`` contiguous
+    bands; vectors agreeing on ANY whole band become a candidate pair.
+    Returns distinct (a, b) with a < b.
+
+    Scale shape: one narrow pass computes signatures, ``bands`` rows
+    per vector shuffle on the band key (bytes, not embeddings), and
+    the self-join is an equi-join Catalyst executes as a shuffled hash
+    join per band bucket — never an all-pairs cross join. Recall is
+    tuned by bands × planes_per_band exactly as in MinHash LSH.
+    """
+    n_planes = bands * planes_per_band
+    sig = df.select(F.col(id_col), srp_bits(vec_col, n_planes, dims).alias("bits"))
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.substring("bits", b * planes_per_band + 1, planes_per_band),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = banded.select(F.col(id_col).alias("a"), "band_key")
+    b = banded.select(F.col(id_col).alias("b"), "band_key")
+    return (
+        a.join(b, ["band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def embedding_neardup(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 2,
+    planes_per_band: int = 8,
+    dims: int = 64,
+    scale: int = 9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded-SRP candidates,
+    then exact cosine verification at ``threshold``.
+
+    The embedding-space member of the dedup family (exact hash → x4,
+    MinHash/Jaccard → x5, SimHash → x6): candidate generation touches
+    only signature bytes, the expensive exact cosine runs on the
+    candidate set alone. Returns (a, b, cos) with a < b, cos rounded
+    to ``scale`` digits for cross-engine determinism.
+    """
+    pairs = banded_srp_pairs(
+        df, id_col=id_col, vec_col=vec_col, bands=bands,
+        planes_per_band=planes_per_band, dims=dims,
+    )
+    ea = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    eb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.join(ea, "a")
+        .join(eb, "b")
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), scale).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
 
 
 def ivf_train(df: DataFrame, k: int = 8, iters: int = 2,

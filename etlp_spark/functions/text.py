@@ -25,6 +25,7 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "winnow_fingerprints",
     "LANG_MARKERS",
     "PUNCT_CLASS",
 ]
@@ -152,4 +153,42 @@ def char_shingles(col: Column | str, n: int = 5) -> Column:
         joined = F.zip_with(joined, nxt, lambda a, b: F.concat(a, b))
     return F.when(m < 1, F.array().cast("array<string>")).otherwise(
         F.array_distinct(joined)
+    )
+
+
+def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprint (the MOSS scheme): hash every
+    char k-gram of the normalized text, slide a window of ``w``
+    consecutive hashes, keep the minimum of each window, return the
+    distinct selected hashes sorted.
+
+    Guarantees of winnowing: any shared substring of length
+    ≥ k + w - 1 between two documents contributes at least one common
+    fingerprint, so fingerprint overlap lower-bounds substring-level
+    plagiarism/near-dup — positional, unlike bag-of-shingles Jaccard.
+
+    All pure Column expressions: positional k-grams via k shifted
+    array slices (O(k·len) like char_shingles), 32-bit hash = first 8
+    hex digits of md5 (bit-reproducible in any engine), window minima
+    via w shifted slices folded with ``least``. No shuffle, no UDF —
+    runs at scan speed at any corpus size. Docs shorter than
+    k + w - 1 normalized chars yield an empty fingerprint set."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.array_join(tokens(c), " ")
+    chars = F.split(norm, "")
+    m = F.length(norm) - (k - 1)  # number of k-grams (positional)
+    shifted = [F.slice(chars, i + 1, m) for i in range(k)]
+    grams = shifted[0]
+    for nxt in shifted[1:]:
+        grams = F.zip_with(grams, nxt, lambda a, b: F.concat(a, b))
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    )
+    nw = m - (w - 1)  # number of full windows
+    wins = [F.slice(hashes, i + 1, nw) for i in range(w)]
+    mins = wins[0]
+    for nxt in wins[1:]:
+        mins = F.zip_with(mins, nxt, lambda a, b: F.least(a, b))
+    return F.when(nw < 1, F.array().cast("array<bigint>")).otherwise(
+        F.sort_array(F.array_distinct(mins))
     )

@@ -1705,3 +1705,203 @@ def x15_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# =====================================================================
+# TPC-H Q6 shape: pure filter + global aggregate. All three predicates
+# push to the parquet scan; 4 columns read; one partial-agg pass and a
+# single-row final merge — the cheapest possible shape at any scale.
+# =====================================================================
+
+@_register(
+    "q06_forecast_revenue",
+    f"""
+    SELECT {_o_money('l_extendedprice * l_discount')} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            _money(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# =====================================================================
+# TPC-H Q18 shape: aggregate → HAVING → join back to dims. The heavy
+# side is the lineitem group-by (one shuffle on l_orderkey); the
+# HAVING filter shrinks it to a sliver BEFORE the joins, and AQE turns
+# both dim joins into broadcasts of that sliver at runtime.
+# =====================================================================
+
+@_register(
+    "q18_large_volume_customer",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(t.sum_qty, 2) AS sum_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 350) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 350)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+# =====================================================================
+# North star: embedding-cosine near-dup (functions.similarity.
+# embedding_neardup). The corpus has no natural near-dups (max pair
+# cosine ≈ 0.51), so the query plants one perturbed copy of every
+# 10th vector (deterministic +0.05 on dim 0) and detects them:
+# banded-SRP candidates (signature bytes shuffle, embeddings don't)
+# → exact cosine ≥ 0.99 on candidates only. LSH recall is honest —
+# a planted pair whose perturbation flips a bit in both bands is
+# missed, identically in the oracle.
+# =====================================================================
+
+@_register(
+    "x16_embedding_neardup",
+    """
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding, (x, i) ->
+               x::DOUBLE + CASE WHEN i = 1 THEN 0.05 ELSE 0.0 END)
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    bits AS (
+      SELECT vec_id, v,
+             array_to_string(list_transform(range(0, 16), j ->
+               CASE WHEN list_reduce(
+                 list_transform(list_zip(v,
+                   list_transform(range(0, 64), d ->
+                     ('0x' || substr(md5('plane' || j || '_' || d), 1, 8))::BIGINT::DOUBLE
+                     / 2147483648.0 - 1.0)),
+                   p -> p[1]::DOUBLE * p[2]::DOUBLE),
+                 (acc, x) -> acc + x) > 0
+               THEN '1' ELSE '0' END), '') AS b
+      FROM base
+    ),
+    banded AS (
+      SELECT vec_id, 0 AS band, substr(b, 1, 8) AS key FROM bits
+      UNION ALL
+      SELECT vec_id, 1, substr(b, 9, 8) FROM bits
+    ),
+    pairs AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+    ),
+    scored AS (
+      SELECT p.a, p.b,
+             round(
+               list_reduce(list_transform(list_zip(ea.v, eb.v), q -> q[1] * q[2]),
+                           (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(list_zip(ea.v, ea.v), q -> q[1] * q[2]),
+                                   (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_transform(list_zip(eb.v, eb.v), q -> q[1] * q[2]),
+                                     (acc, x) -> acc + x))),
+               9) AS cos
+      FROM pairs p
+      JOIN base ea ON ea.vec_id = p.a
+      JOIN base eb ON eb.vec_id = p.b
+    )
+    SELECT a, b, cos FROM scored WHERE cos >= 0.99
+    """,
+)
+def x16_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the embedding-space
+    member of the dedup family: x4 exact hash, x5 MinHash, x6 SimHash,
+    x16 cosine). Candidate generation via banded SRP signatures, exact
+    cosine verification on candidates only — never an all-pairs join."""
+    from etlp_spark.functions.similarity import embedding_neardup
+
+    emb = _t_fanout(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    dup = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    # Persist: the corpus feeds signature computation AND both sides
+    # of the candidate verify join (3 consumers).
+    allv = base.unionByName(dup).persist()
+    return embedding_neardup(allv, threshold=0.99, bands=2, planes_per_band=8)
+
+
+# =====================================================================
+# North star: winnowing fingerprints (functions.text.
+# winnow_fingerprints — the MOSS positional fingerprint, vs x4's
+# whole-document hash). Pure expression pipeline at scan speed; the
+# oracle reproduces k-gram md5 hashing and window minima in SQL.
+# =====================================================================
+
+@_register(
+    "x17_winnow_fingerprint",
+    r"""
+    WITH norm AS (SELECT doc_id,
+                         array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                                     t -> t <> ''), ' ') AS nt
+                  FROM documents),
+    g AS (SELECT doc_id, i,
+                 ('0x' || substr(md5(nt[i:i+7]), 1, 8))::BIGINT AS h,
+                 length(nt) - 7 AS m
+          FROM norm, unnest(range(1, greatest(length(nt) - 7, 0) + 1)) AS t(i)),
+    wm AS (SELECT doc_id, i, m,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           FROM g)
+    SELECT DISTINCT doc_id, fp FROM wm WHERE i <= m - 3
+    """,
+)
+def x17_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (k=8, w=4) over the documents table: one row per
+    (doc_id, selected k-gram hash). Shared substrings ≥ k+w-1 chars
+    guarantee a shared fingerprint — the positional near-dup metric."""
+    from etlp_spark.functions.text import winnow_fingerprints
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(winnow_fingerprints("text", k=8, w=4)).alias("fp")
+    )

@@ -207,3 +207,63 @@ def test_profile_op(spark):
     assert rows["v"].null_frac == round(1 / 3, 6)
     assert rows["id"].min_s == "1" and rows["id"].max_s == "3"
     assert rows["id"].null_frac == 0.0
+
+
+def test_winnow_fingerprints_properties(spark):
+    from etlp_spark.functions.text import winnow_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "THE  quick   Brown fox jumps over the lazy dog"),  # same after norm
+        (3, "a completely different sentence about winnowing"),
+        (4, "short"),  # < k+w-1 normalized chars at k=8,w=4 → empty
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r.id: r.fp for r in df.select(
+        "id", winnow_fingerprints("text", k=8, w=4).alias("fp")).collect()}
+    # normalization-invariant: 1 and 2 fingerprint identically
+    assert got[1] == got[2] and len(got[1]) > 0
+    # winnowing density: selected ≤ windows, ≥ ceil(windows / w)
+    n_grams = len("the quick brown fox jumps over the lazy dog") - 7
+    n_windows = n_grams - 3
+    assert len(got[1]) <= n_windows
+    # sorted distinct output
+    assert got[1] == sorted(set(got[1]))
+    # different text → different fingerprints (overwhelmingly)
+    assert set(got[1]) != set(got[3])
+    assert got[4] == []
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    from etlp_spark.functions.text import winnow_fingerprints
+
+    # Two docs sharing a long substring (>= k+w-1 = 11 chars) must
+    # share at least one fingerprint — the winnowing guarantee.
+    shared = "identical middle segment here"
+    df = spark.createDataFrame(
+        [(1, "prefix one " + shared), (2, shared + " suffix two")], ["id", "text"]
+    )
+    got = {r.id: set(r.fp) for r in df.select(
+        "id", winnow_fingerprints("text", k=8, w=4).alias("fp")).collect()}
+    assert got[1] & got[2]
+
+
+def test_embedding_neardup_planted(spark):
+    import math
+
+    from etlp_spark.functions.similarity import embedding_neardup
+
+    # 20 well-separated random-ish vectors + exact copies of 5 of
+    # them: every planted (i, i+1000) pair must be found with cos 1.0;
+    # no cross pair (distinct base vectors are near-orthogonal here).
+    def vec(i):
+        return [math.sin(0.7 * i * (d + 1)) + (1.0 if d == i % 64 else 0.0)
+                for d in range(64)]
+
+    rows = [(i, vec(i)) for i in range(20)]
+    rows += [(i + 1000, vec(i)) for i in range(0, 20, 4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.a, r.b): r.cos for r in embedding_neardup(
+        df, threshold=0.99, bands=2, planes_per_band=8).collect()}
+    assert set(got) == {(i, i + 1000) for i in range(0, 20, 4)}
+    assert all(c == 1.0 for c in got.values())
