@@ -1874,8 +1874,19 @@ def x16_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # North star: winnowing fingerprints (functions.text.
 # winnow_fingerprints — the MOSS positional fingerprint, vs x4's
 # whole-document hash). Pure expression pipeline at scan speed; the
-# oracle reproduces k-gram md5 hashing and window minima in SQL.
+# oracle reproduces the Karp-Rabin k-gram hash and window minima in
+# SQL (ascii + integer arithmetic — no per-position md5).
 # =====================================================================
+
+def _o_winnow_hash(k: int) -> str:
+    """DuckDB twin of the Spark-side Karp-Rabin k-gram hash."""
+    from etlp_spark.functions.text import WINNOW_B, WINNOW_P
+
+    expr = "ascii(nt[i])::BIGINT"
+    for j in range(1, k):
+        expr = f"(({expr}) * {WINNOW_B} + ascii(nt[i+{j}])) % {WINNOW_P}"
+    return expr
+
 
 @_register(
     "x17_winnow_fingerprint",
@@ -1885,7 +1896,7 @@ def x16_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      t -> t <> ''), ' ') AS nt
                   FROM documents),
     g AS (SELECT doc_id, i,
-                 ('0x' || substr(md5(nt[i:i+7]), 1, 8))::BIGINT AS h,
+                 """ + _o_winnow_hash(8) + r""" AS h,
                  length(nt) - 7 AS m
           FROM norm, unnest(range(1, greatest(length(nt) - 7, 0) + 1)) AS t(i)),
     wm AS (SELECT doc_id, i, m,
@@ -1904,4 +1915,497 @@ def x17_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t_fanout(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.explode(winnow_fingerprints("text", k=8, w=4)).alias("fp")
+    )
+
+
+# =====================================================================
+# TPC-H shapes round 3 — plan shapes not yet covered: correlated min
+# (q2), EXISTS semi-join with a non-equi term (q4), 6-way join with a
+# cross-dimension equality (q5), multi-dim profit rollup (q9),
+# conditional aggregation (q12), ratio-of-conditional-sums (q14),
+# scalar-max subquery (q15), disjunctive OR-of-ANDs pushdown (q19),
+# scalar-avg subquery + anti join (q22). All engine-added relational
+# coverage (SURVEY.md §2.2 — the reference has no joins/aggregates).
+# =====================================================================
+
+@_register(
+    "q02_min_acctbal_supplier",
+    """
+    WITH supplied AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_partkey, p_name, s_name, s_acctbal
+    FROM supplied
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size = 10
+    QUALIFY row_number() OVER (PARTITION BY p_partkey
+                               ORDER BY s_acctbal, s_suppkey) = 1
+    """,
+)
+def q02_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated-min subquery) without partsupp: for
+    each size-10 part, the supplier with the minimum account balance
+    among suppliers that actually shipped it.
+
+    The correlated `= (SELECT min(..) WHERE correlation)` is expressed
+    as a window row_number over the part key — one shuffle on
+    p_partkey instead of a per-row rescan, which is how the shape
+    survives 100 TB. The part filter prunes before the join (pushed to
+    the part scan, dims broadcast)."""
+    supplied = (
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") == 10)
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("p_partkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        supplied.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal")
+    )
+
+
+@_register(
+    "q04_order_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join whose condition mixes
+    an equi key (orderkey) with a non-equi term (shipped >60 days
+    after ordering). Spark keeps the equi part as the shuffle key and
+    evaluates the residual per matched row — no cartesian anywhere.
+    The date-range filter is pushed to the orders scan."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_register(
+    "q05_local_supplier_volume",
+    f"""
+    SELECT n_name, {_o_money('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join where supplier must share the
+    customer's nation (an equality between two *dimension* foreign
+    keys, not a key-to-key edge). Region filter prunes nation →
+    customer/supplier transitively once the broadcasts apply; the only
+    shuffle is fact-side on l_orderkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        _money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@_register(
+    "q09_product_type_profit",
+    f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           {_o_money('l_extendedprice * (1 - l_discount)')} AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by (supplier nation, order year) for a
+    part-name LIKE family. The LIKE prunes part before the broadcast;
+    the fact shuffles once on l_orderkey for the orders join (orders
+    is too big to broadcast at scale — here AQE decides)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    joined = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"))
+
+
+@_register(
+    "q12_priority_shipmode",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation (CASE inside SUM) —
+    one pass, two pivoted counters per group, integer-exact on any
+    engine. The date filter is pushed to the lineitem scan."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "q14_promo_effect",
+    f"""
+    SELECT round(100.0 * CAST({_o_money("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS DOUBLE)
+                 / CAST({_o_money('l_extendedprice * (1 - l_discount)')} AS DOUBLE), 4) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: a ratio of two conditional money sums in one
+    aggregation pass (no self-join, no second scan). Both sums are
+    exact decimals; only the final division drops to double."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0) * _money(promo).cast("double") / _money(rev).cast("double"), 4
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             {_o_money('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: scalar-max subquery over a derived revenue
+    view, then an equality join back (ties kept, per spec). The
+    revenue view is computed ONCE (persist) and feeds both the max
+    and the final filter; the max is a 1-row broadcast cross join —
+    never a single-partition global window. Decimal revenue ⇒ the
+    equality is exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        .persist()
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT {_o_money('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive OR-of-ANDs mixing columns from
+    both sides. Catalyst extracts the common part-side disjunction
+    (brand ∈ {11,12,13} ∧ size ≤ 15) below the join and the common
+    fact-side bound (l_quantity ≤ 30) to the scan, leaving the mixed
+    residual as a post-join filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#11") & sz.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#12") & sz.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#13") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@_register(
+    "q22_idle_balance",
+    f"""
+    WITH stats AS (
+      SELECT sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS s_cents,
+             count(*) AS n_pos
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, count(*) AS numcust,
+           {_o_money('c_acctbal')} AS totacctbal
+    FROM customer, stats
+    WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) * n_pos > s_cents
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-avg subquery + NOT EXISTS anti join —
+    rich customers (balance above the positive-balance average) who
+    never ordered, counted per segment.
+
+    Cross-engine exactness: `bal > avg(bal)` is evaluated as
+    `cents · n > Σcents` — pure BIGINT arithmetic (money has 2
+    decimals, so cents are exact), sidestepping double-division
+    rounding entirely. The 1-row stats frame broadcasts; the anti
+    join shuffles on custkey (or broadcasts orders' key set at this
+    scale — AQE picks)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    stats = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("s_cents"), F.count(F.lit(1)).alias("n_pos")
+    )
+    return (
+        c.join(F.broadcast(stats))
+        .where(cents * F.col("n_pos") > F.col("s_cents"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("numcust"), _money(F.col("c_acctbal")).alias("totacctbal"))
+    )
+
+
+# =====================================================================
+# Scale operators round 2 (engine-added, BASELINE.json north star):
+# near-dup *clusters* (LSH pairs → connected components), stratified
+# hash sampling, TF-IDF top terms. The clustering oracle replays the
+# whole minhash→banding→pairs→graph pipeline in DuckDB, including the
+# fixpoint (recursive CTE), so even the iterative step is hash-checked.
+# =====================================================================
+
+@_register(
+    "x18_neardup_clusters",
+    f"""
+    WITH RECURSIVE {_O_SHINGLES},
+    {_O_SIGS},
+    {_O_BANDS},
+    {_O_BUCKETS},
+    sized AS (SELECT bucket, list(doc_id) AS ids, count(*) AS sz
+              FROM buckets GROUP BY bucket),
+    kept AS (SELECT bucket, ids FROM sized WHERE sz <= 50),
+    cand AS (SELECT DISTINCT a, b FROM
+               (SELECT unnest(ids) AS a, ids FROM kept),
+               LATERAL (SELECT unnest(ids) AS b)
+             WHERE a < b),
+    scored AS (SELECT cand.a, cand.b, ({_O_EST}) AS eq
+               FROM cand
+               JOIN sigs sa ON sa.doc_id = cand.a
+               JOIN sigs sb ON sb.doc_id = cand.b),
+    edges AS (SELECT a AS src, b AS dst FROM scored WHERE eq * 2 >= {_MINHASH_K}
+              UNION ALL
+              SELECT b AS src, a AS dst FROM scored WHERE eq * 2 >= {_MINHASH_K}),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.node = e.src)
+    SELECT node AS doc_id, min(comp) AS cluster FROM walk GROUP BY node
+    """,
+)
+def x18_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH candidate pairs (est. Jaccard
+    ≥ 0.5) → connected components → per-document cluster label (the
+    min doc_id in the component). This is the full dedup pipeline a
+    training-data build runs: pairs alone can't answer "keep one per
+    duplicate group" — transitive closure can.
+
+    The iterative fixpoint is still hash-checked: the DuckDB oracle
+    replays minhash → banding → pairs → graph with a recursive CTE,
+    so Spark's label-propagation loop must converge to the exact same
+    labels. Threshold compares est·2 ≥ k in integers (no float edge).
+    """
+    from etlp_spark.functions.dedup import (
+        connected_components,
+        lsh_candidates,
+        minhash_signature,
+    )
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    sigs = minhash_signature(docs, k=_MINHASH_K, n=3)
+    pairs = lsh_candidates(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=50).where(
+        F.col("est_jaccard") >= 0.5
+    )
+    return connected_components(docs.select("doc_id"), pairs)
+
+
+@_register(
+    "x19_stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+          < CASE lang WHEN 'en' THEN 13107
+                      WHEN 'zh' THEN 32768
+                      ELSE 19661 END
+    """,
+)
+def x19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling with per-stratum rates (en
+    20%, zh 50%, others 30%) — the language-rebalancing step of an
+    LLM data mix.
+
+    Scan-local by construction: keep a row iff the first 16 bits of
+    md5(doc_id) fall under the stratum's threshold (rate · 2^16). No
+    shuffle, no RNG state, no seed coordination across executors —
+    the sample is a pure function of the row, so it is reproducible
+    across engines, re-runs, and retries, and composes with pushdown
+    (the md5 filter evaluates right after the scan). At 100 TB this
+    is the only sampling shape that costs exactly one pass."""
+    docs = _t(spark, sf_dir, "documents")
+    h16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    threshold = (
+        F.when(F.col("lang") == "en", 13107)
+        .when(F.col("lang") == "zh", 32768)
+        .otherwise(19661)
+    )
+    return docs.where(h16 < threshold).select("doc_id", "lang")
+
+
+@_register(
+    "x20_tfidf_topterms",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_O_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df_t AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (SELECT doc_id, term,
+                      round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+               FROM tf JOIN df_t USING (term) CROSS JOIN n),
+    ranked AS (SELECT doc_id, term, tfidf,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term) AS rnk
+               FROM scored)
+    SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def x20_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (document keywording /
+    quality-signal extraction).
+
+    Shape at scale: term frequencies partially aggregate map-side
+    before one shuffle on (doc, term); document frequencies are a
+    second aggregate on term (stop-word keys are hot but carry
+    count-only state); the tf⟵df join broadcasts when the vocabulary
+    fits (it's |vocab|, not |corpus|) — here Catalyst/AQE picks.
+    Ranking uses the ROUNDED score (both engines rank identical
+    values) with the term as tiebreaker, so top-3 is deterministic."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
     )

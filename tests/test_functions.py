@@ -267,3 +267,16 @@ def test_embedding_neardup_planted(spark):
         df, threshold=0.99, bands=2, planes_per_band=8).collect()}
     assert set(got) == {(i, i + 1000) for i in range(0, 20, 4)}
     assert all(c == 1.0 for c in got.values())
+
+
+def test_connected_components_chain_and_isolates(spark):
+    from etlp_spark.functions.dedup import connected_components
+
+    # A 5-node chain (multi-round convergence: the min label must walk
+    # the whole diameter), a 2-node island, and two isolates.
+    nodes = spark.createDataFrame([(i,) for i in range(9)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)], ["a", "b"]
+    )
+    got = {r.doc_id: r.cluster for r in connected_components(nodes, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 7}
