@@ -2409,3 +2409,224 @@ def x20_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+# =====================================================================
+# Scale operators round 3: corpus quality gates (Gopher/C4-style
+# heuristics) and the end-to-end canonical-dedup artifact; TPC-H q20
+# (aggregate → semi-join chain) and q11 (group HAVING vs scalar
+# fraction-of-total) shapes.
+# =====================================================================
+
+@_register(
+    "x21_quality_gates",
+    f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKS} AS tk FROM documents),
+    stats AS (
+      SELECT doc_id,
+             len(tk) AS n_tokens,
+             greatest(len(tk) - 4, 0) AS total_5g,
+             CASE WHEN len(tk) >= 5 THEN
+               (SELECT count(DISTINCT array_to_string(tk[i:i+4], ' '))
+                FROM unnest(range(1, len(tk) - 3)) AS t(i))
+             ELSE 0 END AS distinct_5g,
+             round(list_reduce(list_transform(tk, t -> length(t)::BIGINT), (a,b) -> a+b)
+                   / len(tk)::DOUBLE, 6) AS mean_word_len
+      FROM toks)
+    SELECT doc_id, n_tokens, mean_word_len,
+           round(CASE WHEN total_5g > 0
+                      THEN 1.0 - distinct_5g / total_5g::DOUBLE ELSE 0 END, 6) AS rep5,
+           (n_tokens BETWEEN 20 AND 100000
+            AND mean_word_len BETWEEN 2.0 AND 12.0
+            AND (total_5g = 0 OR distinct_5g * 10 >= total_5g * 7)) AS keep
+    FROM stats
+    """,
+)
+def x21_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style corpus quality gates, one scan-stage pass per
+    document: token-count bounds, mean word length bounds, and the
+    repetition rule (fraction of duplicate word 5-grams ≤ 0.3 — the
+    Gopher "duplicated n-gram" filter).
+
+    Everything is per-row expression work — no shuffle, no UDF, so
+    the gate runs at scan speed on any corpus size and composes with
+    pushdown (a downstream `WHERE keep` prunes before anything
+    expensive). The keep decision compares integers (d·10 ≥ t·7)
+    rather than a float threshold, so both engines agree bit-for-bit
+    on every edge case."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    tk = tokens("text")
+    n_tokens = F.size(tk)
+    total5 = F.greatest(n_tokens - 4, F.lit(0))
+    # distinct 5-grams via the same slice+zip construction as
+    # word_shingles (O(n·k) JVM array ops)
+    from etlp_spark.functions.dedup import word_shingles
+
+    distinct5 = F.when(n_tokens >= 5, F.size(word_shingles("text", 5))).otherwise(0)
+    total_len = F.aggregate(
+        F.transform(tk, lambda t: F.length(t).cast("long")), F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_wl = F.round(total_len / n_tokens.cast("double"), 6)
+    rep5 = F.round(
+        F.when(total5 > 0, 1.0 - distinct5 / total5.cast("double")).otherwise(0.0), 6
+    )
+    keep = (
+        n_tokens.between(20, 100000)
+        & mean_wl.between(2.0, 12.0)
+        & ((total5 == 0) | (distinct5 * 10 >= total5 * 7))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        rep5.alias("rep5"),
+        keep.alias("keep"),
+    )
+
+
+@_register(
+    "x22_dedup_canonical",
+    f"""
+    WITH RECURSIVE {_O_SHINGLES},
+    {_O_SIGS},
+    {_O_BANDS},
+    {_O_BUCKETS},
+    sized AS (SELECT bucket, list(doc_id) AS ids, count(*) AS sz
+              FROM buckets GROUP BY bucket),
+    kept AS (SELECT bucket, ids FROM sized WHERE sz <= 50),
+    cand AS (SELECT DISTINCT a, b FROM
+               (SELECT unnest(ids) AS a, ids FROM kept),
+               LATERAL (SELECT unnest(ids) AS b)
+             WHERE a < b),
+    scored AS (SELECT cand.a, cand.b, ({_O_EST}) AS eq
+               FROM cand
+               JOIN sigs sa ON sa.doc_id = cand.a
+               JOIN sigs sb ON sb.doc_id = cand.b),
+    edges AS (SELECT a AS src, b AS dst FROM scored WHERE eq * 2 >= {_MINHASH_K}
+              UNION ALL
+              SELECT b AS src, a AS dst FROM scored WHERE eq * 2 >= {_MINHASH_K}),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.node = e.src),
+    labels AS (SELECT node AS doc_id, min(comp) AS cluster FROM walk GROUP BY node)
+    SELECT d.lang, count(*) AS n_docs,
+           sum(CASE WHEN l.cluster = d.doc_id THEN 1 ELSE 0 END) AS n_kept
+    FROM documents d JOIN labels l ON l.doc_id = d.doc_id
+    GROUP BY d.lang
+    """,
+)
+def x22_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup artifact: near-dup clusters → keep ONE
+    canonical document per cluster (the min doc_id) → per-language
+    corpus size before/after. This is the number a data-mix report
+    actually quotes ("dedup removed N docs from language L").
+
+    One extra broadcast-able join over x18's pipeline; the kept-flag
+    is `cluster == doc_id` (the representative is the label itself,
+    no second ranking pass)."""
+    from etlp_spark.functions.dedup import (
+        connected_components,
+        lsh_candidates,
+        minhash_signature,
+    )
+
+    docs = _t_fanout(spark, sf_dir, "documents").persist()
+    sigs = minhash_signature(docs, k=_MINHASH_K, n=3)
+    pairs = lsh_candidates(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=50).where(
+        F.col("est_jaccard") >= 0.5
+    )
+    labels = connected_components(docs.select("doc_id"), pairs)
+    return (
+        docs.join(labels, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("cluster") == F.col("doc_id"), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
+@_register(
+    "q20_heavy_part_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 45)
+    """,
+)
+def q20_heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: an aggregate-with-HAVING subquery feeding a
+    semi join (suppliers who moved >45 units of some PROMO part in
+    1997). The aggregation happens BEFORE the semi join, so the join
+    input is already collapsed to (supplier, part) groups — the semi
+    join then dedups suppliers. Date + type filters push to the
+    respective scans; part broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    heavy = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 45)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(
+        heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@_register(
+    "q11_important_nations",
+    f"""
+    WITH per AS (
+      SELECT n_name,
+             sum(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS cents,
+             {_o_money('s_acctbal')} AS total_acctbal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name),
+    tot AS (SELECT sum(cents) AS all_cents FROM per)
+    SELECT n_name, total_acctbal
+    FROM per, tot
+    WHERE cents * 10 > all_cents
+    """,
+)
+def q11_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups filtered against a scalar fraction of
+    the global total (nations holding >10% of all supplier balance).
+    The global total derives from the SAME per-group aggregate
+    (persist → 1-row broadcast), so the base table is scanned once;
+    the comparison is integer cents (exact on both engines)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("s_acctbal") * 100, 0).cast("long")
+    per = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents).alias("cents"),
+            _money(F.col("s_acctbal")).alias("total_acctbal"),
+        )
+        .persist()
+    )
+    tot = per.agg(F.sum("cents").alias("all_cents"))
+    return (
+        per.join(F.broadcast(tot))
+        .where(F.col("cents") * 10 > F.col("all_cents"))
+        .select("n_name", "total_acctbal")
+    )
