@@ -47,6 +47,14 @@ _NANO_TS_COLS = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The testdata parquet stores TIMESTAMP(NANOS), which Spark rejects
+    # unless nanosAsLong is set. This conf is runtime-settable, so set it
+    # here instead of relying on session-builder config — load_table must
+    # work on ANY SparkSession (e.g. one built by an external harness).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin timestamp semantics to UTC so literal parsing and rendering
+    # match the tz-naive DuckDB oracle on any host/session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":

@@ -80,7 +80,15 @@ def _t_fanout(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # over money columns goes through DECIMAL — the inputs are exact
 # 2-decimal values (products: ≤6 decimals), the decimal sum is exact
 # integer arithmetic, and both engines round decimal→decimal half-up
-# for positive values. Output type Decimal on both sides.
+# for positive values.
+#
+# OUTPUT-EDGE RULE: declared queries emit only double / bigint /
+# string / date / timestamp / boolean / arrays-of-those. A
+# DECIMAL(38,6) on the Spark side reaches the driver's comparator as
+# Decimal while DuckDB's decimal arrives as float, so identical values
+# hash-mismatch. The exact decimal sum is cast to DOUBLE at the very
+# end (these totals need ≤13 significant digits; a double carries
+# 15-16, so the cast is lossless).
 _DEC_IN = "decimal(30,6)"
 
 
@@ -89,15 +97,14 @@ def _dsum(col):
 
 
 def _money(col):
-    """Exact SUM of a money expression as DECIMAL(38,6) — kept at full
-    scale: the sum is exact so no rounding is needed, and downscale
-    casts are where engine rounding rules diverge."""
-    return _dsum(col)
+    """Exact SUM of a money expression (internally DECIMAL(38,6)),
+    emitted as DOUBLE per the output-edge rule above."""
+    return _dsum(col).cast("double")
 
 
 #: oracle-side twin of ``_money``
 def _o_money(expr: str) -> str:
-    return f"sum(CAST({expr} AS DECIMAL(30,6)))"
+    return f"CAST(sum(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
 
 
 def _o_davg(expr: str, scale: int) -> str:
@@ -792,7 +799,7 @@ def x5_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                        sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS tally
                 FROM bit_votes GROUP BY doc_id, bit)
     SELECT doc_id,
-           sum(CASE WHEN tally > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN tally > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
     FROM tallies GROUP BY doc_id
     """,
 )
@@ -1263,15 +1270,16 @@ def j7_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w3_running_sum",
     f"""
     SELECT event_id, user_id,
-           sum(CAST(value AS DECIMAL(30,6))) OVER (
+           CAST(sum(CAST(value AS DECIMAL(30,6))) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
     FROM events
     """,
 )
 def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window frame (rowsBetween running total) — decimal accumulator
-    so the prefix sums are exact on both engines."""
+    so the prefix sums are exact on both engines; DOUBLE at the edge
+    (output-edge type rule)."""
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -1281,7 +1289,7 @@ def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast(_DEC_IN)).over(w).alias("running_value"),
+        F.sum(F.col("value").cast(_DEC_IN)).over(w).cast("double").alias("running_value"),
     )
 
 
@@ -1318,7 +1326,7 @@ def g7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT coalesce(l_returnflag, '*') AS l_returnflag,
                coalesce(l_linestatus, '*') AS l_linestatus,
-               sum(CAST(l_extendedprice AS {_DEC_IN})) AS total
+               CAST(sum(CAST(l_extendedprice AS {_DEC_IN})) AS DOUBLE) AS total
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
@@ -2086,10 +2094,10 @@ def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipmode",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -2514,7 +2522,7 @@ def x21_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.node = e.src),
     labels AS (SELECT node AS doc_id, min(comp) AS cluster FROM walk GROUP BY node)
     SELECT d.lang, count(*) AS n_docs,
-           sum(CASE WHEN l.cluster = d.doc_id THEN 1 ELSE 0 END) AS n_kept
+           CAST(sum(CASE WHEN l.cluster = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM documents d JOIN labels l ON l.doc_id = d.doc_id
     GROUP BY d.lang
     """,

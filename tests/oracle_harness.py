@@ -35,9 +35,33 @@ def _norm(v):
     return v
 
 
+#: Output-edge type rule (round-1 lesson): the driver's comparator goes
+#: through pandas, where Spark DECIMAL arrives as Decimal objects but
+#: DuckDB DECIMAL arrives as float64, and DuckDB HUGEINT (sum of
+#: BIGINT) arrives as float64 vs Spark's int64 — identical VALUES then
+#: hash-mismatch. Python-object comparison can't see this (Decimal('1.5')
+#: == 1.5), so we enforce it at the SCHEMA level on both sides.
+_BANNED_SPARK_PREFIXES = ("decimal",)
+_BANNED_DUCK_TYPES = ("DECIMAL", "HUGEINT", "UHUGEINT")
+
+
+def _edge_type_problems(spark_df, con, sql: str) -> list[str]:
+    problems = []
+    for name, dtype in spark_df.dtypes:
+        if dtype.startswith(_BANNED_SPARK_PREFIXES):
+            problems.append(f"spark output column {name!r} is {dtype} (edge-type rule: cast to double)")
+    rel = con.sql(sql)
+    for name, t in zip(rel.columns, rel.types):
+        ts = str(t)
+        if any(b in ts for b in _BANNED_DUCK_TYPES):
+            problems.append(f"oracle output column {name!r} is {ts} (edge-type rule: CAST to DOUBLE/BIGINT)")
+    return problems
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
     problems: list[str] = []
+    problems += _edge_type_problems(spark_df, con, sql)
     sp_rows = [r.asDict() for r in spark_df.collect()]
     du = con.execute(sql)
     du_cols = [d[0] for d in du.description]

@@ -19,6 +19,19 @@ def con(sf_dir):
     con.close()
 
 
+def test_load_table_self_sufficient_on_foreign_session(spark, sf_dir):
+    """Round-1 regression: the driver harness builds its OWN SparkSession
+    without `nanosAsLong`, which made every events-table read crash with
+    PARQUET_TYPE_ILLEGAL. load_table must self-configure at runtime."""
+    from etlp_spark import io
+
+    foreign = spark.newSession()
+    foreign.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    df = io.load_table(foreign, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.limit(1).count() >= 0
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(spark, sf_dir, con, name):
     q = QUERIES[name]
