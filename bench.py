@@ -46,7 +46,12 @@ def main() -> None:
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3)
+        dt = round(time.perf_counter() - t0, 3)
+        # Iterative queries persist intermediates; drop them so cached
+        # relations don't accumulate across the 80+-query run and
+        # distort later timings via executor-memory pressure/LRU churn.
+        spark.catalog.clearCache()
+        return dt
 
     times: dict[str, float] = {}
     for name, q in sorted(QUERIES.items()):

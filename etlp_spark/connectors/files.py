@@ -103,13 +103,24 @@ class JsonLinesSource(Source):
 
         Spark refuses plans that reference *only* ``_corrupt_record``
         (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the
-        parsed frame is cached first — the error path is a debugging
-        flow; at 100 TB you'd land both sides from one pass instead.
+        parsed frame is cached first — then released before returning
+        (the error frame is eagerly localCheckpoint-ed so the result
+        never re-reads through the unpersisted cache). The error path
+        is a debugging flow; at 100 TB you'd land both sides from one
+        pass instead.
         """
         df = self._raw(spark)
         if "_corrupt_record" not in df.columns:
             return df.limit(0).select(F.lit("").alias("_corrupt_record"), "file").limit(0)
-        return df.cache().where(F.col("_corrupt_record").isNotNull()).select("_corrupt_record", "file")
+        raw = df.persist()
+        try:
+            return (
+                raw.where(F.col("_corrupt_record").isNotNull())
+                .select("_corrupt_record", "file")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            raw.unpersist()
 
 
 @dataclass

@@ -105,9 +105,26 @@ class HttpPollingSource(Source):
         payload = json.loads(body)
         if isinstance(payload, dict) and isinstance(payload.get("output"), list):
             urls = [entry["url"] for entry in payload["output"] if "url" in entry]
-            return spark.read.json(spark.sparkContext.parallelize(self._fetch_all(urls)))
+            return self._json_lines_df(spark, self._fetch_all(urls))
         records = payload if isinstance(payload, list) else [payload]
-        return spark.read.json(spark.sparkContext.parallelize([json.dumps(r) for r in records]))
+        return self._json_lines_df(spark, [json.dumps(r) for r in records])
+
+    @staticmethod
+    def _json_lines_df(spark: SparkSession, lines: list[str]) -> DataFrame:
+        """JSON lines (already on the driver) → DataFrame with full
+        ``spark.read.json`` schema inference, without touching
+        ``sparkContext`` (Spark-Connect-safe). This prototype fetches
+        driver-side by design — the temp-file staging adds no new
+        constraint — and the scale path that fetches executor-side is
+        the ``etlp-http`` DataSource (`http_datasource.py`)."""
+        import tempfile
+
+        tmp = tempfile.NamedTemporaryFile(
+            mode="w", suffix=".jsonl", delete=False, encoding="utf-8"
+        )
+        with tmp:
+            tmp.write("\n".join(lines))
+        return spark.read.json("file://" + tmp.name)
 
     def _fetch_all(self, urls: list[str]) -> list[str]:
         lines: list[str] = []

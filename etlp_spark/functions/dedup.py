@@ -248,15 +248,21 @@ def connected_components(
     cluster. The reference has no graph ops at all (engine-added,
     SURVEY.md §2.2).
 
-    Scale design: each round is one shuffle (explode both edge
-    directions, min-aggregate on node). Near-dup components are tiny
-    (dup clusters of 2-5 docs), so rounds ≈ cluster diameter ≈ 2-4;
-    the loop stops as soon as a round changes nothing. For adversarial
-    graphs with long chains, swap in the large-star/small-star
-    alternation (Kiveris et al.) — same per-round shuffle shape, but
-    O(log n) rounds; label propagation is the right default for the
-    dedup workload. Labels persist per round and the previous round
-    unpersists, so lineage stays O(1) deep (no recursive recompute).
+    Scale design: each round does min-label propagation (explode both
+    edge directions, min-aggregate on node) PLUS a pointer-jumping
+    shortcut (label ← label-of-label) — the hooking+shortcutting
+    combination, so rounds are O(log diameter), not O(diameter):
+    ``max_iter=20`` covers component diameters past 10^6, and a chain
+    longer than that raises instead of silently returning partial
+    (wrong) clusters. Each round ends in an EAGER ``localCheckpoint``:
+    unlike ``persist`` (which caches data but keeps the logical plan),
+    checkpointing truncates lineage — essential here because each
+    round's plan embeds TWO copies of the previous round's (the
+    pointer-jump self-join), so an uncheckpointed loop re-analyzes a
+    2^rounds-sized plan and stalls in Catalyst long before any data
+    moves. Eager also means the frame is fully materialized before
+    the convergence probe, so no partition ever recomputes through a
+    dropped round.
     """
     # Persist the edge list: the loop joins against it every round —
     # without this, the entire upstream pair-generation pipeline
@@ -281,34 +287,51 @@ def connected_components(
     labels = (
         edges.select(F.col("src").alias(id_col)).distinct()
         .withColumn("cluster", F.col(id_col))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
-    prev = labels
+    converged = False
     for _ in range(max_iter):
-        # min over own label and every neighbour's label. ONE action
-        # per round: the joined frame carries (cluster, nb_cluster),
-        # so the convergence test ("did any neighbour's label beat
-        # mine?") reads the same persisted join that produces the next
-        # labels — no second new-vs-old join.
+        # Step 1 — min over own label and every neighbour's label.
         neighbor_min = (
             edges.join(labels, edges.dst == F.col(id_col))
             .groupBy(F.col("src").alias(id_col))
             .agg(F.min("cluster").alias("nb_cluster"))
         )
-        joined = labels.join(neighbor_min, id_col, "left").persist()
-        changed = joined.where(F.col("nb_cluster") < F.col("cluster")).limit(1).count()
-        prev.unpersist()  # this round's join is materialized; drop last round's
-        prev = joined
-        labels = joined.select(
+        stepped = labels.join(neighbor_min, id_col, "left").select(
             F.col(id_col),
+            F.col("cluster").alias("old_cluster"),
             F.least(F.col("cluster"), F.coalesce("nb_cluster", F.col("cluster"))).alias(
-                "cluster"
+                "mid_cluster"
             ),
         )
+        # Step 2 — pointer jump: cluster ← cluster's cluster. Labels
+        # are monotone non-increasing component ids, so the jump is
+        # safe and collapses chains exponentially.
+        parents = stepped.select(
+            F.col(id_col).alias("_pid"), F.col("mid_cluster").alias("_pcl")
+        )
+        # Eager localCheckpoint: materializes the round AND truncates
+        # the plan so the next round's analysis starts from a leaf.
+        joined = (
+            stepped.join(parents, stepped["mid_cluster"] == parents["_pid"], "left")
+            .select(
+                F.col(id_col),
+                F.col("old_cluster"),
+                F.coalesce("_pcl", "mid_cluster").alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = joined.where(F.col("cluster") != F.col("old_cluster")).count()
+        labels = joined.select(id_col, "cluster")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(component diameter > 2^{max_iter}); raise max_iter"
+        )
     # singletons keep their own id; one broadcast-able join back
     return nodes.select(id_col).join(labels, id_col, "left").select(
         F.col(id_col), F.coalesce("cluster", F.col(id_col)).alias("cluster")

@@ -122,6 +122,7 @@ def banded_srp_pairs(
     bands: int = 2,
     planes_per_band: int = 8,
     dims: int = 64,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """LSH candidate pairs via banded sign-random-projection.
 
@@ -132,9 +133,15 @@ def banded_srp_pairs(
 
     Scale shape: one narrow pass computes signatures, ``bands`` rows
     per vector shuffle on the band key (bytes, not embeddings), and
-    the self-join is an equi-join Catalyst executes as a shuffled hash
-    join per band bucket — never an all-pairs cross join. Recall is
-    tuned by bands × planes_per_band exactly as in MinHash LSH.
+    pair generation happens inside buckets — never an all-pairs cross
+    join. ``max_bucket`` drops degenerate buckets (e.g. zero/near-zero
+    vectors that all share one sign pattern, or any hot embedding
+    region): an uncapped bucket makes the per-bucket pair set
+    quadratic, which is the classic LSH skew pathology at scale.
+    Capped buckets should be routed to a dedicated path (tighter
+    bands, or exact dedup on the bucket) rather than pair-expanded.
+    Recall is tuned by bands × planes_per_band exactly as in MinHash
+    LSH.
     """
     n_planes = bands * planes_per_band
     sig = df.select(F.col(id_col), srp_bits(vec_col, n_planes, dims).alias("bits"))
@@ -152,12 +159,14 @@ def banded_srp_pairs(
             )
         ).alias("band_key"),
     )
-    a = banded.select(F.col(id_col).alias("a"), "band_key")
-    b = banded.select(F.col(id_col).alias("b"), "band_key")
+    sized = banded.groupBy("band_key").agg(
+        F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("sz")
+    )
+    buckets = sized.where(F.col("sz") <= max_bucket).select("ids")
     return (
-        a.join(b, ["band_key"])
+        buckets.select(F.explode(F.col("ids")).alias("a"), F.col("ids"))
+        .select("a", F.explode(F.col("ids")).alias("b"))
         .where(F.col("a") < F.col("b"))
-        .select("a", "b")
         .distinct()
     )
 
@@ -171,6 +180,7 @@ def embedding_neardup(
     planes_per_band: int = 8,
     dims: int = 64,
     scale: int = 9,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded-SRP candidates,
     then exact cosine verification at ``threshold``.
@@ -183,7 +193,7 @@ def embedding_neardup(
     """
     pairs = banded_srp_pairs(
         df, id_col=id_col, vec_col=vec_col, bands=bands,
-        planes_per_band=planes_per_band, dims=dims,
+        planes_per_band=planes_per_band, dims=dims, max_bucket=max_bucket,
     )
     ea = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     eb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))

@@ -175,9 +175,10 @@ def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
     plagiarism/near-dup — positional, unlike bag-of-shingles Jaccard.
 
     All pure Column expressions: positional k-grams via k shifted
-    array slices (O(k·len) like char_shingles), 32-bit hash = first 8
-    hex digits of md5 (bit-reproducible in any engine), window minima
-    via w shifted slices folded with ``least``. No shuffle, no UDF —
+    array slices (O(k·len) like char_shingles), k-gram hash = Karp-
+    Rabin polynomial rolling hash over ascii codes (base WINNOW_B mod
+    WINNOW_P — bit-reproducible in any engine), window minima via w
+    shifted slices folded with ``least``. No shuffle, no UDF —
     runs at scan speed at any corpus size. Docs shorter than
     k + w - 1 normalized chars yield an empty fingerprint set."""
     c = F.col(col) if isinstance(col, str) else col

@@ -38,7 +38,14 @@ from typing import Any, Callable
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["compile_template", "apply_template", "MappingRegistry", "TemplateError"]
+__all__ = [
+    "compile_template",
+    "apply_template",
+    "apply_interpreted",
+    "interp_template",
+    "MappingRegistry",
+    "TemplateError",
+]
 
 
 class TemplateError(ValueError):
@@ -170,28 +177,108 @@ class _CompiledMapping:
         return apply_template(df, self.template)
 
 
+def interp_template(node: Any, row: dict[str, Any], scope: dict[str, Any] | None = None) -> Any:
+    """Pure-Python evaluator for the SAME template language
+    ``compile_template`` compiles — directives, interpolation, nested
+    ``$map`` scopes and all. Kept semantics-identical to the compiled
+    path (the parity test in tests/test_mapping.py pins this), so
+    ``apply_interpreted`` is a true drop-in fallback."""
+    scope = scope if scope is not None else {}
+
+    def deref(ref: str) -> Any:
+        body = ref[1:]
+        if body.startswith("."):
+            cur: Any = row
+            parts = body[1:].split(".")
+        else:
+            var, _, path = body.partition(".")
+            if var not in scope:
+                raise TemplateError(f"unbound variable {var!r} in reference {ref!r}")
+            cur = scope[var]
+            parts = path.split(".") if path else []
+        for part in parts:
+            if cur is None:
+                return None
+            cur = cur.get(part) if isinstance(cur, dict) else getattr(cur, part, None)
+        return cur
+
+    def as_str(v: Any) -> str:
+        # match Spark's cast-to-string for the types templates produce
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float) and v.is_integer():
+            return str(v)
+        return str(v)
+
+    if isinstance(node, (int, float, bool)) or node is None:
+        return node
+
+    if isinstance(node, str):
+        if _INTERP.search(node):
+            out: list[str] = []
+            pos = 0
+            for m in _INTERP.finditer(node):
+                if m.start() > pos:
+                    out.append(node[pos : m.start()])
+                v = interp_template(m.group(1), row, scope)
+                if v is None:  # concat of NULL → NULL, like Spark/SQL
+                    return None
+                out.append(as_str(v))
+                pos = m.end()
+            if pos < len(node):
+                out.append(node[pos:])
+            return "".join(out)
+        if node.startswith("$"):
+            return deref(node)
+        return node
+
+    if isinstance(node, list):
+        return [interp_template(t, row, scope) for t in node]
+
+    if isinstance(node, dict):
+        if "$if" in node:
+            cond = interp_template(node["$if"], row, scope)
+            truthy = cond is not None and as_str(cond) != "false"
+            return interp_template(node.get("$then") if truthy else node.get("$else"), row, scope)
+        if "$map" in node:
+            arr = interp_template(node["$map"], row, scope)
+            var = node.get("$as", "this")
+            body = node.get("$body")
+            if arr is None:
+                return None
+            return [interp_template(body, row, {**scope, var: x}) for x in arr]
+        if "$concat" in node:
+            vals = [interp_template(t, row, scope) for t in node["$concat"]]
+            if any(v is None for v in vals):
+                return None
+            return "".join(as_str(v) for v in vals)
+        if "$coalesce" in node:
+            for t in node["$coalesce"]:
+                v = interp_template(t, row, scope)
+                if v is not None:
+                    return v
+            return None
+        unknown = [k for k in node if k.startswith("$")]
+        if unknown:
+            raise TemplateError(f"unknown directive(s) {unknown}")
+        return {k: interp_template(v, row, scope) for k, v in node.items()}
+
+    raise TemplateError(f"cannot interpret template node of type {type(node).__name__}")
+
+
 def apply_interpreted(df: DataFrame, tmpl: dict[str, Any], schema: str):
     """Escape-hatch interpreter in ``mapInPandas`` for templates the
-    Column subset can't express. Same reference semantics, Python
-    speed — keep off the hot path."""
+    Column subset can't express. Same template semantics as the
+    compiled path (``interp_template``), Python speed, Arrow-batched —
+    keep off the hot path."""
     import pandas as pd
-
-    def interp_value(node: Any, row: dict[str, Any]) -> Any:
-        if isinstance(node, str) and node.startswith("$."):
-            cur: Any = row
-            for part in node[2:].split("."):
-                cur = None if cur is None else cur.get(part) if isinstance(cur, dict) else getattr(cur, part, None)
-            return cur
-        if isinstance(node, dict):
-            return {k: interp_value(v, row) for k, v in node.items()}
-        if isinstance(node, list):
-            return [interp_value(v, row) for v in node]
-        return node
 
     def kernel(batches):
         for pdf in batches:
             records = pdf.to_dict("records")
-            yield pd.DataFrame([{k: interp_value(v, r) for k, v in tmpl.items()} for r in records])
+            yield pd.DataFrame(
+                [{k: interp_template(v, r) for k, v in tmpl.items()} for r in records]
+            )
 
     return df.mapInPandas(kernel, schema)
 

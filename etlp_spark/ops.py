@@ -363,20 +363,45 @@ def compact(spark, path: str, target_partitions: int | None = None, target_mb: i
 
     Partition count defaults to total_bytes / target_mb (min 1);
     rewrite is staged + atomically swapped like UpsertParquetSink.
-    """
-    import os
-    import shutil
 
+    Size probing and the swap go through the Hadoop FileSystem API
+    (py4j), so any Hadoop-FS URI works — file:, hdfs:, s3a:, gs: —
+    not just the driver's local disk. On a py4j-less session (Spark
+    Connect) it falls back to ``os``/``shutil``, which is then
+    local-only by construction.
+    """
     df = spark.read.parquet(path)
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        src = jvm.org.apache.hadoop.fs.Path(path)
+        fs = src.getFileSystem(hconf)
+    except AttributeError:  # Spark Connect — no JVM bridge
+        jvm = fs = src = None
+
     if target_partitions is None:
-        total = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(path)
-            for f in fs
-        )
+        if fs is not None:
+            total = fs.getContentSummary(src).getLength()
+        else:
+            import os
+
+            total = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, names in os.walk(path)
+                for f in names
+            )
         target_partitions = max(1, total // (target_mb * 1024 * 1024))
     staging = f"{path}.__compact__"
     df.repartition(target_partitions).write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
-    os.rename(staging, path)
+    if fs is not None:
+        stg = jvm.org.apache.hadoop.fs.Path(staging)
+        fs.delete(src, True)
+        if not fs.rename(stg, src):
+            raise IOError(f"compact: rename {staging} -> {path} failed")
+    else:
+        import os
+        import shutil
+
+        shutil.rmtree(path)
+        os.rename(staging, path)
     return target_partitions

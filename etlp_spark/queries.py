@@ -69,8 +69,14 @@ def _t_fanout(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     narrow round-robin pass of the already-distributed scan); locally
     it is what turns a 1-core query into a 32-core one."""
     df = io.load_table(spark, sf_dir, name)
-    want = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    # Spark-Connect-safe split estimate: no .rdd / sparkContext (the
+    # DataFrame→RDD hop forces plan analysis and detours through the
+    # legacy path). File count under-estimates splits for multi-row-
+    # group files, which only makes the repartition trigger more often
+    # — harmless, since at cluster scale the scan is already wide and
+    # one extra round-robin pass of a small table costs nothing.
+    want = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
+    if len(df.inputFiles()) < want:
         df = df.repartition(want)
     return df
 
@@ -1117,8 +1123,11 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
     )
-    joined = li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey")).join(
-        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    # orders/customer are fact-scale: no broadcast hint (it would
+    # override AQE and OOM at 100 TB). AQE picks the strategy — at
+    # test SF it still broadcasts; at scale it shuffles on the keys.
+    joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        c, F.col("o_custkey") == F.col("c_custkey")
     )
     return (
         joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -1380,9 +1389,13 @@ def p1_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
                '') AS bucket,
              embedding
       FROM embeddings),
+    sized AS (
+      SELECT bucket, count(*) AS sz FROM planes GROUP BY bucket),
     pairs AS (
       SELECT a.vec_id AS qid, b.vec_id AS cid, a.embedding AS qv, b.embedding AS cv
-      FROM planes a JOIN planes b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      FROM planes a JOIN planes b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN sized s ON s.bucket = a.bucket
+      WHERE s.sz <= 200)
     SELECT qid, cid,
            round(
              list_reduce(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b)
@@ -1394,15 +1407,24 @@ def p1_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x10_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN scale path end-to-end: SRP bucket equi-join prefilter
-    (no cross join) → exact cosine rerank inside buckets only."""
+    (no cross join) → exact cosine rerank inside buckets only. A
+    bucket-size cap (same skew guard as lsh_candidates/banded_srp_pairs)
+    drops degenerate buckets whose pair fan-out would be quadratic."""
     from etlp_spark.functions.similarity import cosine, srp_buckets
 
     emb = _t_fanout(spark, sf_dir, "embeddings")
     bucketed = srp_buckets(emb).join(emb, "vec_id")
-    a = bucketed.select(
+    kept = (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .where(F.col("sz") <= 200)
+        .select("bucket")
+    )
+    capped = bucketed.join(kept, "bucket")
+    a = capped.select(
         F.col("vec_id").alias("qid"), F.col("bucket"), F.col("embedding").alias("qv")
     )
-    b = bucketed.select(
+    b = capped.select(
         F.col("vec_id").alias("cid"), F.col("bucket"), F.col("embedding").alias("cv")
     )
     pairs = a.join(b, "bucket").where(F.col("qid") < F.col("cid"))
@@ -1503,9 +1525,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
+    # orders/customer fact-scale → no broadcast hint; AQE decides.
     joined = (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     return (
@@ -1831,10 +1854,15 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT vec_id, 1, substr(b, 9, 8) FROM bits
     ),
+    sized AS (
+      SELECT band, key, count(*) AS sz FROM banded GROUP BY band, key
+    ),
     pairs AS (
       SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
       FROM banded x JOIN banded y
         ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+      JOIN sized s ON s.band = x.band AND s.key = x.key
+      WHERE s.sz <= 200
     ),
     scored AS (
       SELECT p.a, p.b,
@@ -2028,8 +2056,9 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join where supplier must share the
     customer's nation (an equality between two *dimension* foreign
     keys, not a key-to-key edge). Region filter prunes nation →
-    customer/supplier transitively once the broadcasts apply; the only
-    shuffle is fact-side on l_orderkey."""
+    supplier transitively once the broadcasts apply; the fact side
+    shuffles on l_orderkey (orders join) and o_custkey (customer
+    join) — both fact-scale, so AQE picks the strategy."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -2039,9 +2068,12 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    # orders/customer are fact-scale: no broadcast hint (an explicit
+    # hint overrides AQE and would OOM at 100 TB); AQE picks the
+    # strategy. Only the true dimensions broadcast below.
     joined = (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(s),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -2637,4 +2669,339 @@ def q11_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.join(F.broadcast(tot))
         .where(F.col("cents") * 10 > F.col("all_cents"))
         .select("n_name", "total_acctbal")
+    )
+
+
+# =====================================================================
+# TPC-H round 4 shapes (VERDICT round 1 #5): q08 market share, q13
+# outer-join histogram, q16 NOT-IN distinct counts, q17 scalar-avg
+# subquery, q21 multi-EXISTS/NOT-EXISTS. These complete the 22-query
+# suite against the testdata's TPC-H-ish subset schema (no partsupp /
+# o_comment / l_receiptdate — the missing predicates are re-shaped
+# onto available columns, same plan skeletons).
+# =====================================================================
+
+
+@_register(
+    "q08_market_share",
+    """
+    WITH rev AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS vol,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN vol ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+           / CAST(sum(vol) AS DOUBLE) AS mkt_share
+    FROM rev GROUP BY o_year
+    """,
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue by
+    year — two aggregates over the same joined frame (conditional /
+    total), divided. Both sums are exact decimals cast to double at
+    the edge, so the division operands are bit-identical across
+    engines and the quotient is too.
+
+    Scale shape: part/supplier/nation/region broadcast; the fact
+    shuffles on l_orderkey then o_custkey (orders/customer are
+    fact-scale — no hint, AQE decides). The customer-side nation →
+    region chain prunes BEFORE the fact join via broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC_IN)
+    joined = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    zero = F.lit(0).cast(_DEC_IN)
+    return (
+        joined.select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("vol"),
+            F.col("supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_6", F.col("vol")).otherwise(zero)).cast("double")
+                / F.sum("vol").cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_register(
+    "q13_custdist",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) pc
+    GROUP BY c_count
+    """,
+)
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer-order histogram through a left outer
+    join with the filter in the ON clause (customers with zero
+    qualifying orders still appear, with c_count = 0), then a second
+    aggregation over the counts.
+
+    Scale shape: the outer join shuffles both sides on custkey; the
+    first groupBy reuses that partitioning (no extra shuffle — the
+    aggregation key IS the join key), and the histogram aggregation
+    moves only |distinct counts| rows."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part group, with
+    a NOT IN subquery excluding complained-about suppliers (acctbal
+    analog — the testdata has no comment column).
+
+    Expressed through ``spark.sql`` so Catalyst plans the NOT IN as
+    its null-aware anti join (NAAJ) — the DataFrame API has no
+    null-aware negation, and hand-rolling `left_anti` silently changes
+    semantics the moment the subquery side can produce a NULL. The
+    subquery is tiny → broadcast NAAJ; part broadcasts; the distinct
+    count shuffles once on the group key."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q16_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("q16_part")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("q16_supplier")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM q16_lineitem JOIN q16_part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM q16_supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey AS pk, sum(l_quantity) AS sq, count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN pa   ON pk = l_partkey
+    WHERE p_brand = 'Brand#5' AND p_type = 'SMALL'
+      AND l_quantity * 5 * cnt < sq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems below 20% of their part's average
+    quantity — a correlated scalar-avg subquery, decorrelated into a
+    per-part aggregate joined back to the fact.
+
+    Cross-engine exactness: `qty < 0.2·avg(qty)` is evaluated as
+    `qty·5·cnt < Σqty` — quantities are integers stored as doubles,
+    so both sides are exact and no engine-specific float division is
+    involved. The revenue sum goes through the decimal discipline and
+    the final ÷7.0 divides identical doubles.
+
+    Scale shape: the per-part aggregate and the fact join share the
+    l_partkey shuffle key (one exchange, reused); the brand/type
+    filter broadcasts part into both. At 100 TB the per-part frame is
+    |parts|-sized — far smaller than the fact — and AQE picks
+    broadcast vs shuffled-hash per stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#5") & (F.col("p_type") == "SMALL")
+    )
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .where(F.col("l_quantity") * 5 * F.col("cnt") < F.col("sq"))
+        .agg((_dsum(F.col("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
+    )
+
+
+@_register(
+    "q21_waiting_supplier",
+    """
+    WITH lm AS (
+      SELECT l_orderkey AS ok, l_suppkey AS sk,
+             (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F')
+    SELECT s_name, count(*) AS numwait
+    FROM lm l1
+    JOIN supplier ON s_suppkey = l1.sk
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3' AND l1.late
+      AND EXISTS (SELECT 1 FROM lm l2 WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+      AND NOT EXISTS (SELECT 1 FROM lm l3 WHERE l3.ok = l1.ok AND l3.sk <> l1.sk AND l3.late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+    multi-supplier order — a correlated EXISTS plus a correlated NOT
+    EXISTS over the same fact, different aliases. "Late" is
+    l_shipdate > o_orderdate + 90 days (no l_receiptdate /
+    l_commitdate in the testdata).
+
+    EXISTS → left_semi, NOT EXISTS → left_anti; both join conditions
+    are equi on the order key with a suppkey inequality, so Catalyst
+    executes hash joins with a residual filter — never a nested
+    loop. All three legs share the l_orderkey shuffle key, so AQE can
+    reuse the exchange; supplier/nation broadcast at the end, after
+    the fact has collapsed to (order, supplier) pairs."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    lm = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("sk"),
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("late"),
+    )
+    l1 = lm.where(F.col("late"))
+    l2 = lm.select(F.col("ok").alias("ok2"), F.col("sk").alias("sk2"))
+    l3 = lm.where(F.col("late")).select(F.col("ok").alias("ok3"), F.col("sk").alias("sk3"))
+    only_late = (
+        l1.join(l2, (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")), "left_semi")
+        .join(l3, (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")), "left_anti")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    return (
+        only_late.join(F.broadcast(s), F.col("s_suppkey") == F.col("sk"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@_register(
+    "m3_mapping_nested",
+    """
+    SELECT event_id AS eid,
+           CASE WHEN event_type = 'error'
+                THEN 'ERR-' || CAST(event_id AS VARCHAR)
+                ELSE 'ok-' || event_type END AS label,
+           'u:' || CAST(user_id AS VARCHAR) || '|t:' || event_type
+             || '|k:' || json_extract_string(props, '$.k') AS tags_flat,
+           COALESCE(CASE WHEN value > 10 THEN event_type END, 'none') AS fallback
+    FROM events
+    """,
+)
+def m3_mapping_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JUTE-grade template exercise (VERDICT round 1 #6): nested
+    ``$map``-in-``$map`` over an array-of-structs-of-arrays, an
+    ``$if`` chain with interpolation on both branches, ``$concat``
+    and ``$coalesce`` — the full directive surface of `mapping.py`
+    in one compiled template. The nested-map output (array<array<
+    string>>) is flattened/joined to a plain string at the query edge
+    per the output-type rule; the template itself is what's under
+    test, and tests/test_mapping.py pins compiled ≡ interpreted on
+    this exact template."""
+    from etlp_spark.mapping import apply_template
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("props_parsed", F.from_json("props", "k string"))
+        .withColumn(
+            "tag_sets",
+            F.array(
+                F.struct(
+                    F.array(
+                        F.struct(F.lit("u").alias("name"), F.col("user_id").cast("string").alias("v")),
+                        F.struct(F.lit("t").alias("name"), F.col("event_type").alias("v")),
+                    ).alias("items")
+                ),
+                F.struct(
+                    F.array(
+                        F.struct(F.lit("k").alias("name"), F.col("props_parsed.k").alias("v"))
+                    ).alias("items")
+                ),
+            ),
+        )
+        .withColumn("maybe_type", F.when(F.col("value") > 10, F.col("event_type")))
+    )
+    # `is_err` is referenced by the template, so provide it pre-shaped
+    # (the template language has no comparison operators — like JUTE,
+    # predicates are computed upstream and referenced).
+    mapped = apply_template(
+        ev.withColumn("is_err", F.when(F.col("event_type") == "error", F.lit(True))),
+        {
+            "eid": "$.event_id",
+            "label": {
+                "$if": "$.is_err",
+                "$then": "ERR-{{ $.event_id }}",
+                "$else": {"$concat": ["ok-", "$.event_type"]},
+            },
+            "tags": {
+                "$map": "$.tag_sets",
+                "$as": "ts",
+                "$body": {
+                    "$map": "$ts.items",
+                    "$as": "it",
+                    "$body": "{{ $it.name }}:{{ $it.v }}",
+                },
+            },
+            "fallback": {"$coalesce": ["$.maybe_type", "none"]},
+        },
+    )
+    return mapped.select(
+        "eid",
+        "label",
+        F.array_join(F.flatten("tags"), "|").alias("tags_flat"),
+        "fallback",
     )

@@ -44,6 +44,7 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "running_counts",
+    "CountLogSink",
     "StreamingPipeline",
 ]
 
@@ -106,6 +107,66 @@ def running_counts(df: DataFrame, *keys: str) -> DataFrame:
     list #2)."""
     grouped = df.groupBy(*keys) if keys else df.groupBy()
     return grouped.agg(F.count(F.lit(1)).alias("n"))
+
+
+class CountLogSink:
+    """A1's defining behavior, replayed faithfully: the reference
+    pipes the stream through ``(partition-all 100)`` → atom ``+=
+    count`` → ``log-state`` (``src/etlp/processors/stdout.clj:20-27,
+    44``), i.e. one envelope-wrapped "Total Count of Records:: N" log
+    line every ``batch_size`` records, cumulative across the whole
+    stream, with a final partial-batch line when the channel closes.
+
+    As a ``foreachBatch`` sink: the running total carries across
+    micro-batches (like the atom carries across channel batches), a
+    log line fires at every ``batch_size`` boundary crossed, and
+    ``flush()`` plays the channel-close partial batch. Counting uses
+    ``df.count()`` (distributed); only the boundary VALUES — metadata,
+    one per ``batch_size`` records — touch the driver, and the
+    envelope itself is rendered JVM-side by ``wrap_log``.
+    """
+
+    def __init__(self, batch_size: int = 100, timestamp: int = 0):
+        self.batch_size = batch_size
+        self.timestamp = timestamp
+        self.total = 0
+        self.logs: list[str] = []
+        self._last_logged = 0
+
+    def __call__(self, df: DataFrame, epoch_id: int) -> None:
+        n = df.count()
+        if n == 0:
+            return
+        self.total += n
+        boundaries = list(
+            range(
+                self._last_logged + self.batch_size,
+                self.total + 1,
+                self.batch_size,
+            )
+        )
+        if boundaries:
+            self._last_logged = boundaries[-1]
+            self._emit(df.sparkSession, boundaries)
+
+    def flush(self, spark: SparkSession) -> None:
+        """Channel close: log the final partial batch (if any)."""
+        if self.total > self._last_logged:
+            self._emit(spark, [self.total])
+            self._last_logged = self.total
+
+    def _emit(self, spark: SparkSession, boundaries: list[int]) -> None:
+        from etlp_spark.envelope import wrap_log
+
+        frame = spark.createDataFrame([(b,) for b in boundaries], "n long")
+        rows = frame.select(
+            wrap_log(
+                F.concat(F.lit("Total Count of Records:: "), F.col("n")),
+                self.timestamp,
+            ).alias("log"),
+            F.col("n"),
+        ).collect()
+        self.logs.extend(r.log for r in sorted(rows, key=lambda r: r.n))
 
 
 @dataclass

@@ -109,6 +109,20 @@ def test_srp_buckets_identical_vectors_collide(spark):
     assert len(out[1]) == 16 and set(out[1]) <= {"0", "1"}
 
 
+def test_banded_srp_pairs_caps_degenerate_buckets(spark):
+    """Skew guard: a corpus where EVERY vector lands in the same bucket
+    (identical direction) must not pair-expand quadratically — buckets
+    over max_bucket are dropped, yielding zero candidate pairs."""
+    from etlp_spark.functions.similarity import banded_srp_pairs
+
+    rows = [(i, [0.5] * 64) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assert banded_srp_pairs(df, max_bucket=10).count() == 0
+    # under the cap the same corpus produces all C(5,2) pairs
+    small = spark.createDataFrame(rows[:5], ["vec_id", "embedding"])
+    assert banded_srp_pairs(small, max_bucket=10).count() == 10
+
+
 def test_multimodal_feature_plumbing(spark, docs):
     feats = extract_features(attach_fake_media(docs)).collect()
     assert len(feats) == docs.count()
@@ -280,3 +294,26 @@ def test_connected_components_chain_and_isolates(spark):
     )
     got = {r.doc_id: r.cluster for r in connected_components(nodes, pairs).collect()}
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 7}
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 200-hop chain has diameter >> max_iter=20: pure label
+    propagation would silently return split (wrong) clusters; the
+    pointer-jumping rounds are O(log diameter) so this converges and
+    labels the whole chain with its min id."""
+    from etlp_spark.functions.dedup import connected_components
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["a", "b"])
+    got = {r.doc_id: r.cluster for r in connected_components(nodes, pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    from etlp_spark.functions.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(7)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, pairs, max_iter=1)

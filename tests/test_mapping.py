@@ -102,3 +102,43 @@ def test_interpreter_escape_hatch(spark, people):
         "pid long, shout string",
     ).collect()
     assert sorted((r.pid, r.shout) for r in out) == [(1, "ada"), (2, "alan")]
+
+
+def test_compiled_vs_interpreted_parity(spark):
+    """The escape-hatch interpreter must agree with the Catalyst
+    compiler on the FULL directive surface — nested $map-in-$map,
+    $if chain, interpolation, $concat, $coalesce (VERDICT r1 #6)."""
+    df = spark.createDataFrame(
+        [
+            (1, "error", None, [{"items": [{"name": "u", "v": "8"}, {"name": "t", "v": "error"}]}]),
+            (2, "click", "c", [{"items": [{"name": "k", "v": "89"}]}, {"items": []}]),
+            (3, "view", None, []),
+        ],
+        "id long, typ string, maybe string, "
+        "tag_sets array<struct<items:array<struct<name:string,v:string>>>>",
+    )
+    tmpl = {
+        "eid": "$.id",
+        "label": {
+            "$if": "$.maybe",
+            "$then": "GOT-{{ $.id }}",
+            "$else": {"$concat": ["none-", "$.typ"]},
+        },
+        "tags": {
+            "$map": "$.tag_sets",
+            "$as": "ts",
+            "$body": {"$map": "$ts.items", "$as": "it", "$body": "{{ $it.name }}:{{ $it.v }}"},
+        },
+        "fallback": {"$coalesce": ["$.maybe", "$.typ"]},
+    }
+    schema = "eid long, label string, tags array<array<string>>, fallback string"
+    compiled = apply_template(df, tmpl).collect()
+    interpreted = apply_interpreted(df, tmpl, schema).collect()
+
+    def norm(rows):
+        return sorted(
+            (r.eid, r.label, tuple(tuple(x) for x in (r.tags or [])), r.fallback)
+            for r in rows
+        )
+
+    assert norm(compiled) == norm(interpreted)

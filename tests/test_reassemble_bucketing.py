@@ -94,3 +94,23 @@ def test_compact_rewrites_small_files(spark, tmp_path):
     assert n == 2
     assert len(glob.glob(f"{path}/*.parquet")) == 2
     assert spark.read.parquet(path).count() == 10000
+
+
+def test_compact_file_uri_via_hadoop_fs(spark, tmp_path):
+    """VERDICT r1 #9: compact must work through the Hadoop FileSystem
+    API on an explicit file: URI — size probing AND the atomic swap,
+    not just driver-local os/shutil paths. Auto-sizing (no explicit
+    target_partitions) exercises getContentSummary."""
+    import glob
+
+    from etlp_spark.ops import compact
+
+    local = tmp_path / "frag_uri"
+    uri = f"file://{local}"
+    spark.range(5000).repartition(16).write.parquet(uri)
+    assert len(glob.glob(f"{local}/*.parquet")) == 16
+    n = compact(spark, uri, target_mb=1024)
+    assert n == 1  # tiny dataset → one right-sized file
+    assert len(glob.glob(f"{local}/*.parquet")) == 1
+    assert not (tmp_path / "frag_uri.__compact__").exists()
+    assert spark.read.parquet(uri).count() == 5000

@@ -189,3 +189,40 @@ def test_stream_stream_interval_join(spark, tmp_path):
         assert [(r.k) for r in rows] == [1]
     finally:
         q.stop()
+
+
+def test_count_log_sink_matches_reference_sequence(spark, stream_dir):
+    """A1 parity artifact (VERDICT r1 #7): replay events as a file
+    stream and assert the envelope-wrapped count-log sequence equals
+    the reference's partition-all-100 behavior — one cumulative line
+    per 100 records regardless of micro-batch boundaries, plus the
+    final partial batch on close (stdout.clj:20-27,44)."""
+    from etlp_spark.envelope import ENVELOPE_VERSION
+    from etlp_spark.streaming import CountLogSink
+
+    # micro-batches of 250, 70, 85 records → boundary crossings at
+    # 100, 200 (batch 0), 300 (batch 1), 400 (batch 2), flush → 405
+    for i, n in enumerate([250, 70, 85]):
+        _write_batch(stream_dir, f"b{i}.jsonl", [{"v": j} for j in range(n)])
+
+    sink = CountLogSink(batch_size=100, timestamp=0)
+    src = file_stream(spark, str(stream_dir), "v long", fmt="json", max_files_per_trigger=1)
+    q = StreamingPipeline(source=src).start(spark, sink)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink.flush(spark)
+
+    parsed = [json.loads(line) for line in sink.logs]
+    assert [p["data"] for p in parsed] == [
+        f"Total Count of Records:: {n}" for n in (100, 200, 300, 400, 405)
+    ]
+    assert all(
+        p["type"] == "log"
+        and p["version"] == ENVELOPE_VERSION
+        and p["schema"] == "etlp_raw"
+        and p["timestamp"] == 0
+        for p in parsed
+    )
+    assert sink.total == 405
