@@ -3005,3 +3005,214 @@ def m3_mapping_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.flatten("tags"), "|").alias("tags_flat"),
         "fallback",
     )
+
+
+# =====================================================================
+# Training-pipeline operators round 3: sequence packing, benchmark
+# contamination, PII scrubbing, deterministic shuffle-sharding. These
+# are the remaining ops a 100 TB pretraining-data pipeline runs after
+# dedup/quality/sampling (already covered by x3/x4/x5/x18/x19/x21/x22).
+# =====================================================================
+
+#: cross-engine 16-bit hash prefix (same technique as x19): Spark
+#: conv(md5,16,10) ≡ DuckDB ('0x'||substr(md5,1,4))::BIGINT
+def _h16(col):
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("long")
+
+
+def _o_h16(expr: str) -> str:
+    return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 4))::BIGINT"
+
+
+@_register(
+    "x23_sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             {_o_h16('doc_id')} % 8 AS shard,
+             CAST(len({_O_TOKS}) AS BIGINT) AS n_tok
+      FROM documents),
+    packed AS (
+      SELECT doc_id, shard, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks)
+    SELECT doc_id, shard, n_tok,
+           CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS seq_id
+    FROM packed
+    """,
+)
+def x23_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each document to a fixed-token-budget
+    training sequence (2048 tokens) — the step that turns a cleaned
+    corpus into pretraining batches. Documents are first sharded by a
+    deterministic md5 prefix (reproducible across engines/retries,
+    like x19), then packed first-come within each shard by a running
+    token cumsum; ``seq_id`` is the sequence in which the document
+    STARTS (real packers then split/pad the boundary doc — that is a
+    tokenizer-side concern; the expensive distributed part is this
+    assignment pass).
+
+    Scale shape: the window partitions by shard, so there are
+    |shards| independent sorts, each executor-local after one
+    shuffle — never a global single-task sort. Shard count scales
+    with cluster size; the cumsum is a single window pass."""
+    from etlp_spark.functions.text import token_count
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    toks = docs.select(
+        "doc_id",
+        (_h16(F.col("doc_id")) % 8).alias("shard"),
+        token_count("text").cast("long").alias("n_tok"),
+    )
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048).alias("seq_id"),
+    )
+
+
+@_register(
+    "x24_contamination_check",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_O_TOKS} AS tk FROM documents),
+    pos AS (
+      SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS i
+      FROM toks WHERE len(tk) >= 5),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS g FROM pos),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+    SELECT g1.doc_id, count(DISTINCT g1.g) AS n_shared
+    FROM grams g1 JOIN bench USING (g)
+    WHERE g1.doc_id % 97 <> 0
+    GROUP BY g1.doc_id
+    """,
+)
+def x24_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: training documents sharing at
+    least one word 5-gram with any benchmark document (here: doc_id ≡
+    0 mod 97 plays the benchmark split). Output: contaminated doc →
+    number of distinct shared 5-grams.
+
+    Scale shape: the benchmark side is tiny by construction (an eval
+    set), so its distinct gram set BROADCASTS; the training side's
+    gram explosion stays in the scan stage and is immediately
+    semi-reduced by the broadcast hash join — the only shuffle is the
+    final per-doc count. Never materializes the full training gram
+    set."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens("text").alias("tk")).where(F.size("tk") >= 5)
+    grams = tk.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - 5),
+                    lambda i: F.array_join(F.slice("tk", i + 1, 5), " "),
+                )
+            )
+        ).alias("g"),
+    )
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("g").distinct()
+    return (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )
+
+
+@_register(
+    "x25_pii_scrub",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(raw, '[a-z0-9]+@[a-z]+\.[a-z]+')) - 1 AS BIGINT) AS n_emails,
+           CAST(len(regexp_split_to_array(raw, '555-[0-9]{4}')) - 1 AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                          '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+    FROM seeded
+    """,
+)
+def x25_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails and phone-shaped
+    strings, with per-doc match counts for audit metrics. The corpus
+    is deterministically seeded with synthetic PII (the testdata has
+    none) so the scrubber provably removes it; patterns stick to
+    portable regex (character classes + bounded quantifiers — no
+    lookaround), identical semantics in Java regex and RE2.
+
+    Scale shape: pure scan-stage column expressions (regexp_count /
+    regexp_replace are JVM-side, codegen'd) — zero shuffle, composes
+    with pushdown. This is the shape every content-filter pass
+    (PII, profanity, boilerplate strip) should take at 100 TB."""
+    email = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone = r"555-[0-9]{4}"
+    docs = _t_fanout(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("raw"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count("raw", F.lit(phone)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("raw", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("scrubbed"),
+    )
+
+
+@_register(
+    "x26_shuffle_shard",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {_o_h16('doc_id')} AS hkey,
+             {_o_h16('doc_id')} % 8 AS shard
+      FROM documents)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def x26_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data shuffle: every document gets a
+    reproducible pseudo-random position within a shard (md5-keyed —
+    no RNG state, so re-runs, retries and other engines produce the
+    SAME order; seed changes by salting the md5 input). The
+    shard+position pair is exactly the (file, offset) layout a
+    dataloader consumes.
+
+    Scale shape: like x23, the sort is per-shard (|shards| parallel
+    executor-local sorts after one hash shuffle), never a global
+    order-by; at 100 TB shard count rises with the cluster and each
+    sort stays in-memory-sized."""
+    docs = _t_fanout(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        _h16(F.col("doc_id")).alias("hkey"),
+        (_h16(F.col("doc_id")) % 8).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
