@@ -297,12 +297,23 @@ def connected_components(
             .groupBy(F.col("src").alias(id_col))
             .agg(F.min("cluster").alias("nb_cluster"))
         )
-        stepped = labels.join(neighbor_min, id_col, "left").select(
-            F.col(id_col),
-            F.col("cluster").alias("old_cluster"),
-            F.least(F.col("cluster"), F.coalesce("nb_cluster", F.col("cluster"))).alias(
-                "mid_cluster"
-            ),
+        # Eager localCheckpoint BEFORE the self-join: `stepped` (which
+        # embeds the neighbor-min aggregation) is consumed twice below
+        # — as itself and as the jump's parent side — so checkpointing
+        # here halves the per-round work AND truncates the plan so the
+        # next round's analysis starts from a leaf (an uncheckpointed
+        # loop re-analyzes a 2^rounds-sized plan and stalls in
+        # Catalyst long before any data moves).
+        stepped = (
+            labels.join(neighbor_min, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.col("cluster").alias("old_cluster"),
+                F.least(
+                    F.col("cluster"), F.coalesce("nb_cluster", F.col("cluster"))
+                ).alias("mid_cluster"),
+            )
+            .localCheckpoint(eager=True)
         )
         # Step 2 — pointer jump: cluster ← cluster's cluster. Labels
         # are monotone non-increasing component ids, so the jump is
@@ -310,16 +321,12 @@ def connected_components(
         parents = stepped.select(
             F.col(id_col).alias("_pid"), F.col("mid_cluster").alias("_pcl")
         )
-        # Eager localCheckpoint: materializes the round AND truncates
-        # the plan so the next round's analysis starts from a leaf.
-        joined = (
-            stepped.join(parents, stepped["mid_cluster"] == parents["_pid"], "left")
-            .select(
-                F.col(id_col),
-                F.col("old_cluster"),
-                F.coalesce("_pcl", "mid_cluster").alias("cluster"),
-            )
-            .localCheckpoint(eager=True)
+        joined = stepped.join(
+            parents, stepped["mid_cluster"] == parents["_pid"], "left"
+        ).select(
+            F.col(id_col),
+            F.col("old_cluster"),
+            F.coalesce("_pcl", "mid_cluster").alias("cluster"),
         )
         changed = joined.where(F.col("cluster") != F.col("old_cluster")).count()
         labels = joined.select(id_col, "cluster")
