@@ -8,6 +8,7 @@ from etlp_spark.connectors.files import (
     ConsoleSink,
     CsvSource,
     JsonLinesSource,
+    OrcSource,
     ParquetSink,
     ParquetSource,
     TextFileSource,
@@ -23,6 +24,7 @@ __all__ = [
     "TextFileSource",
     "JsonLinesSource",
     "CsvSource",
+    "OrcSource",
     "ParquetSource",
     "ParquetSink",
     "ConsoleSink",

@@ -156,6 +156,18 @@ class ParquetSource(Source):
 
 
 @dataclass
+class OrcSource(Source):
+    path: str
+    stream_name: str = "orc-stream"
+
+    def spec(self) -> dict[str, Any]:
+        return {"type": "file/orc", "path": self.path}
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.orc(self.path)
+
+
+@dataclass
 class ParquetSink(Destination):
     path: str
     mode: str = "overwrite"
@@ -317,6 +329,7 @@ FORMAT_REDUCERS: dict[str, type[Source]] = {
     "json": JsonLinesSource,
     "csv": CsvSource,
     "parquet": ParquetSource,
+    "orc": OrcSource,
 }
 
 

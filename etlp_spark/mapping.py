@@ -18,6 +18,8 @@ Template language (a JUTE-inspired subset):
 - interpolation: ``"{{ $.a }}-{{ $.b }}"`` → concat
 - ``{"$if": ref, "$then": tmpl, "$else": tmpl}`` — null/false test
 - ``{"$map": "$.items", "$as": "it", "$body": tmpl}`` → ``transform``
+- ``{"$filter": "$.items", "$as": "it", "$cond": tmpl}`` → ``filter``
+- ``{"$let": {name: tmpl, ...}, "$body": tmpl}`` → scoped bindings
 - ``{"$concat": [tmpl, ...]}`` → string concat
 - ``{"$coalesce": [tmpl, ...]}``
 - any other dict → ``named_struct`` of its fields
@@ -99,6 +101,21 @@ def compile_template(tmpl: Any, scope: dict[str, Column] | None = None) -> Colum
             var = tmpl.get("$as", "this")
             body = tmpl.get("$body")
             return F.transform(arr, lambda x: compile_template(body, {**scope, var: x}))
+        if "$filter" in tmpl:
+            arr = compile_template(tmpl["$filter"], scope)
+            var = tmpl.get("$as", "this")
+            cond = tmpl.get("$cond")
+
+            def keep(x: Column) -> Column:
+                c = compile_template(cond, {**scope, var: x})
+                return c.isNotNull() & (c.cast("string") != "false")
+
+            return F.filter(arr, keep)
+        if "$let" in tmpl:
+            bound = dict(scope)
+            for name, sub in tmpl["$let"].items():
+                bound[name] = compile_template(sub, bound)
+            return compile_template(tmpl.get("$body"), bound)
         if "$concat" in tmpl:
             return F.concat(*[compile_template(t, scope).cast("string") for t in tmpl["$concat"]])
         if "$coalesce" in tmpl:
@@ -247,6 +264,23 @@ def interp_template(node: Any, row: dict[str, Any], scope: dict[str, Any] | None
             if arr is None:
                 return None
             return [interp_template(body, row, {**scope, var: x}) for x in arr]
+        if "$filter" in node:
+            arr = interp_template(node["$filter"], row, scope)
+            var = node.get("$as", "this")
+            cond = node.get("$cond")
+            if arr is None:
+                return None
+            return [
+                x
+                for x in arr
+                if (c := interp_template(cond, row, {**scope, var: x})) is not None
+                and as_str(c) != "false"
+            ]
+        if "$let" in node:
+            bound = dict(scope)
+            for name, sub in node["$let"].items():
+                bound[name] = interp_template(sub, row, bound)
+            return interp_template(node.get("$body"), row, bound)
         if "$concat" in node:
             vals = [interp_template(t, row, scope) for t in node["$concat"]]
             if any(v is None for v in vals):

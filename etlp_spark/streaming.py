@@ -44,6 +44,7 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "running_counts",
+    "streaming_dedup",
     "CountLogSink",
     "StreamingPipeline",
 ]
@@ -96,6 +97,22 @@ def session_counts(
     """Session windows (gap-based) — state bounded by the watermark."""
     agg_list = list(aggs) if aggs else [F.count(F.lit(1)).alias("n")]
     return df.groupBy(F.session_window(ts_col, gap), *keys).agg(*agg_list)
+
+
+def streaming_dedup(
+    df: DataFrame, ts_col: str, delay: str, *keys: str
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the batch
+    ``exact_dedup`` (x4): drop records whose ``keys`` (typically a
+    content fingerprint, ``text.fingerprint``) were already seen,
+    with dedup STATE BOUNDED by the watermark
+    (``dropDuplicatesWithinWatermark``) so it never grows without
+    bound the way a naive ``dropDuplicates`` on a stream does.
+    Records of the same key arriving within the watermark window are
+    collapsed to the first; a key recurring after the state expired
+    is treated as new — the standard at-scale trade (exactness inside
+    the horizon, bounded memory always)."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
 
 
 def running_counts(df: DataFrame, *keys: str) -> DataFrame:

@@ -142,3 +142,41 @@ def test_compiled_vs_interpreted_parity(spark):
         )
 
     assert norm(compiled) == norm(interpreted)
+
+
+def test_filter_and_let_directives(spark, people):
+    out = apply_template(
+        people,
+        {
+            "kept": {"$filter": "$.tags", "$as": "t", "$cond": "$t"},
+            "greet": {
+                "$let": {"who": "$.name", "town": "$.addr.city"},
+                "$body": "{{ $who }} of {{ $town }}",
+            },
+        },
+    ).collect()
+    rows = sorted(((tuple(r.kept), r.greet) for r in out))
+    assert rows == [((), "alan of bletchley"), (("x", "y"), "ada of london")]
+
+
+def test_filter_let_compiled_vs_interpreted(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "", "b"], "x"), (2, [], None)],
+        "id long, tags array<string>, maybe string",
+    )
+    tmpl = {
+        "eid": "$.id",
+        "nonempty": {"$filter": "$.tags", "$as": "t", "$cond": "$t"},
+        "msg": {
+            "$let": {"m": {"$coalesce": ["$.maybe", "?"]}},
+            "$body": "{{ $.id }}={{ $m }}",
+        },
+    }
+    schema = "eid long, nonempty array<string>, msg string"
+    compiled = apply_template(df, tmpl).collect()
+    interpreted = apply_interpreted(df, tmpl, schema).collect()
+
+    def norm(rows):
+        return sorted((r.eid, tuple(r.nonempty or ()), r.msg) for r in rows)
+
+    assert norm(compiled) == norm(interpreted)

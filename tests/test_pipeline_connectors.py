@@ -199,3 +199,15 @@ def test_make_source_format_registry(spark, jsonl_dir):
     assert sorted(r.id for r in src.read(spark).collect()) == [1, 2, 3]
     with pytest.raises(ValueError, match="unknown reducer"):
         make_source("/x", reducer="hl7")
+
+
+def test_orc_source_roundtrip(spark, tmp_path):
+    from etlp_spark.connectors.files import OrcSource, make_source
+
+    path = str(tmp_path / "orc_data")
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.orc(path)
+    src = make_source(path, reducer="orc")
+    assert isinstance(src, OrcSource)
+    df = src.read(spark)
+    assert df.count() == 100
+    assert {r.id for r in df.where("v >= 196").collect()} == {98, 99}

@@ -226,3 +226,37 @@ def test_count_log_sink_matches_reference_sequence(spark, stream_dir):
         for p in parsed
     )
     assert sink.total == 405
+
+
+def test_streaming_dedup_within_watermark(spark, stream_dir):
+    """Streaming exact dedup: same fingerprint arriving again within
+    the watermark window is dropped; distinct fingerprints pass."""
+    from etlp_spark.streaming import streaming_dedup
+
+    _write_batch(
+        stream_dir,
+        "b1.jsonl",
+        [
+            {"fp": "aaa", "ts": "2024-01-01T00:00:00", "v": 1},
+            {"fp": "aaa", "ts": "2024-01-01T00:00:01", "v": 2},
+            {"fp": "bbb", "ts": "2024-01-01T00:00:02", "v": 3},
+        ],
+    )
+    src = file_stream(spark, str(stream_dir), "fp string, ts timestamp, v long", fmt="json")
+    deduped = streaming_dedup(src, "ts", "10 minutes", "fp")
+    q = StreamingPipeline(source=deduped).start(spark, ("memory", "dedup1"))
+    try:
+        q.processAllAvailable()
+        _write_batch(
+            stream_dir,
+            "b2.jsonl",
+            [
+                {"fp": "aaa", "ts": "2024-01-01T00:00:03", "v": 4},
+                {"fp": "ccc", "ts": "2024-01-01T00:00:04", "v": 5},
+            ],
+        )
+        q.processAllAvailable()
+        rows = spark.sql("select fp, v from dedup1").collect()
+        assert sorted((r.fp, r.v) for r in rows) == [("aaa", 1), ("bbb", 3), ("ccc", 5)]
+    finally:
+        q.stop()
