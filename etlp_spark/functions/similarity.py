@@ -133,15 +133,21 @@ def banded_srp_pairs(
 
     Scale shape: one narrow pass computes signatures, ``bands`` rows
     per vector shuffle on the band key (bytes, not embeddings), and
-    pair generation happens inside buckets — never an all-pairs cross
-    join. ``max_bucket`` drops degenerate buckets (e.g. zero/near-zero
-    vectors that all share one sign pattern, or any hot embedding
-    region): an uncapped bucket makes the per-bucket pair set
-    quadratic, which is the classic LSH skew pathology at scale.
-    Capped buckets should be routed to a dedicated path (tighter
-    bands, or exact dedup on the bucket) rather than pair-expanded.
-    Recall is tuned by bands × planes_per_band exactly as in MinHash
-    LSH.
+    pair generation is an equi-join inside buckets — never an
+    all-pairs cross join. ``max_bucket`` drops degenerate buckets
+    (e.g. zero/near-zero vectors that all share one sign pattern, or
+    any hot embedding region): an uncapped bucket makes the per-bucket
+    pair set quadratic, which is the classic LSH skew pathology at
+    scale. Capped buckets should be routed to a dedicated path
+    (tighter bands, or exact dedup on the bucket) rather than
+    pair-expanded. Recall is tuned by bands × planes_per_band exactly
+    as in MinHash LSH.
+
+    The banded-signature frame is MATERIALIZED (eager localCheckpoint)
+    before the size filter and self-join: those three consumers would
+    otherwise each re-evaluate the signature subtree — the hyperplane
+    fold is the expensive part, and |vecs|·bands short keys are cheap
+    to store at any scale.
     """
     n_planes = bands * planes_per_band
     sig = df.select(F.col(id_col), srp_bits(vec_col, n_planes, dims).alias("bits"))
@@ -158,15 +164,20 @@ def banded_srp_pairs(
                 ]
             )
         ).alias("band_key"),
+    ).localCheckpoint(eager=True)
+    kept = (
+        banded.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .where(F.col("sz") <= max_bucket)
+        .select("band_key")
     )
-    sized = banded.groupBy("band_key").agg(
-        F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("sz")
-    )
-    buckets = sized.where(F.col("sz") <= max_bucket).select("ids")
+    capped = banded.join(F.broadcast(kept), "band_key")
+    a = capped.select(F.col(id_col).alias("a"), "band_key")
+    b = capped.select(F.col(id_col).alias("b"), "band_key")
     return (
-        buckets.select(F.explode(F.col("ids")).alias("a"), F.col("ids"))
-        .select("a", F.explode(F.col("ids")).alias("b"))
+        a.join(b, "band_key")
         .where(F.col("a") < F.col("b"))
+        .select("a", "b")
         .distinct()
     )
 

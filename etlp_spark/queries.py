@@ -1409,11 +1409,14 @@ def x10_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN scale path end-to-end: SRP bucket equi-join prefilter
     (no cross join) → exact cosine rerank inside buckets only. A
     bucket-size cap (same skew guard as lsh_candidates/banded_srp_pairs)
-    drops degenerate buckets whose pair fan-out would be quadratic."""
+    drops degenerate buckets whose pair fan-out would be quadratic.
+    The bucketed frame is materialized once (eager localCheckpoint):
+    its three consumers below would otherwise each re-evaluate the
+    hyperplane-fold signature subtree."""
     from etlp_spark.functions.similarity import cosine, srp_buckets
 
     emb = _t_fanout(spark, sf_dir, "embeddings")
-    bucketed = srp_buckets(emb).join(emb, "vec_id")
+    bucketed = srp_buckets(emb).join(emb, "vec_id").localCheckpoint(eager=True)
     kept = (
         bucketed.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("sz"))
