@@ -284,9 +284,12 @@ def connected_components(
     # pairs| (tiny — the dup fraction), not |corpus|. At 100 TB that
     # is the difference between shuffling the corpus per round and
     # shuffling a few percent of it.
+    # Round-0 fusion: initial label = min(own id, min neighbour id),
+    # computed in the same aggregation that enumerates the distinct
+    # nodes — one shuffle replaces distinct + a whole propagate round.
     labels = (
-        edges.select(F.col("src").alias(id_col)).distinct()
-        .withColumn("cluster", F.col(id_col))
+        edges.groupBy(F.col("src").alias(id_col))
+        .agg(F.least(F.first("src"), F.min("dst")).alias("cluster"))
         .localCheckpoint(eager=True)
     )
     converged = False
