@@ -138,3 +138,21 @@ def register_udf(spark: SparkSession, name: str, fn, return_type: str = "string"
         udf_obj = _udf(fn, return_type)
     spark.udf.register(name, udf_obj)
     return udf_obj
+
+
+def register_udtf(spark: SparkSession, name: str, cls, return_type: str):
+    """Python UDTF registry (Spark 4): a class with an ``eval`` method
+    yielding rows becomes a SQL table function — the engine's answer
+    to the reference's "any fn in an xform" for one-to-many record
+    expansion (T3 mapcat beyond what ``explode`` can express, e.g.
+    stateful or multi-column fan-out).
+
+    Arrow-optimized when the plan allows; still Python-speed per
+    group — prefer ``explode``/``inline`` for anything expressible as
+    an expression (same rule as row UDFs vs pandas UDFs).
+    """
+    from pyspark.sql.functions import udtf as _udtf
+
+    udtf_obj = _udtf(cls, returnType=return_type)
+    spark.udtf.register(name, udtf_obj)
+    return udtf_obj

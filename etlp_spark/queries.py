@@ -3219,3 +3219,93 @@ def x26_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(
         "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+# =====================================================================
+# Skew-handling ops as driver-green queries: the salted two-phase agg
+# and the salted replicate-join produce results IDENTICAL to their
+# plain counterparts (which is the point), so the plain shapes are
+# their oracles.
+# =====================================================================
+
+
+@_register(
+    "g8_salted_quantity_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, sum(l_quantity) AS sum_l_quantity
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def g8_salted_quantity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the skewed (returnflag,
+    linestatus) keys — result provably identical to the plain
+    GROUP BY (the oracle IS the plain shape). Quantities are
+    integer-valued doubles, so the re-aggregated partial sums are
+    exact in both engines.
+
+    Scale shape: phase 1 spreads each hot key over 16 salt buckets
+    (map-side partials included), phase 2 re-aggregates one row per
+    (key, bucket) — the manual fallback when AQE skew-split can't
+    reach a pathological key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return ops.salted_agg(
+        li, keys=["l_returnflag", "l_linestatus"], sum_cols=["l_quantity"]
+    )
+
+
+@_register(
+    "j8_salted_join_priority",
+    """
+    SELECT o_orderpriority, count(*) AS n_items
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def j8_salted_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicate-join on the fact key: the orders side is
+    replicated once per salt bucket, lineitem rows scatter uniformly,
+    and the join result is identical to the plain equi-join (the
+    oracle IS the plain join). The downstream rollup keeps only the
+    priority column, so Catalyst prunes both scans to 2-3 columns.
+
+    Scale shape: a hot l_orderkey lands on 16 reducers instead of
+    one; replication cost is |right|·salt rows — the trade every
+    skew-join makes (and why AQE's stats-driven split is preferred
+    when it can see the skew)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = ops.salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), o, key="o_orderkey"
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_items"))
+
+
+@_register(
+    "f6_variant_json",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.missing') AS missing,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid
+    FROM events
+    """,
+)
+def f6_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` once into a variant, then typed ``variant_get``
+    path extraction — the engine-native upgrade over per-field
+    ``get_json_object`` string re-parsing (the variant binary encoding
+    parses the document once and serves every path from it; with many
+    extracted paths that is the difference between 1 parse and N
+    parses per row at 100 TB). Missing paths yield NULL, not errors
+    (same stance as the reference's PERMISSIVE json handling)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.variant_get(v, "$.missing", "string").alias("missing"),
+        F.try_parse_json("props").isNotNull().alias("is_valid"),
+    )

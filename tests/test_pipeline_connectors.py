@@ -211,3 +211,21 @@ def test_orc_source_roundtrip(spark, tmp_path):
     df = src.read(spark)
     assert df.count() == 100
     assert {r.id for r in df.where("v >= 196").collect()} == {98, 99}
+
+
+def test_register_udtf_table_function(spark):
+    """Spark 4 Python UDTF through the registry: one-to-many fan-out
+    callable from SQL as a table function (T3 mapcat family, beyond
+    what explode expresses — here: emit one row per sliding bigram
+    with its position)."""
+    from etlp_spark.pipeline import register_udtf
+
+    class Bigrams:
+        def eval(self, text: str):
+            words = text.split()
+            for i in range(len(words) - 1):
+                yield (i, f"{words[i]} {words[i+1]}")
+
+    register_udtf(spark, "bigrams", Bigrams, "pos int, bigram string")
+    rows = spark.sql("SELECT * FROM bigrams('a b c d')").collect()
+    assert [(r.pos, r.bigram) for r in rows] == [(0, "a b"), (1, "b c"), (2, "c d")]

@@ -260,3 +260,22 @@ def test_streaming_dedup_within_watermark(spark, stream_dir):
         assert sorted((r.fp, r.v) for r in rows) == [("aaa", 1), ("bbb", 3), ("ccc", 5)]
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment_join(spark, stream_dir):
+    """Stream-static join: each micro-batch joins against a static
+    dimension (broadcast per batch — the standard streaming enrich;
+    no state, unlike stream-stream joins)."""
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], "uid long, tier string")
+    _write_batch(stream_dir, "b1.jsonl", [{"uid": 1, "v": 10}, {"uid": 2, "v": 20}, {"uid": 3, "v": 30}])
+    src = file_stream(spark, str(stream_dir), "uid long, v long", fmt="json")
+    enriched = src.join(F.broadcast(dim), "uid", "left")
+    q = StreamingPipeline(source=enriched).start(spark, ("memory", "enrich1"))
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select uid, v, tier from enrich1").collect()
+        assert sorted(((r.uid, r.v, r.tier) for r in rows), key=str) == sorted(
+            [(1, 10, "gold"), (2, 20, "silver"), (3, 30, None)], key=str
+        )
+    finally:
+        q.stop()
