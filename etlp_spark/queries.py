@@ -3309,3 +3309,91 @@ def f6_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.missing", "string").alias("missing"),
         F.try_parse_json("props").isNotNull().alias("is_valid"),
     )
+
+
+@_register(
+    "x27_repetition_stats",
+    r"""
+    WITH sents AS (
+      SELECT doc_id,
+             list_filter(list_transform(regexp_split_to_array(text, '\.'),
+                                        s -> trim(s)), s -> s <> '') AS ss
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(ss) AS BIGINT) AS n_sents,
+           CAST(len(list_distinct(ss)) AS BIGINT) AS n_uniq,
+           CASE WHEN len(ss) > 0
+                THEN round(1.0 - len(list_distinct(ss)) * 1.0 / len(ss), 6)
+                ELSE 0.0 END AS rep_ratio
+    FROM sents
+    """,
+)
+def x27_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition removal metrics: sentence count,
+    distinct-sentence count and the repeated fraction — the signal the
+    C4/Gopher "repetition" filters threshold on (a doc that repeats
+    itself is boilerplate or spam). Emits counts/ratios rather than
+    the deduped text so the output is order-independent across
+    engines (list_distinct order is unspecified in SQL).
+
+    Scale shape: pure per-row array expressions in the scan stage —
+    zero shuffle, composes with every other scan-stage gate
+    (x3/x21/x25)."""
+    docs = _t_fanout(spark, sf_dir, "documents")
+    ss = F.filter(
+        F.transform(F.split("text", r"\."), lambda s: F.trim(s)), lambda s: s != ""
+    )
+    d = docs.select("doc_id", ss.alias("ss"))
+    n = F.size("ss").cast("long")
+    nu = F.size(F.array_distinct("ss")).cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_sents"),
+        nu.alias("n_uniq"),
+        F.when(n > 0, F.round(1.0 - nu * F.lit(1.0) / n, 6)).otherwise(F.lit(0.0)).alias("rep_ratio"),
+    )
+
+
+@_register(
+    "x28_unigram_logprob",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_O_TOKS}) AS term FROM documents),
+    tf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    n AS (SELECT sum(c) AS total FROM tf),
+    scored AS (
+      SELECT t.doc_id, ln((f.c * 1.0 + 1.0) / (n.total + 1.0)) AS lp
+      FROM toks t JOIN tf f USING (term) CROSS JOIN n)
+    SELECT doc_id,
+           round(-avg(lp), 6) AS avg_neg_logprob,
+           CAST(count(*) AS BIGINT) AS n_tok
+    FROM scored GROUP BY doc_id
+    """,
+)
+def x28_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy: train corpus unigram frequencies in
+    one aggregate, score each document by its average negative log
+    probability (add-one smoothed) — the cheap perplexity stand-in
+    used to rank corpus slices before an expensive model-based filter.
+    Scores are rounded to 6 digits: the division feeds ``ln`` with
+    bit-identical doubles in both engines, and rounding absorbs any
+    last-ulp libm difference.
+
+    Scale shape: the unigram table is |vocab| rows — broadcastable at
+    any corpus size; the token explode stays in the scan stage; one
+    shuffle for the per-doc aggregate. Exactly the TF-IDF plan shape
+    (x20) with a different scoring formula."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = tf.agg(F.sum("c").alias("total"))
+    scored = (
+        toks.join(F.broadcast(tf), "term")
+        .join(F.broadcast(total))
+        .select("doc_id", F.log((F.col("c") * 1.0 + 1.0) / (F.col("total") + 1.0)).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(-F.avg("lp"), 6).alias("avg_neg_logprob"),
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+    )
