@@ -131,3 +131,40 @@ def test_apply_grouped_matches_expression_slope(spark):
     assert set(pandas_slopes) == set(expr_slopes)
     for u in expr_slopes:
         assert abs(pandas_slopes[u] - expr_slopes[u]) < 1e-4
+
+
+def test_sequence_packing_invariants(spark):
+    """x23 invariants on a synthetic corpus: within every shard,
+    positions ordered by doc_id have nondecreasing seq_ids; every
+    sequence's token total stays under budget + the straddling doc;
+    and seq_id 0 starts each shard."""
+    from etlp_spark.queries import QUERIES
+
+    out = QUERIES["x23_sequence_packing"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    budget = 2048
+    for shard, rows in by_shard.items():
+        seqs = [r.seq_id for r in rows]
+        assert seqs[0] == 0, f"shard {shard} must start at seq 0"
+        assert all(a <= b for a, b in zip(seqs, seqs[1:])), "seq ids nondecreasing"
+        cum = 0
+        for r in rows:
+            assert r.seq_id == cum // budget  # start-position assignment
+            cum += r.n_tok
+
+
+def test_shuffle_shard_is_permutation(spark):
+    """x26: positions within each shard are exactly 1..n (a true
+    permutation — no gaps, no dups), and the layout is reproducible."""
+    from etlp_spark.queries import QUERIES
+
+    a = QUERIES["x26_shuffle_shard"].fn(spark, "/root/testdata/sf0.001").collect()
+    b = QUERIES["x26_shuffle_shard"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
