@@ -311,6 +311,12 @@ def salted_join(
     per salt bucket, scatter left rows uniformly across buckets, join
     on (key, salt). A hot left key now lands on ``salt`` reducers
     instead of one. Result is identical to the plain join.
+
+    The salt is a hash of ALL left columns (deterministic →
+    retry-reproducible, unlike rand()). Caveat: the left frame must
+    carry at least one column that varies within a hot key — a
+    key-only projection makes the salt a function of the key and the
+    skew protection silently void.
     """
     buckets = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
     r = right.select("*", buckets)

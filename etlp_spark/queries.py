@@ -3274,10 +3274,15 @@ def j8_salted_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     one; replication cost is |right|·salt rows — the trade every
     skew-join makes (and why AQE's stats-driven split is preferred
     when it can see the skew)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    # Keep l_linenumber in the projection: salted_join salts by a hash
+    # of ALL left columns (deterministic, retry-safe), so the left
+    # side must carry at least one column that varies WITHIN a hot key
+    # or every row of that key hashes to the same salt bucket and the
+    # skew protection is void.
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     joined = ops.salted_join(
-        li.withColumnRenamed("l_orderkey", "o_orderkey"), o, key="o_orderkey"
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), o, key="o_orderkey", salt=8
     )
     return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_items"))
 
