@@ -3402,3 +3402,53 @@ def x28_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.avg("lp"), 6).alias("avg_neg_logprob"),
         F.count(F.lit(1)).cast("long").alias("n_tok"),
     )
+
+
+@_register(
+    "g9_hll_sketch_union",
+    """
+    WITH per_day AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(DISTINCT user_id) AS exact_d
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    merged AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_total
+      FROM events GROUP BY event_type)
+    SELECT event_type, exact_total,
+           TRUE AS within_5pct
+    FROM merged
+    """,
+)
+def g9_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Spark 4 datasketches HLL):
+    build one sketch per (event_type, day) partial, UNION the binary
+    sketches per event_type, estimate — the re-aggregatable pattern a
+    100 TB rollup needs (exact distinct cannot merge across partials;
+    sketches can, so daily partials roll up to any horizon without
+    rescanning raw data). The oracle checks the contract rather than
+    the estimate: the merged estimate must land within 5% of the exact
+    distinct (emitted as a boolean plus the exact count, both
+    engine-comparable — sketch bytes themselves are not portable).
+
+    Scale shape: partial sketch agg is map-side combinable; the union
+    moves |groups|·sketch_bytes, never raw ids."""
+    ev = _t(spark, sf_dir, "events")
+    partials = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_total")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_total",
+            (
+                F.abs(F.col("est") - F.col("exact_total"))
+                <= 0.05 * F.col("exact_total")
+            ).alias("within_5pct"),
+        )
+    )
