@@ -31,7 +31,16 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "attach_fake_media", "extract_features", "decode_image"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "FEATURE_SCHEMA",
+    "FRAME_SCHEMA",
+    "attach_fake_media",
+    "extract_features",
+    "resize_media",
+    "sample_frames",
+    "decode_image",
+]
 
 #: contract for a multimodal row: payload + typed metadata.
 MEDIA_SCHEMA = StructType(
@@ -109,3 +118,59 @@ def extract_features(media_df: DataFrame, dims: int = 8) -> DataFrame:
             yield out
 
     return media_df.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: same MEDIA_SCHEMA in and out, target dims in
+    the metadata, payload rewritten by the kernel. The pixel resample
+    itself needs the stubbed codec (``decode_image``), so the fake
+    kernel marks resized payloads deterministically (md5 of the
+    original + target dims) — schema contract, Arrow batch shape and
+    scan-stage (no shuffle) behavior are the real thing.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(
+                lambda b: hashlib.md5(b + f"@{width}x{height}".encode()).digest()
+            )
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return media_df.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+#: contract for a sampled frame: media fan-out is one row per frame.
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing: one media row fans out to ``n_frames``
+    frame rows — the one-to-many Arrow-batch shape every video
+    pipeline needs (decode → pick every Nth frame). Real decoders are
+    stubbed (no codecs in this container); the fake kernel derives
+    each frame deterministically from the payload + index. The
+    fan-out happens inside the scan stage: no shuffle, output rows =
+    |media| × n_frames, and Arrow batch memory is bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(hashlib.md5(payload + bytes([i])).digest())
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media_df.mapInPandas(kernel, FRAME_SCHEMA)

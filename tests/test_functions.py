@@ -317,3 +317,36 @@ def test_connected_components_raises_on_nonconvergence(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(7)], ["a", "b"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, pairs, max_iter=1)
+
+
+def test_resize_and_frame_sample_plumbing(spark, docs):
+    """Multimodal resize + frame-sample contracts: schema stability,
+    deterministic kernels, exact one-to-many fan-out, no dropped
+    metadata."""
+    from etlp_spark.functions.multimodal import (
+        FRAME_SCHEMA,
+        MEDIA_SCHEMA,
+        attach_fake_media,
+        resize_media,
+        sample_frames,
+    )
+
+    media = attach_fake_media(docs)
+    n = media.count()
+    resized = resize_media(media, 224, 224)
+    assert resized.schema == MEDIA_SCHEMA
+    rrows = resized.collect()
+    assert len(rrows) == n
+    assert all(r.width == 224 and r.height == 224 and len(r.payload) == 16 for r in rrows)
+
+    frames = sample_frames(media, n_frames=3)
+    assert frames.schema == FRAME_SCHEMA
+    frows = frames.collect()
+    assert len(frows) == n * 3
+    per_media = {}
+    for r in frows:
+        per_media.setdefault(r.media_id, set()).add(r.frame_idx)
+    assert all(v == {0, 1, 2} for v in per_media.values())
+    # deterministic: rerun yields identical frames
+    again = {(r.media_id, r.frame_idx): r.frame for r in sample_frames(media, n_frames=3).collect()}
+    assert all(again[(r.media_id, r.frame_idx)] == r.frame for r in frows)
