@@ -47,10 +47,16 @@ def main() -> None:
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         dt = round(time.perf_counter() - t0, 3)
-        # Iterative queries persist intermediates; drop them so cached
-        # relations don't accumulate across the 80+-query run and
-        # distort later timings via executor-memory pressure/LRU churn.
+        # Iterative queries persist/checkpoint intermediates; drop them
+        # so cached relations don't accumulate across the 90+-query run
+        # and distort later timings. clearCache() frees persist()'d
+        # relations; the gc.collect() drops Python references to
+        # localCheckpoint'd frames so Spark's ContextCleaner can free
+        # their blocks too (they are NOT in the SQL cache manager).
         spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
         return dt
 
     times: dict[str, float] = {}

@@ -112,11 +112,25 @@ class HttpPollingSource(Source):
     @staticmethod
     def _json_lines_df(spark: SparkSession, lines: list[str]) -> DataFrame:
         """JSON lines (already on the driver) → DataFrame with full
-        ``spark.read.json`` schema inference, without touching
-        ``sparkContext`` (Spark-Connect-safe). This prototype fetches
-        driver-side by design — the temp-file staging adds no new
-        constraint — and the scale path that fetches executor-side is
-        the ``etlp-http`` DataSource (`http_datasource.py`)."""
+        ``spark.read.json`` schema inference.
+
+        On a classic session the lines ship to executors via
+        ``parallelize`` (works on any multi-node cluster). On Spark
+        Connect — no ``sparkContext`` — they stage through a temp file
+        that only the Connect SERVER reads, so this path requires the
+        client and server to share a filesystem (true for local
+        Connect; a remote Connect deployment should use the
+        ``etlp-http`` DataSource, which fetches executor-side —
+        `http_datasource.py` — instead of this driver-side prototype).
+        The temp file is removed at interpreter exit."""
+        try:
+            sc = spark.sparkContext
+        except Exception:  # Spark Connect: no JVM-backed context
+            sc = None
+        if sc is not None:
+            return spark.read.json(sc.parallelize(lines or ["{}"]))
+        import atexit
+        import os
         import tempfile
 
         tmp = tempfile.NamedTemporaryFile(
@@ -124,6 +138,7 @@ class HttpPollingSource(Source):
         )
         with tmp:
             tmp.write("\n".join(lines))
+        atexit.register(lambda p=tmp.name: os.path.exists(p) and os.unlink(p))
         return spark.read.json("file://" + tmp.name)
 
     def _fetch_all(self, urls: list[str]) -> list[str]:

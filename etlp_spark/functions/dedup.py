@@ -293,20 +293,19 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     converged = False
+    import gc
+
     for _ in range(max_iter):
         # Step 1 — min over own label and every neighbour's label.
+        # `stepped` is consumed twice by the pointer-jump self-join, so
+        # persist() it (cache, released at the end of the round — safe
+        # for persist, unlike checkpoint blocks) to evaluate the
+        # neighbor-min aggregation once.
         neighbor_min = (
             edges.join(labels, edges.dst == F.col(id_col))
             .groupBy(F.col("src").alias(id_col))
             .agg(F.min("cluster").alias("nb_cluster"))
         )
-        # Eager localCheckpoint BEFORE the self-join: `stepped` (which
-        # embeds the neighbor-min aggregation) is consumed twice below
-        # — as itself and as the jump's parent side — so checkpointing
-        # here halves the per-round work AND truncates the plan so the
-        # next round's analysis starts from a leaf (an uncheckpointed
-        # loop re-analyzes a 2^rounds-sized plan and stalls in
-        # Catalyst long before any data moves).
         stepped = (
             labels.join(neighbor_min, id_col, "left")
             .select(
@@ -316,23 +315,38 @@ def connected_components(
                     F.col("cluster"), F.coalesce("nb_cluster", F.col("cluster"))
                 ).alias("mid_cluster"),
             )
-            .localCheckpoint(eager=True)
+            .persist()
         )
         # Step 2 — pointer jump: cluster ← cluster's cluster. Labels
         # are monotone non-increasing component ids, so the jump is
-        # safe and collapses chains exponentially.
+        # safe and collapses chains exponentially. The round ends in an
+        # eager localCheckpoint: it materializes the join ONCE (the
+        # convergence count and both next-round consumers then read
+        # the blocks) and truncates the plan so the next round's
+        # analysis starts from a leaf — an uncheckpointed loop
+        # re-analyzes a 2^rounds-sized plan (the self-join doubles it
+        # per round) and stalls in Catalyst long before any data moves.
         parents = stepped.select(
             F.col(id_col).alias("_pid"), F.col("mid_cluster").alias("_pcl")
         )
-        joined = stepped.join(
-            parents, stepped["mid_cluster"] == parents["_pid"], "left"
-        ).select(
-            F.col(id_col),
-            F.col("old_cluster"),
-            F.coalesce("_pcl", "mid_cluster").alias("cluster"),
+        joined = (
+            stepped.join(parents, stepped["mid_cluster"] == parents["_pid"], "left")
+            .select(
+                F.col(id_col),
+                F.col("old_cluster"),
+                F.coalesce("_pcl", "mid_cluster").alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
         )
+        stepped.unpersist()
         changed = joined.where(F.col("cluster") != F.col("old_cluster")).count()
         labels = joined.select(id_col, "cluster")
+        # Checkpoint blocks can't be unpersisted safely (locally-
+        # checkpointed RDDs serve reads FROM their blocks), but rounds
+        # ≥2 back are unreferenced once `labels` rebinds — a driver-side
+        # gc.collect() lets Spark's ContextCleaner reclaim them instead
+        # of waiting for an eventual interpreter GC.
+        gc.collect()
         if changed == 0:
             converged = True
             break

@@ -205,6 +205,8 @@ def interp_template(node: Any, row: dict[str, Any], scope: dict[str, Any] | None
     def deref(ref: str) -> Any:
         body = ref[1:]
         if body.startswith("."):
+            if not body[1:]:
+                raise TemplateError("bare '$.' reference")  # parity w/ compiler
             cur: Any = row
             parts = body[1:].split(".")
         else:
@@ -221,10 +223,9 @@ def interp_template(node: Any, row: dict[str, Any], scope: dict[str, Any] | None
 
     def as_str(v: Any) -> str:
         # match Spark's cast-to-string for the types templates produce
+        # (bool renders lowercase; floats/ints/strings agree already)
         if isinstance(v, bool):
             return "true" if v else "false"
-        if isinstance(v, float) and v.is_integer():
-            return str(v)
         return str(v)
 
     if isinstance(node, (int, float, bool)) or node is None:

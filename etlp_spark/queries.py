@@ -3307,12 +3307,15 @@ def f6_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     parses per row at 100 TB). Missing paths yield NULL, not errors
     (same stance as the reference's PERMISSIVE json handling)."""
     ev = _t(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    # try_parse_json, not parse_json: malformed rows must yield NULL
+    # paths + is_valid=false, never fail the query (the PERMISSIVE
+    # stance the docstring promises).
+    v = F.try_parse_json("props")
     return ev.select(
         "event_id",
         F.variant_get(v, "$.k", "bigint").alias("k"),
         F.variant_get(v, "$.missing", "string").alias("missing"),
-        F.try_parse_json("props").isNotNull().alias("is_valid"),
+        v.isNotNull().alias("is_valid"),
     )
 
 

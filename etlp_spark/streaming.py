@@ -149,8 +149,15 @@ class CountLogSink:
         self.total = 0
         self.logs: list[str] = []
         self._last_logged = 0
+        self._seen_epochs: set[int] = set()
 
     def __call__(self, df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once: a retried epoch must not
+        # double-count (the reference atom never saw a channel batch
+        # twice). Epoch ids are stable across retries of a batch.
+        if epoch_id in self._seen_epochs:
+            return
+        self._seen_epochs.add(epoch_id)
         n = df.count()
         if n == 0:
             return

@@ -99,7 +99,7 @@ def test_jaccard_matches_set_math(spark, t1, t2):
     assert got == expected
 
 
-def test_apply_grouped_matches_expression_slope(spark):
+def test_apply_grouped_matches_expression_slope(spark, sf_dir):
     """The applyInPandas group-map escape hatch computes the same
     slope as the exact decimal-sums expression form (w4)."""
     import pandas as pd
@@ -119,28 +119,28 @@ def test_apply_grouped_matches_expression_slope(spark):
 
     from etlp_spark.io import load_table
 
-    ev = load_table(spark, "/root/testdata/sf0.001", "events").select("user_id", "ts", "value")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     pandas_slopes = {
         r.user_id: r.slope
         for r in apply_grouped(ev, ["user_id"], slope_fn, "user_id long, slope double").collect()
     }
     expr_slopes = {
         r.user_id: round(r.slope, 6)
-        for r in QUERIES["w4_per_user_trend"].fn(spark, "/root/testdata/sf0.001").collect()
+        for r in QUERIES["w4_per_user_trend"].fn(spark, sf_dir).collect()
     }
     assert set(pandas_slopes) == set(expr_slopes)
     for u in expr_slopes:
         assert abs(pandas_slopes[u] - expr_slopes[u]) < 1e-4
 
 
-def test_sequence_packing_invariants(spark):
+def test_sequence_packing_invariants(spark, sf_dir):
     """x23 invariants on a synthetic corpus: within every shard,
     positions ordered by doc_id have nondecreasing seq_ids; every
     sequence's token total stays under budget + the straddling doc;
     and seq_id 0 starts each shard."""
     from etlp_spark.queries import QUERIES
 
-    out = QUERIES["x23_sequence_packing"].fn(spark, "/root/testdata/sf0.001").collect()
+    out = QUERIES["x23_sequence_packing"].fn(spark, sf_dir).collect()
     by_shard: dict[int, list] = {}
     for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
         by_shard.setdefault(r.shard, []).append(r)
@@ -155,13 +155,13 @@ def test_sequence_packing_invariants(spark):
             cum += r.n_tok
 
 
-def test_shuffle_shard_is_permutation(spark):
+def test_shuffle_shard_is_permutation(spark, sf_dir):
     """x26: positions within each shard are exactly 1..n (a true
     permutation — no gaps, no dups), and the layout is reproducible."""
     from etlp_spark.queries import QUERIES
 
-    a = QUERIES["x26_shuffle_shard"].fn(spark, "/root/testdata/sf0.001").collect()
-    b = QUERIES["x26_shuffle_shard"].fn(spark, "/root/testdata/sf0.001").collect()
+    a = QUERIES["x26_shuffle_shard"].fn(spark, sf_dir).collect()
+    b = QUERIES["x26_shuffle_shard"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
     by_shard: dict[int, list[int]] = {}
     for r in a:
