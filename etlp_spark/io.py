@@ -51,9 +51,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # unless nanosAsLong is set. This conf is runtime-settable, so set it
     # here instead of relying on session-builder config — load_table must
     # work on ANY SparkSession (e.g. one built by an external harness).
+    #
+    # NB: both settings are DELIBERATE session-wide mutations — the
+    # declared-query contract requires UTC timestamp semantics (the
+    # DuckDB oracle is tz-naive), so any session loading these tables
+    # is opted into it. A caller needing a different session zone for
+    # unrelated work should use a separate SparkSession.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Pin timestamp semantics to UTC so literal parsing and rendering
-    # match the tz-naive DuckDB oracle on any host/session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, ()):
