@@ -3455,3 +3455,68 @@ def g9_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_5pct"),
         )
     )
+
+
+@_register(
+    "x29_embedding_quantize",
+    """
+    WITH rng AS (
+      SELECT vec_id, embedding,
+             list_min(list_transform(embedding, x -> x::DOUBLE)) AS lo,
+             list_max(list_transform(embedding, x -> x::DOUBLE)) AS hi
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, embedding, lo, hi,
+             CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END AS scale
+      FROM rng),
+    codes AS (
+      SELECT vec_id, lo, scale,
+             list_transform(embedding,
+               x -> CAST(round((x::DOUBLE - lo) / scale, 0) AS BIGINT)) AS code
+      FROM q)
+    SELECT vec_id,
+           CAST(list_min(code) AS BIGINT) AS code_min,
+           CAST(list_max(code) AS BIGINT) AS code_max,
+           round(list_max(list_transform(code, c -> abs(c * scale + lo))), 6) AS recon_max_abs
+    FROM codes
+    """,
+)
+def x29_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 (0..255) min-max quantization of embeddings —
+    the 4× storage/bandwidth compression step a 100 TB vector corpus
+    applies before ANN indexing. Emits the code range (proves codes
+    fit uint8) and the max absolute reconstructed magnitude, rounded
+    for cross-engine comparison. All pure array expressions: the
+    quantizer runs at scan speed, no shuffle, and composes with the
+    SRP/IVF index builds downstream.
+
+    The round() on the code is half-even in BOTH engines for the
+    .5-boundary (Spark ROUND on double and DuckDB round use half-up
+    for positives — identical here since codes are non-negative)."""
+    emb = _t_fanout(spark, sf_dir, "embeddings")
+    as_d = F.transform("embedding", lambda x: x.cast("double"))
+    d = emb.select("vec_id", "embedding", F.array_min(as_d).alias("lo"), F.array_max(as_d).alias("hi"))
+    d = d.withColumn(
+        "scale",
+        F.when(F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / 255.0).otherwise(F.lit(1.0)),
+    )
+    codes = d.select(
+        "vec_id",
+        "lo",
+        "scale",
+        F.transform(
+            "embedding",
+            lambda x: F.round((x.cast("double") - F.col("lo")) / F.col("scale"), 0).cast("long"),
+        ).alias("code"),
+    )
+    return codes.select(
+        "vec_id",
+        F.array_min("code").cast("long").alias("code_min"),
+        F.array_max("code").cast("long").alias("code_max"),
+        F.round(
+            F.array_max(
+                F.transform("code", lambda c: F.abs(c * F.col("scale") + F.col("lo")))
+            ),
+            6,
+        ).alias("recon_max_abs"),
+    )
