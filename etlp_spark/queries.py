@@ -3520,3 +3520,53 @@ def x29_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recon_max_abs"),
     )
+
+
+def _ivf_fixed_centroids() -> list[list[float]]:
+    """Four fixed, engine-portable probe centroids (no training —
+    x12 covers the iterative trainer rows-only; this fixes the cells
+    so ASSIGNMENT itself is oracle-checkable)."""
+    c0 = [0.5] * 64
+    c1 = [-0.5] * 64
+    c2 = [0.5 if i % 2 == 0 else -0.5 for i in range(64)]
+    c3 = [0.0] * 64
+    return [c0, c1, c2, c3]
+
+
+def _o_l2(cent: list[float]) -> str:
+    arr = "[" + ", ".join(repr(x) for x in cent) + "]"
+    return (
+        f"list_reduce(list_transform(list_zip(embedding, {arr}), "
+        f"p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])), (a, b) -> a + b)"
+    )
+
+
+@_register(
+    "x30_ivf_assign_fixed",
+    f"""
+    WITH d AS (
+      SELECT vec_id,
+             [{_o_l2(_ivf_fixed_centroids()[0])},
+              {_o_l2(_ivf_fixed_centroids()[1])},
+              {_o_l2(_ivf_fixed_centroids()[2])},
+              {_o_l2(_ivf_fixed_centroids()[3])}] AS ds
+      FROM embeddings)
+    SELECT vec_id, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
+    FROM d
+    """,
+)
+def x30_ivf_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment against FIXED centroids, value-checked by
+    the oracle (x12's end-to-end IVF keeps its rows-only contract
+    because k-means training is float-order-dependent; the assignment
+    operator itself is deterministic: ordered-fold L2² per centroid,
+    first-minimum argmin — identical operation sequences in both
+    engines, so distances are bit-equal, no rounding needed).
+
+    Scale shape: centroids ride as literals (no join, no shuffle) and
+    assignment runs at scan speed — the exact shape `ivf_assign` uses
+    in production after training."""
+    from etlp_spark.functions.similarity import ivf_assign
+
+    emb = _t_fanout(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, _ivf_fixed_centroids()).select("vec_id", "cell")
