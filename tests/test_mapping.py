@@ -180,3 +180,12 @@ def test_filter_let_compiled_vs_interpreted(spark):
         return sorted((r.eid, tuple(r.nonempty or ()), r.msg) for r in rows)
 
     assert norm(compiled) == norm(interpreted)
+
+
+def test_interpreter_rejects_bare_root_ref_like_compiler(spark):
+    from etlp_spark.mapping import interp_template
+
+    with pytest.raises(TemplateError, match="bare"):
+        interp_template("$.", {"a": 1})
+    with pytest.raises(TemplateError, match="bare"):
+        compile_template("$.")

@@ -279,3 +279,23 @@ def test_stream_static_enrichment_join(spark, stream_dir):
         )
     finally:
         q.stop()
+
+
+def test_count_log_sink_retried_epoch_is_idempotent(spark):
+    """foreachBatch is at-least-once: replaying the same epoch must
+    not double-count or emit duplicate log lines."""
+    from etlp_spark.streaming import CountLogSink
+
+    sink = CountLogSink(batch_size=100, timestamp=0)
+    df = spark.range(150).selectExpr("id AS v")
+    sink(df, epoch_id=0)
+    sink(df, epoch_id=0)  # retry of the same micro-batch
+    sink(df, epoch_id=1)
+    sink.flush(spark)
+    parsed = [json.loads(l)["data"] for l in sink.logs]
+    assert parsed == [
+        "Total Count of Records:: 100",
+        "Total Count of Records:: 200",
+        "Total Count of Records:: 300",
+    ]
+    assert sink.total == 300
