@@ -3570,3 +3570,47 @@ def x30_ivf_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t_fanout(spark, sf_dir, "embeddings")
     return ivf_assign(emb, _ivf_fixed_centroids()).select("vec_id", "cell")
+
+
+@_register(
+    "x31_retrieval_topk_docs",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+    scored AS (
+      SELECT query_id, cand_id,
+             round(
+               list_reduce(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b)
+               / (sqrt(list_reduce(list_transform(list_zip(qv, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b))
+                  * sqrt(list_reduce(list_transform(list_zip(cv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b))),
+               9) AS cos
+      FROM q, c),
+    topk AS (
+      SELECT query_id, cand_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rnk
+      FROM scored
+      QUALIFY rnk <= 3)
+    SELECT t.query_id, t.cand_id, t.cos, t.rnk,
+           d.lang, substr(d.text, 1, 40) AS snippet
+    FROM topk t JOIN documents d ON d.doc_id = t.cand_id
+    """,
+)
+def x31_retrieval_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval (RAG-shaped) end-to-end: query vectors → exact
+    cosine top-k over the corpus → join the winning ids back to the
+    documents table for language + snippet. This is the read path a
+    retrieval service runs; at 100 TB the corpus side stays
+    partitioned (queries broadcast), and the final join touches only
+    |queries|·k ids — broadcastable no matter the corpus size."""
+    from etlp_spark.functions.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = cosine_topk(
+        emb.where(F.col("vec_id") < 5), emb.where(F.col("vec_id") >= 5), k=3
+    ).withColumn("rnk", F.col("rnk").cast("long"))
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("lang"), F.substring("text", 1, 40).alias("snippet")
+    )
+    return topk.join(docs, topk.cand_id == docs.doc_id).select(
+        "query_id", "cand_id", "cos", "rnk", "lang", "snippet"
+    )
