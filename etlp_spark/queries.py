@@ -3614,3 +3614,63 @@ def x31_retrieval_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(docs, topk.cand_id == docs.doc_id).select(
         "query_id", "cand_id", "cos", "rnk", "lang", "snippet"
     )
+
+
+@_register(
+    "w5_batch_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps)
+    SELECT user_id,
+           CAST(count(DISTINCT sess_id) AS BIGINT) AS n_sessions,
+           CAST(max(cnt) AS BIGINT) AS max_session_events
+    FROM (SELECT user_id, sess_id, count(*) AS cnt
+          FROM sess GROUP BY user_id, sess_id) per
+    GROUP BY user_id
+    """,
+)
+def w5_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the driver-green twin of the streaming
+    ``sessionize`` stateful operator: a session break is a >30-minute
+    gap, assigned via the classic lag→flag→running-sum window idiom
+    (no state store needed when the data is at rest). Emits per-user
+    session count and largest session.
+
+    Scale shape: one shuffle on user_id; both windows and both
+    aggregations reuse that partitioning. Skewed users are bounded by
+    per-user event counts, not corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    # event_id tiebreak keeps tied-timestamp peer order deterministic
+    # across engines (ROWS frames depend on peer order, unlike RANGE).
+    wcum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = gaps.select("user_id", F.sum("new_sess").over(wcum).alias("sess_id"))
+    per = sess.groupBy("user_id", "sess_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return per.groupBy("user_id").agg(
+        F.count_distinct("sess_id").cast("long").alias("n_sessions"),
+        F.max("cnt").cast("long").alias("max_session_events"),
+    )
