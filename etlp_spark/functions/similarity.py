@@ -63,12 +63,27 @@ def cosine_topk(
     Returns (query_id, cand_id, cos, rnk). Ranking is on the rounded
     cosine with candidate id as tiebreaker → fully deterministic.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    # Norms are per-VECTOR, so compute them before the pair expansion:
+    # per-pair `cosine()` would re-fold both norms for every (q, c)
+    # combination — |q|·|c|·2 folds instead of |q|+|c|. Same float
+    # sequence either way (the fold is identical on identical input),
+    # so results stay bit-equal to the naive form and the oracle.
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id",
         "cand_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), scale).alias("cos"),
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), scale
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return scored.select("query_id", "cand_id", "cos", F.row_number().over(w).alias("rnk")).where(
@@ -206,12 +221,27 @@ def embedding_neardup(
         df, id_col=id_col, vec_col=vec_col, bands=bands,
         planes_per_band=planes_per_band, dims=dims, max_bucket=max_bucket,
     )
-    ea = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    eb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    # Per-vector norms computed before the pair join (not per pair):
+    # |pairs|·2 norm folds collapse to |vectors| — same float sequence
+    # on the same values, so the cosine stays bit-equal to the oracle.
+    ea = df.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    eb = df.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         pairs.join(ea, "a")
         .join(eb, "b")
-        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), scale).alias("cos"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), scale
+            ).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
     )
 

@@ -1413,7 +1413,7 @@ def x10_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The bucketed frame is materialized once (eager localCheckpoint):
     its three consumers below would otherwise each re-evaluate the
     hyperplane-fold signature subtree."""
-    from etlp_spark.functions.similarity import cosine, srp_buckets
+    from etlp_spark.functions.similarity import dot, norm, srp_buckets
 
     emb = _t_fanout(spark, sf_dir, "embeddings")
     bucketed = srp_buckets(emb).join(emb, "vec_id").localCheckpoint(eager=True)
@@ -1423,16 +1423,22 @@ def x10_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sz") <= 200)
         .select("bucket")
     )
-    capped = bucketed.join(kept, "bucket")
+    # norms per VECTOR before pair expansion (same float sequence as a
+    # per-pair cosine, a fraction of the fold work)
+    capped = bucketed.join(kept, "bucket").withColumn("nrm", norm(F.col("embedding")))
     a = capped.select(
-        F.col("vec_id").alias("qid"), F.col("bucket"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"), F.col("bucket"),
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qn"),
     )
     b = capped.select(
-        F.col("vec_id").alias("cid"), F.col("bucket"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("cid"), F.col("bucket"),
+        F.col("embedding").alias("cv"), F.col("nrm").alias("cn"),
     )
     pairs = a.join(b, "bucket").where(F.col("qid") < F.col("cid"))
     return pairs.select(
-        "qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("cos")
+        "qid",
+        "cid",
+        F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 9).alias("cos"),
     )
 
 
