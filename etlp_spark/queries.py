@@ -3680,3 +3680,217 @@ def w5_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("sess_id").cast("long").alias("n_sessions"),
         F.max("cnt").cast("long").alias("max_session_events"),
     )
+
+
+# =====================================================================
+# Scale operators round 4: lexical retrieval (BM25), time-decayed
+# aggregation with order-independent quantized sums, and two-phase
+# domain-mixture sampling (training-data mixing).
+# =====================================================================
+
+@_register(
+    "x32_bm25_retrieval",
+    f"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             CAST(len({_O_TOKS}) AS BIGINT) AS dl,
+             CAST(len(list_filter({_O_TOKS}, t -> t = 'hash')) AS BIGINT) AS tf_hash,
+             CAST(len(list_filter({_O_TOKS}, t -> t = 'join')) AS BIGINT) AS tf_join,
+             CAST(len(list_filter({_O_TOKS}, t -> t = 'window')) AS BIGINT) AS tf_window
+      FROM documents),
+    corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+             CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+             CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+             CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window
+      FROM per_doc),
+    scored AS (
+      SELECT doc_id,
+             round(
+               (CASE WHEN tf_hash = 0 THEN 0.0 ELSE
+                 ln(1.0 + (n_docs - df_hash + 0.5) / (df_hash + 0.5))
+                 * (tf_hash * 2.2)
+                 / (tf_hash + 1.2 * (0.25 + 0.75 * dl / (sum_dl / CAST(n_docs AS DOUBLE)))) END)
+               + (CASE WHEN tf_join = 0 THEN 0.0 ELSE
+                 ln(1.0 + (n_docs - df_join + 0.5) / (df_join + 0.5))
+                 * (tf_join * 2.2)
+                 / (tf_join + 1.2 * (0.25 + 0.75 * dl / (sum_dl / CAST(n_docs AS DOUBLE)))) END)
+               + (CASE WHEN tf_window = 0 THEN 0.0 ELSE
+                 ln(1.0 + (n_docs - df_window + 0.5) / (df_window + 0.5))
+                 * (tf_window * 2.2)
+                 / (tf_window + 1.2 * (0.25 + 0.75 * dl / (sum_dl / CAST(n_docs AS DOUBLE)))) END),
+               6) AS bm25
+      FROM per_doc CROSS JOIN corpus)
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 10
+    """,
+)
+def x32_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Okapi, k1=1.2, b=0.75) lexical retrieval for the fixed
+    query {hash, join, window}: the sparse-retrieval twin of the dense
+    x31 path (real RAG pipelines hybrid-rank both).
+
+    Scale shape: per-document term frequencies come from
+    ``size(filter(tokens))`` — scan-local, zero shuffle, no explode.
+    Corpus stats (N, Σdl, per-term df) are ONE single-row aggregate
+    broadcast back, so the whole score pipeline is scan → tiny agg →
+    broadcast join → scan-stage arithmetic. Top-10 is orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps, no global sort).
+
+    Determinism: both engines rank the ROUNDED score; tf/df/dl/N are
+    exact integers and the float expression is written with identical
+    literals and parenthesization on both sides, so scores are
+    bit-equal. The per-doc score sums its three term components in
+    fixed written order (no order-sensitive float aggregation).
+    """
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    tk = tokens("text")
+
+    def tf(term: str) -> Column:
+        return F.size(F.filter(tk, lambda t: t == F.lit(term))).cast("long")
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("dl"),
+        tf("hash").alias("tf_hash"),
+        tf("join").alias("tf_join"),
+        tf("window").alias("tf_window"),
+    )
+    corpus = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        F.sum(F.when(F.col("tf_hash") > 0, 1).otherwise(0)).cast("long").alias("df_hash"),
+        F.sum(F.when(F.col("tf_join") > 0, 1).otherwise(0)).cast("long").alias("df_join"),
+        F.sum(F.when(F.col("tf_window") > 0, 1).otherwise(0)).cast("long").alias("df_window"),
+    )
+
+    def term_score(t: str) -> Column:
+        tf_c, df_c = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        avgdl = F.col("sum_dl") / F.col("n_docs").cast("double")
+        idf = F.log(1.0 + (F.col("n_docs") - df_c + 0.5) / (df_c + 0.5))
+        return F.when(tf_c == 0, F.lit(0.0)).otherwise(
+            idf * (tf_c * 2.2) / (tf_c + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
+        )
+
+    scored = per_doc.join(F.broadcast(corpus)).select(
+        "doc_id",
+        F.round(term_score("hash") + term_score("join") + term_score("window"), 6).alias("bm25"),
+    )
+    top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return top.select("doc_id", "bm25", F.row_number().over(w).cast("long").alias("rnk"))
+
+
+@_register(
+    "x33_time_decay_engagement",
+    """
+    WITH mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+    weighted AS (
+      SELECT event_type,
+             CAST(round(1000000.0 / (1.0 + (max_us - epoch_us(ts)) / 86400000000.0))
+                  AS BIGINT) AS w_micro
+      FROM events CROSS JOIN mx)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(w_micro) AS DOUBLE) / 1000000.0 AS decayed_weight
+    FROM weighted
+    GROUP BY event_type
+    """,
+)
+def x33_time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement per event type — the recency-weighted
+    popularity aggregate every feature store / trending-content job
+    needs: weight = 1/(1 + age_days) relative to the corpus max
+    timestamp.
+
+    Determinism across engines: float sums are order-sensitive, so the
+    per-row weight is QUANTIZED to integer micro-units
+    (round(1e6·w) as BIGINT) and summed exactly — any aggregation
+    order gives the same bigint, and the final divide by 1e6 is one
+    deterministic float op. This is the portable idiom for cross-
+    engine-reproducible weighted aggregates (same trick as w4's
+    exact-integer regression moments).
+
+    Scale shape: the max-timestamp scalar broadcasts; the weighted agg
+    partially aggregates map-side (bigint sums) before one shuffle on
+    event_type. age uses exact integer micros; only the final weight
+    is float."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("max_us"))
+    weighted = ev.join(F.broadcast(mx)).select(
+        "event_type",
+        F.round(1000000.0 / (1.0 + (F.col("max_us") - F.unix_micros("ts")) / 86400000000.0))
+        .cast("long")
+        .alias("w_micro"),
+    )
+    return weighted.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("w_micro").cast("double") / 1000000.0).alias("decayed_weight"),
+    )
+
+
+@_register(
+    "x34_domain_mixture_sample",
+    """
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM counts),
+    rates AS (
+      SELECT source,
+             CAST(round(least(
+               1.0,
+               (CASE WHEN source = 'src0' THEN 0.30
+                     WHEN source = 'src1' THEN 0.20
+                     ELSE 0.50 / 18.0 END) * n_total / n_s
+             ) * 65536) AS BIGINT) AS thresh
+      FROM counts CROSS JOIN tot)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT < r.thresh
+    """,
+)
+def x34_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (DoReMi/Pile-style data mixing): given
+    target mixture weights per source domain (src0→30%, src1→20%,
+    rest split evenly), compute per-domain acceptance rates from the
+    OBSERVED counts and keep a deterministic hash-sample at that rate.
+    Oversubscribed domains cap at rate 1.0 (can't upsample without
+    replication — the cap is the standard epoch-capped behavior).
+
+    Two-phase scale shape: phase 1 is a count-only aggregate on
+    source (tiny state, map-side partials); the rates frame is
+    |domains| rows and broadcasts back onto the scan, so the sample
+    itself is scan-local — zero shuffle of document payloads, exactly
+    like x19. The md5-prefix uniform is reproducible across engines,
+    retries, and cluster sizes (no RNG state).
+
+    Rate→threshold math is quantized to 16-bit integer thresholds
+    (round(rate·65536)) so the keep decision is an exact bigint
+    compare in both engines."""
+    docs = _t_fanout(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    tot = counts.agg(F.sum("n_s").cast("long").alias("n_total"))
+    target = (
+        F.when(F.col("source") == "src0", F.lit(0.30))
+        .when(F.col("source") == "src1", F.lit(0.20))
+        .otherwise(F.lit(0.50) / 18.0)
+    )
+    rates = counts.join(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.least(F.lit(1.0), target * F.col("n_total") / F.col("n_s")) * 65536
+        )
+        .cast("long")
+        .alias("thresh"),
+    )
+    h16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(h16 < F.col("thresh"))
+        .select("doc_id", "source")
+    )
