@@ -60,29 +60,39 @@ def main() -> None:
         return dt
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in sorted(QUERIES.items()):
-        times[name] = run_once(q)
+        # One broken query must not zero the whole bench: record the
+        # failure and keep going (the driver's JSON gets an "errors"
+        # map alongside per-query times).
+        try:
+            times[name] = run_once(q)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     # Single-tenant timing isn't guaranteed here (shared VM): a ~20 s
     # external stall occasionally lands on one arbitrary query. Re-run
     # outliers (> max(2 s, 3× median)) once and keep the faster of the
     # two full executions — same work, stall-robust.
-    med = sorted(times.values())[len(times) // 2]
+    med = sorted(times.values())[len(times) // 2] if times else 0.0
     for name in [n for n, t in times.items() if t > max(2.0, 3 * med)]:
-        times[name] = min(times[name], run_once(QUERIES[name]))
+        try:
+            times[name] = min(times[name], run_once(QUERIES[name]))
+        except Exception:  # noqa: BLE001
+            pass  # keep the first (successful) timing
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_set_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "declared_query_set_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

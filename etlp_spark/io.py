@@ -32,12 +32,14 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: Columns stored as parquet TIMESTAMP(NANOS). Spark reads them as
-#: long nanos (``spark.sql.legacy.parquet.nanosAsLong``); we convert
-#: to TimestampType by integer-dividing to micros — same truncation
-#: DuckDB applies when casting nanos → its micro timestamps, so the
-#: oracle sees identical values.
-_NANO_TS_COLS = {
+#: Timestamp columns in the testdata. Generators have shipped these
+#: as parquet TIMESTAMP(NANOS) (Spark needs ``nanosAsLong`` → bigint)
+#: and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark 4 reads
+#: TIMESTAMP_NTZ natively). ``load_table`` normalizes EITHER physical
+#: encoding to plain TimestampType (LTZ) under a UTC session zone, so
+#: every downstream query sees one stable type with epoch semantics
+#: identical to the tz-naive DuckDB oracle.
+_TS_COLS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
     "events": ("ts",),
@@ -47,10 +49,9 @@ _NANO_TS_COLS = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    # The testdata parquet stores TIMESTAMP(NANOS), which Spark rejects
-    # unless nanosAsLong is set. This conf is runtime-settable, so set it
-    # here instead of relying on session-builder config — load_table must
-    # work on ANY SparkSession (e.g. one built by an external harness).
+    # Confs set here (runtime-settable) instead of at session-builder
+    # time: load_table must work on ANY SparkSession, including one
+    # built by an external harness.
     #
     # NB: both settings are DELIBERATE session-wide mutations — the
     # declared-query contract requires UTC timestamp semantics (the
@@ -60,9 +61,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANO_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+    dtypes = dict(df.dtypes)
+    for col in _TS_COLS.get(name, ()):
+        if dtypes.get(col) == "bigint":
+            # TIMESTAMP(NANOS) read as long nanos: integer-divide to
+            # micros — the same truncation DuckDB applies for nanos.
             df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+        elif dtypes.get(col) == "timestamp_ntz":
+            # NTZ → LTZ under the UTC session zone keeps the same wall
+            # clock AND the same epoch as the naive oracle timestamps,
+            # and restores unix_micros / cast-to-long arithmetic that
+            # TIMESTAMP_NTZ rejects.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

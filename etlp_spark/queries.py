@@ -3741,10 +3741,13 @@ def x32_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrderedAndProject — per-partition heaps, no global sort).
 
     Determinism: both engines rank the ROUNDED score; tf/df/dl/N are
-    exact integers and the float expression is written with identical
-    literals and parenthesization on both sides, so scores are
-    bit-equal. The per-doc score sums its three term components in
-    fixed written order (no order-sensitive float aggregation).
+    exact integers and the float expression uses identical literals
+    and parenthesization on both sides. DuckDB may still promote
+    constant literals through decimal intermediates where Spark stays
+    in doubles, so intermediates can drift by last-ulp amounts —
+    round(·,6) absorbs that (the file's standard rounding rule), and
+    the per-doc score sums its three term components in fixed written
+    order (no order-sensitive float aggregation).
     """
     from etlp_spark.functions.text import tokens
 
@@ -3839,14 +3842,15 @@ def x33_time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH counts AS (
       SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source),
-    tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM counts),
+    tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+                   CAST(count(*) AS BIGINT) AS n_dom FROM counts),
     rates AS (
       SELECT source,
              CAST(round(least(
                1.0,
                (CASE WHEN source = 'src0' THEN 0.30
                      WHEN source = 'src1' THEN 0.20
-                     ELSE 0.50 / 18.0 END) * n_total / n_s
+                     ELSE 0.50 / CAST(n_dom - 2 AS DOUBLE) END) * n_total / n_s
              ) * 65536) AS BIGINT) AS thresh
       FROM counts CROSS JOIN tot)
     SELECT d.doc_id, d.source
@@ -3874,11 +3878,17 @@ def x34_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare in both engines."""
     docs = _t_fanout(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
-    tot = counts.agg(F.sum("n_s").cast("long").alias("n_total"))
+    # Residual share is split over the OBSERVED domain count, not a
+    # hardcoded 18 — the mixture keeps summing to 1 if the generator's
+    # source set ever changes.
+    tot = counts.agg(
+        F.sum("n_s").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_dom"),
+    )
     target = (
         F.when(F.col("source") == "src0", F.lit(0.30))
         .when(F.col("source") == "src1", F.lit(0.20))
-        .otherwise(F.lit(0.50) / 18.0)
+        .otherwise(F.lit(0.50) / (F.col("n_dom") - 2).cast("double"))
     )
     rates = counts.join(F.broadcast(tot)).select(
         "source",
