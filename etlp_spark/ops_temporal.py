@@ -41,17 +41,36 @@ def as_of_join(
     tiebreak: str | None = None,
     strict: bool = True,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """Attach the most recent right-side values to each left row.
+    """Attach the nearest right-side values to each left row.
 
-    ``strict=True`` → right.ts < left.ts (prior only);
-    ``strict=False`` → right.ts <= left.ts.
-    Ties within right are resolved by (ts, tiebreak) ascending, so
-    "latest" is the max (ts, tiebreak) — fully deterministic.
+    ``direction="backward"`` (default, pandas ``merge_asof`` naming):
+    the most recent right row at-or-before the left timestamp.
+    ``direction="forward"``: the earliest right row at-or-after it.
+    ``strict=True`` → exclusive comparison (< / >);
+    ``strict=False`` → inclusive (<= / >=).
+    ``tolerance_seconds`` → matches farther than this from the left
+    timestamp are nulled out (like ``merge_asof(tolerance=...)``).
+    Ties within right are resolved by (ts, tiebreak), so the match is
+    fully deterministic.
 
     Returns all left columns plus ``{v}{suffix}`` for each value col.
+
+    Both directions are the same union+window plan — ONE shuffle of
+    left+right together on the key, no pair explosion; forward just
+    flips the sort order. The tolerance is a post-filter on the
+    carried match timestamp: no extra shuffle, no second join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
+    if tolerance_seconds is not None and "__match_ts" not in value_cols:
+        # carry the matched timestamp so the tolerance can be applied
+        # after the window pass (internal column, dropped at the end)
+        right = right.withColumn("__match_ts", F.col(right_ts))
+        value_cols = list(value_cols) + ["__match_ts"]
 
     tb_type = dict(right.dtypes).get(tiebreak, "long") if tiebreak else "long"
     lhs = left.select(
@@ -72,14 +91,20 @@ def as_of_join(
     unioned = lhs.unionByName(rhs)
 
     # Sort order decides visibility: (ts, placement, tiebreak).
-    # strict → at equal ts the left row sorts BEFORE right rows, so
+    # Backward scans time ascending; forward scans descending (so the
+    # "last seen" right row is the EARLIEST future one). strict → at
+    # equal ts the left row sorts BEFORE right rows in scan order, so
     # with an exclusive frame it cannot see them; non-strict → right
     # rows first. The tiebreak orders right rows among themselves only
     # (left rows carry null there, already separated by placement).
+    fwd = direction == "forward"
+    ts_order = F.col("__ts").desc() if fwd else F.col("__ts").asc()
     placement = F.col("__is_left").desc() if strict else F.col("__is_left").asc()
-    order = [F.col("__ts").asc(), placement]
+    order = [ts_order, placement]
     if tiebreak is not None:
-        order.append(F.col("__tb").asc_nulls_first())
+        # among equal-ts right rows the match is min(tiebreak) forward
+        # / max(ts, tiebreak) backward — i.e. last in scan order.
+        order.append(F.col("__tb").desc() if fwd else F.col("__tb").asc_nulls_first())
 
     w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
     carried = unioned.select(
@@ -89,8 +114,26 @@ def as_of_join(
             for v in value_cols
         ],
     )
+    out = carried.where(F.col("__is_left") == 1)
+    if tolerance_seconds is not None:
+        match_ts = F.col(f"__match_ts{suffix}")
+        gap = (
+            (match_ts.cast("long") - F.col(left_ts).cast("long"))
+            if fwd
+            else (F.col(left_ts).cast("long") - match_ts.cast("long"))
+        )
+        in_tol = match_ts.isNotNull() & (gap <= F.lit(int(tolerance_seconds)))
+        out = out.select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.when(in_tol, F.col(f"{v}{suffix}")).alias(f"{v}{suffix}")
+                for v in value_cols
+                if v != "__match_ts"
+            ],
+        )
+        return out
     out_cols = [c for c in left.columns] + [f"{v}{suffix}" for v in value_cols]
-    return carried.where(F.col("__is_left") == 1).select(*out_cols)
+    return out.select(*out_cols)
 
 
 def range_join(

@@ -3904,3 +3904,271 @@ def x34_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(h16 < F.col("thresh"))
         .select("doc_id", "source")
     )
+
+
+# =====================================================================
+# Round 3: forward as-of with tolerance, SCD2 interval build, unpivot
+# (melt), weighted sampling, cross-corpus duplicate-ngram removal,
+# per-group deterministic top-k sampling.
+# =====================================================================
+
+@_register(
+    "j9_asof_forward_tolerance",
+    """
+    SELECT l.event_id, l.user_id,
+           (SELECT r.value FROM events r
+            WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+              AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
+            ORDER BY r.ts ASC, r.event_id ASC LIMIT 1) AS value_next
+    FROM events l WHERE l.event_type = 'click'
+    """,
+)
+def j9_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance (pandas ``merge_asof(
+    direction='forward', tolerance=2h)`` parity): for each click, the
+    value of the user's NEXT purchase within two hours, else null.
+
+    Attribution-window joins are this exact shape (click → first
+    conversion within window). Same union+window plan as the backward
+    as-of (j5): ONE shuffle of both sides together on user_id, no
+    pair explosion; the tolerance is a post-filter on the carried
+    match timestamp, not a second join. The oracle's correlated
+    subquery is the semantic spec — fine at sf0.01, quadratic at
+    scale, which is exactly why the engine side is the window plan."""
+    from etlp_spark.ops_temporal import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    joined = as_of_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], tiebreak="event_id", strict=False,
+        direction="forward", tolerance_seconds=2 * 3600,
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("value_asof").alias("value_next")
+    )
+
+
+@_register(
+    "w6_scd2_intervals",
+    """
+    WITH chg AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    runs AS (
+      SELECT user_id, event_type, ts FROM chg
+      WHERE prev_type IS NULL OR event_type <> prev_type)
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+    FROM runs
+    """,
+)
+def w6_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval build — turn a change log into versioned
+    dimension rows: collapse consecutive equal states per user into
+    runs, then open [valid_from, valid_to) intervals with lead(),
+    latest row flagged current. The standard warehouse pattern for
+    history tables, done entirely with windows.
+
+    Scale shape: one shuffle on user_id; the run-collapse filter and
+    both lead() windows reuse the same partitioning, so Catalyst
+    plans a single sort+exchange. No self-join (the naive SCD2 build
+    joins the table to itself on adjacent versions)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.select(
+            "user_id", "event_type", "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return runs.select(
+        "user_id", "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+@_register(
+    "p2_unpivot_event_counts",
+    """
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+    GROUP BY user_id, event_type
+    """,
+)
+def p2_unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of p1's pivot: counts are first
+    spread into one column per event type (wide), then melted back to
+    (user_id, event_type, n) long form with ``DataFrame.unpivot``.
+    Null cells (user never did the action) drop out, so the result is
+    exactly the plain GROUP BY the oracle runs — the round-trip is
+    the correctness check for both reshape directions.
+
+    The pivot lists its values explicitly: with an explicit value
+    list Spark skips the extra distinct-collection job AND the melt
+    is schema-stable at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase"]
+    wide = (
+        ev.where(F.col("event_type").isin(types))
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+    )
+    long = wide.unpivot("user_id", types, "event_type", "n")
+    return long.where(F.col("n").isNotNull()).select(
+        "user_id", "event_type", F.col("n").cast("long").alias("n")
+    )
+
+
+@_register(
+    "x35_weighted_sample",
+    """
+    WITH stats AS (
+      SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+      FROM documents),
+    keep AS (
+      SELECT doc_id, source, n_chars,
+             CAST(round(least(1.0, n_chars / (2.0 * avg_chars)) * 65536)
+                  AS BIGINT) AS thresh
+      FROM documents CROSS JOIN stats)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM keep
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))::BIGINT < thresh
+    """,
+)
+def x35_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted Bernoulli sampling: keep probability
+    proportional to document length (p = min(1, n_chars/2·avg)) — the
+    standard trick when a token-budgeted corpus sample should follow
+    the token mass, not the document count.
+
+    Deterministic across engines/retries/cluster sizes: the uniform
+    is an md5 slice of doc_id (chars 9-12 — a DIFFERENT slice than
+    x19/x34 use, so the samples are independent), the rate is
+    quantized to a 16-bit integer threshold, and the keep decision is
+    an exact bigint compare. Scale shape: the avg is one tiny
+    broadcast aggregate; the sample itself is scan-local — zero
+    shuffle of document payloads."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.agg(
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars")
+    )
+    keep = docs.join(F.broadcast(stats)).select(
+        "doc_id", "source", "n_chars",
+        F.round(
+            F.least(F.lit(1.0), F.col("n_chars") / (2.0 * F.col("avg_chars"))) * 65536
+        )
+        .cast("long")
+        .alias("thresh"),
+    )
+    h16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 9, 4), 16, 10
+    ).cast("long")
+    return keep.where(h16 < F.col("thresh")).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+@_register(
+    "x36_dup_ngram_fraction",
+    f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKS} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(t) - 3),
+                                        i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS s
+           FROM toks WHERE len(t) >= 5),
+    cnt AS (SELECT s, CAST(count(*) AS BIGINT) AS nd FROM sh GROUP BY s)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_frac
+    FROM sh JOIN cnt USING (s)
+    GROUP BY doc_id
+    """,
+)
+def x36_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicate-ngram fraction — the Gopher/RefinedWeb
+    dedup signal that x27 (WITHIN-document repetition) doesn't cover:
+    for each document, the fraction of its distinct 5-token shingles
+    that also occur in at least one OTHER document. High fraction =
+    boilerplate / template page.
+
+    Scale shape: shingles explode once per doc (array_distinct before
+    the explode keeps within-doc repeats from inflating the corpus
+    count), one shuffle groups by shingle for document frequency, one
+    shuffle joins the counts back. The shingle key is high-cardinality
+    and uniform (no skew); both aggregations are partial map-side.
+    This is the same plan MinHash banding uses — x36 is the EXACT
+    version of the signal x5 approximates."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t")).where(F.size("t") >= 5)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 4),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, 5)),
+                )
+            )
+        ).alias("s"),
+    )
+    cnt = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    return (
+        sh.join(cnt, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@_register(
+    "x37_group_topk_sample",
+    """
+    SELECT doc_id, source, rn FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+      FROM documents)
+    WHERE rn <= 5
+    """,
+)
+def x37_group_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group deterministic k-sample: exactly 5 documents per
+    source domain, chosen by md5 order — the fixed-quota companion to
+    x19's fixed-RATE stratified sample (eval sets and per-domain
+    inspection want exact counts, not rates).
+
+    Scale shape: one shuffle on source; rank + filter is the
+    standard top-k-per-group window (no global sort). A skewed
+    domain only sorts its own partition, and AQE splits a hot one."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .where(F.col("rn") <= 5)
+    )

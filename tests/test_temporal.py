@@ -70,3 +70,57 @@ def test_range_join_bounds(spark):
         upper=right.v <= left.lo + 10,
     )
     assert sorted((r.k, r.v) for r in out.select(left.k, right.v).collect()) == [(1, 12), (2, 25)]
+
+
+def test_asof_forward_nonstrict(spark, frames):
+    left, right = frames
+    out = as_of_join(
+        left, right, "key", "lts", "rts", ["val"],
+        tiebreak="rid", strict=False, direction="forward",
+    )
+    got = {r.lid: r.val_asof for r in out.collect()}
+    assert got[1] == 2.0  # equal-ts right row is the earliest at-or-after
+    assert got[2] is None  # nothing after 11:00 for key 100
+    assert got[4] is None  # key with no right rows
+
+
+def test_asof_forward_strict_tiebreak(spark, frames):
+    left, right = frames
+    out = as_of_join(
+        left, right, "key", "lts", "rts", ["val"],
+        tiebreak="rid", strict=True, direction="forward",
+    )
+    got = {r.lid: r.val_asof for r in out.collect()}
+    assert got[1] == 3.0  # skips the equal-ts row; 10:30 tie → LOWER rid
+    assert got[3] is None  # 10:30 left, no strictly-later right for key 200
+
+
+def test_asof_forward_tolerance(spark, frames):
+    out = as_of_join(
+        *frames, on="key", left_ts="lts", right_ts="rts", value_cols=["val"],
+        tiebreak="rid", strict=False, direction="forward",
+        tolerance_seconds=600,
+    )
+    got = {r.lid: r.val_asof for r in out.collect()}
+    assert got[1] == 2.0  # match at 0s gap
+    assert got[3] is None  # key 200: no at-or-after match at all
+    # left 4 (09:00, key 300): no right rows — stays null, no crash
+    assert got[4] is None
+    assert len(got) == 4  # tolerance path preserves left rowcount too
+
+
+def test_asof_backward_tolerance(spark, frames):
+    left, right = frames
+    out = as_of_join(
+        left, right, "key", "lts", "rts", ["val"],
+        tiebreak="rid", strict=True, tolerance_seconds=60,
+    )
+    got = {r.lid: r.val_asof for r in out.collect()}
+    assert got[1] == 1.0  # 09:59 is 60s before 10:00 — inside tolerance
+    assert got[2] is None  # latest prior is 10:30, 30min gap > 60s
+
+
+def test_asof_bad_direction_raises(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="direction"):
+        as_of_join(left, right, "key", "lts", "rts", ["val"], direction="nearest")
