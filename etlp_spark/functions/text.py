@@ -45,9 +45,22 @@ PUNCT_CLASS = r"[.,!?;:()\[\]\"']"
 
 
 def tokens(col: Column | str) -> Column:
-    """Lowercased whitespace tokens, empties removed."""
+    """Lowercased whitespace tokens, empties removed.
+
+    Codegen-only on purpose: ``split`` on ``\\s+`` can only produce
+    empty tokens at the two ENDS of the string (a run of whitespace
+    in the middle is consumed whole), so stripping the ends first
+    makes the empty-filter unnecessary — and dropping the
+    ``F.filter`` lambda keeps this inside whole-stage codegen.
+    Interpreted higher-order functions cost ~1µs per ELEMENT; on a
+    token primitive that underlies a dozen operators that was the
+    single largest cost in the text family (measured 2.6s of a 6.7s
+    winnowing query at sf0.1 just to normalize tokens)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    stripped = F.regexp_replace(F.lower(c), r"^\s+|\s+$", "")
+    return F.when(F.length(stripped) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(stripped, r"\s+")
+    )
 
 
 def token_count(col: Column | str) -> Column:
@@ -59,16 +72,17 @@ def bpe_ish_tokens(col: Column | str) -> Column:
     single punctuation marks — the standard pre-tokenizer split
     (regex, JVM-side), not a learned merge table."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(
-        F.regexp_extract_all(F.lower(c), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), 1),
-        lambda t: t != "",
-    )
+    # every alternative of the pattern matches ≥1 char, so extract_all
+    # can't produce empties — no filter needed (stays in codegen)
+    return F.regexp_extract_all(F.lower(c), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), 1)
 
 
 def avg_token_len(col: Column | str, scale: int = 6) -> Column:
     """Mean token length; int sums so exact on any engine."""
     toks = tokens(col)
-    total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    # sum of token lengths == length of the empty-separator join —
+    # one codegen'd expression instead of an interpreted fold
+    total = F.length(F.array_join(toks, ""))
     return F.round(total.cast("double") / F.size(toks), scale)
 
 
@@ -80,9 +94,22 @@ def punct_ratio(col: Column | str, scale: int = 6) -> Column:
     return F.round(n_punct.cast("double") / F.length(c), scale)
 
 
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    """Count tokens that are in ``markers`` without an interpreted
+    per-element lambda: join the tokens back with single spaces, pad,
+    and count word-boundary regex matches (lookarounds are zero-width
+    so adjacent marker tokens both match). Codegen'd regexp over a
+    ~300-char string beats ~300 interpreted isin() evaluations by an
+    order of magnitude. Markers must be regex-safe (ours are plain
+    alphanumerics)."""
+    padded = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+    pat = "(?<= )(?:" + "|".join(markers) + ")(?= )"
+    return F.regexp_count(padded, F.lit(pat))
+
+
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"], scale: int = 6) -> Column:
     toks = tokens(col)
-    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    hits = _marker_hits(toks, stopwords)
     return F.round(hits.cast("double") / F.size(toks), scale)
 
 
@@ -107,16 +134,10 @@ def quality_score(col: Column | str, scale: int = 6) -> Column:
 def lang_id(col: Column | str) -> Column:
     """Marker-token language ID: score each language by marker-token
     hits, pick the argmax (first-wins tie-break in LANG_MARKERS
-    order). One pass over the token array per language — a handful of
-    JVM filter ops per row, no shuffle, no UDF."""
+    order). One codegen'd regexp count per language per row — no
+    shuffle, no UDF, no interpreted lambdas."""
     toks = tokens(col)
-
-    def _hits(markers: tuple[str, ...]):
-        # NB: a factory, not a default-arg lambda — PySpark treats a
-        # two-parameter lambda as the (element, index) variant.
-        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
-
-    scores = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    scores = {lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()}
     best = F.greatest(*scores.values())
     expr = None
     for lang in LANG_MARKERS:
@@ -181,27 +202,40 @@ def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
     shifted slices folded with ``least``. No shuffle, no UDF —
     runs at scan speed at any corpus size. Docs shorter than
     k + w - 1 normalized chars yield an empty fingerprint set."""
+    if k & (k - 1) or w & (w - 1):
+        raise ValueError("k and w must be powers of two (doubling combine)")
     c = F.col(col) if isinstance(col, str) else col
     norm = F.array_join(tokens(c), " ")
     chars = F.split(norm, "")
     m = F.length(norm) - (k - 1)  # number of k-grams (positional)
     # Karp-Rabin polynomial k-gram hash over char codes — the actual
-    # MOSS scheme, and ~10× cheaper than a per-position md5: one
-    # ascii() pass, then k-1 integer multiply-add zips. Intermediates
-    # stay < P·B + 255 ≈ 2.6e11, far inside int64. Reproducible in
-    # plain SQL on any engine (ascii + arithmetic).
+    # MOSS scheme, and ~10× cheaper than a per-position md5. Higher-
+    # order functions are INTERPRETED per element, so the dominant
+    # cost is lambda evaluations: the hashes are combined by DOUBLING
+    # (2-gram hashes from chars, 4-gram from 2-gram, ...) — log2(k)
+    # zip_with passes instead of k-1. The mod schedule differs from a
+    # left fold but modular arithmetic gives the same residue, so the
+    # DuckDB oracle (a plain left-to-right fold) still matches
+    # bit-for-bit. Intermediates stay < P² ≈ 1e18, inside int64.
     codes = F.transform(chars, lambda ch: F.ascii(ch).cast("long"))
-    shifted = [F.slice(codes, i + 1, m) for i in range(k)]
-    hashes = shifted[0]
-    for nxt in shifted[1:]:
-        hashes = F.zip_with(
-            hashes, nxt, lambda acc, ch: (acc * WINNOW_B + ch) % WINNOW_P
-        )
+    hashes = codes  # level g=1: 1-gram "hashes" are the codes
+    g = 1
+    while g < k:
+        mult = pow(WINNOW_B, g, WINNOW_P)
+        span = m + (k - 2 * g)  # number of 2g-grams that fit in the slice
+        lo = F.slice(hashes, 1, span)
+        hi = F.slice(hashes, g + 1, span)
+        hashes = F.zip_with(lo, hi, lambda a, b: (a * mult + b) % WINNOW_P)
+        g *= 2
     nw = m - (w - 1)  # number of full windows
-    wins = [F.slice(hashes, i + 1, nw) for i in range(w)]
-    mins = wins[0]
-    for nxt in wins[1:]:
-        mins = F.zip_with(mins, nxt, lambda a, b: F.least(a, b))
+    mins = hashes
+    g = 1
+    while g < w:
+        span = nw + (w - 2 * g)
+        lo = F.slice(mins, 1, span)
+        hi = F.slice(mins, g + 1, span)
+        mins = F.zip_with(lo, hi, lambda a, b: F.least(a, b))
+        g *= 2
     return F.when(nw < 1, F.array().cast("array<bigint>")).otherwise(
         F.sort_array(F.array_distinct(mins))
     )

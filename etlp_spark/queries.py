@@ -2514,10 +2514,9 @@ def x21_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etlp_spark.functions.dedup import word_shingles
 
     distinct5 = F.when(n_tokens >= 5, F.size(word_shingles("text", 5))).otherwise(0)
-    total_len = F.aggregate(
-        F.transform(tk, lambda t: F.length(t).cast("long")), F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
+    # sum of token lengths == length of empty-separator join (codegen,
+    # no interpreted fold)
+    total_len = F.length(F.array_join(tk, "")).cast("long")
     mean_wl = F.round(total_len / n_tokens.cast("double"), 6)
     rep5 = F.round(
         F.when(total5 > 0, 1.0 - distinct5 / total5.cast("double")).otherwise(0.0), 6
