@@ -67,11 +67,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # TIMESTAMP(NANOS) read as long nanos: integer-divide to
             # micros — the same truncation DuckDB applies for nanos.
             df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
-        elif dtypes.get(col) == "timestamp_ntz":
+        elif dtypes.get(col) in ("timestamp_ntz", "date"):
             # NTZ → LTZ under the UTC session zone keeps the same wall
             # clock AND the same epoch as the naive oracle timestamps,
             # and restores unix_micros / cast-to-long arithmetic that
-            # TIMESTAMP_NTZ rejects.
+            # TIMESTAMP_NTZ rejects. DATE gets the same treatment
+            # (midnight UTC) should a future generator ship dates.
             df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 

@@ -2433,12 +2433,23 @@ def x20_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-only state); the tf⟵df join broadcasts when the vocabulary
     fits (it's |vocab|, not |corpus|) — here Catalyst/AQE picks.
     Ranking uses the ROUNDED score (both engines rank identical
-    values) with the term as tiebreaker, so top-3 is deterministic."""
+    values) with the term as tiebreaker, so top-3 is deterministic.
+
+    tf feeds TWO consumers (the score join and the df aggregate), so
+    it is materialized once (eager localCheckpoint): without it the
+    tokenize→explode→aggregate pipeline runs twice (measured 3× the
+    runtime at sf0.1). On a cluster the same dedup comes from
+    persist(DISK_ONLY) or exchange reuse; tf is |distinct (doc,term)|
+    — far smaller than the exploded token stream it replaces."""
     from etlp_spark.functions.text import tokens
 
     docs = _t_fanout(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -3399,7 +3410,14 @@ def x28_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t_fanout(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # tf feeds both the broadcast join and the corpus-total aggregate;
+    # materialize once (|vocab| rows) so the token explode + aggregate
+    # don't run twice
+    tf = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     total = tf.agg(F.sum("c").alias("total"))
     scored = (
         toks.join(F.broadcast(tf), "term")
@@ -4124,7 +4142,7 @@ def x36_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("s"),
-    )
+    ).localCheckpoint(eager=True)  # two consumers: the df aggregate and the join back
     cnt = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("nd"))
     return (
         sh.join(cnt, "s")
