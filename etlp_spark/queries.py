@@ -4367,6 +4367,45 @@ def w7_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "g10_rolling_distinct_users",
+    """
+    WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+                FROM events),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT days.d AS day,
+           CAST(count(DISTINCT du.user_id) AS BIGINT) AS users_7d
+    FROM days JOIN du ON du.d >= days.d - INTERVAL 6 DAY AND du.d <= days.d
+    GROUP BY days.d
+    """,
+)
+def g10_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day (trailing MAU/WAU) — the
+    windowed COUNT DISTINCT every engagement dashboard needs, and a
+    shape windows can't do directly (distinct doesn't decompose over
+    a sliding frame).
+
+    Scale shape: dedup to (day, user) pairs first — ONE shuffle that
+    shrinks events to at most |days|·|users| rows; the day spine
+    (|days| rows, trivially small at any scale) broadcasts onto the
+    pair relation with a range predicate, fanning each pair out to at
+    most 7 spine days; the final distinct-count shuffles on day. The
+    pair relation, not raw events, bounds the join input — at 100 TB
+    the dedup is the whole point (events >> day·user pairs)."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select(F.col("d").alias("day")).distinct()
+    joined = du.join(
+        F.broadcast(days),
+        (F.col("d") >= F.date_sub(F.col("day"), 6)) & (F.col("d") <= F.col("day")),
+    )
+    return joined.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("users_7d")
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -4409,6 +4448,7 @@ _NEWEST = [
     "x36_dup_ngram_fraction", "x37_group_topk_sample",
     "x32_bm25_retrieval", "x34_domain_mixture_sample",
     "x38_incremental_dedup", "x39_funnel_conversion", "w7_session_paths",
+    "g10_rolling_distinct_users",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
