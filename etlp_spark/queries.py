@@ -4406,6 +4406,45 @@ def g10_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x40_fuzzy_name_match",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM names a JOIN names b
+      ON substr(a.p_name, 1, 4) = substr(b.p_name, 1, 4)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def x40_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (entity resolution): near-identical part
+    names found by prefix BLOCKING — equi-join on the first 4 chars —
+    then exact Levenshtein ≤ 3 inside blocks only. The standard
+    record-linkage recipe: never all-pairs, the blocking key turns
+    O(n²) into Σ|block|².
+
+    Scale shape: dedup names first (|distinct names| ≪ |rows|), one
+    shuffle on the block key, edit distance evaluated only inside
+    blocks (JVM levenshtein, codegen). Skewed blocks are the known
+    failure mode — at scale add a block-size cap exactly like the LSH
+    ``max_bucket`` guard (same pathology, same fix)."""
+    part = _t(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (F.substring("name_a", 1, 4) == F.substring("name_b", 1, 4))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("dist") <= 3)
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -4448,7 +4487,7 @@ _NEWEST = [
     "x36_dup_ngram_fraction", "x37_group_topk_sample",
     "x32_bm25_retrieval", "x34_domain_mixture_sample",
     "x38_incremental_dedup", "x39_funnel_conversion", "w7_session_paths",
-    "g10_rolling_distinct_users",
+    "g10_rolling_distinct_users", "x40_fuzzy_name_match",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
