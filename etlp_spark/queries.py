@@ -4445,6 +4445,159 @@ def x40_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "f7_map_funcs",
+    """
+    SELECT event_id,
+           'e|t|u' AS keys,
+           CAST(3 AS BIGINT) AS n_pairs,
+           event_type AS t_val,
+           CAST(CASE WHEN length(event_type) >= 5 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_long_vals,
+           array_to_string(list_sort([upper(event_type),
+                                      CAST(user_id % 10 AS VARCHAR),
+                                      CAST(event_id % 7 AS VARCHAR)]), '|') AS up_vals
+    FROM events
+    """,
+)
+def f7_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function family (f1-f6 cover strings/dates/arrays/math/
+    regex/variant; this covers MapType): build a map per row with
+    ``str_to_map``, then exercise map_keys / size / element access /
+    map_filter / transform_values / map_values. The ORACLE computes
+    the same outputs directly from the base columns — the map is the
+    engine surface under test, not the spec.
+
+    Determinism: map iteration order is unspecified, so every
+    map-derived collection is sorted before joining to a string.
+    All scan-stage expressions — no shuffle, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    kv = F.concat(
+        F.lit("t:"), F.col("event_type"),
+        F.lit(",u:"), (F.col("user_id") % 10).cast("string"),
+        F.lit(",e:"), (F.col("event_id") % 7).cast("string"),
+    )
+    m = F.str_to_map(kv, F.lit(","), F.lit(":"))
+    up = F.transform_values(m, lambda k, v: F.upper(v))
+    return ev.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), "|").alias("keys"),
+        F.size(m).cast("long").alias("n_pairs"),
+        m.getItem("t").alias("t_val"),
+        F.size(F.map_filter(m, lambda k, v: F.length(v) >= 5))
+        .cast("long")
+        .alias("n_long_vals"),
+        F.array_join(F.array_sort(F.map_values(up)), "|").alias("up_vals"),
+    )
+
+
+@_register(
+    "w8_retention_curve",
+    """
+    WITH c AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS c0
+               FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    du AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+           FROM events),
+    r AS (SELECT du.user_id, date_diff('day', c0, d) AS offset_days
+          FROM du JOIN c ON du.user_id = c.user_id)
+    SELECT CAST(offset_days AS BIGINT) AS offset_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM r WHERE offset_days IN (0, 1, 3, 7)
+    GROUP BY offset_days
+    """,
+)
+def w8_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention curve: users active 0/1/3/7 days after their
+    first signup (offset 0 = the cohort size itself, since signing up
+    is activity). The growth-analytics staple next to x39's funnel.
+
+    Scale shape: the cohort frame and the (user, day) activity pairs
+    each take one shuffle on user_id, the join reuses that
+    partitioning, and the final count groups on 4 offset keys with
+    map-side partials. Activity is deduped to day granularity BEFORE
+    the join — the join input is bounded by user-days, not events."""
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("c0"))
+    )
+    du = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    r = du.join(c, "user_id").select(
+        "user_id", F.datediff("d", "c0").alias("offset_days")
+    )
+    return (
+        r.where(F.col("offset_days").isin(0, 1, 3, 7))
+        .groupBy(F.col("offset_days").cast("long").alias("offset_days"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+@_register(
+    "x42_minhash_estimate_quality",
+    f"""
+    WITH {_O_SHINGLES},
+    {_O_SIGS},
+    {_O_BANDS},
+    {_O_BUCKETS},
+    sized AS (SELECT bucket, list(doc_id) AS ids, count(*) AS sz
+              FROM buckets GROUP BY bucket),
+    kept AS (SELECT bucket, ids FROM sized WHERE sz <= 50),
+    pairs AS (SELECT DISTINCT a, b FROM
+                (SELECT unnest(ids) AS a, ids FROM kept),
+                LATERAL (SELECT unnest(ids) AS b)
+              WHERE a < b),
+    est AS (SELECT pairs.a, pairs.b,
+                   round(({_O_EST}) / {_MINHASH_K}.0, 6) AS est_jaccard
+            FROM pairs
+            JOIN sigs sa ON sa.doc_id = pairs.a
+            JOIN sigs sb ON sb.doc_id = pairs.b),
+    szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+            FROM shingles GROUP BY doc_id),
+    inter AS (SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS i
+              FROM est e
+              JOIN shingles s1 ON s1.doc_id = e.a
+              JOIN shingles s2 ON s2.doc_id = e.b AND s2.sh = s1.sh
+              GROUP BY e.a, e.b),
+    paired AS (SELECT e.a, e.b, e.est_jaccard,
+                      round(COALESCE(i.i, 0) / (sa.sz + sb.sz - COALESCE(i.i, 0)), 6)
+                        AS exact_jaccard
+               FROM est e
+               LEFT JOIN inter i ON i.a = e.a AND i.b = e.b
+               JOIN szs sa ON sa.doc_id = e.a
+               JOIN szs sb ON sb.doc_id = e.b)
+    SELECT a, b, est_jaccard, exact_jaccard,
+           round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+    FROM paired
+    """,
+)
+def x42_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator quality audit: for every LSH candidate pair,
+    the k=8 signature ESTIMATE of Jaccard next to the EXACT shingle
+    Jaccard and the absolute error — the measurement a pipeline owner
+    runs before trusting a sketch parameterization (tune k/bands on
+    the observed error, not folklore).
+
+    Scale shape: everything up to the candidate set is x5's plan
+    (one shuffle to signatures, banded self-join, bucket cap); the
+    exact verify touches candidate pairs only — this is the verify
+    economics that make sketch-then-verify viable at 100 TB, made
+    measurable."""
+    from etlp_spark.functions.dedup import (
+        jaccard_pairs, lsh_candidates, minhash_signature,
+    )
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    sigs = minhash_signature(docs, k=_MINHASH_K, n=3)
+    est = lsh_candidates(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=50)
+    exact = jaccard_pairs(docs, est.select("a", "b"), n=3)
+    return est.join(exact, ["a", "b"]).select(
+        "a", "b", "est_jaccard",
+        F.col("jaccard").alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -4488,6 +4641,7 @@ _NEWEST = [
     "x32_bm25_retrieval", "x34_domain_mixture_sample",
     "x38_incremental_dedup", "x39_funnel_conversion", "w7_session_paths",
     "g10_rolling_distinct_users", "x40_fuzzy_name_match",
+    "f7_map_funcs", "w8_retention_curve", "x42_minhash_estimate_quality",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
