@@ -4598,6 +4598,158 @@ def x42_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x43_temperature_mixture",
+    """
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source),
+    sq AS (SELECT source, n_s,
+                  CAST(round(sqrt(CAST(n_s AS DOUBLE)) * 1000000) AS BIGINT) AS s_micro
+           FROM counts),
+    tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+                   CAST(sum(s_micro) AS BIGINT) AS s_total FROM sq),
+    rates AS (
+      SELECT source,
+             CAST(round(least(
+               1.0,
+               0.25 * n_total * (CAST(s_micro AS DOUBLE) / s_total) / n_s
+             ) * 65536) AS BIGINT) AS thresh
+      FROM sq CROSS JOIN tot)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 13, 4))::BIGINT < r.thresh
+    """,
+)
+def x43_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (alpha = 0.5, the
+    multilingual-LM standard): domain share ∝ n^alpha — upweights
+    small domains relative to proportional sampling without x34's
+    explicit target list. Budget: 25% of the corpus.
+
+    Cross-engine float discipline: sqrt is IEEE-correctly-rounded in
+    both engines, but the SUM of the 20 sqrt values is order-sensitive
+    — so each sqrt is quantized to integer micro-units first (x33's
+    trick) and summed exactly; the only floats are one final
+    divide/round per domain. The uniform is md5 chars 13-16 —
+    independent of the x19/x34/x35 slices. Scan-local sample, zero
+    payload shuffle, same two-phase shape as x34."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    sq = counts.select(
+        "source", "n_s",
+        F.round(F.sqrt(F.col("n_s").cast("double")) * 1000000)
+        .cast("long")
+        .alias("s_micro"),
+    )
+    tot = sq.agg(
+        F.sum("n_s").cast("long").alias("n_total"),
+        F.sum("s_micro").cast("long").alias("s_total"),
+    )
+    rates = sq.join(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                0.25
+                * F.col("n_total")
+                * (F.col("s_micro").cast("double") / F.col("s_total"))
+                / F.col("n_s"),
+            )
+            * 65536
+        )
+        .cast("long")
+        .alias("thresh"),
+    )
+    h16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 13, 4), 16, 10
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(h16 < F.col("thresh"))
+        .select("doc_id", "source")
+    )
+
+
+@_register(
+    "g11_quality_deciles",
+    f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKS} AS tk, text FROM documents),
+    feats AS (SELECT doc_id,
+           len(tk)::DOUBLE AS n,
+           round((length(text) - length(regexp_replace(text, '[.,!?;:()\\[\\]"'']', '', 'g')))::DOUBLE
+                 / length(text), 9) AS pr,
+           round(len(list_filter(tk, t -> t IN ('the','and','of','is','to')))::DOUBLE
+                 / len(tk), 9) AS sw
+    FROM toks),
+    scored AS (SELECT doc_id,
+           round(0.4 * least(n / 200.0, 1.0) + 0.3 * (1.0 - pr)
+                 + 0.3 * least(sw * 10.0, 1.0), 6) AS q
+    FROM feats),
+    tiled AS (SELECT doc_id, q,
+                     CAST(ntile(10) OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS decile
+              FROM scored)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n,
+           min(q) AS min_q,
+           max(q) AS max_q
+    FROM tiled GROUP BY decile
+    """,
+)
+def g11_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score deciles via ntile: the bucketing step behind
+    "train on the top-N% by quality" curricula. Ranks the composite
+    quality score (x3's formula) with doc_id tiebreak — ntile over a
+    total order is deterministic in both engines.
+
+    Scale note: ntile needs a GLOBAL order — a single-partition sort
+    at this step. For 100 TB you'd swap in approx-percentile cutoffs
+    (g5's machinery) and a broadcast bucket join; this query is the
+    exact-spec twin the approximation is tuned against."""
+    from etlp_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", quality_score("text").alias("q"))
+    w = Window.orderBy(F.col("q").desc(), "doc_id")
+    tiled = scored.select("doc_id", "q", F.ntile(10).over(w).cast("long").alias("decile"))
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+    )
+
+
+@_register(
+    "g12_key_skew_profile",
+    """
+    WITH per_key AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS avg_cnt,
+           round(max(cnt) / (CAST(sum(cnt) AS DOUBLE) / count(*)), 6) AS skew_ratio
+    FROM per_key
+    """,
+)
+def g12_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation key-skew profiler: per-key counts reduced to
+    key cardinality, max, mean, and the max/mean skew ratio — the
+    diagnostic run BEFORE choosing salting (j8/g8) or AQE skew-join
+    thresholds. At 100 TB this is two cheap aggregations (map-side
+    partials both times); the per-key frame never leaves the
+    executors."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.round(F.sum("cnt").cast("double") / F.count(F.lit(1)), 6).alias("avg_cnt"),
+        F.round(
+            F.max("cnt") / (F.sum("cnt").cast("double") / F.count(F.lit(1))), 6
+        ).alias("skew_ratio"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -4642,6 +4794,7 @@ _NEWEST = [
     "x38_incremental_dedup", "x39_funnel_conversion", "w7_session_paths",
     "g10_rolling_distinct_users", "x40_fuzzy_name_match",
     "f7_map_funcs", "w8_retention_curve", "x42_minhash_estimate_quality",
+    "x43_temperature_mixture", "g11_quality_deciles", "g12_key_skew_profile",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
