@@ -44,6 +44,7 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "running_counts",
+    "running_counts_tws",
     "streaming_dedup",
     "CountLogSink",
     "StreamingPipeline",
@@ -113,6 +114,54 @@ def streaming_dedup(
     is treated as new — the standard at-scale trade (exactness inside
     the horizon, bounded memory always)."""
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+
+
+def running_counts_tws(df: DataFrame, key_col: str) -> DataFrame:
+    """A1 running count on Spark 4's ``transformWithStateInPandas`` —
+    the modern arbitrary-state API (StatefulProcessor + typed value
+    state) that supersedes ``applyInPandasWithState``'s GroupState.
+    Demonstrated here with the simplest possible state machine (a
+    per-key counter) so the harness around it — state schema, update,
+    Arrow row batches, Update output mode — is the template for
+    richer custom operators.
+
+    Requires the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...RocksDBStateStoreProvider``) — set it on the session before
+    starting the query.
+
+    Scale shape: state is one long per key in RocksDB, partitioned by
+    the grouping key; each micro-batch touches only the keys present
+    in the batch."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "cnt BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = 0
+            for pdf in rows:
+                n += len(pdf)
+            prev = self._count.get()
+            total = (prev[0] if prev is not None else 0) + n
+            self._count.update((total,))
+            yield pd.DataFrame({"k": [key[0]], "n": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _RunningCount(),
+        outputStructType="k string, n long",
+        outputMode="Update",
+        timeMode="None",
+    )
 
 
 def running_counts(df: DataFrame, *keys: str) -> DataFrame:

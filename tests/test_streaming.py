@@ -299,3 +299,63 @@ def test_count_log_sink_retried_epoch_is_idempotent(spark):
         "Total Count of Records:: 300",
     ]
     assert sink.total == 300
+
+
+def test_running_counts_transform_with_state(spark, stream_dir, tmp_path):
+    """A1 on Spark 4's transformWithStateInPandas (StatefulProcessor +
+    typed RocksDB value state): counts accumulate across micro-batches
+    and only touched keys re-emit (Update mode).
+
+    Skipped where protobuf is unusable: the TWS state-server protocol
+    imports google.protobuf.descriptor at query start, and this
+    container ships a broken protobuf (same class of environment
+    limitation as the multimodal decode kernels). The operator's API
+    surface is still importable and plan-checkable everywhere."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from etlp_spark.streaming import running_counts_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_batch(stream_dir, "b1.jsonl", [{"k": "a"}, {"k": "a"}, {"k": "b"}])
+        src = file_stream(spark, str(stream_dir), "k string", fmt="json")
+        q = (
+            running_counts_tws(src, "k")
+            .writeStream.format("memory")
+            .queryName("tws1")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got1 = {(r.k, r.n) for r in spark.sql("select * from tws1").collect()}
+            assert got1 == {("a", 2), ("b", 1)}
+            _write_batch(stream_dir, "b2.jsonl", [{"k": "a"}])
+            q.processAllAvailable()
+            rows = [(r.k, r.n) for r in spark.sql("select * from tws1").collect()]
+            # update mode appends the re-emitted rows; the latest 'a' is 3,
+            # 'b' was untouched by batch 2 so it does not re-emit
+            assert ("a", 3) in rows
+            assert rows.count(("b", 1)) == 1
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_running_counts_tws_plan_builds(spark, stream_dir):
+    """The TWS operator's logical plan and output schema resolve
+    without the state server (which needs protobuf) — so the API
+    surface is verified even where the runtime dependency is absent."""
+    from etlp_spark.streaming import running_counts_tws
+
+    _write_batch(stream_dir, "b1.jsonl", [{"k": "a"}])
+    src = file_stream(spark, str(stream_dir), "k string", fmt="json")
+    out = running_counts_tws(src, "k")
+    assert out.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("k", "string"), ("n", "bigint"),
+    ]
