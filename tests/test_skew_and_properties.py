@@ -168,3 +168,79 @@ def test_shuffle_shard_is_permutation(spark, sf_dir):
         by_shard.setdefault(r.shard, []).append(r.pos)
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+# ---------------------------------------------------------------------
+# property test: forward as-of (+tolerance) == python reference
+# ---------------------------------------------------------------------
+
+def _py_asof_fwd(left, right, strict, tol):
+    out = {}
+    for lid, key, lts in left:
+        best = None
+        for rid, rkey, rts, val in right:
+            if rkey != key:
+                continue
+            if (rts > lts) if strict else (rts >= lts):
+                if best is None or (rts, -rid) < (best[0], -best[1]):
+                    best = (rts, rid, val)
+        if best is not None and tol is not None:
+            if (best[0] - lts).total_seconds() > tol:
+                best = None
+        out[lid] = None if best is None else best[2]
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    left=st.lists(st.tuples(st.integers(0, 10**6), st.integers(0, 3), ts_strategy),
+                  min_size=1, max_size=8, unique_by=lambda t: t[0]),
+    right=st.lists(st.tuples(st.integers(0, 10**6), st.integers(0, 3), ts_strategy,
+                             st.floats(allow_nan=False, allow_infinity=False, width=32)),
+                   min_size=0, max_size=8, unique_by=lambda t: t[0]),
+    strict=st.booleans(),
+    tol=st.sampled_from([None, 0, 600, 1800]),
+)
+def test_asof_forward_matches_python_reference(spark, left, right, strict, tol):
+    ldf = spark.createDataFrame(left, "lid long, key long, lts timestamp")
+    rdf = spark.createDataFrame(
+        right, "rid long, key long, rts timestamp, val double"
+    ) if right else spark.createDataFrame([], "rid long, key long, rts timestamp, val double")
+    got = {
+        r.lid: r.val_asof
+        for r in as_of_join(ldf, rdf, "key", "lts", "rts", ["val"], tiebreak="rid",
+                            strict=strict, direction="forward",
+                            tolerance_seconds=tol).collect()
+    }
+    assert got == _py_asof_fwd(left, right, strict, tol)
+
+
+# ---------------------------------------------------------------------
+# property test: winnow doubling combine == naive left-fold reference
+# ---------------------------------------------------------------------
+
+def _py_winnow(text, k=8, w=4, B=257, P=1000000007):
+    toks = [t for t in text.lower().split() if t]
+    norm = " ".join(toks)
+    if len(norm) < k + w - 1:
+        return []
+    codes = [ord(c) for c in norm]
+    hashes = []
+    for i in range(len(codes) - k + 1):
+        h = 0
+        for c in codes[i:i + k]:
+            h = (h * B + c) % P
+        hashes.append(h)
+    mins = [min(hashes[i:i + w]) for i in range(len(hashes) - w + 1)]
+    return sorted(set(mins))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(text=st.lists(st.sampled_from(["ab", "cde", "fg hi", "jj", "k"]),
+                     min_size=0, max_size=12).map(" ".join))
+def test_winnow_doubling_matches_left_fold(spark, text):
+    from etlp_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(winnow_fingerprints("text", k=8, w=4).alias("fp")).collect()[0].fp
+    assert list(got) == _py_winnow(text)
