@@ -89,6 +89,11 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # The query set GROWS every round (76 at the round-1 baseline,
+        # 120 now), so the comparable figure across rounds is
+        # per-query mean, not the raw total.
+        "n_queries": len(times),
+        "mean_sec_per_query": round(total / len(times), 3) if times else None,
     }
     if errors:
         out["errors"] = errors
