@@ -114,3 +114,24 @@ def test_compact_file_uri_via_hadoop_fs(spark, tmp_path):
     assert len(glob.glob(f"{local}/*.parquet")) == 1
     assert not (tmp_path / "frag_uri.__compact__").exists()
     assert spark.read.parquet(uri).count() == 5000
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Joining a partitioned fact to a FILTERED dim must plant a
+    dynamic-pruning subquery in the fact scan's partition filters —
+    at 100 TB this is what keeps a star join from scanning every
+    partition when the predicate only exists on the dim side."""
+    from etlp_spark.connectors.files import ParquetSink, ParquetSource
+    from etlp_spark.io import load_table
+
+    out = str(tmp_path / "ev_dpp")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ParquetSink(out, partition_by=("event_type",)).write(ev)
+    fact = ParquetSource(out).read(spark)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2)], "event_type string, w int"
+    ).where(F.col("w") == 1)
+    joined = fact.join(F.broadcast(dim), "event_type")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.count() == ev.where(F.col("event_type") == "click").count()
