@@ -4750,6 +4750,45 @@ def g12_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "j10_nonequi_time_join",
+    """
+    SELECT p.event_id,
+           CAST(count(e.event_id) AS BIGINT) AS n_errors_60s
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+      ON abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 60000000
+    GROUP BY p.event_id
+    """,
+)
+def j10_nonequi_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-inequality temporal join (NO equi key — the shape j6's
+    equi-anchored range join can't cover): for every purchase, the
+    number of error events from ANY user within ±60 seconds — the
+    incident-correlation query. The oracle's inequality join is the
+    quadratic semantic spec; the engine side is
+    ``ops_temporal.binned_range_join`` — bin-replicate turns it into
+    a hash equi-join on the time bin with a fixed 3× fan-out, pair
+    count bounded by temporal density rather than corpus size.
+
+    The left join is rebuilt from the inner binned join + an anti-side
+    union: purchases with zero nearby errors still emit a 0 row."""
+    from etlp_spark.ops_temporal import binned_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "ts")
+    joined = binned_range_join(purchases, errors, "ts", "ts", 60)
+    counts = joined.groupBy(F.col("event_id_l").alias("event_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_errors_60s")
+    )
+    return (
+        purchases.select("event_id")
+        .join(counts, "event_id", "left")
+        .select("event_id", F.coalesce("n_errors_60s", F.lit(0)).cast("long").alias("n_errors_60s"))
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -4795,6 +4834,7 @@ _NEWEST = [
     "g10_rolling_distinct_users", "x40_fuzzy_name_match",
     "f7_map_funcs", "w8_retention_curve", "x42_minhash_estimate_quality",
     "x43_temperature_mixture", "g11_quality_deciles", "g12_key_skew_profile",
+    "j10_nonequi_time_join",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

@@ -124,3 +124,31 @@ def test_asof_bad_direction_raises(spark, frames):
     left, right = frames
     with pytest.raises(ValueError, match="direction"):
         as_of_join(left, right, "key", "lts", "rts", ["val"], direction="nearest")
+
+
+def test_binned_range_join_matches_cross_filter(spark):
+    """binned_range_join == the naive cross-join + range filter."""
+    import datetime as dt
+
+    from etlp_spark.ops_temporal import binned_range_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=37 * i)) for i in range(40)],
+        "lid long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=53 * i + 11)) for i in range(40)],
+        "rid long, rts timestamp",
+    )
+    got = {
+        (r.lid_l, r.rid_r)
+        for r in binned_range_join(left, right, "lts", "rts", 60).collect()
+    }
+    naive = {
+        (r.lid, r.rid)
+        for r in left.crossJoin(right)
+        .where(F.abs(F.col("lts").cast("long") - F.col("rts").cast("long")) <= 60)
+        .collect()
+    }
+    assert got == naive and len(got) > 0
