@@ -4789,6 +4789,75 @@ def j10_nonequi_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x44_source_precedence_dedup",
+    f"""
+    WITH f AS (SELECT doc_id, source,
+                      md5(array_to_string({_O_TOKS}, ' ')) AS fp
+               FROM documents),
+    ranked AS (SELECT doc_id, source, fp,
+                      row_number() OVER (
+                        PARTITION BY fp
+                        ORDER BY CASE source WHEN 'src0' THEN 0
+                                             WHEN 'src1' THEN 1
+                                             ELSE 2 END,
+                                 doc_id) AS rn
+               FROM f)
+    SELECT doc_id, source, fp FROM ranked WHERE rn = 1
+    """,
+)
+def x44_source_precedence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-precedence dedup — multi-corpus union semantics: when
+    the same normalized text arrives from several sources, keep the
+    copy from the most trusted source (src0 > src1 > everything),
+    doc_id as the final tiebreak. This is how curated corpora merge
+    with crawled ones without the crawl's duplicates winning.
+
+    One shuffle on the fingerprint; the precedence is a window rank
+    inside each fp group (group sizes are duplicate counts — tiny),
+    so the plan is exactly x4's with an ORDER BY swapped in."""
+    from etlp_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    prio = (
+        F.when(F.col("source") == "src0", 0)
+        .when(F.col("source") == "src1", 1)
+        .otherwise(2)
+    )
+    f = docs.select("doc_id", "source", fingerprint("text").alias("fp"))
+    w = Window.partitionBy("fp").orderBy(prio, "doc_id")
+    return (
+        f.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", "fp")
+    )
+
+
+@_register(
+    "x45_domain_percent_rank",
+    """
+    SELECT doc_id, source,
+           round(percent_rank() OVER (
+             PARTITION BY source ORDER BY n_chars, doc_id), 6) AS len_pr
+    FROM documents
+    """,
+)
+def x45_domain_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quantile normalization: percent_rank of document
+    length WITHIN each source, so scores from differently-distributed
+    domains become comparable (the standard move before mixing
+    per-domain quality signals into one global threshold). doc_id
+    tiebreak makes the rank total-order deterministic.
+
+    One shuffle on source; a skewed domain sorts only its own
+    partition."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "source", F.round(F.percent_rank().over(w), 6).alias("len_pr")
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -4834,7 +4903,8 @@ _NEWEST = [
     "g10_rolling_distinct_users", "x40_fuzzy_name_match",
     "f7_map_funcs", "w8_retention_curve", "x42_minhash_estimate_quality",
     "x43_temperature_mixture", "g11_quality_deciles", "g12_key_skew_profile",
-    "j10_nonequi_time_join",
+    "j10_nonequi_time_join", "x44_source_precedence_dedup",
+    "x45_domain_percent_rank",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
