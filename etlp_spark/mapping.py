@@ -22,6 +22,12 @@ Template language (a JUTE-inspired subset):
 - ``{"$let": {name: tmpl, ...}, "$body": tmpl}`` → scoped bindings
 - ``{"$concat": [tmpl, ...]}`` → string concat
 - ``{"$coalesce": [tmpl, ...]}``
+- ``{"$switch": tmpl, "$cases": {key: tmpl, ...}, "$default": tmpl}``
+  — value matched to case keys by string equality
+- ``{"$reduce": arr, "$as": [acc, item], "$init": tmpl, "$body":
+  tmpl}`` → ordered left fold (``aggregate``)
+- ``{"$call": name, "$args": [tmpl, ...]}`` — whitelisted scalar
+  functions (``_CALL_FNS``) whose Python twins match Spark exactly
 - any other dict → ``named_struct`` of its fields
 - list → ``array`` of compiled elements
 
@@ -52,6 +58,19 @@ __all__ = [
 
 class TemplateError(ValueError):
     pass
+
+
+#: whitelisted ``$call`` scalar functions. Only functions whose Python
+#: twin (used by the interpreter) matches Spark semantics exactly are
+#: listed — e.g. round() is deliberately absent (Python rounds
+#: half-even, Spark half-up).
+_CALL_FNS: dict[str, Callable[..., Column]] = {
+    "upper": lambda c: F.upper(c.cast("string")),
+    "lower": lambda c: F.lower(c.cast("string")),
+    "trim": lambda c: F.trim(c.cast("string")),
+    "length": lambda c: F.length(c.cast("string")),
+    "abs": F.abs,
+}
 
 
 _INTERP = re.compile(r"\{\{\s*([^}]+?)\s*\}\}")
@@ -120,6 +139,41 @@ def compile_template(tmpl: Any, scope: dict[str, Column] | None = None) -> Colum
             return F.concat(*[compile_template(t, scope).cast("string") for t in tmpl["$concat"]])
         if "$coalesce" in tmpl:
             return F.coalesce(*[compile_template(t, scope) for t in tmpl["$coalesce"]])
+        if "$switch" in tmpl:
+            # value matched against case KEYS by string equality —
+            # engine-portable; a null switch value takes $default
+            val = compile_template(tmpl["$switch"], scope).cast("string")
+            default = compile_template(tmpl.get("$default"), scope)
+            expr = None
+            for k, sub in tmpl.get("$cases", {}).items():
+                cond = val == F.lit(str(k))
+                branch = compile_template(sub, scope)
+                expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+            return default if expr is None else expr.otherwise(default)
+        if "$reduce" in tmpl:
+            # {"$reduce": arr, "$as": [acc, item], "$init": t, "$body": t}
+            # — ordered left fold; $init's type fixes the accumulator
+            # type (Spark aggregate() requirement)
+            arr = compile_template(tmpl["$reduce"], scope)
+            acc_name, item_name = tmpl.get("$as", ["acc", "this"])
+            init = compile_template(tmpl.get("$init"), scope)
+            body = tmpl.get("$body")
+            return F.aggregate(
+                arr,
+                init,
+                lambda acc, x: compile_template(
+                    body, {**scope, acc_name: acc, item_name: x}
+                ),
+            )
+        if "$call" in tmpl:
+            fn = _CALL_FNS.get(tmpl["$call"])
+            if fn is None:
+                raise TemplateError(
+                    f"unknown $call function {tmpl['$call']!r}; "
+                    f"allowed: {sorted(_CALL_FNS)}"
+                )
+            args = [compile_template(t, scope) for t in tmpl.get("$args", [])]
+            return fn(*args)
         unknown = [k for k in tmpl if k.startswith("$")]
         if unknown:
             raise TemplateError(f"unknown directive(s) {unknown}")
@@ -293,6 +347,37 @@ def interp_template(node: Any, row: dict[str, Any], scope: dict[str, Any] | None
                 if v is not None:
                     return v
             return None
+        if "$switch" in node:
+            v = interp_template(node["$switch"], row, scope)
+            for k, sub in node.get("$cases", {}).items():
+                if v is not None and as_str(v) == str(k):
+                    return interp_template(sub, row, scope)
+            return interp_template(node.get("$default"), row, scope)
+        if "$reduce" in node:
+            arr = interp_template(node["$reduce"], row, scope)
+            acc_name, item_name = node.get("$as", ["acc", "this"])
+            acc = interp_template(node.get("$init"), row, scope)
+            body = node.get("$body")
+            if arr is None:
+                return None
+            for x in arr:
+                acc = interp_template(body, row, {**scope, acc_name: acc, item_name: x})
+            return acc
+        if "$call" in node:
+            name = node["$call"]
+            vals = [interp_template(t, row, scope) for t in node.get("$args", [])]
+            py = {
+                "upper": lambda v: None if v is None else as_str(v).upper(),
+                "lower": lambda v: None if v is None else as_str(v).lower(),
+                "trim": lambda v: None if v is None else as_str(v).strip(),
+                "length": lambda v: None if v is None else len(as_str(v)),
+                "abs": lambda v: None if v is None else abs(v),
+            }.get(name)
+            if py is None:
+                raise TemplateError(
+                    f"unknown $call function {name!r}; allowed: {sorted(_CALL_FNS)}"
+                )
+            return py(*vals)
         unknown = [k for k in node if k.startswith("$")]
         if unknown:
             raise TemplateError(f"unknown directive(s) {unknown}")

@@ -4858,6 +4858,43 @@ def x45_domain_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "m4_mapping_switch_call",
+    """
+    SELECT event_id,
+           CASE CAST(event_type AS VARCHAR)
+                WHEN 'error' THEN 'high'
+                WHEN 'purchase' THEN 'med'
+                ELSE 'low' END AS sev,
+           upper(event_type) AS label,
+           CAST(length(event_type) AS BIGINT) AS label_len
+    FROM events
+    """,
+)
+def m4_mapping_switch_call(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mapping-DSL round 3 directives through the COMPILER: $switch
+    (string-matched cases with default) and nested $call (whitelisted
+    scalar functions). Like every m-query, the template compiles to
+    pure Column expressions — the mapping runs in codegen at scan
+    speed, and the oracle is the plain SQL it must equal."""
+    from etlp_spark.mapping import apply_template
+
+    ev = _t(spark, sf_dir, "events")
+    tmpl = {
+        "event_id": "$.event_id",
+        "sev": {
+            "$switch": "$.event_type",
+            "$cases": {"error": "high", "purchase": "med"},
+            "$default": "low",
+        },
+        "label": {"$call": "upper", "$args": ["$.event_type"]},
+        "label_len": {"$call": "length", "$args": ["$.event_type"]},
+    }
+    return apply_template(ev, tmpl).withColumn(
+        "label_len", F.col("label_len").cast("long")
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -4904,7 +4941,7 @@ _NEWEST = [
     "f7_map_funcs", "w8_retention_curve", "x42_minhash_estimate_quality",
     "x43_temperature_mixture", "g11_quality_deciles", "g12_key_skew_profile",
     "j10_nonequi_time_join", "x44_source_precedence_dedup",
-    "x45_domain_percent_rank",
+    "x45_domain_percent_rank", "m4_mapping_switch_call",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

@@ -189,3 +189,53 @@ def test_interpreter_rejects_bare_root_ref_like_compiler(spark):
         interp_template("$.", {"a": 1})
     with pytest.raises(TemplateError, match="bare"):
         compile_template("$.")
+
+
+def test_switch_reduce_call_compiled_vs_interpreted(spark):
+    """Round-3 directives: $switch / $reduce / $call keep the compiled
+    and interpreted paths semantics-identical."""
+    df = spark.createDataFrame(
+        [
+            (1, "click", ["a", "b", "c"], " Mixed Case "),
+            (2, "purchase", [], None),
+            (3, None, None, "x"),
+        ],
+        "id long, kind string, tags array<string>, raw string",
+    )
+    tmpl = {
+        "eid": "$.id",
+        "sev": {
+            "$switch": "$.kind",
+            "$cases": {"click": "low", "purchase": "high"},
+            "$default": "unknown",
+        },
+        "joined": {
+            "$reduce": "$.tags",
+            "$as": ["acc", "t"],
+            "$init": "",
+            "$body": "{{ $acc }}{{ $t }}",
+        },
+        "clean": {"$call": "trim", "$args": [{"$call": "lower", "$args": ["$.raw"]}]},
+    }
+    schema = "eid long, sev string, joined string, clean string"
+    compiled = apply_template(df, tmpl).collect()
+    interpreted = apply_interpreted(df, tmpl, schema).collect()
+
+    def norm(rows):
+        return sorted((r.eid, r.sev, r.joined, r.clean) for r in rows)
+
+    assert norm(compiled) == norm(interpreted)
+    by_id = {r.eid: r for r in compiled}
+    assert by_id[1].sev == "low" and by_id[1].joined == "abc"
+    assert by_id[1].clean == "mixed case"
+    assert by_id[2].sev == "high" and by_id[2].joined == ""
+    assert by_id[3].sev == "unknown" and by_id[3].joined is None
+
+
+def test_call_unknown_function_rejected(spark):
+    from etlp_spark.mapping import interp_template
+
+    with pytest.raises(TemplateError, match="unknown .call"):
+        compile_template({"$call": "exec", "$args": []})
+    with pytest.raises(TemplateError, match="unknown .call"):
+        interp_template({"$call": "exec", "$args": []}, {})
