@@ -76,11 +76,17 @@ def main() -> None:
     # outliers (> max(2 s, 3× median)) once and keep the faster of the
     # two full executions — same work, stall-robust.
     med = sorted(times.values())[len(times) // 2] if times else 0.0
+    reruns: dict[str, dict[str, float]] = {}
     for name in [n for n, t in times.items() if t > max(2.0, 3 * med)]:
         try:
-            times[name] = min(times[name], run_once(QUERIES[name]))
+            second = run_once(QUERIES[name])
         except Exception:  # noqa: BLE001
-            pass  # keep the first (successful) timing
+            continue  # keep the first (successful) timing
+        # Self-documenting noise: record BOTH executions so the
+        # artifact shows whether a slow first run was contention
+        # (second run fast) or real cost (both slow).
+        reruns[name] = {"first": times[name], "rerun": round(second, 3)}
+        times[name] = min(times[name], round(second, 3))
 
     total = round(sum(times.values()), 3)
     out = {
@@ -95,7 +101,16 @@ def main() -> None:
         "n_queries": len(times),
         "mean_sec_per_query": round(total / len(times), 3) if times else None,
     }
+    if reruns:
+        out["outlier_reruns"] = reruns
     if errors:
+        # Honesty guard: a crashed query is dropped from `times`, which
+        # would otherwise make the headline total/mean look BETTER than
+        # a fully-passing run. Surface the failure count at the top
+        # level (not just in the errors map) so the metric can't be
+        # read as a complete run.
+        out["n_failed"] = len(errors)
+        out["complete"] = False
         out["errors"] = errors
     print(json.dumps(out))
     spark.stop()

@@ -117,12 +117,18 @@ def as_of_join(
     out = carried.where(F.col("__is_left") == 1)
     if tolerance_seconds is not None:
         match_ts = F.col(f"__match_ts{suffix}")
+        # Microsecond-exact gap: cast("long") truncates to whole seconds,
+        # which can mis-classify sub-second data vs the oracle's exact
+        # `ts <= l.ts + INTERVAL` comparison (same pitfall
+        # binned_range_join avoids with unix_micros).
         gap = (
-            (match_ts.cast("long") - F.col(left_ts).cast("long"))
+            (F.unix_micros(match_ts) - F.unix_micros(F.col(left_ts)))
             if fwd
-            else (F.col(left_ts).cast("long") - match_ts.cast("long"))
+            else (F.unix_micros(F.col(left_ts)) - F.unix_micros(match_ts))
         )
-        in_tol = match_ts.isNotNull() & (gap <= F.lit(int(tolerance_seconds)))
+        in_tol = match_ts.isNotNull() & (
+            gap <= F.lit(int(tolerance_seconds) * 1_000_000)
+        )
         out = out.select(
             *[F.col(c) for c in left.columns],
             *[

@@ -3976,12 +3976,14 @@ def j9_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS prev_type
       FROM events),
     runs AS (
-      SELECT user_id, event_type, ts FROM chg
+      SELECT user_id, event_type, ts, event_id FROM chg
       WHERE prev_type IS NULL OR event_type <> prev_type)
     SELECT user_id, event_type,
            ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
     FROM runs
     """,
 )
@@ -4000,12 +4002,16 @@ def w6_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     runs = (
         ev.select(
-            "user_id", "event_type", "ts",
+            "user_id", "event_type", "ts", "event_id",
             F.lag("event_type").over(w).alias("prev_type"),
         )
         .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    # (ts, event_id) ordering: two run rows can share (user_id, ts)
+    # when a user emits two different event_types at the same
+    # timestamp — without the event_id tiebreak the lead() assignment
+    # is tie-ambiguous and DuckDB/Spark may break it differently.
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return runs.select(
         "user_id", "event_type",
         F.col("ts").alias("valid_from"),
@@ -4908,6 +4914,29 @@ def m4_mapping_switch_call(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 _GATED_PRIOR_ROUNDS = [
+    # round 3 gated these 50 (CORRECTNESS_r03.json) — all green:
+    "w5_batch_sessionize", "x33_time_decay_engagement",
+    "j9_asof_forward_tolerance", "w6_scd2_intervals",
+    "p2_unpivot_event_counts", "x35_weighted_sample",
+    "x36_dup_ngram_fraction", "x37_group_topk_sample",
+    "x32_bm25_retrieval", "x34_domain_mixture_sample",
+    "x38_incremental_dedup", "x39_funnel_conversion", "w7_session_paths",
+    "g10_rolling_distinct_users", "x40_fuzzy_name_match",
+    "f7_map_funcs", "w8_retention_curve", "x42_minhash_estimate_quality",
+    "x43_temperature_mixture", "g11_quality_deciles",
+    "g12_key_skew_profile", "j10_nonequi_time_join",
+    "x44_source_precedence_dedup", "x45_domain_percent_rank",
+    "m4_mapping_switch_call", "x10_ann_rerank", "x11_bpe_tokens",
+    "x12_ivf_ann", "x13_char_ngram_jaccard", "x14_edit_distance",
+    "x15_profile", "x16_embedding_neardup", "x17_winnow_fingerprint",
+    "x18_neardup_clusters", "x19_stratified_sample", "f5_regex_json",
+    "q02_min_acctbal_supplier", "q04_order_priority_check",
+    "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q07_volume_shipping", "q09_product_type_profit",
+    "q10_returned_items", "q12_priority_shipmode", "q14_promo_effect",
+    "q15_top_supplier", "q18_large_volume_customer",
+    "q19_disjunctive_revenue", "q22_idle_balance", "w4_per_user_trend",
+    # rounds 1-2 gated these 50 — all green:
     "q01_pricing_summary", "t1_map_revenue", "t2_filter_shipped",
     "t3_explode_words", "t4_keep_json_k", "t5_batch_counts",
     "t6_array_sum", "t8_concat_flags", "a1_counts", "d5_union_merge",
@@ -4927,27 +4956,33 @@ _GATED_PRIOR_ROUNDS = [
     "g7_grouping_sets", "p1_pivot_event_types",
 ]
 
-#: Highest-priority for this round's gate: the round-3 additions
-#: (never seen by any gate) plus the two queries the round-2 advisor
-#: flagged (w5 crashed the round-2 bench; x33 shared its root cause).
+#: Highest-priority for this round's gate: the 24 queries never seen
+#: by any driver gate (rounds 1-3 covered the other 100), then
+#: canaries for code paths CHANGED this round (w6 gained an event_id
+#: lead() tiebreak; j9 rides the as-of tolerance that moved to
+#: unix_micros; x12 gained a DuckDB oracle; x1/x2 guard the shared
+#: text primitives), then this round's new queries.
 _NEWEST = [
-    "w5_batch_sessionize", "x33_time_decay_engagement",
-    "j9_asof_forward_tolerance", "w6_scd2_intervals",
-    "p2_unpivot_event_counts", "x35_weighted_sample",
-    "x36_dup_ngram_fraction", "x37_group_topk_sample",
-    "x32_bm25_retrieval", "x34_domain_mixture_sample",
-    "x38_incremental_dedup", "x39_funnel_conversion", "w7_session_paths",
-    "g10_rolling_distinct_users", "x40_fuzzy_name_match",
-    "f7_map_funcs", "w8_retention_curve", "x42_minhash_estimate_quality",
-    "x43_temperature_mixture", "g11_quality_deciles", "g12_key_skew_profile",
-    "j10_nonequi_time_join", "x44_source_precedence_dedup",
-    "x45_domain_percent_rank", "m4_mapping_switch_call",
+    # never driver-gated (local-green since round 2-3):
+    "x20_tfidf_topterms", "x21_quality_gates", "x22_dedup_canonical",
+    "x23_sequence_packing", "x24_contamination_check", "x25_pii_scrub",
+    "x26_shuffle_shard", "x27_repetition_stats", "x28_unigram_logprob",
+    "x29_embedding_quantize", "x30_ivf_assign_fixed",
+    "x31_retrieval_topk_docs", "q08_market_share", "q11_important_nations",
+    "q13_custdist", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q20_heavy_part_suppliers",
+    "q21_waiting_supplier", "m3_mapping_nested",
+    "g8_salted_quantity_rollup", "g9_hll_sketch_union",
+    "j8_salted_join_priority", "f6_variant_json",
+    # canaries (re-gate after this round's changes):
+    "w6_scd2_intervals", "j9_asof_forward_tolerance", "x12_ivf_ann",
+    "x1_text_stats", "x2_lang_id",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
 _new = [n for n in _NEWEST if n in QUERIES]
 _ungated = [n for n in QUERIES if n not in _gated and n not in set(_NEWEST)]
-_rest = [n for n in _GATED_PRIOR_ROUNDS if n in QUERIES]
+_rest = [n for n in _GATED_PRIOR_ROUNDS if n in QUERIES and n not in set(_NEWEST)]
 _order = _new + _ungated + _rest
 assert sorted(_order) == sorted(QUERIES), "rotation must be a permutation"
 QUERIES = {n: QUERIES[n] for n in _order}

@@ -182,7 +182,7 @@ def _py_asof_fwd(left, right, strict, tol):
             if rkey != key:
                 continue
             if (rts > lts) if strict else (rts >= lts):
-                if best is None or (rts, -rid) < (best[0], -best[1]):
+                if best is None or (rts, rid) < (best[0], best[1]):
                     best = (rts, rid, val)
         if best is not None and tol is not None:
             if (best[0] - lts).total_seconds() > tol:
