@@ -246,6 +246,14 @@ def embedding_neardup(
     )
 
 
+#: Mean quantization scale for deterministic k-means: per-element
+#: values are quantized to 1/2^20 before the exact int64 sum, so the
+#: centroid mean is an exact rational — identical regardless of
+#: partition/summation order, and replayable bit-for-bit by any other
+#: engine (the DuckDB oracle for x12 does exactly this).
+_IVF_Q = 1048576.0  # 2**20
+
+
 def ivf_train(df: DataFrame, k: int = 8, iters: int = 2,
               id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
     """Deterministic k-means coarse quantizer (IVF training).
@@ -254,24 +262,41 @@ def ivf_train(df: DataFrame, k: int = 8, iters: int = 2,
     ``iters`` Lloyd rounds. Each round is one Spark pass: centroids
     broadcast as literals, assignment via argmin of squared L2 (an
     ordered fold per centroid), new means via groupBy + per-dimension
-    avg (posexplode → (cell, dim) partial aggregation — scales to any
-    corpus; only the k×dims centroid matrix ever reaches the driver).
+    EXACT sums (posexplode → (cell, dim) partial aggregation — scales
+    to any corpus; only the k×dims centroid matrix ever reaches the
+    driver).
+
+    The mean is computed from quantized int64 sums (``floor(x·2^20 +
+    0.5)``), NOT a double ``avg``: double summation order varies with
+    partitioning, which made trained centroids run-dependent and the
+    whole pipeline un-oracle-able. With exact integer sums the
+    centroids are a pure function of the input — bit-reproducible
+    across engines, so x12's end-to-end IVF value-matches a DuckDB
+    replay of the same Lloyd rounds.
     """
     dims = len(df.select(vec_col).first()[0])
     init = [list(r[1]) for r in df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()]
     centroids = [[float(x) for x in c] for c in init]
     for _ in range(iters):
         assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
-        means = (
+        sums = (
             assigned.select("cell", F.posexplode(vec_col).alias("dim", "x"))
             .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("x").cast("double") * _IVF_Q + F.lit(0.5))
+                    .cast("long")
+                ).alias("sq"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         new = [list(c) for c in centroids]  # keep empty cells stable
         by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r.cell, {})[r.dim] = r.m
+        for r in sums:
+            # int/int true division == DuckDB sq::DOUBLE / n (both are
+            # the correctly-rounded quotient; |sq| << 2^53).
+            by_cell.setdefault(r.cell, {})[r.dim] = (r.sq / r.n) / _IVF_Q
         for cell, dim_map in by_cell.items():
             new[cell] = [dim_map[d] for d in range(dims)]
         centroids = new

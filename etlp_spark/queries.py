@@ -1550,18 +1550,82 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# IVF approximate nearest neighbors (iterative k-means — genuinely
-# non-SQL-expressible, so no oracle: the driver records the weaker
-# rows-only check, per the contract).
+# IVF approximate nearest neighbors. Lloyd iterations ARE
+# SQL-expressible once the means are exact: each round is
+# assign (argmin over k centroids) + quantized-int64 mean, so the
+# DuckDB oracle replays the identical 2 rounds as chained CTEs and
+# the trained centroids agree bit-for-bit (see ivf_train).
 # =====================================================================
 
-@_register("x12_ivf_ann", None)
+def _ivf_lloyd_round_sql(prev: str, out: str) -> str:
+    """One Lloyd round as DuckDB CTEs: assign ``ivf_sample`` to the
+    nearest ``prev`` centroid (ordered-fold L2², ties → lowest cell —
+    the exact operation sequence ``ivf_assign`` runs, so distances are
+    bit-equal), then recompute means from quantized int64 sums
+    (``floor(x·2^20 + 0.5)``) exactly like ``ivf_train``; empty cells
+    keep their previous centroid."""
+    return f"""
+    {out}_d AS (
+      SELECT s.vec_id, s.embedding, c.cell,
+             list_reduce(list_transform(list_zip(s.embedding, c.c),
+               p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])),
+               (a, b) -> a + b) AS d2
+      FROM ivf_sample s CROSS JOIN {prev} c),
+    {out}_best AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM {out}_d) WHERE rn = 1),
+    {out}_sums AS (
+      SELECT cell, dim,
+             sum(CAST(floor(embedding[dim]::DOUBLE * 1048576.0 + 0.5)
+                      AS BIGINT)) AS sq,
+             count(*) AS n
+      FROM {out}_best, range(1, 65) t(dim)
+      GROUP BY cell, dim),
+    {out} AS (
+      SELECT p.cell, coalesce(m.c, p.c) AS c
+      FROM {prev} p LEFT JOIN (
+        SELECT cell, list((sq::DOUBLE / n) / 1048576.0 ORDER BY dim) AS c
+        FROM {out}_sums GROUP BY cell) m USING (cell))"""
+
+
+@_register(
+    "x12_ivf_ann",
+    f"""
+    WITH ivf_sample AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             list_transform(embedding, x -> x::DOUBLE) AS c
+      FROM (SELECT vec_id, embedding FROM ivf_sample
+            ORDER BY vec_id LIMIT 8)),
+    {_ivf_lloyd_round_sql('c0', 'c1')},
+    {_ivf_lloyd_round_sql('c1', 'c2')},
+    fin_d AS (
+      SELECT e.vec_id, c.cell,
+             list_reduce(list_transform(list_zip(e.embedding, c.c),
+               p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])),
+               (a, b) -> a + b) AS d2
+      FROM embeddings e CROSS JOIN c2 c),
+    fin AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM fin_d) WHERE rn = 1)
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+           min(vec_id) AS min_vec_id
+    FROM fin GROUP BY cell
+    """,
+)
 def x12_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means coarse quantizer (Lloyd
-    iterations; centroids broadcast each round), then search probes
-    only the nearest cell's inverted list instead of the full corpus.
-    Iterative → no SQL oracle (rows-only check); correctness is
-    unit-tested on planted clusters."""
+    iterations; centroids broadcast each round), then cell assignment
+    over the full corpus. Exact-oracle'd end-to-end: quantized-int64
+    means make training a pure function of the input, so the DuckDB
+    oracle replays the identical 2 Lloyd rounds as chained CTEs and
+    every distance/argmin agrees bit-for-bit (same discipline as
+    x30_ivf_assign_fixed)."""
     from etlp_spark.functions.similarity import ivf_assign, ivf_train
 
     # Persist: k-means scans the table 2·iters+2 times — at any scale
