@@ -1,9 +1,17 @@
 """Multimodal column plumbing: images/audio/video as opaque binary.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED (deterministic fakes clearly marked below); everything
-Spark-side is real and tested — schema contracts, Arrow batch shape,
-``mapInPandas`` partitioning behavior, metadata propagation.
+Decode support is tiered by what this container can honestly do:
+
+- **Uncompressed 24-bpp BMP decodes for real** — a stdlib-only
+  (``struct`` + numpy) parser below, so the feature/resize kernels
+  exercise real pixel math end-to-end with zero codec dependencies.
+- Compressed formats (JPEG/PNG/audio/video) are STUBBED
+  (deterministic fakes clearly marked below); swap ``decode_image``'s
+  fallback for PIL/torchvision in a full environment.
+
+Everything Spark-side is real and tested either way — schema
+contracts, Arrow batch shape, ``mapInPandas`` partitioning behavior,
+metadata propagation.
 
 Scale design: binary payloads ride in parquet as ``binary`` columns
 with typed metadata structs alongside. Feature extraction is
@@ -16,8 +24,10 @@ shuffle is introduced: the UDF runs in the scan stage.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -40,6 +50,8 @@ __all__ = [
     "resize_media",
     "sample_frames",
     "decode_image",
+    "decode_bmp",
+    "encode_bmp",
 ]
 
 #: contract for a multimodal row: payload + typed metadata.
@@ -64,13 +76,70 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> object:
-    """STUB — image decoding requires codec libraries not present in
-    this container. The Spark plumbing around it is real; swap this
-    for PIL/torchvision in a full environment."""
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bpp
+    bottom-up BMP (BITMAPINFOHEADER). Stdlib-only; the inverse of
+    ``decode_bmp`` (lossless round-trip)."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_bmp wants (h, w, 3) RGB")
+    pad = (-(w * 3)) % 4
+    row_bytes = w * 3 + pad
+    img_size = row_bytes * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 0, 0, 0, 0)
+    # bottom-up rows, BGR order, each padded to a 4-byte boundary
+    bgr = pixels[::-1, :, ::-1]
+    if pad:
+        rows = np.zeros((h, row_bytes), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        body = rows.tobytes()
+    else:
+        body = bgr.tobytes()
+    return header + info + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bpp BMP to an (h, w, 3) uint8 RGB
+    array. Stdlib ``struct`` + numpy only — no codec libraries.
+
+    Supports the common BITMAPINFOHEADER layout (positive height =
+    bottom-up). Raises ValueError on anything else (compressed,
+    paletted, other bit depths) so callers can fall back."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (_, _, _, _, data_off) = struct.unpack_from("<2sIHHI", payload, 0)
+    (hdr_size, w, h, planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP variant (need 24-bpp BI_RGB)")
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    need = data_off + row_bytes * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+    rows = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_image(payload: bytes, mime: str = "image/bmp") -> np.ndarray:
+    """Decode an image payload to an (h, w, 3) uint8 RGB array.
+
+    Real for uncompressed 24-bpp BMP (stdlib decoder above). Other
+    formats need codec libraries not present in this container —
+    swap the fallback for PIL/torchvision in a full environment."""
+    if mime == "image/bmp" or payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decode is stubbed in this environment; install a codec "
-        "library and replace decode_image"
+        f"decode for {mime!r} is stubbed in this environment; install a "
+        "codec library and replace decode_image's fallback"
     )
 
 
@@ -79,6 +148,36 @@ def _fake_feature(payload: bytes, dims: int = 8) -> list[float]:
     standing in for the stubbed decode→featurize kernel."""
     h = hashlib.md5(payload).digest()
     return [(h[i % 16] / 255.0) * 2 - 1 for i in range(dims)]
+
+
+def _pixel_feature(pixels: np.ndarray, dims: int = 8) -> list[float]:
+    """Real image feature from decoded pixels: per-channel means,
+    luma std, and quadrant luma means, all scaled to [-1, 1] — the
+    shape of a cheap perceptual descriptor, computed with actual
+    pixel math (vectorized numpy)."""
+    px = pixels.astype(np.float64)
+    luma = px @ np.array([0.299, 0.587, 0.114])
+    h, w = luma.shape
+    qs = [
+        luma[: max(h // 2, 1), : max(w // 2, 1)].mean(),
+        luma[: max(h // 2, 1), w // 2 :].mean() if w > 1 else luma.mean(),
+        luma[h // 2 :, : max(w // 2, 1)].mean() if h > 1 else luma.mean(),
+        luma[h // 2 :, w // 2 :].mean() if h > 1 and w > 1 else luma.mean(),
+    ]
+    feats = [
+        px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean(),
+        float(luma.std()), *qs,
+    ]
+    out = [(f / 255.0) * 2 - 1 for f in feats]
+    return [float(out[i % len(out)]) for i in range(dims)]
+
+
+def _resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (pure numpy index math)."""
+    h, w = pixels.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return pixels[rows][:, cols]
 
 
 def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -104,6 +203,13 @@ def extract_features(media_df: DataFrame, dims: int = 8) -> DataFrame:
     partition behavior are the real thing.
     """
 
+    def featurize(mime: str, payload: bytes) -> list[float]:
+        # Real pixel path for decodable payloads (stdlib BMP decoder);
+        # deterministic fake for formats this container can't decode.
+        if mime == "image/bmp":
+            return _pixel_feature(decode_bmp(payload), dims)
+        return _fake_feature(payload, dims)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pd.DataFrame(
@@ -112,7 +218,10 @@ def extract_features(media_df: DataFrame, dims: int = 8) -> DataFrame:
                     "mime": pdf["mime"],
                     "n_bytes": pdf["payload"].map(len).astype("int32"),
                     "digest": pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest()),
-                    "feature": pdf["payload"].map(lambda b: _fake_feature(b, dims)),
+                    "feature": [
+                        featurize(m, b)
+                        for m, b in zip(pdf["mime"], pdf["payload"])
+                    ],
                 }
             )
             yield out
@@ -122,19 +231,27 @@ def extract_features(media_df: DataFrame, dims: int = 8) -> DataFrame:
 
 def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: same MEDIA_SCHEMA in and out, target dims in
-    the metadata, payload rewritten by the kernel. The pixel resample
-    itself needs the stubbed codec (``decode_image``), so the fake
-    kernel marks resized payloads deterministically (md5 of the
-    original + target dims) — schema contract, Arrow batch shape and
-    scan-stage (no shuffle) behavior are the real thing.
+    the metadata, payload rewritten by the kernel.
+
+    BMP payloads are REALLY resized — decode (stdlib parser) →
+    nearest-neighbor resample (numpy index math) → re-encode BMP.
+    Formats this container can't decode fall back to the
+    deterministic fake (md5 of the original + target dims); schema
+    contract, Arrow batch shape and scan-stage (no shuffle) behavior
+    are identical on both paths.
     """
+
+    def resize_one(mime: str, payload: bytes) -> bytes:
+        if mime == "image/bmp":
+            return encode_bmp(_resize_nearest(decode_bmp(payload), width, height))
+        return hashlib.md5(payload + f"@{width}x{height}".encode()).digest()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            out["payload"] = out["payload"].map(
-                lambda b: hashlib.md5(b + f"@{width}x{height}".encode()).digest()
-            )
+            out["payload"] = [
+                resize_one(m, b) for m, b in zip(pdf["mime"], pdf["payload"])
+            ]
             out["width"] = width
             out["height"] = height
             yield out

@@ -64,6 +64,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/etlp-spark-warehouse"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The default codegen cache holds 100 compiled plans; this
+        # engine's declared repertoire is 124+ queries, so a full
+        # bench/service run evicts early plans and pays Janino
+        # recompilation (seconds for the biggest expression trees —
+        # winnow/minhash) on every re-execution. Size the cache to the
+        # workload like any production query service would.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # Driver-generated parquet stores TIMESTAMP(NANOS) which Spark
         # rejects; read as long nanos and convert in io.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

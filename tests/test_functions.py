@@ -134,9 +134,76 @@ def test_multimodal_feature_plumbing(spark, docs):
     assert by_id[1].feature == by_id[5].feature  # deterministic kernel
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_stub_for_compressed_formats():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\x89PNG", mime="image/png")
+
+
+def test_bmp_roundtrip_and_decode_image():
+    """Stdlib BMP codec: encode → decode is lossless, including rows
+    needing 4-byte padding (odd widths); decode_image routes BMPs to
+    the real decoder."""
+    import numpy as np
+
+    from etlp_spark.functions.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (2, 3), (5, 7), (8, 8)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = encode_bmp(px)
+        assert payload[:2] == b"BM"
+        assert np.array_equal(decode_bmp(payload), px)
+        assert np.array_equal(decode_image(payload), px)
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 10)  # truncated
+    with pytest.raises(ValueError):
+        decode_bmp(b"not an image")
+
+
+def test_bmp_real_pixels_through_spark(spark):
+    """End-to-end: BMP payloads ride a DataFrame through
+    extract_features (real pixel math) and resize_media (real
+    nearest-neighbor resample re-encoded as BMP)."""
+    import numpy as np
+
+    from etlp_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        extract_features,
+        resize_media,
+    )
+
+    # 4×4 solid-red and a 4×4 half-red/half-blue image
+    red = np.zeros((4, 4, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    half = red.copy()
+    half[:, 2:, 0] = 0
+    half[:, 2:, 2] = 255
+    rows = [
+        (1, bytearray(encode_bmp(red)), "image/bmp", 4, 4),
+        (2, bytearray(encode_bmp(half)), "image/bmp", 4, 4),
+    ]
+    from etlp_spark.functions.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r.media_id: r.feature for r in extract_features(media).collect()}
+    # solid red: R-channel mean 255 → +1.0; G/B → -1.0
+    assert feats[1][0] == pytest.approx(1.0)
+    assert feats[1][1] == pytest.approx(-1.0)
+    # half red/blue: R mean 127.5 → ~0.0, differs from solid red
+    assert feats[2][0] == pytest.approx(0.0, abs=1e-6)
+    assert feats[1] != feats[2]
+
+    resized = {r.media_id: r for r in resize_media(media, 2, 2).collect()}
+    out = decode_bmp(bytes(resized[1].payload))
+    assert out.shape == (2, 2, 3)
+    assert np.array_equal(out, red[:2, :2])  # solid color survives
+    half_out = decode_bmp(bytes(resized[2].payload))
+    # nearest-neighbor of half-red/half-blue at 2×2: left col red, right col blue
+    assert tuple(half_out[0, 0]) == (255, 0, 0)
+    assert tuple(half_out[0, 1]) == (0, 0, 255)
+    assert resized[1].width == 2 and resized[1].height == 2
 
 
 def test_envelope_golden(spark):
