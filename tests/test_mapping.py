@@ -239,3 +239,84 @@ def test_call_unknown_function_rejected(spark):
         compile_template({"$call": "exec", "$args": []})
     with pytest.raises(TemplateError, match="unknown .call"):
         interp_template({"$call": "exec", "$args": []}, {})
+
+
+# ---------------------------------------------------------------------
+# Adversarial / malformed templates (round-4 advisor item): every
+# failure mode must surface as a TemplateError (or be stored as an
+# error string by the registry, ref mapper.clj:44-47) — never as
+# silent nulls in the output.
+# ---------------------------------------------------------------------
+
+def test_cyclic_let_is_unbound_not_silent(spark):
+    """$let binds sequentially (like Clojure let / JUTE): a forward or
+    cyclic reference is an unbound variable at compile time, not a
+    null at runtime."""
+    from etlp_spark.mapping import interp_template
+
+    cyclic = {"$let": {"a": "$b", "b": "$a"}, "$body": "$a"}
+    with pytest.raises(TemplateError, match="unbound variable 'b'"):
+        compile_template(cyclic)
+    with pytest.raises(TemplateError, match="unbound variable 'b'"):
+        interp_template(cyclic, {})
+    selfref = {"$let": {"a": "$a.x"}, "$body": "$a"}
+    with pytest.raises(TemplateError, match="unbound variable 'a'"):
+        compile_template(selfref)
+    with pytest.raises(TemplateError, match="unbound variable 'a'"):
+        interp_template(selfref, {})
+
+
+def test_let_sequential_binding_still_works(spark, people):
+    """The legal direction — later bindings see earlier ones."""
+    tmpl = {"v": {"$let": {"a": "$.id", "b": {"$concat": ["$a", "!"]}}, "$body": "$b"}}
+    rows = apply_template(people, tmpl).collect()
+    assert sorted(r.v for r in rows) == ["1!", "2!"]
+
+
+def test_reduce_type_mismatch_fails_loud(spark, people):
+    """$init fixes the accumulator type (Spark aggregate contract).
+    A body whose type can't merge with it must raise at analysis —
+    the engine never coerces to null."""
+    from pyspark.errors import AnalysisException
+
+    tmpl = {
+        "bad": {
+            "$reduce": "$.tags",           # array<string>
+            "$as": ["acc", "t"],
+            "$init": 0,                    # bigint accumulator...
+            "$body": {"$concat": ["$acc", "$t"]},  # ...string body
+        }
+    }
+    col = compile_template(tmpl["bad"])   # builds fine (lazy)
+    with pytest.raises(AnalysisException):
+        people.select(col.alias("bad")).collect()
+
+
+def test_reduce_malformed_as_rejected():
+    """$as must be a [acc, item] pair; a bare string can't destructure."""
+    with pytest.raises((TemplateError, ValueError)):
+        compile_template(
+            {"$reduce": "$.tags", "$as": "acc", "$init": 0, "$body": "$acc"}
+        )
+
+
+def test_call_wrong_arity_fails_loud():
+    with pytest.raises(TypeError):
+        compile_template({"$call": "upper", "$args": ["$.a", "$.b"]})
+
+
+def test_registry_isolates_broken_aliases(tmp_path, spark, people):
+    """One broken alias must not poison the rest of the registry —
+    good aliases stay callable, each broken one holds its own error
+    string (ref mapper.clj:44-47 stores per-alias errors)."""
+    (tmp_path / "good.yaml").write_text("pid: '$.id'\n")
+    (tmp_path / "cyc.yaml").write_text(
+        "v:\n  $let: {a: $b, b: $a}\n  $body: $a\n"
+    )
+    (tmp_path / "unk.yaml").write_text("v:\n  $explode: 1\n")
+    reg = MappingRegistry(base_dir=str(tmp_path))
+    entries = reg.fetch({"g": "good", "c": "cyc", "u": "unk"})
+    assert callable(entries["g"])
+    assert [r.pid for r in sorted(entries["g"](people).collect())] == [1, 2]
+    assert isinstance(entries["c"], str) and "unbound variable" in entries["c"]
+    assert isinstance(entries["u"], str) and "unknown directive" in entries["u"]
