@@ -306,12 +306,22 @@ def test_running_counts_transform_with_state(spark, stream_dir, tmp_path):
     typed RocksDB value state): counts accumulate across micro-batches
     and only touched keys re-emit (Update mode).
 
-    Skipped where protobuf is unusable: the TWS state-server protocol
-    imports google.protobuf.descriptor at query start, and this
-    container ships a broken protobuf (same class of environment
-    limitation as the multimodal decode kernels). The operator's API
-    surface is still importable and plan-checkable everywhere."""
-    pytest.importorskip("google.protobuf.descriptor")
+    Skipped where protobuf is unusable. Exact incompatibility
+    (verified, round 4): pyspark 4.1.2's generated
+    ``sql/streaming/proto/StateMessage_pb2.py`` is protoc-6.33.0
+    gencode that calls ``ValidateProtobufRuntimeVersion(PUBLIC, 6,
+    33, 0)`` — it needs the ``google.protobuf`` runtime at ≥ 6.33.0.
+    This container ships NO protobuf distribution at all
+    (``import google`` → ModuleNotFoundError) and package installs
+    are unavailable, so the state-server handshake cannot start; a
+    vendored runtime would be a full package install in disguise.
+    The operator's API surface is still importable and plan-checkable
+    everywhere (see test_running_counts_tws_plan_builds below)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs google.protobuf>=6.33.0 (StateMessage_pb2 "
+        "gencode); container has no protobuf distribution",
+    )
     from etlp_spark.streaming import running_counts_tws
 
     spark.conf.set(
