@@ -4966,6 +4966,334 @@ def m4_mapping_switch_call(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-4 additions: the remaining classic dedup path (SimHash →
+# hamming verify), CCNet-style quality bucketing, per-class embedding
+# centroids, and vocabulary-coverage — all scan-shaped or
+# single-shuffle, all exactly oracled.
+# =====================================================================
+
+@_register(
+    "x46_simhash_hamming_neardup",
+    f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKS} AS tk FROM documents),
+    tok_rows AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+    hashes AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok_rows),
+    bit_votes AS (SELECT doc_id, h, unnest(range(0, 32)) AS bit FROM hashes),
+    tallies AS (SELECT doc_id, bit,
+                       sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+                FROM bit_votes GROUP BY doc_id, bit),
+    sims AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN tally > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                         AS BIGINT) AS sh
+             FROM tallies GROUP BY doc_id),
+    bands AS (SELECT doc_id, sh, bi, (sh >> (8 * bi)) & 255 AS key
+              FROM sims, range(0, 4) t(bi)),
+    sized AS (SELECT bi, key, list(doc_id) AS ids, count(*) AS sz
+              FROM bands GROUP BY bi, key),
+    kept AS (SELECT ids FROM sized WHERE sz <= 100),
+    cand AS (SELECT DISTINCT a, b FROM
+               (SELECT unnest(ids) AS a, ids FROM kept),
+               LATERAL (SELECT unnest(ids) AS b)
+             WHERE a < b)
+    SELECT cand.a, cand.b,
+           CAST(bit_count(xor(sa.sh, sb.sh)) AS INT) AS hd
+    FROM cand
+    JOIN sims sa ON sa.doc_id = cand.a
+    JOIN sims sb ON sb.doc_id = cand.b
+    WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
+    """,
+)
+def x46_simhash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection, end to end (the Manku/Google web
+    dedup scheme): 32-bit SimHash per doc → band the signature into
+    4×8-bit keys → bucket-join candidates (a<b, bucket cap 100) →
+    exact Hamming verify ≤ 3 bits. Banding guarantees any pair within
+    Hamming distance 3 shares at least one untouched 8-bit band, so
+    candidates are complete — no all-pairs scan.
+
+    Scale shape: signatures are one scan-stage fold (no shuffle);
+    banding is ONE shuffle of (doc_id, 8-byte key) — never text; the
+    bucket cap bounds pair fan-out exactly like LSH's (boilerplate
+    SimHashes collapse into one bucket at corpus scale); the verify
+    join touches only candidate ids. Same bounded pipeline as
+    x5/x18, completing the third classic dedup family (MinHash,
+    exact-hash, SimHash)."""
+    from etlp_spark.functions.dedup import simhash32
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    sims = docs.select("doc_id", simhash32("text").cast("long").alias("sh")).persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("bi"),
+                F.shiftright(F.col("sh"), 8 * bi).bitwiseAND(F.lit(255)).alias("key"),
+            )
+            for bi in range(4)
+        ]
+    )
+    bands = sims.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.bi", "bk.key"
+    )
+    sized = bands.groupBy("bi", "key").agg(
+        F.collect_list("doc_id").alias("ids"), F.count(F.lit(1)).alias("sz")
+    )
+    cand = (
+        sized.where(F.col("sz") <= 100)
+        .select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    sa = sims.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    sb = sims.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    hd = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .where(hd <= 3)
+        .select("a", "b", hd.cast("int").alias("hd"))
+    )
+
+
+@_register(
+    "x47_quality_tertile_buckets",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_O_TOKS}) AS term FROM documents),
+    tf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    n AS (SELECT sum(c) AS total FROM tf),
+    lp AS (
+      SELECT t.doc_id, ln((f.c * 1.0 + 1.0) / (n.total + 1.0)) AS lp
+      FROM toks t JOIN tf f USING (term) CROSS JOIN n),
+    scored AS (
+      SELECT doc_id, round(-avg(lp), 6) AS score FROM lp GROUP BY doc_id),
+    hist AS (SELECT score, count(*) AS cnt FROM scored GROUP BY score),
+    cum AS (SELECT score, cnt,
+                   sum(cnt) OVER (ORDER BY score
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_n
+            FROM hist),
+    tot AS (SELECT sum(cnt) AS n_docs FROM hist),
+    thresholds AS (
+      SELECT min(CASE WHEN cum_n * 3 >= t.n_docs THEN score END) AS t1,
+             min(CASE WHEN cum_n * 3 >= 2 * t.n_docs THEN score END) AS t2
+      FROM cum CROSS JOIN tot t),
+    bucketed AS (
+      SELECT CASE WHEN score <= t1 THEN 'head'
+                  WHEN score <= t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             score
+      FROM scored CROSS JOIN thresholds)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(CAST(round(score * 1000000) AS BIGINT))
+                 / count(*) / 1000000.0, 6) AS avg_score
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def x47_quality_tertile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus bucketing: score every document with the
+    unigram-LM quality proxy (x28's exact score), then split the
+    corpus into head/middle/tail tertiles — the standard move before
+    mixing training data by quality tier.
+
+    Exact at every step that matters: scores are 6-dp rounded (both
+    engines agree bit-for-bit), tertile thresholds come from integer
+    arithmetic on a score HISTOGRAM (cum·3 ≥ n — no percentile
+    interpolation, no float division), and per-bucket means are
+    computed from exact int64 micro-sums (the w4/_money discipline).
+
+    Scale shape: the histogram is |distinct scores| rows (≪ corpus —
+    scores are rounded), so the global cumulative window runs on a
+    compact frame, not the corpus; the corpus itself is touched by
+    exactly the x28 plan (scan-stage explode + one per-doc shuffle)
+    plus one broadcast of the 1-row threshold frame."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    total = tf.agg(F.sum("c").alias("total"))
+    scored = (
+        toks.join(F.broadcast(tf), "term")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log((F.col("c") * 1.0 + 1.0) / (F.col("total") + 1.0)).alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(-F.avg("lp"), 6).alias("score"))
+    )
+    hist = scored.groupBy("score").agg(F.count(F.lit(1)).alias("cnt"))
+    # Global window on the compact histogram (|distinct scores| rows),
+    # never on the corpus.
+    wc = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("score", "cnt", F.sum("cnt").over(wc).alias("cum_n"))
+    tot = hist.agg(F.sum("cnt").alias("n_docs"))
+    thresholds = (
+        cum.join(F.broadcast(tot))
+        .agg(
+            F.min(F.when(F.col("cum_n") * 3 >= F.col("n_docs"), F.col("score"))).alias("t1"),
+            F.min(F.when(F.col("cum_n") * 3 >= 2 * F.col("n_docs"), F.col("score"))).alias("t2"),
+        )
+    )
+    bucketed = scored.join(F.broadcast(thresholds)).select(
+        F.when(F.col("score") <= F.col("t1"), "head")
+        .when(F.col("score") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "score",
+    )
+    micro = F.round(F.col("score") * 1000000, 0).cast("long")
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum(micro) / F.count(F.lit(1)) / 1000000.0, 6).alias("avg_score"),
+    )
+
+
+@_register(
+    "x48_label_centroids",
+    """
+    WITH q AS (
+      SELECT label, dim,
+             CAST(floor(embedding[dim]::DOUBLE * 1048576.0 + 0.5) AS BIGINT) AS qv
+      FROM embeddings, range(1, 65) t(dim)),
+    agg AS (SELECT label, dim, sum(qv) AS sq, sum(qv * qv) AS sqq, count(*) AS n
+            FROM q GROUP BY label, dim),
+    per_dim AS (
+      SELECT label, dim, n,
+             (sq::DOUBLE / n) / 1048576.0 AS m,
+             (sqq::DOUBLE / n) / (1048576.0 * 1048576.0)
+               - ((sq::DOUBLE / n) / 1048576.0) * ((sq::DOUBLE / n) / 1048576.0) AS v
+      FROM agg),
+    folded AS (
+      SELECT label, max(n) AS n_vecs,
+             list_reduce(list(m * m ORDER BY dim), (a, b) -> a + b) AS norm2,
+             list_reduce(list(v ORDER BY dim), (a, b) -> a + b) AS disp
+      FROM per_dim GROUP BY label)
+    SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+           round(sqrt(norm2), 6) AS centroid_norm,
+           round(disp, 6) AS dispersion
+    FROM folded
+    """,
+)
+def x48_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding statistics: centroid L2 norm and mean
+    squared dispersion around the centroid for every label — the
+    class-balance / cluster-compactness report an embedding-quality
+    audit runs before training on labeled vectors.
+
+    Exactness: the ivf_train discipline — per-(label, dim) sums of
+    quantized int64 values (and their squares), so means and
+    variances are pure functions of the input; the 64-dim reductions
+    are ordered folds over dim-sorted arrays, bit-equal in both
+    engines. Dispersion = Σ_d (E[x²] − E[x]²), the one-pass variance
+    identity — no second scan, no centroid join.
+
+    Scale shape: ONE shuffle on (label, dim) — k·dims cells regardless
+    of corpus size — then a k-row fold; int64 q² partial sums stay
+    exact (< 2^53) up to ~10M vectors per label at these magnitudes;
+    beyond that, widen to DECIMAL sums."""
+    emb = _t_fanout(spark, sf_dir, "embeddings")
+    Q = 1048576.0
+    qd = emb.select("label", F.posexplode("embedding").alias("dim", "x")).select(
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * Q + F.lit(0.5)).cast("long").alias("qv"),
+    )
+    agg = qd.groupBy("label", "dim").agg(
+        F.sum("qv").alias("sq"),
+        F.sum(F.col("qv") * F.col("qv")).alias("sqq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m = (F.col("sq").cast("double") / F.col("n")) / Q
+    v = (F.col("sqq").cast("double") / F.col("n")) / (Q * Q) - m * m
+    per_dim = agg.select("label", "dim", "n", m.alias("m"), v.alias("v"))
+    folded = per_dim.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"] * s["m"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("norm2"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("disp"),
+    )
+    return folded.select(
+        "label",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.round(F.sqrt("norm2"), 6).alias("centroid_norm"),
+        F.round("disp", 6).alias("dispersion"),
+    )
+
+
+@_register(
+    "x49_vocab_coverage",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, unnest({_O_TOKS}) AS term
+                  FROM documents),
+    tf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    vocab AS (SELECT term FROM tf ORDER BY c DESC, term LIMIT 1000),
+    flagged AS (
+      SELECT t.doc_id, t.lang,
+             CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks t LEFT JOIN vocab v USING (term))
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           round(sum(oov) * 1.0 / count(*), 6) AS oov_rate
+    FROM flagged GROUP BY lang
+    """,
+)
+def x49_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: induce a top-1000 token
+    vocabulary from the corpus itself (frequency-ranked, term-asc
+    tie-break — fully deterministic), then measure each language's
+    out-of-vocabulary token rate. This is the check run before fixing
+    a tokenizer vocab for training: which slices of the mix a fixed
+    vocabulary underserves.
+
+    Exactness: counts are integers end to end; the single float (the
+    OOV ratio) is one division of exact int64s, rounded to 6 dp.
+
+    Scale shape: the vocabulary is a top-k over the |vocab| frequency
+    table (TakeOrdered — per-partition heaps, no global sort of the
+    corpus) and rides as a BROADCAST to the token stream, so the
+    corpus is scanned once with no extra shuffle beyond the per-lang
+    aggregate; `count(DISTINCT doc_id)` partial-aggregates per lang."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tf.orderBy(F.col("c").desc(), F.col("term")).limit(1000).select("term")
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "term", "left"
+    ).select(
+        "doc_id", "lang",
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return flagged.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.round(F.sum("oov") * 1.0 / F.count(F.lit(1)), 6).alias("oov_rate"),
+    )
+
+
+# =====================================================================
 # Registration-order rotation for the correctness gate.
 #
 # The per-round gate records the FIRST 50 registered queries
@@ -5041,6 +5369,9 @@ _NEWEST = [
     # canaries (re-gate after this round's changes):
     "w6_scd2_intervals", "j9_asof_forward_tolerance", "x12_ivf_ann",
     "x1_text_stats", "x2_lang_id",
+    # round-4 additions (never gated, new this round):
+    "x46_simhash_hamming_neardup", "x47_quality_tertile_buckets",
+    "x48_label_centroids", "x49_vocab_coverage",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
