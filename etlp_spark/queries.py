@@ -5293,6 +5293,149 @@ def x49_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "w9_session_window_builtin",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sid
+      FROM gaps)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def w9_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's native ``session_window`` aggregate
+    — the engine's built-in dynamic-gap session assignment, cross-
+    checked against a first-principles oracle (lag → gap flag →
+    running-sum), proving the two formulations agree event-for-event.
+    Session semantics: windows merge while the next event starts
+    STRICTLY before current_end = last_ts + gap, so a gap of exactly
+    30:00 opens a new session (the oracle's ``>= 1800s`` flag).
+
+    Scale shape: session_window is a single hash-aggregate with
+    in-partition session merging — one shuffle on user_id, no window
+    function pass at all (one fewer sort than the w5 idiom); this is
+    the same operator Structured Streaming uses for stateful session
+    windows, so the batch and streaming paths share semantics."""
+    ev = _t(spark, sf_dir, "events")
+    sw = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return sw.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@_register(
+    "x50_train_split",
+    """
+    WITH split AS (
+      SELECT lang,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       < 52429 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       < 58982 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM split GROUP BY split, lang
+    """,
+)
+def x50_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by hashing the
+    document id — the split every training pipeline needs: a pure
+    function of the row (no RNG state, no seed coordination), so the
+    assignment is stable across engines, re-runs, retries, and
+    incremental arrivals (a new doc never reshuffles old ones — the
+    property a random split lacks). Thresholds are integer 16-bit
+    bounds (0.8·2^16, 0.9·2^16), the x19 discipline.
+
+    Scale shape: scan-local split + one low-cardinality aggregate.
+    The split column composes with writes (`partitionBy('split')`)
+    for downstream partition pruning."""
+    docs = _t(spark, sf_dir, "documents")
+    h16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    split = (
+        F.when(h16 < 52429, "train").when(h16 < 58982, "val").otherwise("test")
+    )
+    return docs.select(split.alias("split"), "lang").groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+@_register(
+    "x51_token_entropy",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_O_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS c
+           FROM toks GROUP BY doc_id, term),
+    folded AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tok,
+             list_reduce(list(c * ln(CAST(c AS DOUBLE)) ORDER BY term),
+                         (a, b) -> a + b) AS s
+      FROM tf GROUP BY doc_id)
+    SELECT doc_id, n_tok,
+           round(ln(CAST(n_tok AS DOUBLE)) - s / n_tok, 6) AS entropy
+    FROM folded
+    """,
+)
+def x51_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy — the repetition/diversity
+    quality signal (low entropy = boilerplate or keyword stuffing):
+    H = ln(n) − (Σ c·ln c)/n over the doc's token counts, computed
+    from exact integer counts with the float fold ORDERED by term
+    (collect → sort → fold), so both engines sum identical doubles in
+    identical order — the x48 determinism discipline.
+
+    Scale shape: one shuffle to (doc, term) counts, one to the
+    per-doc fold; per-doc distinct-term lists are bounded by document
+    length, not corpus size."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    folded = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", "c"))),
+                lambda s: s["c"] * F.log(s["c"].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("s"),
+    )
+    return folded.select(
+        "doc_id",
+        "n_tok",
+        F.round(
+            F.log(F.col("n_tok").cast("double")) - F.col("s") / F.col("n_tok"), 6
+        ).alias("entropy"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -5372,6 +5515,7 @@ _NEWEST = [
     # round-4 additions (never gated, new this round):
     "x46_simhash_hamming_neardup", "x47_quality_tertile_buckets",
     "x48_label_centroids", "x49_vocab_coverage",
+    "w9_session_window_builtin", "x50_train_split", "x51_token_entropy",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
