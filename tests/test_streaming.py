@@ -57,6 +57,65 @@ def test_file_stream_tumbling_window_with_late_data(spark, stream_dir, tmp_path)
         q.stop()
 
 
+def test_streaming_session_window_merges_across_batches(spark, stream_dir):
+    """Streaming session windows (the stateful twin of the batch
+    w9_session_window_builtin query): events arriving in DIFFERENT
+    micro-batches but within the gap merge into ONE session in the
+    state store; append mode emits a session only once the watermark
+    passes its end (session aggregations reject update mode — the
+    merged window's identity isn't stable until finalized)."""
+    from etlp_spark.streaming import StreamingPipeline, session_counts
+
+    _write_batch(
+        stream_dir,
+        "b1.jsonl",
+        [
+            {"ts": "2024-01-01 00:00:00", "user": 1},
+            {"ts": "2024-01-01 00:10:00", "user": 1},
+        ],
+    )
+    src = file_stream(spark, str(stream_dir), "ts timestamp, user long", fmt="json")
+    sess = session_counts(
+        with_event_time(src, "ts", "10 minutes"), "ts", "30 minutes", "user"
+    )
+    pipe = StreamingPipeline(source=sess, output_mode="append")
+    q = pipe.start(spark, ("memory", "sess1"))
+    try:
+        q.processAllAvailable()
+        # watermark (00:10 - 10min) hasn't passed any session end yet
+        assert spark.sql("select * from sess1").count() == 0
+        # batch 2: 00:35 lands inside the open session's gap → merges
+        # (end extends to 01:05); 02:00 starts a new session AND
+        # advances the watermark to 01:50, finalizing the merged one
+        _write_batch(
+            stream_dir,
+            "b2.jsonl",
+            [
+                {"ts": "2024-01-01 00:35:00", "user": 1},
+                {"ts": "2024-01-01 02:00:00", "user": 1},
+            ],
+        )
+        q.processAllAvailable()
+        got = {
+            (r.user, r.session_window.start.strftime("%H:%M"),
+             r.session_window.end.strftime("%H:%M")): r.n
+            for r in spark.sql("select * from sess1").collect()
+        }
+        assert got == {(1, "00:00", "01:05"): 3}  # merged across batches
+        # batch 3: push the watermark past the 02:00 session's end
+        _write_batch(stream_dir, "b3.jsonl", [{"ts": "2024-01-01 04:00:00", "user": 2}])
+        q.processAllAvailable()
+        got = {
+            (r.user, r.session_window.start.strftime("%H:%M"),
+             r.session_window.end.strftime("%H:%M")): r.n
+            for r in spark.sql("select * from sess1").collect()
+        }
+        assert got[(1, "02:00", "02:30")] == 1  # beyond gap → own session
+        assert got[(1, "00:00", "01:05")] == 3
+    finally:
+        q.stop()
+
+
 def test_running_counts_update_mode(spark, stream_dir):
     """A1: the atom-held running count as a streaming aggregation."""
     _write_batch(stream_dir, "b1.jsonl", [{"k": "a"}, {"k": "a"}, {"k": "b"}])
