@@ -5436,6 +5436,236 @@ def x51_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x52_containment_pairs",
+    f"""
+    WITH {_O_SHINGLES},
+    {_O_SIGS},
+    {_O_BANDS},
+    {_O_BUCKETS},
+    sized AS (SELECT bucket, list(doc_id) AS ids, count(*) AS sz
+              FROM buckets GROUP BY bucket),
+    kept AS (SELECT bucket, ids FROM sized WHERE sz <= 50),
+    cand AS (SELECT DISTINCT a, b FROM
+               (SELECT unnest(ids) AS a, ids FROM kept),
+               LATERAL (SELECT unnest(ids) AS b)
+             WHERE a < b),
+    sets AS (SELECT doc_id, list(sh) AS ss FROM shingles GROUP BY doc_id),
+    scored AS (
+      SELECT cand.a, cand.b,
+             len(list_intersect(sa.ss, sb.ss)) AS inter,
+             len(sa.ss) AS la, len(sb.ss) AS lb
+      FROM cand
+      JOIN sets sa ON sa.doc_id = cand.a
+      JOIN sets sb ON sb.doc_id = cand.b)
+    SELECT a, b,
+           round(inter * 1.0 / la, 6) AS cont_a_in_b,
+           round(inter * 1.0 / lb, 6) AS cont_b_in_a,
+           round(inter * 1.0 / (la + lb - inter), 6) AS jaccard
+    FROM scored
+    WHERE inter * 5 >= la * 3 OR inter * 5 >= lb * 3
+    """,
+)
+def x52_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection — the sub-document dup case
+    Jaccard misses: when A's shingles are mostly inside B (quote,
+    excerpt, boilerplate-wrapped copy), containment |A∩B|/|A| is high
+    while Jaccard can be arbitrarily low. Candidates come from the
+    SAME LSH banding as x5/x18 (no est-Jaccard filter — that would
+    re-introduce the symmetric bias); the threshold (≥ 0.6 either
+    direction) compares in INTEGERS (inter·5 ≥ len·3), no float edge.
+
+    Scale shape: identical to the x18 pipeline — banded buckets
+    capped at 50, shingle sets joined only for candidate ids."""
+    from etlp_spark.functions.dedup import (
+        lsh_candidates,
+        minhash_signature,
+        word_shingles,
+    )
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    sigs = minhash_signature(docs, k=_MINHASH_K, n=3)
+    cand = lsh_candidates(
+        sigs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=50
+    ).select("a", "b")
+    sets = docs.select("doc_id", word_shingles("text", 3).alias("ss"))
+    sa = sets.select(F.col("doc_id").alias("a"), F.col("ss").alias("ssa"))
+    sb = sets.select(F.col("doc_id").alias("b"), F.col("ss").alias("ssb"))
+    inter = F.size(F.array_intersect("ssa", "ssb"))
+    la, lb = F.size("ssa"), F.size("ssb")
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a", "b", inter.alias("inter"), la.alias("la"), lb.alias("lb")
+        )
+        .where((F.col("inter") * 5 >= F.col("la") * 3)
+               | (F.col("inter") * 5 >= F.col("lb") * 3))
+        .select(
+            "a",
+            "b",
+            F.round(F.col("inter") * 1.0 / F.col("la"), 6).alias("cont_a_in_b"),
+            F.round(F.col("inter") * 1.0 / F.col("lb"), 6).alias("cont_b_in_a"),
+            F.round(
+                F.col("inter") * 1.0
+                / (F.col("la") + F.col("lb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@_register(
+    "x53_bigram_pmi",
+    f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKS} AS tk FROM documents),
+    uni AS (SELECT unnest(tk) AS t FROM toks),
+    uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+    n1 AS (SELECT sum(c) AS n FROM uc),
+    bi AS (SELECT tk[i] AS t1, tk[i + 1] AS t2
+           FROM toks, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS r(i)),
+    bc AS (SELECT t1, t2, count(*) AS cb FROM bi GROUP BY t1, t2),
+    n2 AS (SELECT sum(cb) AS nb FROM bc),
+    scored AS (
+      SELECT t1, t2, cb,
+             round(ln((cb * 1.0 / n2.nb)
+                      / ((u1.c * 1.0 / n1.n) * (u2.c * 1.0 / n1.n))), 6) AS pmi
+      FROM bc
+      JOIN uc u1 ON u1.t = bc.t1
+      JOIN uc u2 ON u2.t = bc.t2
+      CROSS JOIN n1 CROSS JOIN n2
+      WHERE cb * 1000 >= n2.nb)
+    SELECT t1, t2, CAST(cb AS BIGINT) AS cb, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, t1, t2) AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 20
+    """,
+)
+def x53_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 token bigrams by pointwise mutual
+    information (min support 0.1% of corpus bigrams, so the threshold
+    scales with the corpus) — the classic corpus-statistics pass
+    for phrase detection / tokenizer-merge candidates. PMI inputs are
+    exact integer counts; the single ln() sees bit-identical doubles
+    in both engines (same divisions of exact ints), rounded 6 dp.
+
+    Scale shape: bigram enumeration is scan-stage (positional slices
+    of the token array); both count tables aggregate map-side first;
+    the unigram table joins onto bigrams as a BROADCAST (|vocab|
+    rows); top-20 is TakeOrdered, not a global sort."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    tk = docs.select(tokens("text").alias("tk"))
+    uni = tk.select(F.explode("tk").alias("t"))
+    uc = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n1 = uc.agg(F.sum("c").alias("n"))
+    m = F.size("tk") - 1
+    bi = tk.select(
+        F.explode(
+            F.when(
+                m >= 1,
+                F.zip_with(
+                    F.slice("tk", 1, F.greatest(m, F.lit(0))),
+                    F.slice("tk", 2, F.greatest(m, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<t1:string,t2:string>>"))
+        ).alias("p")
+    ).select("p.t1", "p.t2")
+    # bigram counts feed two consumers (the support-filtered table and
+    # the corpus total) — materialize the |bigram vocab| frame once so
+    # the scan+explode+aggregate doesn't run twice (x28's tf pattern)
+    bc_all = (
+        bi.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=True)
+    )
+    n2_all = bc_all.agg(F.sum("cb").alias("nb"))
+    # proportional min support — 0.1% of all corpus bigrams (integer
+    # compare) — so the query is meaningful at every scale factor
+    bc = bc_all.join(F.broadcast(n2_all)).where(
+        F.col("cb") * 1000 >= F.col("nb")
+    ).select("t1", "t2", "cb")
+    u1 = uc.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    scored = (
+        bc.join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .join(F.broadcast(n1))
+        .join(F.broadcast(n2_all))
+        .select(
+            "t1", "t2", "cb",
+            F.round(
+                F.log(
+                    (F.col("cb") * 1.0 / F.col("nb"))
+                    / ((F.col("c1") * 1.0 / F.col("n")) * (F.col("c2") * 1.0 / F.col("n")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), "t1", "t2")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 20)
+        .select("t1", "t2", F.col("cb").cast("long").alias("cb"), "pmi", "rnk")
+    )
+
+
+@_register(
+    "x54_metric_correlation",
+    f"""
+    WITH m AS (SELECT n_chars AS x, len({_O_TOKS}) AS y FROM documents),
+    s AS (SELECT count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM m)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_chars_tokens
+    FROM s
+    """,
+)
+def x54_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between document metrics (chars vs tokens)
+    from EXACT integer moment sums — the w4 discipline applied to the
+    corpus-profile report: n, Σx, Σy, Σxy, Σx², Σy² are all int64, so
+    the closed-form correlation is one deterministic double expression
+    (no Welford accumulation order to disagree about).
+
+    Scale shape: pure scan-stage metric extraction + ONE partial-
+    aggregated reduction to a single row. This is how any correlation/
+    covariance matrix over doc metrics should run at 100 TB — never
+    via corr() over doubles, whose partial-merge order is engine- and
+    partitioning-dependent."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    m = docs.select(
+        F.col("n_chars").alias("x"), F.size(tokens("text")).cast("long").alias("y")
+    )
+    s = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(num / den, 6).alias("corr_chars_tokens"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -5516,6 +5746,7 @@ _NEWEST = [
     "x46_simhash_hamming_neardup", "x47_quality_tertile_buckets",
     "x48_label_centroids", "x49_vocab_coverage",
     "w9_session_window_builtin", "x50_train_split", "x51_token_entropy",
+    "x52_containment_pairs", "x53_bigram_pmi", "x54_metric_correlation",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
