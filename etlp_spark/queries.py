@@ -5666,6 +5666,133 @@ def x54_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x55_daily_anomaly_zscore",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    s AS (SELECT event_type, count(*) AS n,
+                 CAST(sum(c) AS BIGINT) AS sx,
+                 CAST(sum(c * c) AS BIGINT) AS sxx
+          FROM daily GROUP BY event_type),
+    z AS (SELECT daily.event_type, daily.d, daily.c,
+                 round((daily.c * s.n - s.sx)
+                       / sqrt(CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)), 6) AS z
+          FROM daily JOIN s USING (event_type))
+    SELECT event_type, d, CAST(c AS BIGINT) AS n_events, z,
+           CAST(row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(z) DESC, d) AS BIGINT) AS rnk
+    FROM z
+    QUALIFY rnk <= 3
+    """,
+)
+def x55_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: the 3 most anomalous days per event
+    type by z-score of the daily count against that type's 30-day
+    distribution — the data-health monitor every ingestion pipeline
+    runs (did a source drop out or double-fire yesterday?).
+
+    Exactness: daily counts are integers; mean/variance come from
+    exact int64 moment sums (n, Σc, Σc²) so the single z expression
+    ((c·n − Σc)/√(n·Σc² − Σc²)) sees bit-identical doubles in both
+    engines — no Welford merge order, no sample-vs-population
+    ambiguity (population σ, closed form).
+
+    Scale shape: the daily rollup partial-aggregates map-side to
+    |types|×|days| rows; the stats join is a broadcast of |types|
+    rows; top-3 per type is one tiny window. At 100 TB this is one
+    scan + two small shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("long").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sxx"),
+    )
+    z = (
+        (F.col("c") * F.col("n") - F.col("sx")).cast("double")
+        / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    )
+    scored = daily.join(F.broadcast(s), "event_type").select(
+        "event_type", "d", "c", F.round(z, 6).alias("z")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.abs(F.col("z")).desc(), "d")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "d", F.col("c").cast("long").alias("n_events"), "z", "rnk")
+    )
+
+
+@_register(
+    "x56_dup_rate_by_source",
+    f"""
+    WITH {_O_SHINGLES},
+    {_O_SIGS},
+    {_O_BANDS},
+    {_O_BUCKETS},
+    sized AS (SELECT bucket, list(doc_id) AS ids, count(*) AS sz
+              FROM buckets GROUP BY bucket),
+    kept AS (SELECT bucket, ids FROM sized WHERE sz <= 50),
+    cand AS (SELECT DISTINCT a, b FROM
+               (SELECT unnest(ids) AS a, ids FROM kept),
+               LATERAL (SELECT unnest(ids) AS b)
+             WHERE a < b),
+    scored AS (SELECT cand.a, cand.b, ({_O_EST}) AS eq
+               FROM cand
+               JOIN sigs sa ON sa.doc_id = cand.a
+               JOIN sigs sb ON sb.doc_id = cand.b),
+    dup_docs AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT a AS doc_id FROM scored WHERE eq * 2 >= {_MINHASH_K}
+        UNION ALL
+        SELECT b AS doc_id FROM scored WHERE eq * 2 >= {_MINHASH_K}))
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(dd.doc_id) AS BIGINT) AS n_dup_docs,
+           round(count(dd.doc_id) * 1.0 / count(*), 6) AS dup_rate
+    FROM documents d LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def x56_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-health report: per-source near-duplicate rate — the
+    fraction of each source's documents that participate in at least
+    one MinHash-LSH near-dup pair (est. Jaccard ≥ 0.5). THE metric a
+    crawl-snapshot review tracks per provider: a source whose dup
+    rate spikes is re-serving old content.
+
+    Scale shape: the x5/x18 candidate pipeline (banded, capped) plus
+    one DISTINCT over pair endpoints (tiny — dup docs only) joined
+    back to documents as a BROADCAST; per-source rates are exact
+    integer ratios."""
+    from etlp_spark.functions.dedup import lsh_candidates, minhash_signature
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    sigs = minhash_signature(docs, k=_MINHASH_K, n=3)
+    pairs = lsh_candidates(
+        sigs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=50
+    ).where(F.col("est_jaccard") >= 0.5)
+    dup_docs = (
+        pairs.select(F.explode(F.array("a", "b")).alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(dup_docs), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("is_dup").cast("long").alias("n_dup_docs"),
+            F.round(F.count("is_dup") * 1.0 / F.count(F.lit(1)), 6).alias("dup_rate"),
+        )
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -5747,6 +5874,7 @@ _NEWEST = [
     "x48_label_centroids", "x49_vocab_coverage",
     "w9_session_window_builtin", "x50_train_split", "x51_token_entropy",
     "x52_containment_pairs", "x53_bigram_pmi", "x54_metric_correlation",
+    "x55_daily_anomaly_zscore", "x56_dup_rate_by_source",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
