@@ -24,6 +24,18 @@ def main() -> None:
     from etlp_spark.queries import QUERIES
     from etlp_spark.session import get_spark
 
+    # Debug/CI subset: SPARK_GRAFT_BENCH_ONLY=q01_pricing_summary,t2_...
+    # limits the run to the named queries (the contract test uses this
+    # to exercise the full bench pipeline in seconds).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in QUERIES]
+        if unknown:
+            print(f"bench: unknown query names {unknown}", file=sys.stderr)
+            sys.exit(2)
+        QUERIES = {n: QUERIES[n] for n in names}
+
     spark = get_spark(app_name="etlp-spark-bench")
     # warm the JVM + every table's parquet footers once so per-query
     # timings measure plan+execute, not first-touch file listing

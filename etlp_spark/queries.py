@@ -5793,6 +5793,76 @@ def x56_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x57_uniform_k_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 100
+    """,
+)
+def x57_uniform_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform sample, deterministically: order by the md5
+    of the id and take the first 100. Rate-based sampling (x19/x35)
+    can't promise an exact sample SIZE; hash-ordering can — and stays
+    a pure function of the data (reproducible across engines, runs,
+    and retries; adding documents only perturbs the selection
+    boundary, it never reshuffles the order).
+
+    Scale shape: TakeOrderedAndProject — per-partition top-k heaps on
+    the 16-byte hash, one k-row reduce at the driver; no global sort
+    ever materializes. The canonical 'give me exactly 100k docs for
+    the eval set' one-pass answer at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", "source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(100)
+    )
+
+
+@_register(
+    "x58_langid_confusion",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_O_TOKS} AS tk FROM documents),
+    scored AS (SELECT doc_id, lang,
+           {_O_SCORE_COLS},
+           greatest(s_en, s_de, s_es, s_fr, s_zh) AS m
+    FROM toks),
+    preds AS (SELECT doc_id, lang AS lang_label, {_O_LANG_CASE} AS lang_pred
+              FROM scored)
+    SELECT lang_label, lang_pred,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN lang_label = lang_pred THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM preds GROUP BY lang_label, lang_pred
+    """,
+)
+def x58_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation on the corpus: the confusion matrix of
+    the heuristic language-ID (x2's predictor) against the labeled
+    lang column — the quality gate run before trusting any cheap
+    classifier to route 100 TB of documents (precision/recall per
+    language fall directly out of the matrix rows/columns).
+
+    Scale shape: prediction is scan-stage (the x2 expressions); the
+    matrix is one |langs|² aggregate — partial map-side, a few dozen
+    rows out regardless of corpus size."""
+    from etlp_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    preds = docs.select(
+        F.col("lang").alias("lang_label"), T.lang_id("text").alias("lang_pred")
+    )
+    return preds.groupBy("lang_label", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("lang_label") == F.col("lang_pred"), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -5875,6 +5945,7 @@ _NEWEST = [
     "w9_session_window_builtin", "x50_train_split", "x51_token_entropy",
     "x52_containment_pairs", "x53_bigram_pmi", "x54_metric_correlation",
     "x55_daily_anomaly_zscore", "x56_dup_rate_by_source",
+    "x57_uniform_k_sample", "x58_langid_confusion",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
