@@ -5,9 +5,12 @@ Decode support is tiered by what this container can honestly do:
 - **Uncompressed 24-bpp BMP decodes for real** — a stdlib-only
   (``struct`` + numpy) parser below, so the feature/resize kernels
   exercise real pixel math end-to-end with zero codec dependencies.
-- Compressed formats (JPEG/PNG/audio/video) are STUBBED
-  (deterministic fakes clearly marked below); swap ``decode_image``'s
-  fallback for PIL/torchvision in a full environment.
+- **PCM WAV decodes for real too** (RIFF chunk walk, 16-bit PCM):
+  audio features (RMS, zero-crossing rate, peak) and frame/segment
+  sampling run on actual samples.
+- Compressed formats (JPEG/PNG/MP3/video) are STUBBED (deterministic
+  fakes clearly marked below); swap the decode fallbacks for
+  PIL/torchvision/ffmpeg in a full environment.
 
 Everything Spark-side is real and tested either way — schema
 contracts, Arrow batch shape, ``mapInPandas`` partitioning behavior,
@@ -52,6 +55,8 @@ __all__ = [
     "decode_image",
     "decode_bmp",
     "encode_bmp",
+    "decode_wav",
+    "encode_wav",
 ]
 
 #: contract for a multimodal row: payload + typed metadata.
@@ -129,6 +134,70 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode a 1-D int16 sample array as a mono 16-bit PCM WAV
+    (RIFF). Stdlib-only; the inverse of ``decode_wav``."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a 16-bit PCM WAV to (sample_rate, int16 sample array —
+    first channel if multi-channel). Stdlib RIFF chunk walk + numpy;
+    raises ValueError on compressed/other-depth variants so callers
+    can fall back."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits = 12, None, None, None
+    data = None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("unsupported WAV variant (need 16-bit PCM)")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    if channels and channels > 1:
+        samples = samples[::channels]  # first channel
+    return rate, samples.copy()
+
+
+def _audio_feature(rate: int, samples: np.ndarray, dims: int = 8) -> list[float]:
+    """Real audio descriptor from decoded PCM: RMS energy, zero-
+    crossing rate, peak, mean, and 4 segment RMS values — all scaled
+    to [-1, 1]. Vectorized numpy; deterministic."""
+    if len(samples) == 0:
+        return [0.0] * dims
+    x = samples.astype(np.float64) / 32768.0
+    zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if len(x) > 1 else 0.0
+    segs = np.array_split(x, 4)
+    seg_rms = [float(np.sqrt(np.mean(s * s)) if len(s) else 0.0) for s in segs]
+    feats = [
+        float(np.sqrt(np.mean(x * x))),          # rms ∈ [0,1]
+        zc,                                      # zcr ∈ [0,1]
+        float(np.max(np.abs(x))),                # peak ∈ [0,1]
+        float(np.mean(x)),                       # dc offset ∈ [-1,1]
+        *seg_rms,
+    ]
+    out = [max(-1.0, min(1.0, f * 2 - 1 if i != 3 else f)) for i, f in enumerate(feats)]
+    return [float(out[i % len(out)]) for i in range(dims)]
+
+
 def decode_image(payload: bytes, mime: str = "image/bmp") -> np.ndarray:
     """Decode an image payload to an (h, w, 3) uint8 RGB array.
 
@@ -204,10 +273,12 @@ def extract_features(media_df: DataFrame, dims: int = 8) -> DataFrame:
     """
 
     def featurize(mime: str, payload: bytes) -> list[float]:
-        # Real pixel path for decodable payloads (stdlib BMP decoder);
-        # deterministic fake for formats this container can't decode.
+        # Real decode paths (stdlib BMP/WAV parsers); deterministic
+        # fake for formats this container can't decode.
         if mime == "image/bmp":
             return _pixel_feature(decode_bmp(payload), dims)
+        if mime == "audio/wav":
+            return _audio_feature(*decode_wav(payload), dims)
         return _fake_feature(payload, dims)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -278,16 +349,29 @@ def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
     fan-out happens inside the scan stage: no shuffle, output rows =
     |media| × n_frames, and Arrow batch memory is bounded by
     ``spark.sql.execution.arrow.maxRecordsPerBatch``.
-    """
+
+    WAV payloads fan out for REAL: the PCM stream splits into
+    ``n_frames`` equal time segments, each re-encoded as a standalone
+    WAV — the audio equivalent of video frame sampling (and the same
+    one-to-many batch shape). Undecodable formats use the
+    deterministic fake."""
+
+    def frames_of(mime: str, payload: bytes) -> list[bytes]:
+        if mime == "audio/wav":
+            rate, samples = decode_wav(payload)
+            return [encode_wav(seg, rate) for seg in np.array_split(samples, n_frames)]
+        return [
+            hashlib.md5(payload + bytes([i])).digest() for i in range(n_frames)
+        ]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                for i in range(n_frames):
+            for mid, mime, payload in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
+                for i, fr in enumerate(frames_of(mime, payload)):
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(hashlib.md5(payload + bytes([i])).digest())
+                    frames.append(fr)
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media_df.mapInPandas(kernel, FRAME_SCHEMA)
