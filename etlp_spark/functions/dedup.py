@@ -34,6 +34,7 @@ __all__ = [
     "lsh_candidates",
     "jaccard_pairs",
     "simhash32",
+    "simhash_hamming_pairs",
     "connected_components",
 ]
 
@@ -233,6 +234,66 @@ def simhash32(text_col: str) -> Column:
         ),
         F.lit(0).cast("long"),
         lambda a, x: a + x,
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    band_bits: int = 8,
+    max_bucket: int = 100,
+    max_hd: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs, end to end (the Manku/Google web-dedup
+    scheme): 32-bit SimHash per row → band the signature into
+    ``bands`` × ``band_bits``-bit keys → bucket-join candidates
+    (a < b, bucket size capped) → exact Hamming verify ≤ ``max_hd``.
+    With bands·band_bits covering the signature, any pair within
+    Hamming distance ``bands − 1`` shares at least one untouched band,
+    so candidate generation is complete without an all-pairs scan.
+
+    Returns (a, b, hd). Scale shape: signatures are a scan-stage fold;
+    banding shuffles only (id, small int key); ``max_bucket`` bounds
+    pair fan-out exactly like LSH's skew cap; the verify join touches
+    candidate ids only."""
+    sims = df.select(
+        F.col(id_col), simhash32(text_col).cast("long").alias("sh")
+    ).persist()
+    mask = (1 << band_bits) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("bi"),
+                F.shiftright(F.col("sh"), band_bits * bi)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    bands_df = sims.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, "bk.bi", "bk.key"
+    )
+    sized = bands_df.groupBy("bi", "key").agg(
+        F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("sz")
+    )
+    cand = (
+        sized.where(F.col("sz") <= max_bucket)
+        .select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    sa = sims.select(F.col(id_col).alias("a"), F.col("sh").alias("sha"))
+    sb = sims.select(F.col(id_col).alias("b"), F.col("sh").alias("shb"))
+    hd = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .where(hd <= max_hd)
+        .select("a", "b", hd.cast("int").alias("hd"))
     )
 
 

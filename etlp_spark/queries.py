@@ -5018,40 +5018,11 @@ def x46_simhash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join touches only candidate ids. Same bounded pipeline as
     x5/x18, completing the third classic dedup family (MinHash,
     exact-hash, SimHash)."""
-    from etlp_spark.functions.dedup import simhash32
+    from etlp_spark.functions.dedup import simhash_hamming_pairs
 
     docs = _t_fanout(spark, sf_dir, "documents")
-    sims = docs.select("doc_id", simhash32("text").cast("long").alias("sh")).persist()
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("bi"),
-                F.shiftright(F.col("sh"), 8 * bi).bitwiseAND(F.lit(255)).alias("key"),
-            )
-            for bi in range(4)
-        ]
-    )
-    bands = sims.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", "bk.bi", "bk.key"
-    )
-    sized = bands.groupBy("bi", "key").agg(
-        F.collect_list("doc_id").alias("ids"), F.count(F.lit(1)).alias("sz")
-    )
-    cand = (
-        sized.where(F.col("sz") <= 100)
-        .select(F.explode("ids").alias("a"), "ids")
-        .select("a", F.explode("ids").alias("b"))
-        .where(F.col("a") < F.col("b"))
-        .distinct()
-    )
-    sa = sims.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
-    sb = sims.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
-    hd = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
-    return (
-        cand.join(sa, "a")
-        .join(sb, "b")
-        .where(hd <= 3)
-        .select("a", "b", hd.cast("int").alias("hd"))
+    return simhash_hamming_pairs(
+        docs, bands=4, band_bits=8, max_bucket=100, max_hd=3
     )
 
 

@@ -483,3 +483,52 @@ def test_wav_real_frames_through_spark(spark):
     for r in sorted(frames, key=lambda r: (r.media_id, r.frame_idx)):
         by_media.setdefault(r.media_id, []).append(decode_wav(bytes(r.frame))[1])
     assert np.array_equal(np.concatenate(by_media[1]), loud)
+
+
+def test_bmp_wav_roundtrip_property():
+    """Property: encode→decode is the identity for ANY pixel array /
+    sample stream (hypothesis over shapes and values)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from etlp_spark.functions.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def bmp_prop(h, w, seed):
+        px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(0, 500),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def wav_prop(n, rate, seed):
+        s = np.random.default_rng(seed).integers(-32768, 32768, size=n).astype(np.int16)
+        r, back = decode_wav(encode_wav(s, rate))
+        assert r == rate and np.array_equal(back, s)
+
+    bmp_prop()
+    wav_prop()
+
+
+def test_simhash_hamming_pairs_api(spark, docs):
+    """The promoted dedup API: identical docs collide at hd=0; the
+    bucket cap bounds fan-out (cap 1 → no pairs)."""
+    from etlp_spark.functions.dedup import simhash_hamming_pairs
+
+    pairs = {(r.a, r.b): r.hd for r in simhash_hamming_pairs(docs).collect()}
+    assert pairs.get((1, 5)) == 0  # exact dups, identical signature
+    assert all(hd <= 3 for hd in pairs.values())
+    assert simhash_hamming_pairs(docs, max_bucket=1).count() == 0
