@@ -31,6 +31,11 @@ BROADCAST_ONLY = [
     "x38_incremental_dedup",
     "x39_funnel_conversion",
     "q19_disjunctive_revenue",
+    # round-4 additions whose joins must stay broadcast:
+    "x49_vocab_coverage",       # top-1000 vocab → token stream
+    "x53_bigram_pmi",           # unigram/total tables → bigram counts
+    "x55_daily_anomaly_zscore", # per-type stats → daily counts
+    "x56_dup_rate_by_source",   # dup-doc flags → documents
 ]
 
 #: Scans whose predicate must reach the parquet reader (PushedFilters
@@ -45,7 +50,7 @@ PUSHDOWN = {
 
 #: Top-k queries that must plan TakeOrderedAndProject (per-partition
 #: heap + single reduce) instead of a global sort + limit.
-TOP_K = ["q03_shipping_priority", "w7_session_paths"]
+TOP_K = ["q03_shipping_priority", "w7_session_paths", "x57_uniform_k_sample"]
 
 
 @pytest.mark.parametrize("name", BROADCAST_ONLY)
