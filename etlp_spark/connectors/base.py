@@ -13,6 +13,18 @@ Airbyte-style stream catalog from the real DataFrame schema instead
 of hand-written JSON-Schema (the reference hand-writes it, e.g.
 ``src/etlp/processors/stdin.clj:26-38``), and ``check`` is a cheap
 ``limit(0)`` probe instead of a side-effecting read.
+
+On the Airbyte ``State`` parameter (``doc/intro.md`` cites
+``read(Config, Catalog, State)``): the reference's ``read!`` takes no
+state — its incremental story is aspirational. Here the State slot
+maps onto Spark-native mechanisms instead of a bespoke cursor API:
+**Structured Streaming checkpoints** (``streaming.file_stream`` + a
+``checkpointLocation`` is exactly resumable incremental reading —
+offsets ARE the state, fault-tolerant and exactly-once into
+idempotent sinks), and for batch back-fills the scan-level
+``modifiedAfter`` option / partition-pruning predicates carry the
+watermark. The x38 incremental-dedup query shows the same pattern at
+the table level (fingerprint-store anti-join).
 """
 
 from __future__ import annotations

@@ -5087,6 +5087,11 @@ def x47_quality_tertile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     total = tf.agg(F.sum("c").alias("total"))
+    # scored feeds BOTH the histogram and the final bucketing join —
+    # persist the |docs|-row score frame so the token explode + LM
+    # join + per-doc aggregate (the expensive, corpus-sized part)
+    # runs once, not twice. At 100 TB the persisted frame is two
+    # small columns per document, a fraction of one corpus scan.
     scored = (
         toks.join(F.broadcast(tf), "term")
         .join(F.broadcast(total))
@@ -5096,6 +5101,7 @@ def x47_quality_tertile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id")
         .agg(F.round(-F.avg("lp"), 6).alias("score"))
+        .persist()
     )
     hist = scored.groupBy("score").agg(F.count(F.lit(1)).alias("cnt"))
     # Global window on the compact histogram (|distinct scores| rows),
@@ -5459,7 +5465,10 @@ def x52_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidates(
         sigs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=50
     ).select("a", "b")
-    sets = docs.select("doc_id", word_shingles("text", 3).alias("ss"))
+    # both sides of the verify join read the shingle sets — persist so
+    # the scan + shingle HOFs run once (lsh_candidates does the same
+    # for the signature frame)
+    sets = docs.select("doc_id", word_shingles("text", 3).alias("ss")).persist()
     sa = sets.select(F.col("doc_id").alias("a"), F.col("ss").alias("ssa"))
     sb = sets.select(F.col("doc_id").alias("b"), F.col("ss").alias("ssb"))
     inter = F.size(F.array_intersect("ssa", "ssb"))
@@ -5529,7 +5538,14 @@ def x53_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t_fanout(spark, sf_dir, "documents")
     tk = docs.select(tokens("text").alias("tk"))
     uni = tk.select(F.explode("tk").alias("t"))
-    uc = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    # |vocab| rows with THREE consumers (u1, u2, corpus total) —
+    # materialize once or the corpus scan + token aggregate reruns
+    # per consumer (same reasoning as bc_all below)
+    uc = (
+        uni.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     n1 = uc.agg(F.sum("c").alias("n"))
     m = F.size("tk") - 1
     bi = tk.select(
