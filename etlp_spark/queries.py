@@ -5850,6 +5850,117 @@ def x58_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "w10_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def w10_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    for each (from → to) event-type pair, the transition count and
+    row-normalized probability — the sequence-mining summary behind
+    next-action prediction and funnel-shape drift monitoring.
+
+    Exactness: counts are integers; each probability is one division
+    of exact ints (the row total comes from a window over the tiny
+    |types|² aggregate, not a second scan).
+
+    Scale shape: one shuffle on user_id for the lead() (shared with
+    every other per-user window), one |types|²-row aggregate; the
+    normalizing window runs on that tiny frame."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    agg = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("from_type")
+    return agg.select(
+        "from_type", "to_type", F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wt), 6).alias("p"),
+    )
+
+
+@_register(
+    "x59_winsorized_stats",
+    """
+    WITH hist AS (SELECT source, n_chars AS v, count(*) AS cnt
+                  FROM documents GROUP BY source, n_chars),
+    cum AS (SELECT source, v, cnt,
+                   sum(cnt) OVER (PARTITION BY source ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_n,
+                   sum(cnt) OVER (PARTITION BY source) AS n
+            FROM hist),
+    th AS (SELECT source,
+                  min(CASE WHEN cum_n * 20 >= n THEN v END) AS p05,
+                  min(CASE WHEN cum_n * 20 >= 19 * n THEN v END) AS p95
+           FROM cum GROUP BY source),
+    w AS (SELECT d.source, t.p05, t.p95,
+                 least(greatest(d.n_chars, t.p05), t.p95) AS wv
+          FROM documents d JOIN th t USING (source))
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(p05) AS BIGINT) AS p05, CAST(max(p95) AS BIGINT) AS p95,
+           round(sum(wv) * 1.0 / count(*), 6) AS wins_mean
+    FROM w GROUP BY source
+    """,
+)
+def x59_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source statistics: winsorized mean of document
+    length (values clipped to [p05, p95]) — the outlier-resistant
+    profile metric for corpus slices where a few megadocs would
+    otherwise dominate a plain mean.
+
+    This is the SCALE path g5's docstring defers to: percentiles come
+    from integer cumulative counts over a per-source value HISTOGRAM
+    (cum·20 ≥ n / ≥ 19·n — no sort of the corpus, no interpolation,
+    no floats until the final division of exact int64 sums).
+
+    Scale shape: histogram = |source × distinct lengths| rows (tiny);
+    its windows never touch the corpus; thresholds broadcast back for
+    the clip + one exact aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wc = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("source")
+    cum = hist.select(
+        "source", "v",
+        F.sum("cnt").over(wc).alias("cum_n"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    th = cum.groupBy("source").agg(
+        F.min(F.when(F.col("cum_n") * 20 >= F.col("n"), F.col("v"))).alias("p05"),
+        F.min(F.when(F.col("cum_n") * 20 >= 19 * F.col("n"), F.col("v"))).alias("p95"),
+    )
+    w = docs.join(F.broadcast(th), "source").select(
+        "source", "p05", "p95",
+        F.least(F.greatest(F.col("n_chars"), F.col("p05")), F.col("p95")).alias("wv"),
+    )
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("p05").cast("long").alias("p05"),
+        F.max("p95").cast("long").alias("p95"),
+        F.round(F.sum("wv") * 1.0 / F.count(F.lit(1)), 6).alias("wins_mean"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -5933,6 +6044,7 @@ _NEWEST = [
     "x52_containment_pairs", "x53_bigram_pmi", "x54_metric_correlation",
     "x55_daily_anomaly_zscore", "x56_dup_rate_by_source",
     "x57_uniform_k_sample", "x58_langid_confusion",
+    "w10_transition_matrix", "x59_winsorized_stats",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
