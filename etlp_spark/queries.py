@@ -5961,6 +5961,226 @@ def x59_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "w11_range_frame_rolling",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_3d,
+           round(sum(value) OVER w, 6) AS sum_3d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def w11_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per event, the count and sum of the same
+    user's events in the trailing 3 days — a *value*-bounded frame
+    (``RANGE BETWEEN INTERVAL``), the one window family (w1-w10 are
+    all ROWS frames or unbounded) the engine hadn't declared yet.
+
+    Exactness: the frame is keyed on ``unix_micros`` (full timestamp
+    precision — the j9 lesson: ``cast("long")`` truncates to seconds
+    and silently shifts frame edges on sub-second data), matching the
+    oracle's ``INTERVAL 3 DAY`` arithmetic exactly; both bounds are
+    inclusive in both engines. Equal-timestamp rows are RANGE-frame
+    peers in both engines, so ties need no break.
+
+    Scale shape: one shuffle on user_id (shared with every per-user
+    window), one sort per partition; the frame is evaluated with a
+    sliding two-pointer over the sorted run — no per-row rescan, no
+    second shuffle. Reference: engine-added (SURVEY.md §2.2 windows).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_3d"),
+        F.round(F.sum("value").over(w), 6).alias("sum_3d"),
+    )
+
+
+@_register(
+    "w12_gap_fill_ffill",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+             round(sum(value), 6) AS v
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+    grid AS (SELECT user_id,
+                    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                                CAST(d1 AS TIMESTAMP),
+                                                INTERVAL 1 DAY)) AS DATE) AS d
+             FROM span),
+    joined AS (
+      SELECT g.user_id, g.d, dl.v,
+             CASE WHEN dl.v IS NULL THEN 1 ELSE 0 END AS is_gap
+      FROM grid g LEFT JOIN daily dl ON g.user_id = dl.user_id AND g.d = dl.d)
+    SELECT user_id, d,
+           last_value(v IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           CAST(is_gap AS BIGINT) AS is_gap
+    FROM joined
+    """,
+)
+def w12_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + forward fill (the hypertable
+    ``time_bucket_gapfill``/``locf`` shape): densify each user's daily
+    value series over their [min-day, max-day] span, then carry the
+    last observed daily sum forward across missing days.
+
+    Determinism: daily sums are rounded once at the day grain (the
+    only float fold), then the fill merely *propagates* those rounded
+    values; the first grid day always has data (the span comes FROM
+    the observed days), so no leading nulls.
+
+    Scale shape: the grid is |users| × |span-days| — generated from
+    the tiny span aggregate by ``sequence``+``explode``, never by
+    scanning the fact table; the left join back to daily sums is on
+    (user_id, day), both sides already aggregated. The fill is one
+    per-user window with ``last(ignorenulls)``. The daily frame is
+    localCheckpoint'd: two consumers (span + join-back), and at 100 TB
+    you materialize the day-grain rollup once rather than re-scan the
+    events table twice. Reference: engine-added (SURVEY.md §1.4 notes
+    the reference has no event time at all)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+        .localCheckpoint(eager=True)  # two consumers: span + join-back
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    grid = span.select("user_id", F.explode(F.sequence("d0", "d1")).alias("d"))
+    joined = grid.join(daily, ["user_id", "d"], "left").select(
+        "user_id",
+        "d",
+        "v",
+        F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "d",
+        F.last("v", ignorenulls=True).over(wf).alias("v_filled"),
+        F.col("is_gap").cast("long").alias("is_gap"),
+    )
+
+
+@_register(
+    "x60_doc_chunks",
+    f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKS} AS tk FROM documents),
+    starts AS (SELECT doc_id, tk,
+               unnest(generate_series(1, greatest(1, len(tk) - 31), 24)) AS st
+               FROM toks WHERE len(tk) > 0)
+    SELECT doc_id,
+           CAST((st - 1) // 24 + 1 AS BIGINT) AS chunk_idx,
+           CAST(st AS BIGINT) AS start_tok,
+           CAST(len(list_slice(tk, st, least(st + 31, len(tk)))) AS BIGINT)
+             AS chunk_len,
+           md5(array_to_string(list_slice(tk, st, least(st + 31, len(tk))), ' '))
+             AS chunk_hash
+    FROM starts
+    """,
+)
+def x60_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: split each document into
+    overlapping token windows (size 32, stride 24 → 8-token overlap)
+    and emit one row per chunk with its position and content hash —
+    the fan-out step in front of every embedding/indexing pipeline,
+    and the missing piece between x23 (which PACKS whole docs into
+    fixed sequences) and x36 (which shingles for dedup).
+
+    Chunk starts are 1-based token indexes ``1, 25, 49, …`` up to
+    ``max(1, n-31)``, so a short doc yields exactly one (possibly
+    short) chunk and the last window is never empty.
+
+    Scale shape: pure codegen expressions (``sequence`` → ``explode``
+    → ``slice`` → ``md5``) fused into the parquet scan — no shuffle,
+    no Python; output size is ~n_tokens/stride rows per doc, and the
+    chunk_hash column is exactly what a downstream exact-dedup (x4)
+    or embedding join keys on. Reference: engine-added (SURVEY.md §7
+    M7 north-star surface)."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("tk")).where(F.size("tk") > 0)
+    starts = toks.select(
+        "doc_id",
+        "tk",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.lit(1), F.size("tk") - 31), F.lit(24)
+            )
+        ).alias("st"),
+    )
+    chunk = F.slice("tk", F.col("st"), F.lit(32))
+    return starts.select(
+        "doc_id",
+        (F.floor((F.col("st") - 1) / 24) + 1).cast("long").alias("chunk_idx"),
+        F.col("st").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+@_register(
+    "j11_lateral_topk",
+    """
+    SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS top_price
+    FROM customer c JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o ON true
+    WHERE c.c_mktsegment = 'MACHINERY'
+    """,
+)
+def j11_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join: each MACHINERY customer's
+    top-2 orders by price — the "top-k per join key" idiom written the
+    way an analyst writes it (a correlated ORDER BY … LIMIT), not
+    hand-lowered to a window function.
+
+    Total order inside the lateral: (o_totalprice DESC, o_orderkey
+    ASC) — price ties can't make the two engines pick different rows.
+
+    Scale shape: Catalyst DECORRELATES this — the physical plan is
+    ``WindowGroupLimit(Partial)`` (a per-partition top-2 heap on the
+    map side, before the shuffle) → exchange on o_custkey →
+    ``WindowGroupLimit(Final)`` → row_number filter → broadcast hash
+    join back to the filtered customer side. No nested-loop re-scan
+    of orders per customer ever happens, which is exactly why this is
+    safe at 100 TB while the naive reading of LATERAL is not.
+    Reference: engine-added (SURVEY.md §2.2 joins)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cust.createOrReplaceTempView("customer")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               round(o.o_totalprice, 2) AS top_price
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+        WHERE c.c_mktsegment = 'MACHINERY'
+        """
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -6045,6 +6265,8 @@ _NEWEST = [
     "x55_daily_anomaly_zscore", "x56_dup_rate_by_source",
     "x57_uniform_k_sample", "x58_langid_confusion",
     "w10_transition_matrix", "x59_winsorized_stats",
+    "w11_range_frame_rolling", "w12_gap_fill_ffill", "x60_doc_chunks",
+    "j11_lateral_topk",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

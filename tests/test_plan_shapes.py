@@ -46,6 +46,7 @@ PUSHDOWN = {
     "t2_filter_shipped": r"EqualTo\(l_returnflag,R\)",
     "q19_disjunctive_revenue": r"Or\(.*l_quantity",
     "q03_shipping_priority": r"EqualTo\(c_mktsegment,BUILDING\)",
+    "j11_lateral_topk": r"EqualTo\(c_mktsegment,MACHINERY\)",
 }
 
 #: Top-k queries that must plan TakeOrderedAndProject (per-partition
@@ -78,3 +79,37 @@ def test_top_k_plans_take_ordered(spark, name):
     assert "TakeOrderedAndProject" in plan, (
         f"{name} plans a global sort instead of top-k:\n{plan[:2000]}"
     )
+
+
+def test_lateral_topk_decorrelates(spark):
+    """j11's correlated LATERAL ... ORDER BY ... LIMIT 2 must be
+    decorrelated by Catalyst into a map-side partial top-k
+    (WindowGroupLimit) + hash join — never a nested-loop that
+    re-scans orders once per customer."""
+    plan = _executed_plan(QUERIES["j11_lateral_topk"].fn(spark, SF))
+    assert "WindowGroupLimit" in plan, (
+        f"lateral top-k lost its partial group-limit:\n{plan[:2000]}"
+    )
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, f"lateral join fell back to {bad}:\n{plan[:2000]}"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_doc_chunks_is_scan_stage_only(spark):
+    """x60 chunking must stay fused with the scan: the only exchange
+    allowed is the explicit fan-out repartition (round-robin); a
+    hash-partition exchange would mean an accidental shuffle."""
+    plan = _executed_plan(QUERIES["x60_doc_chunks"].fn(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, (
+        f"x60 grew a hash shuffle:\n{plan[:2000]}"
+    )
+
+
+def test_range_frame_single_shuffle(spark):
+    """w11's RANGE-frame window must cost exactly one hash exchange
+    (on user_id) — the frame itself is a sliding pointer over the
+    sorted run, not a second shuffle or a self-join."""
+    plan = _executed_plan(QUERIES["w11_range_frame_rolling"].fn(spark, SF))
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"w11 expected exactly 1 hash exchange, saw {n}:\n{plan[:2000]}"
+    assert "Join" not in plan, "w11 must not plan any join"
