@@ -24,6 +24,9 @@ __all__ = [
     "stopword_ratio",
     "quality_score",
     "lang_id",
+    "lang_scores",
+    "lang_margin",
+    "chunk_documents",
     "fingerprint",
     "winnow_fingerprints",
     "LANG_MARKERS",
@@ -144,6 +147,70 @@ def lang_id(col: Column | str) -> Column:
         cond = scores[lang] == best
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     return expr.otherwise(F.lit("und"))
+
+
+def lang_scores(col: Column | str) -> Column:
+    """Per-language marker-hit scores as an int array in
+    ``LANG_MARKERS`` order — the raw evidence behind ``lang_id``'s
+    argmax, exposed so calibration/eval operators can reason about
+    the score distribution, not just the winner. Same cost model as
+    ``lang_id``: one codegen'd regexp count per language."""
+    toks = tokens(col)
+    return F.array(*[_marker_hits(toks, m) for m in LANG_MARKERS.values()])
+
+
+def lang_margin(col: Column | str) -> Column:
+    """Confidence margin of the language-ID decision: best minus
+    second-best marker score (an exact integer — 0 means the argmax
+    was a coin flip, large means unambiguous). The standard input to
+    a classifier calibration curve."""
+    s = F.array_sort(lang_scores(col))
+    return F.element_at(s, -1) - F.element_at(s, -2)
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    stride: int = 24,
+):
+    """RAG-style chunking operator: one output row per overlapping
+    token window of each document — ``(id_col, chunk_idx, start_tok,
+    chunk_len, chunk_hash)``. Chunk starts are the 1-based indexes
+    ``1, 1+stride, 1+2·stride, …`` up to ``max(1, n_tokens-size+1)``,
+    so a short document yields exactly one (possibly short) chunk and
+    the last window is never empty.
+
+    Deliberately NOT an array-of-structs Column: building chunks
+    inside ``F.transform`` would drop the slice/hash work into
+    interpreted higher-order functions (~1µs per element — the
+    anti-pattern the ``tokens`` docstring measures). The explode
+    happens first so every per-chunk expression stays in whole-stage
+    codegen, fused with the scan; no shuffle, no Python."""
+    tk = tokens(text_col)
+    starts = df.select(
+        F.col(id_col),
+        tk.alias("__tk"),
+    ).where(F.size("__tk") > 0).select(
+        id_col,
+        "__tk",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.lit(1), F.size("__tk") - (size - 1)),
+                F.lit(stride),
+            )
+        ).alias("__st"),
+    )
+    chunk = F.slice("__tk", F.col("__st"), F.lit(size))
+    return starts.select(
+        id_col,
+        (F.floor((F.col("__st") - 1) / stride) + 1).cast("long").alias("chunk_idx"),
+        F.col("__st").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
 
 
 def fingerprint(col: Column | str) -> Column:

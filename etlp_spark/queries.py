@@ -6113,27 +6113,10 @@ def x60_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_hash column is exactly what a downstream exact-dedup (x4)
     or embedding join keys on. Reference: engine-added (SURVEY.md §7
     M7 north-star surface)."""
-    from etlp_spark.functions.text import tokens
+    from etlp_spark.functions.text import chunk_documents
 
     docs = _t_fanout(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens("text").alias("tk")).where(F.size("tk") > 0)
-    starts = toks.select(
-        "doc_id",
-        "tk",
-        F.explode(
-            F.sequence(
-                F.lit(1), F.greatest(F.lit(1), F.size("tk") - 31), F.lit(24)
-            )
-        ).alias("st"),
-    )
-    chunk = F.slice("tk", F.col("st"), F.lit(32))
-    return starts.select(
-        "doc_id",
-        (F.floor((F.col("st") - 1) / 24) + 1).cast("long").alias("chunk_idx"),
-        F.col("st").cast("long").alias("start_tok"),
-        F.size(chunk).cast("long").alias("chunk_len"),
-        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
-    )
+    return chunk_documents(docs, size=32, stride=24)
 
 
 @_register(
@@ -6178,6 +6161,357 @@ def j11_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
         WHERE c.c_mktsegment = 'MACHINERY'
         """
+    )
+
+
+@_register(
+    "g13_modal_event_type",
+    """
+    WITH cnt AS (SELECT user_id, event_type, count(*) AS c
+                 FROM events GROUP BY 1, 2),
+    tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events
+            FROM cnt GROUP BY 1),
+    r AS (SELECT user_id, event_type, c,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY c DESC, event_type DESC) AS rn
+          FROM cnt)
+    SELECT r.user_id, r.event_type AS modal_type,
+           CAST(r.c AS BIGINT) AS modal_n, tot.n_events,
+           round(r.c * 1.0 / tot.n_events, 6) AS modal_share
+    FROM r JOIN tot ON r.user_id = tot.user_id WHERE r.rn = 1
+    """,
+)
+def g13_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type — argmax WITHOUT a window: the
+    winner is ``max(struct(count, event_type))``, a plain aggregate
+    with a map-side partial, so no per-user sort and no second
+    shuffle ever happens. The oracle states the same semantics the
+    analyst way (row_number = 1); the engine side is the shape that
+    survives 100 TB, where a window over per-key counts would sort
+    |users × types| rows for no reason.
+
+    Ties: struct comparison is lexicographic, so equal counts break
+    to the lexicographically LARGEST event_type — mirrored exactly by
+    the oracle's ``ORDER BY c DESC, event_type DESC``.
+
+    Scale shape: two aggregations, both partial map-side; the second
+    runs on the tiny |users × types| frame. Reference: engine-added
+    (SURVEY.md §2.2 aggregations)."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    best = cnt.groupBy("user_id").agg(
+        F.max(F.struct(F.col("c"), F.col("event_type"))).alias("b"),
+        F.sum("c").cast("long").alias("n_events"),
+    )
+    return best.select(
+        "user_id",
+        F.col("b.event_type").alias("modal_type"),
+        F.col("b.c").cast("long").alias("modal_n"),
+        "n_events",
+        F.round(F.col("b.c") * 1.0 / F.col("n_events"), 6).alias("modal_share"),
+    )
+
+
+@_register(
+    "x61_zipf_slope",
+    f"""
+    WITH toks AS (SELECT lang, unnest({_O_TOKS}) AS term FROM documents),
+    tf AS (SELECT lang, term, count(*) AS c FROM toks GROUP BY 1, 2),
+    top AS (SELECT lang, term, c,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY c DESC, term ASC) AS rnk
+            FROM tf QUALIFY rnk <= 50),
+    folded AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+             list_reduce(list(ln(CAST(rnk AS DOUBLE)) ORDER BY rnk), (a,b)->a+b) AS sx,
+             list_reduce(list(ln(CAST(c   AS DOUBLE)) ORDER BY rnk), (a,b)->a+b) AS sy,
+             list_reduce(list(ln(CAST(rnk AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+                              ORDER BY rnk), (a,b)->a+b) AS sxy,
+             list_reduce(list(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE))
+                              ORDER BY rnk), (a,b)->a+b) AS sxx
+      FROM top GROUP BY lang)
+    SELECT lang, n_terms,
+           round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
+             AS zipf_slope
+    FROM folded
+    """,
+)
+def x61_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language: OLS slope of ln(frequency) on
+    ln(rank) over the top-50 terms — the corpus-health fingerprint
+    (natural text sits near −1; a flat or cliff-shaped curve flags
+    template spam or a broken tokenizer before any model sees the
+    data).
+
+    Determinism: counts and ranks are exact integers; every float
+    fold (Σx, Σy, Σxy, Σxx) runs over the collect-sorted top-50 in
+    RANK order — the x51 discipline — then one closed-form division,
+    rounded.
+
+    Scale shape: one shuffle to (lang, term) counts (map-side
+    partial), top-50 per language via WindowGroupLimit (per-partition
+    heaps — the corpus-size-independent path), and the regression
+    folds run on ≤50 rows per language. Reference: engine-added
+    (SURVEY.md §7 M7)."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    tf = (
+        docs.select("lang", F.explode(tokens("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("term").asc())
+    top = tf.select("lang", "c", F.row_number().over(wr).alias("rnk")).where(
+        F.col("rnk") <= 50
+    )
+
+    def _fold(expr):
+        return F.aggregate(expr, F.lit(0.0), lambda a, b: a + b)
+
+    folded = top.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.array_sort(F.collect_list(F.struct("rnk", "c"))).alias("arr"),
+    )
+    lx = lambda s: F.log(s["rnk"].cast("double"))  # noqa: E731
+    ly = lambda s: F.log(s["c"].cast("double"))  # noqa: E731
+    folded = folded.select(
+        "lang",
+        "n_terms",
+        _fold(F.transform(F.col("arr"), lx)).alias("sx"),
+        _fold(F.transform(F.col("arr"), ly)).alias("sy"),
+        _fold(F.transform(F.col("arr"), lambda s: lx(s) * ly(s))).alias("sxy"),
+        _fold(F.transform(F.col("arr"), lambda s: lx(s) * lx(s))).alias("sxx"),
+    )
+    n = F.col("n_terms")
+    return folded.select(
+        "lang",
+        "n_terms",
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (n * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+@_register(
+    "x62_langid_calibration",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_O_TOKS} AS tk FROM documents),
+    scored AS (SELECT doc_id, lang,
+           {_O_SCORE_COLS},
+           greatest(s_en, s_de, s_es, s_fr, s_zh) AS m
+    FROM toks),
+    preds AS (SELECT doc_id, lang AS lang_label, {_O_LANG_CASE} AS lang_pred,
+                     l[-1] - l[-2] AS margin
+              FROM (SELECT *, list_sort([s_en, s_de, s_es, s_fr, s_zh]) AS l
+                    FROM scored))
+    SELECT least(margin, 5) AS margin_bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN lang_label = lang_pred THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN lang_label = lang_pred THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS accuracy
+    FROM preds GROUP BY 1
+    """,
+)
+def x62_langid_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve for the language-ID heuristic: bucket
+    predictions by confidence MARGIN (best minus second-best marker
+    score, capped at 5+) and measure accuracy per bucket — the check
+    that tells you which margin threshold makes the cheap classifier
+    trustworthy enough to route 100 TB unsupervised (x58 gives the
+    overall confusion matrix; this gives the abstention rule).
+
+    Margins are exact integers, so the buckets are exact; accuracy is
+    one integer division per bucket.
+
+    Scale shape: scoring and margin are scan-stage codegen (x2's
+    expressions + one array_sort over 5 ints); the output is a ≤6-row
+    aggregate. Reference: engine-added (SURVEY.md §7 M7)."""
+    from etlp_spark.functions.text import lang_id, lang_margin
+
+    docs = _t(spark, sf_dir, "documents")
+    preds = docs.select(
+        F.col("lang").alias("lang_label"),
+        lang_id("text").alias("lang_pred"),
+        lang_margin("text").alias("margin"),
+    )
+    correct = F.when(F.col("lang_label") == F.col("lang_pred"), 1).otherwise(0)
+    return preds.groupBy(
+        F.least(F.col("margin"), F.lit(5)).alias("margin_bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        F.round(F.sum(correct) * 1.0 / F.count(F.lit(1)), 6).alias("accuracy"),
+    )
+
+
+@_register(
+    "w13_ewma_smoothed",
+    """
+    WITH arrs AS (
+      SELECT event_id, user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+      FROM events)
+    SELECT event_id, user_id,
+           CAST(len(arr) AS BIGINT) AS n_window,
+           round(list_reduce(list_transform(arr, (x, i) -> x * pow(2, i - 1)),
+                             (a, b) -> a + b)
+                 / (pow(2, len(arr)) - 1), 6) AS ewma
+    FROM arrs
+    """,
+)
+def w13_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (halving weights) of
+    each user's event values over a trailing 16-event window — the
+    smoothed engagement signal behind rate limiting and trend
+    features. EWMA's recursive definition doesn't exist in SQL;
+    windowed over the last 16 events the weights 2⁻¹⁵…2⁰ make older
+    terms negligible AND keep the whole computation closed-form:
+    ewma = Σ vⱼ·2^(j−1) / (2^m − 1) over the frame-ordered values.
+
+    Determinism: collect_list over a ROWS frame preserves frame order
+    (oldest→newest) in both engines; the weight scaling is an exact
+    power-of-two exponent shift; the fold runs left-to-right over
+    identical doubles — identical IEEE results, then one round.
+
+    Scale shape: one shuffle on user_id (the shared per-user
+    partitioning), a 16-element array per row — bounded memory, no
+    self-join, no recursion. Reference: engine-added (SURVEY.md §2.2
+    windows)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, 0)
+    )
+    arrs = ev.select(
+        "event_id", "user_id", F.collect_list("value").over(w).alias("arr")
+    )
+    weighted = F.aggregate(
+        F.transform(F.col("arr"), lambda x, i: x * F.pow(F.lit(2.0), i)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return arrs.select(
+        "event_id",
+        "user_id",
+        F.size("arr").cast("long").alias("n_window"),
+        F.round(
+            weighted / (F.pow(F.lit(2.0), F.size("arr")) - 1), 6
+        ).alias("ewma"),
+    )
+
+
+@_register(
+    "x63_retrieval_dcg",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv, label AS clab
+          FROM embeddings WHERE vec_id >= 5),
+    scored AS (
+      SELECT query_id, cand_id, qlab, clab,
+             round(
+               list_reduce(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b)
+               / (sqrt(list_reduce(list_transform(list_zip(qv, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b))
+                  * sqrt(list_reduce(list_transform(list_zip(cv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b))),
+               9) AS cos
+      FROM q, c),
+    nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+             FROM scored WHERE qlab = clab GROUP BY query_id),
+    topk AS (
+      SELECT query_id, cand_id,
+             CASE WHEN qlab = clab THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS rnk
+      FROM scored QUALIFY rnk <= 10),
+    dcg AS (
+      SELECT query_id,
+             list_reduce(list(rel / (rnk + 1.0) ORDER BY rnk), (a,b)->a+b) AS dcg
+      FROM topk GROUP BY query_id)
+    SELECT d.query_id, n.n_rel,
+           round(d.dcg, 6) AS dcg,
+           round(d.dcg / list_reduce(
+                   list_transform(generate_series(1, least(greatest(n.n_rel, 1), 10)),
+                                  i -> 1.0 / (i + 1)),
+                   (a, b) -> a + b), 6) AS ndcg
+    FROM dcg d JOIN nrel n ON d.query_id = n.query_id
+    """,
+)
+def x63_retrieval_dcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: DCG@10 / nDCG@10 of the cosine
+    retriever (x31's read path) against label relevance — the metric
+    loop you close before trusting an index with training-data
+    curation. Discounts are harmonic (rel/(rank+1)): exact small-
+    rational divisions both engines compute identically, avoiding the
+    cross-libm hazard of log2 discounts.
+
+    Determinism: ranks total-ordered by (cos DESC, cand_id); both the
+    DCG fold and the ideal-DCG fold run in rank order over ≤10 exact
+    terms; n_rel is an exact integer count.
+
+    Scale shape: scoring is x7's broadcast-queries pattern (the
+    corpus side never shuffles); top-10 per query via row_number over
+    the per-query partitions; every later frame is |queries|-sized.
+    Reference: engine-added (SURVEY.md §7 M7)."""
+    from etlp_spark.functions.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    cands = emb.where(F.col("vec_id") >= 5)
+    topk = cosine_topk(queries, cands, k=10)
+    qlab = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlab")
+    )
+    clab = cands.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("clab"))
+    nrel = (
+        qlab.join(clab.groupBy("clab").agg(F.count(F.lit(1)).alias("nc")),
+                  qlab.qlab == F.col("clab"), "left")
+        .select("query_id", F.coalesce("nc", F.lit(0)).cast("long").alias("n_rel"))
+    )
+    rel = (
+        topk.join(F.broadcast(qlab), "query_id")
+        .join(F.broadcast(clab), "cand_id")
+        .select(
+            "query_id",
+            "rnk",
+            F.when(F.col("qlab") == F.col("clab"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    dcg = rel.groupBy("query_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rnk", "rel"))),
+                lambda s: s["rel"] / (s["rnk"] + F.lit(1.0)),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("dcg")
+    )
+    # n_rel clamped to [1, 10]: a query whose label is absent from the
+    # candidate pool has dcg = 0, and the [1] fold keeps the ideal-DCG
+    # denominator non-empty (Spark's sequence(1, 0) DESCENDS; DuckDB's
+    # list_reduce over an empty list throws — both engines need this).
+    idcg = F.aggregate(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.least(F.greatest(F.col("n_rel"), F.lit(1)), F.lit(10)).cast("int"),
+            ),
+            lambda i: F.lit(1.0) / (i + 1),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return dcg.join(F.broadcast(nrel), "query_id").select(
+        "query_id",
+        "n_rel",
+        F.round("dcg", 6).alias("dcg"),
+        F.round(F.col("dcg") / idcg, 6).alias("ndcg"),
     )
 
 
@@ -6266,7 +6600,8 @@ _NEWEST = [
     "x57_uniform_k_sample", "x58_langid_confusion",
     "w10_transition_matrix", "x59_winsorized_stats",
     "w11_range_frame_rolling", "w12_gap_fill_ffill", "x60_doc_chunks",
-    "j11_lateral_topk",
+    "j11_lateral_topk", "g13_modal_event_type", "x61_zipf_slope",
+    "x62_langid_calibration", "w13_ewma_smoothed", "x63_retrieval_dcg",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

@@ -532,3 +532,61 @@ def test_simhash_hamming_pairs_api(spark, docs):
     assert pairs.get((1, 5)) == 0  # exact dups, identical signature
     assert all(hd <= 3 for hd in pairs.values())
     assert simhash_hamming_pairs(docs, max_bucket=1).count() == 0
+
+
+def test_chunk_documents_overlap_and_short_doc(spark):
+    # 80 tokens -> starts 1, 25, 49 (last start <= 80-31=49): 3 chunks
+    long_text = " ".join(f"w{i}" for i in range(80))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "only five tokens right here"), (3, "   ")],
+        ["doc_id", "text"],
+    )
+    out = T.chunk_documents(df, size=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 3 is whitespace-only -> no tokens -> no chunks
+    assert 3 not in by_doc
+    # short doc -> exactly one (short) chunk starting at 1
+    [short] = by_doc[2]
+    assert (short.chunk_idx, short.start_tok, short.chunk_len) == (1, 1, 5)
+    chunks = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [(c.start_tok, c.chunk_len) for c in chunks] == [(1, 32), (25, 32), (49, 32)]
+    # consecutive chunks overlap by size - stride = 8 tokens
+    assert chunks[0].start_tok + 32 - chunks[1].start_tok == 8
+    # same content -> same hash (chunk 1 of doc 1 repeated elsewhere would join)
+    assert len({c.chunk_hash for c in chunks}) == 3
+
+
+def test_chunk_documents_exact_multiple_no_empty_tail(spark):
+    # n = 56 = 32 + 24 exactly: starts 1, 25 and the last chunk is full
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(56)))], ["doc_id", "text"]
+    )
+    out = sorted(
+        T.chunk_documents(df, size=32, stride=24).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [(c.start_tok, c.chunk_len) for c in out] == [(1, 32), (25, 32)]
+
+
+def test_lang_margin_and_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is happy to see the sun"),  # clearly en
+            (2, "xyzzy plugh"),  # no markers anywhere -> all scores 0
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            T.lang_scores("text").alias("scores"),
+            T.lang_margin("text").alias("margin"),
+            T.lang_id("text").alias("pred"),
+        ).collect()
+    }
+    assert rows[1].pred == "en" and rows[1].margin > 0
+    assert sum(rows[1].scores) == max(rows[1].scores)  # only en markers hit
+    assert rows[2].margin == 0 and all(s == 0 for s in rows[2].scores)
