@@ -6515,6 +6515,226 @@ def x63_retrieval_dcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "w14_ohlc_candles",
+    """
+    WITH base AS (
+      SELECT user_id, time_bucket(INTERVAL '6 hours', ts) AS bucket,
+             value, ts, event_id
+      FROM events),
+    ranked AS (
+      SELECT user_id, bucket, value,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM base)
+    SELECT user_id, bucket,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ranked GROUP BY user_id, bucket
+    """,
+)
+def w14_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to OHLC candles: per user per 6-hour
+    bucket, the first/max/min/last event value — the downsampling
+    shape every metrics store runs (hypertable continuous-aggregate
+    style). First/last are ``min_by``/``max_by`` over the total order
+    (ts, event_id) — ORDER-STATISTICS AGGREGATES with map-side
+    partials, not a per-bucket window sort; the oracle states the
+    same semantics the row_number way. No rounding needed: every
+    output value is an untouched input double.
+
+    Buckets come from ``F.window`` — epoch-aligned in UTC exactly
+    like DuckDB's ``time_bucket`` (the session runs UTC; g4's
+    date_trunc parity lesson).
+
+    Scale shape: ONE aggregation, one shuffle on (user, bucket), all
+    five statistics partial map-side; at 100 TB this is the
+    difference between a rollup that combines and a window that
+    sorts every bucket. Reference: engine-added (SURVEY.md §1.4 —
+    the reference has no event time)."""
+    ev = _t(spark, sf_dir, "events")
+    order = F.struct("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.window("ts", "6 hours").start.alias("bucket"),
+            "value",
+            "ts",
+            "event_id",
+        )
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.min_by("value", order).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+@_register(
+    "x64_corpus_drift",
+    f"""
+    WITH toks AS (SELECT doc_id % 2 AS half, unnest({_O_TOKS}) AS term
+                  FROM documents),
+    cnt AS (SELECT term,
+                   CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                   CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+            FROM toks GROUP BY term),
+    vocab AS (SELECT term, ca, cb FROM cnt
+              ORDER BY ca + cb DESC, term LIMIT 200),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb,
+                   CAST(count(*) AS BIGINT) AS v,
+                   list({{'term': term, 'ca': ca, 'cb': cb}} ORDER BY term) AS arr
+            FROM vocab)
+    SELECT v AS n_vocab, na AS n_tok_a, nb AS n_tok_b,
+           round(list_reduce(list_transform(arr, s ->
+                   ((s.ca + 1.0) / (na + v))
+                   * ln(((s.ca + 1.0) / (na + v)) / ((s.cb + 1.0) / (nb + v)))),
+                 (a, b) -> a + b), 6) AS kl_ab,
+           round(list_reduce(list_transform(arr, s ->
+                   ((s.cb + 1.0) / (nb + v))
+                   * ln(((s.cb + 1.0) / (nb + v)) / ((s.ca + 1.0) / (na + v)))),
+                 (a, b) -> a + b), 6) AS kl_ba,
+           round(list_reduce(list_transform(arr, s ->
+                   0.5 * ((s.ca + 1.0) / (na + v))
+                       * ln(((s.ca + 1.0) / (na + v))
+                            / (0.5 * ((s.ca + 1.0) / (na + v))
+                               + 0.5 * ((s.cb + 1.0) / (nb + v))))
+                 + 0.5 * ((s.cb + 1.0) / (nb + v))
+                       * ln(((s.cb + 1.0) / (nb + v))
+                            / (0.5 * ((s.ca + 1.0) / (na + v))
+                               + 0.5 * ((s.cb + 1.0) / (nb + v))))),
+                 (a, b) -> a + b), 6) AS jsd
+    FROM tot
+    """,
+)
+def x64_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two corpus snapshots (the
+    deterministic doc_id-parity halves stand in for train/val or
+    week-over-week crawls): add-one-smoothed KL divergence both ways
+    plus the symmetric Jensen-Shannon divergence over the shared
+    top-200 vocabulary — the check that catches a tokenizer change,
+    a crawl-source shift, or leakage before a model trains on it.
+
+    Determinism: counts are exact integers; probabilities are single
+    IEEE divisions of those integers; all three folds run over the
+    term-ORDERED top-200 list (the x51/x61 discipline), one round at
+    the edge.
+
+    Scale shape: one shuffle to per-term split counts (map-side
+    partial, conditional sums — no second pass per half), global
+    top-200 via TakeOrderedAndProject (per-partition heaps), and the
+    divergence folds see exactly 200 rows regardless of corpus size.
+    Reference: engine-added (SURVEY.md §7 M7)."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    cnt = (
+        docs.select((F.col("doc_id") % 2).alias("half"), F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("cb"),
+        )
+    )
+    vocab = cnt.orderBy((F.col("ca") + F.col("cb")).desc(), "term").limit(200)
+    tot = vocab.groupBy().agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.array_sort(F.collect_list(F.struct("term", "ca", "cb"))).alias("arr"),
+    )
+    na, nb, v = F.col("na"), F.col("nb"), F.col("v")
+
+    def p(s):
+        return (s["ca"] + F.lit(1.0)) / (na + v)
+
+    def q(s):
+        return (s["cb"] + F.lit(1.0)) / (nb + v)
+
+    def fold(term_expr):
+        return F.aggregate(
+            F.transform(F.col("arr"), term_expr), F.lit(0.0), lambda a, b: a + b
+        )
+
+    def m(s):
+        return F.lit(0.5) * p(s) + F.lit(0.5) * q(s)
+
+    return tot.select(
+        v.alias("n_vocab"),
+        na.alias("n_tok_a"),
+        nb.alias("n_tok_b"),
+        F.round(fold(lambda s: p(s) * F.log(p(s) / q(s))), 6).alias("kl_ab"),
+        F.round(fold(lambda s: q(s) * F.log(q(s) / p(s))), 6).alias("kl_ba"),
+        F.round(
+            fold(
+                lambda s: F.lit(0.5) * p(s) * F.log(p(s) / m(s))
+                + F.lit(0.5) * q(s) * F.log(q(s) / m(s))
+            ),
+            6,
+        ).alias("jsd"),
+    )
+
+
+@_register(
+    "x65_tokenizer_fertility",
+    r"""
+    WITH per_doc AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t <> '')) AS n_ws,
+             len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])'))
+               AS n_bpe,
+             length(text) AS n_chars
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           round(sum(n_bpe) * 1.0 / sum(n_ws), 6) AS fertility,
+           round(sum(n_chars) * 1.0 / sum(n_bpe), 6) AS chars_per_token
+    FROM per_doc GROUP BY lang
+    """,
+)
+def x65_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: BPE-ish subword tokens
+    per whitespace word and characters per subword token — the
+    compression diagnostic that decides whether a tokenizer is
+    under-trained for a language (high fertility = more sequence
+    length = more compute per document).
+
+    Exactness: all sums are exact integer token/char counts; the two
+    ratios are single divisions, rounded once.
+
+    Scale shape: both tokenizations are scan-stage codegen (x1/x11's
+    expressions); the aggregate is map-side partial to |langs| rows.
+    Reference: engine-added (SURVEY.md §7 M7)."""
+    from etlp_spark.functions.text import bpe_ish_tokens, tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(tokens("text")).alias("n_ws"),
+        F.size(bpe_ish_tokens("text")).alias("n_bpe"),
+        F.length("text").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("n_ws_tokens"),
+        F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        F.round(F.sum("n_bpe") * 1.0 / F.sum("n_ws"), 6).alias("fertility"),
+        F.round(F.sum("n_chars") * 1.0 / F.sum("n_bpe"), 6).alias("chars_per_token"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -6602,6 +6822,7 @@ _NEWEST = [
     "w11_range_frame_rolling", "w12_gap_fill_ffill", "x60_doc_chunks",
     "j11_lateral_topk", "g13_modal_event_type", "x61_zipf_slope",
     "x62_langid_calibration", "w13_ewma_smoothed", "x63_retrieval_dcg",
+    "w14_ohlc_candles", "x64_corpus_drift", "x65_tokenizer_fertility",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

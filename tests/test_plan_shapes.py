@@ -51,7 +51,12 @@ PUSHDOWN = {
 
 #: Top-k queries that must plan TakeOrderedAndProject (per-partition
 #: heap + single reduce) instead of a global sort + limit.
-TOP_K = ["q03_shipping_priority", "w7_session_paths", "x57_uniform_k_sample"]
+TOP_K = [
+    "q03_shipping_priority",
+    "w7_session_paths",
+    "x57_uniform_k_sample",
+    "x64_corpus_drift",  # global top-200 vocab must be a heap, not a sort
+]
 
 
 @pytest.mark.parametrize("name", BROADCAST_ONLY)
