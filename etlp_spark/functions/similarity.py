@@ -26,6 +26,7 @@ __all__ = [
     "norm",
     "cosine",
     "cosine_topk",
+    "hard_negatives",
     "srp_bits",
     "srp_buckets",
     "banded_srp_pairs",
@@ -89,6 +90,58 @@ def cosine_topk(
     return scored.select("query_id", "cand_id", "cos", F.row_number().over(w).alias("rnk")).where(
         F.col("rnk") <= k
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 9,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    k highest-cosine candidates whose label DIFFERS from the query's
+    — the near-misses that make a contrastive loss learn something.
+
+    Returns (query_id, cand_id, neg_label, cos, rnk); ranking on the
+    rounded cosine with candidate id tiebreak, fully deterministic.
+
+    Same cost model as :func:`cosine_topk`: queries broadcast, the
+    candidate side never shuffles for scoring, per-vector norms are
+    folded once before the pair expansion, and the label filter runs
+    BEFORE ranking so equal-label pairs never enter the per-query
+    heap."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+        F.col(label_col).alias("qlab"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+        F.col(label_col).alias("neg_label"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("qlab") != F.col("neg_label"))
+        .select(
+            "query_id",
+            "cand_id",
+            "neg_label",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), scale
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return scored.select(
+        "query_id", "cand_id", "neg_label", "cos", F.row_number().over(w).alias("rnk")
+    ).where(F.col("rnk") <= k)
 
 
 def _plane_weight(plane: int, dim: int) -> float:

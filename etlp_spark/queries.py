@@ -6735,6 +6735,48 @@ def x65_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x66_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv, label AS neg_label
+          FROM embeddings WHERE vec_id >= 5),
+    scored AS (
+      SELECT query_id, cand_id, neg_label,
+             round(
+               list_reduce(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b)
+               / (sqrt(list_reduce(list_transform(list_zip(qv, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b))
+                  * sqrt(list_reduce(list_transform(list_zip(cv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b))),
+               9) AS cos
+      FROM q, c WHERE qlab <> neg_label),
+    topk AS (
+      SELECT query_id, cand_id, neg_label, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cand_id) AS BIGINT) AS rnk
+      FROM scored QUALIFY rnk <= 5)
+    SELECT query_id, cand_id, neg_label, cos, rnk FROM topk
+    """,
+)
+def x66_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (the contrastive-training data op): per
+    query vector, the 5 most-similar candidates with a DIFFERENT
+    label — the near-miss pairs a contrastive or reranker loss
+    actually learns from (random negatives are trivially separable;
+    these are not).
+
+    Scale shape: x7's broadcast-queries pattern — the corpus side is
+    scored in place and never shuffles; the label inequality filters
+    BEFORE the per-query rank so same-label pairs never enter the
+    heap. Reference: engine-added (SURVEY.md §7 M7)."""
+    from etlp_spark.functions.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb.where(F.col("vec_id") < 5), emb.where(F.col("vec_id") >= 5), k=5
+    ).withColumn("rnk", F.col("rnk").cast("long"))
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -6823,6 +6865,7 @@ _NEWEST = [
     "j11_lateral_topk", "g13_modal_event_type", "x61_zipf_slope",
     "x62_langid_calibration", "w13_ewma_smoothed", "x63_retrieval_dcg",
     "w14_ohlc_candles", "x64_corpus_drift", "x65_tokenizer_fertility",
+    "x66_hard_negatives",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

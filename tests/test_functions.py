@@ -590,3 +590,21 @@ def test_lang_margin_and_scores(spark):
     assert rows[1].pred == "en" and rows[1].margin > 0
     assert sum(rows[1].scores) == max(rows[1].scores)  # only en markers hit
     assert rows[2].margin == 0 and all(s == 0 for s in rows[2].scores)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from etlp_spark.functions.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 7),   # query, label 7
+        (10, [1.0, 0.01], 7),  # nearest overall but SAME label -> excluded
+        (11, [1.0, 0.1], 3),   # nearest different-label
+        (12, [0.0, 1.0], 3),   # orthogonal
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = hard_negatives(
+        df.where(F.col("vec_id") == 0), df.where(F.col("vec_id") > 0), k=2
+    ).collect()
+    got = [(r.cand_id, r.rnk) for r in sorted(out, key=lambda r: r.rnk)]
+    assert got == [(11, 1), (12, 2)]
+    assert all(r.neg_label != 7 for r in out)
