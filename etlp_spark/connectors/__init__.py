@@ -15,6 +15,7 @@ from etlp_spark.connectors.files import (
 )
 from etlp_spark.connectors.jdbc import JdbcSink, JdbcSource
 from etlp_spark.connectors.http import HttpPollingSource
+from etlp_spark.connectors.snapshots import SnapshotSink, SnapshotSource, SnapshotStore
 
 __all__ = [
     "Source",
@@ -31,4 +32,7 @@ __all__ = [
     "JdbcSource",
     "JdbcSink",
     "HttpPollingSource",
+    "SnapshotStore",
+    "SnapshotSource",
+    "SnapshotSink",
 ]

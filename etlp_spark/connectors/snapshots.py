@@ -1,0 +1,272 @@
+"""Versioned snapshot store — a minimal table format on plain parquet.
+
+The reference's connector story stops at stateless reads and writes
+(``src/etlp/connector/protocols.clj:4-13``); its incremental
+aspiration ("State" in the Airbyte triple, ``doc/intro.md``) never
+materialized. This module supplies the batch half of that story as a
+tiny, dependency-free table format:
+
+- every ``write`` produces an immutable **version**: a parquet
+  directory plus a JSON **manifest** listing exactly the files that
+  make up that version (append-mode manifests inherit the parent's
+  file list, so an append never rewrites data);
+- ``read(version=...)`` is **time travel** — the scan plans over the
+  manifest's file list, nothing else, so old versions stay readable
+  bit-for-bit after later writes;
+- ``diff`` computes the row-level delta between two versions with two
+  key anti-joins — the input a downstream incremental pipeline (x38's
+  fingerprint-store dedup, cache invalidation, CDC-ish syncs) wants;
+- ``expire`` drops old versions but never a file a surviving manifest
+  still references (append chains share files by design).
+
+Scale notes: the manifest is metadata (file paths + counts) — O(files),
+never O(rows); reads are plain ``spark.read.parquet(*files)`` so every
+Catalyst property (column pruning, predicate pushdown, split planning)
+applies untouched; ``diff`` shuffles only the key columns of the two
+versions being compared. Manifest listing/IO uses the local filesystem
+(the container has no object store); the manifest records absolute
+file URIs, so porting to S3A/HDFS changes only ``_list_files`` and the
+rename-based commit (object stores want a conditional PUT instead).
+
+Commit protocol: data first, then the manifest via write-temp +
+``os.rename`` (atomic on POSIX). A crashed write leaves an orphaned
+data directory but NO manifest — readers never see a partial version;
+``expire`` sweeps orphans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etlp_spark.connectors.base import (
+    CheckResult,
+    Destination,
+    Source,
+    WriteResult,
+    _json_schema,
+)
+
+__all__ = ["SnapshotStore", "SnapshotSource", "SnapshotSink"]
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _list_files(data_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+class SnapshotStore:
+    """Versioned parquet snapshots with JSON manifests."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+
+    # ----- manifest plumbing -------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, _MANIFEST_DIR, f"v{version:05d}.json")
+
+    def versions(self) -> list[int]:
+        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        out = []
+        for f in os.listdir(mdir):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def manifest(self, version: int) -> dict[str, Any]:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def _commit(self, manifest: dict[str, Any]) -> None:
+        path = self._manifest_path(manifest["version"])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.rename(tmp, path)  # atomic: readers see all-or-nothing
+
+    # ----- write -------------------------------------------------------------
+
+    def write(self, df: DataFrame, mode: str = "snapshot") -> WriteResult:
+        """Commit a new version.
+
+        ``snapshot``: the new version IS ``df``.
+        ``append``: the new version is the parent version plus ``df``
+        — manifest-level concatenation, no data rewritten. Appends
+        require a schema identical to the parent's (by field name and
+        type; nothing silently widens).
+        """
+        if mode not in ("snapshot", "append"):
+            raise ValueError(f"mode must be snapshot|append, got {mode!r}")
+        parent = self.latest_version()
+        version = (parent or 0) + 1
+        if mode == "append" and parent is None:
+            mode = "snapshot"  # first write of an append stream
+
+        data_dir = os.path.join(self.root, _DATA_DIR, f"v{version:05d}")
+        df.write.mode("errorifexists").parquet(data_dir)
+        new_files = _list_files(data_dir)
+        n_new = df.sparkSession.read.parquet(data_dir).count()
+
+        files = list(new_files)
+        n_rows = n_new
+        if mode == "append":
+            pm = self.manifest(parent)
+            if pm["schema"] != df.schema.json():
+                raise ValueError(
+                    "append schema mismatch with parent version "
+                    f"{parent}: {pm['schema']} != {df.schema.json()}"
+                )
+            files = pm["files"] + files
+            n_rows = pm["n_rows"] + n_new
+        self._commit(
+            {
+                "version": version,
+                "parent": parent,
+                "mode": mode,
+                "committed_at": time.time(),
+                "files": files,
+                "n_rows": n_rows,
+                "schema": df.schema.json(),
+            }
+        )
+        return WriteResult(rows=n_new, target=data_dir, extra={"version": version})
+
+    # ----- read --------------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Time-travel read: plan over exactly the named version's
+        file list (default: latest)."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"snapshot store {self.root} has no versions")
+        m = self.manifest(version)
+        return spark.read.parquet(*m["files"])
+
+    # ----- delta -------------------------------------------------------------
+
+    def diff(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int,
+        key_cols: list[str],
+    ) -> DataFrame:
+        """Row-level delta between versions by key: one row per key
+        present in only one side, tagged ``change_type`` =
+        'added'|'removed'. Two key-column anti-joins — only the keys
+        shuffle, never full rows of either version."""
+        old = self.read(spark, from_version).select(*key_cols)
+        new = self.read(spark, to_version).select(*key_cols)
+        added = new.join(old, key_cols, "left_anti").selectExpr(
+            *key_cols, "'added' AS change_type"
+        )
+        removed = old.join(new, key_cols, "left_anti").selectExpr(
+            *key_cols, "'removed' AS change_type"
+        )
+        return added.unionByName(removed)
+
+    # ----- retention ---------------------------------------------------------
+
+    def expire(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` versions. Data files
+        still referenced by a SURVIVING manifest are kept (append
+        chains share files); orphaned data directories from crashed
+        writes are swept too. Returns the expired version numbers."""
+        vs = self.versions()
+        expired = vs[:-keep_last] if keep_last > 0 else vs
+        survivors = vs[len(expired):]
+        keep_files = set()
+        for v in survivors:
+            keep_files.update(self.manifest(v)["files"])
+        for v in expired:
+            os.remove(self._manifest_path(v))
+        # sweep data dirs with no referenced files left (incl. orphans)
+        ddir = os.path.join(self.root, _DATA_DIR)
+        if os.path.isdir(ddir):
+            for d in sorted(os.listdir(ddir)):
+                full = os.path.join(ddir, d)
+                files = set(_list_files(full))
+                if files and files.isdisjoint(keep_files):
+                    for f in os.listdir(full):
+                        os.remove(os.path.join(full, f))
+                    os.rmdir(full)
+        return expired
+
+
+class SnapshotSource(Source):
+    """Connector-protocol adapter: read a store version as a Source
+    (``spec``/``check``/``discover`` come from the ABC — discover
+    reflects the manifest version's real schema)."""
+
+    def __init__(self, root: str, version: int | None = None):
+        self.store = SnapshotStore(root)
+        self.version = version
+        self.stream_name = os.path.basename(root.rstrip("/")) or "snapshots"
+
+    def spec(self) -> dict[str, Any]:
+        return {
+            "connector": "snapshot-source",
+            "config": {"root": self.store.root, "version": self.version},
+            "versions_available": self.store.versions(),
+        }
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.store.read(spark, self.version)
+
+    def check(self, spark: SparkSession) -> CheckResult:
+        try:
+            v = self.version if self.version is not None else self.store.latest_version()
+            if v is None:
+                return CheckResult(False, "store has no versions")
+            if v not in self.store.versions():
+                return CheckResult(False, f"version {v} not found")
+            return CheckResult(True, f"version {v} readable")
+        except Exception as e:  # noqa: BLE001 — probe reports, never raises
+            return CheckResult(False, f"{type(e).__name__}: {e}")
+
+    def discover(self, spark: SparkSession) -> dict[str, Any]:
+        df = self.read(spark)
+        return {
+            "streams": [
+                {
+                    "stream_name": self.stream_name,
+                    "schema": _json_schema(df.schema),
+                    "version": self.version or self.store.latest_version(),
+                }
+            ]
+        }
+
+
+class SnapshotSink(Destination):
+    """Connector-protocol adapter: every ``write`` commits a new
+    version (snapshot or append per ``mode``)."""
+
+    def __init__(self, root: str, mode: str = "snapshot"):
+        self.store = SnapshotStore(root)
+        self.mode = mode
+
+    def spec(self) -> dict[str, Any]:
+        return {
+            "connector": "snapshot-sink",
+            "config": {"root": self.store.root, "mode": self.mode},
+        }
+
+    def write(self, df: DataFrame) -> WriteResult:
+        return self.store.write(df, mode=self.mode)

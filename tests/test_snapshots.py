@@ -1,0 +1,132 @@
+"""Snapshot-store connector: versioned writes, time travel, append
+chains, row-level diff, retention that respects shared files, and the
+spec/check/discover protocol surface."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlp_spark.connectors.snapshots import SnapshotSink, SnapshotSource, SnapshotStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return SnapshotStore(str(tmp_path / "tbl"))
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, f"r{i}") for i in ids], ["id", "val"])
+
+
+def test_snapshot_versions_and_time_travel(spark, store):
+    store.write(_df(spark, [1, 2, 3]))
+    store.write(_df(spark, [2, 3, 4, 5]))
+    assert store.versions() == [1, 2]
+    assert sorted(r.id for r in store.read(spark, 1).collect()) == [1, 2, 3]
+    assert sorted(r.id for r in store.read(spark).collect()) == [2, 3, 4, 5]
+    # v1 stays bit-readable after later writes (immutability)
+    m1 = store.manifest(1)
+    assert m1["n_rows"] == 3 and m1["parent"] is None and m1["mode"] == "snapshot"
+
+
+def test_append_chains_share_files(spark, store):
+    store.write(_df(spark, [1, 2]))
+    r = store.write(_df(spark, [3]), mode="append")
+    assert r.extra["version"] == 2
+    m1, m2 = store.manifest(1), store.manifest(2)
+    # append inherits the parent's files — nothing rewritten
+    assert set(m1["files"]) < set(m2["files"])
+    assert m2["n_rows"] == 3 and m2["mode"] == "append"
+    assert sorted(x.id for x in store.read(spark).collect()) == [1, 2, 3]
+
+
+def test_append_schema_mismatch_rejected(spark, store):
+    store.write(_df(spark, [1]))
+    bad = spark.createDataFrame([(1.5, "x")], ["id", "val"])  # id double, not long
+    with pytest.raises(ValueError, match="schema mismatch"):
+        store.write(bad, mode="append")
+
+
+def test_first_append_degrades_to_snapshot(spark, store):
+    r = store.write(_df(spark, [1]), mode="append")
+    assert r.extra["version"] == 1
+    assert store.manifest(1)["mode"] == "snapshot"
+
+
+def test_diff_added_and_removed(spark, store):
+    store.write(_df(spark, [1, 2, 3]))
+    store.write(_df(spark, [2, 3, 4]))
+    delta = {
+        (r.id, r.change_type)
+        for r in store.diff(spark, 1, 2, key_cols=["id"]).collect()
+    }
+    assert delta == {(4, "added"), (1, "removed")}
+
+
+def test_expire_keeps_files_shared_by_append_chain(spark, store):
+    store.write(_df(spark, [1, 2]))          # v1
+    store.write(_df(spark, [3]), mode="append")  # v2 references v1's files
+    store.write(_df(spark, [9]))             # v3 snapshot — expire target keeps v2+v3
+    expired = store.expire(keep_last=2)
+    assert expired == [1]
+    # v2 still reads all three rows: v1's data files survived because
+    # v2's manifest references them
+    assert sorted(r.id for r in store.read(spark, 2).collect()) == [1, 2, 3]
+    assert store.versions() == [2, 3]
+
+
+def test_expire_sweeps_unreferenced_and_orphaned_dirs(spark, store):
+    store.write(_df(spark, [1]))  # v1
+    store.write(_df(spark, [2]))  # v2 (independent snapshot)
+    # simulate a crashed write: data dir with no manifest
+    orphan = os.path.join(store.root, "data", "v99999")
+    _df(spark, [7]).write.parquet(orphan)
+    store.expire(keep_last=1)
+    dirs = sorted(os.listdir(os.path.join(store.root, "data")))
+    assert dirs == ["v00002"]  # v1 data and the orphan are gone
+    assert sorted(r.id for r in store.read(spark).collect()) == [2]
+
+
+def test_commit_is_manifest_last(spark, store):
+    """Crash protocol: a version exists iff its manifest exists. The
+    .tmp intermediary never counts as a version."""
+    store.write(_df(spark, [1]))
+    tmp = store._manifest_path(2) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": 2}, fh)
+    assert store.versions() == [1]
+    assert store.latest_version() == 1
+
+
+def test_connector_protocol_surface(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    sink = SnapshotSink(root)
+    res = sink.write(_df(spark, [1, 2]))
+    assert res.rows == 2 and res.extra["version"] == 1
+    assert sink.spec()["connector"] == "snapshot-sink"
+
+    src = SnapshotSource(root)
+    assert src.check(spark).ok
+    cat = src.discover(spark)
+    assert cat["streams"][0]["version"] == 1
+    assert cat["streams"][0]["schema"]["properties"]["id"] == {"type": "integer"}
+    assert sorted(r.id for r in src.read(spark).collect()) == [1, 2]
+
+    missing = SnapshotSource(str(tmp_path / "empty"))
+    assert not missing.check(spark).ok
+
+    pinned = SnapshotSource(root, version=42)
+    assert not pinned.check(spark).ok
+
+
+def test_store_feeds_incremental_dedup_pattern(spark, store):
+    """The State story: new-version keys anti-joined against the
+    previous snapshot — the x38 fingerprint-store pattern running on
+    store versions instead of ad-hoc paths."""
+    store.write(_df(spark, [1, 2, 3]))
+    store.write(_df(spark, [2, 3, 4, 5]))
+    prev = store.read(spark, 1).select("id")
+    fresh = store.read(spark, 2).join(prev, "id", "left_anti")
+    assert sorted(r.id for r in fresh.collect()) == [4, 5]
