@@ -6777,6 +6777,52 @@ def x66_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rnk", F.col("rnk").cast("long"))
 
 
+_R1_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events),
+edges AS (SELECT DISTINCT event_type AS src, next_type AS dst
+          FROM seq WHERE next_type IS NOT NULL AND event_type <> next_type),
+paths AS (
+  SELECT src AS start, dst AS node, 1 AS hops FROM edges
+  UNION ALL
+  SELECT p.start, e.dst, p.hops + 1
+  FROM paths p JOIN edges e ON p.node = e.src
+  WHERE p.hops < 3)
+SELECT start, node AS dest, CAST(min(hops) AS BIGINT) AS min_hops
+FROM paths GROUP BY start, node
+"""
+
+
+@_register("r1_reachability_hops", _R1_SQL)
+def r1_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): BFS reachability over the
+    observed event-type transition graph — for every ordered pair of
+    types, the minimum number of transitions connecting them (hop cap
+    3). The same ``WITH RECURSIVE`` text runs verbatim on both
+    engines; Spark executes it with the 4.x UnionLoop operator, each
+    iteration joining the frontier against the edge set.
+
+    Determinism: UNION ALL recursion can reach a node along many
+    paths — the ``min(hops)`` aggregate collapses them identically in
+    both engines; hops are exact integers.
+
+    Scale shape: the edge set is DISTINCT over a |types|² domain
+    (tiny, from one shared user_id window pass); every recursion step
+    joins frontier×edges on that tiny frame — corpus size only enters
+    through the first windowed scan. For graphs where the frontier
+    itself is big (x18's doc-pair graph), the engine's iterative
+    connected-components with per-round checkpointing is the scale
+    path; a recursive CTE keeps the whole unrolled loop in ONE plan,
+    which is exactly right for small/medium graphs and wrong for
+    100 TB ones — both shapes are covered, each where it belongs."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_R1_SQL)
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -6865,7 +6911,7 @@ _NEWEST = [
     "j11_lateral_topk", "g13_modal_event_type", "x61_zipf_slope",
     "x62_langid_calibration", "w13_ewma_smoothed", "x63_retrieval_dcg",
     "w14_ohlc_candles", "x64_corpus_drift", "x65_tokenizer_fertility",
-    "x66_hard_negatives",
+    "x66_hard_negatives", "r1_reachability_hops",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
