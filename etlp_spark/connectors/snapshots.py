@@ -102,7 +102,9 @@ class SnapshotStore:
 
     # ----- write -------------------------------------------------------------
 
-    def write(self, df: DataFrame, mode: str = "snapshot") -> WriteResult:
+    def write(
+        self, df: DataFrame, mode: str = "snapshot", *, batch_id: int | None = None
+    ) -> WriteResult:
         """Commit a new version.
 
         ``snapshot``: the new version IS ``df``.
@@ -110,6 +112,9 @@ class SnapshotStore:
         — manifest-level concatenation, no data rewritten. Appends
         require a schema identical to the parent's (by field name and
         type; nothing silently widens).
+
+        ``batch_id`` stamps the manifest (used by ``write_batch`` for
+        exactly-once streaming commits).
         """
         if mode not in ("snapshot", "append"):
             raise ValueError(f"mode must be snapshot|append, got {mode!r}")
@@ -134,18 +139,43 @@ class SnapshotStore:
                 )
             files = pm["files"] + files
             n_rows = pm["n_rows"] + n_new
-        self._commit(
-            {
-                "version": version,
-                "parent": parent,
-                "mode": mode,
-                "committed_at": time.time(),
-                "files": files,
-                "n_rows": n_rows,
-                "schema": df.schema.json(),
-            }
-        )
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "mode": mode,
+            "committed_at": time.time(),
+            "files": files,
+            "n_rows": n_rows,
+            "schema": df.schema.json(),
+        }
+        if batch_id is not None:
+            manifest["batch_id"] = batch_id
+        self._commit(manifest)
         return WriteResult(rows=n_new, target=data_dir, extra={"version": version})
+
+    def committed_batch_ids(self) -> set[int]:
+        return {
+            m["batch_id"]
+            for v in self.versions()
+            for m in [self.manifest(v)]
+            if "batch_id" in m
+        }
+
+    def write_batch(
+        self, df: DataFrame, batch_id: int, mode: str = "append"
+    ) -> WriteResult | None:
+        """Exactly-once ``foreachBatch`` sink: commit the micro-batch
+        as a new version stamped with its batch id, SKIPPING ids that
+        already committed — Structured Streaming replays the last
+        batch after failure recovery, and this check is what turns
+        the store's atomic manifest commit into an idempotent (hence
+        exactly-once) sink. Returns None for a skipped replay.
+
+        Use as ``writeStream.foreachBatch(lambda df, bid:
+        store.write_batch(df, bid))`` with a checkpointLocation."""
+        if batch_id in self.committed_batch_ids():
+            return None
+        return self.write(df, mode=mode, batch_id=batch_id)
 
     # ----- read --------------------------------------------------------------
 

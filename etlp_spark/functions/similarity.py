@@ -344,6 +344,10 @@ def ivf_train(df: DataFrame, k: int = 8, iters: int = 2,
             )
             .collect()
         )
+        # Driver-traffic cap: this collect is the ONLY thing that
+        # crosses the boundary per round and is bounded by the model
+        # size, never the corpus.
+        assert len(sums) <= k * dims, "ivf_train collect exceeded k x dims rows"
         new = [list(c) for c in centroids]  # keep empty cells stable
         by_cell: dict[int, dict[int, float]] = {}
         for r in sums:

@@ -6,7 +6,6 @@ import json
 import os
 
 import pytest
-from pyspark.sql import functions as F
 
 from etlp_spark.connectors.snapshots import SnapshotSink, SnapshotSource, SnapshotStore
 
@@ -130,3 +129,48 @@ def test_store_feeds_incremental_dedup_pattern(spark, store):
     prev = store.read(spark, 1).select("id")
     fresh = store.read(spark, 2).join(prev, "id", "left_anti")
     assert sorted(r.id for r in fresh.collect()) == [4, 5]
+
+
+def test_write_batch_is_idempotent_on_replay(spark, store):
+    """Exactly-once commit protocol: a replayed micro-batch id is a
+    no-op, so recovery-time re-delivery cannot double-append."""
+    assert store.write_batch(_df(spark, [1, 2]), batch_id=0) is not None
+    assert store.write_batch(_df(spark, [3]), batch_id=1) is not None
+    # replay of batch 1 (what Structured Streaming does after restart)
+    assert store.write_batch(_df(spark, [3]), batch_id=1) is None
+    assert store.committed_batch_ids() == {0, 1}
+    assert sorted(r.id for r in store.read(spark).collect()) == [1, 2, 3]
+
+
+def test_streaming_foreach_batch_into_store(spark, store, tmp_path):
+    """End-to-end: a file stream committing each micro-batch as a
+    store version via foreachBatch — the versioned, exactly-once
+    upgrade of the reference's save-into-database callback
+    (src/etlp/utils/async.clj:8-12, state in an atom, at-most-once)."""
+    import json as _json
+
+    from etlp_spark.streaming import file_stream
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "b1.jsonl").write_text(
+        "\n".join(_json.dumps({"id": i, "val": f"r{i}"}) for i in (1, 2))
+    )
+    src = file_stream(spark, str(indir), "id long, val string", fmt="json")
+    q = (
+        src.writeStream.foreachBatch(
+            lambda df, bid: store.write_batch(df, bid) and None
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (indir / "b2.jsonl").write_text(_json.dumps({"id": 3, "val": "r3"}))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r.id for r in store.read(spark).collect()) == [1, 2, 3]
+    assert store.committed_batch_ids() == {0, 1}
+    # time travel still sees the first micro-batch alone
+    assert sorted(r.id for r in store.read(spark, 1).collect()) == [1, 2]
