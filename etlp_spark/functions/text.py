@@ -178,9 +178,13 @@ def chunk_documents(
     """RAG-style chunking operator: one output row per overlapping
     token window of each document — ``(id_col, chunk_idx, start_tok,
     chunk_len, chunk_hash)``. Chunk starts are the 1-based indexes
-    ``1, 1+stride, 1+2·stride, …`` up to ``max(1, n_tokens-size+1)``,
-    so a short document yields exactly one (possibly short) chunk and
-    the last window is never empty.
+    ``1, 1+stride, …, 1+stride·⌈(n−size)/stride⌉`` — the last start
+    CEIL-aligned so every token lands in at least one chunk (the
+    floor-aligned rule silently drops up to stride−1 tail tokens
+    whenever n−size isn't a stride multiple — a hypothesis test
+    caught exactly that at n=3, size=2, stride=2). A short document
+    yields exactly one (possibly short) chunk; the final window is
+    never empty because ``stride ≤ size`` is enforced.
 
     Deliberately NOT an array-of-structs Column: building chunks
     inside ``F.transform`` would drop the slice/hash work into
@@ -188,7 +192,20 @@ def chunk_documents(
     anti-pattern the ``tokens`` docstring measures). The explode
     happens first so every per-chunk expression stays in whole-stage
     codegen, fused with the scan; no shuffle, no Python."""
+    if stride > size or stride < 1:
+        raise ValueError(
+            f"stride must be in [1, size]: got stride={stride}, size={size} "
+            "(a stride beyond the window gaps the coverage — that's "
+            "sampling, not chunking)"
+        )
     tk = tokens(text_col)
+    # top start = 1 + stride * ceil(max(0, n - size) / stride): integer
+    # ceil via (x + stride - 1) div stride; aligned by construction so
+    # sequence() includes it exactly.
+    n = F.size("__tk")
+    k_max = F.floor(
+        (F.greatest(F.lit(0), n - size) + F.lit(stride - 1)) / stride
+    ).cast("int")
     starts = df.select(
         F.col(id_col),
         tk.alias("__tk"),
@@ -196,11 +213,7 @@ def chunk_documents(
         id_col,
         "__tk",
         F.explode(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.lit(1), F.size("__tk") - (size - 1)),
-                F.lit(stride),
-            )
+            F.sequence(F.lit(1), F.lit(1) + k_max * stride, F.lit(stride))
         ).alias("__st"),
     )
     chunk = F.slice("__tk", F.col("__st"), F.lit(size))

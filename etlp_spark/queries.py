@@ -6083,7 +6083,8 @@ def w12_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH toks AS (SELECT doc_id, {_O_TOKS} AS tk FROM documents),
     starts AS (SELECT doc_id, tk,
-               unnest(generate_series(1, greatest(1, len(tk) - 31), 24)) AS st
+               unnest(generate_series(
+                 1, 1 + 24 * ((greatest(0, len(tk) - 32) + 23) // 24), 24)) AS st
                FROM toks WHERE len(tk) > 0)
     SELECT doc_id,
            CAST((st - 1) // 24 + 1 AS BIGINT) AS chunk_idx,
@@ -6103,9 +6104,10 @@ def x60_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the missing piece between x23 (which PACKS whole docs into
     fixed sequences) and x36 (which shingles for dedup).
 
-    Chunk starts are 1-based token indexes ``1, 25, 49, …`` up to
-    ``max(1, n-31)``, so a short doc yields exactly one (possibly
-    short) chunk and the last window is never empty.
+    Chunk starts are 1-based token indexes ``1, 25, 49, …`` with the
+    last start ceil-aligned to ``1 + 24·⌈(n−32)/24⌉`` so the tail of
+    the document is always covered; a short doc yields exactly one
+    (possibly short) chunk and the last window is never empty.
 
     Scale shape: pure codegen expressions (``sequence`` → ``explode``
     → ``slice`` → ``md5``) fused into the parquet scan — no shuffle,

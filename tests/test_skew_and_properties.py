@@ -244,3 +244,55 @@ def test_winnow_doubling_matches_left_fold(spark, text):
     df = spark.createDataFrame([(text,)], "text string")
     got = df.select(winnow_fingerprints("text", k=8, w=4).alias("fp")).collect()[0].fp
     assert list(got) == _py_winnow(text)
+
+
+# ---------------------------------------------------------------------
+# property test: chunk_documents invariants vs a pure-Python reference
+# ---------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_tokens=st.integers(min_value=0, max_value=120),
+    size_stride=st.integers(min_value=2, max_value=40).flatmap(
+        lambda size: st.tuples(st.just(size), st.integers(min_value=1, max_value=size))
+    ),
+)
+def test_chunk_documents_matches_python_reference(spark, n_tokens, size_stride):
+    """For ANY (doc length, size, stride ≤ size): starts are 1,
+    1+stride, …, 1+stride·⌈(n−size)/stride⌉; chunk lengths are
+    min(size, n-start+1) and never 0; the union of chunks covers
+    EVERY token index (the invariant that caught the floor-aligned
+    tail-drop bug at n=3, size=2, stride=2); consecutive chunks
+    overlap by ≥ size−stride."""
+    from etlp_spark.functions.text import chunk_documents
+
+    size, stride = size_stride
+    toks = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, size=size, stride=stride).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    if n_tokens == 0:
+        assert rows == []
+        return
+    k_max = (max(0, n_tokens - size) + stride - 1) // stride
+    exp_starts = [1 + stride * k for k in range(k_max + 1)]
+    assert [r.start_tok for r in rows] == exp_starts
+    assert [r.chunk_idx for r in rows] == list(range(1, len(exp_starts) + 1))
+    assert [r.chunk_len for r in rows] == [
+        min(size, n_tokens - s + 1) for s in exp_starts
+    ]
+    assert all(r.chunk_len >= 1 for r in rows)
+    covered = set()
+    for r in rows:
+        covered.update(range(r.start_tok, r.start_tok + r.chunk_len))
+    assert covered == set(range(1, n_tokens + 1))
+
+
+def test_chunk_documents_rejects_gapping_stride(spark):
+    from etlp_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, size=4, stride=5)
