@@ -6151,14 +6151,14 @@ def j11_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: engine-added (SURVEY.md §2.2 joins)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    cust.createOrReplaceTempView("customer")
-    orders.createOrReplaceTempView("orders")
+    cust.createOrReplaceTempView("j11_customer")
+    orders.createOrReplaceTempView("j11_orders")
     return spark.sql(
         """
         SELECT c.c_custkey, o.o_orderkey,
                round(o.o_totalprice, 2) AS top_price
-        FROM customer c JOIN LATERAL (
-          SELECT o_orderkey, o_totalprice FROM orders
+        FROM j11_customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM j11_orders
           WHERE o_custkey = c.c_custkey
           ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
         WHERE c.c_mktsegment = 'MACHINERY'
@@ -6784,7 +6784,7 @@ WITH RECURSIVE seq AS (
   SELECT user_id, event_type,
          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS next_type
-  FROM events),
+  FROM {EVENTS}),
 edges AS (SELECT DISTINCT event_type AS src, next_type AS dst
           FROM seq WHERE next_type IS NOT NULL AND event_type <> next_type),
 paths AS (
@@ -6798,7 +6798,7 @@ FROM paths GROUP BY start, node
 """
 
 
-@_register("r1_reachability_hops", _R1_SQL)
+@_register("r1_reachability_hops", _R1_SQL.format(EVENTS="events"))
 def r1_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (new in Spark 4): BFS reachability over the
     observed event-type transition graph — for every ordered pair of
@@ -6821,8 +6821,8 @@ def r1_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly right for small/medium graphs and wrong for
     100 TB ones — both shapes are covered, each where it belongs."""
     ev = _t(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("events")
-    return spark.sql(_R1_SQL)
+    ev.createOrReplaceTempView("r1_events")
+    return spark.sql(_R1_SQL.format(EVENTS="r1_events"))
 
 
 # =====================================================================

@@ -608,3 +608,32 @@ def test_hard_negatives_excludes_same_label(spark):
     got = [(r.cand_id, r.rnk) for r in sorted(out, key=lambda r: r.rnk)]
     assert got == [(11, 1), (12, 2)]
     assert all(r.neg_label != 7 for r in out)
+
+
+def test_empty_input_edge_cases(spark):
+    """Degenerate inputs must produce empty (not crashing, not null-
+    polluted) results through the scale operators."""
+    from etlp_spark.functions.dedup import connected_components, lsh_candidates, minhash_signature
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    # chunking an empty frame
+    assert T.chunk_documents(empty_docs).count() == 0
+    # minhash/LSH over an empty corpus
+    sigs = minhash_signature(empty_docs, k=8, n=3)
+    assert sigs.count() == 0
+    assert lsh_candidates(sigs, k=8).count() == 0
+    # connected components with nodes but ZERO pairs: every node is
+    # its own cluster
+    nodes = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    no_pairs = spark.createDataFrame([], "a long, b long")
+    labels = {(r.doc_id, r.cluster) for r in connected_components(nodes, no_pairs).collect()}
+    assert labels == {(1, 1), (2, 2)}
+
+
+def test_hard_negatives_empty_when_all_labels_match(spark):
+    from etlp_spark.functions.similarity import hard_negatives
+
+    rows = [(0, [1.0, 0.0], 1), (1, [0.9, 0.1], 1), (2, [0.8, 0.2], 1)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = hard_negatives(df.where(F.col("vec_id") == 0), df.where(F.col("vec_id") > 0), k=3)
+    assert out.count() == 0
