@@ -49,26 +49,36 @@ def as_of_join(
     ``direction="backward"`` (default, pandas ``merge_asof`` naming):
     the most recent right row at-or-before the left timestamp.
     ``direction="forward"``: the earliest right row at-or-after it.
+    ``direction="nearest"``: whichever of the two is closer in time
+    (equidistant → the backward match, i.e. the earlier row).
     ``strict=True`` → exclusive comparison (< / >);
     ``strict=False`` → inclusive (<= / >=).
     ``tolerance_seconds`` → matches farther than this from the left
-    timestamp are nulled out (like ``merge_asof(tolerance=...)``).
+    timestamp are nulled out (like ``merge_asof(tolerance=...)``);
+    for ``nearest`` the tolerance applies per side BEFORE the closer-
+    of-two pick, so an out-of-window backward match can't shadow an
+    in-window forward one.
     Ties within right are resolved by (ts, tiebreak), so the match is
     fully deterministic.
 
     Returns all left columns plus ``{v}{suffix}`` for each value col.
 
-    Both directions are the same union+window plan — ONE shuffle of
-    left+right together on the key, no pair explosion; forward just
-    flips the sort order. The tolerance is a post-filter on the
-    carried match timestamp: no extra shuffle, no second join.
+    All three directions share the same union+window plan — ONE
+    shuffle of left+right together on the key, no pair explosion;
+    forward just flips the sort order, and nearest runs BOTH sorted
+    passes over the one exchange (two Sort operators, zero extra
+    shuffles) then picks the smaller microsecond gap per row.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
-    if tolerance_seconds is not None and "__match_ts" not in value_cols:
-        # carry the matched timestamp so the tolerance can be applied
-        # after the window pass (internal column, dropped at the end)
+    need_match_ts = tolerance_seconds is not None or direction == "nearest"
+    if need_match_ts and "__match_ts" not in value_cols:
+        # carry the matched timestamp so the tolerance / nearest pick
+        # can be applied after the window pass (internal column,
+        # dropped at the end)
         right = right.withColumn("__match_ts", F.col(right_ts))
         value_cols = list(value_cols) + ["__match_ts"]
 
@@ -97,16 +107,66 @@ def as_of_join(
     # with an exclusive frame it cannot see them; non-strict → right
     # rows first. The tiebreak orders right rows among themselves only
     # (left rows carry null there, already separated by placement).
-    fwd = direction == "forward"
-    ts_order = F.col("__ts").desc() if fwd else F.col("__ts").asc()
-    placement = F.col("__is_left").desc() if strict else F.col("__is_left").asc()
-    order = [ts_order, placement]
-    if tiebreak is not None:
-        # among equal-ts right rows the match is min(tiebreak) forward
-        # / max(ts, tiebreak) backward — i.e. last in scan order.
-        order.append(F.col("__tb").desc() if fwd else F.col("__tb").asc_nulls_first())
+    def _order(fwd_: bool) -> list[Column]:
+        ts_order = F.col("__ts").desc() if fwd_ else F.col("__ts").asc()
+        placement = F.col("__is_left").desc() if strict else F.col("__is_left").asc()
+        order = [ts_order, placement]
+        if tiebreak is not None:
+            # among equal-ts right rows the match is min(tiebreak)
+            # forward / max(ts, tiebreak) backward — last in scan order.
+            order.append(
+                F.col("__tb").desc() if fwd_ else F.col("__tb").asc_nulls_first()
+            )
+        return order
 
-    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    def _window(fwd_: bool) -> Window:
+        return (
+            Window.partitionBy(*keys)
+            .orderBy(*_order(fwd_))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+
+    if direction == "nearest":
+        # Both directional passes over ONE exchange (same partition
+        # key, two in-partition sorts), then the smaller-gap pick.
+        carried = unioned.select(
+            "*",
+            *[
+                F.last(F.col(f"__rv_{v}"), ignorenulls=True)
+                .over(_window(False))
+                .alias(f"__b_{v}")
+                for v in value_cols
+            ],
+            *[
+                F.last(F.col(f"__rv_{v}"), ignorenulls=True)
+                .over(_window(True))
+                .alias(f"__f_{v}")
+                for v in value_cols
+            ],
+        ).where(F.col("__is_left") == 1)
+        lts_us = F.unix_micros(F.col(left_ts))
+        gap_b = lts_us - F.unix_micros(F.col("__b___match_ts"))
+        gap_f = F.unix_micros(F.col("__f___match_ts")) - lts_us
+        ok_b = F.col("__b___match_ts").isNotNull()
+        ok_f = F.col("__f___match_ts").isNotNull()
+        if tolerance_seconds is not None:
+            tol_us = F.lit(int(tolerance_seconds) * 1_000_000)
+            ok_b = ok_b & (gap_b <= tol_us)
+            ok_f = ok_f & (gap_f <= tol_us)
+        use_b = ok_b & (~ok_f | (gap_b <= gap_f))  # tie → backward
+        return carried.select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.when(use_b, F.col(f"__b_{v}"))
+                .when(ok_f, F.col(f"__f_{v}"))
+                .alias(f"{v}{suffix}")
+                for v in value_cols
+                if v != "__match_ts"
+            ],
+        )
+
+    fwd = direction == "forward"
+    w = _window(fwd)
     carried = unioned.select(
         "*",
         *[

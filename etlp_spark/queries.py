@@ -6825,6 +6825,52 @@ def r1_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_R1_SQL.format(EVENTS="r1_events"))
 
 
+@_register(
+    "j12_asof_nearest",
+    """
+    SELECT l.event_id, l.user_id,
+           (SELECT r.value FROM events r
+            WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+              AND r.ts >= l.ts - INTERVAL 1 HOUR
+              AND r.ts <= l.ts + INTERVAL 1 HOUR
+            ORDER BY abs(epoch_us(r.ts) - epoch_us(l.ts)) ASC,
+                     CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END ASC,
+                     CASE WHEN r.ts <= l.ts THEN -r.event_id
+                          ELSE r.event_id END ASC
+            LIMIT 1) AS value_near
+    FROM events l WHERE l.event_type = 'click'
+    """,
+)
+def j12_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof(
+    direction='nearest', tolerance=1h)`` parity — the last of the
+    three as-of directions, completing the family with j5/backward
+    and j9/forward): for each click, the value of the user's CLOSEST
+    purchase within an hour either way, equidistant ties going to the
+    earlier (backward) row.
+
+    Engine plan: ONE exchange of both sides on user_id with TWO
+    in-partition sorted window passes (backward + forward scan), then
+    a per-row microsecond-gap comparison — no second shuffle, no pair
+    explosion. The oracle's correlated subquery states the semantics
+    (abs-gap, backward preference, per-side event_id tiebreak) and
+    would be quadratic at scale — which is the point of the window
+    form."""
+    from etlp_spark.ops_temporal import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    joined = as_of_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], tiebreak="event_id", strict=False,
+        direction="nearest", tolerance_seconds=3600,
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("value_asof").alias("value_near")
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -6913,7 +6959,7 @@ _NEWEST = [
     "j11_lateral_topk", "g13_modal_event_type", "x61_zipf_slope",
     "x62_langid_calibration", "w13_ewma_smoothed", "x63_retrieval_dcg",
     "w14_ohlc_candles", "x64_corpus_drift", "x65_tokenizer_fertility",
-    "x66_hard_negatives", "r1_reachability_hops",
+    "x66_hard_negatives", "r1_reachability_hops", "j12_asof_nearest",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

@@ -216,6 +216,60 @@ def test_asof_forward_matches_python_reference(spark, left, right, strict, tol):
 
 
 # ---------------------------------------------------------------------
+# property test: nearest as-of (+tolerance) == python reference
+# ---------------------------------------------------------------------
+
+def _py_asof_nearest(left, right, strict, tol):
+    out = {}
+    for lid, key, lts in left:
+        bb = None  # backward best: max (rts, rid)
+        fb = None  # forward best: min (rts, rid)
+        for rid, rkey, rts, val in right:
+            if rkey != key:
+                continue
+            if (rts < lts) if strict else (rts <= lts):
+                if bb is None or (rts, rid) > (bb[0], bb[1]):
+                    bb = (rts, rid, val)
+            if (rts > lts) if strict else (rts >= lts):
+                if fb is None or (rts, rid) < (fb[0], fb[1]):
+                    fb = (rts, rid, val)
+        if tol is not None:
+            if bb is not None and (lts - bb[0]).total_seconds() > tol:
+                bb = None
+            if fb is not None and (fb[0] - lts).total_seconds() > tol:
+                fb = None
+        if bb is not None and fb is not None:
+            out[lid] = bb[2] if (lts - bb[0]) <= (fb[0] - lts) else fb[2]
+        else:
+            out[lid] = (bb or fb)[2] if (bb or fb) else None
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    left=st.lists(st.tuples(st.integers(0, 10**6), st.integers(0, 3), ts_strategy),
+                  min_size=1, max_size=8, unique_by=lambda t: t[0]),
+    right=st.lists(st.tuples(st.integers(0, 10**6), st.integers(0, 3), ts_strategy,
+                             st.floats(allow_nan=False, allow_infinity=False, width=32)),
+                   min_size=0, max_size=8, unique_by=lambda t: t[0]),
+    strict=st.booleans(),
+    tol=st.sampled_from([None, 0, 600, 1800]),
+)
+def test_asof_nearest_matches_python_reference(spark, left, right, strict, tol):
+    ldf = spark.createDataFrame(left, "lid long, key long, lts timestamp")
+    rdf = spark.createDataFrame(
+        right, "rid long, key long, rts timestamp, val double"
+    ) if right else spark.createDataFrame([], "rid long, key long, rts timestamp, val double")
+    got = {
+        r.lid: r.val_asof
+        for r in as_of_join(ldf, rdf, "key", "lts", "rts", ["val"], tiebreak="rid",
+                            strict=strict, direction="nearest",
+                            tolerance_seconds=tol).collect()
+    }
+    assert got == _py_asof_nearest(left, right, strict, tol)
+
+
+# ---------------------------------------------------------------------
 # property test: winnow doubling combine == naive left-fold reference
 # ---------------------------------------------------------------------
 

@@ -123,7 +123,66 @@ def test_asof_backward_tolerance(spark, frames):
 def test_asof_bad_direction_raises(spark, frames):
     left, right = frames
     with pytest.raises(ValueError, match="direction"):
-        as_of_join(left, right, "key", "lts", "rts", ["val"], direction="nearest")
+        as_of_join(left, right, "key", "lts", "rts", ["val"], direction="sideways")
+
+
+def test_asof_nearest_picks_closer_side_and_breaks_ties_backward(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    left = spark.createDataFrame(
+        [(1, "k", ts(100)), (2, "k", ts(500)), (3, "k", ts(1300))],
+        ["lid", "key", "lts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "k", ts(90), 1.0),    # 10s before left#1 (closest)
+            (11, "k", ts(130), 2.0),   # 30s after left#1
+            (20, "k", ts(450), 3.0),   # 50s before left#2 — EQUIDISTANT
+            (21, "k", ts(550), 4.0),   # 50s after left#2 — with this one
+            (30, "k", ts(2000), 5.0),  # left#3: backward 750s / forward
+            #                            700s away — BOTH beyond 600s
+        ],
+        ["rid", "key", "rts", "val"],
+    )
+    out = {
+        r.lid: r.val_asof
+        for r in as_of_join(
+            left, right, "key", "lts", "rts", ["val"],
+            tiebreak="rid", strict=False, direction="nearest",
+            tolerance_seconds=600,
+        ).collect()
+    }
+    assert out[1] == 1.0  # backward 10s beats forward 30s
+    assert out[2] == 3.0  # equidistant -> backward (earlier) row
+    assert out[3] is None  # only match is outside tolerance
+
+
+def test_asof_nearest_tolerance_is_per_side(spark):
+    """An out-of-window backward match must not shadow an in-window
+    forward one."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    left = spark.createDataFrame([(1, "k", ts(1000))], ["lid", "key", "lts"])
+    right = spark.createDataFrame(
+        [(10, "k", ts(0), 1.0), (11, "k", ts(1200), 2.0)],
+        ["rid", "key", "rts", "val"],
+    )
+    out = as_of_join(
+        left, right, "key", "lts", "rts", ["val"],
+        tiebreak="rid", strict=False, direction="nearest",
+        tolerance_seconds=300,
+    ).collect()
+    assert out[0].val_asof == 2.0  # backward is 1000s away (out), forward 200s (in)
 
 
 def test_binned_range_join_matches_cross_filter(spark):
