@@ -6871,6 +6871,66 @@ def j12_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x67_data_quality_report",
+    """
+    SELECT * FROM (
+      SELECT 'in_range(l_discount,0.0,0.08)' AS check,
+             CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                           OR l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'accepted_values(l_returnflag)',
+             CAST(sum(CASE WHEN l_returnflag IN ('A', 'N') THEN 0 ELSE 1 END)
+               AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'not_null(l_shipdate)',
+             CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'unique(l_orderkey,l_linenumber)',
+             CAST(coalesce((SELECT sum(c) FROM (
+                SELECT count(*) AS c FROM lineitem
+                GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)), 0)
+               AS BIGINT)
+    ) WHERE n_violations > 0
+    """,
+)
+def x67_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation report (the expectations layer's
+    declared query): per-check violation counts over lineitem —
+    range, accepted-values, not-null, and key-uniqueness checks. The
+    synthetic lineitem's (l_orderkey, l_linenumber) is deliberately
+    NOT unique, so the uniqueness check reports real rows; the
+    shipdate not-null check has ZERO violations and therefore must be
+    absent from both engines' output (summary only reports failing
+    checks — the HAVING>0 contract).
+
+    Scale shape (the expectations cost model): all row-level checks
+    share ONE scan — each is a boolean column, the report a
+    conditional-sum aggregate; only the uniqueness check pays a
+    shuffle (windowed count on the key pair). N checks never means N
+    scans. Reference: extends E1/E2's exception channel
+    (``src/etlp/connector/dag.clj:39-45``) to contract violations."""
+    from etlp_spark import expectations as X
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_discount", "l_returnflag", "l_shipdate"
+    )
+    res = X.validate(
+        li,
+        [
+            X.in_range("l_discount", 0.0, 0.08),
+            X.accepted_values("l_returnflag", ["A", "N"]),
+            X.not_null("l_shipdate"),
+            X.unique("l_orderkey", "l_linenumber"),
+        ],
+    )
+    return res.summary
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -6960,6 +7020,7 @@ _NEWEST = [
     "x62_langid_calibration", "w13_ewma_smoothed", "x63_retrieval_dcg",
     "w14_ohlc_candles", "x64_corpus_drift", "x65_tokenizer_fertility",
     "x66_hard_negatives", "r1_reachability_hops", "j12_asof_nearest",
+    "x67_data_quality_report",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
