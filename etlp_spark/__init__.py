@@ -16,7 +16,11 @@ PySpark library:
   templates to Column expression trees (``etlp_spark.mapping``),
 - large-scale training-data operators (dedup, similarity search,
   text analysis, multimodal plumbing) live in
-  ``etlp_spark.functions``.
+  ``etlp_spark.functions``,
+- data-contract checks (the error channel for rows that parse but
+  violate the schema contract) live in ``etlp_spark.expectations``,
+- versioned snapshot storage with time travel and exactly-once
+  streaming commits lives in ``etlp_spark.connectors.snapshots``.
 
 Design stance (SURVEY.md §7): channels, atoms and thread counts from
 the reference are NOT ported — parallelism, batching and backpressure

@@ -110,6 +110,15 @@ def test_doc_chunks_is_scan_stage_only(spark):
     )
 
 
+def test_asof_nearest_single_shuffle(spark):
+    """j12's nearest as-of must run BOTH directional window passes
+    over one key exchange — never a second shuffle or a join."""
+    plan = _executed_plan(QUERIES["j12_asof_nearest"].fn(spark, SF))
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"j12 expected exactly 1 hash exchange, saw {n}:\n{plan[:2000]}"
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
 def test_range_frame_single_shuffle(spark):
     """w11's RANGE-frame window must cost exactly one hash exchange
     (on user_id) — the frame itself is a sliding pointer over the
