@@ -32,6 +32,14 @@ Commit protocol: data first, then the manifest via write-temp +
 ``os.rename`` (atomic on POSIX). A crashed write leaves an orphaned
 data directory but NO manifest — readers never see a partial version;
 ``expire`` sweeps orphans.
+
+Concurrency contract: ONE writer at a time (the Structured-Streaming
+``foreachBatch`` driver loop, or one batch job). Readers are always
+safe concurrently with the writer (they only ever see committed
+manifests). Two simultaneous writers could race the max+1 version
+number; a multi-writer port would swap the rename for a conditional
+PUT / CAS on the manifest name — the same change object stores need
+anyway.
 """
 
 from __future__ import annotations
