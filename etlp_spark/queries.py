@@ -6931,6 +6931,61 @@ def x67_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.summary
 
 
+@_register(
+    "f8_try_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+           CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents,
+           CASE WHEN l_quantity = 1 THEN NULL
+                ELSE CAST(floor(l_extendedprice * 10000 / (l_quantity - 1)
+                                + 0.5) AS BIGINT) END
+             AS unit_uplift_e4,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_int,
+           TRY_CAST(substr(CAST(l_shipdate AS VARCHAR), 1, 4) AS BIGINT)
+             AS ship_year,
+           CAST(coalesce(TRY_CAST(l_returnflag AS INTEGER), -1) AS BIGINT)
+             AS flag_or_default
+    FROM lineitem
+    """,
+)
+def f8_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe scalar surface: ``try_divide`` / ``try_cast`` return
+    NULL instead of failing the job — the difference between one
+    malformed row poisoning a 100 TB batch and a null you can audit
+    (the expression-level twin of E1's per-record error guard,
+    ``src/etlp/connector/dag.clj:39-45``: the reference catches and
+    continues; here the ERROR never throws).
+
+    The oracle states the semantics with CASE/TRY_CAST (DuckDB's
+    float x/0 is inf, not null — the CASE IS the spec of Spark's
+    try_divide). All scan-stage expressions, no shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    flag_int = F.col("l_returnflag").try_cast("int")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # exact-cents determinants of unit_uplift: rows identical on
+        # every non-null column are then bit-identical on the nullable
+        # one too, keeping the comparator's row sort total (the
+        # (l_orderkey, l_linenumber) pair is NOT unique in this data)
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_cents"),
+        # e4-scaled half-up via floor(x+0.5): engine round() functions
+        # break exact .xxx5 quotients differently, but the quotient
+        # double itself is IEEE-identical — so shift, nudge, floor.
+        F.floor(
+            F.try_divide(F.col("l_extendedprice") * 10000, F.col("l_quantity") - 1)
+            + F.lit(0.5)
+        ).cast("long").alias("unit_uplift_e4"),
+        flag_int.alias("flag_int"),
+        F.substring(F.col("l_shipdate").cast("string"), 1, 4)
+        .try_cast("bigint")
+        .alias("ship_year"),
+        F.coalesce(flag_int, F.lit(-1)).cast("long").alias("flag_or_default"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -7020,7 +7075,7 @@ _NEWEST = [
     "x62_langid_calibration", "w13_ewma_smoothed", "x63_retrieval_dcg",
     "w14_ohlc_candles", "x64_corpus_drift", "x65_tokenizer_fertility",
     "x66_hard_negatives", "r1_reachability_hops", "j12_asof_nearest",
-    "x67_data_quality_report",
+    "x67_data_quality_report", "f8_try_functions",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

@@ -174,3 +174,31 @@ def test_streaming_foreach_batch_into_store(spark, store, tmp_path):
     assert store.committed_batch_ids() == {0, 1}
     # time travel still sees the first micro-batch alone
     assert sorted(r.id for r in store.read(spark, 1).collect()) == [1, 2]
+
+
+def test_random_write_sequences_preserve_history(spark, tmp_path):
+    """Model-based check over write sequences: after ANY mix of
+    snapshot/append commits, every version's manifest row count is
+    exact and time travel to ANY version reproduces the model state
+    at that point."""
+    import itertools
+
+    # all 18 mode-sequences of length <=3 over a few id-lists, no RNG
+    id_lists = [[1, 2], [3], [2, 4, 5]]
+    for seq_len in (2, 3):
+        for modes in itertools.product(("snapshot", "append"), repeat=seq_len):
+            root = str(tmp_path / ("s" + "_".join(modes) + str(seq_len)))
+            store = SnapshotStore(root)
+            model: list[list[int]] = []  # model[v-1] = expected ids of version v
+            for i, mode in enumerate(modes):
+                ids = id_lists[i % len(id_lists)]
+                store.write(_df(spark, ids), mode=mode)
+                if mode == "append" and model:
+                    model.append(model[-1] + ids)
+                else:
+                    model.append(list(ids))
+            assert store.versions() == list(range(1, seq_len + 1))
+            for v, expect in enumerate(model, start=1):
+                assert store.manifest(v)["n_rows"] == len(expect)
+                got = sorted(r.id for r in store.read(spark, v).collect())
+                assert got == sorted(expect), (modes, v)
