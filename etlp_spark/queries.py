@@ -6986,6 +6986,49 @@ def f8_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "w15_centered_ma",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_frame,
+           round(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                 / (100.0 * count(*) OVER w), 6) AS centered_ma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+    """,
+)
+def w15_centered_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered moving average (±2 events) of each user's values —
+    the one frame geometry the set didn't declare yet: w3/w11/w13 are
+    all trailing or unbounded; a FOLLOWING bound exercises the
+    forward-looking half of the frame machinery (smoothing for
+    plotting/denoising, where trailing frames lag the signal).
+
+    Exactness: the frame sums exact integer CENTS (engines disagree
+    on float addition order inside sliding frames — DuckDB uses
+    segment trees — but integer sums are order-free), then one
+    division and round.
+
+    Scale shape: one shuffle on user_id, one sort, a 5-row sliding
+    frame — same cost as any trailing window. Reference: engine-added
+    (SURVEY.md §2.2 windows)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        n.cast("long").alias("n_frame"),
+        F.round(F.sum(cents).over(w) / (F.lit(100.0) * n), 6).alias("centered_ma"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -7075,7 +7118,7 @@ _NEWEST = [
     "x62_langid_calibration", "w13_ewma_smoothed", "x63_retrieval_dcg",
     "w14_ohlc_candles", "x64_corpus_drift", "x65_tokenizer_fertility",
     "x66_hard_negatives", "r1_reachability_hops", "j12_asof_nearest",
-    "x67_data_quality_report", "f8_try_functions",
+    "x67_data_quality_report", "f8_try_functions", "w15_centered_ma",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

@@ -202,3 +202,44 @@ def test_random_write_sequences_preserve_history(spark, tmp_path):
                 assert store.manifest(v)["n_rows"] == len(expect)
                 got = sorted(r.id for r in store.read(spark, v).collect())
                 assert got == sorted(expect), (modes, v)
+
+
+def test_streaming_chunking_into_store(spark, store, tmp_path):
+    """Stateless M7 operators compose with Structured Streaming
+    unchanged: chunk_documents applied to a document file stream,
+    each micro-batch committed exactly-once to the snapshot store —
+    the streaming ingest path of the RAG chunking pipeline."""
+    import json as _json
+
+    from etlp_spark.functions.text import chunk_documents
+    from etlp_spark.streaming import file_stream
+
+    indir = tmp_path / "docs_in"
+    indir.mkdir()
+    long_text = " ".join(f"w{i}" for i in range(80))  # 3 chunks @ 32/24
+    (indir / "b1.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": long_text})
+    )
+    src = file_stream(spark, str(indir), "doc_id long, text string", fmt="json")
+    chunked = chunk_documents(src, size=32, stride=24)
+    q = (
+        chunked.writeStream.foreachBatch(
+            lambda df, bid: store.write_batch(df, bid) and None
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (indir / "b2.jsonl").write_text(
+            _json.dumps({"doc_id": 2, "text": "tiny doc"})
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = store.read(spark).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1
+    assert store.committed_batch_ids() == {0, 1}
