@@ -210,8 +210,8 @@ class SnapshotStore:
         present in only one side, tagged ``change_type`` =
         'added'|'removed'. Two key-column anti-joins — only the keys
         shuffle, never full rows of either version."""
-        old = self.read(spark, from_version).select(*key_cols)
-        new = self.read(spark, to_version).select(*key_cols)
+        old = self.read(spark, from_version).select(*key_cols).distinct()
+        new = self.read(spark, to_version).select(*key_cols).distinct()
         added = new.join(old, key_cols, "left_anti").selectExpr(
             *key_cols, "'added' AS change_type"
         )

@@ -174,6 +174,7 @@ def chunk_documents(
     id_col: str = "doc_id",
     size: int = 32,
     stride: int = 24,
+    carry: tuple[str, ...] = (),
 ):
     """RAG-style chunking operator: one output row per overlapping
     token window of each document — ``(id_col, chunk_idx, start_tok,
@@ -208,9 +209,11 @@ def chunk_documents(
     ).cast("int")
     starts = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         tk.alias("__tk"),
     ).where(F.size("__tk") > 0).select(
         id_col,
+        *carry,
         "__tk",
         F.explode(
             F.sequence(F.lit(1), F.lit(1) + k_max * stride, F.lit(stride))
@@ -219,6 +222,7 @@ def chunk_documents(
     chunk = F.slice("__tk", F.col("__st"), F.lit(size))
     return starts.select(
         id_col,
+        *carry,  # metadata carried through the fan-out, no join-back needed
         (F.floor((F.col("__st") - 1) / stride) + 1).cast("long").alias("chunk_idx"),
         F.col("__st").cast("long").alias("start_tok"),
         F.size(chunk).cast("long").alias("chunk_len"),

@@ -7029,6 +7029,53 @@ def w15_centered_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x68_chunk_dedup_rate",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {_O_TOKS} AS tk FROM documents),
+    starts AS (SELECT source, tk,
+               unnest(generate_series(
+                 1, 1 + 24 * ((greatest(0, len(tk) - 32) + 23) // 24), 24)) AS st
+               FROM toks WHERE len(tk) > 0),
+    ch AS (SELECT source,
+                  md5(array_to_string(
+                    list_slice(tk, st, least(st + 31, len(tk))), ' ')) AS h
+           FROM starts)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+           round(1.0 - count(DISTINCT h) * 1.0 / count(*), 6) AS dup_rate
+    FROM ch GROUP BY source
+    """,
+)
+def x68_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-LEVEL duplication rate per source — the index-bloat
+    forecast for a RAG corpus: x56 reports document-level near-dup
+    rates, but retrieval indexes store CHUNKS, and boilerplate
+    repeats at chunk granularity even across distinct documents. One
+    number per source says how much of the embedding/index spend is
+    redundant before any vectors are computed.
+
+    Composition note: uses ``chunk_documents(carry=("source",))`` —
+    metadata rides through the scan-stage fan-out, so no join-back
+    from chunks to documents ever happens.
+
+    Scale shape: chunking is scan-fused (x60's plan); the aggregate
+    is count + count distinct on the 16-byte hash grouped by the
+    low-cardinality source — partial map-side, one shuffle."""
+    from etlp_spark.functions.text import chunk_documents
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, size=32, stride=24, carry=("source",))
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.countDistinct("chunk_hash").cast("long").alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct("chunk_hash") * 1.0 / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -7119,6 +7166,7 @@ _NEWEST = [
     "w14_ohlc_candles", "x64_corpus_drift", "x65_tokenizer_fertility",
     "x66_hard_negatives", "r1_reachability_hops", "j12_asof_nearest",
     "x67_data_quality_report", "f8_try_functions", "w15_centered_ma",
+    "x68_chunk_dedup_rate",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
