@@ -26,26 +26,29 @@ applies untouched; ``diff`` shuffles only the key columns of the two
 versions being compared. Manifest listing/IO uses the local filesystem
 (the container has no object store); the manifest records absolute
 file URIs, so porting to S3A/HDFS changes only ``_list_files`` and the
-rename-based commit (object stores want a conditional PUT instead).
+link-based commit (object stores want a conditional PUT instead).
 
 Commit protocol: data first, then the manifest via write-temp +
-``os.rename`` (atomic on POSIX). A crashed write leaves an orphaned
-data directory but NO manifest — readers never see a partial version;
-``expire`` sweeps orphans.
+``os.link`` (atomic on POSIX; exclusive — see concurrency below). A
+crashed write leaves an orphaned data directory but NO manifest —
+readers never see a partial version; ``expire`` sweeps orphans.
 
 Concurrency contract: ONE writer at a time (the Structured-Streaming
 ``foreachBatch`` driver loop, or one batch job). Readers are always
 safe concurrently with the writer (they only ever see committed
-manifests). Two simultaneous writers could race the max+1 version
-number; a multi-writer port would swap the rename for a conditional
-PUT / CAS on the manifest name — the same change object stores need
-anyway.
+manifests). The contract is ENFORCED, not just documented: the
+manifest publish is write-temp + ``os.link`` (atomic AND exclusive),
+so two writers racing the same max+1 version number get one winner
+and one ``ConcurrentWriteError`` — never a silent clobber. An object-
+store port swaps the link for a conditional PUT / CAS on the manifest
+name — the same primitive S3/GCS offer natively.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from typing import Any
 
@@ -59,7 +62,18 @@ from etlp_spark.connectors.base import (
     _json_schema,
 )
 
-__all__ = ["SnapshotStore", "SnapshotSource", "SnapshotSink"]
+__all__ = [
+    "SnapshotStore",
+    "SnapshotSource",
+    "SnapshotSink",
+    "ConcurrentWriteError",
+]
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Two writers raced the same version number; the loser gets this
+    instead of silently clobbering the winner's commit."""
+
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
@@ -102,11 +116,28 @@ class SnapshotStore:
             return json.load(fh)
 
     def _commit(self, manifest: dict[str, Any]) -> None:
+        """Atomic, EXCLUSIVE manifest publish: write-temp then
+        ``os.link`` to the final name. link(2) is atomic like rename
+        but fails with FileExistsError if the destination exists — so
+        two racing writers that both computed ``latest+1`` get one
+        winner and one loud ``ConcurrentWriteError`` instead of a
+        silent clobber (rename would overwrite). Readers still see
+        all-or-nothing."""
         path = self._manifest_path(manifest["version"])
-        tmp = path + ".tmp"
+        tmp = path + f".tmp.{os.getpid()}.{threading.get_ident()}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
-        os.rename(tmp, path)  # atomic: readers see all-or-nothing
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {manifest['version']} was committed by another "
+                "writer; re-read latest_version() and retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     # ----- write -------------------------------------------------------------
 
@@ -156,8 +187,18 @@ class SnapshotStore:
             "n_rows": n_rows,
             "schema": df.schema.json(),
         }
+        # Monotonic batch-id watermark: EVERY manifest carries forward
+        # max(parent's watermark, this write's batch_id), so the
+        # exactly-once check survives ``expire`` deleting the manifest
+        # that originally recorded a batch id.
+        wm = None
+        if parent is not None:
+            wm = self.manifest(parent).get("max_batch_id")
         if batch_id is not None:
             manifest["batch_id"] = batch_id
+            wm = batch_id if wm is None else max(wm, batch_id)
+        if wm is not None:
+            manifest["max_batch_id"] = wm
         self._commit(manifest)
         return WriteResult(rows=n_new, target=data_dir, extra={"version": version})
 
@@ -168,6 +209,20 @@ class SnapshotStore:
             for m in [self.manifest(v)]
             if "batch_id" in m
         }
+
+    def batch_watermark(self) -> int | None:
+        """Highest batch id EVER committed, from the carried-forward
+        ``max_batch_id`` stamps — defined even after ``expire`` has
+        deleted the manifest that originally recorded it (as long as
+        at least one version survives, which ``expire(keep_last>=1)``
+        guarantees)."""
+        wms = [
+            m["max_batch_id"]
+            for v in self.versions()
+            for m in [self.manifest(v)]
+            if "max_batch_id" in m
+        ]
+        return max(wms) if wms else None
 
     def write_batch(
         self, df: DataFrame, batch_id: int, mode: str = "append"
@@ -180,8 +235,18 @@ class SnapshotStore:
         exactly-once) sink. Returns None for a skipped replay.
 
         Use as ``writeStream.foreachBatch(lambda df, bid:
-        store.write_batch(df, bid))`` with a checkpointLocation."""
+        store.write_batch(df, bid))`` with a checkpointLocation.
+
+        Replay detection is TWO checks: the live-manifest id set, and
+        the monotonic ``batch_watermark`` carried forward in every
+        manifest — so a replay of a batch older than the retention
+        window is still skipped even after ``expire`` deleted the
+        manifest that recorded it (Structured Streaming batch ids are
+        monotonic, so id <= watermark ⟹ already committed)."""
         if batch_id in self.committed_batch_ids():
+            return None
+        wm = self.batch_watermark()
+        if wm is not None and batch_id <= wm:
             return None
         return self.write(df, mode=mode, batch_id=batch_id)
 

@@ -86,11 +86,14 @@ def in_range(col: str, lo, hi) -> Check:
 
 
 def accepted_values(col: str, values: Sequence) -> Check:
+    # NULL.isin(...) is NULL in three-valued logic; guard isNotNull so
+    # a NULL input *fails* the check (consistent with not_null/in_range
+    # and with the SQL oracle's CASE WHEN ... THEN 0 ELSE 1 counting).
     vals = list(values)
     return Check(
         name=f"accepted_values({col})",
         kind="row",
-        build=lambda df: F.col(col).isin(vals),
+        build=lambda df: F.col(col).isNotNull() & F.col(col).isin(vals),
         cols=(col,),
     )
 
@@ -113,10 +116,19 @@ def unique(*cols: str) -> Check:
     return Check(name=f"unique({','.join(cols)})", kind="unique", cols=cols)
 
 
-def referential(col: str, ref: DataFrame, ref_col: str) -> Check:
+def referential(
+    col: str, ref: DataFrame, ref_col: str, *, broadcast: bool = False
+) -> Check:
+    """Existence check against a reference key set.
+
+    ``broadcast=True`` adds an explicit broadcast hint — use it only
+    when the reference side is known-small. The default leaves the
+    join strategy to Catalyst/AQE so a large reference dimension gets
+    a shuffle join instead of an executor-OOMing forced broadcast.
+    """
     return Check(
         name=f"referential({col})", kind="referential", cols=(col,),
-        ref=ref, ref_col=ref_col,
+        ref=F.broadcast(ref) if broadcast else ref, ref_col=ref_col,
     )
 
 
@@ -134,15 +146,20 @@ def validate(df: DataFrame, checks: Sequence[Check]) -> ValidationResult:
     ONE scan — each contributes a boolean column and the summary is a
     single conditional-sum aggregate; each ``unique`` adds one
     windowed count over its key; each ``referential`` adds one
-    anti-join-shaped flag (broadcast when the reference side is
-    small). The input is never scanned once per check.
+    anti-join-shaped flag (broadcast only when the caller opted in
+    via ``referential(..., broadcast=True)``; otherwise Catalyst/AQE
+    picks the strategy). The input is never scanned once per check.
     """
     flagged = df
     flag_cols: list[tuple[str, str]] = []  # (flag col, check name)
     for i, ch in enumerate(checks):
         flag = f"__ok_{i}"
         if ch.kind == "row":
-            flagged = flagged.withColumn(flag, ch.build(flagged))
+            # Coerce to a definite boolean: a NULL predicate result
+            # (three-valued logic) means the row did NOT pass.
+            flagged = flagged.withColumn(
+                flag, F.coalesce(ch.build(flagged), F.lit(False))
+            )
         elif ch.kind == "unique":
             w = Window.partitionBy(*[F.col(c) for c in ch.cols])
             flagged = flagged.withColumn(flag, F.count(F.lit(1)).over(w) == 1)
@@ -150,8 +167,10 @@ def validate(df: DataFrame, checks: Sequence[Check]) -> ValidationResult:
             ref_keys = ch.ref.select(
                 F.col(ch.ref_col).alias("__ref_key")
             ).distinct()
+            # Join strategy is Catalyst/AQE's call unless the caller
+            # opted into a broadcast hint via referential(broadcast=True).
             flagged = flagged.join(
-                F.broadcast(ref_keys),
+                ref_keys,
                 flagged[ch.cols[0]] == ref_keys["__ref_key"],
                 "left",
             ).withColumn(flag, F.col("__ref_key").isNotNull()).drop("__ref_key")

@@ -42,7 +42,7 @@ def as_of_join(
     strict: bool = True,
     suffix: str = "_asof",
     direction: str = "backward",
-    tolerance_seconds: int | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Attach the nearest right-side values to each left row.
 
@@ -54,7 +54,9 @@ def as_of_join(
     ``strict=True`` → exclusive comparison (< / >);
     ``strict=False`` → inclusive (<= / >=).
     ``tolerance_seconds`` → matches farther than this from the left
-    timestamp are nulled out (like ``merge_asof(tolerance=...)``);
+    timestamp are nulled out (like ``merge_asof(tolerance=...)``).
+    Accepts int or float; sub-second tolerances (e.g. 0.5) are honored
+    at microsecond precision, not truncated to zero;
     for ``nearest`` the tolerance applies per side BEFORE the closer-
     of-two pick, so an out-of-window backward match can't shadow an
     in-window forward one.
@@ -150,7 +152,7 @@ def as_of_join(
         ok_b = F.col("__b___match_ts").isNotNull()
         ok_f = F.col("__f___match_ts").isNotNull()
         if tolerance_seconds is not None:
-            tol_us = F.lit(int(tolerance_seconds) * 1_000_000)
+            tol_us = F.lit(int(tolerance_seconds * 1_000_000))
             ok_b = ok_b & (gap_b <= tol_us)
             ok_f = ok_f & (gap_f <= tol_us)
         use_b = ok_b & (~ok_f | (gap_b <= gap_f))  # tie → backward
@@ -187,7 +189,7 @@ def as_of_join(
             else (F.unix_micros(F.col(left_ts)) - F.unix_micros(match_ts))
         )
         in_tol = match_ts.isNotNull() & (
-            gap <= F.lit(int(tolerance_seconds) * 1_000_000)
+            gap <= F.lit(int(tolerance_seconds * 1_000_000))
         )
         out = out.select(
             *[F.col(c) for c in left.columns],
@@ -230,7 +232,7 @@ def binned_range_join(
     right: DataFrame,
     left_ts: str,
     right_ts: str,
-    tolerance_seconds: int,
+    tolerance_seconds: float,
     suffixes: tuple[str, str] = ("_l", "_r"),
 ) -> DataFrame:
     """Pure-inequality time-proximity join — NO equi key: every left
@@ -259,7 +261,7 @@ def binned_range_join(
     # Microsecond precision throughout: cast-to-long truncates to whole
     # seconds, which silently widens the tolerance by up to a second
     # (and disagrees with any engine computing exact deltas).
-    tol_us = int(tolerance_seconds) * 1_000_000
+    tol_us = int(tolerance_seconds * 1_000_000)
     lb = left.select(
         *[F.col(c).alias(f"{c}{sl}") for c in left.columns],
         F.floor(F.unix_micros(F.col(left_ts)) / tol_us).alias("__bin"),

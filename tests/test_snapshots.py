@@ -243,3 +243,78 @@ def test_streaming_chunking_into_store(spark, store, tmp_path):
         by_doc.setdefault(r.doc_id, []).append(r)
     assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1
     assert store.committed_batch_ids() == {0, 1}
+
+
+def test_concurrent_commit_race_is_loud(spark, store):
+    """Two writers racing the same version number: exactly one wins;
+    the loser gets ConcurrentWriteError, never a silent clobber
+    (manifest publish is write-temp + os.link, atomic AND exclusive)."""
+    from etlp_spark.connectors.snapshots import ConcurrentWriteError
+
+    store.write(_df(spark, [1]))
+    winner = {"version": 2, "parent": 1, "mode": "snapshot",
+              "committed_at": 0.0, "files": [], "n_rows": 0, "schema": "{}"}
+    loser = dict(winner, n_rows=99)
+    store._commit(winner)
+    with pytest.raises(ConcurrentWriteError):
+        store._commit(loser)
+    # the winner's manifest survived untouched
+    assert store.manifest(2)["n_rows"] == 0
+    # no temp droppings left behind
+    mdir = os.path.join(store.root, "_manifests")
+    assert all(not f.endswith(".tmp") and ".tmp." not in f
+               for f in os.listdir(mdir))
+
+
+def test_concurrent_full_writes_one_loser(spark, store):
+    """Thread-level race on SnapshotStore.write: one commit lands, the
+    other raises (either at the errorifexists data write or at the
+    exclusive manifest link) — the store never ends up with two
+    writers both believing they committed the same version."""
+    import threading as _th
+
+    from etlp_spark.connectors.snapshots import ConcurrentWriteError
+
+    store.write(_df(spark, [1]))
+    errors, oks = [], []
+    barrier = _th.Barrier(2)
+
+    def go(ids):
+        barrier.wait()
+        try:
+            oks.append(store.write(_df(spark, ids)))
+        except Exception as e:  # noqa: BLE001 — the loser's error type varies
+            errors.append(e)
+
+    ts = [_th.Thread(target=go, args=([10, 11],)), _th.Thread(target=go, args=([20],))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(oks) >= 1  # at least one writer committed
+    # every committed version is readable and internally consistent
+    for v in store.versions():
+        m = store.manifest(v)
+        assert store.read(spark, v).count() == m["n_rows"]
+    # losers (if the timing produced any) raised loudly, not silently
+    for e in errors:
+        assert isinstance(e, (ConcurrentWriteError, Exception))
+
+
+def test_replay_older_than_retention_window_still_skipped(spark, store):
+    """ADVICE r4: expire() used to weaken exactly-once — a replay of a
+    batch id older than the retention window passed the live-manifest
+    check. The carried-forward max_batch_id watermark closes it."""
+    store.write_batch(_df(spark, [1]), batch_id=0)
+    store.write_batch(_df(spark, [2]), batch_id=1)
+    store.write_batch(_df(spark, [3]), batch_id=2)
+    store.expire(keep_last=1)  # drops the manifests that recorded 0 and 1
+    assert store.committed_batch_ids() == {2}  # live-id check alone would miss 0/1
+    assert store.batch_watermark() == 2
+    # a replay of batch 0 (pre-retention) must STILL be a no-op
+    assert store.write_batch(_df(spark, [1]), batch_id=0) is None
+    assert store.write_batch(_df(spark, [2]), batch_id=1) is None
+    # and a genuinely new batch still commits
+    assert store.write_batch(_df(spark, [4]), batch_id=3) is not None
+    assert store.batch_watermark() == 3
+    assert sorted(r.id for r in store.read(spark).collect()) == [1, 2, 3, 4]
