@@ -7109,6 +7109,28 @@ def x68_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 _GATED_PRIOR_ROUNDS = [
+    # round 4 gated these 50 (CORRECTNESS_r04.json) — all green:
+    "x20_tfidf_topterms", "x21_quality_gates", "x22_dedup_canonical",
+    "x23_sequence_packing", "x24_contamination_check", "x25_pii_scrub",
+    "x26_shuffle_shard", "x27_repetition_stats", "x28_unigram_logprob",
+    "x29_embedding_quantize", "x30_ivf_assign_fixed",
+    "x31_retrieval_topk_docs", "q08_market_share", "q11_important_nations",
+    "q13_custdist", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q20_heavy_part_suppliers",
+    "q21_waiting_supplier", "m3_mapping_nested",
+    "g8_salted_quantity_rollup", "g9_hll_sketch_union",
+    "j8_salted_join_priority", "f6_variant_json",
+    "x46_simhash_hamming_neardup", "x47_quality_tertile_buckets",
+    "x48_label_centroids", "x49_vocab_coverage",
+    "w9_session_window_builtin", "x50_train_split", "x51_token_entropy",
+    "x52_containment_pairs", "x53_bigram_pmi", "x54_metric_correlation",
+    "x55_daily_anomaly_zscore", "x56_dup_rate_by_source",
+    "x57_uniform_k_sample", "x58_langid_confusion",
+    "w10_transition_matrix", "x59_winsorized_stats",
+    "w11_range_frame_rolling", "w12_gap_fill_ffill", "x60_doc_chunks",
+    "j11_lateral_topk", "g13_modal_event_type",
+    # (the other 5 of r4's 50 — x12/x1/x2/w6/j9 re-gated canaries —
+    # already appear in the r1-r3 blocks below)
     # round 3 gated these 50 (CORRECTNESS_r03.json) — all green:
     "w5_batch_sessionize", "x33_time_decay_engagement",
     "j9_asof_forward_tolerance", "w6_scd2_intervals",
@@ -7151,42 +7173,27 @@ _GATED_PRIOR_ROUNDS = [
     "g7_grouping_sets", "p1_pivot_event_types",
 ]
 
-#: Highest-priority for this round's gate: the 24 queries never seen
-#: by any driver gate (rounds 1-3 covered the other 100), then
-#: canaries for code paths CHANGED this round (w6 gained an event_id
-#: lead() tiebreak; j9 rides the as-of tolerance that moved to
-#: unix_micros; x12 gained a DuckDB oracle; x1/x2 guard the shared
-#: text primitives), then this round's new queries.
+#: Highest-priority for this round's gate: the 14 queries never seen
+#: by any driver gate (rounds 1-4 covered the other 145 — green),
+#: then canaries for code paths CHANGED this round (f8 got the
+#: regex-guarded try_cast rewrite and x63 the zero-relevant-query
+#: oracle fix — both already in the 14; j9/j5 ride the as-of
+#: tolerance that now accepts fractional seconds; x21/x1 guard the
+#: shared text/quality primitives; q01/w6 are stable cross-round
+#: canaries), then this round's new queries.
 _NEWEST = [
-    # never driver-gated (local-green since round 2-3):
-    "x20_tfidf_topterms", "x21_quality_gates", "x22_dedup_canonical",
-    "x23_sequence_packing", "x24_contamination_check", "x25_pii_scrub",
-    "x26_shuffle_shard", "x27_repetition_stats", "x28_unigram_logprob",
-    "x29_embedding_quantize", "x30_ivf_assign_fixed",
-    "x31_retrieval_topk_docs", "q08_market_share", "q11_important_nations",
-    "q13_custdist", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q20_heavy_part_suppliers",
-    "q21_waiting_supplier", "m3_mapping_nested",
-    "g8_salted_quantity_rollup", "g9_hll_sketch_union",
-    "j8_salted_join_priority", "f6_variant_json",
-    # canaries (re-gate after this round's changes):
-    "w6_scd2_intervals", "j9_asof_forward_tolerance", "x12_ivf_ann",
-    "x1_text_stats", "x2_lang_id",
-    # round-4 additions (never gated, new this round):
-    "x46_simhash_hamming_neardup", "x47_quality_tertile_buckets",
-    "x48_label_centroids", "x49_vocab_coverage",
-    "w9_session_window_builtin", "x50_train_split", "x51_token_entropy",
-    "x52_containment_pairs", "x53_bigram_pmi", "x54_metric_correlation",
-    "x55_daily_anomaly_zscore", "x56_dup_rate_by_source",
-    "x57_uniform_k_sample", "x58_langid_confusion",
-    "w10_transition_matrix", "x59_winsorized_stats",
-    "w11_range_frame_rolling", "w12_gap_fill_ffill", "x60_doc_chunks",
-    "j11_lateral_topk", "g13_modal_event_type", "x61_zipf_slope",
-    "x62_langid_calibration", "w13_ewma_smoothed", "x63_retrieval_dcg",
-    "w14_ohlc_candles", "x64_corpus_drift", "x65_tokenizer_fertility",
-    "x66_hard_negatives", "r1_reachability_hops", "j12_asof_nearest",
+    # never driver-gated (local-green since round 4):
+    "x61_zipf_slope", "x62_langid_calibration", "w13_ewma_smoothed",
+    "x63_retrieval_dcg", "w14_ohlc_candles", "x64_corpus_drift",
+    "x65_tokenizer_fertility", "x66_hard_negatives",
+    "r1_reachability_hops", "j12_asof_nearest",
     "x67_data_quality_report", "f8_try_functions", "w15_centered_ma",
     "x68_chunk_dedup_rate",
+    # canaries (re-gate after this round's changes):
+    "j9_asof_forward_tolerance", "j5_asof_last_signup",
+    "x21_quality_gates", "x1_text_stats",
+    "q01_pricing_summary", "w6_scd2_intervals",
+    # round-5 additions (never gated, new this round):
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
