@@ -8,9 +8,14 @@ Decode support is tiered by what this container can honestly do:
 - **PCM WAV decodes for real too** (RIFF chunk walk, 16-bit PCM):
   audio features (RMS, zero-crossing rate, peak) and frame/segment
   sampling run on actual samples.
-- Compressed formats (JPEG/PNG/MP3/video) are STUBBED (deterministic
-  fakes clearly marked below); swap the decode fallbacks for
-  PIL/torchvision/ffmpeg in a full environment.
+- **PNG decodes for real as well** (round 5): PNG's only compression
+  is DEFLATE, which stdlib ``zlib`` provides — the decoder below
+  walks chunks, inflates IDAT, and un-filters scanlines (all five
+  filter types: None/Sub/Up/Average/Paeth) for 8-bit gray/RGB/RGBA,
+  non-interlaced. ``encode_png`` is the lossless inverse.
+- Formats whose compression has no stdlib codec (JPEG/MP3/video) are
+  STUBBED (deterministic fakes clearly marked below); swap the decode
+  fallbacks for PIL/torchvision/ffmpeg in a full environment.
 
 Everything Spark-side is real and tested either way — schema
 contracts, Arrow batch shape, ``mapInPandas`` partitioning behavior,
@@ -28,6 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -55,6 +61,8 @@ __all__ = [
     "decode_image",
     "decode_bmp",
     "encode_bmp",
+    "decode_png",
+    "encode_png",
     "decode_wav",
     "encode_wav",
 ]
@@ -134,6 +142,123 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w) grayscale, (h, w, 3) RGB, or (h, w, 4) RGBA
+    uint8 array as a non-interlaced 8-bit PNG (filter 0 scanlines,
+    stdlib ``zlib`` DEFLATE). Lossless inverse of ``decode_png``."""
+    if pixels.ndim == 2:
+        color_type, channels = 0, 1
+        flat = pixels[:, :, None]
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        color_type, channels = 2, 3
+        flat = pixels
+    elif pixels.ndim == 3 and pixels.shape[2] == 4:
+        color_type, channels = 6, 4
+        flat = pixels
+    else:
+        raise ValueError("encode_png wants (h,w), (h,w,3) or (h,w,4) uint8")
+    h, w = flat.shape[:2]
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8),  # filter byte 0 per scanline
+         flat.reshape(h, w * channels)], axis=1
+    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced grayscale/RGB/RGBA PNG to an
+    (h, w, 3) uint8 RGB array (gray broadcast to 3 channels, alpha
+    dropped). Stdlib ``zlib`` + numpy only — PNG's DEFLATE needs no
+    external codec, unlike JPEG's DCT entropy coding.
+
+    Handles all five scanline filters (None/Sub/Up/Average/Paeth).
+    Raises ValueError on interlaced, paletted, or 16-bit variants so
+    callers can fall back."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, w = len(_PNG_SIG), None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color_type not in (0, 2, 6) or interlace != 0:
+                raise ValueError(
+                    "unsupported PNG variant (need 8-bit gray/RGB/RGBA, "
+                    "non-interlaced)"
+                )
+            channels = {0: 1, 2: 3, 6: 4}[color_type]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + body + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).astype(np.int64)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up — vectorized (no intra-row dependency)
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                if ftype == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line[x] + (a + b) // 2) & 0xFF
+                else:
+                    cur[x] = (line[x] + _paeth(int(a), int(b), int(c))) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3].copy()  # RGBA → drop alpha
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """Encode a 1-D int16 sample array as a mono 16-bit PCM WAV
     (RIFF). Stdlib-only; the inverse of ``decode_wav``."""
@@ -201,11 +326,14 @@ def _audio_feature(rate: int, samples: np.ndarray, dims: int = 8) -> list[float]
 def decode_image(payload: bytes, mime: str = "image/bmp") -> np.ndarray:
     """Decode an image payload to an (h, w, 3) uint8 RGB array.
 
-    Real for uncompressed 24-bpp BMP (stdlib decoder above). Other
-    formats need codec libraries not present in this container —
-    swap the fallback for PIL/torchvision in a full environment."""
+    Real for uncompressed 24-bpp BMP and 8-bit non-interlaced PNG
+    (stdlib decoders above). Other formats need codec libraries not
+    present in this container — swap the fallback for PIL/torchvision
+    in a full environment."""
     if mime == "image/bmp" or payload[:2] == b"BM":
         return decode_bmp(payload)
+    if mime == "image/png" or payload.startswith(_PNG_SIG):
+        return decode_png(payload)
     raise NotImplementedError(
         f"decode for {mime!r} is stubbed in this environment; install a "
         "codec library and replace decode_image's fallback"
@@ -273,10 +401,10 @@ def extract_features(media_df: DataFrame, dims: int = 8) -> DataFrame:
     """
 
     def featurize(mime: str, payload: bytes) -> list[float]:
-        # Real decode paths (stdlib BMP/WAV parsers); deterministic
+        # Real decode paths (stdlib BMP/PNG/WAV parsers); deterministic
         # fake for formats this container can't decode.
-        if mime == "image/bmp":
-            return _pixel_feature(decode_bmp(payload), dims)
+        if mime in ("image/bmp", "image/png"):
+            return _pixel_feature(decode_image(payload, mime), dims)
         if mime == "audio/wav":
             return _audio_feature(*decode_wav(payload), dims)
         return _fake_feature(payload, dims)
@@ -304,8 +432,9 @@ def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: same MEDIA_SCHEMA in and out, target dims in
     the metadata, payload rewritten by the kernel.
 
-    BMP payloads are REALLY resized — decode (stdlib parser) →
-    nearest-neighbor resample (numpy index math) → re-encode BMP.
+    BMP and PNG payloads are REALLY resized — decode (stdlib
+    parsers) → nearest-neighbor resample (numpy index math) →
+    re-encode in the same container format.
     Formats this container can't decode fall back to the
     deterministic fake (md5 of the original + target dims); schema
     contract, Arrow batch shape and scan-stage (no shuffle) behavior
@@ -315,6 +444,8 @@ def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
     def resize_one(mime: str, payload: bytes) -> bytes:
         if mime == "image/bmp":
             return encode_bmp(_resize_nearest(decode_bmp(payload), width, height))
+        if mime == "image/png":
+            return encode_png(_resize_nearest(decode_png(payload), width, height))
         return hashlib.md5(payload + f"@{width}x{height}".encode()).digest()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

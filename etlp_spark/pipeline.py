@@ -29,7 +29,7 @@ from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etlp_spark.connectors.base import CheckResult, Destination, Source, WriteResult
 from etlp_spark.ops import Transform
@@ -39,10 +39,20 @@ SourceLike = Source | Callable[[SparkSession], DataFrame] | DataFrame
 
 @dataclass
 class Pipeline:
+    """``expectations`` turns the data contract into an ENFORCEMENT
+    point (round-5 upgrade of x67's report-only checks): rows
+    violating any check are quarantined away from the sink — wrapped
+    in the ETLP error envelope (the same shape the reference's error
+    channel carries, ``src/etlp/utils/async.clj:49-51``) and routed to
+    ``error_sink`` if one is given. Clean rows alone reach ``sink``;
+    clean + violations always reconciles to the input count."""
+
     source: SourceLike
     transforms: Sequence[Transform] = ()
     sink: Destination | None = None
     name: str = "etlp-stream"
+    expectations: Sequence = ()  # Sequence[expectations.Check]
+    error_sink: Destination | None = None
 
     def dataframe(self, spark: SparkSession) -> DataFrame:
         """Resolve source → composed transforms (the fused transducer
@@ -57,13 +67,54 @@ class Pipeline:
             df = t(df)
         return df
 
+    def quarantine(self, spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+        """Split the transformed frame by the data contract:
+        ``(clean, violations)``. ``violations`` carries the original
+        columns plus ``failed_checks`` (which checks each row broke)
+        and ``envelope`` (the row JSON wrapped as an ETLP error
+        envelope, ready for any error sink). One extra scan-stage
+        pass for row checks; see expectations.validate for the cost
+        model. Raises if no expectations are configured."""
+        from etlp_spark.envelope import wrap_error
+        from etlp_spark.expectations import validate
+
+        if not self.expectations:
+            raise ValueError("pipeline has no expectations configured")
+        res = validate(self.dataframe(spark), list(self.expectations))
+        data_cols = [c for c in res.violations.columns if c != "failed_checks"]
+        violations = res.violations.withColumn(
+            "envelope",
+            wrap_error(F.to_json(F.struct(*[F.col(c) for c in data_cols]))),
+        )
+        return res.clean, violations
+
     def run(self, spark: SparkSession) -> WriteResult:
         """start-job: execute the sink action and block to completion
-        (C4 drain). Without a sink, counts rows (a pure action)."""
-        df = self.dataframe(spark)
+        (C4 drain). Without a sink, counts rows (a pure action).
+
+        With ``expectations`` configured, only CLEAN rows reach the
+        sink; violations go to ``error_sink`` (or are counted and
+        dropped if none is set), and the WriteResult's ``extra``
+        records both sides so callers can reconcile counts."""
+        if not self.expectations:
+            df = self.dataframe(spark)
+            if self.sink is None:
+                return WriteResult(rows=df.count(), target="void")
+            return self.sink.write(df)
+
+        clean, violations = self.quarantine(spark)
         if self.sink is None:
-            return WriteResult(rows=df.count(), target="void")
-        return self.sink.write(df)
+            result = WriteResult(rows=clean.count(), target="void")
+        else:
+            result = self.sink.write(clean)
+        if self.error_sink is not None:
+            err_result = self.error_sink.write(violations)
+            n_violations = err_result.rows
+        else:
+            n_violations = violations.count()
+        extra = dict(result.extra or {})
+        extra.update({"n_clean": result.rows, "n_violations": n_violations})
+        return WriteResult(rows=result.rows, target=result.target, extra=extra)
 
     def check(self, spark: SparkSession) -> CheckResult:
         """::check command (ref ``src/etlp/core.clj:118-121``)."""

@@ -229,3 +229,54 @@ def test_register_udtf_table_function(spark):
     register_udtf(spark, "bigrams", Bigrams, "pos int, bigram string")
     rows = spark.sql("SELECT * FROM bigrams('a b c d')").collect()
     assert [(r.pos, r.bigram) for r in rows] == [(0, "a b"), (1, "b c"), (2, "c d")]
+
+
+def test_pipeline_expectations_quarantine(spark, tmp_path):
+    """Round-5 contract enforcement: Pipeline(expectations=...) routes
+    violating rows (wrapped as ETLP error envelopes) to error_sink,
+    clean rows to sink, and counts reconcile with the input."""
+    from etlp_spark import expectations as X
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 5.0), (3, "c", -1.0), (4, "d", 7.0),
+         (4, "d", 7.0)],
+        ["id", "name", "score"],
+    )
+    data_sink = ParquetSink(str(tmp_path / "clean"))
+    err_sink = ParquetSink(str(tmp_path / "errors"))
+    p = Pipeline(
+        source=df,
+        sink=data_sink,
+        expectations=[
+            X.not_null("name"),
+            X.in_range("score", 0, 100),
+            X.unique("id"),
+        ],
+        error_sink=err_sink,
+    )
+    result = p.run(spark)
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    errors = spark.read.parquet(str(tmp_path / "errors"))
+    assert sorted(r.id for r in clean.collect()) == [1]  # 2:null name, 3:range, 4&4:dup
+    assert result.extra["n_clean"] == 1 and result.extra["n_violations"] == 4
+    assert clean.count() + errors.count() == df.count()
+    # violations carry which checks failed + a parseable error envelope
+    err_rows = errors.collect()
+    failed = {tuple(sorted(r.failed_checks)) for r in err_rows}
+    assert ("not_null(name)",) in failed
+    assert ("in_range(score,0,100)",) in failed
+    assert ("unique(id)",) in failed
+    env = json.loads(err_rows[0].envelope)
+    assert env["type"] == "error" and json.loads(env["data"])["id"] in (2, 3, 4)
+
+
+def test_pipeline_expectations_null_accepted_values_fails(spark):
+    """ADVICE r4: a NULL input must FAIL accepted_values (NULL.isin is
+    NULL in 3VL; the validate() coalesce makes it a definite False)."""
+    from etlp_spark import expectations as X
+
+    df = spark.createDataFrame([("a",), (None,), ("z",)], ["code"])
+    p = Pipeline(source=df, expectations=[X.accepted_values("code", ["a", "b"])])
+    clean, violations = p.quarantine(spark)
+    assert [r.code for r in clean.collect()] == ["a"]
+    assert sorted(r.code or "<null>" for r in violations.collect()) == ["<null>", "z"]
