@@ -2,9 +2,14 @@ import os
 
 import pytest
 
+from etlp_spark.protobuf_vendor import ensure_protobuf
 from etlp_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+# Must run before the JVM starts: TWS python workers inherit the
+# JVM's environment, and the vendored protobuf rides in PYTHONPATH.
+ensure_protobuf()
 
 
 @pytest.fixture(scope="session")
