@@ -127,3 +127,22 @@ def test_range_frame_single_shuffle(spark):
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"w11 expected exactly 1 hash exchange, saw {n}:\n{plan[:2000]}"
     assert "Join" not in plan, "w11 must not plan any join"
+
+
+def test_quality_tertiles_no_global_sort(spark):
+    """x47's tertile thresholds come from a histogram over the
+    |distinct scores| value set — never a corpus-wide percentile sort.
+    A range-partitioned exchange is the signature of the global sort
+    this query exists to avoid."""
+    plan = _executed_plan(QUERIES["x47_quality_tertile_buckets"].fn(spark, SF))
+    assert "rangepartitioning" not in plan, (
+        f"x47 grew a corpus-wide sort:\n{plan[:2000]}"
+    )
+
+
+def test_chunk_dedup_rate_no_join_back(spark):
+    """x68 carries document metadata THROUGH the chunker instead of
+    joining chunks back to documents — the plan must contain no join
+    at all (a join-back would shuffle the full chunk set at 100 TB)."""
+    plan = _executed_plan(QUERIES["x68_chunk_dedup_rate"].fn(spark, SF))
+    assert "Join" not in plan, f"x68 reintroduced a join-back:\n{plan[:2000]}"
