@@ -175,6 +175,7 @@ def chunk_documents(
     size: int = 32,
     stride: int = 24,
     carry: tuple[str, ...] = (),
+    with_text: bool = False,
 ):
     """RAG-style chunking operator: one output row per overlapping
     token window of each document — ``(id_col, chunk_idx, start_tok,
@@ -227,6 +228,10 @@ def chunk_documents(
         F.col("__st").cast("long").alias("start_tok"),
         F.size(chunk).cast("long").alias("chunk_len"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        # chunk_text is opt-in: reconstruction-style consumers (x70)
+        # need the tokens back; hash-only consumers shouldn't pay the
+        # string materialization.
+        *([F.concat_ws(" ", chunk).alias("chunk_text")] if with_text else []),
     )
 
 

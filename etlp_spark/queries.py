@@ -7096,6 +7096,277 @@ def x68_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x69_countmin_heavyhitters",
+    f"""
+    WITH toks AS (SELECT unnest({_O_TOKS}) AS word FROM documents),
+    rows_ AS (SELECT word, r FROM toks
+              CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rs),
+    cells AS (SELECT r,
+                     ('0x' || substr(md5(r::VARCHAR || ':' || word), 1, 8))::BIGINT
+                       % 64 AS b,
+                     count(*) AS c
+              FROM rows_ GROUP BY 1, 2),
+    exact AS (SELECT word, count(*) AS n FROM toks GROUP BY word
+              ORDER BY n DESC, word LIMIT 20),
+    est AS (SELECT e.word, e.n, min(c.c) AS m
+            FROM exact e JOIN cells c
+              ON c.b = ('0x' || substr(md5(c.r::VARCHAR || ':' || e.word), 1, 8))::BIGINT
+                         % 64
+            GROUP BY 1, 2)
+    SELECT word, CAST(n AS BIGINT) AS n_exact, CAST(m AS BIGINT) AS n_est,
+           CAST(m - n AS BIGINT) AS overcount
+    FROM est
+    """,
+)
+def x69_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=4 rows × w=64 buckets) vs exact counts for
+    the top-20 heavy-hitter tokens — the streaming-sketch answer to
+    'which items dominate' when the item space is too wide to count
+    exactly. The sketch table is O(d·w) CELLS regardless of corpus or
+    vocabulary size; estimates are upper bounds (overcount ≥ 0, the
+    CMS guarantee — visible per word in the output).
+
+    Hashing is the repo's engine-portable md5 idiom (dedup.py:19), so
+    the oracle reproduces every bucket bit-for-bit; counts are exact
+    integers — no float anywhere.
+
+    Scale shape: the 4-row fan-out aggregates map-side down to ≤256
+    partial cells per task BEFORE the shuffle — shuffle volume is
+    O(cells × tasks), never O(tokens). Exact top-20 is
+    TakeOrderedAndProject (heap, no global sort); the 256-cell sketch
+    broadcasts onto it. At 100 TB the sketch path costs one token
+    scan + constant-size exchange. Reference: engine-added
+    (SURVEY.md §2.2 sketches, g9's HLL sibling)."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("word"))
+
+    def bucket(r_col, word_col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(r_col.cast("string"), F.lit(":"), word_col)), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % 64
+
+    cells = (
+        words.select(
+            "word",
+            F.explode(F.array(*[F.lit(r) for r in range(4)])).alias("r"),
+        )
+        .withColumn("b", bucket(F.col("r"), F.col("word")))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+    probes = exact.select(
+        "word", "n", F.explode(F.array(*[F.lit(r) for r in range(4)])).alias("r")
+    ).withColumn("b", bucket(F.col("r"), F.col("word")))
+    return (
+        probes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("word", "n")
+        .agg(F.min("c").alias("m"))
+        .select(
+            "word",
+            F.col("n").cast("long").alias("n_exact"),
+            F.col("m").cast("long").alias("n_est"),
+            (F.col("m") - F.col("n")).cast("long").alias("overcount"),
+        )
+    )
+
+
+@_register(
+    "x70_segment_dedup",
+    f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKS} AS tk FROM documents),
+    starts AS (SELECT doc_id, tk,
+               unnest(generate_series(
+                 1, 1 + 16 * ((greatest(0, len(tk) - 16) + 15) // 16), 16)) AS st
+               FROM toks WHERE len(tk) > 0),
+    ch AS (SELECT doc_id, (st - 1) // 16 + 1 AS idx,
+                  array_to_string(list_slice(tk, st, least(st + 15, len(tk))), ' ')
+                    AS ctext
+           FROM starts),
+    ranked AS (SELECT doc_id, idx, ctext,
+                      row_number() OVER (PARTITION BY md5(ctext)
+                                         ORDER BY doc_id, idx) AS rn
+               FROM ch)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN ctext END,
+                                   ' ' ORDER BY idx), '')) AS kept_hash
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def x70_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style SEGMENT-level dedup with reconstruction: split every
+    document into disjoint 16-token segments, keep each distinct
+    segment only at its globally-first occurrence (ordered by
+    (doc_id, idx)), and rebuild the filtered document — the exact
+    shape of boilerplate removal in web-corpus curation, where the
+    unit of duplication is the paragraph, not the page. Output per
+    doc: segment counts before/after and the md5 of the reconstructed
+    text (kept segments rejoined in order; fully-duplicated docs
+    reconstruct to the empty string, hashed identically by both
+    engines).
+
+    Scale shape: chunking is scan-fused (x60's plan, chunk_text
+    carried through — no join-back); keep-first is ONE shuffle on the
+    16-byte segment hash + a row_number over each hash's occurrence
+    list (bounded by that segment's global frequency); reconstruction
+    groups by doc_id — a second shuffle whose payload is only the
+    KEPT segments. No driver collects, no global sort. Reference:
+    engine-added (the training-data dedup family, SURVEY.md §2.2)."""
+    from etlp_spark.functions.text import chunk_documents
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, size=16, stride=16, with_text=True)
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("chunk_idx", "chunk_text")
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["chunk_text"],
+                ),
+            )
+        ).alias("kept_hash"),
+    )
+
+
+@_register(
+    "w16_distribution_ranks",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr_e6,
+           CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd_e6,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w16_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining distribution-rank window family in one query:
+    percent_rank, cume_dist, and ntile(4) of each order's price
+    within its priority class — the shapes behind 'what percentile is
+    this value' dashboards and quartile bucketing.
+
+    Exactness: the ORDER BY carries the o_orderkey tiebreak so every
+    row's rank — and therefore ntile's row placement — is total-
+    ordered identically in both engines; percent_rank/cume_dist are
+    rational quotients of exact integers, e6-scaled with the
+    floor(x·1e6 + 0.5) idiom (f8's lesson: round() on a division is
+    cross-engine unsafe at .xxx5 — and (rank−1)/(n−1) HITS exact .5
+    ties whenever n−1 is a power of two).
+
+    Scale shape: one shuffle on the partition key, one sort, all
+    three functions computed in a single Window operator over the
+    same frame. Reference: engine-added (SURVEY.md §2.2 windows)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5))
+        .cast("long").alias("pr_e6"),
+        F.floor(F.cume_dist().over(w) * 1000000 + F.lit(0.5))
+        .cast("long").alias("cd_e6"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@_register(
+    "x74_touch_attribution",
+    """
+    WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_eid,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events WHERE event_type = 'purchase' QUALIFY rn = 1),
+    j AS (SELECT e.user_id, e.ts, e.event_id, e.event_type, p.p_ts, p.p_eid
+          FROM events e JOIN p USING (user_id)),
+    ft AS (SELECT user_id, event_type AS first_touch,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM j QUALIFY rn = 1),
+    lb AS (SELECT user_id, event_type AS last_touch,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM j
+           WHERE ts < p_ts OR (ts = p_ts AND event_id < p_eid)
+           QUALIFY rn = 1),
+    nb AS (SELECT user_id, count(*) AS n FROM j
+           WHERE ts < p_ts OR (ts = p_ts AND event_id < p_eid)
+           GROUP BY user_id)
+    SELECT f.user_id, f.first_touch,
+           coalesce(l.last_touch, 'none') AS last_touch,
+           CAST(coalesce(n.n, 0) AS BIGINT) AS n_before
+    FROM ft f
+    LEFT JOIN lb l USING (user_id)
+    LEFT JOIN nb n USING (user_id)
+    """,
+)
+def x74_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style attribution for converting users: the FIRST
+    touch (earliest event of any kind) and the LAST touch strictly
+    before the first purchase — the two standard single-touch credit
+    models, plus how many events preceded conversion. Users whose
+    very first event IS the purchase attribute last-touch to 'none'
+    (coalesced on both sides: a NULL here would also break the local
+    harness's row-tuple sort).
+
+    Determinism: 'first purchase' and both touches are total-ordered
+    by (ts, event_id); 'strictly before' compares the same tuple.
+
+    Scale shape: the per-user first purchase is one aggregation
+    (min of a (ts, event_id) struct — map-side partial); joining it
+    back to events co-partitions on user_id, and BOTH attribution
+    aggregates + the count collapse into ONE groupBy over that join —
+    min/max of conditional structs, no windows, no second shuffle of
+    the event stream. Reference: engine-added (w8/x39's funnel
+    family, SURVEY.md §2.2)."""
+    ev = _t(spark, sf_dir, "events")
+    pur = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("p"))
+        .select("user_id", F.col("p.ts").alias("p_ts"),
+                F.col("p.event_id").alias("p_eid"))
+    )
+    j = ev.join(pur, "user_id")
+    before = (F.col("ts") < F.col("p_ts")) | (
+        (F.col("ts") == F.col("p_ts")) & (F.col("event_id") < F.col("p_eid"))
+    )
+    agg = j.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("f"),
+        F.max(F.when(before, F.struct("ts", "event_id", "event_type"))).alias("l"),
+        F.sum(F.when(before, 1).otherwise(0)).cast("long").alias("n_before"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("f.event_type").alias("first_touch"),
+        F.coalesce(F.col("l.event_type"), F.lit("none")).alias("last_touch"),
+        "n_before",
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -7194,6 +7465,8 @@ _NEWEST = [
     "x21_quality_gates", "x1_text_stats",
     "q01_pricing_summary", "w6_scd2_intervals",
     # round-5 additions (never gated, new this round):
+    "x69_countmin_heavyhitters", "x70_segment_dedup",
+    "w16_distribution_ranks", "x74_touch_attribution",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
