@@ -31,6 +31,7 @@ __all__ = [
     "srp_buckets",
     "banded_srp_pairs",
     "embedding_neardup",
+    "pq_codes",
 ]
 
 
@@ -374,6 +375,53 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
         F.array(*d2s), F.array_min(F.array(*d2s))
     ) - 1  # 1-based → 0-based cell id
     return df.select(F.col(id_col), v.alias(vec_col), best.cast("int").alias("cell"))
+
+
+def pq_codes(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into
+    ``len(codebooks)`` contiguous subvectors; subvector ``s`` is
+    assigned to its nearest centroid in ``codebooks[s]`` (argmin L2²,
+    ties → lowest centroid id). Returns (id, code_0..code_{m-1},
+    recon_err) where recon_err is the total squared quantization
+    error — PQ is THE memory story for billion-vector ANN: m codes of
+    ⌈log2 k⌉ bits replace the full float vector (64 floats → 4 bytes
+    here), and distance evaluation becomes m table lookups.
+
+    Determinism: distances are ordered folds over the subvector
+    (bit-identical across engines on identical input); argmin takes
+    the FIRST minimum. Centroids ride as literals — no join, no
+    shuffle; encoding runs at scan speed (exactly ``ivf_assign``
+    per subspace)."""
+    v = F.col(vec_col)
+    out_cols = [F.col(id_col)]
+    err_terms = []
+    for s, book in enumerate(codebooks):
+        subdim = len(book[0])
+        sub = F.slice(v, s * subdim + 1, subdim)
+        d2s = []
+        for cent in book:
+            carr = F.array(*[F.lit(float(x)) for x in cent])
+            diff2 = F.zip_with(
+                sub, carr,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            )
+            d2s.append(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+        darr = F.array(*d2s)
+        dmin = F.array_min(darr)
+        out_cols.append(
+            (F.array_position(darr, dmin) - 1).cast("int").alias(f"code_{s}")
+        )
+        err_terms.append(dmin)
+    err = err_terms[0]
+    for t in err_terms[1:]:
+        err = err + t
+    out_cols.append(err.alias("recon_err"))
+    return df.select(*out_cols)
 
 
 def ivf_search(

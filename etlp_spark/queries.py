@@ -7367,6 +7367,352 @@ def x74_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_O_COS = (
+    "round(list_reduce(list_transform(list_zip(qv, cv), "
+    "p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b) "
+    "/ (sqrt(list_reduce(list_transform(list_zip(qv, qv), "
+    "p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b)) "
+    "* sqrt(list_reduce(list_transform(list_zip(cv, cv), "
+    "p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b))), 9)"
+)
+
+_O_BUCKET8 = (
+    "array_to_string(list_transform(range(0, 8), j -> CASE WHEN "
+    "list_reduce(list_transform(list_zip(embedding, "
+    "list_transform(range(0, 64), d -> "
+    "('0x' || substr(md5('plane' || j || '_' || d), 1, 8))::BIGINT::DOUBLE "
+    "/ 2147483648.0 - 1.0)), p -> p[1]::DOUBLE * p[2]::DOUBLE), "
+    "(a, b) -> a + b) > 0 THEN '1' ELSE '0' END), '')"
+)
+
+
+@_register(
+    "x71_ann_recall",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv
+          FROM embeddings WHERE vec_id >= 5),
+    scored AS (SELECT query_id, cand_id, {_O_COS} AS cos FROM q, c),
+    exact AS (SELECT query_id, cand_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, cand_id) AS rnk
+              FROM scored QUALIFY rnk <= 10),
+    b AS (SELECT vec_id, {_O_BUCKET8} AS bucket FROM embeddings),
+    ann AS (SELECT s.query_id, s.cand_id,
+            row_number() OVER (PARTITION BY s.query_id
+                               ORDER BY s.cos DESC, s.cand_id) AS rnk
+            FROM scored s
+            JOIN b bq ON bq.vec_id = s.query_id
+            JOIN b bc ON bc.vec_id = s.cand_id AND bc.bucket = bq.bucket
+            QUALIFY rnk <= 10),
+    ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+    na AS (SELECT query_id, count(*) AS n_ann FROM ann GROUP BY 1),
+    ov AS (SELECT e.query_id, count(*) AS n_ov
+           FROM exact e JOIN ann a
+             ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+           GROUP BY 1)
+    SELECT ne.query_id,
+           CAST(ne.n_exact AS BIGINT) AS n_exact,
+           CAST(coalesce(na.n_ann, 0) AS BIGINT) AS n_ann,
+           CAST(coalesce(ov.n_ov, 0) AS BIGINT) AS n_overlap
+    FROM ne LEFT JOIN na USING (query_id) LEFT JOIN ov USING (query_id)
+    """,
+)
+def x71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit of the SRP-bucket ANN index against exact
+    brute-force cosine — the measurement every approximate index owes
+    its operator before it replaces the exact path (x42 is the same
+    audit for MinHash vs true Jaccard). An 8-plane bucket (the first
+    band of x8's signature) trades precision for candidate volume;
+    n_overlap/n_exact IS the recall, reported as exact integers so
+    no float ever crosses engines.
+
+    Scale shape: exact top-10 is x7's broadcast-queries pattern (the
+    candidate corpus never shuffles); the ANN side adds one 8-bit
+    bucket equi-join; both rank with the same (cos DESC, cand_id)
+    total order; the final frames are |queries|-sized. Reference:
+    engine-added (SURVEY.md §2.2 similarity family)."""
+    from etlp_spark.functions.similarity import cosine_topk, srp_buckets
+
+    emb = _t_fanout(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    cands = emb.where(F.col("vec_id") >= 5)
+    exact = cosine_topk(queries, cands, k=10)
+    qb = srp_buckets(queries, n_planes=8).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    cb = srp_buckets(cands, n_planes=8).select(
+        F.col("vec_id").alias("cand_id"), "bucket"
+    )
+    # bucket-restricted candidates, then the SAME exact rerank inside
+    from etlp_spark.functions.similarity import dot, norm
+
+    qq = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("qn"),
+    ).join(qb, "query_id")
+    cc = cands.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        norm(F.col("embedding")).alias("cn"),
+    ).join(cb, "cand_id")
+    ann_scored = F.broadcast(qq).join(cc, "bucket").select(
+        "query_id",
+        "cand_id",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 9
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
+    ann = ann_scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 10
+    )
+    ne = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    na = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    ov = (
+        exact.select("query_id", "cand_id")
+        .join(ann.select("query_id", "cand_id"), ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_ov"))
+    )
+    return (
+        ne.join(na, "query_id", "left")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce("n_ann", F.lit(0)).cast("long").alias("n_ann"),
+            F.coalesce("n_ov", F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )
+
+
+def _o_luhn(num_expr: str, width: int = 12) -> str:
+    """DuckDB Luhn checksum over the last ``width`` digits of an
+    integer expression — pure integer arithmetic, mirrored exactly by
+    the Spark side (position p counts from the RIGHT, doubling every
+    even p)."""
+    terms = []
+    for p in range(1, width + 1):
+        d = f"(({num_expr}) // {10 ** (p - 1)}) % 10"
+        if p % 2 == 1:
+            terms.append(f"({d})")
+        else:
+            terms.append(
+                f"(CASE WHEN 2 * ({d}) > 9 THEN 2 * ({d}) - 9 "
+                f"ELSE 2 * ({d}) END)"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+@_register(
+    "x72_luhn_check",
+    f"""
+    WITH cand AS (
+      SELECT o_orderpriority,
+             (o_orderkey * 7919 + o_custkey) % 1000000000000 AS num
+      FROM orders)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN {_o_luhn('num')} % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_valid
+    FROM cand GROUP BY o_orderpriority
+    """,
+)
+def x72_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum validation at scan speed: Luhn-validate candidate
+    account numbers (synthesized deterministically from order keys —
+    the fixture has no real PANs, the OPERATOR is the point) and
+    report valid/candidate counts per priority class. This is the
+    detection half of PII handling that x25's regex scrub cannot do:
+    a 16-digit number that fails Luhn is a random id, one that passes
+    is worth redacting — checksum validation is what keeps a 100 TB
+    scrub's false-positive rate down.
+
+    Pure integer arithmetic (digit extraction by division — no
+    string round-trip, f8's lesson), identical term order in both
+    engines, exact integer counts out.
+
+    Scale shape: scan-stage expression + one small aggregate; zero
+    shuffles beyond the 5-group rollup. Reference: engine-added
+    (x25's PII family, SURVEY.md §2.2)."""
+    o = _t(spark, sf_dir, "orders")
+    num = (F.col("o_orderkey") * 7919 + F.col("o_custkey")) % F.lit(1000000000000)
+    terms = []
+    for p in range(1, 13):
+        d = F.floor(num / F.lit(10 ** (p - 1))).cast("long") % 10
+        if p % 2 == 1:
+            terms.append(d)
+        else:
+            dd = d * 2
+            terms.append(F.when(dd > 9, dd - 9).otherwise(dd))
+    luhn = terms[0]
+    for t in terms[1:]:
+        luhn = luhn + t
+    return o.select("o_orderpriority", (luhn % 10 == 0).alias("ok")).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_valid"),
+    )
+
+
+@_register(
+    "x73_bigram_logprob",
+    f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKS} AS tk FROM documents),
+    bi AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS term
+           FROM toks, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS r(i)),
+    tf AS (SELECT term, count(*) AS c FROM bi GROUP BY term),
+    n AS (SELECT sum(c) AS total FROM tf),
+    scored AS (
+      SELECT b.doc_id, ln((f.c * 1.0 + 1.0) / (n.total + 1.0)) AS lp
+      FROM bi b JOIN tf f USING (term) CROSS JOIN n)
+    SELECT doc_id,
+           round(-avg(lp), 6) AS avg_neg_logprob,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM scored GROUP BY doc_id
+    """,
+)
+def x73_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality proxy — x28's unigram scorer upgraded one
+    order: train corpus bigram frequencies in one aggregate, score
+    each document by average negative log probability (add-one
+    smoothed). The unigram/bigram score GAP is the standard cheap
+    fluency signal (word salad scores fine on unigrams, collapses on
+    bigrams). Docs with fewer than 2 tokens have no bigrams and drop
+    out on both sides by construction.
+
+    Exactness: x28's discipline — exact integer counts into one
+    division into one ln(), identical doubles both engines, round 6.
+
+    Scale shape: bigram enumeration is scan-stage (x53's positional
+    zip — no self-join); the bigram table aggregates map-side; it
+    joins back by term as a SHUFFLE join on purpose (bigram vocab
+    grows ~linearly with corpus — broadcasting it is the mistake;
+    x28's unigram table broadcasts, this must not); one shuffle for
+    the per-doc aggregate. Reference: engine-added (SURVEY.md §2.2
+    text-analysis family)."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens("text").alias("tk"))
+    m = F.size("tk") - 1
+    bi = tk.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                m >= 1,
+                F.zip_with(
+                    F.slice("tk", 1, F.greatest(m, F.lit(0))),
+                    F.slice("tk", 2, F.greatest(m, F.lit(0))),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("term"),
+    )
+    tf = (
+        bi.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    total = tf.agg(F.sum("c").alias("total"))
+    scored = (
+        bi.join(tf, "term")  # shuffle join: bigram vocab scales with corpus
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log((F.col("c") * 1.0 + 1.0) / (F.col("total") + 1.0)).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(-F.avg("lp"), 6).alias("avg_neg_logprob"),
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+    )
+
+
+def _pq_fixed_codebooks(m: int = 4, k: int = 8, subdim: int = 16) -> list:
+    """Fixed, engine-portable PQ codebooks (md5-derived values in
+    [-1, 1], same recipe as the SRP hyperplanes) — training-free so
+    ENCODING itself is oracle-checkable, the x30 pattern."""
+    import hashlib
+
+    def val(s: int, c: int, d: int) -> float:
+        h = int(hashlib.md5(f"pq{s}_{c}_{d}".encode()).hexdigest()[:8], 16)
+        return h / 2147483648.0 - 1.0
+
+    return [
+        [[val(s, c, d) for d in range(subdim)] for c in range(k)]
+        for s in range(m)
+    ]
+
+
+def _o_pq_d2(s: int, cent: list[float], subdim: int = 16) -> str:
+    arr = "[" + ", ".join(repr(x) for x in cent) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, {subdim + 1}), d -> "
+        f"(embedding[{s * subdim} + d]::DOUBLE - ({arr})[d]) * "
+        f"(embedding[{s * subdim} + d]::DOUBLE - ({arr})[d])), "
+        f"(a, b) -> a + b)"
+    )
+
+
+def _o_pq_sql() -> str:
+    books = _pq_fixed_codebooks()
+    subspaces = []
+    for s, book in enumerate(books):
+        ds = "[" + ",\n          ".join(_o_pq_d2(s, c) for c in book) + "]"
+        subspaces.append(f"{ds} AS ds_{s}")
+    sel = ",\n             ".join(subspaces)
+    codes = ", ".join(
+        f"CAST(list_position(ds_{s}, list_min(ds_{s})) - 1 AS INT) AS code_{s}"
+        for s in range(len(books))
+    )
+    err = " + ".join(f"list_min(ds_{s})" for s in range(len(books)))
+    return f"""
+    WITH d AS (
+      SELECT vec_id,
+             {sel}
+      FROM embeddings)
+    SELECT vec_id, {codes},
+           CAST(floor(({err}) * 1000000 + 0.5) AS BIGINT) AS recon_e6
+    FROM d
+    """
+
+
+@_register("x75_pq_codes", _o_pq_sql())
+def x75_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding against fixed codebooks (4
+    subspaces × 8 centroids × 16 dims): each 64-float vector becomes
+    4 three-bit codes + its total squared reconstruction error — the
+    memory story for billion-vector ANN (64 floats → 12 bits; search
+    becomes per-subspace lookup tables). Codebooks are md5-derived
+    literals so encoding is exactly reproducible (x30's fixed-
+    centroid discipline; x12 keeps the trained variant rows-only).
+
+    Exactness: per-subspace L2² is an ordered fold (bit-identical
+    doubles), argmin takes the first minimum, and the error sum is a
+    fixed-order 4-term add — e6-scaled with floor(x·1e6 + 0.5), not
+    round() (f8's division lesson applies to any float output).
+
+    Scale shape: centroids ride as literals — no join, no shuffle;
+    encoding is scan-stage; output is |vectors| narrow rows.
+    Reference: engine-added (SURVEY.md §2.2 similarity family)."""
+    from etlp_spark.functions.similarity import pq_codes
+
+    emb = _t_fanout(spark, sf_dir, "embeddings")
+    coded = pq_codes(emb, _pq_fixed_codebooks())
+    return coded.select(
+        "vec_id",
+        *[F.col(f"code_{s}") for s in range(4)],
+        F.floor(F.col("recon_err") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("recon_e6"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -7467,6 +7813,8 @@ _NEWEST = [
     # round-5 additions (never gated, new this round):
     "x69_countmin_heavyhitters", "x70_segment_dedup",
     "w16_distribution_ranks", "x74_touch_attribution",
+    "x71_ann_recall", "x72_luhn_check", "x73_bigram_logprob",
+    "x75_pq_codes",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
