@@ -7713,6 +7713,287 @@ def x75_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_centroids(k: int = 8, dims: int = 64) -> list[list[float]]:
+    """Eight md5-derived centroids scaled to the data's element range
+    (~uniform[-0.5, 0.5]) so the Voronoi cells actually PARTITION the
+    fixture (x30's ±0.5 probe centroids funnel every vector into the
+    zero cell — fine for testing assignment, degenerate for a
+    within-cell pairwise pass)."""
+    import hashlib
+
+    def val(c: int, d: int) -> float:
+        h = int(hashlib.md5(f"sdd{c}_{d}".encode()).hexdigest()[:8], 16)
+        return (h / 2147483648.0 - 1.0) * 0.25
+
+    return [[val(c, d) for d in range(dims)] for c in range(k)]
+
+
+def _o_semdedup_sql() -> str:
+    cents = _semdedup_centroids()
+    ds = "[" + ",\n              ".join(_o_l2(c) for c in cents) + "]"
+    cos = (
+        "round(list_reduce(list_transform(list_zip(x.embedding, y.embedding), "
+        "p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b) "
+        "/ (sqrt(list_reduce(list_transform(list_zip(x.embedding, x.embedding), "
+        "p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b)) "
+        "* sqrt(list_reduce(list_transform(list_zip(y.embedding, y.embedding), "
+        "p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b))), 9)"
+    )
+    return f"""
+    WITH d AS (
+      SELECT vec_id, embedding, {ds} AS ds
+      FROM embeddings),
+    a AS (SELECT vec_id, embedding,
+                 CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
+          FROM d),
+    pruned AS (SELECT DISTINCT y.vec_id, y.cell
+               FROM a x JOIN a y
+                 ON x.cell = y.cell AND x.vec_id < y.vec_id
+               WHERE {cos} >= 0.4)
+    SELECT a.cell,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(coalesce(max(p.n), 0) AS BIGINT) AS n_pruned
+    FROM a
+    LEFT JOIN (SELECT cell, count(*) AS n FROM pruned GROUP BY cell) p
+      ON p.cell = a.cell
+    GROUP BY a.cell
+    """
+
+
+@_register("x76_semdedup_prune", _o_semdedup_sql())
+def x76_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: assign vectors to coarse
+    cells (8 fixed md5-derived centroids shaped to the data range —
+    a real Voronoi partition, see _semdedup_centroids), then inside
+    each cell drop every
+    vector that has a LOWER-id neighbor above the cosine threshold —
+    keep-lowest-id, the embedding-space twin of x22's text-canonical
+    rule. Per cell: population and pruned count. Threshold 0.4 is
+    data-informed (the fixture's max pairwise cosine is 0.51; the
+    comparison runs on the 9-rounded cosine both engines compute
+    bit-identically, so no tie ambiguity crosses the threshold).
+
+    Scale shape: THIS is why SemDeDup clusters first — the pairwise
+    scan is quadratic only WITHIN a cell, and in production k grows
+    with the corpus so cell size stays bounded (the same cap
+    discipline as every LSH bucket guard here). One shuffle on cell
+    for the self-join; assignment is scan-stage literals. Reference:
+    engine-added (SURVEY.md §2.2 dedup family; Abbas et al.'s
+    SemDeDup recipe re-expressed relationally)."""
+    from etlp_spark.functions.similarity import cosine, ivf_assign
+
+    emb = _t_fanout(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, _semdedup_centroids()).localCheckpoint(eager=True)
+    x = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("xid"), F.col("embedding").alias("xe")
+    )
+    y = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("yid"), F.col("embedding").alias("ye")
+    )
+    pruned = (
+        x.join(y, "cell")
+        .where(F.col("xid") < F.col("yid"))
+        .where(F.round(cosine(F.col("xe"), F.col("ye")), 9) >= 0.4)
+        .select("cell", F.col("yid").alias("vec_id"))
+        .distinct()
+    )
+    pc = pruned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .join(pc, "cell", "left")
+        .select(
+            "cell",
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_pruned"),
+        )
+    )
+
+
+@_register(
+    "x78_ngram_novelty",
+    f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKS} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+           FROM toks WHERE len(t) >= 3),
+    firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel
+    FROM sh JOIN firsts USING (s)
+    GROUP BY doc_id
+    """,
+)
+def x78_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: for each document (in doc_id ingestion
+    order), how many of its distinct 3-gram shingles appear here for
+    the FIRST time — the diminishing-returns signal data curation
+    uses to decide when more of a source stops adding information
+    (novelty falling toward zero = the source is exhausted). x36
+    measures the static dup fraction; this is its ORDERED complement.
+
+    Scale shape: x36's exact plan — distinct shingles explode
+    scan-side, one shuffle groups by shingle (min doc_id is a
+    map-side partial), join back by shingle, per-doc counts. All
+    exact integers. Reference: engine-added (SURVEY.md §2.2
+    text-analysis family)."""
+    from etlp_spark.functions.dedup import word_shingles
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", n=3)).alias("s")
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+
+
+@_register(
+    "w17_bounce_rate",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps),
+    per AS (SELECT user_id, sess_id, CAST(min(ts) AS DATE) AS day,
+                   count(*) AS cnt
+            FROM sess GROUP BY user_id, sess_id)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+           CAST(floor(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1000000.0
+                      / count(*) + 0.5) AS BIGINT) AS bounce_e6
+    FROM per GROUP BY day
+    """,
+)
+def w17_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: sessions (w5's >30-min-gap rule, identical
+    lag→flag→cumsum idiom) grouped by the day they START; a bounce is
+    a single-event session. The canonical engagement KPI computed the
+    sessionized way rather than the event way.
+
+    Exactness: session assignment is w5's total-ordered window; the
+    rate is an integer ratio e6-scaled via floor(x + 0.5) on a
+    bit-identical quotient (f8's division discipline).
+
+    Scale shape: one shuffle on user_id shared by both windows and
+    the per-session rollup; the daily aggregate is |days| rows —
+    partial map-side. Reference: engine-added (w5/w8's session
+    family, SURVEY.md §2.2)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    wcum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = gaps.select(
+        "user_id", "ts", F.sum("new_sess").over(wcum).alias("sess_id")
+    )
+    per = sess.groupBy("user_id", "sess_id").agg(
+        F.min("ts").cast("date").alias("day"), F.count(F.lit(1)).alias("cnt")
+    )
+    bounce = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+    return per.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        bounce.cast("long").alias("n_bounce"),
+        F.floor(bounce * 1000000.0 / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("bounce_e6"),
+    )
+
+
+@_register(
+    "x84_token_gini",
+    f"""
+    WITH toks AS (SELECT source, unnest({_O_TOKS}) AS t FROM documents),
+    per_src AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+                FROM toks GROUP BY source),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(c) AS BIGINT) AS total
+              FROM per_src),
+    num AS (SELECT CAST(sum(abs(a.c - b.c)) AS BIGINT) AS s
+            FROM per_src a CROSS JOIN per_src b)
+    SELECT st.n AS n_sources, st.total AS n_tokens,
+           CAST(floor(num.s * 1000000.0 / (2.0 * st.n * st.total) + 0.5)
+                AS BIGINT) AS gini_e6
+    FROM stats st CROSS JOIN num
+    """,
+)
+def x84_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of token volume across sources — the
+    inequality number a data-mixture owner watches: 0 = every source
+    contributes equally, →1 = one source dominates the training mix
+    (the direct diagnostic for x34/x43's mixture samplers). Computed
+    by the exact mean-absolute-difference identity over per-source
+    counts: Σᵢⱼ|cᵢ−cⱼ| / (2·n·total) — every term an exact integer,
+    one e6-floored division at the end.
+
+    Scale shape: the token scan aggregates to |sources| rows
+    map-side; the all-pairs step is |sources|² on a HANDFUL of rows
+    (sources are a bounded political set, not data-scaled) — the
+    quadratic lives on the tiny aggregate, never the corpus.
+    Reference: engine-added (SURVEY.md §2.2 text-analysis family)."""
+    docs = _t_fanout(spark, sf_dir, "documents")
+    from etlp_spark.functions.text import tokens
+
+    per_src = (
+        docs.select("source", F.explode(tokens("text")).alias("t"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    stats = per_src.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("total"),
+    )
+    a = per_src.select(F.col("c").alias("ca"))
+    b = per_src.select(F.col("c").alias("cb"))
+    num = a.crossJoin(b).agg(
+        F.sum(F.abs(F.col("ca") - F.col("cb"))).cast("long").alias("s")
+    )
+    return (
+        stats.crossJoin(num)
+        .select(
+            F.col("n").alias("n_sources"),
+            F.col("total").alias("n_tokens"),
+            F.floor(
+                F.col("s") * 1000000.0 / (2.0 * F.col("n") * F.col("total"))
+                + F.lit(0.5)
+            ).cast("long").alias("gini_e6"),
+        )
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -7814,7 +8095,8 @@ _NEWEST = [
     "x69_countmin_heavyhitters", "x70_segment_dedup",
     "w16_distribution_ranks", "x74_touch_attribution",
     "x71_ann_recall", "x72_luhn_check", "x73_bigram_logprob",
-    "x75_pq_codes",
+    "x75_pq_codes", "x76_semdedup_prune", "x78_ngram_novelty",
+    "w17_bounce_rate", "x84_token_gini",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
