@@ -7994,6 +7994,151 @@ def x84_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_pagerank_sql() -> str:
+    """Three unrolled integer-PageRank iterations as chained CTEs —
+    the oracle twin of r2's DataFrame loop. All arithmetic is BIGINT
+    with truncating division (DuckDB ``//`` ≡ Spark ``div``), so
+    every engine computes identical ranks with no float anywhere."""
+    its = []
+    prev = "it0"
+    for i in range(1, 4):
+        its.append(f"""
+    it{i} AS (SELECT v.node,
+        CAST((15 * (1000000000000 // nn.n)) // 100
+             + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+        FROM nodes v CROSS JOIN nn
+        LEFT JOIN (SELECT e.dst AS node, sum((p.r * e.cnt) // o.outc) AS c
+                   FROM {prev} p JOIN edges e ON e.src = p.node
+                   JOIN outd o ON o.src = p.node
+                   GROUP BY e.dst) s ON s.node = v.node)""")
+        prev = f"it{i}"
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events),
+    edges AS (SELECT event_type AS src, next_type AS dst,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM seq WHERE next_type IS NOT NULL AND event_type <> next_type
+              GROUP BY 1, 2),
+    outd AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS outc FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    it0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS r
+            FROM nodes CROSS JOIN nn),{','.join(its)}
+    SELECT node AS event_type, r AS rank_e12 FROM it3
+    """
+
+
+@_register("r2_pagerank_int", _o_pagerank_sql())
+def r2_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 iterations) over the weighted
+    event-type transition graph — r1's BFS sibling for the other
+    canonical graph question: not 'can I reach it' but 'how much
+    probability mass settles there'. The twist that makes an
+    ITERATIVE float algorithm oracle-checkable: ranks are e12-scaled
+    BIGINTs and every division TRUNCATES (Spark ``div`` ≡ DuckDB
+    ``//``), so contributions are exact integers and their sums are
+    order-free — no float ever crosses engines (x12 keeps the
+    float-iterative k-means rows-only for exactly this reason; this
+    shows the integer-arithmetic escape hatch).
+
+    Dangling nodes (no out-edges) simply leak their mass — the
+    simplest deterministic policy, identical on both sides.
+
+    Scale shape: corpus size enters ONLY through the one windowed
+    scan that counts transitions; iterations join |types|-sized
+    frames (edges localCheckpointed once — 3 consumers). For a
+    billion-node graph the same loop runs with each iteration a
+    shuffle join on src — the classic Pregel-as-joins plan — with
+    per-round checkpointing exactly like x18's connected components.
+    Reference: engine-added (SURVEY.md §2.2 graph family)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    edges = (
+        seq.where(
+            F.col("next_type").isNotNull()
+            & (F.col("event_type") != F.col("next_type"))
+        )
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)  # 3 iterations × 2 consumers
+    )
+    outd = edges.groupBy("src").agg(F.sum("cnt").cast("long").alias("outc"))
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr("CAST(1000000000000 div n AS BIGINT)").alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            ranks.join(edges, ranks["node"] == edges["src"])
+            .join(outd, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(r * cnt) div outc").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    "CAST((15 * (1000000000000 div n)) div 100"
+                    " + (85 * coalesce(c, 0)) div 100 AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("event_type"), F.col("r").alias("rank_e12")
+    )
+
+
+@_register(
+    "f9_bitwise_funcs",
+    """
+    SELECT l_returnflag,
+           CAST(bit_and(l_orderkey) AS BIGINT) AS b_and,
+           CAST(bit_or(l_orderkey) AS BIGINT) AS b_or,
+           CAST(bit_xor(l_orderkey) AS BIGINT) AS b_xor,
+           CAST(sum(xor(l_orderkey, l_partkey) & 255) AS BIGINT) AS sum_xor_low,
+           CAST(sum((l_orderkey << 2) % 1024) AS BIGINT) AS sum_shift
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def f9_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function surface: the three bit-aggregates
+    (bit_and/bit_or/bit_xor — fleet-wide flag intersection/union/
+    parity in one combine-friendly pass) plus scalar xor/mask/shift —
+    the remaining scalar family the f-series hadn't declared. All
+    exact integer semantics, identical in both engines.
+
+    Scale shape: pure scan-stage expressions into a 3-group rollup;
+    every bit-aggregate has a map-side partial (bitwise ops are
+    associative+commutative). Reference: engine-added (SURVEY.md §2.2
+    function surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_orderkey").cast("long").alias("b_and"),
+        F.bit_or("l_orderkey").cast("long").alias("b_or"),
+        F.bit_xor("l_orderkey").cast("long").alias("b_xor"),
+        F.sum(
+            F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")) % 256
+        ).cast("long").alias("sum_xor_low"),
+        F.sum(F.shiftleft(F.col("l_orderkey"), 2) % 1024)
+        .cast("long").alias("sum_shift"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -8096,7 +8241,8 @@ _NEWEST = [
     "w16_distribution_ranks", "x74_touch_attribution",
     "x71_ann_recall", "x72_luhn_check", "x73_bigram_logprob",
     "x75_pq_codes", "x76_semdedup_prune", "x78_ngram_novelty",
-    "w17_bounce_rate", "x84_token_gini",
+    "w17_bounce_rate", "x84_token_gini", "r2_pagerank_int",
+    "f9_bitwise_funcs",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
