@@ -146,3 +146,28 @@ def test_chunk_dedup_rate_no_join_back(spark):
     at all (a join-back would shuffle the full chunk set at 100 TB)."""
     plan = _executed_plan(QUERIES["x68_chunk_dedup_rate"].fn(spark, SF))
     assert "Join" not in plan, f"x68 reintroduced a join-back:\n{plan[:2000]}"
+
+
+def test_countmin_sketch_shapes(spark):
+    """x69: exact top-20 must be a heap (TakeOrderedAndProject), and
+    the 256-cell sketch must BROADCAST onto it — a sort-merge join
+    against a constant-size sketch would be absurd at scale."""
+    plan = _executed_plan(QUERIES["x69_countmin_heavyhitters"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_semdedup_no_cartesian(spark):
+    """x76: the pairwise pass must stay INSIDE cells (equi-join on
+    cell) — a cartesian/nested-loop pair expansion is the quadratic
+    blowup the clustering exists to avoid. (The tiny broadcast-nn
+    cross joins are fine; a CartesianProduct over vectors is not.)"""
+    plan = _executed_plan(QUERIES["x76_semdedup_prune"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_ngram_novelty_no_cartesian(spark):
+    """x78: shingle firsts join back by shingle key — equi-join only."""
+    plan = _executed_plan(QUERIES["x78_ngram_novelty"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
