@@ -56,6 +56,7 @@ class Check:
     cols: tuple[str, ...] = ()
     ref: DataFrame | None = None
     ref_col: str | None = None
+    broadcast: bool = False  # referential: hint the (distinct) key set
 
 
 def _and_all(conds: list[Column]) -> Column:
@@ -128,7 +129,7 @@ def referential(
     """
     return Check(
         name=f"referential({col})", kind="referential", cols=(col,),
-        ref=F.broadcast(ref) if broadcast else ref, ref_col=ref_col,
+        ref=ref, ref_col=ref_col, broadcast=broadcast,
     )
 
 
@@ -169,6 +170,11 @@ def validate(df: DataFrame, checks: Sequence[Check]) -> ValidationResult:
             ).distinct()
             # Join strategy is Catalyst/AQE's call unless the caller
             # opted into a broadcast hint via referential(broadcast=True).
+            # The hint goes on the DISTINCT key set (hinting the raw
+            # ref frame would bury the hint under the aggregate, where
+            # the join planner can lose it).
+            if ch.broadcast:
+                ref_keys = F.broadcast(ref_keys)
             flagged = flagged.join(
                 ref_keys,
                 flagged[ch.cols[0]] == ref_keys["__ref_key"],

@@ -7746,14 +7746,19 @@ def _o_semdedup_sql() -> str:
     a AS (SELECT vec_id, embedding,
                  CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
           FROM d),
+    sized AS (SELECT cell, count(*) AS sz FROM a GROUP BY cell),
+    small AS (SELECT a.* FROM a JOIN sized s
+              ON s.cell = a.cell AND s.sz <= 500),
     pruned AS (SELECT DISTINCT y.vec_id, y.cell
-               FROM a x JOIN a y
+               FROM small x JOIN small y
                  ON x.cell = y.cell AND x.vec_id < y.vec_id
                WHERE {cos} >= 0.4)
     SELECT a.cell,
            CAST(count(*) AS BIGINT) AS n_vectors,
-           CAST(coalesce(max(p.n), 0) AS BIGINT) AS n_pruned
+           CAST(coalesce(max(p.n), 0) AS BIGINT) AS n_pruned,
+           max(s.sz) > 500 AS capped
     FROM a
+    JOIN sized s ON s.cell = a.cell
     LEFT JOIN (SELECT cell, count(*) AS n FROM pruned GROUP BY cell) p
       ON p.cell = a.cell
     GROUP BY a.cell
@@ -7774,20 +7779,30 @@ def x76_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identically, so no tie ambiguity crosses the threshold).
 
     Scale shape: THIS is why SemDeDup clusters first — the pairwise
-    scan is quadratic only WITHIN a cell, and in production k grows
-    with the corpus so cell size stays bounded (the same cap
-    discipline as every LSH bucket guard here). One shuffle on cell
-    for the self-join; assignment is scan-stage literals. Reference:
-    engine-added (SURVEY.md §2.2 dedup family; Abbas et al.'s
-    SemDeDup recipe re-expressed relationally)."""
+    scan is quadratic only WITHIN a cell. With FIXED centroids, cell
+    population grows linearly with the corpus and the pairwise pass
+    grows quadratically — the round-5 scale study caught exactly
+    that (50 s at 10×, 302 s at 30×, ratio 6 for 3× data), so the
+    operator now carries the same guard as every LSH path here: a
+    cell whose population exceeds the cap (500) is EXCLUDED from
+    the pairwise pass and flagged ``capped`` in the output — the
+    operational signal that k must grow with the corpus (in
+    production, k ∝ n keeps cells bounded and the cap never fires).
+    One shuffle on cell for the self-join; assignment is scan-stage
+    literals. Reference: engine-added (SURVEY.md §2.2 dedup family;
+    Abbas et al.'s SemDeDup recipe re-expressed relationally)."""
     from etlp_spark.functions.similarity import cosine, ivf_assign
 
     emb = _t_fanout(spark, sf_dir, "embeddings")
     assigned = ivf_assign(emb, _semdedup_centroids()).localCheckpoint(eager=True)
-    x = assigned.select(
+    sized = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
+    small = assigned.join(
+        F.broadcast(sized.where(F.col("sz") <= 500).select("cell")), "cell"
+    )
+    x = small.select(
         F.col("cell"), F.col("vec_id").alias("xid"), F.col("embedding").alias("xe")
     )
-    y = assigned.select(
+    y = small.select(
         F.col("cell"), F.col("vec_id").alias("yid"), F.col("embedding").alias("ye")
     )
     pruned = (
@@ -7799,13 +7814,12 @@ def x76_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pc = pruned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
     return (
-        assigned.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .join(pc, "cell", "left")
+        sized.join(pc, "cell", "left")
         .select(
             "cell",
-            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.col("sz").cast("long").alias("n_vectors"),
             F.coalesce("n", F.lit(0)).cast("long").alias("n_pruned"),
+            (F.col("sz") > 500).alias("capped"),
         )
     )
 

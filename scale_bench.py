@@ -56,6 +56,10 @@ HEAVY = [
     "x12_ivf_ann",
     "x47_quality_tertile_buckets",
     "f8_try_functions",
+    # round-5 heavy additions
+    "x70_segment_dedup",
+    "x76_semdedup_prune",
+    "x73_bigram_logprob",
 ]
 
 BASE = "/root/testdata/sf0.1"
