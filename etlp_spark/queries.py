@@ -8153,6 +8153,57 @@ def f9_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x85_weighted_reservoir",
+    """
+    WITH w AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS wt,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+               / 4503599627370496.0 AS u
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, source, wt
+    FROM w
+    ORDER BY ln(u) / wt DESC, doc_id
+    LIMIT 100
+    """,
+)
+def x85_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k=100, in one
+    pass: Efraimidis–Spirakis A-Res — each row draws u ∈ (0,1] and
+    keeps the k largest keys u^(1/w), equivalently ln(u)/w. x35's
+    Bernoulli sampler can't fix the sample size and x57's exact-k is
+    unweighted; A-Res is THE one-pass answer to both at once (the
+    canonical distributed weighted reservoir).
+
+    Determinism: u comes from 52 md5 bits of the doc id — a pure
+    function of the data (reproducible across engines/runs/retries);
+    ln() and the division see bit-identical doubles in both engines,
+    so the induced ORDER is identical; doc_id breaks any exact key
+    tie. Output columns are integers only — no float crosses the
+    hash gate.
+
+    Scale shape: scan-stage key computation + TakeOrderedAndProject
+    (per-partition k-heaps on the key, one k-row reduce) — no global
+    sort, no shuffle of the corpus; the same plan as x57 with a
+    weight-biased key. Reference: engine-added (SURVEY.md §2.2
+    sampling family)."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("long") + 1
+    ) / F.lit(4503599627370496.0)
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("wt"),
+            (F.log(u) / F.col("n_chars").cast("long")).alias("__key"),
+        )
+        .orderBy(F.col("__key").desc(), "doc_id")
+        .limit(100)
+        .drop("__key")
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -8256,7 +8307,7 @@ _NEWEST = [
     "x71_ann_recall", "x72_luhn_check", "x73_bigram_logprob",
     "x75_pq_codes", "x76_semdedup_prune", "x78_ngram_novelty",
     "w17_bounce_rate", "x84_token_gini", "r2_pagerank_int",
-    "f9_bitwise_funcs",
+    "f9_bitwise_funcs", "x85_weighted_reservoir",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

@@ -491,3 +491,20 @@ def test_pagerank_mass_nearly_conserved(spark, sf_dir):
     assert len(rows) == 5
     # 5 nodes × 3 iterations × (a couple of floors) — generous bound
     assert 1_000_000_000_000 - 1000 <= total <= 1_000_000_000_000
+
+
+def test_weighted_reservoir_biases_toward_weight(spark, sf_dir):
+    """x85 A-Res sanity: exactly k rows, no duplicates, and the
+    sample's mean weight exceeds the corpus mean (the whole point of
+    weighting by length)."""
+    import __spark_entry__ as entry
+
+    from etlp_spark.io import load_table
+
+    rows = entry.queries()["x85_weighted_reservoir"](spark, sf_dir).collect()
+    assert len(rows) == 100
+    assert len({r.doc_id for r in rows}) == 100
+    sample_mean = sum(r.wt for r in rows) / len(rows)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    assert sample_mean > corpus_mean
