@@ -7589,12 +7589,14 @@ def x73_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     division into one ln(), identical doubles both engines, round 6.
 
     Scale shape: bigram enumeration is scan-stage (x53's positional
-    zip — no self-join); the bigram table aggregates map-side; it
-    joins back by term as a SHUFFLE join on purpose (bigram vocab
-    grows ~linearly with corpus — broadcasting it is the mistake;
-    x28's unigram table broadcasts, this must not); one shuffle for
-    the per-doc aggregate. Reference: engine-added (SURVEY.md §2.2
-    text-analysis family)."""
+    zip — no self-join); the bigram table aggregates map-side; the
+    join back by term carries NO broadcast hint on purpose — bigram
+    vocabulary grows ~linearly with the corpus, so a forced
+    broadcast (x28's correct choice for the BOUNDED unigram vocab)
+    would OOM executors at scale; Catalyst/AQE may still broadcast
+    it at small scale, and falls back to a shuffle join exactly when
+    it matters. One shuffle for the per-doc aggregate. Reference:
+    engine-added (SURVEY.md §2.2 text-analysis family)."""
     from etlp_spark.functions.text import tokens
 
     docs = _t_fanout(spark, sf_dir, "documents")
@@ -7620,7 +7622,7 @@ def x73_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = tf.agg(F.sum("c").alias("total"))
     scored = (
-        bi.join(tf, "term")  # shuffle join: bigram vocab scales with corpus
+        bi.join(tf, "term")  # no broadcast hint: bigram vocab scales with corpus
         .join(F.broadcast(total))
         .select(
             "doc_id",
