@@ -7851,27 +7851,32 @@ def x78_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (novelty falling toward zero = the source is exhausted). x36
     measures the static dup fraction; this is its ORDERED complement.
 
-    Scale shape: x36's exact plan — distinct shingles explode
-    scan-side, one shuffle groups by shingle (min doc_id is a
-    map-side partial), join back by shingle, per-doc counts. All
-    exact integers. Reference: engine-added (SURVEY.md §2.2
-    text-analysis family)."""
+    Scale shape (round-5 scale-study fix): the obvious
+    aggregate-then-join-back plan let Catalyst BROADCAST the firsts
+    table — whose size scales with the corpus — and building that
+    multi-million-row hashed relation went superlinear at 30×
+    (4.8 s → 47 s for 3× data). Restated as a window: min(doc_id)
+    OVER (PARTITION BY shingle) flags first occurrences in the same
+    shuffle that would have fed the aggregate — one exchange on the
+    shingle, one on doc_id, no broadcast of anything data-scaled,
+    linear at both scales (2.0 s → 3.2 s). All exact integers.
+    Reference: engine-added (SURVEY.md §2.2 text-analysis family)."""
     from etlp_spark.functions.dedup import word_shingles
 
     docs = _t_fanout(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.explode(word_shingles("text", n=3)).alias("s")
     )
-    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        sh.join(firsts, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).cast("long").alias("n_novel"),
-        )
+    w = Window.partitionBy("s")
+    flagged = sh.select(
+        "doc_id",
+        F.when(F.min("doc_id").over(w) == F.col("doc_id"), 1)
+        .otherwise(0)
+        .alias("novel"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("novel").cast("long").alias("n_novel"),
     )
 
 

@@ -60,6 +60,7 @@ HEAVY = [
     "x70_segment_dedup",
     "x76_semdedup_prune",
     "x73_bigram_logprob",
+    "x78_ngram_novelty",
 ]
 
 BASE = "/root/testdata/sf0.1"

@@ -166,8 +166,11 @@ def test_semdedup_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan[:2000]
 
 
-def test_ngram_novelty_no_cartesian(spark):
-    """x78: shingle firsts join back by shingle key — equi-join only."""
+def test_ngram_novelty_no_join(spark):
+    """x78: first-occurrence flagging is a WINDOW over the shingle
+    partition — no join at all. The aggregate-then-join-back form let
+    Catalyst broadcast a corpus-scaled firsts table (superlinear at
+    30× in the scale study); this pin keeps the join from coming
+    back."""
     plan = _executed_plan(QUERIES["x78_ngram_novelty"].fn(spark, SF))
-    assert "CartesianProduct" not in plan, plan[:2000]
-    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
