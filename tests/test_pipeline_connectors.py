@@ -280,3 +280,52 @@ def test_pipeline_expectations_null_accepted_values_fails(spark):
     clean, violations = p.quarantine(spark)
     assert [r.code for r in clean.collect()] == ["a"]
     assert sorted(r.code or "<null>" for r in violations.collect()) == ["<null>", "z"]
+
+
+def test_pipeline_from_config_end_to_end(spark, jsonl_dir, tmp_path):
+    """Config-driven construction (the reference's Integrant config
+    map as a plain dict): source/transforms/expectations/sinks all
+    named by string, built into a Pipeline, run end-to-end with the
+    quarantine split."""
+    from etlp_spark.config import pipeline_from_config
+
+    cfg = {
+        "name": "cfg-stream",
+        "source": {
+            "type": "file",
+            "path": jsonl_dir,
+            "reducer": "jsonl",
+            "options": {"schema": "id long, name string, tags array<string>"},
+        },
+        "transforms": [
+            {"op": "filter", "expr": "id IS NOT NULL"},
+            {"op": "map", "cols": {"n_tags": "size(tags)"}},
+        ],
+        "expectations": [
+            {"check": "not_null", "cols": ["name"]},
+            {"check": "in_range", "col": "n_tags", "lo": 1, "hi": 10},
+        ],
+        "sink": {"type": "parquet", "path": str(tmp_path / "clean")},
+        "error_sink": {"type": "parquet", "path": str(tmp_path / "errs")},
+    }
+    p = pipeline_from_config(cfg)
+    result = p.run(spark)
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    errs = spark.read.parquet(str(tmp_path / "errs"))
+    # ids 1 (tags x,y) and 3 (tags z) pass; id 2 has no tags -> in_range fails
+    assert sorted(r.id for r in clean.collect()) == [1, 3]
+    assert [r.id for r in errs.collect()] == [2]
+    assert result.extra["n_clean"] == 2 and result.extra["n_violations"] == 1
+
+
+def test_pipeline_from_config_unknown_components_loud(spark):
+    from etlp_spark.config import pipeline_from_config
+
+    with pytest.raises(ValueError, match="unknown source type"):
+        pipeline_from_config({"source": {"type": "nope"}})
+    with pytest.raises(ValueError, match="unknown transform op"):
+        pipeline_from_config({
+            "source": {"type": "file", "path": "/tmp/x",
+                       "options": {"schema": "id long"}},
+            "transforms": [{"op": "zap"}],
+        })
