@@ -177,6 +177,17 @@ def _lookup(registry: dict, kind: str, name: str):
     return registry[name]
 
 
+def _discriminator(cfg: dict[str, Any], key: str, kind: str) -> str:
+    """Config dicts are EXTERNAL data (file/DB/API payload) — a
+    missing discriminator must be a loud config error, not a bare
+    KeyError from library internals."""
+    if key not in cfg:
+        raise ValueError(
+            f"{kind} config is missing its {key!r} field: {cfg!r}"
+        )
+    return cfg[key]
+
+
 def pipeline_from_config(cfg: dict[str, Any]) -> Pipeline:
     """Build a ``Pipeline`` from a declarative dict (see module doc).
     ``source`` is required; everything else optional. Registries are
@@ -184,24 +195,32 @@ def pipeline_from_config(cfg: dict[str, Any]) -> Pipeline:
     ``TRANSFORM_OPS`` to plug in custom components, exactly the
     reference's ``etlp-component`` extension point
     (``src/etlp/core.clj:15-30``)."""
+    if "source" not in cfg:
+        raise ValueError(f"pipeline config is missing 'source': {cfg!r}")
     src_cfg = cfg["source"]
-    source = _lookup(SOURCE_TYPES, "source type", src_cfg["type"])(src_cfg)
+    source = _lookup(
+        SOURCE_TYPES, "source type", _discriminator(src_cfg, "type", "source")
+    )(src_cfg)
     transforms = [
-        _lookup(TRANSFORM_OPS, "transform op", t["op"])(t)
+        _lookup(TRANSFORM_OPS, "transform op", _discriminator(t, "op", "transform"))(t)
         for t in cfg.get("transforms", ())
     ]
     checks = [
-        _lookup(_CHECKS, "expectation check", c["check"])(c)
+        _lookup(_CHECKS, "expectation check",
+                _discriminator(c, "check", "expectation"))(c)
         for c in cfg.get("expectations", ())
     ]
     sink = None
     if "sink" in cfg:
-        sink = _lookup(SINK_TYPES, "sink type", cfg["sink"]["type"])(cfg["sink"])
+        sink = _lookup(
+            SINK_TYPES, "sink type", _discriminator(cfg["sink"], "type", "sink")
+        )(cfg["sink"])
     error_sink = None
     if "error_sink" in cfg:
-        error_sink = _lookup(SINK_TYPES, "sink type", cfg["error_sink"]["type"])(
-            cfg["error_sink"]
-        )
+        error_sink = _lookup(
+            SINK_TYPES, "sink type",
+            _discriminator(cfg["error_sink"], "type", "error_sink"),
+        )(cfg["error_sink"])
     return Pipeline(
         source=source,
         transforms=transforms,

@@ -50,6 +50,7 @@ import json
 import os
 import threading
 import time
+import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -162,7 +163,16 @@ class SnapshotStore:
         if mode == "append" and parent is None:
             mode = "snapshot"  # first write of an append stream
 
-        data_dir = os.path.join(self.root, _DATA_DIR, f"v{version:05d}")
+        # WRITER-UNIQUE staging dir: two writers racing the same
+        # version number must never share a data directory — Spark
+        # part-file names are job-unique, so a shared dir would let
+        # the winner's _list_files silently absorb the loser's rows.
+        # With a unique dir per write attempt, the exclusive manifest
+        # link below is the ONLY race point: the loser's staging dir
+        # is an unreferenced orphan that ``expire`` sweeps.
+        data_dir = os.path.join(
+            self.root, _DATA_DIR, f"v{version:05d}-{uuid.uuid4().hex[:12]}"
+        )
         df.write.mode("errorifexists").parquet(data_dir)
         new_files = _list_files(data_dir)
         n_new = df.sparkSession.read.parquet(data_dir).count()
@@ -215,12 +225,23 @@ class SnapshotStore:
         ``max_batch_id`` stamps — defined even after ``expire`` has
         deleted the manifest that originally recorded it (as long as
         at least one version survives, which ``expire(keep_last>=1)``
-        guarantees)."""
+        guarantees).
+
+        O(1) on any store written since the watermark feature: the
+        LATEST manifest carries the running max forward, so one read
+        suffices. The full O(versions) scan runs only as a fallback
+        for stores whose newest manifests predate the stamp."""
+        latest = self.latest_version()
+        if latest is None:
+            return None
+        m = self.manifest(latest)
+        if "max_batch_id" in m:
+            return m["max_batch_id"]
         wms = [
-            m["max_batch_id"]
+            mm["max_batch_id"]
             for v in self.versions()
-            for m in [self.manifest(v)]
-            if "max_batch_id" in m
+            for mm in [self.manifest(v)]
+            if "max_batch_id" in mm
         ]
         return max(wms) if wms else None
 
@@ -237,16 +258,18 @@ class SnapshotStore:
         Use as ``writeStream.foreachBatch(lambda df, bid:
         store.write_batch(df, bid))`` with a checkpointLocation.
 
-        Replay detection is TWO checks: the live-manifest id set, and
-        the monotonic ``batch_watermark`` carried forward in every
-        manifest — so a replay of a batch older than the retention
-        window is still skipped even after ``expire`` deleted the
-        manifest that recorded it (Structured Streaming batch ids are
-        monotonic, so id <= watermark ⟹ already committed)."""
-        if batch_id in self.committed_batch_ids():
-            return None
+        Replay detection: the monotonic ``batch_watermark`` carried
+        forward in every manifest (one O(1) manifest read per batch —
+        id <= watermark ⟹ already committed, since Structured
+        Streaming batch ids are monotonic), surviving ``expire``
+        deleting the manifest that recorded the id. The O(versions)
+        live-id set runs only as a fallback for stores whose
+        manifests predate the watermark stamp."""
         wm = self.batch_watermark()
-        if wm is not None and batch_id <= wm:
+        if wm is not None:
+            if batch_id <= wm:
+                return None
+        elif batch_id in self.committed_batch_ids():
             return None
         return self.write(df, mode=mode, batch_id=batch_id)
 

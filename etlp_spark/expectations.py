@@ -140,8 +140,18 @@ class ValidationResult:
     summary: DataFrame  # (check, n_violations)
 
 
-def validate(df: DataFrame, checks: Sequence[Check]) -> ValidationResult:
+def validate(
+    df: DataFrame, checks: Sequence[Check], *, materialize: bool = False
+) -> ValidationResult:
     """Evaluate every check and split the frame.
+
+    ``materialize=True`` eagerly localCheckpoints the flagged frame
+    before the clean/violations split: both outputs (and the summary)
+    then read ONE materialized evaluation instead of re-running the
+    source + checks per consumer — required for correctness when the
+    source is non-deterministic (an HTTP poll, a growing directory),
+    and a 2× cost saving otherwise. Off by default so purely-
+    declarative callers keep an unmaterialized lineage.
 
     Cost model (the point of the design): all row-kind checks share
     ONE scan — each contributes a boolean column and the summary is a
@@ -196,6 +206,8 @@ def validate(df: DataFrame, checks: Sequence[Check]) -> ValidationResult:
     with_failed = flagged.withColumn("failed_checks", failed).drop(
         *[flag for flag, _ in flag_cols]
     )
+    if materialize:
+        with_failed = with_failed.localCheckpoint(eager=True)
     clean = with_failed.where(F.size("failed_checks") == 0).drop("failed_checks")
     violations = with_failed.where(F.size("failed_checks") > 0)
     summary = (

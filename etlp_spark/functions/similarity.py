@@ -400,9 +400,16 @@ def pq_codes(
     v = F.col(vec_col)
     out_cols = [F.col(id_col)]
     err_terms = []
+    offset = 0  # cumulative — books may have different subdims
     for s, book in enumerate(codebooks):
         subdim = len(book[0])
-        sub = F.slice(v, s * subdim + 1, subdim)
+        if any(len(c) != subdim for c in book):
+            raise ValueError(
+                f"codebook {s} has centroids of mixed dims; all centroids "
+                "in one book must share the book's subvector dim"
+            )
+        sub = F.slice(v, offset + 1, subdim)
+        offset += subdim
         d2s = []
         for cent in book:
             carr = F.array(*[F.lit(float(x)) for x in cent])

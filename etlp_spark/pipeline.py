@@ -80,7 +80,14 @@ class Pipeline:
 
         if not self.expectations:
             raise ValueError("pipeline has no expectations configured")
-        res = validate(self.dataframe(spark), list(self.expectations))
+        # materialize: clean and violations are TWO consumers of one
+        # validated frame — without it the full source→transform→
+        # validate plan runs twice (wrong for non-deterministic
+        # sources, 2× cost for all), and clean+violations could fail
+        # to reconcile with the input.
+        res = validate(
+            self.dataframe(spark), list(self.expectations), materialize=True
+        )
         data_cols = [c for c in res.violations.columns if c != "failed_checks"]
         violations = res.violations.withColumn(
             "envelope",

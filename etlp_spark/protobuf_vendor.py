@@ -58,14 +58,23 @@ def ensure_protobuf() -> bool:
     """Make ``google.protobuf`` importable — in this process and in
     PySpark worker processes — vendoring a bundled pure-Python
     runtime if no real distribution exists. Returns True if protobuf
-    is usable afterwards. Idempotent."""
+    is usable afterwards. Idempotent.
+
+    Mutations (env vars, sys.path, PYTHONPATH) are REVERTED when a
+    candidate bundle fails its import probe: a broken bundle must not
+    leave workers with a poisoned PYTHONPATH or the protobuf version
+    check globally disabled for a runtime installed later."""
     if _importable():
         return True
     for d in _CANDIDATE_DIRS:
         if not os.path.isdir(os.path.join(d, "google", "protobuf")):
             continue
+        saved_env = {
+            k: os.environ.get(k) for k in list(_ENV) + ["PYTHONPATH"]
+        }
+        saved_path = d in sys.path
         os.environ.update(_ENV)
-        if d not in sys.path:
+        if not saved_path:
             sys.path.insert(0, d)
         # workers get the path via env, not sys.path
         pp = os.environ.get("PYTHONPATH", "")
@@ -73,4 +82,14 @@ def ensure_protobuf() -> bool:
             os.environ["PYTHONPATH"] = f"{d}{os.pathsep}{pp}" if pp else d
         if _importable():
             return True
+        # probe failed: undo everything this candidate touched
+        for k, old in saved_env.items():
+            if old is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = old
+        if not saved_path and d in sys.path:
+            sys.path.remove(d)
+        sys.modules.pop("google", None)
+        sys.modules.pop("google.protobuf", None)
     return False

@@ -195,12 +195,21 @@ def ewma_tws(
             self._st = handle.getValueState("ewma", "v DOUBLE, n BIGINT")
 
         def handleInputRows(self, key, rows, timerValues):
+            import math
+
             import pandas as pd
 
             prev = self._st.get()
             v, n = (prev[0], prev[1]) if prev is not None else (None, 0)
             for pdf in rows:
                 for x in pdf[value_col]:
+                    # NULLs arrive as NaN in the Arrow batch; folding
+                    # one in would poison this key's persisted state
+                    # forever (NaN propagates through every later
+                    # average). Skip them — the same NULL-ignoring
+                    # semantics as every SQL aggregate.
+                    if x is None or (isinstance(x, float) and math.isnan(x)):
+                        continue
                     x = float(x)
                     v = x if v is None else alpha * x + (1.0 - alpha) * v
                     n += 1

@@ -435,29 +435,34 @@ def test_pq_codes_match_numpy_argmin(spark, seed):
         assert abs(rows[i].recon_err - err) < 1e-9
 
 
-@settings(max_examples=15, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(words=st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f", "g"]),
-                      min_size=1, max_size=60))
-def test_countmin_never_undercounts(spark, words):
-    """The CMS guarantee x69 reports: for EVERY word, the sketch
-    estimate (min over rows of bucket counts) is >= the exact count."""
-    from collections import Counter
-    import hashlib
+def test_countmin_never_undercounts(spark, sf_dir):
+    """The CMS guarantee, asserted on the OPERATOR's output (an
+    earlier version of this test re-implemented the sketch in Python
+    and only tested itself): every x69 row's estimate is >= its exact
+    count, and the exact counts agree with an independent Spark
+    recount of those words."""
+    import __spark_entry__ as entry
 
-    d_rows, width = 4, 8  # tiny width to force collisions
-    cells = Counter()
-    for w in words:
-        for r in range(d_rows):
-            b = int(hashlib.md5(f"{r}:{w}".encode()).hexdigest()[:8], 16) % width
-            cells[(r, b)] += 1
-    exact = Counter(words)
-    for w, n in exact.items():
-        est = min(
-            cells[(r, int(hashlib.md5(f"{r}:{w}".encode()).hexdigest()[:8], 16) % width)]
-            for r in range(d_rows)
-        )
-        assert est >= n
+    from etlp_spark.functions.text import tokens
+    from etlp_spark.io import load_table
+
+    rows = entry.queries()["x69_countmin_heavyhitters"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.n_est >= r.n_exact for r in rows)
+    assert all(r.overcount == r.n_est - r.n_exact for r in rows)
+    # independent recount of the reported words
+    docs = load_table(spark, sf_dir, "documents")
+    words = {r.word for r in rows}
+    counts = {
+        r.word: r.c
+        for r in docs.select(F.explode(tokens("text")).alias("word"))
+        .where(F.col("word").isin(*words))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for r in rows:
+        assert counts[r.word] == r.n_exact, r.word
 
 
 def test_segment_dedup_conservation(spark, sf_dir):

@@ -291,14 +291,24 @@ def test_concurrent_full_writes_one_loser(spark, store):
         t.start()
     for t in ts:
         t.join()
-    assert len(oks) >= 1  # at least one writer committed
-    # every committed version is readable and internally consistent
+    assert len(oks) + len(errors) == 2 and len(oks) >= 1
+    # a loser must fail for the RACE reason (exclusive manifest link),
+    # not some unrelated exception — staging dirs are writer-unique,
+    # so the data write can no longer collide
+    for e in errors:
+        assert isinstance(e, ConcurrentWriteError), repr(e)
+    # every committed version is readable and internally consistent,
+    # and no committed version absorbed the loser's rows
     for v in store.versions():
         m = store.manifest(v)
         assert store.read(spark, v).count() == m["n_rows"]
-    # losers (if the timing produced any) raised loudly, not silently
-    for e in errors:
-        assert isinstance(e, (ConcurrentWriteError, Exception))
+    committed_ids = {
+        r.id for v in store.versions() for r in store.read(spark, v).collect()
+    }
+    if errors:  # the loser's rows must NOT appear anywhere
+        winner_rows = {r.id for r in store.read(spark).collect()}
+        assert winner_rows <= {1, 10, 11, 20}
+        assert not ({10, 11} <= winner_rows and {20} <= winner_rows)
 
 
 def test_replay_older_than_retention_window_still_skipped(spark, store):
