@@ -47,6 +47,7 @@ name — the same primitive S3/GCS offer natively.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import threading
 import time
@@ -78,6 +79,7 @@ class ConcurrentWriteError(RuntimeError):
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+_log = logging.getLogger(__name__)
 
 
 def _list_files(data_dir: str) -> list[str]:
@@ -264,10 +266,26 @@ class SnapshotStore:
         Streaming batch ids are monotonic), surviving ``expire``
         deleting the manifest that recorded the id. The O(versions)
         live-id set runs only as a fallback for stores whose
-        manifests predate the watermark stamp."""
+        manifests predate the watermark stamp.
+
+        OPERATIONAL HAZARD the monotonicity assumption implies: a
+        stream restarted with a FRESH checkpoint resets batch ids to
+        0, and this sink will treat those ids as replays of
+        already-committed batches. A checkpoint reset therefore needs
+        a fresh store (or new root) too — the skip is logged at
+        WARNING per batch so the condition is visible, never silent."""
         wm = self.batch_watermark()
         if wm is not None:
             if batch_id <= wm:
+                if batch_id not in self.committed_batch_ids():
+                    _log.warning(
+                        "snapshot store %s: skipping batch_id=%d <= "
+                        "watermark=%d with no live manifest for it — if "
+                        "this stream's checkpoint was reset (ids restart "
+                        "at 0), point it at a fresh store root or every "
+                        "batch up to the old watermark will be dropped",
+                        self.root, batch_id, wm,
+                    )
                 return None
         elif batch_id in self.committed_batch_ids():
             return None

@@ -154,6 +154,12 @@ def encode_png(pixels: np.ndarray) -> bytes:
     """Encode an (h, w) grayscale, (h, w, 3) RGB, or (h, w, 4) RGBA
     uint8 array as a non-interlaced 8-bit PNG (filter 0 scanlines,
     stdlib ``zlib`` DEFLATE). Lossless inverse of ``decode_png``."""
+    if pixels.dtype != np.uint8:
+        raise ValueError(
+            f"encode_png wants uint8 pixels, got {pixels.dtype} — a wider "
+            "dtype would silently emit multi-byte samples and corrupt the "
+            "stream; cast explicitly"
+        )
     if pixels.ndim == 2:
         color_type, channels = 0, 1
         flat = pixels[:, :, None]
@@ -205,9 +211,14 @@ def decode_png(payload: bytes) -> np.ndarray:
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + size]
         if ctype == b"IHDR":
-            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
+            try:
+                w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+            except struct.error as exc:
+                # keep the documented contract: truncated payloads are
+                # ValueError so callers can fall back
+                raise ValueError("truncated PNG IHDR chunk") from exc
             if depth != 8 or color_type not in (0, 2, 6) or interlace != 0:
                 raise ValueError(
                     "unsupported PNG variant (need 8-bit gray/RGB/RGBA, "
@@ -434,7 +445,10 @@ def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
 
     BMP and PNG payloads are REALLY resized — decode (stdlib
     parsers) → nearest-neighbor resample (numpy index math) →
-    re-encode in the same container format.
+    re-encode in the same container format. NOTE: decode normalizes
+    to RGB, so an RGBA input comes back as an RGB PNG — the alpha
+    plane does not survive the round trip (decode_png documents the
+    drop); alpha-preserving resize needs a 4-channel decode path.
     Formats this container can't decode fall back to the
     deterministic fake (md5 of the original + target dims); schema
     contract, Arrow batch shape and scan-stage (no shuffle) behavior

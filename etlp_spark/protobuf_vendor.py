@@ -50,7 +50,10 @@ def _importable() -> bool:
     try:
         importlib.import_module("google.protobuf.descriptor")
         return True
-    except ImportError:
+    except Exception:  # noqa: BLE001 — ANY import failure (VersionError,
+        # SyntaxError from a truncated bundle, AttributeError) means
+        # "not usable"; the caller reverts its mutations on False, so
+        # an exception escaping here would leave them poisoned.
         return False
 
 
@@ -90,6 +93,9 @@ def ensure_protobuf() -> bool:
                 os.environ[k] = old
         if not saved_path and d in sys.path:
             sys.path.remove(d)
-        sys.modules.pop("google", None)
-        sys.modules.pop("google.protobuf", None)
+        # purge EVERY partially-imported module from the failed bundle,
+        # not just the top two (a stale google.protobuf.runtime_version
+        # would shadow a later real install)
+        for mod in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+            sys.modules.pop(mod, None)
     return False

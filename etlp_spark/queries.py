@@ -3744,7 +3744,14 @@ def w5_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            # unix_micros, not cast("long"): truncation to whole
+            # seconds silently narrows the gap test by up to a second
+            # vs the oracle's exact INTERVAL comparison (same class of
+            # bug as the as-of tolerance fix, ops_temporal.py)
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
+            ),
             1,
         )
         .otherwise(0)
@@ -6947,10 +6954,13 @@ def x67_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE CAST(floor(l_extendedprice * 10000 / (l_quantity - 1)
                                 + 0.5) AS BIGINT) END
              AS unit_uplift_e4,
-           TRY_CAST(l_returnflag AS INTEGER) AS flag_int,
+           CASE WHEN regexp_matches(l_returnflag, '^\\s*[+-]?\\d+\\s*$')
+                THEN TRY_CAST(l_returnflag AS INTEGER) END AS flag_int,
            TRY_CAST(substr(CAST(l_shipdate AS VARCHAR), 1, 4) AS BIGINT)
              AS ship_year,
-           CAST(coalesce(TRY_CAST(l_returnflag AS INTEGER), -1) AS BIGINT)
+           CAST(coalesce(
+             CASE WHEN regexp_matches(l_returnflag, '^\\s*[+-]?\\d+\\s*$')
+                  THEN TRY_CAST(l_returnflag AS INTEGER) END, -1) AS BIGINT)
              AS flag_or_default
     FROM lineitem
     """,
@@ -6971,12 +6981,16 @@ def f8_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     that mostly ISN'T numeric costs a caught JVM exception per
     failing row — profiled at ~4.7 s for 600k rows vs 0.3 s guarded
     (every l_returnflag is 'A'/'N'/'R'). The rlike guard matches
-    exactly the strings ANSI string→int cast accepts (optional
-    whitespace/sign, digits only — decimals and exponents are NULL
-    either way), so try_cast only ever runs on numeric-looking input
-    and its exception path is reserved for out-of-range values.
-    Verified equivalent on a mixed fixture incl. ' 7 ', '+3', '1.5',
-    '', '99999999999', '2e3'."""
+    exactly the strings Spark's ANSI string→int cast accepts
+    (optional whitespace/sign, digits only), so try_cast only ever
+    runs on numeric-looking input and its exception path is reserved
+    for out-of-range values. Verified equivalent to Spark's bare
+    try_cast on a mixed fixture incl. ' 7 ', '+3', '1.5', '',
+    '99999999999', '2e3'. The ORACLE carries the SAME regex guard on
+    purpose: DuckDB's TRY_CAST is laxer than Spark's (it ROUNDS
+    '1.5'→2 and accepts '2e3'→2000 — verified), so an unguarded
+    oracle would diverge on any fixture containing decimal or
+    exponent strings."""
     li = _t(spark, sf_dir, "lineitem")
     flag_int = F.when(
         F.col("l_returnflag").rlike(r"^\s*[+-]?\d+\s*$"),
@@ -7489,6 +7503,25 @@ def x71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def luhn_valid(num, width: int = 12):
+    """Column-level Luhn checksum over the last ``width`` digits of a
+    non-negative integer column — pure integer arithmetic (digit
+    extraction by division), shared by x72 and the property test so
+    the tested expression IS the shipped expression."""
+    terms = []
+    for p in range(1, width + 1):
+        d = F.floor(num / F.lit(10 ** (p - 1))).cast("long") % 10
+        if p % 2 == 1:
+            terms.append(d)
+        else:
+            dd = d * 2
+            terms.append(F.when(dd > 9, dd - 9).otherwise(dd))
+    luhn = terms[0]
+    for t in terms[1:]:
+        luhn = luhn + t
+    return luhn % 10 == 0
+
+
 def _o_luhn(num_expr: str, width: int = 12) -> str:
     """DuckDB Luhn checksum over the last ``width`` digits of an
     integer expression — pure integer arithmetic, mirrored exactly by
@@ -7540,18 +7573,7 @@ def x72_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x25's PII family, SURVEY.md §2.2)."""
     o = _t(spark, sf_dir, "orders")
     num = (F.col("o_orderkey") * 7919 + F.col("o_custkey")) % F.lit(1000000000000)
-    terms = []
-    for p in range(1, 13):
-        d = F.floor(num / F.lit(10 ** (p - 1))).cast("long") % 10
-        if p % 2 == 1:
-            terms.append(d)
-        else:
-            dd = d * 2
-            terms.append(F.when(dd > 9, dd - 9).otherwise(dd))
-    luhn = terms[0]
-    for t in terms[1:]:
-        luhn = luhn + t
-    return o.select("o_orderpriority", (luhn % 10 == 0).alias("ok")).groupBy(
+    return o.select("o_orderpriority", luhn_valid(num).alias("ok")).groupBy(
         "o_orderpriority"
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates"),
@@ -7928,7 +7950,14 @@ def w17_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            # unix_micros, not cast("long"): truncation to whole
+            # seconds silently narrows the gap test by up to a second
+            # vs the oracle's exact INTERVAL comparison (same class of
+            # bug as the as-of tolerance fix, ops_temporal.py)
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
+            ),
             1,
         )
         .otherwise(0)

@@ -743,3 +743,21 @@ def test_hard_negatives_empty_when_all_labels_match(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
     out = hard_negatives(df.where(F.col("vec_id") == 0), df.where(F.col("vec_id") > 0), k=3)
     assert out.count() == 0
+
+
+def test_png_codec_error_contracts():
+    """Truncated IHDR is ValueError (the documented fallback signal,
+    not struct.error); non-uint8 input to encode_png is rejected
+    rather than silently emitting multi-byte samples."""
+    import struct as _struct
+
+    import numpy as np
+
+    from etlp_spark.functions.multimodal import _png_chunk, encode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    short_ihdr = _png_chunk(b"IHDR", _struct.pack(">II", 4, 4))  # 8 of 13 bytes
+    with pytest.raises(ValueError, match="truncated PNG IHDR"):
+        decode_image(sig + short_ihdr, "image/png")
+    with pytest.raises(ValueError, match="uint8"):
+        encode_png(np.array([[1, 2], [3, 4]], dtype=np.int64))

@@ -378,20 +378,13 @@ def _py_luhn(num: int, width: int = 12) -> bool:
 def test_luhn_matches_python_reference(spark, nums):
     """x72's expression-level Luhn against a textbook digit-loop
     implementation (which also cross-checks real card test numbers)."""
+    from etlp_spark.queries import luhn_valid
+
     df = spark.createDataFrame([(n,) for n in nums], "num long")
-    terms = []
-    num = F.col("num")
-    for p in range(1, 13):
-        d = F.floor(num / F.lit(10 ** (p - 1))).cast("long") % 10
-        if p % 2 == 1:
-            terms.append(d)
-        else:
-            dd = d * 2
-            terms.append(F.when(dd > 9, dd - 9).otherwise(dd))
-    luhn = terms[0]
-    for t in terms[1:]:
-        luhn = luhn + t
-    got = [(r.num, r.ok) for r in df.select("num", (luhn % 10 == 0).alias("ok")).collect()]
+    got = [
+        (r.num, r.ok)
+        for r in df.select("num", luhn_valid(F.col("num")).alias("ok")).collect()
+    ]
     for n, ok in got:
         assert ok == _py_luhn(n), n
 

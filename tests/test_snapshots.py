@@ -84,7 +84,9 @@ def test_expire_sweeps_unreferenced_and_orphaned_dirs(spark, store):
     _df(spark, [7]).write.parquet(orphan)
     store.expire(keep_last=1)
     dirs = sorted(os.listdir(os.path.join(store.root, "data")))
-    assert dirs == ["v00002"]  # v1 data and the orphan are gone
+    # v1 data and the orphan are gone; v2's (writer-unique-named)
+    # staging dir survives as the only data dir
+    assert len(dirs) == 1 and dirs[0].startswith("v00002-")
     assert sorted(r.id for r in store.read(spark).collect()) == [2]
 
 
