@@ -1,0 +1,157 @@
+"""``etlp-snapshots`` — the versioned snapshot store as a Spark 4
+Python DataSource, batch AND streaming.
+
+``connectors/snapshots.py`` gives the store a programmatic API
+(``SnapshotStore.read`` plans ``spark.read.parquet(*files)`` — the
+performance path, full native-scan pushdown). This module adds the
+STANDARD reader syntax on top, which buys two things the programmatic
+API can't express:
+
+- **uniform access**: ``spark.read.format("etlp-snapshots")
+  .option("root", ...).option("version", 3).load()`` — time travel
+  through the same reader interface every other source uses, schema
+  self-described from the version's manifest;
+- **a streaming tail**: ``spark.readStream.format("etlp-snapshots")``
+  turns the store into a CDC-style source — every committed version
+  becomes a micro-batch containing that version's NEW files (append
+  chains share parent files, so the per-version delta is exactly the
+  appended data). Offsets are manifest version numbers: replayable,
+  exactly-once under checkpointing, resistant to ``expire`` (offsets
+  only move forward).
+
+Executor-side reads go through pyarrow (row tuples over Arrow) — a
+Python-speed path. For heavy BATCH analytics prefer
+``SnapshotStore.read`` (native scan); the DataSource's batch mode is
+for uniformity and small-to-medium reads, and its STREAMING mode has
+no native equivalent at all. Reference: the reference's never-built
+"State" leg of the Airbyte triple (``doc/intro.md``), here as a
+working incremental source.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+__all__ = ["SnapshotDataSource"]
+
+
+def _manifest(root: str, version: int) -> dict:
+    with open(os.path.join(root, "_manifests", f"v{version:05d}.json")) as fh:
+        return json.load(fh)
+
+
+def _versions(root: str) -> list[int]:
+    mdir = os.path.join(root, "_manifests")
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _read_parquet_rows(path: str, schema: StructType) -> Iterator[tuple]:
+    import pyarrow.parquet as pq
+
+    names = schema.fieldNames()
+    table = pq.read_table(path, columns=names)
+    for batch in table.to_batches():
+        cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+        yield from zip(*cols) if cols else iter(())
+
+
+class _SnapshotBatchReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict[str, str]):
+        self.schema = schema
+        self.root = options["root"]
+        v = options.get("version")
+        vs = _versions(self.root)
+        if not vs:
+            raise ValueError(f"snapshot store {self.root} has no versions")
+        self.version = int(v) if v is not None else vs[-1]
+        if self.version not in vs:
+            raise ValueError(
+                f"version {self.version} not in store {self.root}; have {vs}"
+            )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _FilePartition(p) for p in _manifest(self.root, self.version)["files"]
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        return _read_parquet_rows(partition.path, self.schema)
+
+
+class _SnapshotStreamReader(DataSourceStreamReader):
+    """Version-tail stream: offset = committed manifest version; each
+    micro-batch carries the versions in (start, end] as one partition
+    per NEW file (delta vs the previous version's file set)."""
+
+    def __init__(self, schema: StructType, options: dict[str, str]):
+        self.schema = schema
+        self.root = options["root"]
+
+    def initialOffset(self) -> dict:
+        start = 0  # before the first version; first batch reads from v1
+        return {"version": start}
+
+    def latestOffset(self) -> dict:
+        vs = _versions(self.root)
+        return {"version": vs[-1] if vs else 0}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        out: list[_FilePartition] = []
+        vs = set(_versions(self.root))
+        for v in range(start["version"] + 1, end["version"] + 1):
+            if v not in vs:
+                continue  # expired mid-stream; its rows are gone by policy
+            files = set(_manifest(self.root, v)["files"])
+            prev = (
+                set(_manifest(self.root, v - 1)["files"]) if (v - 1) in vs else set()
+            )
+            out.extend(_FilePartition(p) for p in sorted(files - prev))
+        return out
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        return _read_parquet_rows(partition.path, self.schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the query checkpoint
+
+
+class SnapshotDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "etlp-snapshots"
+
+    def schema(self) -> str:
+        """Self-describing: the latest manifest records the exact
+        schema the version was written with."""
+        root = self.options["root"]
+        vs = _versions(root)
+        if not vs:
+            raise ValueError(f"snapshot store {root} has no versions")
+        return StructType.fromJson(json.loads(_manifest(root, vs[-1])["schema"]))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _SnapshotBatchReader(schema, dict(self.options))
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _SnapshotStreamReader(schema, dict(self.options))

@@ -330,3 +330,61 @@ def test_replay_older_than_retention_window_still_skipped(spark, store):
     assert store.write_batch(_df(spark, [4]), batch_id=3) is not None
     assert store.batch_watermark() == 3
     assert sorted(r.id for r in store.read(spark).collect()) == [1, 2, 3, 4]
+
+
+def test_snapshot_datasource_batch_and_time_travel(spark, store):
+    """spark.read.format('etlp-snapshots'): schema self-described
+    from the manifest; default = latest; .option('version') = time
+    travel; rows match the programmatic read path."""
+    from etlp_spark.connectors.snapshot_datasource import SnapshotDataSource
+
+    store.write(_df(spark, [1, 2, 3]))
+    store.write(_df(spark, [4, 5]))
+    spark.dataSource.register(SnapshotDataSource)
+    latest = (
+        spark.read.format("etlp-snapshots").option("root", store.root).load()
+    )
+    assert sorted(r.id for r in latest.collect()) == [4, 5]
+    assert latest.schema == store.read(spark).schema
+    v1 = (
+        spark.read.format("etlp-snapshots")
+        .option("root", store.root)
+        .option("version", 1)
+        .load()
+    )
+    assert sorted(r.id for r in v1.collect()) == [1, 2, 3]
+
+
+def test_snapshot_datasource_streaming_tail(spark, store, tmp_path):
+    """readStream.format('etlp-snapshots'): every committed version
+    becomes a micro-batch of its NEW files only (append chains do not
+    re-deliver parent data) — the store as a CDC-style source."""
+    from etlp_spark.connectors.snapshot_datasource import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
+    store.write(_df(spark, [1, 2]))
+    stream = (
+        spark.readStream.format("etlp-snapshots")
+        .option("root", store.root)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("snap_tail")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tail"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(
+            r.id for r in spark.sql("select * from snap_tail").collect()
+        ) == [1, 2]
+        # append v2: the tail must deliver ONLY the delta rows
+        store.write(_df(spark, [3]), mode="append")
+        q.processAllAvailable()
+        got = [r.id for r in spark.sql("select * from snap_tail").collect()]
+        assert sorted(got) == [1, 2, 3]
+        assert got.count(1) == 1 and got.count(2) == 1  # no re-delivery
+    finally:
+        q.stop()
