@@ -31,7 +31,6 @@ working incremental source.
 from __future__ import annotations
 
 import json
-import os
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -45,20 +44,21 @@ from pyspark.sql.types import StructType
 __all__ = ["SnapshotDataSource"]
 
 
+def _store(root: str):
+    """Single source of truth for the on-disk layout: reuse
+    SnapshotStore's manifest plumbing rather than re-implementing the
+    filename pattern here (a layout change then updates one place)."""
+    from etlp_spark.connectors.snapshots import SnapshotStore
+
+    return SnapshotStore(root)
+
+
 def _manifest(root: str, version: int) -> dict:
-    with open(os.path.join(root, "_manifests", f"v{version:05d}.json")) as fh:
-        return json.load(fh)
+    return _store(root).manifest(version)
 
 
 def _versions(root: str) -> list[int]:
-    mdir = os.path.join(root, "_manifests")
-    if not os.path.isdir(mdir):
-        return []
-    return sorted(
-        int(f[1:-5])
-        for f in os.listdir(mdir)
-        if f.startswith("v") and f.endswith(".json")
-    )
+    return _store(root).versions()
 
 
 class _FilePartition(InputPartition):
@@ -117,16 +117,28 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         return {"version": vs[-1] if vs else 0}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        """Delta reconstruction that survives ``expire`` of
+        intermediate versions: "already delivered" is seeded from the
+        NEWEST SURVIVING manifest at-or-below the start offset (append
+        chains make that a superset of every older version's files),
+        then accumulates across the versions of this batch range —
+        so an expired v-1 never resets the delta to the full file
+        set. Exactly-once holds as long as retention keeps at least
+        one version at-or-below the consumer's committed offset
+        (``expire(keep_last >= consumer lag + 1)``) — the same
+        contract every CDC log compaction has."""
         out: list[_FilePartition] = []
-        vs = set(_versions(self.root))
-        for v in range(start["version"] + 1, end["version"] + 1):
-            if v not in vs:
-                continue  # expired mid-stream; its rows are gone by policy
+        vs = sorted(_versions(self.root))
+        delivered: set[str] = set()
+        base = [w for w in vs if w <= start["version"]]
+        if base:
+            delivered = set(_manifest(self.root, max(base))["files"])
+        for v in vs:
+            if not (start["version"] < v <= end["version"]):
+                continue
             files = set(_manifest(self.root, v)["files"])
-            prev = (
-                set(_manifest(self.root, v - 1)["files"]) if (v - 1) in vs else set()
-            )
-            out.extend(_FilePartition(p) for p in sorted(files - prev))
+            out.extend(_FilePartition(p) for p in sorted(files - delivered))
+            delivered |= files
         return out
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
@@ -142,13 +154,19 @@ class SnapshotDataSource(DataSource):
         return "etlp-snapshots"
 
     def schema(self) -> str:
-        """Self-describing: the latest manifest records the exact
-        schema the version was written with."""
+        """Self-describing from the manifest of the version actually
+        being read — the 'version' option selects it (snapshot-mode
+        writes may change schema between versions; using the latest
+        manifest for a time-travel read would mis-shape the rows)."""
         root = self.options["root"]
         vs = _versions(root)
         if not vs:
             raise ValueError(f"snapshot store {root} has no versions")
-        return StructType.fromJson(json.loads(_manifest(root, vs[-1])["schema"]))
+        v = self.options.get("version")
+        version = int(v) if v is not None else vs[-1]
+        if version not in vs:
+            raise ValueError(f"version {version} not in store {root}; have {vs}")
+        return StructType.fromJson(json.loads(_manifest(root, version)["schema"]))
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _SnapshotBatchReader(schema, dict(self.options))

@@ -271,20 +271,23 @@ class SnapshotStore:
         OPERATIONAL HAZARD the monotonicity assumption implies: a
         stream restarted with a FRESH checkpoint resets batch ids to
         0, and this sink will treat those ids as replays of
-        already-committed batches. A checkpoint reset therefore needs
-        a fresh store (or new root) too — the skip is logged at
-        WARNING per batch so the condition is visible, never silent."""
+        already-committed batches — a checkpoint reset therefore
+        needs a fresh store root too. The telltale is batch_id 0
+        arriving below a positive watermark (a legitimate replay of
+        an expired batch is always a RECENT id near the watermark,
+        never 0), so exactly that case logs a WARNING; ordinary
+        replays skip silently, by design."""
         wm = self.batch_watermark()
         if wm is not None:
             if batch_id <= wm:
-                if batch_id not in self.committed_batch_ids():
+                if batch_id == 0 and wm > 0:
                     _log.warning(
-                        "snapshot store %s: skipping batch_id=%d <= "
-                        "watermark=%d with no live manifest for it — if "
-                        "this stream's checkpoint was reset (ids restart "
-                        "at 0), point it at a fresh store root or every "
-                        "batch up to the old watermark will be dropped",
-                        self.root, batch_id, wm,
+                        "snapshot store %s: batch_id=0 arrived below "
+                        "watermark=%d — this looks like a stream restarted "
+                        "with a RESET checkpoint; point it at a fresh store "
+                        "root or every batch up to the old watermark will "
+                        "be silently dropped",
+                        self.root, wm,
                     )
                 return None
         elif batch_id in self.committed_batch_ids():

@@ -93,9 +93,16 @@ def ensure_protobuf() -> bool:
                 os.environ[k] = old
         if not saved_path and d in sys.path:
             sys.path.remove(d)
-        # purge EVERY partially-imported module from the failed bundle,
-        # not just the top two (a stale google.protobuf.runtime_version
-        # would shadow a later real install)
-        for mod in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
-            sys.modules.pop(mod, None)
+        # purge partially-imported modules FROM THE FAILED BUNDLE only
+        # (a stale google.protobuf.runtime_version would shadow a later
+        # real install) — but leave healthy, unrelated google.*
+        # namespace packages (google.auth, google.cloud.*) alone:
+        # evicting a live module re-executes it on next import and
+        # breaks isinstance/singleton identity for code already
+        # holding the old objects
+        for name in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+            mod = sys.modules.get(name)
+            mod_file = getattr(mod, "__file__", None) or ""
+            if name == "google" or mod_file.startswith(d + os.sep):
+                sys.modules.pop(name, None)
     return False

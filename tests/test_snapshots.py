@@ -388,3 +388,40 @@ def test_snapshot_datasource_streaming_tail(spark, store, tmp_path):
         assert got.count(1) == 1 and got.count(2) == 1  # no re-delivery
     finally:
         q.stop()
+
+
+def test_snapshot_datasource_stream_survives_expire(spark, store, tmp_path):
+    """The streaming tail's delta must not re-deliver parent rows when
+    expire() removes the previously-consumed version between batches:
+    'already delivered' seeds from the newest SURVIVING manifest at or
+    below the committed offset."""
+    from etlp_spark.connectors.snapshot_datasource import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
+    store.write(_df(spark, [1, 2]))  # v1
+    stream = (
+        spark.readStream.format("etlp-snapshots")
+        .option("root", store.root)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("snap_exp")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_exp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(r.id for r in spark.sql("select * from snap_exp").collect()) == [1, 2]
+        # v2 appends, then v1's manifest expires (its FILES survive,
+        # referenced by v2) — the old delta logic would re-deliver 1,2
+        store.write(_df(spark, [3]), mode="append")  # v2
+        store.write(_df(spark, [4]), mode="append")  # v3
+        store.expire(keep_last=2)  # drops v1's manifest
+        q.processAllAvailable()
+        got = [r.id for r in spark.sql("select * from snap_exp").collect()]
+        assert sorted(got) == [1, 2, 3, 4]
+        assert got.count(1) == 1 and got.count(2) == 1  # no re-delivery
+    finally:
+        q.stop()
