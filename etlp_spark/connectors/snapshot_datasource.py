@@ -19,13 +19,16 @@ API can't express:
   exactly-once under checkpointing, resistant to ``expire`` (offsets
   only move forward).
 
-Executor-side reads go through pyarrow (row tuples over Arrow) — a
-Python-speed path. For heavy BATCH analytics prefer
-``SnapshotStore.read`` (native scan); the DataSource's batch mode is
-for uniformity and small-to-medium reads, and its STREAMING mode has
-no native equivalent at all. Reference: the reference's never-built
-"State" leg of the Airbyte triple (``doc/intro.md``), here as a
-working incremental source.
+Executor-side reads yield ``pyarrow.RecordBatch`` directly (Spark 4's
+Python DataSource accepts Arrow batches from ``read``), so rows never
+materialize as Python tuples — the scan stays Arrow end-to-end:
+parquet → Arrow batch → Spark columnar, with per-batch (not per-row)
+Python overhead. For heavy BATCH analytics ``SnapshotStore.read``
+(native JVM scan with full pushdown) remains the performance ceiling;
+the DataSource's batch mode buys uniform reader syntax, and its
+STREAMING mode has no native equivalent at all. Reference: the
+reference's never-built "State" leg of the Airbyte triple
+(``doc/intro.md``), here as a working incremental source.
 """
 
 from __future__ import annotations
@@ -66,14 +69,26 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
-def _read_parquet_rows(path: str, schema: StructType) -> Iterator[tuple]:
+def _read_parquet_batches(path: str, schema: StructType) -> Iterator:
+    """Stream a parquet file as ``pyarrow.RecordBatch`` objects cast to
+    exactly the Arrow schema Spark expects for ``schema`` (timestamp
+    unit/zone, large-vs-small strings). Streaming via
+    ``ParquetFile.iter_batches`` bounds memory to one row-group batch
+    regardless of file size; the cast is zero-copy when the on-disk
+    types already match (the common case — the files were written by
+    Spark from this very schema)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-    names = schema.fieldNames()
-    table = pq.read_table(path, columns=names)
-    for batch in table.to_batches():
-        cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
-        yield from zip(*cols) if cols else iter(())
+    target = to_arrow_schema(schema)
+    pf = pq.ParquetFile(path)
+    try:
+        for batch in pf.iter_batches(columns=list(target.names)):
+            tbl = pa.Table.from_batches([batch]).select(target.names)
+            yield from tbl.cast(target).to_batches()
+    finally:
+        pf.close()
 
 
 class _SnapshotBatchReader(DataSourceReader):
@@ -96,7 +111,7 @@ class _SnapshotBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        return _read_parquet_rows(partition.path, self.schema)
+        return _read_parquet_batches(partition.path, self.schema)
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
@@ -133,6 +148,22 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         base = [w for w in vs if w <= start["version"]]
         if base:
             delivered = set(_manifest(self.root, max(base))["files"])
+        elif start["version"] > 0:
+            # Retention broke the contract: every manifest at-or-below
+            # the committed offset is gone, so the delta baseline is
+            # unreconstructable. Failing loudly beats silently
+            # re-delivering every surviving file as "new" (a silent
+            # exactly-once break a downstream would only notice as
+            # duplicate rows much later).
+            raise RuntimeError(
+                f"snapshot store {self.root}: retention dropped every "
+                f"manifest at-or-below committed offset "
+                f"{start['version']} (surviving versions: {vs}); the "
+                "delta baseline cannot be reconstructed and rows would "
+                "be re-delivered. Re-run expire with keep_last >= "
+                "consumer lag + 1, or restart the stream with a fresh "
+                "checkpoint if duplicates are acceptable."
+            )
         for v in vs:
             if not (start["version"] < v <= end["version"]):
                 continue
@@ -142,7 +173,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        return _read_parquet_rows(partition.path, self.schema)
+        return _read_parquet_batches(partition.path, self.schema)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the query checkpoint

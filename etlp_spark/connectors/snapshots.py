@@ -49,6 +49,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import shutil
 import threading
 import time
 import uuid
@@ -350,10 +351,20 @@ class SnapshotStore:
             for d in sorted(os.listdir(ddir)):
                 full = os.path.join(ddir, d)
                 files = set(_list_files(full))
-                if files and files.isdisjoint(keep_files):
-                    for f in os.listdir(full):
-                        os.remove(os.path.join(full, f))
-                    os.rmdir(full)
+                if files:
+                    sweep = files.isdisjoint(keep_files)
+                else:
+                    # No parquet at all: a crashed write that only got
+                    # as far as _SUCCESS/metadata (or an empty staging
+                    # dir). Writer-unique dir names make these
+                    # accumulate across retries, so sweep them too —
+                    # UNLESS a `_temporary` subdir marks a write still
+                    # in flight (belt-and-braces; the one-writer
+                    # contract already says expire shouldn't race a
+                    # write).
+                    sweep = not os.path.isdir(os.path.join(full, "_temporary"))
+                if sweep:
+                    shutil.rmtree(full)
         return expired
 
 

@@ -75,6 +75,13 @@ def as_of_join(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
+    if tolerance_seconds is not None and int(tolerance_seconds * 1_000_000) < 1:
+        # a sub-microsecond tolerance floors to 0µs and would silently
+        # null every match instead of erroring
+        raise ValueError(
+            "tolerance must be at least 1 microsecond, got "
+            f"{tolerance_seconds}s"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     need_match_ts = tolerance_seconds is not None or direction == "nearest"
     if need_match_ts and "__match_ts" not in value_cols:
@@ -262,6 +269,13 @@ def binned_range_join(
     # seconds, which silently widens the tolerance by up to a second
     # (and disagrees with any engine computing exact deltas).
     tol_us = int(tolerance_seconds * 1_000_000)
+    if tol_us < 1:
+        # floor(x / 0) yields NULL bins in non-ANSI mode — the join
+        # would silently return zero rows instead of erroring.
+        raise ValueError(
+            "tolerance must be at least 1 microsecond, got "
+            f"{tolerance_seconds}s"
+        )
     lb = left.select(
         *[F.col(c).alias(f"{c}{sl}") for c in left.columns],
         F.floor(F.unix_micros(F.col(left_ts)) / tol_us).alias("__bin"),

@@ -414,14 +414,42 @@ def test_snapshot_datasource_stream_survives_expire(spark, store, tmp_path):
     try:
         q.processAllAvailable()
         assert sorted(r.id for r in spark.sql("select * from snap_exp").collect()) == [1, 2]
-        # v2 appends, then v1's manifest expires (its FILES survive,
-        # referenced by v2) — the old delta logic would re-deliver 1,2
+        # Consume v2 FIRST (processAllAvailable blocks until the offset
+        # is committed, pinning it at 2 deterministically), THEN write
+        # v3 and expire v1 — the old delta logic would re-deliver 1,2.
         store.write(_df(spark, [3]), mode="append")  # v2
+        q.processAllAvailable()  # committed offset is now exactly 2
         store.write(_df(spark, [4]), mode="append")  # v3
-        store.expire(keep_last=2)  # drops v1's manifest
+        store.expire(keep_last=2)  # drops v1's manifest; v2 survives
         q.processAllAvailable()
         got = [r.id for r in spark.sql("select * from snap_exp").collect()]
         assert sorted(got) == [1, 2, 3, 4]
         assert got.count(1) == 1 and got.count(2) == 1  # no re-delivery
     finally:
         q.stop()
+
+
+def test_snapshot_stream_delta_seeding_unit(spark, store):
+    """Pin the seeding semantics directly on _SnapshotStreamReader
+    .partitions (no stream timing involved): with v1 expired, a
+    committed offset of 2 seeds 'delivered' from v2's surviving
+    manifest (delta = v3's new files only), while a committed offset
+    of 1 — below every surviving manifest — must FAIL LOUDLY rather
+    than silently re-deliver everything as new."""
+    import pytest
+
+    from etlp_spark.connectors.snapshot_datasource import _SnapshotStreamReader
+
+    store.write(_df(spark, [1, 2]))  # v1
+    store.write(_df(spark, [3]), mode="append")  # v2
+    store.write(_df(spark, [4]), mode="append")  # v3
+    v2_files = set(store.manifest(2)["files"])
+    v3_files = set(store.manifest(3)["files"])
+    store.expire(keep_last=2)  # drops v1's manifest; files survive via v2/v3
+
+    reader = _SnapshotStreamReader(store.read(spark).schema, {"root": store.root})
+    parts = reader.partitions({"version": 2}, {"version": 3})
+    assert {p.path for p in parts} == v3_files - v2_files  # delta only
+
+    with pytest.raises(RuntimeError, match="retention dropped every manifest"):
+        reader.partitions({"version": 1}, {"version": 3})
