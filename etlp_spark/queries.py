@@ -7988,31 +7988,39 @@ def w17_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (SELECT source, unnest({_O_TOKS}) AS t FROM documents),
     per_src AS (SELECT source, CAST(count(*) AS BIGINT) AS c
                 FROM toks GROUP BY source),
-    stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                     CAST(sum(c) AS BIGINT) AS total
-              FROM per_src),
-    num AS (SELECT CAST(sum(abs(a.c - b.c)) AS BIGINT) AS s
-            FROM per_src a CROSS JOIN per_src b)
-    SELECT st.n AS n_sources, st.total AS n_tokens,
-           CAST(floor(num.s * 1000000.0 / (2.0 * st.n * st.total) + 0.5)
+    ranked AS (SELECT c, CAST(row_number() OVER (ORDER BY c, source)
+                              AS BIGINT) AS i
+               FROM per_src),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS total,
+                   CAST(sum(i * c) AS BIGINT) AS sumic
+            FROM ranked)
+    SELECT n AS n_sources, total AS n_tokens,
+           CAST(floor((2 * (2 * sumic - (n + 1) * total)) * 1000000.0
+                      / (2.0 * n * total) + 0.5)
                 AS BIGINT) AS gini_e6
-    FROM stats st CROSS JOIN num
+    FROM agg
     """,
 )
 def x84_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of token volume across sources — the
     inequality number a data-mixture owner watches: 0 = every source
     contributes equally, →1 = one source dominates the training mix
-    (the direct diagnostic for x34/x43's mixture samplers). Computed
-    by the exact mean-absolute-difference identity over per-source
-    counts: Σᵢⱼ|cᵢ−cⱼ| / (2·n·total) — every term an exact integer,
-    one e6-floored division at the end.
+    (the direct diagnostic for x34/x43's mixture samplers). Uses the
+    CLOSED-FORM rank identity: over counts sorted ascending,
+    Σᵢⱼ|cᵢ−cⱼ| = 2·(2·Σi·cᵢ − (n+1)·Σcᵢ) — one window + one
+    aggregate, ZERO joins (the r5 all-pairs crossJoin was |sources|²;
+    this survives a source-cardinality explosion). The rank sum is
+    tie-invariant (equal counts swap freely without changing Σi·cᵢ's
+    contribution to the identity), and every term stays an exact
+    BIGINT until the single e6-floored division at the end.
 
     Scale shape: the token scan aggregates to |sources| rows
-    map-side; the all-pairs step is |sources|² on a HANDFUL of rows
-    (sources are a bounded political set, not data-scaled) — the
-    quadratic lives on the tiny aggregate, never the corpus.
-    Reference: engine-added (SURVEY.md §2.2 text-analysis family)."""
+    map-side; the unpartitioned row_number window runs on that tiny
+    aggregate (one task over |sources| rows — the standard
+    global-rank-on-an-aggregate shape), never the corpus. Plan-pinned
+    joinless in tests/test_plan_shapes.py. Reference: engine-added
+    (SURVEY.md §2.2 text-analysis family)."""
     docs = _t_fanout(spark, sf_dir, "documents")
     from etlp_spark.functions.text import tokens
 
@@ -8020,27 +8028,24 @@ def x84_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.explode(tokens("text")).alias("t"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
     )
-    stats = per_src.agg(
+    w = Window.orderBy("c", "source")
+    ranked = per_src.select(
+        "c", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("c").cast("long").alias("total"),
-    )
-    a = per_src.select(F.col("c").alias("ca"))
-    b = per_src.select(F.col("c").alias("cb"))
-    num = a.crossJoin(b).agg(
-        F.sum(F.abs(F.col("ca") - F.col("cb"))).cast("long").alias("s")
-    )
-    return (
-        stats.crossJoin(num)
-        .select(
-            F.col("n").alias("n_sources"),
-            F.col("total").alias("n_tokens"),
-            F.floor(
-                F.col("s") * 1000000.0 / (2.0 * F.col("n") * F.col("total"))
-                + F.lit(0.5)
-            ).cast("long").alias("gini_e6"),
-        )
+        F.sum(F.col("i") * F.col("c")).cast("long").alias("sumic"),
+    ).select(
+        F.col("n").alias("n_sources"),
+        F.col("total").alias("n_tokens"),
+        F.floor(
+            (2 * (2 * F.col("sumic") - (F.col("n") + 1) * F.col("total")))
+            * 1000000.0
+            / (2.0 * F.col("n") * F.col("total"))
+            + F.lit(0.5)
+        ).cast("long").alias("gini_e6"),
     )
 
 

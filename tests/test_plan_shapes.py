@@ -166,6 +166,15 @@ def test_semdedup_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan[:2000]
 
 
+def test_token_gini_joinless(spark):
+    """x84: Gini comes from the closed-form rank identity — one window
+    over the |sources|-row aggregate, zero joins. The r5 form held an
+    all-pairs crossJoin on the aggregate (|sources|²); this pin keeps
+    the operator safe for unbounded source cardinality."""
+    plan = _executed_plan(QUERIES["x84_token_gini"].fn(spark, SF))
+    assert "Join" not in plan, f"x84 regrew a join:\n{plan[:2000]}"
+
+
 def test_ngram_novelty_no_join(spark):
     """x78: first-occurrence flagging is a WINDOW over the shingle
     partition — no join at all. The aggregate-then-join-back form let
