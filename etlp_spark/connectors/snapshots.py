@@ -37,11 +37,14 @@ Concurrency contract: ONE writer at a time (the Structured-Streaming
 ``foreachBatch`` driver loop, or one batch job). Readers are always
 safe concurrently with the writer (they only ever see committed
 manifests). The contract is ENFORCED, not just documented: the
-manifest publish is write-temp + ``os.link`` (atomic AND exclusive),
-so two writers racing the same max+1 version number get one winner
-and one ``ConcurrentWriteError`` — never a silent clobber. An object-
-store port swaps the link for a conditional PUT / CAS on the manifest
-name — the same primitive S3/GCS offer natively.
+manifest publish goes through a pluggable ``CommitProtocol`` whose
+contract is atomic + exclusive creation, so two writers racing the
+same max+1 version number get one winner and one
+``ConcurrentWriteError`` — never a silent clobber. The default
+``LinkCommitProtocol`` uses write-temp + ``os.link``;
+``ConditionalPutCommitProtocol`` is the object-store port (S3
+``If-None-Match: *`` / GCS ``if_generation_match=0`` conditional PUT
+— the same primitive, offered natively).
 """
 
 from __future__ import annotations
@@ -70,12 +73,92 @@ __all__ = [
     "SnapshotSource",
     "SnapshotSink",
     "ConcurrentWriteError",
+    "CommitProtocol",
+    "LinkCommitProtocol",
+    "ConditionalPutCommitProtocol",
 ]
 
 
 class ConcurrentWriteError(RuntimeError):
     """Two writers raced the same version number; the loser gets this
     instead of silently clobbering the winner's commit."""
+
+
+class CommitProtocol:
+    """The ONE primitive the store's exactly-once claim rests on:
+    publish a small metadata payload at a destination name
+    **atomically and exclusively** — readers see all-or-nothing, and
+    of two racing writers exactly one succeeds while the other gets
+    ``ConcurrentWriteError``. Everything else in the store (data
+    staging, manifest reads, retention) is plain idempotent IO; only
+    this publish needs a platform primitive, so only this is a seam.
+
+    Implementations: ``LinkCommitProtocol`` (POSIX ``link(2)``) and
+    ``ConditionalPutCommitProtocol`` (object-store conditional
+    create: S3 ``PutObject`` with ``If-None-Match: *``, GCS
+    ``x-goog-if-generation-match: 0``, Azure ``If-None-Match: *``).
+    """
+
+    def publish(self, payload: bytes, dest: str) -> None:
+        """Atomically create ``dest`` with ``payload``; raise
+        ``ConcurrentWriteError`` if ``dest`` already exists."""
+        raise NotImplementedError
+
+
+class LinkCommitProtocol(CommitProtocol):
+    """POSIX publish: write-temp + fsync, then ``os.link`` to the
+    final name. link(2) is atomic like rename but fails with
+    FileExistsError if the destination exists — so two racing writers
+    get one winner and one loud loser instead of a silent clobber
+    (rename would overwrite). Readers still see all-or-nothing."""
+
+    def publish(self, payload: bytes, dest: str) -> None:
+        tmp = dest + f".tmp.{os.getpid()}.{threading.get_ident()}"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, dest)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"{dest} was committed by another writer; re-read "
+                "latest_version() and retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
+
+
+class ConditionalPutCommitProtocol(CommitProtocol):
+    """Object-store publish: ONE conditional PUT — no temp object, no
+    rename (object stores have no atomic rename; single-object PUTs
+    are already atomic, so exclusivity is the only thing the
+    condition has to add).
+
+    ``put_if_absent(key, payload) -> bool`` is the injected client
+    call; it must return False (or raise a precondition-failed error
+    mapped to False by the caller) when the key already exists:
+
+    - **S3**: ``PutObject`` with ``IfNoneMatch="*"`` → HTTP 412
+      means lost race (native since 2024; every S3 SDK exposes it);
+    - **GCS**: upload with ``if_generation_match=0`` → HTTP 412;
+    - **Azure Blob**: ``upload_blob(..., overwrite=False)`` →
+      ``ResourceExistsError``.
+
+    The mapped-to-bool shape keeps this module free of any SDK
+    dependency while making the store's exactly-once guarantee
+    portable: swap the protocol, keep every other code path.
+    """
+
+    def __init__(self, put_if_absent):
+        self.put_if_absent = put_if_absent
+
+    def publish(self, payload: bytes, dest: str) -> None:
+        if not self.put_if_absent(dest, payload):
+            raise ConcurrentWriteError(
+                f"{dest} was committed by another writer; re-read "
+                "latest_version() and retry"
+            )
 
 
 _MANIFEST_DIR = "_manifests"
@@ -94,8 +177,9 @@ def _list_files(data_dir: str) -> list[str]:
 class SnapshotStore:
     """Versioned parquet snapshots with JSON manifests."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, commit_protocol: CommitProtocol | None = None):
         self.root = root
+        self.commit_protocol = commit_protocol or LinkCommitProtocol()
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
 
     # ----- manifest plumbing -------------------------------------------------
@@ -120,28 +204,14 @@ class SnapshotStore:
             return json.load(fh)
 
     def _commit(self, manifest: dict[str, Any]) -> None:
-        """Atomic, EXCLUSIVE manifest publish: write-temp then
-        ``os.link`` to the final name. link(2) is atomic like rename
-        but fails with FileExistsError if the destination exists — so
-        two racing writers that both computed ``latest+1`` get one
-        winner and one loud ``ConcurrentWriteError`` instead of a
-        silent clobber (rename would overwrite). Readers still see
-        all-or-nothing."""
-        path = self._manifest_path(manifest["version"])
-        tmp = path + f".tmp.{os.getpid()}.{threading.get_ident()}"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, indent=1, sort_keys=True)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, path)
-        except FileExistsError:
-            raise ConcurrentWriteError(
-                f"version {manifest['version']} was committed by another "
-                "writer; re-read latest_version() and retry"
-            ) from None
-        finally:
-            os.unlink(tmp)
+        """Atomic, EXCLUSIVE manifest publish through the pluggable
+        ``CommitProtocol`` (default: POSIX link(2); object stores:
+        conditional PUT) — two racing writers that both computed
+        ``latest+1`` get one winner and one loud
+        ``ConcurrentWriteError`` instead of a silent clobber. Readers
+        still see all-or-nothing."""
+        payload = json.dumps(manifest, indent=1, sort_keys=True).encode()
+        self.commit_protocol.publish(payload, self._manifest_path(manifest["version"]))
 
     # ----- write -------------------------------------------------------------
 

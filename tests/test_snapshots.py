@@ -268,6 +268,90 @@ def test_concurrent_commit_race_is_loud(spark, store):
                for f in os.listdir(mdir))
 
 
+def test_conditional_put_protocol_race():
+    """ConditionalPutCommitProtocol against a mock object store (a
+    dict guarded by a lock — the atomicity a real conditional PUT
+    provides server-side): N threads racing the same key produce
+    exactly ONE stored payload and N-1 ConcurrentWriteErrors, and the
+    stored bytes are the winner's (no torn/merged payload)."""
+    import threading as _th
+
+    from etlp_spark.connectors.snapshots import (
+        ConcurrentWriteError,
+        ConditionalPutCommitProtocol,
+    )
+
+    objects: dict[str, bytes] = {}
+    lock = _th.Lock()
+
+    def put_if_absent(key: str, payload: bytes) -> bool:
+        with lock:  # server-side atomicity of the conditional PUT
+            if key in objects:
+                return False
+            objects[key] = payload
+            return True
+
+    proto = ConditionalPutCommitProtocol(put_if_absent)
+    n = 8
+    errors, barrier = [], _th.Barrier(n)
+
+    def go(i: int):
+        barrier.wait()
+        try:
+            proto.publish(f"writer-{i}".encode(), "manifests/v00002.json")
+        except ConcurrentWriteError as e:
+            errors.append(e)
+
+    ts = [_th.Thread(target=go, args=(i,)) for i in range(n)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(errors) == n - 1
+    assert set(objects) == {"manifests/v00002.json"}
+    assert objects["manifests/v00002.json"].decode().startswith("writer-")
+
+
+def test_store_with_conditional_put_protocol(spark, tmp_path):
+    """End-to-end: a SnapshotStore whose manifest commits go through
+    ConditionalPutCommitProtocol (backed by O_CREAT|O_EXCL — the
+    local-FS stand-in for a conditional PUT, same create-if-absent
+    semantics). Writes, appends, reads and the two-writer race all
+    behave exactly as with the default link protocol."""
+    import os as _os
+
+    from etlp_spark.connectors.snapshots import (
+        ConcurrentWriteError,
+        ConditionalPutCommitProtocol,
+        SnapshotStore,
+    )
+
+    def put_if_absent(key: str, payload: bytes) -> bool:
+        try:
+            fd = _os.open(key, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with _os.fdopen(fd, "wb") as fh:
+            fh.write(payload)
+        return True
+
+    store = SnapshotStore(
+        str(tmp_path / "cps"),
+        commit_protocol=ConditionalPutCommitProtocol(put_if_absent),
+    )
+    store.write(_df(spark, [1, 2]))
+    store.write(_df(spark, [3]), mode="append")
+    assert sorted(r.id for r in store.read(spark).collect()) == [1, 2, 3]
+    assert sorted(r.id for r in store.read(spark, 1).collect()) == [1, 2]
+    # racing manifest commit: loser is loud, winner survives untouched
+    winner = {"version": 3, "parent": 2, "mode": "snapshot",
+              "committed_at": 0.0, "files": [], "n_rows": 0, "schema": "{}"}
+    store._commit(winner)
+    with pytest.raises(ConcurrentWriteError):
+        store._commit(dict(winner, n_rows=99))
+    assert store.manifest(3)["n_rows"] == 0
+
+
 def test_concurrent_full_writes_one_loser(spark, store):
     """Thread-level race on SnapshotStore.write: one commit lands, the
     other raises (either at the errorifexists data write or at the
