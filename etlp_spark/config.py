@@ -46,15 +46,25 @@ dependency.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Any, Callable
 
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
 
 from etlp_spark import expectations as X
 from etlp_spark import ops
-from etlp_spark.pipeline import Pipeline
+from etlp_spark.pipeline import Pipeline, split_by_expectations
 
-__all__ = ["pipeline_from_config", "SOURCE_TYPES", "SINK_TYPES", "TRANSFORM_OPS"]
+__all__ = [
+    "pipeline_from_config",
+    "streaming_pipeline_from_config",
+    "ConfiguredStream",
+    "SOURCE_TYPES",
+    "SINK_TYPES",
+    "TRANSFORM_OPS",
+    "STREAM_SOURCE_TYPES",
+]
 
 
 def _file_source(cfg: dict[str, Any]):
@@ -228,4 +238,193 @@ def pipeline_from_config(cfg: dict[str, Any]) -> Pipeline:
         name=cfg.get("name", "etlp-stream"),
         expectations=checks,
         error_sink=error_sink,
+    )
+
+
+# =====================================================================
+# Streaming config surface — the same declarative shape over
+# readStream/writeStream, so the config file reaches everything the
+# programmatic StreamingPipeline API does: stream sources (file drop,
+# rate, snapshot CDC tail), watermark, trigger, checkpoint, and the
+# expectations quarantine applied PER MICRO-BATCH with exactly-once
+# snapshot sinks.
+#
+# Shape::
+#
+#     {
+#       "name": "events-live",
+#       "source": {"type": "file_stream", "path": "/in",
+#                  "schema": "id long, v double, ts timestamp",
+#                  "format": "json", "max_files_per_trigger": 2},
+#                 # or {"type": "rate", "rows_per_second": 10}
+#                 # or {"type": "snapshot_stream", "path": "/store"}
+#       "transforms": [...same ops as batch...],
+#       "expectations": [...same checks as batch...],
+#       "streaming": {
+#         "watermark":   {"col": "ts", "delay": "10 minutes"},
+#         "output_mode": "append",
+#         "checkpoint":  "/ckpt",
+#         "trigger":     {"availableNow": True},
+#       },
+#       "sink":       {"type": "snapshot", "path": "/out", "mode": "append"},
+#       "error_sink": {"type": "parquet", "path": "/errors"},
+#     }
+# =====================================================================
+
+
+def _file_stream_source(cfg: dict[str, Any]):
+    from etlp_spark.streaming import file_stream
+
+    return lambda spark: file_stream(
+        spark,
+        cfg["path"],
+        cfg["schema"],
+        fmt=cfg.get("format", "json"),
+        max_files_per_trigger=cfg.get("max_files_per_trigger"),
+    )
+
+
+def _rate_source(cfg: dict[str, Any]):
+    from etlp_spark.streaming import rate_stream
+
+    return lambda spark: rate_stream(spark, cfg.get("rows_per_second", 10))
+
+
+def _snapshot_stream_source(cfg: dict[str, Any]):
+    def make(spark: SparkSession) -> DataFrame:
+        from etlp_spark.connectors.snapshot_datasource import SnapshotDataSource
+
+        spark.dataSource.register(SnapshotDataSource)
+        return (
+            spark.readStream.format("etlp-snapshots")
+            .option("root", cfg["path"])
+            .load()
+        )
+
+    return make
+
+
+STREAM_SOURCE_TYPES: dict[str, Callable[[dict[str, Any]], Any]] = {
+    "file_stream": _file_stream_source,
+    "rate": _rate_source,
+    "snapshot_stream": _snapshot_stream_source,
+}
+
+
+@dataclass
+class ConfiguredStream:
+    """A config-built streaming pipeline, ready to ``start``.
+
+    With expectations (or a snapshot sink) the query runs through
+    ``foreachBatch``: each micro-batch is quarantined by the data
+    contract (clean rows → sink, violations wrapped in the ETLP error
+    envelope → error sink), and a snapshot sink commits via
+    ``write_batch`` — batch-id idempotent, so the whole
+    source→quarantine→sink path is exactly-once under checkpointing.
+    Without expectations and with a native sink the plan goes straight
+    to ``writeStream.format(...)`` (no Python in the hot path)."""
+
+    pipeline: Any  # StreamingPipeline
+    sink_cfg: dict[str, Any] | None
+    error_sink_cfg: dict[str, Any] | None
+    checks: list
+    name: str
+
+    def _batch_writer(self, cfg: dict[str, Any] | None):
+        """Resolve a sink config to a per-batch write callable.
+        foreachBatch functions run on the DRIVER, so the snapshot
+        closure reading ``self._current_batch_id`` (set by ``process``
+        before any write) is plain shared state, not pickled."""
+        if cfg is None:
+            return lambda df: None
+        kind = _discriminator(cfg, "type", "sink")
+        if kind == "snapshot":
+            from etlp_spark.connectors.snapshots import SnapshotStore
+
+            store = SnapshotStore(cfg["path"])
+            mode = cfg.get("mode", "append")
+            return lambda df, _s=store, _m=mode: _s.write_batch(
+                df, self._current_batch_id, mode=_m
+            )
+        if kind == "parquet":
+            # per-batch parquet writes MUST append — an overwrite sink
+            # would keep only the last micro-batch
+            sink = _parquet_sink({**cfg, "mode": cfg.get("mode", "append")})
+            return sink.write
+        sink = _lookup(SINK_TYPES, "sink type", kind)(cfg)
+        return sink.write
+
+    def start(self, spark: SparkSession) -> StreamingQuery:
+        needs_foreach = bool(self.checks) or any(
+            c is not None and c.get("type") == "snapshot"
+            for c in (self.sink_cfg, self.error_sink_cfg)
+        )
+        if not needs_foreach:
+            kind = _discriminator(self.sink_cfg or {"type": "console"}, "type", "sink")
+            if kind in ("memory", "console", "parquet"):
+                target = (self.sink_cfg or {}).get("path") or (self.sink_cfg or {}).get("name")
+                return self.pipeline.start(spark, (kind, target), query_name=self.name)
+            # non-native sink without expectations still goes through
+            # foreachBatch (e.g. jdbc)
+        write_clean = self._batch_writer(self.sink_cfg)
+        write_err = self._batch_writer(self.error_sink_cfg)
+        checks = list(self.checks)
+
+        def process(df: DataFrame, batch_id: int) -> None:
+            self._current_batch_id = batch_id
+            if checks:
+                clean, violations = split_by_expectations(df, checks)
+                write_clean(clean)
+                if self.error_sink_cfg is not None:
+                    write_err(violations)
+            else:
+                write_clean(df)
+
+        return self.pipeline.start(spark, process, query_name=self.name)
+
+
+def streaming_pipeline_from_config(cfg: dict[str, Any]) -> ConfiguredStream:
+    """Build a streaming pipeline from a declarative dict (shape
+    above). ``source`` is required and must name a
+    ``STREAM_SOURCE_TYPES`` entry; ``streaming:`` carries watermark /
+    output_mode / checkpoint / trigger; ``transforms`` and
+    ``expectations`` reuse the batch registries unchanged — one config
+    vocabulary for both execution modes."""
+    from etlp_spark.streaming import StreamingPipeline, with_event_time
+
+    if "source" not in cfg:
+        raise ValueError(f"pipeline config is missing 'source': {cfg!r}")
+    src_cfg = cfg["source"]
+    source = _lookup(
+        STREAM_SOURCE_TYPES, "stream source type",
+        _discriminator(src_cfg, "type", "source"),
+    )(src_cfg)
+    transforms = [
+        _lookup(TRANSFORM_OPS, "transform op", _discriminator(t, "op", "transform"))(t)
+        for t in cfg.get("transforms", ())
+    ]
+    s_cfg = cfg.get("streaming", {})
+    wm = s_cfg.get("watermark")
+    if wm:
+        transforms.append(
+            lambda df, _c=wm["col"], _d=wm["delay"]: with_event_time(df, _c, _d)
+        )
+    checks = [
+        _lookup(_CHECKS, "expectation check",
+                _discriminator(c, "check", "expectation"))(c)
+        for c in cfg.get("expectations", ())
+    ]
+    pipeline = StreamingPipeline(
+        source=source,
+        transforms=transforms,
+        output_mode=s_cfg.get("output_mode", "append"),
+        checkpoint=s_cfg.get("checkpoint"),
+        trigger=s_cfg.get("trigger"),
+    )
+    return ConfiguredStream(
+        pipeline=pipeline,
+        sink_cfg=cfg.get("sink"),
+        error_sink_cfg=cfg.get("error_sink"),
+        checks=checks,
+        name=cfg.get("name", "etlp-stream"),
     )

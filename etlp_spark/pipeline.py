@@ -37,6 +37,26 @@ from etlp_spark.ops import Transform
 SourceLike = Source | Callable[[SparkSession], DataFrame] | DataFrame
 
 
+def split_by_expectations(df: DataFrame, checks: Sequence) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` by a data contract: ``(clean, violations)``.
+    ``violations`` carries the original columns plus ``failed_checks``
+    and ``envelope`` (the row JSON wrapped as an ETLP error envelope,
+    ready for any error sink). Shared by batch ``Pipeline.quarantine``
+    and the config-built streaming quarantine (one implementation, one
+    cost model — see expectations.validate). Materializes the
+    validated frame once: clean and violations are two consumers."""
+    from etlp_spark.envelope import wrap_error
+    from etlp_spark.expectations import validate
+
+    res = validate(df, list(checks), materialize=True)
+    data_cols = [c for c in res.violations.columns if c != "failed_checks"]
+    violations = res.violations.withColumn(
+        "envelope",
+        wrap_error(F.to_json(F.struct(*[F.col(c) for c in data_cols]))),
+    )
+    return res.clean, violations
+
+
 @dataclass
 class Pipeline:
     """``expectations`` turns the data contract into an ENFORCEMENT
@@ -75,25 +95,9 @@ class Pipeline:
         envelope, ready for any error sink). One extra scan-stage
         pass for row checks; see expectations.validate for the cost
         model. Raises if no expectations are configured."""
-        from etlp_spark.envelope import wrap_error
-        from etlp_spark.expectations import validate
-
         if not self.expectations:
             raise ValueError("pipeline has no expectations configured")
-        # materialize: clean and violations are TWO consumers of one
-        # validated frame — without it the full source→transform→
-        # validate plan runs twice (wrong for non-deterministic
-        # sources, 2× cost for all), and clean+violations could fail
-        # to reconcile with the input.
-        res = validate(
-            self.dataframe(spark), list(self.expectations), materialize=True
-        )
-        data_cols = [c for c in res.violations.columns if c != "failed_checks"]
-        violations = res.violations.withColumn(
-            "envelope",
-            wrap_error(F.to_json(F.struct(*[F.col(c) for c in data_cols]))),
-        )
-        return res.clean, violations
+        return split_by_expectations(self.dataframe(spark), list(self.expectations))
 
     def run(self, spark: SparkSession) -> WriteResult:
         """start-job: execute the sink action and block to completion

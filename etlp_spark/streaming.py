@@ -318,6 +318,10 @@ class StreamingPipeline:
     transforms: Sequence[Transform] = ()
     output_mode: str = "append"
     checkpoint: str | None = None
+    #: writeStream.trigger kwargs, e.g. {"availableNow": True},
+    #: {"processingTime": "5 seconds"}, {"once": True}. None → default
+    #: micro-batch trigger.
+    trigger: dict[str, Any] | None = None
 
     def dataframe(self, spark: SparkSession) -> DataFrame:
         df = self.source if isinstance(self.source, DataFrame) else self.source(spark)
@@ -344,6 +348,8 @@ class StreamingPipeline:
         writer = writer.outputMode(self.output_mode)
         if self.checkpoint:
             writer = writer.option("checkpointLocation", self.checkpoint)
+        if self.trigger:
+            writer = writer.trigger(**self.trigger)
         return writer.start()
 
     @staticmethod

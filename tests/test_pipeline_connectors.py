@@ -318,6 +318,73 @@ def test_pipeline_from_config_end_to_end(spark, jsonl_dir, tmp_path):
     assert result.extra["n_clean"] == 2 and result.extra["n_violations"] == 1
 
 
+def test_streaming_pipeline_from_config_quarantine(spark, tmp_path):
+    """The streaming config block end-to-end: a file-drop stream built
+    from config (watermark + availableNow trigger + checkpoint), the
+    expectations quarantine applied PER MICRO-BATCH, clean rows
+    committed exactly-once to a snapshot sink via write_batch,
+    violations (envelope-wrapped) appended to a parquet error sink."""
+    import json as _json
+
+    from etlp_spark.config import streaming_pipeline_from_config
+    from etlp_spark.connectors.snapshots import SnapshotStore
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rows = [
+        {"id": 1, "v": 5.0, "ts": "2024-01-01T00:00:00"},
+        {"id": 2, "v": -3.0, "ts": "2024-01-01T00:01:00"},  # in_range fails
+        {"id": None, "v": 7.0, "ts": "2024-01-01T00:02:00"},  # not_null fails
+        {"id": 4, "v": 9.0, "ts": "2024-01-01T00:03:00"},
+    ]
+    (indir / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+    cfg = {
+        "name": "cfg-live",
+        "source": {
+            "type": "file_stream",
+            "path": str(indir),
+            "schema": "id long, v double, ts timestamp",
+        },
+        "transforms": [{"op": "map", "cols": {"v2": "v * 2"}}],
+        "expectations": [
+            {"check": "not_null", "cols": ["id"]},
+            {"check": "in_range", "col": "v", "lo": 0, "hi": 100},
+        ],
+        "streaming": {
+            "watermark": {"col": "ts", "delay": "10 minutes"},
+            "checkpoint": str(tmp_path / "ckpt"),
+            "trigger": {"availableNow": True},
+        },
+        "sink": {"type": "snapshot", "path": str(tmp_path / "out"), "mode": "append"},
+        "error_sink": {"type": "parquet", "path": str(tmp_path / "errs")},
+    }
+    q = streaming_pipeline_from_config(cfg).start(spark)
+    q.awaitTermination(120)
+    store = SnapshotStore(str(tmp_path / "out"))
+    clean = store.read(spark)
+    assert sorted((r.id, r.v2) for r in clean.collect()) == [(1, 10.0), (4, 18.0)]
+    errs = spark.read.parquet(str(tmp_path / "errs"))
+    got = {r.id: (r.failed_checks, r.envelope) for r in errs.collect()}
+    assert set(got) == {2, None}
+    assert any("in_range" in c for c in got[2][0])
+    assert _json.loads(got[2][1])["type"] == "error"
+    # a second drop of files streams ONLY the new data (incremental,
+    # checkpointed) and appends a new store version
+    (indir / "b.jsonl").write_text(
+        _json.dumps({"id": 9, "v": 1.0, "ts": "2024-01-01T00:04:00"})
+    )
+    q2 = streaming_pipeline_from_config(cfg).start(spark)
+    q2.awaitTermination(120)
+    assert sorted(r.id for r in store.read(spark).collect()) == [1, 4, 9]
+
+
+def test_streaming_config_unknown_source_loud(spark):
+    from etlp_spark.config import streaming_pipeline_from_config
+
+    with pytest.raises(ValueError, match="unknown stream source type"):
+        streaming_pipeline_from_config({"source": {"type": "kafkaesque"}})
+
+
 def test_pipeline_from_config_unknown_components_loud(spark):
     from etlp_spark.config import pipeline_from_config
 
