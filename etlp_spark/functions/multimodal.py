@@ -13,9 +13,17 @@ Decode support is tiered by what this container can honestly do:
   walks chunks, inflates IDAT, and un-filters scanlines (all five
   filter types: None/Sub/Up/Average/Paeth) for 8-bit gray/RGB/RGBA,
   non-interlaced. ``encode_png`` is the lossless inverse.
-- Formats whose compression has no stdlib codec (JPEG/MP3/video) are
+- **Baseline JPEG decodes for real** (round 6): sequential DCT JPEG
+  is Huffman tables + dequant + IDCT + YCbCr→RGB — all expressible
+  in stdlib ``struct`` + numpy (the 8×8 DCT is one orthonormal
+  matrix sandwich). The decoder below handles gray and color,
+  4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, and restart markers;
+  progressive (SOF2) and arithmetic-coded variants raise ValueError.
+  ``encode_jpeg`` is the lossy inverse (quality-scaled Annex-K
+  tables) used to build test fixtures and real resize output.
+- Formats whose decode is not practical stdlib-side (MP3/video) are
   STUBBED (deterministic fakes clearly marked below); swap the decode
-  fallbacks for PIL/torchvision/ffmpeg in a full environment.
+  fallbacks for torchvision/ffmpeg in a full environment.
 
 Everything Spark-side is real and tested either way — schema
 contracts, Arrow batch shape, ``mapInPandas`` partitioning behavior,
@@ -63,6 +71,8 @@ __all__ = [
     "encode_bmp",
     "decode_png",
     "encode_png",
+    "decode_jpeg",
+    "encode_jpeg",
     "decode_wav",
     "encode_wav",
 ]
@@ -270,6 +280,553 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px[:, :, :3].copy()  # RGBA → drop alpha
 
 
+# ---------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT) — stdlib struct + numpy.
+# Public-spec constants: Annex K quantization tables and the "typical"
+# Huffman tables every mainstream encoder ships. The decoder never
+# depends on these (every JPEG carries its own DQT/DHT); they exist for
+# encode_jpeg.
+# ---------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# (BITS[1..16], HUFFVAL) per T.81 Annex K.3 "typical" tables
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8×8 DCT-II matrix C: ``C @ block @ C.T`` equals
+    T.81's FDCT (the s(u)s(v) products reproduce the spec's
+    (1/4)·C(u)·C(v) scaling exactly), and ``C.T @ coefs @ C`` is the
+    IDCT."""
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    c *= np.sqrt(2.0 / 8.0)
+    c[0] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+_DCT = _dct_matrix()
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment per T.81 C.2: symbol → (code,
+    length). Shared by the encoder (writing) and decoder (inverted)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def pad(self) -> None:
+        if self._n:
+            self.write(0x7F, 8 - self._n)  # pad with 1s to a byte
+
+    def marker(self, byte2: int) -> None:
+        """Emit a raw marker into the entropy stream (byte-aligned,
+        never stuffed) — used for RSTn."""
+        self.pad()
+        self.buf += bytes([0xFF, byte2])
+
+    def flush(self) -> bytes:
+        self.pad()
+        return bytes(self.buf)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(size category, amplitude bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, v if v >= 0 else v + (1 << s) - 1
+
+
+def _encode_block(
+    w: _BitWriter,
+    coefs: np.ndarray,
+    prev_dc: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    zz = coefs.reshape(64)[_ZIGZAG]
+    s, bits = _mag_bits(int(zz[0]) - prev_dc)
+    w.write(*dc_codes[s])
+    if s:
+        w.write(bits, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.write(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        s, bits = _mag_bits(v)
+        w.write(*ac_codes[(run << 4) | s])
+        w.write(bits, s)
+        run = 0
+    if run:
+        w.write(*ac_codes[0x00])  # EOB
+    return int(zz[0])
+
+
+def _component_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """FDCT + quantize a component plane (already padded to 8×8
+    multiples): returns (by, bx, 8, 8) int coefficient blocks. The
+    whole plane transforms in ONE einsum — no per-block Python loop
+    in the transform itself."""
+    h, w = plane.shape
+    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3) - 128.0
+    coefs = np.einsum("ux,byxz,vz->byuv", _DCT, blocks, _DCT)
+    return np.round(coefs / q).astype(np.int64)
+
+
+def _pad_to8(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, (-h) % 8), (0, (-w) % 8)), mode="edge")
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w) gray or (h, w, 3) RGB uint8 array as a
+    baseline sequential JPEG (JFIF, Annex-K tables quality-scaled the
+    IJG way, 'typical' Huffman tables). ``subsampling``: "444" (one
+    block per component per MCU) or "420" (2×2 luma blocks share one
+    chroma block — the common camera layout, exercising the general
+    MCU path in ``decode_jpeg``). ``restart_interval`` emits DRI +
+    RSTn markers every N MCUs (what camera firmware does for error
+    resilience — and what exercises the decoder's restart path).
+    Lossy inverse of ``decode_jpeg``: round-trip error is bounded by
+    the quantization tables."""
+    if pixels.dtype != np.uint8:
+        raise ValueError(f"encode_jpeg wants uint8 pixels, got {pixels.dtype}")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    gray = pixels.ndim == 2
+    if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
+        raise ValueError("encode_jpeg wants (h,w) gray or (h,w,3) RGB uint8")
+    h, w = pixels.shape[:2]
+
+    # IJG quality scaling
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    def _scaled(base: np.ndarray) -> np.ndarray:
+        return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+    q_luma = _scaled(_Q_LUMA)
+    q_chroma = _scaled(_Q_CHROMA)
+
+    if gray:
+        y = pixels.astype(np.float64)
+        planes = [(_pad_to8(y), q_luma)]
+        samp = [(1, 1)]
+    else:
+        px = pixels.astype(np.float64)
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            # pad to 16 so the 2×2 box average and MCU grid line up
+            y16 = np.pad(y, ((0, (-h) % 16), (0, (-w) % 16)), mode="edge")
+            cb = np.pad(cb, ((0, (-h) % 16), (0, (-w) % 16)), mode="edge")
+            cr = np.pad(cr, ((0, (-h) % 16), (0, (-w) % 16)), mode="edge")
+            hh, ww = cb.shape
+            cb = cb.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+            planes = [(y16, q_luma), (cb, q_chroma), (cr, q_chroma)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [(_pad_to8(y), q_luma), (_pad_to8(cb), q_chroma),
+                      (_pad_to8(cr), q_chroma)]
+            samp = [(1, 1), (1, 1), (1, 1)]
+
+    blocks = [_component_blocks(p, q) for p, q in planes]
+
+    dc_l, ac_l = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS), _huff_codes(
+        _AC_LUMA_BITS, _AC_LUMA_VALS
+    )
+    dc_c, ac_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS), _huff_codes(
+        _AC_CHROMA_BITS, _AC_CHROMA_VALS
+    )
+    tables = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
+
+    # interleaved MCU scan
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    writer = _BitWriter()
+    prev_dc = [0] * len(planes)
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                writer.marker(0xD0 + ((mcu_index // restart_interval - 1) % 8))
+                prev_dc = [0] * len(planes)
+            for ci, (hi, vi) in enumerate(samp):
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = blocks[ci][my * vi + by, mx * hi + bx]
+                        prev_dc[ci] = _encode_block(
+                            writer, blk, prev_dc[ci], *tables[ci]
+                        )
+            mcu_index += 1
+    entropy = writer.flush()
+
+    def _marker(tag: int, body: bytes) -> bytes:
+        return struct.pack(">HH", tag, len(body) + 2) + body
+
+    def _dqt(tid: int, table: np.ndarray) -> bytes:
+        return _marker(
+            0xFFDB, bytes([tid]) + bytes(int(v) for v in table.reshape(64)[_ZIGZAG])
+        )
+
+    def _dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return _marker(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    ncomp = len(planes)
+    sof_comps = b"".join(
+        struct.pack("BBB", i + 1, (samp[i][0] << 4) | samp[i][1], 0 if i == 0 else 1)
+        for i in range(ncomp)
+    )
+    sos_comps = b"".join(
+        struct.pack("BB", i + 1, 0x00 if i == 0 else 0x11) for i in range(ncomp)
+    )
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += _marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt(0, q_luma)
+    if ncomp > 1:
+        out += _dqt(1, q_chroma)
+    out += _marker(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    out += _dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if ncomp > 1:
+        out += _dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += _dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    if restart_interval:
+        out += _marker(0xFFDD, struct.pack(">H", restart_interval))
+    out += _marker(0xFFDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment reader: un-stuffs 0xFF00, stops at any other
+    marker, and supports the byte-aligned restart-marker handshake."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise ValueError(
+                    "hit a restart marker mid-symbol (corrupt entropy data)"
+                )
+            else:
+                raise ValueError("entropy data ended at an unexpected marker")
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align, skip any pad bytes (1-bit padding may itself be
+        a stuffed 0xFF00 pair), and consume the RSTn marker."""
+        self._acc, self._n = 0, 0
+        skipped = 0
+        while not (
+            self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+            skipped += 1
+            if skipped > 4 or self.pos + 1 >= len(self.data):
+                raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy data")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG (SOF0, Huffman) to an
+    (h, w, 3) uint8 RGB array (grayscale broadcast to 3 channels).
+    Handles 4:4:4 / 4:2:2 / 4:2:0 sampling and DRI/RSTn restart
+    intervals. Raises ValueError on progressive (SOF2),
+    arithmetic-coded, 12-bit, or otherwise non-baseline streams so
+    callers can fall back — the same contract as ``decode_png``."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, [(comp_id, hi, vi, tq)])
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT — possibly several tables per marker
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                zz = np.frombuffer(body, dtype=np.uint8, count=64, offset=i + 1)
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = zz
+                qtables[tid] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT — possibly several tables per marker
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                inv = {
+                    (length, code): sym
+                    for sym, (code, length) in _huff_codes(bits, vals).items()
+                }
+                htables[(cls, tid)] = inv
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            depth, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if depth != 8:
+                raise ValueError("only 8-bit baseline JPEG supported")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "non-baseline JPEG (progressive/arithmetic/lossless) "
+                "unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []  # (comp_idx, dc_tid, ac_tid)
+            h, w, comps = frame
+            for i in range(ns):
+                cs, tds = body[1 + 2 * i], body[2 + 2 * i]
+                idx = next(
+                    j for j, c in enumerate(comps) if c[0] == cs
+                )
+                scan.append((idx, tds >> 4, tds & 0x0F))
+            return _decode_scan(
+                payload, pos + 2 + seg_len, frame, scan, qtables, htables,
+                restart_interval,
+            )
+        pos += 2 + seg_len
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    frame: tuple,
+    scan: list[tuple[int, int, int]],
+    qtables: dict,
+    htables: dict,
+    restart_interval: int,
+) -> np.ndarray:
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.float64)
+        for (_, hi, vi, _) in comps
+    ]
+    reader = _BitReader(data, pos)
+    prev_dc = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.restart()
+                prev_dc = [0] * len(comps)
+            for ci, dc_tid, ac_tid in scan:
+                _, hi, vi, tq = comps[ci]
+                dc_tab = htables.get((0, dc_tid))
+                ac_tab = htables.get((1, ac_tid))
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("scan references a missing Huffman table")
+                q = qtables.get(tq)
+                if q is None:
+                    raise ValueError("scan references a missing quant table")
+                for by in range(vi):
+                    for bx in range(hi):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _huff_decode(reader, dc_tab)
+                        diff = _extend(reader.bits(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(reader, ac_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            size = sym & 0x0F
+                            if k > 63 or size == 0:
+                                raise ValueError("corrupt AC coefficient run")
+                            zz[k] = _extend(reader.bits(size), size)
+                            k += 1
+                        coefs = np.zeros(64, dtype=np.int64)
+                        coefs[_ZIGZAG] = zz
+                        block = _DCT.T @ (coefs.reshape(8, 8) * q) @ _DCT
+                        y0, x0 = (my * vi + by) * 8, (mx * hi + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+
+    # upsample to full resolution and crop
+    full = []
+    for (ci, (_, hi, vi, _)) in enumerate(comps):
+        p = planes[ci] + 128.0
+        p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """Encode a 1-D int16 sample array as a mono 16-bit PCM WAV
     (RIFF). Stdlib-only; the inverse of ``decode_wav``."""
@@ -337,14 +894,24 @@ def _audio_feature(rate: int, samples: np.ndarray, dims: int = 8) -> list[float]
 def decode_image(payload: bytes, mime: str = "image/bmp") -> np.ndarray:
     """Decode an image payload to an (h, w, 3) uint8 RGB array.
 
-    Real for uncompressed 24-bpp BMP and 8-bit non-interlaced PNG
-    (stdlib decoders above). Other formats need codec libraries not
-    present in this container — swap the fallback for PIL/torchvision
-    in a full environment."""
-    if mime == "image/bmp" or payload[:2] == b"BM":
+    Real for uncompressed 24-bpp BMP, 8-bit non-interlaced PNG, and
+    baseline sequential JPEG (stdlib decoders above). Other formats
+    need codec libraries not present in this container — swap the
+    fallback for PIL/torchvision in a full environment."""
+    # content magic wins over the mime hint (callers often pass the
+    # default mime; the three container signatures are unambiguous)
+    if payload[:2] == b"BM":
         return decode_bmp(payload)
-    if mime == "image/png" or payload.startswith(_PNG_SIG):
+    if payload.startswith(_PNG_SIG):
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    if mime == "image/bmp":
+        return decode_bmp(payload)
+    if mime == "image/png":
+        return decode_png(payload)
+    if mime == "image/jpeg":
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"decode for {mime!r} is stubbed in this environment; install a "
         "codec library and replace decode_image's fallback"
@@ -412,9 +979,9 @@ def extract_features(media_df: DataFrame, dims: int = 8) -> DataFrame:
     """
 
     def featurize(mime: str, payload: bytes) -> list[float]:
-        # Real decode paths (stdlib BMP/PNG/WAV parsers); deterministic
-        # fake for formats this container can't decode.
-        if mime in ("image/bmp", "image/png"):
+        # Real decode paths (stdlib BMP/PNG/JPEG/WAV parsers);
+        # deterministic fake for formats this container can't decode.
+        if mime in ("image/bmp", "image/png", "image/jpeg"):
             return _pixel_feature(decode_image(payload, mime), dims)
         if mime == "audio/wav":
             return _audio_feature(*decode_wav(payload), dims)
@@ -460,6 +1027,8 @@ def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
             return encode_bmp(_resize_nearest(decode_bmp(payload), width, height))
         if mime == "image/png":
             return encode_png(_resize_nearest(decode_png(payload), width, height))
+        if mime == "image/jpeg":
+            return encode_jpeg(_resize_nearest(decode_jpeg(payload), width, height))
         return hashlib.md5(payload + f"@{width}x{height}".encode()).digest()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -135,8 +135,11 @@ def test_multimodal_feature_plumbing(spark, docs):
 
 
 def test_decode_image_stub_for_compressed_formats():
-    # JPEG's DCT entropy coding has no stdlib codec — still stubbed
+    # formats with no stdlib-feasible decoder remain stubbed
     with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x00\x00\x18ftypmp42", mime="video/mp4")
+    # a truncated JPEG now reaches the REAL decoder and fails loudly
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0", mime="image/jpeg")
     # a mime claiming PNG but with a non-PNG payload fails loudly
     with pytest.raises(ValueError):
@@ -243,6 +246,132 @@ def test_png_through_spark_features_and_resize(spark):
     out = decode_png(bytes(resized[1].payload))
     assert out.shape == (3, 3, 3)
     assert resized[1].width == 3 and resized[1].height == 3
+
+
+def test_jpeg_roundtrip_within_quantization_error():
+    """Stdlib baseline JPEG codec: uniform blocks round-trip exactly
+    (DC-only), smooth content stays within quantization error at odd
+    (non-multiple-of-8) sizes, 4:2:0 subsampling and restart
+    intervals decode identically, grayscale broadcasts to RGB, and
+    decode_image routes JPEGs to the real decoder."""
+    import numpy as np
+
+    from etlp_spark.functions.multimodal import decode_jpeg, encode_jpeg
+
+    # uniform gray: every AC and the quantized DC are exact
+    img = np.full((8, 8), 128, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img)), np.full((8, 8, 3), 128, np.uint8)
+    )
+    # uniform color: DC-only in all three components
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:] = (200, 30, 90)
+    assert np.abs(
+        decode_jpeg(encode_jpeg(img, quality=90)).astype(int) - img.astype(int)
+    ).max() <= 1
+    # smooth gradient at an odd size (exercises edge padding)
+    h, w = 37, 53
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [255 * x / w, 255 * y / h, 128 + 64 * np.sin(x / 5)], axis=2
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape == (h, w, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 2.0
+    assert np.array_equal(decode_image(encode_jpeg(img)), decode_jpeg(encode_jpeg(img)))
+    # 4:2:0 (general MCU layout: 4 luma blocks + shared chroma)
+    out420 = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+    assert np.abs(out420.astype(int) - img.astype(int)).mean() < 4.0
+    # restart markers change the byte stream, not the pixels
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, quality=85, restart_interval=3)),
+        decode_jpeg(encode_jpeg(img, quality=85)),
+    )
+    # grayscale in → RGB broadcast out
+    g = (255 * np.abs(np.sin(np.outer(np.arange(20), np.arange(30)) / 7))).astype(
+        np.uint8
+    )
+    outg = decode_jpeg(encode_jpeg(g, quality=90))
+    assert outg.shape == (20, 30, 3)
+    assert np.array_equal(outg[:, :, 0], outg[:, :, 1])
+    # rejection contract: progressive and non-JPEG raise ValueError
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05aaa")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_jpeg_known_dc_block():
+    """Decoder correctness independent of the encoder: a hand-built
+    single-MCU grayscale JPEG whose entropy data encodes one DC-only
+    block (diff size 2, bits '10' → EXTEND → +2; quant 16) must
+    decode to the analytically-computed flat value 128 + 2·16/8 =
+    132."""
+    import struct as _struct
+
+    import numpy as np
+
+    from etlp_spark.functions.multimodal import (
+        _DC_LUMA_BITS,
+        _DC_LUMA_VALS,
+        _huff_codes,
+        decode_jpeg,
+    )
+
+    def marker(tag, body):
+        return _struct.pack(">HH", tag, len(body) + 2) + body
+
+    q = bytes([16] * 64)  # flat quant table (zigzag irrelevant)
+    dqt = marker(0xFFDB, b"\x00" + q)
+    sof = marker(0xFFC0, _struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+    dht_dc = marker(
+        0xFFC4, b"\x00" + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
+    )
+    # a trivial AC table (1 symbol: EOB with code '0') — the block is
+    # DC-only so only EOB is ever read
+    dht_ac = marker(0xFFC4, b"\x10" + bytes([1] + [0] * 15) + b"\x00")
+    sos = marker(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    # entropy: huff(DC size=2) + '10' (EXTEND(2,2)=+2) + EOB('0'), pad 1s
+    codes = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    code, ln = codes[2]
+    bitstr = format(code, f"0{ln}b") + "10" + "0"
+    bitstr += "1" * (-len(bitstr) % 8)
+    entropy = int(bitstr, 2).to_bytes(len(bitstr) // 8, "big")
+    payload = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + entropy + b"\xff\xd9"
+    out = decode_jpeg(payload)
+    # DC coef = 2·16 = 32; IDCT of DC-only: 32/8 = +4 per pixel → 132
+    assert np.array_equal(out, np.full((8, 8, 3), 132, dtype=np.uint8))
+
+
+def test_jpeg_through_spark_features_and_resize(spark):
+    """End-to-end: JPEG payloads ride extract_features (real pixel
+    math — features close to the lossless PNG of the same image) and
+    resize_media (decode → resample → re-encode as JPEG)."""
+    import numpy as np
+
+    from etlp_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_jpeg,
+        encode_jpeg,
+        encode_png,
+        extract_features,
+        resize_media,
+    )
+
+    y, x = np.mgrid[0:16, 0:16]
+    px = np.stack([16 * x, 16 * y, 8 * (x + y)], axis=2).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_jpeg(px, quality=95)), "image/jpeg", 16, 16),
+        (2, bytearray(encode_png(px)), "image/png", 16, 16),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r.feature for r in extract_features(media).collect()}
+    # lossy vs lossless of the SAME image: features agree closely
+    assert max(abs(a - b) for a, b in zip(feats[1], feats[2])) < 0.05
+    resized = {r.media_id: r for r in resize_media(media, 4, 4).collect()}
+    out = decode_jpeg(bytes(resized[1].payload))
+    assert out.shape == (4, 4, 3)
+    assert resized[1].width == 4 and resized[1].height == 4
 
 
 def test_bmp_roundtrip_and_decode_image():
