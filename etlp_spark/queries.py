@@ -8320,35 +8320,52 @@ _GATED_PRIOR_ROUNDS = [
     "f2_date_funcs", "f3_array_funcs", "f4_math_funcs",
     "j7_outer_join_counts", "w3_running_sum", "s4_union_distinct",
     "g7_grouping_sets", "p1_pivot_event_types",
-]
-
-#: Highest-priority for this round's gate: the 14 queries never seen
-#: by any driver gate (rounds 1-4 covered the other 145 — green),
-#: then canaries for code paths CHANGED this round (f8 got the
-#: regex-guarded try_cast rewrite and x63 the zero-relevant-query
-#: oracle fix — both already in the 14; j9/j5 ride the as-of
-#: tolerance that now accepts fractional seconds; x21/x1 guard the
-#: shared text/quality primitives; q01/w6 are stable cross-round
-#: canaries), then this round's new queries.
-_NEWEST = [
-    # never driver-gated (local-green since round 4):
+    # round 5 gated these 50 (CORRECTNESS_r05.json) — all green:
     "x61_zipf_slope", "x62_langid_calibration", "w13_ewma_smoothed",
     "x63_retrieval_dcg", "w14_ohlc_candles", "x64_corpus_drift",
     "x65_tokenizer_fertility", "x66_hard_negatives",
     "r1_reachability_hops", "j12_asof_nearest",
     "x67_data_quality_report", "f8_try_functions", "w15_centered_ma",
     "x68_chunk_dedup_rate",
-    # canaries (re-gate after this round's changes):
-    "j9_asof_forward_tolerance", "j5_asof_last_signup",
-    "x21_quality_gates", "x1_text_stats",
-    "q01_pricing_summary", "w6_scd2_intervals",
-    # round-5 additions (never gated, new this round):
     "x69_countmin_heavyhitters", "x70_segment_dedup",
     "w16_distribution_ranks", "x74_touch_attribution",
     "x71_ann_recall", "x72_luhn_check", "x73_bigram_logprob",
     "x75_pq_codes", "x76_semdedup_prune", "x78_ngram_novelty",
     "w17_bounce_rate", "x84_token_gini", "r2_pagerank_int",
     "f9_bitwise_funcs", "x85_weighted_reservoir",
+    # (r5's other 21 gate slots were canaries already listed above)
+]
+
+#: Round-6 gate (the driver records the FIRST 50 registered): with
+#: all 174 queries driver-verified cumulatively (r1–r5), this round
+#: leads with DRIFT CANARIES per VERDICT r5 #2 — first the queries
+#: whose code paths changed THIS round (x84's closed-form Gini
+#: rewrite; x9 rides the decode_image dispatch change + real JPEG
+#: kernels; j9/j12 ride the as-of tolerance validation), then the
+#: oldest-verified block: the r1/r2-gated 46 (q-family core,
+#: t-family, joins/windows/sets/groups, x1–x8), last driver-checked
+#: three rounds of refactoring ago.
+_NEWEST = [
+    # changed-this-round canaries:
+    "x84_token_gini", "x9_multimodal_features",
+    "j9_asof_forward_tolerance", "j12_asof_nearest",
+    # oldest driver-verified block (r1/r2) — re-gate as drift canaries:
+    "q01_pricing_summary", "t1_map_revenue", "t2_filter_shipped",
+    "t3_explode_words", "t4_keep_json_k", "t5_batch_counts",
+    "t6_array_sum", "t8_concat_flags", "a1_counts", "d5_union_merge",
+    "m2_envelope", "j1_order_customer", "j2_region_revenue",
+    "j3_semi_customers_with_orders", "j4_anti_orders_no_lineitem",
+    "w1_rank_orders", "w2_lag_lead_events", "s1_intersect_active_custs",
+    "s2_except_inactive_custs", "k1_top_orders", "g1_rollup_flags",
+    "g2_distinct_users_by_type", "x1_text_stats", "x2_lang_id",
+    "x3_quality_score", "x4_exact_dedup", "x5_minhash_lsh", "x6_simhash",
+    "x7_cosine_topk", "x8_srp_buckets", "m1_mapping_dsl",
+    "j5_asof_last_signup", "j6_range_join_ship_window",
+    "g3_cube_flags", "g4_time_bucket_rollup", "g5_percentiles",
+    "g6_approx_distinct_guard", "m2b_envelope_roundtrip",
+    "q03_shipping_priority", "s3_distinct_pairs", "f1_string_funcs",
+    "f2_date_funcs", "f3_array_funcs", "f4_math_funcs",
+    "j7_outer_join_counts", "w3_running_sum",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

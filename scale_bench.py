@@ -1,12 +1,15 @@
-"""Scale study for the heavy dedup/ANN/text family.
+"""Scale study: heavy dedup/ANN/text family AND the shuffle-heavy
+relational family (round 6).
 
 The 100 TB claims in PERF.md rest on plan audits (bounded LSH
-buckets, checkpointed CC rounds, broadcast query sets). This harness
-adds the missing empirical datapoint: run the heaviest queries at
-1× (sf0.1) and 10× (a generated "sf1") and record whether wall-clock
-scales ~linearly — superlinear growth is the signature of a candidate
-explosion, a driver collect, or a shuffle whose volume is quadratic
-in data size.
+buckets, checkpointed CC rounds, broadcast query sets, salted skew
+joins). This harness adds the empirical datapoint: run the heaviest
+queries at two generated scales (e.g. 10× and 100× of sf0.1) and
+record whether wall-clock scales ~linearly — superlinear growth is
+the signature of a candidate explosion, a driver collect, or a
+shuffle whose volume is quadratic in data size. The x76/x78 lesson
+(round 5): executed multi-scale measurements find what static plan
+audits miss.
 
 Scaled data is generated ONCE into ``.scale_data/x{N}/`` (gitignored)
 by replicating sf0.1 with semantics-preserving perturbations:
@@ -22,20 +25,32 @@ by replicating sf0.1 with semantics-preserving perturbations:
   every element (scale + dimension-dependent offset, ``F.transform``)
   and offset ``vec_id`` — cluster geometry is preserved per replica,
   centroids shift slightly, no exact duplicates.
-- ``lineitem``: ``l_orderkey`` offset per replica, values untouched.
+- ``lineitem``/``orders``/``customer``: keys offset per replica with
+  CONSISTENT offsets (l_orderkey and o_orderkey share one, o_custkey
+  and c_custkey share one) so every join still matches within its
+  replica — per-key join fan-out is preserved, volume grows N×.
+- ``events``: event_id/user_id offset per replica, timestamps and
+  types untouched — per-user session/as-of densities preserved.
+- dimension tables (``region``/``nation``/``supplier``/``part``) copy
+  through unscaled — dims grow far slower than facts in real
+  warehouses, and an unscaled dim keeps broadcast-join plans honest.
+  NB: per-dim-key fan-out (rows per supplier/nation) therefore grows
+  N×; the queries here do per-fact work against dims, so that
+  inflates group sizes, not pair counts.
 
-Usage: ``python scale_bench.py [--scales 10,30] [--out FILE]``.
-Writes one JSON file with per-query seconds at each scale plus the
-time ratio between the two LARGEST scales; rows/sec should be
-roughly flat (ratio ≈ the scale-factor ratio; superlinear =
-regression). Runs each query twice, keeps the best (first run pays
-Janino compilation).
+Usage: ``python scale_bench.py [--scales 10,100] [--out FILE]
+[--deep name:scale ...]``. ``--deep x73_bigram_logprob:300`` runs one
+query at an extra scale (generating only the tables that query
+needs) — the cheap way to add a confirmation point for a specific
+plan-flip. Writes one JSON file with per-query seconds at each scale
+plus the time ratio between the two LARGEST scales; superlinear
+ratio = regression. Runs each query twice, keeps the best (first run
+pays Janino compilation).
 
-Scale points are both GENERATED directories (32 parquet splits
-each): the raw sf0.1 baseline plans only ~3 input splits per table,
-so comparing it against a 32-split generated directory conflates
-data volume with task parallelism — at sub-second scale several
-queries get FASTER at 10× simply because 32 tasks beat 3.
+Scale points are all GENERATED directories (32 parquet splits each):
+the raw sf0.1 baseline plans only ~3 input splits per table, so
+comparing it against a 32-split generated directory conflates data
+volume with task parallelism.
 """
 
 from __future__ import annotations
@@ -43,7 +58,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 import time
 
 from pyspark.sql import functions as F
@@ -61,13 +75,55 @@ HEAVY = [
     "x76_semdedup_prune",
     "x73_bigram_logprob",
     "x78_ngram_novelty",
+    # round-6: the shuffle-heavy relational family
+    "j8_salted_join_priority",
+    "q18_large_volume_customer",
+    "q21_waiting_supplier",
+    "w7_session_paths",
+    "j5_asof_last_signup",
+    "j9_asof_forward_tolerance",
+    "j12_asof_nearest",
 ]
+
+#: tables each heavy query scans — lets --deep runs generate only
+#: what they need (and documents the blast radius of each query)
+QUERY_TABLES = {
+    "x5_minhash_lsh": ["documents"],
+    "x17_winnow_fingerprint": ["documents"],
+    "x18_neardup_clusters": ["documents"],
+    "x22_dedup_canonical": ["documents"],
+    "x12_ivf_ann": ["embeddings"],
+    "x47_quality_tertile_buckets": ["documents"],
+    "f8_try_functions": ["lineitem"],
+    "x70_segment_dedup": ["documents"],
+    "x76_semdedup_prune": ["embeddings"],
+    "x73_bigram_logprob": ["documents"],
+    "x78_ngram_novelty": ["documents"],
+    "j8_salted_join_priority": ["orders", "lineitem"],
+    "q18_large_volume_customer": ["customer", "orders", "lineitem"],
+    "q21_waiting_supplier": ["lineitem", "orders", "nation", "supplier"],
+    "w7_session_paths": ["events"],
+    "j5_asof_last_signup": ["events"],
+    "j9_asof_forward_tolerance": ["events"],
+    "j12_asof_nearest": ["events"],
+}
+
+SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]
+COPY_TABLES = ["region", "nation", "supplier", "part"]
 
 BASE = "/root/testdata/sf0.1"
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data")
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 _ALPHA_UP = _ALPHA.upper()
+
+# replica key offsets — one per key FAMILY so joins keep matching
+_OFF_ORDER = 100_000_000
+_OFF_CUST = 10_000_000
+_OFF_DOC = 10_000_000
+_OFF_VEC = 10_000_000
+_OFF_EVENT = 1_000_000_000
+_OFF_USER = 10_000_000
 
 
 def _perm_alphabet(r: int) -> str:
@@ -86,45 +142,19 @@ def _perm_alphabet(r: int) -> str:
     return perm
 
 
-def _gen_scale(spark, n: int) -> str:
-    """Materialize the x{n} directory (replicas 0..n-1; replica 0 is
-    the untouched sf0.1 data). Idempotent: skips if present."""
-    out = os.path.join(ROOT, f"x{n}")
-    marker = os.path.join(out, "_COMPLETE")
-    if os.path.exists(marker):
-        return out
-    if os.path.isdir(out):
-        shutil.rmtree(out)
-    os.makedirs(out, exist_ok=True)
-
-    docs = spark.read.parquet(f"{BASE}/documents.parquet")
-    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
-    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
-
-    doc_parts = []
-    for r in range(n):
-        d = docs
+def _replica(df, table: str, r: int):
+    """Replica r of one base table (replica 0 = untouched)."""
+    if table == "documents":
         if r:
             perm = _perm_alphabet(r)
-            d = d.withColumn(
+            df = df.withColumn(
                 "text",
-                F.translate("text", _ALPHA + _ALPHA_UP,
-                            perm + perm.upper()),
+                F.translate("text", _ALPHA + _ALPHA_UP, perm + perm.upper()),
             )
-        doc_parts.append(
-            d.withColumn("doc_id", F.col("doc_id") + F.lit(r * 10_000_000))
-        )
-    _union(doc_parts).repartition(32).write.mode("overwrite").parquet(
-        f"{out}/documents.parquet"
-    )
-
-    emb_parts = []
-    for r in range(n):
-        e = emb
+        return df.withColumn("doc_id", F.col("doc_id") + F.lit(r * _OFF_DOC))
+    if table == "embeddings":
         if r:
-            # per-replica linear perturbation: x' = x*(1 - r*1e-4)
-            # + r*1e-3*((i mod 7) - 3); deterministic, geometry-preserving
-            e = e.withColumn(
+            df = df.withColumn(
                 "embedding",
                 F.transform(
                     "embedding",
@@ -134,24 +164,22 @@ def _gen_scale(spark, n: int) -> str:
                     ).cast("float"),
                 ),
             )
-        emb_parts.append(
-            e.withColumn("vec_id", F.col("vec_id") + F.lit(r * 10_000_000))
+        return df.withColumn("vec_id", F.col("vec_id") + F.lit(r * _OFF_VEC))
+    if table == "lineitem":
+        return df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(r * _OFF_ORDER)
         )
-    _union(emb_parts).repartition(32).write.mode("overwrite").parquet(
-        f"{out}/embeddings.parquet"
-    )
-
-    li_parts = [
-        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * 100_000_000))
-        for r in range(n)
-    ]
-    _union(li_parts).repartition(32).write.mode("overwrite").parquet(
-        f"{out}/lineitem.parquet"
-    )
-
-    with open(marker, "w") as fh:
-        fh.write("ok\n")
-    return out
+    if table == "orders":
+        return df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(r * _OFF_ORDER)
+        ).withColumn("o_custkey", F.col("o_custkey") + F.lit(r * _OFF_CUST))
+    if table == "customer":
+        return df.withColumn("c_custkey", F.col("c_custkey") + F.lit(r * _OFF_CUST))
+    if table == "events":
+        return df.withColumn(
+            "event_id", F.col("event_id") + F.lit(r * _OFF_EVENT)
+        ).withColumn("user_id", F.col("user_id") + F.lit(r * _OFF_USER))
+    raise ValueError(f"no replica recipe for table {table!r}")
 
 
 def _union(parts):
@@ -161,12 +189,57 @@ def _union(parts):
     return df
 
 
+def _gen_scale(spark, n: int, tables: list[str]) -> str:
+    """Materialize the needed tables of the x{n} directory (replicas
+    0..n-1; replica 0 untouched). Incremental and idempotent: each
+    table carries its own completion marker, so a --deep run that
+    only needs ``documents`` doesn't pay for 60M lineitem rows."""
+    out = os.path.join(ROOT, f"x{n}")
+    os.makedirs(out, exist_ok=True)
+    for t in tables:
+        marker = os.path.join(out, f"_COMPLETE_{t}")
+        if os.path.exists(marker):
+            continue
+        base = spark.read.parquet(f"{BASE}/{t}.parquet")
+        if t in COPY_TABLES:
+            base.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        else:
+            parts = [_replica(base, t, r) for r in range(n)]
+            _union(parts).repartition(32).write.mode("overwrite").parquet(
+                f"{out}/{t}.parquet"
+            )
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return out
+
+
+def _time_query(spark, qs, name: str, sf_dir: str) -> tuple[float, float]:
+    df = qs[name](spark, sf_dir)
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    first = time.time() - t0
+    df2 = qs[name](spark, sf_dir)
+    t0 = time.time()
+    df2.write.format("noop").mode("overwrite").save()
+    second = time.time() - t0
+    return first, min(first, second)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scales", default="10,30")
-    ap.add_argument("--out", default="SCALE_BENCH_r05.json")
+    ap.add_argument("--scales", default="10,100")
+    ap.add_argument("--out", default="SCALE_BENCH_r06.json")
+    ap.add_argument(
+        "--deep", action="append", default=[],
+        metavar="QUERY:SCALE",
+        help="extra (query, scale) confirmation points, e.g. "
+        "x73_bigram_logprob:300",
+    )
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset of HEAVY to run")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    queries = args.queries.split(",") if args.queries else HEAVY
 
     from etlp_spark.session import get_spark
     import __spark_entry__ as entry
@@ -174,23 +247,24 @@ def main() -> None:
     spark = get_spark(app_name="etlp-scale-bench")
     qs = entry.queries()
 
+    needed = sorted(
+        {t for q in queries for t in QUERY_TABLES.get(q, SCALED_TABLES)}
+    )
     result: dict = {"base_sf": 0.1, "scales": scales, "queries": {}}
     for n in scales:
-        sf_dir = BASE if n == 1 else _gen_scale(spark, n)
-        for name in HEAVY:
-            df = qs[name](spark, sf_dir)
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            first = time.time() - t0
-            df2 = qs[name](spark, sf_dir)
-            t0 = time.time()
-            df2.write.format("noop").mode("overwrite").save()
-            second = time.time() - t0
-            result["queries"].setdefault(name, {})[f"x{n}"] = round(
-                min(first, second), 3
-            )
-            print(f"x{n} {name}: first={first:.2f}s best={min(first, second):.2f}s",
-                  flush=True)
+        sf_dir = _gen_scale(spark, n, needed)
+        for name in queries:
+            first, best = _time_query(spark, qs, name, sf_dir)
+            result["queries"].setdefault(name, {})[f"x{n}"] = round(best, 3)
+            print(f"x{n} {name}: first={first:.2f}s best={best:.2f}s", flush=True)
+
+    for spec in args.deep:
+        name, _, s = spec.partition(":")
+        n = int(s)
+        sf_dir = _gen_scale(spark, n, QUERY_TABLES.get(name, SCALED_TABLES))
+        first, best = _time_query(spark, qs, name, sf_dir)
+        result["queries"].setdefault(name, {})[f"x{n}"] = round(best, 3)
+        print(f"x{n} {name} (deep): first={first:.2f}s best={best:.2f}s", flush=True)
 
     lo, hi = f"x{scales[0]}", f"x{scales[-1]}"
     factor = scales[-1] / scales[0]
