@@ -8245,6 +8245,304 @@ def x85_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 3  # hash probes per key
+
+
+def _o_bloom_bit(fp_expr: str, j: int) -> str:
+    return (
+        f"('0x' || substr(md5({fp_expr} || '#{j}'), 1, 13))::BIGINT % {_BLOOM_M}"
+    )
+
+
+@_register(
+    "x86_bloom_membership",
+    f"""
+    WITH fps AS (SELECT doc_id, source,
+                        md5(array_to_string({_O_TOKS}, ' ')) AS fp
+                 FROM documents),
+    ref AS (SELECT * FROM fps WHERE doc_id % 3 = 0),
+    probe AS (SELECT * FROM fps WHERE doc_id % 3 <> 0),
+    bits AS (SELECT DISTINCT bit FROM ref,
+             unnest([{', '.join(_o_bloom_bit('fp', j) for j in range(_BLOOM_K))}])
+               AS t(bit)),
+    probe_bits AS (SELECT doc_id, source, fp, bit FROM probe,
+             unnest([{', '.join(_o_bloom_bit('fp', j) for j in range(_BLOOM_K))}])
+               AS t(bit)),
+    hits AS (SELECT pb.doc_id, pb.source, pb.fp,
+                    (count(b.bit) = {_BLOOM_K}) AS bloom_hit
+             FROM probe_bits pb LEFT JOIN bits b USING (bit)
+             GROUP BY pb.doc_id, pb.source, pb.fp),
+    truth AS (SELECT h.source, h.bloom_hit,
+                     (h.fp IN (SELECT fp FROM ref)) AS member
+              FROM hits h)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_hits,
+           CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(sum(CASE WHEN bloom_hit AND NOT member THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_positives
+    FROM truth GROUP BY source
+    """,
+)
+def x86_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter corpus membership — the memory-bounded pre-filter
+    every incremental-dedup pipeline runs before an exact check: has
+    this document's fingerprint been seen in the reference corpus?
+    One third of the corpus (doc_id % 3 = 0) plays the reference; the
+    rest probe a {_BLOOM_M}-bit / {_BLOOM_K}-probe filter. The output
+    measures the filter EMPIRICALLY per source: probe count, Bloom
+    hits, true members (exact fp match), and false positives — all
+    exact integers, deterministic because the 'hash functions' are
+    md5-derived bit positions both engines compute bit-for-bit (the
+    x19/_h16 technique).
+
+    Scale shape: the bit set is ≤{_BLOOM_M} DISTINCT rows — CONSTANT
+    in corpus size (the entire point of a Bloom filter), so its
+    broadcast is always safe; probe bit derivation is scan-stage; the
+    only corpus-sized shuffle is the ground-truth fp semi-join, which
+    production skips (it exists here to measure the FP rate). At
+    100 TB the same plan holds with m scaled to RAM, or the bit set
+    collapsed to a long[] via aggregate + literal, x30-style.
+    Reference: engine-added (SURVEY.md §2.2 dedup family)."""
+    from etlp_spark.functions import text as T
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    fps = docs.select("doc_id", "source", T.fingerprint("text").alias("fp"))
+    ref = fps.where(F.col("doc_id") % 3 == 0)
+    probe = fps.where(F.col("doc_id") % 3 != 0)
+
+    def bit(fp, j: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(fp, F.lit(f"#{j}"))), 1, 13), 16, 10
+            ).cast("long") % _BLOOM_M
+        )
+
+    probes = [bit(F.col("fp"), j) for j in range(_BLOOM_K)]
+    bits = ref.select(F.explode(F.array(*probes)).alias("bit")).distinct()
+    probe_bits = probe.select(
+        "doc_id", "source", "fp", F.explode(F.array(*probes)).alias("bit")
+    )
+    hits = (
+        probe_bits.join(
+            F.broadcast(bits.withColumn("present", F.lit(1))), "bit", "left"
+        )
+        .groupBy("doc_id", "source", "fp")
+        .agg((F.count("present") == _BLOOM_K).alias("bloom_hit"))
+    )
+    ref_fps = ref.select("fp").distinct().withColumn("member_flag", F.lit(1))
+    truth = hits.join(ref_fps, "fp", "left")
+    return truth.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+        .cast("long").alias("n_bloom_hits"),
+        F.sum(F.when(F.col("member_flag").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_members"),
+        F.sum(
+            F.when(F.col("bloom_hit") & F.col("member_flag").isNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_false_positives"),
+    )
+
+
+_DSIR_B = 256  # hashed feature buckets
+
+
+@_register(
+    "x87_dsir_importance",
+    f"""
+    WITH toks AS (SELECT doc_id, source, lang, {_O_TOKS} AS tk FROM documents),
+    bi AS (SELECT doc_id, source, lang,
+                  ('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 4))::BIGINT
+                    % {_DSIR_B} AS b
+           FROM toks, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS r(i)),
+    tgt AS (SELECT b, count(*) AS c FROM bi WHERE lang = 'en' GROUP BY b),
+    src AS (SELECT b, count(*) AS c FROM bi GROUP BY b),
+    nt AS (SELECT sum(c) AS total FROM tgt),
+    ns AS (SELECT sum(c) AS total FROM src),
+    lscore AS (SELECT s.b,
+                 CAST(floor(1000000.0 * ln((coalesce(t.c, 0) + 1.0)
+                                           / (nt.total + {_DSIR_B})))
+                      - floor(1000000.0 * ln((s.c + 1.0)
+                                             / (ns.total + {_DSIR_B})))
+                   AS BIGINT) AS w_e6
+               FROM src s LEFT JOIN tgt t USING (b)
+               CROSS JOIN nt CROSS JOIN ns),
+    per_doc AS (SELECT bi.doc_id, bi.source,
+                       CAST(sum(l.w_e6) AS BIGINT) AS score_e6,
+                       CAST(count(*) AS BIGINT) AS n_feats
+                FROM bi JOIN lscore l USING (b)
+                GROUP BY bi.doc_id, bi.source)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score_e6 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           CAST(floor(sum(score_e6 * 1.0 / n_feats) / count(*) + 0.5) AS BIGINT)
+             AS avg_score_e6
+    FROM per_doc GROUP BY source
+    """,
+)
+def x87_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how much more likely its hashed-bigram features
+    are under a TARGET distribution (here: the English slice) than
+    under the full-corpus source distribution — the standard cheap
+    way to up-sample target-domain-looking data at pretraining scale.
+    w(doc) = Σ_features [ln p̂_tgt(b) − ln p̂_src(b)], add-one
+    smoothed over {_DSIR_B} hashed buckets.
+
+    Exactness: per-BUCKET log scores are e6-floored to integers
+    FIRST, so each document's score is an integer SUM — order-free
+    across engines (stronger than x73's round-absorbed float avg; the
+    only floats are the {_DSIR_B} per-bucket ln() calls on identical
+    doubles). Per-doc score normalizes by feature count; the
+    per-source mean makes one float division per source, floored e6.
+
+    Scale shape: feature hashing is scan-stage; both distributions
+    aggregate to ≤{_DSIR_B} rows (CONSTANT in corpus size — the
+    hashing trick's point) so the score table always broadcasts; one
+    shuffle for the per-doc aggregate. This is x34's mixture sampler
+    upgraded from source labels to content: at 100 TB the same plan
+    scores every document with zero corpus-sized joins. Reference:
+    engine-added (SURVEY.md §2.2 text-analysis family)."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", "source", "lang", tokens("text").alias("tk"))
+    m = F.size("tk") - 1
+    bi = tk.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(
+            F.when(
+                m >= 1,
+                F.zip_with(
+                    F.slice("tk", 1, F.greatest(m, F.lit(0))),
+                    F.slice("tk", 2, F.greatest(m, F.lit(0))),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("term"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("long") % _DSIR_B,
+    )
+    bi = bi.localCheckpoint(eager=True)  # 3 consumers: tgt, src, join-back
+    tgt = bi.where(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    src = bi.groupBy("b").agg(F.count(F.lit(1)).alias("sc"))
+    nt = tgt.agg(F.sum("tc").alias("t_total"))
+    ns = src.agg(F.sum("sc").alias("s_total"))
+    lscore = (
+        src.join(tgt, "b", "left")
+        .join(F.broadcast(nt))
+        .join(F.broadcast(ns))
+        .select(
+            "b",
+            (
+                F.floor(
+                    1000000.0
+                    * F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                        / (F.col("t_total") + _DSIR_B)
+                    )
+                )
+                - F.floor(
+                    1000000.0
+                    * F.log((F.col("sc") + 1.0) / (F.col("s_total") + _DSIR_B))
+                )
+            ).cast("long").alias("w_e6"),
+        )
+    )
+    per_doc = (
+        bi.join(F.broadcast(lscore), "b")  # ≤_DSIR_B rows: always broadcastable
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("w_e6").cast("long").alias("score_e6"),
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("score_e6") > 0, 1).otherwise(0))
+        .cast("long").alias("n_selected"),
+        F.floor(
+            F.sum(F.col("score_e6") * 1.0 / F.col("n_feats")) / F.count(F.lit(1))
+            + F.lit(0.5)
+        ).cast("long").alias("avg_score_e6"),
+    )
+
+
+@_register(
+    "x89_bpe_merge_candidates",
+    f"""
+    WITH toks AS (SELECT {_O_TOKS} AS tk FROM documents),
+    words AS (SELECT unnest(tk) AS w FROM toks),
+    vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS wc
+              FROM words GROUP BY w),
+    pairs AS (SELECT substr(w, i, 1) || substr(w, i + 1, 1) AS pair, wc
+              FROM vocab, unnest(range(1, greatest(length(w) - 1, 0) + 1))
+                AS r(i)),
+    merged AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
+               FROM pairs GROUP BY pair)
+    SELECT pair, freq FROM merged
+    ORDER BY freq DESC, pair LIMIT 20
+    """,
+)
+def x89_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration (Sennrich et al. 2016): the top
+    adjacent-character-pair frequencies over the corpus vocabulary,
+    weighted by word frequency — the step a tokenizer-induction
+    pipeline repeats to build its merge table, here exposed as the
+    corpus diagnostic (which merges WOULD a tokenizer trained on this
+    data learn first; compare against x65's fertility of the frozen
+    tokenizer).
+
+    Scale shape: the defining trick is aggregating the corpus to its
+    VOCABULARY first — pair enumeration then runs over |vocab| rows
+    (sublinear in corpus size, Heaps' law), not over every token
+    occurrence; pair counts weight by the word-count aggregate. Two
+    hash aggregates + a 20-row TakeOrderedAndProject; ASCII
+    single-char pairs keep substring semantics identical across
+    engines. Reference: engine-added (SURVEY.md §2.2 text-analysis
+    family)."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    chars = F.split("w", "")
+    m = F.length("w") - 1
+    pairs = vocab.select(
+        F.explode(
+            F.when(
+                m >= 1,
+                F.zip_with(
+                    F.slice(chars, 1, F.greatest(m, F.lit(0))),
+                    F.slice(chars, 2, F.greatest(m, F.lit(0))),
+                    lambda a, b: F.concat(a, b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), "pair")
+        .limit(20)
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
