@@ -46,6 +46,7 @@ __all__ = [
     "running_counts",
     "running_counts_tws",
     "ewma_tws",
+    "heavy_hitters_tws",
     "streaming_dedup",
     "CountLogSink",
     "StreamingPipeline",
@@ -222,6 +223,76 @@ def ewma_tws(
     return df.groupBy(key_col).transformWithStateInPandas(
         _Ewma(),
         outputStructType="k string, ewma double, n long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def heavy_hitters_tws(
+    df: DataFrame, value_col: str, k: int = 10, buckets: int = 16
+) -> DataFrame:
+    """Streaming heavy hitters — x69's batch count-min/top-k question
+    ("which values dominate this column") for a stream that never
+    ends: per-bucket exact counts persisted in RocksDB MAP state
+    (``transformWithStateInPandas`` + ``getMapState`` — the third
+    state shape this repo exercises after value state counters and
+    EWMA), each micro-batch emitting the bucket's refreshed top-k in
+    Update mode. A downstream per-batch reduce of ``buckets × k``
+    rows yields the global top-k — tiny by construction.
+
+    Scale shape: values hash-partition across ``buckets`` keys, so
+    state and per-batch work spread evenly (one straggling hot GROUP
+    would serialize; hot VALUES still land in one bucket but the
+    bucket only keeps counts, O(|distinct values in bucket|) state).
+    For unbounded-cardinality columns, cap state by composing with
+    the CMS sketch (x69) upstream; for the bounded-cardinality
+    dimensions this targets (event types, domains, languages), exact
+    MapState is both smaller and exact. Requires the RocksDB state
+    store, same as running_counts_tws."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("counts", "v STRING", "cnt BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            local: dict[str, int] = {}
+            for pdf in rows:
+                for v in pdf[value_col]:
+                    if v is None:
+                        continue
+                    v = str(v)
+                    local[v] = local.get(v, 0) + 1
+            for v, n in local.items():
+                prev = self._counts.getValue((v,))
+                self._counts.updateValue((v,), ((prev[0] if prev else 0) + n,))
+            top = sorted(
+                ((kk[0], vv[0]) for kk, vv in self._counts.iterator()),
+                key=lambda t: (-t[1], t[0]),
+            )[:k]
+            yield pd.DataFrame(
+                {
+                    "bucket": [key[0]] * len(top),
+                    "value": [t[0] for t in top],
+                    "cnt": [t[1] for t in top],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    bucketed = df.withColumn(
+        "__bucket",
+        (F.crc32(F.col(value_col).cast("string")) % buckets).cast("int"),
+    )
+    return bucketed.groupBy("__bucket").transformWithStateInPandas(
+        _TopK(),
+        outputStructType="bucket int, value string, cnt bigint",
         outputMode="Update",
         timeMode="None",
     )

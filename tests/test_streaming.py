@@ -428,6 +428,56 @@ def test_running_counts_tws_plan_builds(spark, stream_dir):
     ]
 
 
+def test_heavy_hitters_tws_across_batches(spark, stream_dir, tmp_path):
+    """Cross-batch streaming top-k on MapState: per-bucket counts
+    persist in RocksDB and keep accumulating as later micro-batches
+    arrive; each batch re-emits the bucket's refreshed top-k with
+    deterministic (count desc, value) ordering."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.streaming import heavy_hitters_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_batch(
+            stream_dir, "h1.jsonl",
+            [{"v": "x"}, {"v": "x"}, {"v": "y"}, {"v": "z"}, {"v": "y"}],
+        )
+        src = file_stream(spark, str(stream_dir), "v string", fmt="json")
+        # buckets=1: every value lands in one state group, so the
+        # emitted top-k IS the global top-k (keeps the assert exact)
+        q = (
+            heavy_hitters_tws(src, "v", k=2, buckets=1)
+            .writeStream.format("memory")
+            .queryName("tws_topk")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_topk"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = [(r.value, r.cnt) for r in spark.sql(
+                "select * from tws_topk order by cnt desc, value").collect()]
+            assert got == [("x", 2), ("y", 2)]  # tie → value asc, k=2
+            # second batch: z overtakes via PERSISTED count state
+            _write_batch(stream_dir, "h2.jsonl",
+                         [{"v": "z"}, {"v": "z"}, {"v": "z"}])
+            q.processAllAvailable()
+            rows = [(r.value, r.cnt) for r in spark.sql(
+                "select * from tws_topk").collect()]
+            assert ("z", 4) in rows  # 1 (batch 1, from state) + 3 (batch 2)
+            assert ("x", 2) in rows
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_ewma_tws_across_batches(spark, stream_dir, tmp_path):
     """Cross-batch stateful EWMA on transformWithStateInPandas: the
     smoothed value persists in RocksDB value state and keeps folding
