@@ -75,11 +75,17 @@ def as_of_join(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
-    if tolerance_seconds is not None and int(tolerance_seconds * 1_000_000) < 1:
-        # a sub-microsecond tolerance floors to 0µs and would silently
-        # null every match instead of erroring
+    if (
+        tolerance_seconds is not None
+        and tolerance_seconds != 0
+        and int(tolerance_seconds * 1_000_000) < 1
+    ):
+        # EXACTLY 0 is meaningful (match only at-equal timestamps; the
+        # gap comparison needs no division), but a sub-microsecond
+        # nonzero tolerance floors to 0µs and would silently tighten
+        # to exact-match instead of erroring.
         raise ValueError(
-            "tolerance must be at least 1 microsecond, got "
+            "nonzero tolerance must be at least 1 microsecond, got "
             f"{tolerance_seconds}s"
         )
     keys = [on] if isinstance(on, str) else list(on)
