@@ -7812,10 +7812,18 @@ def x76_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pairwise pass and flagged ``capped`` in the output — the
     operational signal that k must grow with the corpus (in
     production, k ∝ n keeps cells bounded and the cap never fires).
-    One shuffle on cell for the self-join; assignment is scan-stage
-    literals. Reference: engine-added (SURVEY.md §2.2 dedup family;
-    Abbas et al.'s SemDeDup recipe re-expressed relationally)."""
-    from etlp_spark.functions.similarity import cosine, ivf_assign
+    The pairwise pass is engineered twice over (r6): per-VECTOR norms
+    fold once before the pair expansion (a per-pair ``cosine()``
+    would re-fold both norms for every pair — same float sequence, so
+    still bit-equal to the oracle), and the x side salts into 8
+    sub-blocks (y replicated per salt, j8's pattern) so a |cells|-ary
+    join key doesn't cap parallelism at |cells| tasks — with 8 fixed
+    cells the unsalted join ran on 8 reducers no matter how many
+    cores the cluster has. One shuffle on (cell, salt); assignment is
+    scan-stage literals. Reference: engine-added (SURVEY.md §2.2
+    dedup family; Abbas et al.'s SemDeDup recipe re-expressed
+    relationally)."""
+    from etlp_spark.functions.similarity import dot, ivf_assign, norm
 
     emb = _t_fanout(spark, sf_dir, "embeddings")
     assigned = ivf_assign(emb, _semdedup_centroids()).localCheckpoint(eager=True)
@@ -7823,16 +7831,30 @@ def x76_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = assigned.join(
         F.broadcast(sized.where(F.col("sz") <= 500).select("cell")), "cell"
     )
+    n_salt = 8
     x = small.select(
-        F.col("cell"), F.col("vec_id").alias("xid"), F.col("embedding").alias("xe")
+        F.col("cell"),
+        F.col("vec_id").alias("xid"),
+        F.col("embedding").alias("xe"),
+        norm(F.col("embedding")).alias("xn"),
+        F.pmod(F.col("vec_id"), F.lit(n_salt)).alias("__salt"),
     )
     y = small.select(
-        F.col("cell"), F.col("vec_id").alias("yid"), F.col("embedding").alias("ye")
+        F.col("cell"),
+        F.col("vec_id").alias("yid"),
+        F.col("embedding").alias("ye"),
+        norm(F.col("embedding")).alias("yn"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("__salt"),
     )
     pruned = (
-        x.join(y, "cell")
+        x.join(y, ["cell", "__salt"])
         .where(F.col("xid") < F.col("yid"))
-        .where(F.round(cosine(F.col("xe"), F.col("ye")), 9) >= 0.4)
+        .where(
+            F.round(
+                dot(F.col("xe"), F.col("ye")) / (F.col("xn") * F.col("yn")), 9
+            )
+            >= 0.4
+        )
         .select("cell", F.col("yid").alias("vec_id"))
         .distinct()
     )
