@@ -46,7 +46,8 @@ dependency.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import logging
+from dataclasses import dataclass, field
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -55,6 +56,8 @@ from pyspark.sql.streaming import StreamingQuery
 from etlp_spark import expectations as X
 from etlp_spark import ops
 from etlp_spark.pipeline import Pipeline, split_by_expectations
+
+_log = logging.getLogger(__name__)
 
 __all__ = [
     "pipeline_from_config",
@@ -329,6 +332,10 @@ class ConfiguredStream:
     error_sink_cfg: dict[str, Any] | None
     checks: list
     name: str
+    #: per-batch count of expectation violations DROPPED because no
+    #: error_sink was configured (driver-side dict: foreachBatch runs
+    #: on the driver) — observable via ``stream.violation_counts``
+    violation_counts: dict[int, int] = field(default_factory=dict)
 
     def _batch_writer(self, cfg: dict[str, Any] | None):
         """Resolve a sink config to a per-batch write callable.
@@ -348,8 +355,17 @@ class ConfiguredStream:
             )
         if kind == "parquet":
             # per-batch parquet writes MUST append — an overwrite sink
-            # would keep only the last micro-batch
-            sink = _parquet_sink({**cfg, "mode": cfg.get("mode", "append")})
+            # would keep only the last micro-batch (silent data loss),
+            # so an explicit "mode": "overwrite" is a config error, not
+            # a preference to honor
+            mode = cfg.get("mode", "append")
+            if mode != "append":
+                raise ValueError(
+                    f"streaming parquet sink mode must be 'append', got "
+                    f"{mode!r}: foreachBatch writes one micro-batch at a "
+                    f"time, so any other mode would clobber prior batches"
+                )
+            sink = _parquet_sink({**cfg, "mode": "append"})
             return sink.write
         sink = _lookup(SINK_TYPES, "sink type", kind)(cfg)
         return sink.write
@@ -377,6 +393,18 @@ class ConfiguredStream:
                 write_clean(clean)
                 if self.error_sink_cfg is not None:
                     write_err(violations)
+                else:
+                    # no error_sink: quarantined rows would vanish with
+                    # no signal — count them and log, so the loss is at
+                    # least observable (batch path returns them instead)
+                    n_bad = violations.count()
+                    self.violation_counts[batch_id] = n_bad
+                    if n_bad:
+                        _log.warning(
+                            "stream %s batch %d: %d row(s) failed "
+                            "expectations and were dropped (no error_sink "
+                            "configured)", self.name, batch_id, n_bad,
+                        )
             else:
                 write_clean(df)
 

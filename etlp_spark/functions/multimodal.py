@@ -607,8 +607,12 @@ class _BitReader:
         self._n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy data")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated entropy data")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -641,7 +645,9 @@ class _BitReader:
         self._acc, self._n = 0, 0
         skipped = 0
         while not (
-            self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
         ):
             self.pos += 1
             skipped += 1
@@ -682,6 +688,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at byte {pos}")
+        # spec-legal 0xFF fill bytes may pad before any marker
+        # (ITU-T T.81 §B.1.1.2) — skip them, don't parse one as a
+        # marker byte followed by a bogus length
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -734,6 +745,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ns = body[0]
             scan = []  # (comp_idx, dc_tid, ac_tid)
             h, w, comps = frame
+            if ns < len(comps):
+                # spec-legal baseline JPEGs may split components across
+                # several non-interleaved scans; this decoder handles a
+                # single fully interleaved scan only — reject loudly
+                # (same contract as the progressive/arithmetic paths)
+                # instead of decoding scan 1 over the wrong MCU grid
+                raise ValueError(
+                    "non-interleaved multi-scan baseline JPEG unsupported "
+                    f"(SOS has {ns} of {len(comps)} frame components)"
+                )
             for i in range(ns):
                 cs, tds = body[1 + 2 * i], body[2 + 2 * i]
                 idx = next(

@@ -8397,14 +8397,18 @@ _DSIR_B = 256  # hashed feature buckets
                        CAST(sum(l.w_e6) AS BIGINT) AS score_e6,
                        CAST(count(*) AS BIGINT) AS n_feats
                 FROM bi JOIN lscore l USING (b)
-                GROUP BY bi.doc_id, bi.source)
+                GROUP BY bi.doc_id, bi.source),
+    normed AS (SELECT source, score_e6,
+                      CAST(floor(score_e6 * 1.0 / n_feats) AS BIGINT)
+                        AS norm_e6
+               FROM per_doc)
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN score_e6 > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_selected,
-           CAST(floor(sum(score_e6 * 1.0 / n_feats) / count(*) + 0.5) AS BIGINT)
+           CAST(floor(sum(norm_e6) * 1.0 / count(*) + 0.5) AS BIGINT)
              AS avg_score_e6
-    FROM per_doc GROUP BY source
+    FROM normed GROUP BY source
     """,
 )
 def x87_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8421,8 +8425,12 @@ def x87_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST, so each document's score is an integer SUM — order-free
     across engines (stronger than x73's round-absorbed float avg; the
     only floats are the {_DSIR_B} per-bucket ln() calls on identical
-    doubles). Per-doc score normalizes by feature count; the
-    per-source mean makes one float division per source, floored e6.
+    doubles). The per-doc normalized score (score_e6 / n_feats) is
+    ALSO floored to an integer per document before the per-source
+    aggregate, so that aggregate is an exact integer sum too — no
+    order-dependent float accumulation anywhere; the only remaining
+    float ops are one division + 0.5 per SOURCE on identical
+    operands.
 
     Scale shape: feature hashing is scan-stage; both distributions
     aggregate to ≤{_DSIR_B} rows (CONSTANT in corpus size — the
@@ -8490,13 +8498,16 @@ def x87_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_feats"),
         )
     )
-    return per_doc.groupBy("source").agg(
+    normed = per_doc.withColumn(
+        "norm_e6",
+        F.floor(F.col("score_e6") * 1.0 / F.col("n_feats")).cast("long"),
+    )
+    return normed.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(F.col("score_e6") > 0, 1).otherwise(0))
         .cast("long").alias("n_selected"),
         F.floor(
-            F.sum(F.col("score_e6") * 1.0 / F.col("n_feats")) / F.count(F.lit(1))
-            + F.lit(0.5)
+            F.sum("norm_e6") * 1.0 / F.count(F.lit(1)) + F.lit(0.5)
         ).cast("long").alias("avg_score_e6"),
     )
 
@@ -8656,36 +8667,40 @@ _GATED_PRIOR_ROUNDS = [
     # (r5's other 21 gate slots were canaries already listed above)
 ]
 
-#: Round-6 gate (the driver records the FIRST 50 registered): with
-#: all 174 queries driver-verified cumulatively (r1–r5), this round
-#: leads with DRIFT CANARIES per VERDICT r5 #2 — first the queries
-#: whose code paths changed THIS round (x84's closed-form Gini
-#: rewrite; x9 rides the decode_image dispatch change + real JPEG
-#: kernels; j9/j12 ride the as-of tolerance validation), then the
-#: oldest-verified block: the r1/r2-gated 46 (q-family core,
-#: t-family, joins/windows/sets/groups, x1–x8), last driver-checked
-#: three rounds of refactoring ago.
+#: Round-7 gate (the driver records the FIRST 50 registered): leads
+#: with the ONLY three queries a driver has never checked (x86/x87/
+#: x89 — round 6 spent all 50 slots on canaries and pushed them to
+#: positions 51-53; x87 additionally changed this round: per-doc
+#: floor before the per-source sum, per ADVICE r6). Then 40 mid-age
+#: canaries last gated in ROUND 3 (the q-family/x10s/x30s/w-family
+#: block — oldest unverified-since evidence now that r6 re-gated the
+#: r1/r2 block). Deliberately sized at 43 so that NEW round-7
+#: queries (not in any gate list) auto-land via ``_ungated`` INSIDE
+#: the first-50 window — the structural fix for r6's slot-arithmetic
+#: bug, which only manifested because ``_NEWEST`` held exactly 50.
 _NEWEST = [
-    # changed-this-round canaries:
-    "x84_token_gini", "x9_multimodal_features",
-    "j9_asof_forward_tolerance", "j12_asof_nearest",
-    # oldest driver-verified block (r1/r2) — re-gate as drift canaries:
-    "q01_pricing_summary", "t1_map_revenue", "t2_filter_shipped",
-    "t3_explode_words", "t4_keep_json_k", "t5_batch_counts",
-    "t6_array_sum", "t8_concat_flags", "a1_counts", "d5_union_merge",
-    "m2_envelope", "j1_order_customer", "j2_region_revenue",
-    "j3_semi_customers_with_orders", "j4_anti_orders_no_lineitem",
-    "w1_rank_orders", "w2_lag_lead_events", "s1_intersect_active_custs",
-    "s2_except_inactive_custs", "k1_top_orders", "g1_rollup_flags",
-    "g2_distinct_users_by_type", "x1_text_stats", "x2_lang_id",
-    "x3_quality_score", "x4_exact_dedup", "x5_minhash_lsh", "x6_simhash",
-    "x7_cosine_topk", "x8_srp_buckets", "m1_mapping_dsl",
-    "j5_asof_last_signup", "j6_range_join_ship_window",
-    "g3_cube_flags", "g4_time_bucket_rollup", "g5_percentiles",
-    "g6_approx_distinct_guard", "m2b_envelope_roundtrip",
-    "q03_shipping_priority", "s3_distinct_pairs", "f1_string_funcs",
-    "f2_date_funcs", "f3_array_funcs", "f4_math_funcs",
-    "j7_outer_join_counts", "w3_running_sum",
+    # never-driver-gated (the 174/177 -> 177/177 gap):
+    "x86_bloom_membership", "x87_dsir_importance",
+    "x89_bpe_merge_candidates",
+    # mid-age canaries, last gated round 3:
+    "w5_batch_sessionize", "x33_time_decay_engagement",
+    "p2_unpivot_event_counts", "x35_weighted_sample",
+    "x36_dup_ngram_fraction", "x37_group_topk_sample",
+    "x32_bm25_retrieval", "x34_domain_mixture_sample",
+    "x38_incremental_dedup", "x39_funnel_conversion", "w7_session_paths",
+    "g10_rolling_distinct_users", "x40_fuzzy_name_match",
+    "f7_map_funcs", "w8_retention_curve", "x42_minhash_estimate_quality",
+    "x43_temperature_mixture", "g11_quality_deciles",
+    "g12_key_skew_profile", "j10_nonequi_time_join",
+    "x44_source_precedence_dedup", "x45_domain_percent_rank",
+    "m4_mapping_switch_call", "x10_ann_rerank", "x11_bpe_tokens",
+    "x13_char_ngram_jaccard", "x14_edit_distance", "x15_profile",
+    "x16_embedding_neardup", "x17_winnow_fingerprint",
+    "x18_neardup_clusters", "x19_stratified_sample", "f5_regex_json",
+    "q02_min_acctbal_supplier", "q04_order_priority_check",
+    "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q07_volume_shipping", "q09_product_type_profit",
+    "q10_returned_items",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

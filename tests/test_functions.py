@@ -890,3 +890,53 @@ def test_png_codec_error_contracts():
         decode_image(sig + short_ihdr, "image/png")
     with pytest.raises(ValueError, match="uint8"):
         encode_png(np.array([[1, 2], [3, 4]], dtype=np.int64))
+
+
+def test_jpeg_error_contracts_and_fill_bytes():
+    """ADVICE r6 hardening: truncated entropy data raises ValueError
+    (the documented fallback signal, never IndexError); spec-legal
+    0xFF fill bytes before a marker (ITU-T T.81 B.1.1.2) are skipped
+    rather than misparsed as a marker + bogus length; a baseline JPEG
+    whose SOS covers fewer components than the frame (non-interleaved
+    multi-scan layout) is rejected loudly instead of decoding scan 1
+    over the wrong MCU grid."""
+    import struct as _struct
+
+    import numpy as np
+
+    from etlp_spark.functions.multimodal import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:24, 0:24]
+    img = np.stack([x * 10, y * 10, x + y], axis=2).astype(np.uint8)
+    payload = encode_jpeg(img, quality=90)
+
+    # truncate the entropy segment hard: keep 2 entropy bytes, drop EOI
+    sos_at = payload.index(b"\xff\xda")
+    (seg_len,) = _struct.unpack_from(">H", payload, sos_at + 2)
+    entropy_at = sos_at + 2 + seg_len
+    with pytest.raises(ValueError, match="truncated entropy"):
+        decode_jpeg(payload[: entropy_at + 2])
+
+    # 0xFF fill bytes before every pre-SOS marker decode identically
+    base = decode_jpeg(payload)
+    padded = bytearray(payload[:2])
+    pos = 2
+    while pos < entropy_at:
+        (ln,) = _struct.unpack_from(">H", payload, pos + 2)
+        padded += b"\xff\xff" + payload[pos : pos + 2 + ln]
+        pos += 2 + ln
+    padded += payload[entropy_at:]
+    assert np.array_equal(decode_jpeg(bytes(padded)), base)
+
+    # SOS listing 1 of 3 frame components -> loud rejection
+    def marker(tag, body):
+        return _struct.pack(">HH", tag, len(body) + 2) + body
+
+    sof3 = marker(
+        0xFFC0,
+        _struct.pack(">BHHB", 8, 8, 8, 3)
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01",
+    )
+    sos1 = marker(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(b"\xff\xd8" + sof3 + sos1 + b"\xff\xd9")

@@ -396,3 +396,80 @@ def test_pipeline_from_config_unknown_components_loud(spark):
                        "options": {"schema": "id long"}},
             "transforms": [{"op": "zap"}],
         })
+
+
+def test_streaming_parquet_sink_rejects_overwrite(spark, tmp_path):
+    """ADVICE r6: an explicit "mode": "overwrite" on a foreachBatch
+    parquet sink would make every micro-batch clobber the previous
+    one (silent data loss) — rejected loudly at writer-resolution
+    time instead of honored."""
+    import json as _json
+
+    from etlp_spark.config import streaming_pipeline_from_config
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "a.jsonl").write_text(_json.dumps({"id": 1, "v": 5.0}))
+    cfg = {
+        "source": {
+            "type": "file_stream",
+            "path": str(indir),
+            "schema": "id long, v double",
+        },
+        "expectations": [{"check": "not_null", "cols": ["id"]}],
+        "streaming": {
+            "checkpoint": str(tmp_path / "ckpt"),
+            "trigger": {"availableNow": True},
+        },
+        "sink": {
+            "type": "parquet",
+            "path": str(tmp_path / "out"),
+            "mode": "overwrite",
+        },
+        "error_sink": {"type": "parquet", "path": str(tmp_path / "errs")},
+    }
+    with pytest.raises(ValueError, match="must be 'append'"):
+        streaming_pipeline_from_config(cfg).start(spark)
+
+
+def test_streaming_quarantine_without_error_sink_is_observable(spark, tmp_path):
+    """ADVICE r6: with expectations configured but NO error_sink,
+    dropped violations must not vanish silently — the stream records
+    a per-batch violation count (and warns) so the loss is
+    observable, mirroring the batch path's returned violations."""
+    import json as _json
+
+    from etlp_spark.config import streaming_pipeline_from_config
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rows = [
+        {"id": 1, "v": 5.0},
+        {"id": None, "v": 2.0},   # not_null fails
+        {"id": 3, "v": -1.0},     # in_range fails
+        {"id": 4, "v": 9.0},
+    ]
+    (indir / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+    cfg = {
+        "name": "no-errsink",
+        "source": {
+            "type": "file_stream",
+            "path": str(indir),
+            "schema": "id long, v double",
+        },
+        "expectations": [
+            {"check": "not_null", "cols": ["id"]},
+            {"check": "in_range", "col": "v", "lo": 0, "hi": 100},
+        ],
+        "streaming": {
+            "checkpoint": str(tmp_path / "ckpt"),
+            "trigger": {"availableNow": True},
+        },
+        "sink": {"type": "parquet", "path": str(tmp_path / "out")},
+    }
+    stream = streaming_pipeline_from_config(cfg)
+    q = stream.start(spark)
+    q.awaitTermination(120)
+    clean = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r.id for r in clean.collect()) == [1, 4]
+    assert sum(stream.violation_counts.values()) == 2
