@@ -36,6 +36,9 @@ __all__ = [
     "simhash32",
     "simhash_hamming_pairs",
     "connected_components",
+    "bloom_bits",
+    "bloom_filter_frame",
+    "bloom_hits",
 ]
 
 
@@ -420,4 +423,66 @@ def connected_components(
     # singletons keep their own id; one broadcast-able join back
     return nodes.select(id_col).join(labels, id_col, "left").select(
         F.col(id_col), F.coalesce("cluster", F.col(id_col)).alias("cluster")
+    )
+
+
+def bloom_bits(col: Column | str, m: int = 4096, k: int = 3) -> Column:
+    """The ``k`` Bloom-filter bit positions (each in ``[0, m)``) for a
+    key, as an ``array<long>``. Positions derive from
+    ``md5(key || '#j')`` — engine-portable (a DuckDB oracle computes
+    the same bits bit-for-bit; Spark's ``hash()`` would not be), and
+    independent across the ``j`` salt suffixes.
+
+    Scan-stage only: no shuffle, no state — use it to build a filter
+    (``bloom_filter_frame``) or to probe one (``bloom_hits``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(c, F.lit(f"#{j}"))), 1, 13), 16, 10
+            ).cast("long")
+            % m
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_filter_frame(
+    ref: DataFrame, col: str, m: int = 4096, k: int = 3
+) -> DataFrame:
+    """The SET Bloom bits of a reference corpus: one ``bit`` column,
+    ``<= m`` DISTINCT rows. Constant-size in the corpus (the entire
+    point of a Bloom filter), so the result is ALWAYS broadcastable
+    no matter how large ``ref`` is — at 100 TB, pick ``m`` for the
+    target false-positive rate and RAM, or collapse the frame to a
+    packed ``long[]`` literal via ``aggregate`` when even the
+    broadcast relation is too chatty.
+    """
+    return ref.select(F.explode(bloom_bits(col, m, k)).alias("bit")).distinct()
+
+
+def bloom_hits(
+    probe: DataFrame,
+    bits: DataFrame,
+    col: str,
+    keys: tuple[str, ...],
+    m: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Probe a Bloom filter: returns ``keys`` + boolean ``bloom_hit``
+    (true iff ALL ``k`` probe bits are present in ``bits``). No false
+    negatives by construction; false-positive rate is the analytic
+    ``(1 - e^(-k*n/m))^k``.
+
+    Plan shape: probe-bit derivation is scan-stage; ``bits`` (constant
+    size) is broadcast, so the only aggregation is the per-key
+    k-way AND — the memory-bounded pre-filter an incremental-dedup
+    pipeline runs before any exact (corpus-sized) membership check.
+    """
+    pb = probe.select(*keys, F.explode(bloom_bits(col, m, k)).alias("bit"))
+    return (
+        pb.join(F.broadcast(bits.withColumn("present", F.lit(1))), "bit", "left")
+        .groupBy(*keys)
+        .agg((F.count("present") == k).alias("bloom_hit"))
     )

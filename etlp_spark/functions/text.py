@@ -13,7 +13,7 @@ surface (SURVEY.md §7 M7).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "tokens",
@@ -29,6 +29,8 @@ __all__ = [
     "chunk_documents",
     "fingerprint",
     "winnow_fingerprints",
+    "hashed_bigram_bucket",
+    "dsir_scores",
     "LANG_MARKERS",
     "PUNCT_CLASS",
 ]
@@ -327,4 +329,93 @@ def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
         g *= 2
     return F.when(nw < 1, F.array().cast("array<bigint>")).otherwise(
         F.sort_array(F.array_distinct(mins))
+    )
+
+
+def hashed_bigram_bucket(term: Column | str, buckets: int = 256) -> Column:
+    """Feature-hash a term string into one of ``buckets`` buckets via
+    the first 16 bits of its md5 — the hashing trick (Weinberger et
+    al. 2009), md5-derived so a DuckDB oracle reproduces every bucket
+    id bit-for-bit (Spark's ``hash()`` would not)."""
+    c = F.col(term) if isinstance(term, str) else term
+    return F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("long") % buckets
+
+
+def dsir_scores(
+    df: DataFrame,
+    text_col: str,
+    is_target: Column,
+    keys: tuple[str, ...] = ("doc_id",),
+    buckets: int = 256,
+) -> DataFrame:
+    """Per-document DSIR importance scores (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"):
+    ``w(doc) = sum_features [ln p_tgt(b) - ln p_src(b)]`` over hashed
+    bigram features, add-one smoothed across ``buckets`` buckets,
+    where the target distribution is estimated from the ``is_target``
+    slice of ``df`` and the source distribution from all of ``df``.
+
+    Returns ``keys`` + ``score_e6`` (the feature-summed log-ratio,
+    e6-scaled) + ``n_feats``. Exactness discipline: each BUCKET's log
+    weight is e6-floored to an integer FIRST, so every document's
+    score is an integer SUM — order-free across engines and
+    partitionings; the only float ops are the ``buckets`` ln() calls
+    on identical doubles.
+
+    Plan shape at 100 TB: feature hashing is scan-stage; both
+    distributions aggregate to ``<= buckets`` rows (CONSTANT in
+    corpus size — the hashing trick's point) so the score table
+    always broadcasts; the one corpus-sized shuffle is the per-doc
+    aggregate. The bigram frame is eagerly localCheckpointed because
+    it has three consumers (target dist, source dist, join-back).
+    """
+    tk = df.select(*keys, is_target.alias("_tgt"), tokens(text_col).alias("tk"))
+    m = F.size("tk") - 1
+    bi = tk.select(
+        *keys,
+        "_tgt",
+        F.explode(
+            F.when(
+                m >= 1,
+                F.zip_with(
+                    F.slice("tk", 1, F.greatest(m, F.lit(0))),
+                    F.slice("tk", 2, F.greatest(m, F.lit(0))),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("term"),
+    ).withColumn("b", hashed_bigram_bucket("term", buckets))
+    bi = bi.localCheckpoint(eager=True)  # 3 consumers: tgt, src, join-back
+    tgt = bi.where(F.col("_tgt")).groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    src = bi.groupBy("b").agg(F.count(F.lit(1)).alias("sc"))
+    nt = tgt.agg(F.sum("tc").alias("t_total"))
+    ns = src.agg(F.sum("sc").alias("s_total"))
+    lscore = (
+        src.join(tgt, "b", "left")
+        .join(F.broadcast(nt))
+        .join(F.broadcast(ns))
+        .select(
+            "b",
+            (
+                F.floor(
+                    1000000.0
+                    * F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                        / (F.col("t_total") + buckets)
+                    )
+                )
+                - F.floor(
+                    1000000.0
+                    * F.log((F.col("sc") + 1.0) / (F.col("s_total") + buckets))
+                )
+            ).cast("long").alias("w_e6"),
+        )
+    )
+    return (
+        bi.join(F.broadcast(lscore), "b")  # <= buckets rows: always broadcast
+        .groupBy(*keys)
+        .agg(
+            F.sum("w_e6").cast("long").alias("score_e6"),
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+        )
     )

@@ -8328,32 +8328,20 @@ def x86_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     production skips (it exists here to measure the FP rate). At
     100 TB the same plan holds with m scaled to RAM, or the bit set
     collapsed to a long[] via aggregate + literal, x30-style.
-    Reference: engine-added (SURVEY.md §2.2 dedup family)."""
+    Reference: engine-added (SURVEY.md §2.2 dedup family). The
+    kernels live in the library (functions/dedup.py: bloom_bits /
+    bloom_filter_frame / bloom_hits) — this query is the demo."""
     from etlp_spark.functions import text as T
+    from etlp_spark.functions.dedup import bloom_filter_frame, bloom_hits
 
     docs = _t_fanout(spark, sf_dir, "documents")
     fps = docs.select("doc_id", "source", T.fingerprint("text").alias("fp"))
     ref = fps.where(F.col("doc_id") % 3 == 0)
     probe = fps.where(F.col("doc_id") % 3 != 0)
-
-    def bit(fp, j: int):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(fp, F.lit(f"#{j}"))), 1, 13), 16, 10
-            ).cast("long") % _BLOOM_M
-        )
-
-    probes = [bit(F.col("fp"), j) for j in range(_BLOOM_K)]
-    bits = ref.select(F.explode(F.array(*probes)).alias("bit")).distinct()
-    probe_bits = probe.select(
-        "doc_id", "source", "fp", F.explode(F.array(*probes)).alias("bit")
-    )
-    hits = (
-        probe_bits.join(
-            F.broadcast(bits.withColumn("present", F.lit(1))), "bit", "left"
-        )
-        .groupBy("doc_id", "source", "fp")
-        .agg((F.count("present") == _BLOOM_K).alias("bloom_hit"))
+    bits = bloom_filter_frame(ref, "fp", m=_BLOOM_M, k=_BLOOM_K)
+    hits = bloom_hits(
+        probe, bits, "fp", keys=("doc_id", "source", "fp"),
+        m=_BLOOM_M, k=_BLOOM_K,
     )
     ref_fps = ref.select("fp").distinct().withColumn("member_flag", F.lit(1))
     truth = hits.join(ref_fps, "fp", "left")
@@ -8438,65 +8426,15 @@ def x87_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle for the per-doc aggregate. This is x34's mixture sampler
     upgraded from source labels to content: at 100 TB the same plan
     scores every document with zero corpus-sized joins. Reference:
-    engine-added (SURVEY.md §2.2 text-analysis family)."""
-    from etlp_spark.functions.text import tokens
+    engine-added (SURVEY.md §2.2 text-analysis family). The kernel
+    lives in the library (functions/text.py: dsir_scores /
+    hashed_bigram_bucket) — this query is the demo."""
+    from etlp_spark.functions.text import dsir_scores
 
     docs = _t_fanout(spark, sf_dir, "documents")
-    tk = docs.select("doc_id", "source", "lang", tokens("text").alias("tk"))
-    m = F.size("tk") - 1
-    bi = tk.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.explode(
-            F.when(
-                m >= 1,
-                F.zip_with(
-                    F.slice("tk", 1, F.greatest(m, F.lit(0))),
-                    F.slice("tk", 2, F.greatest(m, F.lit(0))),
-                    lambda a, b: F.concat(a, F.lit(" "), b),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("term"),
-    ).withColumn(
-        "b",
-        F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("long") % _DSIR_B,
-    )
-    bi = bi.localCheckpoint(eager=True)  # 3 consumers: tgt, src, join-back
-    tgt = bi.where(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("tc")
-    )
-    src = bi.groupBy("b").agg(F.count(F.lit(1)).alias("sc"))
-    nt = tgt.agg(F.sum("tc").alias("t_total"))
-    ns = src.agg(F.sum("sc").alias("s_total"))
-    lscore = (
-        src.join(tgt, "b", "left")
-        .join(F.broadcast(nt))
-        .join(F.broadcast(ns))
-        .select(
-            "b",
-            (
-                F.floor(
-                    1000000.0
-                    * F.log(
-                        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
-                        / (F.col("t_total") + _DSIR_B)
-                    )
-                )
-                - F.floor(
-                    1000000.0
-                    * F.log((F.col("sc") + 1.0) / (F.col("s_total") + _DSIR_B))
-                )
-            ).cast("long").alias("w_e6"),
-        )
-    )
-    per_doc = (
-        bi.join(F.broadcast(lscore), "b")  # ≤_DSIR_B rows: always broadcastable
-        .groupBy("doc_id", "source")
-        .agg(
-            F.sum("w_e6").cast("long").alias("score_e6"),
-            F.count(F.lit(1)).cast("long").alias("n_feats"),
-        )
+    per_doc = dsir_scores(
+        docs, "text", F.col("lang") == "en",
+        keys=("doc_id", "source"), buckets=_DSIR_B,
     )
     normed = per_doc.withColumn(
         "norm_e6",

@@ -940,3 +940,72 @@ def test_jpeg_error_contracts_and_fill_bytes():
     sos1 = marker(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
     with pytest.raises(ValueError, match="non-interleaved"):
         decode_jpeg(b"\xff\xd8" + sof3 + sos1 + b"\xff\xd9")
+
+
+def test_bloom_filter_no_false_negatives_and_fp_bound(spark):
+    """Library Bloom kernel (functions/dedup.py): every inserted key
+    MUST hit (no false negatives — deterministic Bloom property), and
+    the empirical false-positive rate over disjoint probe keys stays
+    within 3x the analytic bound (1 - e^(-k*n/m))^k for the chosen
+    m/k (generous slack: one 500-probe sample)."""
+    import math as _math
+
+    from etlp_spark.functions.dedup import bloom_filter_frame, bloom_hits
+
+    m, k, n = 1024, 3, 200
+    ref = spark.range(n).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("key")
+    )
+    bits = bloom_filter_frame(ref, "key", m=m, k=k)
+    n_bits = bits.count()
+    assert n_bits <= min(m, n * k)
+
+    # every member hits
+    self_hits = bloom_hits(ref, bits, "key", keys=("key",), m=m, k=k)
+    assert self_hits.where(~F.col("bloom_hit")).count() == 0
+
+    # disjoint probes: empirical FP rate within 3x analytic
+    probes = spark.range(500).select(
+        F.concat(F.lit("outsider-"), F.col("id")).alias("key")
+    )
+    fp = (
+        bloom_hits(probes, bits, "key", keys=("key",), m=m, k=k)
+        .where(F.col("bloom_hit"))
+        .count()
+    )
+    analytic = (1 - _math.exp(-k * n / m)) ** k
+    assert fp / 500 <= 3 * analytic
+    assert fp > 0  # at n/m=0.2, k=3 the FP rate is ~10%: some must fire
+
+
+def test_dsir_scores_identity_and_direction(spark):
+    """Library DSIR kernel (functions/text.py): when the target slice
+    IS the whole corpus, p_tgt == p_src bucket-for-bucket so every
+    document scores exactly 0 (integer-exact, no float drift); with a
+    real target slice, documents made of target-only bigrams score
+    strictly higher than documents of never-in-target bigrams
+    (relative ordering is what importance RESAMPLING consumes; the
+    absolute level shifts with the add-one smoothing mass at tiny
+    corpus sizes, so it is not asserted)."""
+    from etlp_spark.functions.text import dsir_scores
+
+    rows = [
+        (1, "en", "good clean prose " * 10),
+        (2, "en", "good clean prose " * 10),
+        (3, "xx", "zz qq zz qq zz qq " * 10),
+        (4, "xx", "zz qq zz qq zz qq " * 10),
+        (5, "xx", "good clean prose " * 10),  # target-looking, off-slice
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    zero = dsir_scores(df, "text", F.lit(True), keys=("doc_id",))
+    assert [r.score_e6 for r in zero.collect()] == [0] * 5
+
+    scored = {
+        r.doc_id: r.score_e6
+        for r in dsir_scores(
+            df, "text", F.col("lang") == "en", keys=("doc_id",)
+        ).collect()
+    }
+    assert scored[5] == scored[1]  # same content -> identical score
+    assert scored[1] > scored[3]
