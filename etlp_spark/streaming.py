@@ -47,6 +47,7 @@ __all__ = [
     "running_counts_tws",
     "ewma_tws",
     "heavy_hitters_tws",
+    "heavy_hitters_spacesaving_tws",
     "streaming_dedup",
     "CountLogSink",
     "StreamingPipeline",
@@ -244,11 +245,13 @@ def heavy_hitters_tws(
     state and per-batch work spread evenly (one straggling hot GROUP
     would serialize; hot VALUES still land in one bucket but the
     bucket only keeps counts, O(|distinct values in bucket|) state).
-    For unbounded-cardinality columns, cap state by composing with
-    the CMS sketch (x69) upstream; for the bounded-cardinality
-    dimensions this targets (event types, domains, languages), exact
-    MapState is both smaller and exact. Requires the RocksDB state
-    store, same as running_counts_tws."""
+    For unbounded-cardinality columns use
+    ``heavy_hitters_spacesaving_tws`` — at most ``m`` counters per
+    bucket and O(m) per-batch work, where this exact variant's state
+    AND per-batch re-emission grow with |distinct values in bucket|.
+    For the bounded-cardinality dimensions this targets (event types,
+    domains, languages), exact MapState is both smaller and exact.
+    Requires the RocksDB state store, same as running_counts_tws."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -263,11 +266,11 @@ def heavy_hitters_tws(
 
             local: dict[str, int] = {}
             for pdf in rows:
-                for v in pdf[value_col]:
-                    if v is None:
-                        continue
-                    v = str(v)
-                    local[v] = local.get(v, 0) + 1
+                # vectorized pandas count (NaN/None dropped), not a
+                # per-row Python loop — this runs once per micro-batch
+                # per bucket on the Arrow batch
+                for v, n in pdf[value_col].dropna().astype(str).value_counts().items():
+                    local[v] = local.get(v, 0) + int(n)
             for v, n in local.items():
                 prev = self._counts.getValue((v,))
                 self._counts.updateValue((v,), ((prev[0] if prev else 0) + n,))
@@ -293,6 +296,98 @@ def heavy_hitters_tws(
     return bucketed.groupBy("__bucket").transformWithStateInPandas(
         _TopK(),
         outputStructType="bucket int, value string, cnt bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def heavy_hitters_spacesaving_tws(
+    df: DataFrame, value_col: str, k: int = 10, m: int = 64, buckets: int = 16
+) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state: the SpaceSaving
+    algorithm (Metwally, Agrawal & El Abbadi 2005) holds at most
+    ``m`` (value → count, error) counters per bucket in MapState, no
+    matter how many distinct values the stream carries — the
+    unbounded-cardinality companion to ``heavy_hitters_tws``, whose
+    exact map grows with |distinct values| and whose per-batch
+    re-emission iterates that full state.
+
+    Per (value, weight) update: a tracked value's count increments;
+    an untracked value takes over the MINIMUM counter — its count
+    becomes ``min + weight`` and its ``err`` records ``min`` (the
+    maximum possible overcount). Guarantees: a value with true
+    frequency > N/m is ALWAYS tracked, and every emitted count
+    brackets the truth as ``cnt - err <= true <= cnt``. Per-batch
+    work and state are both O(m), not O(|distinct|): the batch is
+    first reduced by a vectorized ``value_counts`` and its (value,
+    count) pairs applied heaviest-first (a fixed order, so results
+    are deterministic for a given batch sequence).
+
+    Emits the bucket's refreshed top-k (count desc, value asc) with
+    the error bound per row, in Update mode. Requires the RocksDB
+    state store, same as the exact variant."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _SpaceSaving(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counters = handle.getMapState(
+                "counters", "v STRING", "cnt BIGINT, err BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            # load the (bounded, <= m entries) counter set once
+            counters: dict[str, tuple[int, int]] = {
+                kk[0]: (vv[0], vv[1]) for kk, vv in self._counters.iterator()
+            }
+            batch: dict[str, int] = {}
+            for pdf in rows:
+                for v, n in (
+                    pdf[value_col].dropna().astype(str).value_counts().items()
+                ):
+                    batch[v] = batch.get(v, 0) + int(n)
+            # heaviest-first application is deterministic AND minimizes
+            # churn (a heavy new value takes one victim, then lighter
+            # values contend for the raised minimum)
+            for v, w in sorted(batch.items(), key=lambda t: (-t[1], t[0])):
+                if v in counters:
+                    c, e = counters[v]
+                    counters[v] = (c + w, e)
+                elif len(counters) < m:
+                    counters[v] = (w, 0)
+                else:
+                    victim, (cmin, _) = min(
+                        counters.items(), key=lambda t: (t[1][0], t[0])
+                    )
+                    del counters[victim]
+                    self._counters.removeKey((victim,))
+                    counters[v] = (cmin + w, cmin)
+            for v, (c, e) in counters.items():
+                self._counters.updateValue((v,), (c, e))
+            top = sorted(counters.items(), key=lambda t: (-t[1][0], t[0]))[:k]
+            yield pd.DataFrame(
+                {
+                    "bucket": [key[0]] * len(top),
+                    "value": [t[0] for t in top],
+                    "cnt": [t[1][0] for t in top],
+                    "err": [t[1][1] for t in top],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    bucketed = df.withColumn(
+        "__bucket",
+        (F.crc32(F.col(value_col).cast("string")) % buckets).cast("int"),
+    )
+    return bucketed.groupBy("__bucket").transformWithStateInPandas(
+        _SpaceSaving(),
+        outputStructType="bucket int, value string, cnt bigint, err bigint",
         outputMode="Update",
         timeMode="None",
     )

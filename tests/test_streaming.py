@@ -524,3 +524,69 @@ def test_ewma_tws_across_batches(spark, stream_dir, tmp_path):
             q.stop()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_spacesaving_tws_bounded_state_matches_exact_topk(spark, stream_dir, tmp_path):
+    """SpaceSaving bounded-state heavy hitters (VERDICT r6 #3): on a
+    skewed two-micro-batch stream with MORE distinct values than the
+    m=6 counter budget, the bounded variant's top-k set matches the
+    exact top-k, the heavy values' counts are exact (inserted before
+    any eviction pressure, never evicted), every emitted count
+    brackets the truth (cnt - err <= true <= cnt), and counts keep
+    accumulating across the checkpoint boundary."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.streaming import heavy_hitters_spacesaving_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        # skew: hot=8, warm=5, then 8 singletons (11 distinct > m=6)
+        batch1 = (
+            [{"v": "hot"}] * 8
+            + [{"v": "warm"}] * 5
+            + [{"v": f"rare{i}"} for i in range(8)]
+        )
+        _write_batch(stream_dir, "s1.jsonl", batch1)
+        src = file_stream(spark, str(stream_dir), "v string", fmt="json")
+        q = (
+            heavy_hitters_spacesaving_tws(src, "v", k=2, m=6, buckets=1)
+            .writeStream.format("memory")
+            .queryName("tws_ss")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {r.value: (r.cnt, r.err) for r in spark.sql(
+                "select * from tws_ss").collect()}
+            # top-2 set matches exact top-2; heavy counts are exact
+            assert set(got) == {"hot", "warm"}
+            assert got["hot"] == (8, 0)
+            assert got["warm"] == (5, 0)
+            # second batch: warm2 surges past warm via PERSISTED state
+            _write_batch(
+                stream_dir, "s2.jsonl",
+                [{"v": "hot"}] * 3 + [{"v": "warm2"}] * 7,
+            )
+            q.processAllAvailable()
+            rows = {r.value: (r.cnt, r.err) for r in spark.sql(
+                "select * from tws_ss").collect()}
+            assert rows["hot"] == (11, 0)  # 8 (from state) + 3
+            # warm2 entered by evicting some minimum counter: its
+            # count OVERESTIMATES truth (7) by exactly err, never
+            # underestimates
+            c, e = rows["warm2"]
+            assert c - e <= 7 <= c
+            # the memory sink accumulates update-mode emissions, so
+            # batch 1's rows remain — assert batch 2's top-2 arrived
+            assert {"hot", "warm2"} <= set(rows)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
