@@ -73,6 +73,7 @@ __all__ = [
     "encode_png",
     "decode_jpeg",
     "encode_jpeg",
+    "encode_jpeg_progressive",
     "decode_wav",
     "encode_wav",
 ]
@@ -466,22 +467,13 @@ def _pad_to8(plane: np.ndarray) -> np.ndarray:
     return np.pad(plane, ((0, (-h) % 8), (0, (-w) % 8)), mode="edge")
 
 
-def encode_jpeg(
-    pixels: np.ndarray,
-    quality: int = 85,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an (h, w) gray or (h, w, 3) RGB uint8 array as a
-    baseline sequential JPEG (JFIF, Annex-K tables quality-scaled the
-    IJG way, 'typical' Huffman tables). ``subsampling``: "444" (one
-    block per component per MCU) or "420" (2×2 luma blocks share one
-    chroma block — the common camera layout, exercising the general
-    MCU path in ``decode_jpeg``). ``restart_interval`` emits DRI +
-    RSTn markers every N MCUs (what camera firmware does for error
-    resilience — and what exercises the decoder's restart path).
-    Lossy inverse of ``decode_jpeg``: round-trip error is bounded by
-    the quantization tables."""
+def _jpeg_plan(
+    pixels: np.ndarray, quality: int, subsampling: str
+) -> tuple[int, int, list[np.ndarray], list[tuple[int, int]], np.ndarray, np.ndarray, bool]:
+    """Shared front half of both JPEG encoders: validate, color
+    convert, subsample, pad, FDCT + quantize. Returns (h, w,
+    per-component (by, bx, 8, 8) quantized coefficient blocks,
+    sampling factors, scaled luma/chroma quant tables, gray flag)."""
     if pixels.dtype != np.uint8:
         raise ValueError(f"encode_jpeg wants uint8 pixels, got {pixels.dtype}")
     if subsampling not in ("444", "420"):
@@ -525,6 +517,29 @@ def encode_jpeg(
             samp = [(1, 1), (1, 1), (1, 1)]
 
     blocks = [_component_blocks(p, q) for p, q in planes]
+    return h, w, blocks, samp, q_luma, q_chroma, gray
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w) gray or (h, w, 3) RGB uint8 array as a
+    baseline sequential JPEG (JFIF, Annex-K tables quality-scaled the
+    IJG way, 'typical' Huffman tables). ``subsampling``: "444" (one
+    block per component per MCU) or "420" (2×2 luma blocks share one
+    chroma block — the common camera layout, exercising the general
+    MCU path in ``decode_jpeg``). ``restart_interval`` emits DRI +
+    RSTn markers every N MCUs (what camera firmware does for error
+    resilience — and what exercises the decoder's restart path).
+    Lossy inverse of ``decode_jpeg``: round-trip error is bounded by
+    the quantization tables."""
+    h, w, blocks, samp, q_luma, q_chroma, gray = _jpeg_plan(
+        pixels, quality, subsampling
+    )
+    planes = blocks  # len == number of components
 
     dc_l, ac_l = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS), _huff_codes(
         _AC_LUMA_BITS, _AC_LUMA_VALS
@@ -593,6 +608,294 @@ def encode_jpeg(
     out += _marker(0xFFDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
     out += entropy
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _ScanRecorder:
+    """Two-pass progressive-scan entropy coder: pass 1 records
+    (symbol | raw-bit) events; ``table()`` then derives a canonical
+    FIXED-LENGTH Huffman table over exactly the symbols used (legal,
+    just less compressed than per-scan optimal tables — the point
+    here is a correct, self-contained encoder, and fixed length
+    sidesteps per-scan frequency optimization); pass 2 (``emit``)
+    writes the recorded stream through that table."""
+
+    def __init__(self) -> None:
+        self.events: list[tuple[str, int, int]] = []
+
+    def sym(self, s: int) -> None:
+        self.events.append(("s", s, 0))
+
+    def raw(self, v: int, n: int) -> None:
+        if n:
+            self.events.append(("r", v, n))
+
+    def table(self) -> tuple[list[int], list[int]]:
+        vals = sorted({s for kind, s, _ in self.events if kind == "s"})
+        if not vals:
+            vals = [0x00]  # a DHT must define at least one code
+        # shortest L with 2^L > len(vals): leaves the all-ones code
+        # unused, as T.81 requires
+        length = max(1, len(vals).bit_length())
+        if (1 << length) <= len(vals):
+            length += 1
+        bits = [0] * 16
+        bits[length - 1] = len(vals)
+        return bits, vals
+
+    def emit(self, writer: "_BitWriter", codes: dict[int, tuple[int, int]]) -> None:
+        for kind, v, n in self.events:
+            if kind == "s":
+                writer.write(*codes[v])
+            else:
+                writer.write(v, n)
+
+
+def _prog_dc_first(rec: _ScanRecorder, zz0: int, pred: int, al: int) -> int:
+    v = zz0 >> al  # arithmetic shift: the DC point transform (T.81 A.4)
+    s, bits = _mag_bits(v - pred)
+    rec.sym(s)
+    rec.raw(bits, s)
+    return v
+
+
+def _flush_eobrun(rec: _ScanRecorder, eobrun: int, br: list[int]) -> None:
+    """Emit an EOBn symbol covering ``eobrun`` end-of-band blocks,
+    followed by any buffered refinement correction bits."""
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        rec.sym(r << 4)
+        rec.raw(eobrun - (1 << r), r)
+        for b in br:
+            rec.raw(b, 1)
+        br.clear()
+
+
+def _prog_ac_first(
+    rec: _ScanRecorder, zz: np.ndarray, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """One block of an AC first (Ah=0) progressive scan: run/size
+    coding of the band's point-transformed coefficients, with
+    cross-block EOB-run accumulation. Returns the updated EOB run."""
+    vals = [
+        (1 if int(zz[k]) >= 0 else -1) * (abs(int(zz[k])) >> al)
+        for k in range(ss, se + 1)
+    ]
+    if not any(vals):
+        eobrun += 1
+        if eobrun == 0x7FFF:
+            _flush_eobrun(rec, eobrun, [])
+            eobrun = 0
+        return eobrun
+    _flush_eobrun(rec, eobrun, [])
+    eobrun = 0
+    run = 0
+    for v in vals:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            rec.sym(0xF0)  # ZRL
+            run -= 16
+        s, bits = _mag_bits(v)
+        rec.sym((run << 4) | s)
+        rec.raw(bits, s)
+        run = 0
+    if run:
+        eobrun = 1  # this block's trailing zeros start a fresh EOB run
+    return eobrun
+
+
+def _prog_ac_refine(
+    rec: _ScanRecorder,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+    br: list[int],
+) -> int:
+    """One block of an AC refinement (Ah=Al+1) scan per T.81
+    G.1.2.3: newly-nonzero coefficients emit (run, 1) + a sign bit;
+    already-nonzero coefficients contribute buffered correction bits
+    that flush after the next emitted symbol; all-history blocks
+    join the EOB run with their corrections buffered."""
+    mags = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    signs = [1 if int(zz[k]) >= 0 else 0 for k in range(ss, se + 1)]
+    eobpos = -1  # index into the band of the LAST newly-nonzero coef
+    for i, m in enumerate(mags):
+        if m == 1:
+            eobpos = i
+    if eobpos < 0:
+        # nothing newly significant: block joins the EOB run, its
+        # correction bits ride along in the buffer
+        br.extend(m & 1 for m in mags if m > 1)
+        eobrun += 1
+        if eobrun == 0x7FFF:
+            _flush_eobrun(rec, eobrun, br)
+            eobrun = 0
+        return eobrun
+    _flush_eobrun(rec, eobrun, br)
+    eobrun = 0
+    run = 0
+    for i in range(eobpos + 1):
+        m = mags[i]
+        if m == 0:
+            run += 1
+        elif m > 1:
+            br.append(m & 1)
+        else:  # newly nonzero
+            while run > 15:
+                rec.sym(0xF0)
+                for b in br:
+                    rec.raw(b, 1)
+                br.clear()
+                run -= 16
+            rec.sym((run << 4) | 1)
+            rec.raw(signs[i], 1)
+            for b in br:
+                rec.raw(b, 1)
+            br.clear()
+            run = 0
+    trailing = [mags[i] & 1 for i in range(eobpos + 1, len(mags)) if mags[i] > 1]
+    trailing_zeros = any(mags[i] == 0 for i in range(eobpos + 1, len(mags)))
+    if trailing or trailing_zeros or run:
+        br.extend(trailing)
+        eobrun = 1
+    return eobrun
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """Encode an (h, w) gray or (h, w, 3) RGB uint8 array as a
+    PROGRESSIVE JPEG (SOF2) using both progression axes the format
+    defines: spectral selection (DC scan, then AC bands 1-5 and
+    6-63 per component) and successive approximation (every scan
+    first at Al=1, then refinement scans Ah=1→Al=0) — the scan
+    script shape libjpeg's default progression uses, so the decoder
+    faces the same stream structure wild progressive JPEGs have
+    (EOB runs, refinement correction bits, per-component
+    non-interleaved AC scans). Same quantization pipeline as
+    ``encode_jpeg``; pixels round-trip identically to the baseline
+    encoding of the same image since the final precision is Al=0."""
+    h, w, blocks, samp, q_luma, q_chroma, gray = _jpeg_plan(
+        pixels, quality, subsampling
+    )
+    ncomp = len(blocks)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # zigzag-order coefficient vectors per component, (by, bx, 64)
+    zzs = [b.reshape(b.shape[0], b.shape[1], 64)[..., _ZIGZAG] for b in blocks]
+
+    def _comp_grid(ci: int) -> tuple[int, int]:
+        hi, vi = samp[ci]
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    def _scan(sos_body: bytes, rec: _ScanRecorder, n_dht: list) -> bytes:
+        bits, vals = rec.table()
+        codes = _huff_codes(bits, vals)
+        writer = _BitWriter()
+        rec.emit(writer, codes)
+        out = bytearray()
+        for cls, tid in n_dht:
+            out += struct.pack(
+                ">HH", 0xFFC4, 2 + 1 + 16 + len(vals)
+            ) + bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        out += struct.pack(">HH", 0xFFDA, 2 + len(sos_body)) + sos_body
+        out += writer.flush()
+        return bytes(out)
+
+    scans = []
+
+    # 1) DC first scan: all components interleaved, Al=1
+    rec = _ScanRecorder()
+    pred = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hi, vi) in enumerate(samp):
+                for by in range(vi):
+                    for bx in range(hi):
+                        pred[ci] = _prog_dc_first(
+                            rec,
+                            int(zzs[ci][my * vi + by, mx * hi + bx, 0]),
+                            pred[ci],
+                            1,
+                        )
+    sos = bytes([ncomp]) + b"".join(
+        struct.pack("BB", ci + 1, 0x00) for ci in range(ncomp)
+    ) + bytes([0, 0, (0 << 4) | 1])
+    scans.append(_scan(sos, rec, [(0, 0)]))
+
+    # 2) AC first scans: per component, bands 1-5 then 6-63, Al=1
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(ncomp):
+            rec = _ScanRecorder()
+            bh, bw = _comp_grid(ci)
+            eobrun = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    eobrun = _prog_ac_first(
+                        rec, zzs[ci][by, bx], ss, se, 1, eobrun
+                    )
+            _flush_eobrun(rec, eobrun, [])
+            sos = bytes([1, ci + 1, 0x00, ss, se, (0 << 4) | 1])
+            scans.append(_scan(sos, rec, [(1, 0)]))
+
+    # 3) DC refinement: all components interleaved, Ah=1 -> Al=0
+    rec = _ScanRecorder()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hi, vi) in enumerate(samp):
+                for by in range(vi):
+                    for bx in range(hi):
+                        rec.raw(int(zzs[ci][my * vi + by, mx * hi + bx, 0]) & 1, 1)
+    sos = bytes([ncomp]) + b"".join(
+        struct.pack("BB", ci + 1, 0x00) for ci in range(ncomp)
+    ) + bytes([0, 0, (1 << 4) | 0])
+    # DC refinement reads no Huffman codes, but a DHT slot must exist
+    scans.append(_scan(sos, rec, [(0, 0)]))
+
+    # 4) AC refinement scans: per component, same bands, Ah=1 -> Al=0
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(ncomp):
+            rec = _ScanRecorder()
+            bh, bw = _comp_grid(ci)
+            eobrun, br = 0, []
+            for by in range(bh):
+                for bx in range(bw):
+                    eobrun = _prog_ac_refine(
+                        rec, zzs[ci][by, bx], ss, se, 0, eobrun, br
+                    )
+            _flush_eobrun(rec, eobrun, br)
+            sos = bytes([1, ci + 1, 0x00, ss, se, (1 << 4) | 0])
+            scans.append(_scan(sos, rec, [(1, 0)]))
+
+    def _marker(tag: int, body: bytes) -> bytes:
+        return struct.pack(">HH", tag, len(body) + 2) + body
+
+    sof_comps = b"".join(
+        struct.pack("BBB", i + 1, (samp[i][0] << 4) | samp[i][1], 0 if i == 0 else 1)
+        for i in range(ncomp)
+    )
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _marker(
+        0xFFDB, b"\x00" + bytes(int(v) for v in q_luma.reshape(64)[_ZIGZAG])
+    )
+    if ncomp > 1:
+        out += _marker(
+            0xFFDB, b"\x01" + bytes(int(v) for v in q_chroma.reshape(64)[_ZIGZAG])
+        )
+    out += _marker(0xFFC2, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    for s in scans:
+        out += s
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -672,18 +975,22 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG (SOF0, Huffman) to an
-    (h, w, 3) uint8 RGB array (grayscale broadcast to 3 channels).
-    Handles 4:4:4 / 4:2:2 / 4:2:0 sampling and DRI/RSTn restart
-    intervals. Raises ValueError on progressive (SOF2),
-    arithmetic-coded, 12-bit, or otherwise non-baseline streams so
-    callers can fall back — the same contract as ``decode_png``."""
+    """Decode a baseline sequential (SOF0/1) or PROGRESSIVE (SOF2,
+    spectral selection + successive approximation, the dominant wild
+    variant) Huffman JPEG to an (h, w, 3) uint8 RGB array (grayscale
+    broadcast to 3 channels). Handles 4:4:4 / 4:2:2 / 4:2:0 sampling
+    and DRI/RSTn restart intervals. Raises ValueError on
+    arithmetic-coded, lossless, hierarchical, 12-bit, or truncated
+    streams so callers can fall back — the same contract as
+    ``decode_png``."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, [(comp_id, hi, vi, tq)])
+    progressive = False
+    coeffs: list[np.ndarray] | None = None  # per-comp (by, bx, 64) zigzag
     restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -722,19 +1029,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 }
                 htables[(cls, tid)] = inv
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             depth, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if depth != 8:
-                raise ValueError("only 8-bit baseline JPEG supported")
+                raise ValueError("only 8-bit JPEG supported")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * i)
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "non-baseline JPEG (progressive/arithmetic/lossless) "
+                "non-baseline JPEG (arithmetic/lossless/hierarchical) "
                 "unsupported"
             )
         elif marker == 0xDD:  # DRI
@@ -745,12 +1053,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ns = body[0]
             scan = []  # (comp_idx, dc_tid, ac_tid)
             h, w, comps = frame
-            if ns < len(comps):
+            if not progressive and ns < len(comps):
                 # spec-legal baseline JPEGs may split components across
-                # several non-interleaved scans; this decoder handles a
-                # single fully interleaved scan only — reject loudly
-                # (same contract as the progressive/arithmetic paths)
-                # instead of decoding scan 1 over the wrong MCU grid
+                # several non-interleaved scans; the baseline decoder
+                # handles a single fully interleaved scan only — reject
+                # loudly (same contract as the arithmetic path) instead
+                # of decoding scan 1 over the wrong MCU grid
                 raise ValueError(
                     "non-interleaved multi-scan baseline JPEG unsupported "
                     f"(SOS has {ns} of {len(comps)} frame components)"
@@ -761,12 +1069,234 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     j for j, c in enumerate(comps) if c[0] == cs
                 )
                 scan.append((idx, tds >> 4, tds & 0x0F))
-            return _decode_scan(
-                payload, pos + 2 + seg_len, frame, scan, qtables, htables,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    payload, pos + 2 + seg_len, frame, scan, qtables,
+                    htables, restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            if coeffs is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                coeffs = [
+                    np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
+                    for (_, hi, vi, _) in comps
+                ]
+            pos = _decode_progressive_scan(
+                payload, pos + 2 + seg_len, frame, scan,
+                ss, se, a >> 4, a & 0x0F, htables, restart_interval, coeffs,
             )
+            continue
         pos += 2 + seg_len
+    if progressive and coeffs is not None:
+        return _reconstruct(frame, coeffs, qtables)
     raise ValueError("no SOS marker found")
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    frame: tuple,
+    scan: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    htables: dict,
+    restart_interval: int,
+    coeffs: list[np.ndarray],
+) -> int:
+    """Decode ONE progressive scan (T.81 G.2) into the per-component
+    zigzag coefficient state, and return the byte offset of the next
+    marker. DC scans (Ss=0) may interleave components in MCU order;
+    AC scans are single-component over that component's own block
+    grid. ``Ah=0`` scans establish coefficients at precision ``Al``
+    (with EOB-run coding for AC); ``Ah>0`` scans refine one magnitude
+    bit, reading correction bits for already-nonzero coefficients."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    reader = _BitReader(data, pos)
+    p1 = 1 << al
+
+    def _correct(zz: np.ndarray, k: int) -> None:
+        c = int(zz[k])
+        if c != 0 and reader.bit() and (c & p1) == 0:
+            zz[k] = c + (p1 if c > 0 else -p1)
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        pred = [0] * len(comps)
+
+        def _dc_block(ci: int, dc_tid: int, by: int, bx: int) -> None:
+            zz = coeffs[ci][by, bx]
+            if ah == 0:
+                tab = htables.get((0, dc_tid))
+                if tab is None:
+                    raise ValueError("scan references a missing Huffman table")
+                s = _huff_decode(reader, tab)
+                pred[ci] += _extend(reader.bits(s), s) if s else 0
+                zz[0] = pred[ci] << al
+            elif reader.bit():
+                zz[0] = int(zz[0]) | p1
+
+        if len(scan) > 1:
+            n = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and n and n % restart_interval == 0:
+                        reader.restart()
+                        pred = [0] * len(comps)
+                    for ci, dc_tid, _ in scan:
+                        _, hi, vi, _ = comps[ci]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                _dc_block(ci, dc_tid, my * vi + by, mx * hi + bx)
+                    n += 1
+        else:
+            ci, dc_tid, _ = scan[0]
+            _, hi, vi, _ = comps[ci]
+            ch, cw = -(-(h * vi) // vmax), -(-(w * hi) // hmax)
+            bh, bw = -(-ch // 8), -(-cw // 8)
+            n = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and n and n % restart_interval == 0:
+                        reader.restart()
+                        pred = [0] * len(comps)
+                    _dc_block(ci, dc_tid, by, bx)
+                    n += 1
+    else:  # AC scan: single component, raster over its own grid
+        if len(scan) != 1:
+            raise ValueError("progressive AC scans must be single-component")
+        ci, _, ac_tid = scan[0]
+        tab = htables.get((1, ac_tid))
+        if tab is None:
+            raise ValueError("scan references a missing Huffman table")
+        _, hi, vi, _ = comps[ci]
+        ch, cw = -(-(h * vi) // vmax), -(-(w * hi) // hmax)
+        bh, bw = -(-ch // 8), -(-cw // 8)
+        eobrun = 0
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and n and n % restart_interval == 0:
+                    reader.restart()
+                    eobrun = 0
+                n += 1
+                zz = coeffs[ci][by, bx]
+                if eobrun > 0:
+                    eobrun -= 1
+                    if ah:  # EOB-run blocks still carry correction bits
+                        for k in range(ss, se + 1):
+                            _correct(zz, k)
+                    continue
+                k = ss
+                if ah == 0:  # first pass at this precision
+                    while k <= se:
+                        sym = _huff_decode(reader, tab)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("corrupt AC coefficient run")
+                        zz[k] = _extend(reader.bits(s), s) << al
+                        k += 1
+                else:  # refinement
+                    hit_eob = False
+                    while k <= se:
+                        sym = _huff_decode(reader, tab)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0 and r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            hit_eob = True
+                            break
+                        if s == 0:
+                            val = 0  # ZRL: 16 zero-history coefficients
+                        elif s == 1:
+                            val = p1 if reader.bit() else -p1
+                        else:
+                            raise ValueError(
+                                "refinement scan symbol must have size 1"
+                            )
+                        while k <= se:
+                            c = int(zz[k])
+                            if c != 0:
+                                if reader.bit() and (c & p1) == 0:
+                                    zz[k] = c + (p1 if c > 0 else -p1)
+                            else:
+                                if r == 0:
+                                    if val:
+                                        zz[k] = val
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                    if hit_eob:
+                        # EOB entered mid-block: correction bits for
+                        # the remaining already-nonzero coefficients
+                        for kk in range(k, se + 1):
+                            _correct(zz, kk)
+    # advance past pad bits to the next marker
+    p = reader.pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF
+        and data[p + 1] != 0x00
+        and not (0xD0 <= data[p + 1] <= 0xD7)
+    ):
+        p += 1
+    return p
+
+
+def _reconstruct(
+    frame: tuple, coeffs: list[np.ndarray], qtables: dict
+) -> np.ndarray:
+    """Dequantize + IDCT + upsample + color-convert per-component
+    zigzag coefficient arrays to the final RGB image. Fully
+    vectorized: the inverse zigzag, dequant, and the IDCT sandwich
+    run as whole-plane numpy ops (one einsum per component)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    full = []
+    for ci, (_, hi, vi, tq) in enumerate(comps):
+        q = qtables.get(tq)
+        if q is None:
+            raise ValueError("frame references a missing quant table")
+        zz = coeffs[ci]
+        by, bx = zz.shape[0], zz.shape[1]
+        nat = np.zeros_like(zz)
+        nat[..., _ZIGZAG] = zz
+        dq = nat.reshape(by, bx, 8, 8) * q
+        blocks = np.einsum("ux,byuv,vz->byxz", _DCT, dq.astype(np.float64), _DCT)
+        plane = blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        plane = np.repeat(
+            np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+        )
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(
@@ -916,7 +1446,8 @@ def decode_image(payload: bytes, mime: str = "image/bmp") -> np.ndarray:
     """Decode an image payload to an (h, w, 3) uint8 RGB array.
 
     Real for uncompressed 24-bpp BMP, 8-bit non-interlaced PNG, and
-    baseline sequential JPEG (stdlib decoders above). Other formats
+    baseline sequential + progressive JPEG (stdlib decoders above).
+    Other formats
     need codec libraries not present in this container — swap the
     fallback for PIL/torchvision in a full environment."""
     # content magic wins over the mime hint (callers often pass the

@@ -294,9 +294,10 @@ def test_jpeg_roundtrip_within_quantization_error():
     outg = decode_jpeg(encode_jpeg(g, quality=90))
     assert outg.shape == (20, 30, 3)
     assert np.array_equal(outg[:, :, 0], outg[:, :, 1])
-    # rejection contract: progressive and non-JPEG raise ValueError
+    # rejection contract: arithmetic-coded and non-JPEG raise
+    # ValueError (progressive/SOF2 is now a supported decode path)
     with pytest.raises(ValueError, match="non-baseline"):
-        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05aaa")
+        decode_jpeg(b"\xff\xd8\xff\xc9\x00\x05aaa")
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
 
@@ -1009,3 +1010,52 @@ def test_dsir_scores_identity_and_direction(spark):
     }
     assert scored[5] == scored[1]  # same content -> identical score
     assert scored[1] > scored[3]
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Progressive JPEG (SOF2) decode — VERDICT r6 #4: the encoder
+    emits the full wild-JPEG scan structure (interleaved DC scan +
+    per-component spectral AC bands 1-5/6-63, everything first at
+    Al=1 then refined Ah=1->Al=0, with cross-block EOB runs and
+    buffered correction bits), and the decoder must reconstruct
+    EXACTLY the pixels the baseline codec produces for the same image
+    and quality — the coefficient state after all scans equals the
+    sequential coefficients, so any difference is a scan-algorithm
+    bug, not quantization."""
+    import numpy as np
+
+    from etlp_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    h, w = 37, 53
+    y, x = np.mgrid[0:h, 0:w]
+    smooth = np.stack(
+        [255 * x / w, 255 * y / h, 128 + 64 * np.sin(x / 5)], axis=2
+    ).astype(np.uint8)
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)  # dense coefs
+    sparse = np.full((128, 128), 200, dtype=np.uint8)  # long EOB runs
+    sparse[::16, ::16] = 0
+    checker = (np.indices((16, 16)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    gray = (255 * np.abs(
+        np.sin(np.outer(np.arange(20), np.arange(30)) / 7)
+    )).astype(np.uint8)
+
+    cases = [
+        (smooth, 85, "444"), (smooth, 95, "420"),
+        (noise, 95, "444"), (sparse, 60, "444"),
+        (checker, 90, "444"), (gray, 90, "444"),
+    ]
+    for img, q, sub in cases:
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+        prog_payload = encode_jpeg_progressive(img, quality=q, subsampling=sub)
+        assert prog_payload[:2] == b"\xff\xd8"
+        assert b"\xff\xc2" in prog_payload  # SOF2, really progressive
+        assert np.array_equal(decode_jpeg(prog_payload), base)
+
+    # decode_image dispatches progressive payloads by magic too
+    p = encode_jpeg_progressive(smooth, quality=85)
+    assert np.array_equal(decode_image(p), decode_jpeg(p))
