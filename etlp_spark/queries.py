@@ -8514,6 +8514,319 @@ def x89_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x90_repeated_substring_spans",
+    """
+    WITH g AS (SELECT doc_id, source, substr(text, CAST(i AS INT), 20) AS gram
+               FROM documents, unnest(range(1, length(text) - 19 + 1, 4))
+                 AS r(i)
+               WHERE length(text) >= 20),
+    fps AS (SELECT doc_id, source, md5(gram) AS fp FROM g),
+    mem AS (SELECT fp FROM fps GROUP BY fp
+            HAVING count(DISTINCT doc_id) >= 2),
+    per_doc AS (SELECT f.doc_id, f.source,
+                       CAST(count(*) AS BIGINT) AS n_grams,
+                       CAST(sum(CASE WHEN m.fp IS NOT NULL THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_mem
+                FROM fps f LEFT JOIN mem m USING (fp)
+                GROUP BY 1, 2),
+    normed AS (SELECT source, n_mem,
+                      CAST(floor(1000000.0 * n_mem / n_grams) AS BIGINT)
+                        AS frac_e6
+               FROM per_doc)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_mem > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_memorized,
+           CAST(floor(sum(frac_e6) * 1.0 / count(*) + 0.5) AS BIGINT)
+             AS avg_mem_frac_e6
+    FROM normed GROUP BY source
+    """,
+)
+def x90_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring (memorization) audit — the
+    character-level exact-substring signal behind "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al. 2022):
+    a char 20-gram sampled every 4 positions is MEMORIZED if it
+    occurs in >= 2 distinct documents; per source, report how many
+    documents carry any memorized span and the mean memorized-gram
+    fraction (e6-floored per doc first, so the aggregate is an exact
+    integer sum). Complements x36 (word-n-gram dup fraction, within
+    corpus) and x17 (winnowing, per-doc fingerprints): this is the
+    corpus-wide verbatim-overlap rate a training pipeline tracks to
+    decide whether substring-level dedup is worth running.
+
+    Scale shape: gram enumeration is scan-stage (stride 4 bounds it
+    at ~len/4 rows per doc); the only corpus-sized shuffles are the
+    16-byte-fingerprint groupBy (distinct-doc count) and the
+    fingerprint equi-join back — the exact-dedup shuffle shape (x4),
+    uniform by construction, no pair expansion anywhere. At 100 TB
+    the gram relation dominates bytes, so production shuffles md5
+    fingerprints (as here), never gram text.
+    Reference: engine-added (SURVEY.md §2.2 dedup family)."""
+    docs = _t_fanout(spark, sf_dir, "documents").where(F.length("text") >= 20)
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 19, 4),"
+                   " i -> substr(text, i, 20))")
+        ).alias("gram"),
+    )
+    fps = grams.select("doc_id", "source", F.md5("gram").alias("fp"))
+    mem = (
+        fps.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("fp", F.lit(1).alias("memorized"))
+    )
+    per_doc = (
+        fps.join(mem, "fp", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("memorized").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_mem"),
+        )
+    )
+    normed = per_doc.withColumn(
+        "frac_e6",
+        F.floor(1000000.0 * F.col("n_mem") / F.col("n_grams")).cast("long"),
+    )
+    return normed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_mem") > 0, 1).otherwise(0))
+        .cast("long").alias("n_docs_memorized"),
+        F.floor(
+            F.sum("frac_e6") * 1.0 / F.count(F.lit(1)) + F.lit(0.5)
+        ).cast("long").alias("avg_mem_frac_e6"),
+    )
+
+
+@_register(
+    "x91_matryoshka_recall",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv
+          FROM embeddings WHERE vec_id >= 5),
+    scored AS (SELECT query_id, cand_id, {_O_COS} AS cos FROM q, c),
+    exact AS (SELECT query_id, cand_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, cand_id) AS rnk
+              FROM scored QUALIFY rnk <= 10),
+    qp AS (SELECT vec_id AS query_id, embedding[1:16] AS qv
+           FROM embeddings WHERE vec_id < 5),
+    cp AS (SELECT vec_id AS cand_id, embedding[1:16] AS cv
+           FROM embeddings WHERE vec_id >= 5),
+    scored_p AS (SELECT query_id, cand_id, {_O_COS} AS cos FROM qp, cp),
+    pref AS (SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS rnk
+             FROM scored_p QUALIFY rnk <= 10),
+    ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+    np AS (SELECT query_id, count(*) AS n_prefix FROM pref GROUP BY 1),
+    ov AS (SELECT e.query_id, count(*) AS n_ov
+           FROM exact e JOIN pref p
+             ON p.query_id = e.query_id AND p.cand_id = e.cand_id
+           GROUP BY 1)
+    SELECT ne.query_id,
+           CAST(ne.n_exact AS BIGINT) AS n_exact,
+           CAST(coalesce(np.n_prefix, 0) AS BIGINT) AS n_prefix,
+           CAST(coalesce(ov.n_ov, 0) AS BIGINT) AS n_overlap
+    FROM ne LEFT JOIN np USING (query_id) LEFT JOIN ov USING (query_id)
+    """,
+)
+def x91_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dimension recall audit (Kusupati et al.
+    2022, "Matryoshka Representation Learning"): rank candidates by
+    cosine over only the FIRST 16 of 64 embedding dimensions and
+    measure recall@10 against full-dimension exact ranking — the
+    measurement that decides whether a pipeline can serve truncated
+    embeddings (4x less ANN memory and shuffle bytes) for coarse
+    retrieval and rerank with full vectors, the x71 audit pattern
+    applied to dimension truncation instead of SRP bucketing.
+    n_overlap / n_exact IS the recall, reported as exact integers.
+
+    Scale shape: both rankings are x7's broadcast-queries pattern
+    (the candidate corpus never shuffles; prefix slice is
+    scan-stage); final frames are |queries|-sized. At 100 TB the
+    prefix pass reads 4x fewer vector bytes — exactly the saving the
+    audit is pricing. Reference: engine-added (SURVEY.md §2.2
+    similarity family)."""
+    from etlp_spark.functions.similarity import cosine_topk
+
+    emb = _t_fanout(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    cands = emb.where(F.col("vec_id") >= 5)
+    exact = cosine_topk(queries, cands, k=10)
+    pref = cosine_topk(
+        queries.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
+        cands.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
+        k=10,
+    )
+    ne = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    np_ = pref.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_prefix")
+    )
+    ov = (
+        exact.select("query_id", "cand_id")
+        .join(pref.select("query_id", "cand_id"), ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ov"))
+    )
+    return (
+        ne.join(np_, "query_id", "left")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_prefix", F.lit(0)).cast("long").alias("n_prefix"),
+            F.coalesce("n_ov", F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )
+
+
+@_register(
+    "x92_cooccurrence_triangles",
+    """
+    WITH pres AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS hb,
+                                  user_id
+                  FROM events),
+    sized AS (SELECT event_type, hb FROM pres
+              GROUP BY 1, 2 HAVING count(*) <= 32),
+    kept AS (SELECT p.* FROM pres p JOIN sized s USING (event_type, hb)),
+    pairs AS (SELECT a.user_id AS ua, b.user_id AS ub,
+                     CAST(count(*) AS BIGINT) AS shared
+              FROM kept a JOIN kept b
+                ON a.event_type = b.event_type AND a.hb = b.hb
+               AND a.user_id < b.user_id
+              GROUP BY 1, 2 HAVING count(*) >= 3),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM (
+              SELECT ua AS u FROM pairs UNION ALL SELECT ub FROM pairs)
+            GROUP BY u),
+    ori AS (SELECT CASE WHEN (da.d, p.ua) < (db.d, p.ub)
+                        THEN p.ua ELSE p.ub END AS src,
+                   CASE WHEN (da.d, p.ua) < (db.d, p.ub)
+                        THEN p.ub ELSE p.ua END AS dst,
+                   CASE WHEN (da.d, p.ua) < (db.d, p.ub)
+                        THEN db.d ELSE da.d END AS dd
+            FROM pairs p
+            JOIN deg da ON da.u = p.ua JOIN deg db ON db.u = p.ub),
+    tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM ori e1 JOIN ori e2
+              ON e2.src = e1.src AND (e2.dd, e2.dst) > (e1.dd, e1.dst)
+            JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+    per_user AS (SELECT u, CAST(count(*) AS BIGINT) AS n_tri FROM (
+                   SELECT a AS u FROM tri UNION ALL
+                   SELECT b FROM tri UNION ALL SELECT c FROM tri)
+                 GROUP BY u)
+    SELECT u AS user_id, n_tri,
+           row_number() OVER (ORDER BY n_tri DESC, u) AS rnk
+    FROM per_user
+    QUALIFY rnk <= 20
+    """,
+)
+def x92_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the user co-occurrence
+    graph (users sharing >= 3 distinct (event_type, hour) presence
+    buckets are connected) — the classic clustering-coefficient /
+    community-density primitive, implemented with the degree-ordered
+    orientation of Suri & Vassilvitskii 2011 ("Counting Triangles
+    and the Curse of the Last Reducer"): every edge is directed from
+    its lower-(degree, id) endpoint, so each triangle is generated
+    by exactly ONE wedge at its lowest-degree vertex and the wedge
+    fan-out at hub vertices collapses from deg^2 to (out-deg <=
+    sqrt-ish)^2. Reports the top-20 users by triangle membership.
+
+    Scale shape: presence dedup + bucket-size cap (<= 32, the x5
+    bucket-cap policy) bound pair generation per bucket; the pair
+    aggregate shuffles on (ua, ub); the triangle step is two
+    equi-joins on the ORIENTED edge list — no unoriented deg^2 wedge
+    explosion at hubs, the exact failure the paper names. At 100 TB
+    the same plan holds: orientation is the difference between the
+    last reducer owning a celebrity node's deg^2 wedges and owning
+    ~sqrt(m) of them. Reference: engine-added (SURVEY.md §2.2 graph
+    family, joining r1 reachability / r2 pagerank)."""
+    ev = _t_fanout(spark, sf_dir, "events")
+    pres = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hb"),
+        "user_id",
+    ).distinct()
+    sized = (
+        pres.groupBy("event_type", "hb")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .where(F.col("nb") <= 32)
+        .drop("nb")
+    )
+    kept = pres.join(sized, ["event_type", "hb"])
+    a = kept.select("event_type", "hb", F.col("user_id").alias("ua"))
+    b = kept.select("event_type", "hb", F.col("user_id").alias("ub"))
+    pairs = (
+        a.join(b, ["event_type", "hb"])
+        .where(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= 3)
+    )
+    deg = (
+        pairs.select(F.col("ua").alias("u"))
+        .unionAll(pairs.select(F.col("ub").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("u").alias("ua"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("ub"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("ua") < F.col("ub"))
+    )
+    ori = (
+        pairs.join(da, "ua").join(db, "ub")
+        .select(
+            F.when(lower_first, F.col("ua")).otherwise(F.col("ub")).alias("src"),
+            F.when(lower_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
+            # the WEDGE ordering below must use the SAME (degree, id)
+            # total order the orientation used, so carry dst's degree
+            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+        )
+    )
+    e1 = ori.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dd").alias("bd")
+    )
+    e2 = ori.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("dd").alias("cd")
+    )
+    e3 = ori.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = (
+        e1.join(e2, "a")
+        .where(
+            (F.col("cd") > F.col("bd"))
+            | ((F.col("cd") == F.col("bd")) & (F.col("c") > F.col("b")))
+        )
+        .join(e3, ["b", "c"])
+    )
+    per_user = (
+        tri.select(F.col("a").alias("u"))
+        .unionAll(tri.select(F.col("b").alias("u")))
+        .unionAll(tri.select(F.col("c").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    # distributed top-k (TakeOrderedAndProject) FIRST, then rank the
+    # 20-row result — a global row_number window would drag the whole
+    # per-user frame to one partition
+    top = per_user.orderBy(F.col("n_tri").desc(), "u").limit(20)
+    w = Window.orderBy(F.col("n_tri").desc(), F.col("u"))
+    return top.select(
+        F.col("u").alias("user_id"),
+        "n_tri",
+        F.row_number().over(w).alias("rnk"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #

@@ -83,6 +83,11 @@ HEAVY = [
     "j5_asof_last_signup",
     "j9_asof_forward_tolerance",
     "j12_asof_nearest",
+    # round-7: the round-6 operators' scale-shape claims, executed
+    "x84_token_gini",
+    "x86_bloom_membership",
+    "x87_dsir_importance",
+    "x89_bpe_merge_candidates",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -106,6 +111,10 @@ QUERY_TABLES = {
     "j5_asof_last_signup": ["events"],
     "j9_asof_forward_tolerance": ["events"],
     "j12_asof_nearest": ["events"],
+    "x84_token_gini": ["documents"],
+    "x86_bloom_membership": ["documents"],
+    "x87_dsir_importance": ["documents"],
+    "x89_bpe_merge_candidates": ["documents"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]
