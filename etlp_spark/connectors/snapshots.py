@@ -58,7 +58,7 @@ import time
 import uuid
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etlp_spark.connectors.base import (
     CheckResult,
@@ -399,6 +399,147 @@ class SnapshotStore:
             *key_cols, "'removed' AS change_type"
         )
         return added.unionByName(removed)
+
+    # ----- merge (upsert) ----------------------------------------------------
+
+    def merge(
+        self, df: DataFrame, key_cols: list[str], *, batch_id: int | None = None
+    ) -> WriteResult:
+        """MERGE / upsert by key, file-granular copy-on-write — the
+        Delta-Lake-style ``MERGE INTO`` skeleton: rows of ``df``
+        REPLACE parent rows sharing their key; all other parent rows
+        carry over. Only data files that actually CONTAIN a matched
+        key are rewritten (located via ``input_file_name`` + a
+        key semi-join); untouched files join the new manifest by
+        REFERENCE, zero bytes moved — on a long append chain where an
+        upsert touches recent data, almost all of the table is
+        carried, not copied. Older versions keep referencing the old
+        files (time travel intact) until ``expire`` reclaims them.
+
+        Scale shape: one key semi-join (keys only shuffle, never full
+        rows) to find hit files; one anti-join over JUST the hit
+        files' rows for the rewrite. The only driver-side state is
+        the hit FILE list — bounded by |files|, never by rows.
+        """
+        from urllib.parse import unquote, urlparse
+
+        parent = self.latest_version()
+        if parent is None:
+            return self.write(df, "snapshot", batch_id=batch_id)
+        pm = self.manifest(parent)
+        if pm["schema"] != df.schema.json():
+            raise ValueError(
+                f"merge schema mismatch with parent version {parent}: "
+                f"{pm['schema']} != {df.schema.json()}"
+            )
+        spark = df.sparkSession
+        keys = df.select(*key_cols).distinct()
+        old = spark.read.parquet(*pm["files"])
+        hit_rows = (
+            old.withColumn("_sf", F.input_file_name())
+            .join(keys, key_cols, "left_semi")
+            .select("_sf")
+            .distinct()
+            .collect()  # bounded by |data files|, not by rows
+        )
+        hit_files = sorted(unquote(urlparse(r._sf).path) for r in hit_rows)
+        unknown = set(hit_files) - set(pm["files"])
+        if unknown:
+            raise RuntimeError(f"merge located files outside the manifest: {unknown}")
+        untouched = [f for f in pm["files"] if f not in set(hit_files)]
+
+        version = parent + 1
+        data_dir = os.path.join(
+            self.root, _DATA_DIR, f"v{version:05d}-{uuid.uuid4().hex[:12]}"
+        )
+        if hit_files:
+            survivors = spark.read.parquet(*hit_files).join(
+                keys, key_cols, "left_anti"
+            )
+            out = survivors.unionByName(df)
+            n_hit = spark.read.parquet(*hit_files).count()
+        else:
+            out = df
+            n_hit = 0
+        out.write.mode("errorifexists").parquet(data_dir)
+        new_files = _list_files(data_dir)
+        n_new = spark.read.parquet(data_dir).count()
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "mode": "merge",
+            "committed_at": time.time(),
+            "files": untouched + new_files,
+            "n_rows": pm["n_rows"] - n_hit + n_new,
+            "schema": df.schema.json(),
+        }
+        wm = pm.get("max_batch_id")
+        if batch_id is not None:
+            manifest["batch_id"] = batch_id
+            wm = batch_id if wm is None else max(wm, batch_id)
+        if wm is not None:
+            manifest["max_batch_id"] = wm
+        self._commit(manifest)
+        return WriteResult(
+            rows=n_new,
+            target=data_dir,
+            extra={
+                "version": version,
+                "files_rewritten": len(hit_files),
+                "files_carried": len(untouched),
+            },
+        )
+
+    # ----- compaction --------------------------------------------------------
+
+    def compact(
+        self, spark: SparkSession, num_files: int | None = None
+    ) -> WriteResult:
+        """Small-files maintenance: rewrite the LATEST version's rows
+        into ``num_files`` parquet files (default: total data bytes /
+        128 MiB, floor 1) and commit the result as a new version with
+        identical rows — the compaction every long append chain needs
+        before its manifest references thousands of micro-batch
+        part-files. Prior versions still reference the old files
+        (time travel intact); ``expire`` reclaims them once the
+        history ages out.
+        """
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"snapshot store {self.root} has no versions")
+        pm = self.manifest(parent)
+        if num_files is None:
+            total = sum(os.path.getsize(f) for f in pm["files"])
+            num_files = max(1, total // (128 * 1024 * 1024))
+        df = spark.read.parquet(*pm["files"]).coalesce(int(num_files))
+        version = parent + 1
+        data_dir = os.path.join(
+            self.root, _DATA_DIR, f"v{version:05d}-{uuid.uuid4().hex[:12]}"
+        )
+        df.write.mode("errorifexists").parquet(data_dir)
+        new_files = _list_files(data_dir)
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "mode": "compact",
+            "committed_at": time.time(),
+            "files": new_files,
+            "n_rows": pm["n_rows"],
+            "schema": pm["schema"],
+        }
+        wm = pm.get("max_batch_id")
+        if wm is not None:
+            manifest["max_batch_id"] = wm
+        self._commit(manifest)
+        return WriteResult(
+            rows=pm["n_rows"],
+            target=data_dir,
+            extra={
+                "version": version,
+                "files_before": len(pm["files"]),
+                "files_after": len(new_files),
+            },
+        )
 
     # ----- retention ---------------------------------------------------------
 

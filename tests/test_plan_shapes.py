@@ -183,3 +183,35 @@ def test_ngram_novelty_no_join(spark):
     back."""
     plan = _executed_plan(QUERIES["x78_ngram_novelty"].fn(spark, SF))
     assert "Join" not in plan, plan[:2000]
+
+
+def test_repeated_substring_no_cartesian_fp_shuffle_only(spark):
+    """x90: the memorization audit must never pair-expand — the plan
+    is scan-stage gram explode, a fingerprint hash-aggregate, and one
+    fingerprint equi-join back. Any CartesianProduct (or a gram-text
+    sort-merge) would be the quadratic/byte-heavy shape the
+    fingerprint design avoids."""
+    plan = _executed_plan(QUERIES["x90_repeated_substring_spans"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_matryoshka_recall_broadcasts_queries(spark):
+    """x91: both ranking passes (full-dim and prefix-dim) must score
+    via the broadcast-queries pattern — the query side broadcast into
+    a nested-loop cross, so the candidate corpus is scored without
+    shuffling for the pair expansion. (The |queries|-row aggregate
+    joins at the end may plan however AQE likes — they are k×|q|
+    rows, not corpus-sized.)"""
+    plan = _executed_plan(QUERIES["x91_matryoshka_recall"].fn(spark, SF))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_triangles_top20_is_take_ordered(spark):
+    """x92: the top-20 must reduce via TakeOrderedAndProject (the
+    final 20-row rank window is fine); a global Sort over the
+    per-user frame, or a CartesianProduct in the wedge joins, is the
+    last-reducer shape the orientation exists to kill."""
+    plan = _executed_plan(QUERIES["x92_cooccurrence_triangles"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]

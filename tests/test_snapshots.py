@@ -605,3 +605,69 @@ def test_streaming_exactly_once_across_restart_both_protocols(
     # checkpoint advance produces): idempotent under this protocol
     store.write_batch(_df(spark, [1, 2]), 0)
     assert sorted(r.id for r in store.read(spark).collect()) == [1, 2, 3]
+
+
+def test_merge_upsert_copy_on_write(spark, store):
+    """MERGE (upsert by key): matched keys are replaced wholesale,
+    unmatched keys insert, and only the data files that CONTAIN a
+    matched key are rewritten — untouched files carry into the new
+    manifest by reference (zero bytes moved), the Delta-style
+    copy-on-write shape. Time travel still sees pre-merge rows."""
+    # two single-file versions so file-granular CoW is observable
+    store.write(_df(spark, [1, 2]).coalesce(1))
+    store.write(_df(spark, [3, 4]).coalesce(1), mode="append")
+    m2 = store.manifest(2)
+    assert len(m2["files"]) == 2
+
+    upd = spark.createDataFrame([(3, "NEW"), (9, "r9")], ["id", "val"])
+    res = store.merge(upd, ["id"])
+    assert res.extra["files_rewritten"] == 1   # only the file holding id=3
+    assert res.extra["files_carried"] == 1     # the [1,2] file untouched
+    m3 = store.manifest(3)
+    assert m3["mode"] == "merge" and m3["n_rows"] == 5
+    got = {r.id: r.val for r in store.read(spark).collect()}
+    assert got == {1: "r1", 2: "r2", 3: "NEW", 4: "r4", 9: "r9"}
+    # the carried file is literally the same path as in the parent
+    assert set(m2["files"]) & set(m3["files"])
+    # time travel: version 2 still shows the pre-merge value
+    assert {r.id: r.val for r in store.read(spark, 2).collect()}[3] == "r3"
+
+    # merge with NO matched keys rewrites nothing
+    res2 = store.merge(spark.createDataFrame([(50, "x")], ["id", "val"]), ["id"])
+    assert res2.extra["files_rewritten"] == 0
+    assert store.manifest(4)["n_rows"] == 6
+
+    # merge into an empty store degrades to a snapshot write
+    from etlp_spark.connectors.snapshots import SnapshotStore
+    import os as _os
+    fresh = SnapshotStore(str(_os.path.join(store.root, "..", "fresh")))
+    fresh.merge(_df(spark, [7]), ["id"])
+    assert [r.id for r in fresh.read(spark).collect()] == [7]
+
+    # schema mismatch is loud
+    with pytest.raises(ValueError, match="merge schema mismatch"):
+        store.merge(spark.createDataFrame([(1,)], ["id"]), ["id"])
+
+
+def test_compact_preserves_rows_and_history(spark, store):
+    """Compaction: a long append chain's many part-files rewrite into
+    one coalesced file set committed as a new version — identical
+    rows, n_rows carried exactly, prior versions' file references
+    (and expire's shared-file accounting) intact."""
+    for ids in ([1, 2], [3], [4], [5]):
+        store.write(_df(spark, ids).coalesce(2), mode="append")
+    before = store.manifest(store.latest_version())
+    assert len(before["files"]) >= 4
+
+    res = store.compact(spark, num_files=1)
+    assert res.extra["files_after"] == 1
+    assert res.extra["files_before"] == len(before["files"])
+    m = store.manifest(store.latest_version())
+    assert m["mode"] == "compact" and m["n_rows"] == 5
+    assert sorted(r.id for r in store.read(spark).collect()) == [1, 2, 3, 4, 5]
+    # pre-compaction version still readable (old files referenced)
+    assert sorted(r.id for r in store.read(spark, 4).collect()) == [1, 2, 3, 4, 5]
+    # expire to just the compacted version sweeps the small files
+    store.expire(keep_last=1)
+    assert store.versions() == [5]
+    assert sorted(r.id for r in store.read(spark).collect()) == [1, 2, 3, 4, 5]
