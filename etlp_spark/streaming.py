@@ -48,6 +48,7 @@ __all__ = [
     "ewma_tws",
     "heavy_hitters_tws",
     "heavy_hitters_spacesaving_tws",
+    "session_gap_tws",
     "streaming_dedup",
     "CountLogSink",
     "StreamingPipeline",
@@ -390,6 +391,108 @@ def heavy_hitters_spacesaving_tws(
         outputStructType="bucket int, value string, cnt bigint, err bigint",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def session_gap_tws(
+    df: DataFrame, key_col: str, ts_col: str, gap_seconds: int = 1800
+) -> DataFrame:
+    """Gap sessionization on transformWithStateInPandas with
+    EVENT-TIME TIMERS — the fourth TWS capability this repo
+    exercises (after value state, EWMA folds, and map state): the
+    open session lives in value state, and a timer registered at
+    ``session_end + gap`` fires when the WATERMARK passes it, closing
+    the session with no further data needed on that key. That is the
+    semantics ``sessionize``'s NoTimeout variant cannot give (it
+    closes a session only when a later event arrives on the SAME
+    key) and its ProcessingTimeTimeout variant only approximates in
+    wall-clock terms.
+
+    Emits one row per CLOSED session: (k, session_start, session_end,
+    n_events) — closed either by an in-batch gap (a later event
+    arrives > gap after the open session's end) or by timer expiry.
+    Requires a watermark on ``df`` (``with_event_time``) and the
+    RocksDB state store; run in Append output mode (sessions are
+    emitted exactly once, when final).
+
+    Scale notes: state is O(1) per key (start/end/count + one
+    registered timer); each Arrow batch folds vectorized (sort +
+    diff-based gap split, no per-row Python); keys shuffle once."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_seconds * 1000
+
+    class _Session(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._st = handle.getValueState(
+                "session", "start_ms BIGINT, end_ms BIGINT, n BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            ts = []
+            for pdf in rows:
+                col = pd.to_datetime(pdf[ts_col]).dropna()
+                if len(col):
+                    ts.append(col.astype("int64") // 1_000_000)
+            prev = self._st.get()
+            cur = (prev[0], prev[1], prev[2]) if prev is not None else None
+            if ts:
+                s = pd.concat(ts).sort_values()
+                # split the batch at > gap jumps (vectorized diff)
+                breaks = s.diff().gt(gap_ms).cumsum()
+                for _, grp in s.groupby(breaks):
+                    g_start, g_end, g_n = (
+                        int(grp.iloc[0]), int(grp.iloc[-1]), len(grp)
+                    )
+                    if cur is not None and g_start - cur[1] <= gap_ms:
+                        cur = (cur[0], max(cur[1], g_end), cur[2] + g_n)
+                    else:
+                        if cur is not None:
+                            yield self._emit(key, cur)
+                        cur = (g_start, g_end, g_n)
+            if cur is not None:
+                self._st.update(cur)
+                # one live timer per key: re-arm at the new deadline
+                for t in self._handle.listTimers():
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer(cur[1] + gap_ms)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            cur = self._st.get()
+            if cur is not None:
+                self._st.clear()
+                yield self._emit(key, (cur[0], cur[1], cur[2]))
+
+        @staticmethod
+        def _emit(key, cur):
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "k": [key[0]],
+                    "session_start": [pd.Timestamp(cur[0], unit="ms")],
+                    "session_end": [pd.Timestamp(cur[1], unit="ms")],
+                    "n_events": [cur[2]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _Session(),
+        outputStructType=(
+            "k string, session_start timestamp, session_end timestamp, "
+            "n_events long"
+        ),
+        outputMode="Append",
+        timeMode="EventTime",
     )
 
 

@@ -590,3 +590,73 @@ def test_spacesaving_tws_bounded_state_matches_exact_topk(spark, stream_dir, tmp
             q.stop()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_session_gap_tws_event_time_timers(spark, stream_dir, tmp_path):
+    """Event-time TIMERS on transformWithStateInPandas (the fourth
+    TWS capability exercised, after value/EWMA/map state): a key's
+    open session closes with NO further data on that key when the
+    WATERMARK passes session_end + gap — the semantics the
+    applyInPandasWithState NoTimeout sessionizer cannot give. Also
+    covers the in-batch gap split (a later event > gap after the open
+    session closes it immediately)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.streaming import session_gap_tws, with_event_time
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_batch(
+            stream_dir, "g1.jsonl",
+            [
+                {"k": "a", "ts": "2024-01-01T00:00:00"},
+                {"k": "a", "ts": "2024-01-01T00:00:30"},
+                {"k": "b", "ts": "2024-01-01T00:00:00"},
+            ],
+        )
+        src = with_event_time(
+            file_stream(spark, str(stream_dir), "k string, ts timestamp",
+                        fmt="json"),
+            "ts", "0 seconds",
+        )
+        q = (
+            session_gap_tws(src, "k", "ts", gap_seconds=60)
+            .writeStream.format("memory")
+            .queryName("tws_sess")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # batch 2: a's 00:10 event is > gap after its open session
+            # -> in-batch close; watermark advances to 00:10
+            _write_batch(stream_dir, "g2.jsonl",
+                         [{"k": "a", "ts": "2024-01-01T00:10:00"}])
+            q.processAllAvailable()
+            # batch 3: b's timer (00:01:30) < watermark (00:10) fires
+            # -> b's session closes with NO new data on key b
+            _write_batch(stream_dir, "g3.jsonl",
+                         [{"k": "c", "ts": "2024-01-01T00:20:00"}])
+            q.processAllAvailable()
+            rows = {
+                (r.k, str(r.session_start), str(r.session_end), r.n_events)
+                for r in spark.sql("select * from tws_sess").collect()
+            }
+            assert ("a", "2024-01-01 00:00:00", "2024-01-01 00:00:30", 2) in rows
+            assert ("b", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1) in rows
+            # a's second session ALSO closed by timer: batch 3's
+            # watermark advance (to 00:20) triggers a follow-up batch
+            # where a's 00:11 deadline has passed — closure with no
+            # further data on key a, which is the timer's whole point
+            assert ("a", "2024-01-01 00:10:00", "2024-01-01 00:10:00", 1) in rows
+            assert len([r for r in rows if r[0] == "a"]) == 2
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
