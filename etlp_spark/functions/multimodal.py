@@ -1005,6 +1005,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             break
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seg_len]
+        if len(body) < seg_len - 2:
+            raise ValueError("truncated JPEG marker segment")
         if marker == 0xDB:  # DQT — possibly several tables per marker
             i = 0
             while i < len(body):
@@ -1023,6 +1025,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(body[i + 17 : i + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    # a truncated stream can cut mid-DHT: the counts
+                    # promise more codes than the segment delivers
+                    raise ValueError("truncated DHT segment")
                 inv = {
                     (length, code): sym
                     for sym, (code, length) in _huff_codes(bits, vals).items()

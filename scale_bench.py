@@ -88,6 +88,10 @@ HEAVY = [
     "x86_bloom_membership",
     "x87_dsir_importance",
     "x89_bpe_merge_candidates",
+    # round-7 additions
+    "x90_repeated_substring_spans",
+    "x91_matryoshka_recall",
+    "x92_cooccurrence_triangles",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -115,6 +119,9 @@ QUERY_TABLES = {
     "x86_bloom_membership": ["documents"],
     "x87_dsir_importance": ["documents"],
     "x89_bpe_merge_candidates": ["documents"],
+    "x90_repeated_substring_spans": ["documents"],
+    "x91_matryoshka_recall": ["embeddings"],
+    "x92_cooccurrence_triangles": ["events"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]

