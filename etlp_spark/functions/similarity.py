@@ -32,6 +32,7 @@ __all__ = [
     "banded_srp_pairs",
     "embedding_neardup",
     "pq_codes",
+    "pq_adc_topk",
 ]
 
 
@@ -460,3 +461,60 @@ def ivf_search(
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    coded: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric Distance Computation top-k (Jégou, Douze & Schmid
+    2011): rank PQ-CODED candidates against FULL query vectors. Each
+    query first builds its per-subspace lookup table — L2² from its
+    subvector to every codeword, an |codebook|-entry array computed
+    ONCE per query at scan stage — and each (query, candidate) pair
+    then costs ``m`` array lookups instead of a full-dimension fold:
+    the reason PQ search is memory-bandwidth-bound, not FLOP-bound.
+
+    ``coded`` is ``pq_codes`` output (id + code_0..code_{m-1}).
+    Returns (query_id, cand_id, adc, rnk), ranked (adc asc, cand_id)
+    — fully deterministic: the table entries are ordered folds and
+    the m-term sum is fixed-order.
+
+    Scale shape: queries (with their tables) broadcast; the coded
+    corpus never shuffles; per-pair work is m lookups over the
+    broadcast row. At 100 TB the coded corpus is ~5 bytes/vector —
+    the whole point."""
+    luts = []
+    for s, book in enumerate(codebooks):
+        subdim = len(book[0])
+        offset = sum(len(b[0]) for b in codebooks[:s])
+        sub = F.slice(F.col(vec_col), offset + 1, subdim)
+        ds = []
+        for cent in book:
+            carr = F.array(*[F.lit(float(x)) for x in cent])
+            diff2 = F.zip_with(
+                sub, carr,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            )
+            ds.append(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+        luts.append(F.array(*ds).alias(f"_lut_{s}"))
+    q = queries.select(F.col(id_col).alias("query_id"), *luts)
+    c = coded.select(
+        F.col(id_col).alias("cand_id"),
+        *[F.col(f"code_{s}") for s in range(len(codebooks))],
+    )
+    adc = None
+    for s in range(len(codebooks)):
+        term = F.element_at(F.col(f"_lut_{s}"), F.col(f"code_{s}") + 1)
+        adc = term if adc is None else adc + term
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id", "cand_id", adc.alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc"), F.col("cand_id"))
+    return scored.select(
+        "query_id", "cand_id", "adc", F.row_number().over(w).alias("rnk")
+    ).where(F.col("rnk") <= k)

@@ -8836,6 +8836,74 @@ def x92_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_pq_adc_sql() -> str:
+    books = _pq_fixed_codebooks()
+    cand_ds = ",\n             ".join(
+        "[" + ",\n          ".join(_o_pq_d2(s, c) for c in book) + f"] AS ds_{s}"
+        for s, book in enumerate(books)
+    )
+    codes = ", ".join(
+        f"CAST(list_position(ds_{s}, list_min(ds_{s})) - 1 AS INT) AS code_{s}"
+        for s in range(len(books))
+    )
+    q_ds = ",\n             ".join(
+        "[" + ",\n          ".join(_o_pq_d2(s, c) for c in book) + f"] AS qds_{s}"
+        for s, book in enumerate(books)
+    )
+    adc = " + ".join(f"qds_{s}[code_{s} + 1]" for s in range(len(books)))
+    return f"""
+    WITH cand AS (
+      SELECT vec_id AS cand_id,
+             {cand_ds}
+      FROM embeddings WHERE vec_id >= 5),
+    codes AS (SELECT cand_id, {codes} FROM cand),
+    q AS (SELECT vec_id AS query_id,
+             {q_ds}
+          FROM embeddings WHERE vec_id < 5),
+    pairs AS (SELECT query_id, cand_id, {adc} AS adc FROM q, codes)
+    SELECT query_id, cand_id,
+           CAST(floor(adc * 1000000 + 0.5) AS BIGINT) AS adc_e6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, cand_id) AS rnk
+    FROM pairs QUALIFY rnk <= 10
+    """
+
+
+@_register("x93_pq_adc_topk", _o_pq_adc_sql())
+def x93_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric Distance Computation search over PQ codes (Jégou,
+    Douze & Schmid 2011) — the search half of x75's encoding story
+    and the standard billion-scale ANN architecture: each query
+    builds its per-subspace L2² lookup table ONCE (4 subspaces × 8
+    codewords here), and every (query, candidate) distance is then 4
+    array lookups over the candidate's 4 codes — never a 64-dim
+    fold per pair. Kernel in the library
+    (functions/similarity.pq_adc_topk); this query is the demo,
+    ranking 10 nearest coded candidates per query.
+
+    Exactness: table entries are ordered folds on identical doubles,
+    the 4-term ADC sum is fixed-order, ranking ties break on
+    cand_id, and the reported distance is e6-floored (f8's rule).
+
+    Scale shape: queries broadcast WITH their tables; the coded
+    corpus (5 bytes/vector — the entire point of PQ) never shuffles;
+    per-pair work is 4 lookups. At 100 TB this composes with x12's
+    IVF cells: probe cells first, ADC within them. Reference:
+    engine-added (SURVEY.md §2.2 similarity family)."""
+    from etlp_spark.functions.similarity import pq_adc_topk, pq_codes
+
+    emb = _t_fanout(spark, sf_dir, "embeddings")
+    books = _pq_fixed_codebooks()
+    coded = pq_codes(emb.where(F.col("vec_id") >= 5), books)
+    out = pq_adc_topk(emb.where(F.col("vec_id") < 5), coded, books, k=10)
+    return out.select(
+        "query_id",
+        "cand_id",
+        F.floor(F.col("adc") * 1000000 + F.lit(0.5)).cast("long").alias("adc_e6"),
+        "rnk",
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #

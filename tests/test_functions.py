@@ -1103,3 +1103,39 @@ def test_jpeg_progressive_error_contracts():
                 decode_jpeg(full[:cut])
             except ValueError:
                 pass
+
+
+def test_pq_adc_agrees_with_exact_on_coarse_structure(spark):
+    """ADC sanity beyond the oracle: on vectors quantized EXACTLY
+    onto codewords (zero reconstruction error), ADC distance equals
+    exact L2^2, so the ADC top-1 is the true nearest neighbor; and
+    ADC of a query to its own coded vector is ~0."""
+    from etlp_spark.functions.similarity import pq_adc_topk, pq_codes
+
+    books = [
+        [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [3.0, 4.0]],
+        [[0.0, 0.0], [2.0, 0.0], [0.0, 2.0], [1.0, 1.0]],
+    ]
+    # candidates ON codewords: (book0 idx, book1 idx) per vector
+    vecs = [
+        (10, [0.0, 0.0, 0.0, 0.0]),
+        (11, [1.0, 0.0, 2.0, 0.0]),
+        (12, [3.0, 4.0, 1.0, 1.0]),
+    ]
+    cands = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    coded = pq_codes(cands, books)
+    errs = {r.vec_id: r.recon_err for r in coded.collect()}
+    assert all(e == 0.0 for e in errs.values())
+
+    queries = spark.createDataFrame(
+        [(0, [0.9, 0.1, 1.9, 0.1])], ["vec_id", "embedding"]
+    )
+    out = pq_adc_topk(queries, coded, books, k=3).collect()
+    assert [r.cand_id for r in out] == [11, 10, 12]  # true L2 order
+    # exact-L2 equality for zero-recon candidates: adc == true L2^2
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+    q = [0.9, 0.1, 1.9, 0.1]
+    by_id = {r.cand_id: r.adc for r in out}
+    for vid, v in vecs:
+        assert abs(by_id[vid] - l2(q, v)) < 1e-12
