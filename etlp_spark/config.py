@@ -116,7 +116,11 @@ def _console_sink(cfg: dict[str, Any]):
 def _snapshot_sink(cfg: dict[str, Any]):
     from etlp_spark.connectors.snapshots import SnapshotSink
 
-    return SnapshotSink(cfg["path"], mode=cfg.get("mode", "snapshot"))
+    return SnapshotSink(
+        cfg["path"],
+        mode=cfg.get("mode", "snapshot"),
+        key_cols=cfg.get("key_cols"),
+    )
 
 
 def _jdbc_sink(cfg: dict[str, Any]):

@@ -625,17 +625,26 @@ class SnapshotSource(Source):
 
 class SnapshotSink(Destination):
     """Connector-protocol adapter: every ``write`` commits a new
-    version (snapshot or append per ``mode``)."""
+    version — ``snapshot`` / ``append`` per ``mode``, or ``merge``
+    (upsert by ``key_cols``, file-granular copy-on-write)."""
 
-    def __init__(self, root: str, mode: str = "snapshot"):
+    def __init__(
+        self, root: str, mode: str = "snapshot", key_cols: list[str] | None = None
+    ):
+        if mode == "merge" and not key_cols:
+            raise ValueError("snapshot sink mode 'merge' requires key_cols")
         self.store = SnapshotStore(root)
         self.mode = mode
+        self.key_cols = list(key_cols or [])
 
     def spec(self) -> dict[str, Any]:
         return {
             "connector": "snapshot-sink",
-            "config": {"root": self.store.root, "mode": self.mode},
+            "config": {"root": self.store.root, "mode": self.mode,
+                       **({"key_cols": self.key_cols} if self.key_cols else {})},
         }
 
     def write(self, df: DataFrame) -> WriteResult:
+        if self.mode == "merge":
+            return self.store.merge(df, self.key_cols)
         return self.store.write(df, mode=self.mode)

@@ -473,3 +473,43 @@ def test_streaming_quarantine_without_error_sink_is_observable(spark, tmp_path):
     clean = spark.read.parquet(str(tmp_path / "out"))
     assert sorted(r.id for r in clean.collect()) == [1, 4]
     assert sum(stream.violation_counts.values()) == 2
+
+
+def test_config_snapshot_sink_merge_mode(spark, tmp_path):
+    """Declarative upsert: a config-built pipeline whose snapshot sink
+    uses mode 'merge' + key_cols replaces matched keys and inserts
+    the rest — MERGE INTO as plain config data. Missing key_cols is a
+    loud config error."""
+    import json as _json
+
+    from etlp_spark.config import pipeline_from_config
+    from etlp_spark.connectors.snapshots import SnapshotStore
+
+    store_path = str(tmp_path / "tbl")
+    SnapshotStore(store_path).write(
+        spark.createDataFrame([(1, "old"), (2, "keep")], ["id", "val"])
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "u.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in
+                  [{"id": 1, "val": "NEW"}, {"id": 9, "val": "ins"}])
+    )
+    cfg = {
+        "source": {"type": "file", "path": str(indir), "reducer": "jsonl",
+                   "options": {"schema": "id long, val string"}},
+        # drop the file source's provenance column so the schema
+        # matches the store's parent version exactly
+        "transforms": [{"op": "select", "cols": ["id", "val"]}],
+        "sink": {"type": "snapshot", "path": store_path,
+                 "mode": "merge", "key_cols": ["id"]},
+    }
+    pipeline_from_config(cfg).run(spark)
+    got = {r.id: r.val for r in SnapshotStore(store_path).read(spark).collect()}
+    assert got == {1: "NEW", 2: "keep", 9: "ins"}
+
+    with pytest.raises(ValueError, match="requires key_cols"):
+        pipeline_from_config({
+            "source": cfg["source"],
+            "sink": {"type": "snapshot", "path": store_path, "mode": "merge"},
+        })
