@@ -383,6 +383,7 @@ def pq_codes(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Product-quantization encoding: split each vector into
     ``len(codebooks)`` contiguous subvectors; subvector ``s`` is
@@ -397,9 +398,10 @@ def pq_codes(
     (bit-identical across engines on identical input); argmin takes
     the FIRST minimum. Centroids ride as literals — no join, no
     shuffle; encoding runs at scan speed (exactly ``ivf_assign``
-    per subspace)."""
+    per subspace). ``keep_cols`` pass through unchanged — so cell
+    assignment + encoding compose in ONE scan (the IVF-PQ layout)."""
     v = F.col(vec_col)
-    out_cols = [F.col(id_col)]
+    out_cols = [F.col(id_col), *(F.col(c) for c in keep_cols)]
     err_terms = []
     offset = 0  # cumulative — books may have different subdims
     for s, book in enumerate(codebooks):

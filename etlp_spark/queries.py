@@ -8904,6 +8904,146 @@ def x93_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_ivf_adc_sql() -> str:
+    books = _pq_fixed_codebooks()
+    cents = _semdedup_centroids()
+    cell_ds = "[" + ",\n              ".join(_o_l2(c) for c in cents) + "]"
+    cand_ds = ",\n             ".join(
+        "[" + ",\n          ".join(_o_pq_d2(s, c) for c in book) + f"] AS ds_{s}"
+        for s, book in enumerate(books)
+    )
+    codes = ", ".join(
+        f"CAST(list_position(ds_{s}, list_min(ds_{s})) - 1 AS INT) AS code_{s}"
+        for s in range(len(books))
+    )
+    q_ds = ",\n             ".join(
+        "[" + ",\n          ".join(_o_pq_d2(s, c) for c in book) + f"] AS qds_{s}"
+        for s, book in enumerate(books)
+    )
+    adc = " + ".join(f"q.qds_{s}[c.code_{s} + 1]" for s in range(len(books)))
+    return f"""
+    WITH cand AS (
+      SELECT vec_id AS cand_id,
+             {cell_ds} AS cds,
+             {cand_ds}
+      FROM embeddings WHERE vec_id >= 5),
+    c AS (SELECT cand_id,
+                 CAST(list_position(cds, list_min(cds)) - 1 AS INT) AS cell,
+                 {codes}
+          FROM cand),
+    qd AS (SELECT vec_id AS query_id,
+             {cell_ds} AS cds,
+             {q_ds}
+           FROM embeddings WHERE vec_id < 5),
+    probed AS (SELECT query_id, CAST(i - 1 AS INT) AS cell,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cds[CAST(i AS INT)], i)
+                        AS cell_rnk
+               FROM qd, unnest(range(1, {len(cents)} + 1)) AS r(i)
+               QUALIFY cell_rnk <= 2),
+    pairs AS (SELECT q.query_id, c.cand_id, c.cell, {adc} AS adc
+              FROM qd q
+              JOIN probed p ON p.query_id = q.query_id
+              JOIN c ON c.cell = p.cell)
+    SELECT query_id, cand_id, cell,
+           CAST(floor(adc * 1000000 + 0.5) AS BIGINT) AS adc_e6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, cand_id) AS rnk
+    FROM pairs QUALIFY rnk <= 5
+    """
+
+
+@_register("x94_ivf_adc_search", _o_ivf_adc_sql())
+def x94_ivf_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ search layout (Jégou et al. 2011, the
+    billion-scale FAISS architecture) composed from this repo's
+    parts: candidates are assigned to Voronoi cells (x76's
+    partitioning centroids) AND PQ-encoded in ONE scan
+    (``pq_codes(keep_cols=("cell",))``); each query probes its 2
+    nearest cells and ranks ONLY those cells' candidates by
+    asymmetric distance — 4 table lookups per pair over a corpus
+    that stores 4 codes per vector. Top-5 per query with the probed
+    cell, ADC e6-floored.
+
+    Exactness: cell assignment and probe order are argmin/sort over
+    ordered-fold L2² (ties → lowest cell id); the ADC sum is
+    fixed-order; ranking ties break on cand_id.
+
+    Scale shape: the coarse quantizer turns the ADC pass from
+    |corpus| into |probed cells| — the IVF point; queries (with
+    their lookup tables) broadcast into a cell equi-join, so the
+    coded corpus shuffles ONCE on cell (in production it is WRITTEN
+    partitioned by cell, making the probe a partition-pruned read).
+    Reference: engine-added (SURVEY.md §2.2 similarity family)."""
+    from etlp_spark.functions.similarity import ivf_assign, pq_codes
+
+    books = _pq_fixed_codebooks()
+    cents = _semdedup_centroids()
+    emb = _t_fanout(spark, sf_dir, "embeddings")
+    cands = emb.where(F.col("vec_id") >= 5)
+    coded = pq_codes(
+        ivf_assign(cands, cents), books, keep_cols=("cell",)
+    )
+
+    q = emb.where(F.col("vec_id") < 5)
+    qv = F.col("embedding")
+    d2s = []
+    for c in cents:
+        carr = F.array(*[F.lit(x) for x in c])
+        diff2 = F.zip_with(
+            qv, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        )
+        d2s.append(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+    probe = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(d.alias("d"), F.lit(i).cast("int").alias("cid"))
+                    for i, d in enumerate(d2s)
+                ]
+            )
+        ),
+        1,
+        2,
+    )
+    luts = []
+    for s, book in enumerate(books):
+        sub = F.slice(qv, s * 16 + 1, 16)
+        ds = []
+        for cent in book:
+            carr = F.array(*[F.lit(float(x)) for x in cent])
+            diff2 = F.zip_with(
+                sub, carr,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            )
+            ds.append(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+        luts.append(F.array(*ds).alias(f"lut_{s}"))
+    qp = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.transform(probe, lambda p: p.cid)).alias("cell"),
+        *luts,
+    )
+    adc = None
+    for s in range(len(books)):
+        term = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+        adc = term if adc is None else adc + term
+    scored = (
+        F.broadcast(qp)
+        .join(coded, "cell")
+        .select("query_id", F.col("vec_id").alias("cand_id"), "cell",
+                adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc"), F.col("cand_id"))
+    return (
+        scored.select(
+            "query_id", "cand_id", "cell",
+            F.floor(F.col("adc") * 1000000 + F.lit(0.5)).cast("long")
+            .alias("adc_e6"),
+            F.row_number().over(w).alias("rnk"),
+        ).where(F.col("rnk") <= 5)
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
