@@ -67,6 +67,7 @@ __all__ = [
     "SINK_TYPES",
     "TRANSFORM_OPS",
     "STREAM_SOURCE_TYPES",
+    "STREAM_STATEFUL_OPS",
 ]
 
 
@@ -318,6 +319,58 @@ STREAM_SOURCE_TYPES: dict[str, Callable[[dict[str, Any]], Any]] = {
 }
 
 
+def _s_running_counts(c: dict[str, Any]):
+    from etlp_spark.streaming import running_counts_tws
+
+    return lambda df, _k=c["key"]: running_counts_tws(df, _k)
+
+
+def _s_ewma(c: dict[str, Any]):
+    from etlp_spark.streaming import ewma_tws
+
+    return lambda df, _k=c["key"], _v=c["value"], _a=c.get("alpha", 0.5): (
+        ewma_tws(df, _k, _v, alpha=_a)
+    )
+
+
+def _s_heavy_hitters(c: dict[str, Any]):
+    from etlp_spark.streaming import heavy_hitters_tws
+
+    return lambda df, _v=c["value"], _k=c.get("k", 10), _b=c.get("buckets", 16): (
+        heavy_hitters_tws(df, _v, k=_k, buckets=_b)
+    )
+
+
+def _s_heavy_hitters_bounded(c: dict[str, Any]):
+    from etlp_spark.streaming import heavy_hitters_spacesaving_tws
+
+    return lambda df, _v=c["value"], _k=c.get("k", 10), _m=c.get("m", 64), _b=c.get("buckets", 16): (
+        heavy_hitters_spacesaving_tws(df, _v, k=_k, m=_m, buckets=_b)
+    )
+
+
+def _s_session_gap(c: dict[str, Any]):
+    from etlp_spark.streaming import session_gap_tws
+
+    return lambda df, _k=c["key"], _t=c["ts"], _g=c.get("gap_seconds", 1800): (
+        session_gap_tws(df, _k, _t, gap_seconds=_g)
+    )
+
+
+#: Stateful (transformWithStateInPandas) operators by config name —
+#: the arbitrary-state family as declarative vocabulary. The op runs
+#: AFTER transforms and the watermark; its own output mode contract
+#: applies (counts/ewma/heavy-hitters emit in Update, session_gap in
+#: Append), and the session needs the RocksDB state-store provider.
+STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
+    "running_counts": _s_running_counts,
+    "ewma": _s_ewma,
+    "heavy_hitters": _s_heavy_hitters,
+    "heavy_hitters_bounded": _s_heavy_hitters_bounded,
+    "session_gap": _s_session_gap,
+}
+
+
 @dataclass
 class ConfiguredStream:
     """A config-built streaming pipeline, ready to ``start``.
@@ -421,7 +474,12 @@ def streaming_pipeline_from_config(cfg: dict[str, Any]) -> ConfiguredStream:
     ``STREAM_SOURCE_TYPES`` entry; ``streaming:`` carries watermark /
     output_mode / checkpoint / trigger; ``transforms`` and
     ``expectations`` reuse the batch registries unchanged — one config
-    vocabulary for both execution modes."""
+    vocabulary for both execution modes. An optional ``stateful:``
+    block names a ``STREAM_STATEFUL_OPS`` operator (running_counts /
+    ewma / heavy_hitters / heavy_hitters_bounded / session_gap) that
+    runs after transforms and the watermark — the
+    transformWithStateInPandas family as plain config data (needs the
+    RocksDB state-store provider on the session)."""
     from etlp_spark.streaming import StreamingPipeline, with_event_time
 
     if "source" not in cfg:
@@ -440,6 +498,14 @@ def streaming_pipeline_from_config(cfg: dict[str, Any]) -> ConfiguredStream:
     if wm:
         transforms.append(
             lambda df, _c=wm["col"], _d=wm["delay"]: with_event_time(df, _c, _d)
+        )
+    st = cfg.get("stateful")
+    if st:
+        transforms.append(
+            _lookup(
+                STREAM_STATEFUL_OPS, "stateful op",
+                _discriminator(st, "op", "stateful"),
+            )(st)
         )
     checks = [
         _lookup(_CHECKS, "expectation check",

@@ -513,3 +513,56 @@ def test_config_snapshot_sink_merge_mode(spark, tmp_path):
             "source": cfg["source"],
             "sink": {"type": "snapshot", "path": store_path, "mode": "merge"},
         })
+
+
+def test_streaming_config_stateful_op(spark, tmp_path):
+    """Declarative TWS: the streaming config's 'stateful' block names
+    an arbitrary-state operator (here: cross-batch EWMA) that runs
+    after transforms — the transformWithStateInPandas family as plain
+    config data. Unknown op names fail loudly."""
+    import json as _json
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.config import streaming_pipeline_from_config
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "a.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in
+                  [{"k": "a", "v": 10.0}, {"k": "a", "v": 20.0}])
+    )
+    cfg = {
+        "name": "cfg-ewma",
+        "source": {
+            "type": "file_stream",
+            "path": str(indir),
+            "schema": "k string, v double",
+        },
+        "stateful": {"op": "ewma", "key": "k", "value": "v", "alpha": 0.5},
+        "streaming": {
+            "checkpoint": str(tmp_path / "ckpt"),
+            "trigger": {"availableNow": True},
+            "output_mode": "update",
+        },
+        "sink": {"type": "memory", "name": "cfg_ewma_out"},
+    }
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = streaming_pipeline_from_config(cfg).start(spark)
+        q.awaitTermination(120)
+        got = {r.k: (r.ewma, r.n) for r in
+               spark.sql("select * from cfg_ewma_out").collect()}
+        assert got["a"] == (15.0, 2)  # 0.5*20 + 0.5*10
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    with pytest.raises(ValueError, match="unknown stateful op"):
+        streaming_pipeline_from_config(
+            {**cfg, "stateful": {"op": "zap"}}
+        )
