@@ -243,7 +243,12 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + size  # len + type + body + crc
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # truncated/corrupt deflate stream must keep the documented
+        # ValueError fallback contract, not escape as zlib.error
+        raise ValueError(f"corrupt PNG deflate stream: {e}") from None
     stride = w * channels
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated PNG pixel data")
@@ -1411,7 +1416,7 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            if size < 16:
+            if size < 16 or len(body) < 16:
                 raise ValueError("truncated fmt chunk")
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
             if audio_fmt != 1 or bits != 16:

@@ -1139,3 +1139,35 @@ def test_pq_adc_agrees_with_exact_on_coarse_structure(spark):
     by_id = {r.cand_id: r.adc for r in out}
     for vid, v in vecs:
         assert abs(by_id[vid] - l2(q, v)) < 1e-12
+
+
+def test_codec_truncation_fuzz_png_bmp_wav():
+    """Exhaustive truncation fuzz extended to the other stdlib codecs
+    (JPEG has its own above): every byte prefix of PNG, BMP, and WAV
+    payloads raises ValueError — a truncated deflate stream must not
+    escape as zlib.error nor a short fmt chunk as struct.error."""
+    import numpy as np
+
+    from etlp_spark.functions.multimodal import (
+        decode_bmp,
+        decode_png,
+        decode_wav,
+        encode_bmp,
+        encode_png,
+        encode_wav,
+    )
+
+    img = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    for enc, dec in ((encode_png, decode_png), (encode_bmp, decode_bmp)):
+        full = enc(img)
+        for cut in range(0, len(full)):
+            try:
+                dec(full[:cut])
+            except ValueError:
+                pass
+    wav = encode_wav(np.arange(100, dtype=np.int16))
+    for cut in range(0, len(wav)):
+        try:
+            decode_wav(wav[:cut])
+        except ValueError:
+            pass
