@@ -92,6 +92,8 @@ HEAVY = [
     "x90_repeated_substring_spans",
     "x91_matryoshka_recall",
     "x92_cooccurrence_triangles",
+    "x93_pq_adc_topk",
+    "x94_ivf_adc_search",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -122,6 +124,8 @@ QUERY_TABLES = {
     "x90_repeated_substring_spans": ["documents"],
     "x91_matryoshka_recall": ["embeddings"],
     "x92_cooccurrence_triangles": ["events"],
+    "x93_pq_adc_topk": ["embeddings"],
+    "x94_ivf_adc_search": ["embeddings"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]
