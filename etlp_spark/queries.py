@@ -9044,6 +9044,197 @@ def x94_ivf_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x95_hybrid_rrf_fusion",
+    f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKS} AS tk
+                  FROM documents WHERE doc_id >= 5),
+    lexm AS (SELECT doc_id,
+                    len(list_filter(tk,
+                        t -> t IN ('hash', 'join', 'window'))) AS m
+             FROM toks),
+    lex AS (SELECT doc_id, m,
+                   row_number() OVER (ORDER BY m DESC, doc_id) AS lex_rnk
+            FROM lexm WHERE m > 0 QUALIFY lex_rnk <= 20),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv
+          FROM embeddings WHERE vec_id >= 5),
+    scored AS (SELECT cand_id, {_O_COS} AS cos FROM q, c),
+    dense AS (SELECT cand_id AS doc_id,
+                     row_number() OVER (ORDER BY cos DESC, cand_id)
+                       AS dense_rnk
+              FROM scored QUALIFY dense_rnk <= 20),
+    fused AS (SELECT doc_id,
+                     CAST(coalesce(l.lex_rnk, 0) AS BIGINT) AS lex_rnk,
+                     CAST(coalesce(d.dense_rnk, 0) AS BIGINT) AS dense_rnk,
+                     CAST(coalesce(CAST(floor(1000000.0 / (60 + l.lex_rnk))
+                                     AS BIGINT), 0)
+                        + coalesce(CAST(floor(1000000.0 / (60 + d.dense_rnk))
+                                     AS BIGINT), 0) AS BIGINT) AS rrf_e6
+              FROM lex l FULL OUTER JOIN dense d USING (doc_id))
+    SELECT doc_id, lex_rnk, dense_rnk, rrf_e6,
+           row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS rnk
+    FROM fused QUALIFY rnk <= 10
+    """,
+)
+def x95_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke
+    & Buettcher 2009, the fusion every production RAG stack runs):
+    one request is answered by BOTH retrievers — lexical (term-match
+    count over the tokenized corpus, x32's sparse side simplified to
+    its integer core) and dense (exact cosine against the request's
+    embedding, x7's side) — and the two top-20 rankings fuse by
+    ``Σ floor(1e6 / (60 + rank))``, which rewards documents BOTH
+    retrievers like without trusting either's score scale. Absent
+    ranks contribute 0 and surface as rank 0 (never NULL — exact
+    integers end-to-end, and the fusion is an integer sum so no float
+    ever crosses engines except the e6-floored per-term quotient on
+    identical operands).
+
+    Scale shape: the lexical side is scan-local token filtering plus
+    a top-20 TakeOrdered; the dense side is the broadcast-query
+    cosine pattern; fusion joins two 20-ROW frames — request-time
+    work after retrieval is constant-size no matter the corpus.
+    Reference: engine-added (SURVEY.md §2.2 similarity/retrieval
+    family)."""
+    from etlp_spark.functions.similarity import cosine_topk
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents").where(F.col("doc_id") >= 5)
+    terms = ["hash", "join", "window"]
+    m = F.size(F.filter(tokens("text"), lambda t: t.isin(terms)))
+    lex20 = (
+        docs.select("doc_id", m.alias("m"))
+        .where(F.col("m") > 0)
+        .orderBy(F.col("m").desc(), "doc_id")
+        .limit(20)
+    )
+    wl = Window.orderBy(F.col("m").desc(), F.col("doc_id"))
+    lex = lex20.select("doc_id", F.row_number().over(wl).alias("lex_rnk"))
+
+    emb = _t_fanout(spark, sf_dir, "embeddings")
+    dense = cosine_topk(
+        emb.where(F.col("vec_id") == 0), emb.where(F.col("vec_id") >= 5), k=20
+    ).select(F.col("cand_id").alias("doc_id"), F.col("rnk").alias("dense_rnk"))
+
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rnk", F.lit(0)).cast("long").alias("lex_rnk"),
+            F.coalesce("dense_rnk", F.lit(0)).cast("long").alias("dense_rnk"),
+            (
+                F.coalesce(
+                    F.floor(1000000.0 / (60 + F.col("lex_rnk"))).cast("long"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.floor(1000000.0 / (60 + F.col("dense_rnk"))).cast("long"),
+                    F.lit(0),
+                )
+            ).cast("long").alias("rrf_e6"),
+        )
+    )
+    top = fused.orderBy(F.col("rrf_e6").desc(), "doc_id").limit(10)
+    w = Window.orderBy(F.col("rrf_e6").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id", "lex_rnk", "dense_rnk", "rrf_e6",
+        F.row_number().over(w).alias("rnk"),
+    )
+
+
+@_register(
+    "x96_cdc_apply_latest",
+    """
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders WHERE o_orderkey % 4 != 0),
+    changes AS (
+      SELECT o_orderkey AS k, 'I' AS op, CAST(1 AS BIGINT) AS seq,
+             o_orderstatus AS st,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT o_orderkey, 'U', 2, o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) + 7
+      FROM orders WHERE o_orderkey % 4 = 1
+      UNION ALL
+      SELECT o_orderkey, 'D', 3, o_orderstatus, CAST(0 AS BIGINT)
+      FROM orders WHERE o_orderkey % 4 = 2
+      UNION ALL
+      SELECT o_orderkey, 'D', 5, o_orderstatus, CAST(0 AS BIGINT)
+      FROM orders WHERE o_orderkey % 12 = 1),
+    latest AS (SELECT k, op, st, cents,
+                      row_number() OVER (PARTITION BY k
+                                         ORDER BY seq DESC, op) AS rn
+               FROM changes QUALIFY rn = 1),
+    untouched AS (SELECT b.* FROM base b
+                  LEFT JOIN latest l ON l.k = b.k WHERE l.k IS NULL),
+    applied AS (SELECT k, st, cents FROM latest WHERE op != 'D'),
+    final AS (SELECT * FROM untouched UNION ALL SELECT * FROM applied)
+    SELECT st AS o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM final GROUP BY st
+    """,
+)
+def x96_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-feed application — the Debezium-consumer pattern:
+    a feed of op-coded records (I insert / U update / D delete, each
+    with a monotone sequence number) applies to a base table with
+    LAST-WRITER-WINS per key, deletes removing the key entirely. The
+    feed is synthesized deterministically from ``orders`` (keys %4=0
+    insert, %4=1 update at +7 cents, %4=2 delete; keys %12=1 get a
+    conflicting later delete so the seq tiebreak is exercised), and
+    the result is summarized per order status in exact integer cents.
+    This is x44's precedence dedup upgraded to full CDC semantics
+    (sequence ordering + tombstones) and the QUERY twin of the
+    snapshot store's file-granular ``merge``.
+
+    Scale shape: one window over the feed keyed by k (the CDC
+    shuffle), one key anti-join against the base, a union, one
+    aggregate — every step keyed or scan-stage; nothing driver-side.
+    At 100 TB base-side work is what the store's merge avoids by
+    rewriting only hit files; as a pure query the anti-join IS the
+    apply. Reference: engine-added (SURVEY.md §2.2 relational/CDC
+    family)."""
+    orders = _t_fanout(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    base = orders.where(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        cents.alias("cents"),
+    )
+
+    def feed(cond, op, seq, cents_col):
+        return orders.where(cond).select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.col("o_orderstatus").alias("st"),
+            cents_col.cast("long").alias("cents"),
+        )
+
+    changes = (
+        feed(F.col("o_orderkey") % 4 == 0, "I", 1, cents)
+        .unionAll(feed(F.col("o_orderkey") % 4 == 1, "U", 2, cents + 7))
+        .unionAll(feed(F.col("o_orderkey") % 4 == 2, "D", 3, F.lit(0)))
+        .unionAll(feed(F.col("o_orderkey") % 12 == 1, "D", 5, F.lit(0)))
+    )
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc(), "op")
+    latest = (
+        changes.select("k", "op", "st", "cents", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+    )
+    untouched = base.join(latest.select("k"), "k", "left_anti")
+    applied = latest.where(F.col("op") != "D").select("k", "st", "cents")
+    final = untouched.unionByName(applied)
+    return final.groupBy(F.col("st").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #

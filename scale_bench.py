@@ -94,6 +94,8 @@ HEAVY = [
     "x92_cooccurrence_triangles",
     "x93_pq_adc_topk",
     "x94_ivf_adc_search",
+    "x95_hybrid_rrf_fusion",
+    "x96_cdc_apply_latest",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -126,6 +128,8 @@ QUERY_TABLES = {
     "x92_cooccurrence_triangles": ["events"],
     "x93_pq_adc_topk": ["embeddings"],
     "x94_ivf_adc_search": ["embeddings"],
+    "x95_hybrid_rrf_fusion": ["documents", "embeddings"],
+    "x96_cdc_apply_latest": ["orders"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]
