@@ -39,6 +39,7 @@ __all__ = [
     "bloom_bits",
     "bloom_filter_frame",
     "bloom_hits",
+    "repeated_char_ngrams",
 ]
 
 
@@ -485,4 +486,58 @@ def bloom_hits(
         pb.join(F.broadcast(bits.withColumn("present", F.lit(1))), "bit", "left")
         .groupBy(*keys)
         .agg((F.count("present") == k).alias("bloom_hit"))
+    )
+
+
+def repeated_char_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+    stride: int = 4,
+    min_docs: int = 2,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Cross-document repeated-substring audit (the char-level signal
+    behind Lee et al. 2022's exact-substring dedup): sample char
+    ``n``-grams every ``stride`` positions, fingerprint them, and
+    flag grams occurring in >= ``min_docs`` DISTINCT documents.
+    Returns one row per document (``id_col`` + ``keep_cols`` +
+    ``n_grams`` + ``n_mem``) — the per-doc memorized-gram counts a
+    pipeline thresholds to route documents into substring-level
+    dedup.
+
+    Scale shape: gram enumeration is scan-stage (``stride`` bounds it
+    at ~len/stride rows per doc); the only corpus-sized shuffles are
+    the 16-byte-fingerprint groupBy and the fingerprint equi-join
+    back — the exact-dedup shuffle shape, uniform by construction,
+    no pair expansion anywhere. Documents shorter than ``n`` chars
+    are excluded (they have no grams).
+    """
+    docs = df.where(F.length(text_col) >= n)
+    grams = docs.select(
+        id_col,
+        *keep_cols,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {n - 1}, "
+                f"{stride}), i -> substr({text_col}, i, {n}))"
+            )
+        ).alias("gram"),
+    )
+    fps = grams.select(id_col, *keep_cols, F.md5("gram").alias("fp"))
+    mem = (
+        fps.groupBy("fp")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("fp", F.lit(1).alias("memorized"))
+    )
+    return (
+        fps.join(mem, "fp", "left")
+        .groupBy(id_col, *keep_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("memorized").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_mem"),
+        )
     )

@@ -33,6 +33,7 @@ __all__ = [
     "embedding_neardup",
     "pq_codes",
     "pq_adc_topk",
+    "rrf_fuse",
 ]
 
 
@@ -520,3 +521,36 @@ def pq_adc_topk(
     return scored.select(
         "query_id", "cand_id", "adc", F.row_number().over(w).alias("rnk")
     ).where(F.col("rnk") <= k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009):
+    fuse any number of rankings — each a DataFrame of (``id_col``,
+    ``rank_col``) — by ``rrf_e6 = Σ floor(1e6 / (k + rank))``.
+    Integer-exact: each term is an e6-floored quotient of exact
+    integers, the sum is an integer sum, and ids absent from a
+    ranking contribute 0 — so results are engine- and
+    partitioning-independent. Returns (``id_col``, ``rrf_e6``),
+    unordered; rank or top-k downstream.
+
+    Scale shape: each ranking is a top-N frame (N rows per request),
+    so the fusion joins constant-size relations no matter the corpus
+    — do retrieval at scale, fuse for pennies."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.floor(1000000.0 / (k + F.col(rank_col))).cast("long").alias("_t"),
+        )
+        for r in rankings
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    return allr.groupBy(id_col).agg(F.sum("_t").cast("long").alias("rrf_e6"))

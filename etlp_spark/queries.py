@@ -8563,31 +8563,14 @@ def x90_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform by construction, no pair expansion anywhere. At 100 TB
     the gram relation dominates bytes, so production shuffles md5
     fingerprints (as here), never gram text.
-    Reference: engine-added (SURVEY.md §2.2 dedup family)."""
-    docs = _t_fanout(spark, sf_dir, "documents").where(F.length("text") >= 20)
-    grams = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr("transform(sequence(1, length(text) - 19, 4),"
-                   " i -> substr(text, i, 20))")
-        ).alias("gram"),
-    )
-    fps = grams.select("doc_id", "source", F.md5("gram").alias("fp"))
-    mem = (
-        fps.groupBy("fp")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("fp", F.lit(1).alias("memorized"))
-    )
-    per_doc = (
-        fps.join(mem, "fp", "left")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum(F.when(F.col("memorized").isNotNull(), 1).otherwise(0))
-            .cast("long").alias("n_mem"),
-        )
+    Reference: engine-added (SURVEY.md §2.2 dedup family). The
+    kernel lives in the library (functions/dedup.py:
+    repeated_char_ngrams) — this query is the demo."""
+    from etlp_spark.functions.dedup import repeated_char_ngrams
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    per_doc = repeated_char_ngrams(
+        docs, "text", "doc_id", n=20, stride=4, keep_cols=("source",)
     )
     normed = per_doc.withColumn(
         "frac_e6",
@@ -9117,22 +9100,27 @@ def x95_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") == 0), emb.where(F.col("vec_id") >= 5), k=20
     ).select(F.col("cand_id").alias("doc_id"), F.col("rnk").alias("dense_rnk"))
 
+    # fusion kernel from the library (functions/similarity.rrf_fuse);
+    # the full-outer join only carries the per-retriever ranks into
+    # the report — both relations are 20-row frames
+    from etlp_spark.functions.similarity import rrf_fuse
+
+    scores = rrf_fuse(
+        [
+            lex.select("doc_id", F.col("lex_rnk").alias("rnk")),
+            dense.select("doc_id", F.col("dense_rnk").alias("rnk")),
+        ],
+        id_col="doc_id",
+        k=60,
+    )
     fused = (
         lex.join(dense, "doc_id", "full_outer")
+        .join(scores, "doc_id")
         .select(
             "doc_id",
             F.coalesce("lex_rnk", F.lit(0)).cast("long").alias("lex_rnk"),
             F.coalesce("dense_rnk", F.lit(0)).cast("long").alias("dense_rnk"),
-            (
-                F.coalesce(
-                    F.floor(1000000.0 / (60 + F.col("lex_rnk"))).cast("long"),
-                    F.lit(0),
-                )
-                + F.coalesce(
-                    F.floor(1000000.0 / (60 + F.col("dense_rnk"))).cast("long"),
-                    F.lit(0),
-                )
-            ).cast("long").alias("rrf_e6"),
+            "rrf_e6",
         )
     )
     top = fused.orderBy(F.col("rrf_e6").desc(), "doc_id").limit(10)

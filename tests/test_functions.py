@@ -1171,3 +1171,47 @@ def test_codec_truncation_fuzz_png_bmp_wav():
             decode_wav(wav[:cut])
         except ValueError:
             pass
+
+
+def test_repeated_char_ngrams_planted(spark):
+    """Library kernel for the memorization audit: a verbatim span
+    shared by two documents is flagged in both; a unique document has
+    zero memorized grams; sub-n documents are excluded."""
+    from etlp_spark.functions.dedup import repeated_char_ngrams
+
+    # aperiodic: no 20-gram occurs twice WITHIN the span, so the
+    # cross-doc match count is exactly the span's window count
+    shared = "abcdefghij klmnopqrst uvwxyz0123 456789+-*/ end"
+    rows = [
+        (1, "AAA" + shared + "AAAA"),   # no space at the boundary:
+        (2, "BBBBB" + shared + "BB"),   # every cross gram is in-span
+        (3, "entirely unique content with no overlap whatsoever here ok"),
+        (4, "short"),  # < n chars: excluded
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.n_grams, r.n_mem)
+           for r in repeated_char_ngrams(df, "text", "doc_id",
+                                         n=20, stride=1).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3][1] == 0
+    assert out[1][1] > 0 and out[2][1] > 0
+    # every memorized gram of doc 1 is a substring of the shared span
+    # (the AAA padding differs): counts match the shared-window count
+    assert out[1][1] == out[2][1] == len(shared) - 19
+
+
+def test_rrf_fuse_properties(spark):
+    """RRF fusion: a doc ranked by BOTH retrievers outscores a doc
+    ranked #1 by only one (k=60 damping); absent ranks contribute 0;
+    values are the exact integer sum of e6-floored terms."""
+    from etlp_spark.functions.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2)], ["doc_id", "rnk"])
+    b = spark.createDataFrame([(11, 1), (12, 1)], ["doc_id", "rnk"])
+    got = {r.doc_id: r.rrf_e6 for r in rrf_fuse([a, b]).collect()}
+    import math
+    t = lambda r: math.floor(1_000_000 / (60 + r))
+    assert got == {10: t(1), 11: t(2) + t(1), 12: t(1)}
+    assert got[11] > got[10] >= got[12]
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])

@@ -215,3 +215,13 @@ def test_triangles_top20_is_take_ordered(spark):
     plan = _executed_plan(QUERIES["x92_cooccurrence_triangles"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_ivf_adc_no_cartesian_and_broadcast_probe(spark):
+    """x94: the ADC pass joins probed queries to the coded corpus on
+    the CELL equi-key with the query side broadcast — a
+    CartesianProduct over the corpus (or a corpus-side sort-merge for
+    the probe join) would defeat the coarse quantizer."""
+    plan = _executed_plan(QUERIES["x94_ivf_adc_search"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:2000]
