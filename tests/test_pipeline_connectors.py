@@ -566,3 +566,57 @@ def test_streaming_config_stateful_op(spark, tmp_path):
         streaming_pipeline_from_config(
             {**cfg, "stateful": {"op": "zap"}}
         )
+
+
+def test_streaming_config_session_gap_append_mode(spark, tmp_path):
+    """Declarative TWS, Append-mode shape: the 'stateful' session_gap
+    operator composed with a watermark block — closed sessions emit
+    exactly once through a config-built pipeline (the ewma test
+    covers Update mode; this covers event-time timers + Append)."""
+    import json as _json
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.config import streaming_pipeline_from_config
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "a.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in [
+            {"k": "a", "ts": "2024-01-01T00:00:00"},
+            {"k": "a", "ts": "2024-01-01T00:00:30"},
+            # same batch, > gap later: closes the first session in-batch
+            {"k": "a", "ts": "2024-01-01T00:10:00"},
+        ])
+    )
+    cfg = {
+        "name": "cfg-sessions",
+        "source": {
+            "type": "file_stream",
+            "path": str(indir),
+            "schema": "k string, ts timestamp",
+        },
+        "stateful": {"op": "session_gap", "key": "k", "ts": "ts",
+                     "gap_seconds": 60},
+        "streaming": {
+            "watermark": {"col": "ts", "delay": "0 seconds"},
+            "checkpoint": str(tmp_path / "ckpt"),
+            "trigger": {"availableNow": True},
+            "output_mode": "append",
+        },
+        "sink": {"type": "memory", "name": "cfg_sessions_out"},
+    }
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = streaming_pipeline_from_config(cfg).start(spark)
+        q.awaitTermination(120)
+        rows = {(r.k, str(r.session_start), r.n_events) for r in
+                spark.sql("select * from cfg_sessions_out").collect()}
+        assert ("a", "2024-01-01 00:00:00", 2) in rows
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
