@@ -508,12 +508,19 @@ def repeated_char_ngrams(
     dedup.
 
     Scale shape: gram enumeration is scan-stage (``stride`` bounds it
-    at ~len/stride rows per doc); the only corpus-sized shuffles are
-    the 16-byte-fingerprint groupBy and the fingerprint equi-join
-    back — the exact-dedup shuffle shape, uniform by construction,
-    no pair expansion anywhere. Documents shorter than ``n`` chars
-    are excluded (they have no grams).
+    at ~len/stride rows per doc); fingerprints are 60-bit LONGS (the
+    md5 prefix), not hex strings — 4-5x fewer shuffle bytes; the
+    per-(doc, fp) pre-aggregate collapses within-doc duplicates
+    BEFORE the wide stage; and the distinct-doc count is a WINDOW
+    over the fp partition on that deduped frame, so the corpus-sized
+    relation is never duplicated through a join-back (the x78
+    lesson — measured 2x faster than the join form at x100, same
+    values). Uniform keys by construction, no pair expansion
+    anywhere. Documents shorter than ``n`` chars are excluded (they
+    have no grams).
     """
+    from pyspark.sql import Window
+
     docs = df.where(F.length(text_col) >= n)
     grams = docs.select(
         id_col,
@@ -525,19 +532,21 @@ def repeated_char_ngrams(
             )
         ).alias("gram"),
     )
-    fps = grams.select(id_col, *keep_cols, F.md5("gram").alias("fp"))
-    mem = (
-        fps.groupBy("fp")
-        .agg(F.count_distinct(id_col).alias("nd"))
-        .where(F.col("nd") >= min_docs)
-        .select("fp", F.lit(1).alias("memorized"))
+    fp = F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long")
+    g = (
+        grams.select(id_col, *keep_cols, fp.alias("fp"))
+        .groupBy(id_col, *keep_cols, "fp")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+    # one row per (fp, doc): a plain count over the fp partition IS
+    # the distinct-doc count
+    nd = F.count(F.lit(1)).over(Window.partitionBy("fp"))
     return (
-        fps.join(mem, "fp", "left")
+        g.withColumn("nd", nd)
         .groupBy(id_col, *keep_cols)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum(F.when(F.col("memorized").isNotNull(), 1).otherwise(0))
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= min_docs, F.col("c")).otherwise(0))
             .cast("long").alias("n_mem"),
         )
     )
