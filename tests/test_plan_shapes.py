@@ -225,3 +225,26 @@ def test_ivf_adc_no_cartesian_and_broadcast_probe(spark):
     plan = _executed_plan(QUERIES["x94_ivf_adc_search"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:2000]
+
+
+def test_pq_adc_broadcasts_query_tables(spark):
+    """x93: the ADC pass must broadcast the query side (with its
+    lookup tables) into the pair expansion — the coded corpus never
+    shuffles for it; per-pair work is array lookups, so any
+    SortMergeJoin against the coded corpus means a regression."""
+    plan = _executed_plan(QUERIES["x93_pq_adc_topk"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+
+
+def test_cdc_apply_no_cartesian_single_feed_window(spark):
+    """x96: the change feed resolves last-writer-wins through ONE
+    keyed window pass and applies via a key anti-join — no cartesian
+    anywhere, and the feed window must not multiply into several
+    key exchanges."""
+    plan = _executed_plan(QUERIES["x96_cdc_apply_latest"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # exactly one join: the key anti-join applying tombstones (AQE
+    # broadcasts the resolved-feed key set); a SortMergeJoin or a
+    # second join means the apply grew a corpus-sized shuffle
+    assert plan.count("Join") == 1, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
