@@ -124,6 +124,16 @@ def _snapshot_sink(cfg: dict[str, Any]):
     )
 
 
+def _upsert_parquet_sink(cfg: dict[str, Any]):
+    from etlp_spark.connectors.files import UpsertParquetSink
+
+    return UpsertParquetSink(
+        cfg["path"],
+        key=tuple(cfg.get("key", ("id",))),
+        version_col=cfg.get("version_col"),
+    )
+
+
 def _jdbc_sink(cfg: dict[str, Any]):
     from etlp_spark.connectors.jdbc import JdbcSink
 
@@ -134,6 +144,7 @@ SINK_TYPES: dict[str, Callable[[dict[str, Any]], Any]] = {
     "parquet": _parquet_sink,
     "console": _console_sink,
     "snapshot": _snapshot_sink,
+    "upsert_parquet": _upsert_parquet_sink,
     "jdbc": _jdbc_sink,
 }
 

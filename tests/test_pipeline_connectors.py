@@ -620,3 +620,39 @@ def test_streaming_config_session_gap_append_mode(spark, tmp_path):
         assert ("a", "2024-01-01 00:00:00", 2) in rows
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_config_upsert_parquet_sink(spark, tmp_path):
+    """The merge-by-key parquet sink as config vocabulary: a second
+    config-built run replaces matched keys and inserts the rest —
+    last-writer-wins without a snapshot store."""
+    import json as _json
+
+    from etlp_spark.config import pipeline_from_config
+
+    indir1 = tmp_path / "in1"
+    indir1.mkdir()
+    (indir1 / "a.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in
+                  [{"id": 1, "v": "old"}, {"id": 2, "v": "keep"}])
+    )
+    out = str(tmp_path / "out")
+
+    def cfg(indir):
+        return {
+            "source": {"type": "file", "path": str(indir), "reducer": "jsonl",
+                       "options": {"schema": "id long, v string"}},
+            "transforms": [{"op": "select", "cols": ["id", "v"]}],
+            "sink": {"type": "upsert_parquet", "path": out, "key": ["id"]},
+        }
+
+    pipeline_from_config(cfg(indir1)).run(spark)
+    indir2 = tmp_path / "in2"
+    indir2.mkdir()
+    (indir2 / "b.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in
+                  [{"id": 1, "v": "NEW"}, {"id": 9, "v": "ins"}])
+    )
+    pipeline_from_config(cfg(indir2)).run(spark)
+    got = {r.id: r.v for r in spark.read.parquet(out).collect()}
+    assert got == {1: "NEW", 2: "keep", 9: "ins"}
