@@ -418,6 +418,19 @@ class ConfiguredStream:
 
             store = SnapshotStore(cfg["path"])
             mode = cfg.get("mode", "append")
+            if mode == "merge":
+                # exactly-once streaming UPSERT — resolve key_cols at
+                # STREAM-BUILD time so a missing key list fails before
+                # the first micro-batch, not inside foreachBatch
+                key_cols = cfg.get("key_cols")
+                if not key_cols:
+                    raise ValueError(
+                        "streaming snapshot sink with mode='merge' "
+                        "requires 'key_cols'"
+                    )
+                return lambda df, _s=store, _k=list(key_cols): _s.merge_batch(
+                    df, _k, self._current_batch_id
+                )
             return lambda df, _s=store, _m=mode: _s.write_batch(
                 df, self._current_batch_id, mode=_m
             )

@@ -174,6 +174,24 @@ def _list_files(data_dir: str) -> list[str]:
     )
 
 
+def _norm_file(f: str) -> str:
+    """Canonical form for comparing a manifest file string against a
+    path Spark reports via ``input_file_name()``. Spark always
+    reports an absolute, scheme-qualified, symlink-opaque URI, while
+    manifests store whatever string ``_list_files`` produced (which
+    is relative when the store root is relative) — comparing them
+    verbatim makes every merge on a relative/symlinked root fail.
+    Local paths normalize to ``realpath(abspath(...))``; non-file
+    schemes keep scheme+netloc and only unquote the path."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(f)
+    if u.scheme in ("", "file"):
+        p = unquote(u.path) if u.scheme == "file" else f
+        return os.path.realpath(os.path.abspath(p))
+    return f"{u.scheme}://{u.netloc}{unquote(u.path)}"
+
+
 class SnapshotStore:
     """Versioned parquet snapshots with JSON manifests."""
 
@@ -365,6 +383,33 @@ class SnapshotStore:
             return None
         return self.write(df, mode=mode, batch_id=batch_id)
 
+    def merge_batch(
+        self, df: DataFrame, key_cols: list[str], batch_id: int
+    ) -> WriteResult | None:
+        """Exactly-once streaming UPSERT: ``merge`` with the same
+        replay-skip discipline as ``write_batch`` (batch-watermark
+        fast path, live-id fallback for pre-watermark stores). A
+        replayed micro-batch re-applying a merge would not corrupt
+        rows (merge is idempotent on identical input), but it WOULD
+        burn a version and rewrite the hit files a second time — the
+        skip keeps the version chain 1:1 with committed batches.
+
+        Use via the streaming config's snapshot sink with
+        ``{"mode": "merge", "key_cols": [...]}``."""
+        wm = self.batch_watermark()
+        if wm is not None:
+            if batch_id <= wm:
+                if batch_id == 0 and wm > 0:
+                    _log.warning(
+                        "snapshot store %s: merge batch_id=0 below "
+                        "watermark=%d — reset checkpoint? see write_batch",
+                        self.root, wm,
+                    )
+                return None
+        elif batch_id in self.committed_batch_ids():
+            return None
+        return self.merge(df, key_cols, batch_id=batch_id)
+
     # ----- read --------------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -442,11 +487,15 @@ class SnapshotStore:
             .distinct()
             .collect()  # bounded by |data files|, not by rows
         )
-        hit_files = sorted(unquote(urlparse(r._sf).path) for r in hit_rows)
-        unknown = set(hit_files) - set(pm["files"])
+        by_norm = {_norm_file(f): f for f in pm["files"]}
+        hit_norm = sorted({_norm_file(unquote(urlparse(r._sf).path)) for r in hit_rows})
+        unknown = set(hit_norm) - set(by_norm)
         if unknown:
             raise RuntimeError(f"merge located files outside the manifest: {unknown}")
-        untouched = [f for f in pm["files"] if f not in set(hit_files)]
+        # rewrite/carry in MANIFEST terms so the new manifest's strings
+        # stay consistent with the parent's (relative root stays relative)
+        hit_files = [by_norm[n] for n in hit_norm]
+        untouched = [f for f in pm["files"] if _norm_file(f) not in set(hit_norm)]
 
         version = parent + 1
         data_dir = os.path.join(

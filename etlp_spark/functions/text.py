@@ -388,7 +388,23 @@ def dsir_scores(
     bi = bi.localCheckpoint(eager=True)  # 3 consumers: tgt, src, join-back
     tgt = bi.where(F.col("_tgt")).groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
     src = bi.groupBy("b").agg(F.count(F.lit(1)).alias("sc"))
-    nt = tgt.agg(F.sum("tc").alias("t_total"))
+    # sum() over an EMPTY target slice is NULL, which would propagate
+    # through log/floor into silently all-NULL scores — a mis-specified
+    # is_target predicate must fail loudly instead (in-plan, so no
+    # extra driver-side action is spent on the check)
+    nt = tgt.agg(
+        F.when(
+            F.sum("tc").isNull(),
+            F.raise_error(
+                F.lit(
+                    "dsir_scores: is_target matched zero rows — the "
+                    "target distribution is empty; check the predicate"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.sum("tc"))
+        .alias("t_total")
+    )
     ns = src.agg(F.sum("sc").alias("s_total"))
     lscore = (
         src.join(tgt, "b", "left")

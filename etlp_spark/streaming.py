@@ -415,6 +415,13 @@ def session_gap_tws(
     RocksDB state store; run in Append output mode (sessions are
     emitted exactly once, when final).
 
+    Late data (legal whenever watermark delay > gap) is handled with
+    TWO-SIDED merge semantics: a group merges into the open session
+    only when it overlaps or is within gap on EITHER side (extending
+    session_start backwards when it precedes the session); an earlier
+    group disjoint from the open session closes immediately as its
+    own session.
+
     Scale notes: state is O(1) per key (start/end/count + one
     registered timer); each Arrow batch folds vectorized (sort +
     diff-based gap split, no per-row Python); keys shuffle once."""
@@ -450,8 +457,28 @@ def session_gap_tws(
                     g_start, g_end, g_n = (
                         int(grp.iloc[0]), int(grp.iloc[-1]), len(grp)
                     )
-                    if cur is not None and g_start - cur[1] <= gap_ms:
-                        cur = (cur[0], max(cur[1], g_end), cur[2] + g_n)
+                    # Mergeable only when the group overlaps or is
+                    # within gap of the open session ON EITHER SIDE —
+                    # a late out-of-order group (legal when watermark
+                    # delay > gap) can sit entirely BEFORE the open
+                    # session, where `g_start - cur[1]` is negative
+                    # and would pass a one-sided check no matter how
+                    # far apart the two really are.
+                    if (
+                        cur is not None
+                        and g_start - cur[1] <= gap_ms
+                        and cur[0] - g_end <= gap_ms
+                    ):
+                        cur = (
+                            min(cur[0], g_start),
+                            max(cur[1], g_end),
+                            cur[2] + g_n,
+                        )
+                    elif cur is not None and g_end < cur[0] - gap_ms:
+                        # entirely before the open session and
+                        # disjoint: a closed EARLIER session of its
+                        # own — the open session stays open
+                        yield self._emit(key, (g_start, g_end, g_n))
                     else:
                         if cur is not None:
                             yield self._emit(key, cur)

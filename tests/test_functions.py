@@ -1215,3 +1215,24 @@ def test_rrf_fuse_properties(spark):
     assert got[11] > got[10] >= got[12]
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+def test_dsir_scores_empty_target_raises(spark):
+    """ADVICE r7: an is_target predicate matching ZERO rows must fail
+    loudly — sum() over the empty target slice is NULL, which would
+    otherwise flow through log/floor into silently all-NULL scores
+    for every document (a mis-specified target slice looks exactly
+    like a successful run)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from etlp_spark.functions.text import dsir_scores
+
+    df = spark.createDataFrame(
+        [(1, "some text here"), (2, "more text here")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="is_target matched zero rows"
+    ):
+        dsir_scores(df, "text", F.lit(False), keys=("doc_id",)).collect()

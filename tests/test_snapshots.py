@@ -671,3 +671,34 @@ def test_compact_preserves_rows_and_history(spark, store):
     store.expire(keep_last=1)
     assert store.versions() == [5]
     assert sorted(r.id for r in store.read(spark).collect()) == [1, 2, 3, 4, 5]
+
+
+def test_merge_with_relative_and_symlinked_root(spark, tmp_path):
+    """ADVICE r7: merge compares manifest file strings against
+    ``input_file_name()`` paths — Spark always reports absolute,
+    symlink-opaque URIs, so a RELATIVE store root (manifest strings
+    relative) or a symlinked root used to make every key-matching
+    merge die with 'files outside the manifest'. Both sides now
+    normalize through realpath(abspath(...)) before comparing, and
+    the new manifest keeps the parent's (relative) string style."""
+    # relative root: relative to the driver cwd (= JVM user.dir here)
+    rel = os.path.relpath(str(tmp_path / "rel_tbl"), os.getcwd())
+    assert not os.path.isabs(rel)
+    st = SnapshotStore(rel)
+    st.write(_df(spark, [1, 2]).coalesce(1))
+    st.merge(spark.createDataFrame([(2, "NEW"), (9, "r9")], ["id", "val"]), ["id"])
+    got = {r.id: r.val for r in st.read(spark).collect()}
+    assert got == {1: "r1", 2: "NEW", 9: "r9"}
+    # manifest strings stay relative — style consistent with parent
+    assert all(not os.path.isabs(f) for f in st.manifest(2)["files"])
+
+    # symlinked root: manifest holds link-path strings, Spark may
+    # report the real path — normalization makes them compare equal
+    real = tmp_path / "real_tbl"
+    real.mkdir()
+    link = tmp_path / "link_tbl"
+    os.symlink(str(real), str(link))
+    st2 = SnapshotStore(str(link))
+    st2.write(_df(spark, [1, 2]).coalesce(1))
+    st2.merge(spark.createDataFrame([(1, "X")], ["id", "val"]), ["id"])
+    assert {r.id: r.val for r in st2.read(spark).collect()} == {1: "X", 2: "r2"}

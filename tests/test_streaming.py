@@ -660,3 +660,74 @@ def test_session_gap_tws_event_time_timers(spark, stream_dir, tmp_path):
             q.stop()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_session_gap_tws_late_out_of_order_events(spark, stream_dir, tmp_path):
+    """ADVICE r7 (medium): with watermark delay > gap, a late group
+    can arrive entirely BEFORE the open session. The one-sided merge
+    check (`g_start - cur[1] <= gap`) is always true for such groups
+    (negative difference), so events arbitrarily far in the past were
+    absorbed into the open session and session_start was never
+    extended backwards. Now: two-sided within-gap check, start =
+    min() on a backward merge, and an earlier DISJOINT group closes
+    as its own session immediately."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.streaming import session_gap_tws, with_event_time
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_batch(
+            stream_dir, "h1.jsonl",
+            [{"k": "a", "ts": "2024-01-01T00:10:00"}],
+        )
+        src = with_event_time(
+            file_stream(spark, str(stream_dir), "k string, ts timestamp",
+                        fmt="json"),
+            "ts", "30 minutes",  # delay >> gap: late data is legal
+        )
+        q = (
+            session_gap_tws(src, "k", "ts", gap_seconds=60)
+            .writeStream.format("memory")
+            .queryName("tws_sess_late")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sess_late"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # batch 2, all LATE relative to the open (00:10, 00:10)
+            # session: 00:09:30 is within gap BEFORE start (backward
+            # merge, start extends to 00:09:30); 00:01:00 is disjoint
+            # BEFORE (own closed session, open session unaffected)
+            _write_batch(
+                stream_dir, "h2.jsonl",
+                [
+                    {"k": "a", "ts": "2024-01-01T00:09:30"},
+                    {"k": "a", "ts": "2024-01-01T00:01:00"},
+                ],
+            )
+            q.processAllAvailable()
+            # advance the watermark far past every deadline so the
+            # merged open session closes by timer
+            _write_batch(stream_dir, "h3.jsonl",
+                         [{"k": "z", "ts": "2024-01-01T02:00:00"}])
+            q.processAllAvailable()
+            rows = {
+                (r.k, str(r.session_start), str(r.session_end), r.n_events)
+                for r in spark.sql(
+                    "select * from tws_sess_late where k = 'a'"
+                ).collect()
+            }
+            assert ("a", "2024-01-01 00:01:00", "2024-01-01 00:01:00", 1) in rows
+            assert ("a", "2024-01-01 00:09:30", "2024-01-01 00:10:00", 2) in rows
+            assert len(rows) == 2
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
