@@ -373,12 +373,21 @@ def _s_session_gap(c: dict[str, Any]):
 #: AFTER transforms and the watermark; its own output mode contract
 #: applies (counts/ewma/heavy-hitters emit in Update, session_gap in
 #: Append), and the session needs the RocksDB state-store provider.
+def _s_approx_distinct(c: dict[str, Any]):
+    from etlp_spark.streaming import approx_distinct_tws
+
+    return lambda df, _k=c["key"], _v=c["value"], _p=c.get("p", 8): (
+        approx_distinct_tws(df, _k, _v, p=_p)
+    )
+
+
 STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
     "running_counts": _s_running_counts,
     "ewma": _s_ewma,
     "heavy_hitters": _s_heavy_hitters,
     "heavy_hitters_bounded": _s_heavy_hitters_bounded,
     "session_gap": _s_session_gap,
+    "approx_distinct": _s_approx_distinct,
 }
 
 

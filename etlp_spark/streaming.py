@@ -394,6 +394,60 @@ def heavy_hitters_spacesaving_tws(
     )
 
 
+def approx_distinct_tws(
+    df: DataFrame, key_col: str, value_col: str, p: int = 8
+) -> DataFrame:
+    """Streaming distinct-count per key — the HLL register table of
+    ``functions/sketches.py`` held in TWS MAP state (bucket -> reg,
+    at most ``2**p`` entries per key, CONSTANT in stream length —
+    contrast ``heavy_hitters_tws`` whose exact map grows with
+    distinct values). Registers are md5-derived, so they are
+    BIT-IDENTICAL to what the batch kernel computes over the same
+    rows: the emitted ``est_e6`` after N micro-batches EQUALS
+    ``hll_estimate`` over the batches' union — testable exactly, no
+    tolerance band (g9's JVM datasketches can't promise that).
+
+    Per micro-batch per key: md5 over the batch's UNIQUE values
+    (duplicates can't raise a register max), O(changed buckets) state
+    writes, one O(m) state scan for the estimate. Emits (k, est_e6)
+    in Update mode. Requires the RocksDB state store."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from etlp_spark.functions.sketches import py_hll_estimate, py_hll_update
+
+    class _HLL(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._regs = handle.getMapState("regs", "bucket INT", "reg INT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            local: dict[int, int] = {}
+            for pdf in rows:
+                py_hll_update(pdf[value_col].dropna().unique(), local, p=p)
+            for bucket, rho in local.items():
+                prev = self._regs.getValue((bucket,))
+                if prev is None or rho > prev[0]:
+                    self._regs.updateValue((bucket,), (rho,))
+            regs = {kk[0]: vv[0] for kk, vv in self._regs.iterator()}
+            yield pd.DataFrame(
+                {"k": [key[0]], "est_e6": [py_hll_estimate(regs, p=p)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _HLL(),
+        outputStructType="k string, est_e6 bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def session_gap_tws(
     df: DataFrame, key_col: str, ts_col: str, gap_seconds: int = 1800
 ) -> DataFrame:

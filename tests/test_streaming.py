@@ -731,3 +731,63 @@ def test_session_gap_tws_late_out_of_order_events(spark, stream_dir, tmp_path):
             q.stop()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_approx_distinct_tws_matches_batch_hll_exactly(spark, stream_dir, tmp_path):
+    """Streaming HLL (approx_distinct_tws): registers persisted in
+    MapState are md5-derived and therefore BIT-IDENTICAL to the batch
+    kernel's — after two micro-batches (with overlap between them),
+    the emitted est_e6 per key EQUALS hll_estimate over the union of
+    both batches, exactly. No tolerance band: this is the portability
+    claim of functions/sketches.py under checkpointed streaming."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.functions.sketches import py_hll_estimate, py_hll_update
+    from etlp_spark.streaming import approx_distinct_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        b1 = {"a": [f"u{i}" for i in range(300)], "b": ["x", "y", "z"]}
+        b2 = {"a": [f"u{i}" for i in range(150, 500)], "b": ["z", "w"]}
+        _write_batch(
+            stream_dir, "d1.jsonl",
+            [{"k": k, "v": v} for k, vs in b1.items() for v in vs],
+        )
+        src = file_stream(spark, str(stream_dir), "k string, v string", fmt="json")
+        q = (
+            approx_distinct_tws(src, "k", "v")
+            .writeStream.format("memory")
+            .queryName("tws_hll")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _write_batch(
+                stream_dir, "d2.jsonl",
+                [{"k": k, "v": v} for k, vs in b2.items() for v in vs],
+            )
+            q.processAllAvailable()
+            # memory sink in update mode accumulates; the LAST emission
+            # per key is the live estimate
+            rows = spark.sql("select * from tws_hll").collect()
+            latest = {}
+            for r in rows:
+                latest[r.k] = r.est_e6  # emissions arrive in batch order
+            for k in ("a", "b"):
+                union = set(b1.get(k, [])) | set(b2.get(k, []))
+                regs: dict[int, int] = {}
+                py_hll_update(union, regs)
+                assert latest[k] == py_hll_estimate(regs), k
+            # sanity: "a" has 500 true distinct; estimate within 20%
+            assert abs(latest["a"] / 1e6 - 500) / 500 < 0.2
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
