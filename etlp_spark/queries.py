@@ -9335,6 +9335,150 @@ def x97_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x98_source_overlap_matrix",
+    f"""
+    WITH tk AS (SELECT source, {_O_TOKS} AS tk FROM documents),
+    pos AS (
+      SELECT source, tk, unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS i
+      FROM tk WHERE len(tk) >= 5),
+    g AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 15))::BIGINT
+               AS fp
+      FROM pos),
+    srcs AS (
+      SELECT source, row_number() OVER (ORDER BY source) - 1 AS idx
+      FROM (SELECT DISTINCT source FROM documents)),
+    mk AS (
+      SELECT fp, bit_or(1::BIGINT << idx) AS mask
+      FROM g JOIN srcs USING (source) GROUP BY fp),
+    mc AS (SELECT mask, count(*) AS c FROM mk GROUP BY mask),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             1::BIGINT << a.idx AS bit_a, 1::BIGINT << b.idx AS bit_b
+      FROM srcs a JOIN srcs b ON a.idx < b.idx),
+    ag AS (
+      SELECT src_a, src_b,
+             CAST(coalesce(sum(CASE WHEN (mask & bit_a) <> 0
+                                     AND (mask & bit_b) <> 0
+                                    THEN c END), 0) AS BIGINT) AS n_inter,
+             CAST(coalesce(sum(CASE WHEN (mask & bit_a) <> 0
+                                     OR (mask & bit_b) <> 0
+                                    THEN c END), 0) AS BIGINT) AS n_union
+      FROM pairs CROSS JOIN mc GROUP BY src_a, src_b)
+    SELECT src_a, src_b, n_inter, n_union,
+           CAST(floor(n_inter * 1.0 / n_union * 1000000.0 + 0.5) AS BIGINT)
+             AS jaccard_e6
+    FROM ag
+    """,
+)
+def x98_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-level shingle overlap (exact Jaccard between
+    every pair of corpus sources) — the mix-design diagnostic behind
+    per-source dedup budgets: two crawls/dumps with high mutual
+    Jaccard are re-crawls of each other, and cross-source dedup order
+    (x44's precedence) should be driven by exactly this matrix.
+
+    THE TRICK that makes an all-pairs set statistic scale: each
+    distinct 5-gram reduces to ONE bitmask row (``bit_or(1 << source
+    index)``), and the mask FREQUENCY table (at most ``2^|sources|``
+    rows, practically far fewer) answers every pairwise intersection
+    and union in closed form: ``|A ∩ B| = Σ c[mask] where both bits
+    set``. No gram ever appears in a pairwise join — the |pairs| ×
+    |masks| work happens on two broadcast-sized relations.
+
+    Scale shape at 100 TB: ONE corpus-sized shuffle, on a 60-bit
+    md5-prefix fingerprint of the gram (4-5× fewer shuffle bytes than
+    the gram string; a 60-bit collision merges two grams' masks —
+    identically in both engines, so cross-engine exactness is
+    unaffected; the distortion itself stays negligible until distinct
+    grams approach the ~2^30 birthday bound, and a 128-bit fp restores
+    headroom beyond that). Everything after the mask aggregate is constant-size.
+    Sources are capped at 63 by the BIGINT mask — plenty for corpus
+    mixes; beyond that, band the sources."""
+    docs = _t_fanout(spark, sf_dir, "documents")
+    from etlp_spark.functions.text import tokens
+
+    tk = docs.select("source", tokens("text").alias("tk")).where(F.size("tk") >= 5)
+    grams = tk.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 4),
+                lambda i: F.array_join(F.slice("tk", i, 5), " "),
+            )
+        ).alias("gram"),
+    ).select(
+        "source",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("fp"),
+    )
+    # NO pre-distinct: bit_or is idempotent on repeated bits, so the
+    # mask aggregate absorbs within-source duplicates in its map-side
+    # partial — one corpus shuffle instead of two
+    # bounded-by-design driver collect (|sources|, like the IVF k×dims
+    # init): one distinct scan instead of three window re-executions,
+    # and no single-partition window node in the plan
+    names = sorted(r.source for r in docs.select("source").distinct().collect())
+    if len(names) > 63:
+        raise ValueError("bitmask overlap matrix supports at most 63 sources")
+    # literal VALUES (LocalRelation), NOT createDataFrame: an
+    # RDD-backed local frame costs a full collect-job every time it
+    # broadcasts (measured 4.7s/use at sf0.01); a LocalRelation
+    # broadcast is free
+    vals = ", ".join(
+        "('{}', {}, {})".format(s.replace("'", "''"), i, 1 << i)
+        for i, s in enumerate(names)
+    )
+    srcs = spark.sql(
+        f"SELECT source, idx, CAST(bit AS BIGINT) AS bit "
+        f"FROM VALUES {vals} AS t(source, idx, bit)"
+    )
+    masks = (
+        grams.join(F.broadcast(srcs.select("source", "bit")), "source")
+        .groupBy("fp")
+        .agg(F.bit_or("bit").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        srcs.alias("a")
+        .join(F.broadcast(srcs.alias("b")), F.col("a.idx") < F.col("b.idx"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.col("a.bit").alias("bit_a"),
+            F.col("b.bit").alias("bit_b"),
+        )
+    )
+    both = F.col("mask").bitwiseAND(F.col("bit_a")) != 0
+    other = F.col("mask").bitwiseAND(F.col("bit_b")) != 0
+    ag = (
+        pairs.crossJoin(F.broadcast(masks))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.coalesce(F.sum(F.when(both & other, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_inter"),
+            F.coalesce(F.sum(F.when(both | other, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_union"),
+        )
+    )
+    return ag.select(
+        "src_a",
+        "src_b",
+        "n_inter",
+        "n_union",
+        F.floor(
+            F.col("n_inter") * F.lit(1.0) / F.col("n_union") * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("jaccard_e6"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
