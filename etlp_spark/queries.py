@@ -9479,6 +9479,214 @@ def x98_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x99_cuped_adjusted_delta",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             {_o_h16('user_id')} % 2 AS arm,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS x,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS y
+      FROM events GROUP BY user_id),
+    m AS (
+      SELECT count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx,
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+             sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sx_a,
+             sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sx_b,
+             sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sy_a,
+             sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS sy_b
+      FROM u),
+    d AS (
+      SELECT n_a, n_b,
+             sy_b * 1.0 / n_b - sy_a * 1.0 / n_a AS raw_delta,
+             sx_b * 1.0 / n_b - sx_a * 1.0 / n_a AS dx,
+             (sxy * 1.0 - sx * 1.0 * sy / n)
+               / (sxx * 1.0 - sx * 1.0 * sx / n) AS theta
+      FROM m)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(floor(raw_delta * 1000000.0 + 0.5) AS BIGINT) AS raw_delta_e6,
+           CAST(floor(theta * 1000000.0 + 0.5) AS BIGINT) AS theta_e6,
+           CAST(floor((raw_delta - theta * dx) * 1000000.0 + 0.5) AS BIGINT)
+             AS adj_delta_e6
+    FROM d
+    """,
+)
+def x99_cuped_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013,
+    "Improving the Sensitivity of Online Controlled Experiments by
+    Utilizing Pre-Experiment Data"): users deterministically split
+    into arms by md5 parity, per-user PRE-period engagement as the
+    covariate, pooled ``theta = cov(x,y)/var(x)``, and the adjusted
+    treatment delta ``raw_delta - theta * dx`` — the standard
+    variance-reduction step every experimentation platform runs over
+    exactly this kind of event log.
+
+    Exactness: per-event values floor to integers FIRST, so every
+    moment (Sx, Sy, Sxy, Sxx, per-arm sums) is an exact BIGINT under
+    order-free partial aggregation; theta/deltas are then a fixed
+    dag of float ops on identical operands (engine-identical), each
+    output e6-floored once. At extreme corpus scales the product
+    moments approach int64 range — swap the moment sums to
+    DECIMAL(38,0) (the ``_money`` discipline) before they do.
+
+    Scale shape: one shuffle to per-user rows (partial map-side
+    sums), then a single all-reduce to ONE moment row — the classic
+    two-level aggregation; nothing downstream exceeds one row."""
+    ev = _t(spark, sf_dir, "events")
+    t0 = F.lit("2024-01-16").cast("timestamp")
+    fv = F.floor("value").cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < t0, fv).otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(F.col("ts") >= t0, fv).otherwise(F.lit(0))).alias("y"),
+    ).select((_h16(F.col("user_id")) % 2).alias("arm"), "x", "y")
+    arm0 = F.col("arm") == 0
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.when(arm0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~arm0, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(arm0, F.col("x")).otherwise(0)).alias("sx_a"),
+        F.sum(F.when(~arm0, F.col("x")).otherwise(0)).alias("sx_b"),
+        F.sum(F.when(arm0, F.col("y")).otherwise(0)).alias("sy_a"),
+        F.sum(F.when(~arm0, F.col("y")).otherwise(0)).alias("sy_b"),
+    )
+    raw_delta = (
+        F.col("sy_b") * F.lit(1.0) / F.col("n_b")
+        - F.col("sy_a") * F.lit(1.0) / F.col("n_a")
+    )
+    dx = (
+        F.col("sx_b") * F.lit(1.0) / F.col("n_b")
+        - F.col("sx_a") * F.lit(1.0) / F.col("n_a")
+    )
+    theta = (
+        F.col("sxy") * F.lit(1.0) - F.col("sx") * F.lit(1.0) * F.col("sy") / F.col("n")
+    ) / (
+        F.col("sxx") * F.lit(1.0) - F.col("sx") * F.lit(1.0) * F.col("sx") / F.col("n")
+    )
+    e6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return m.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        e6(raw_delta).alias("raw_delta_e6"),
+        e6(theta).alias("theta_e6"),
+        e6(raw_delta - theta * dx).alias("adj_delta_e6"),
+    )
+
+
+@_register(
+    "x100_kcore_membership",
+    """
+    WITH pres AS (
+      SELECT DISTINCT event_type, date_trunc('hour', ts) AS hb, user_id
+      FROM events),
+    bu AS (
+      SELECT event_type, hb, count(*) AS nu FROM pres GROUP BY 1, 2),
+    pe AS (
+      SELECT p1.user_id AS a, p2.user_id AS b
+      FROM pres p1
+      JOIN pres p2 USING (event_type, hb)
+      JOIN bu USING (event_type, hb)
+      WHERE p1.user_id < p2.user_id AND bu.nu BETWEEN 2 AND 32),
+    ed AS (SELECT a, b FROM pe GROUP BY a, b HAVING count(*) >= 3),
+    d0 AS (SELECT v, count(*) AS d
+           FROM (SELECT a AS v FROM ed UNION ALL SELECT b FROM ed)
+           GROUP BY v),
+    e1 AS (SELECT a, b FROM ed
+           JOIN d0 da ON da.v = ed.a JOIN d0 db ON db.v = ed.b
+           WHERE da.d >= 3 AND db.d >= 3),
+    d1 AS (SELECT v, count(*) AS d
+           FROM (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+           GROUP BY v),
+    e2 AS (SELECT a, b FROM e1
+           JOIN d1 da ON da.v = e1.a JOIN d1 db ON db.v = e1.b
+           WHERE da.d >= 3 AND db.d >= 3),
+    d2 AS (SELECT v, count(*) AS d
+           FROM (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
+           GROUP BY v),
+    e3 AS (SELECT a, b FROM e2
+           JOIN d2 da ON da.v = e2.a JOIN d2 db ON db.v = e2.b
+           WHERE da.d >= 3 AND db.d >= 3)
+    SELECT v AS user_id, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
+    GROUP BY v
+    """,
+)
+def x100_kcore_membership(
+    spark: SparkSession, sf_dir: str, *, rounds: int = 3
+) -> DataFrame:
+    """Bounded k-core peeling (k=3, 3 rounds) over the x92 user
+    co-occurrence graph — the dense-community skeleton used for spam
+    rings, engaged-user cohorts, and as the search frontier for
+    community detection (a node is in the k-core iff it survives
+    repeated removal of degree<k nodes; Matula & Beck 1983). Rounds
+    are FIXED at 3 so the computation unrolls to pure SQL in both
+    engines (bounded-iteration semantics, exactly like r2's 3-step
+    PageRank); the pytest twin verifies a 4th peel is a no-op at test
+    scale, i.e. the bounded answer IS the fixpoint there.
+
+    Output: surviving users + their degree within the core.
+
+    Scale shape: edge construction is x92's (presence dedup,
+    bucket-cap <= 32, pair aggregate on (a,b)); each peel round is a
+    degree aggregate over the CURRENT edge set plus two semi-joins —
+    edges only ever shrink, so per-round cost is bounded by round 0;
+    the edge frame is eagerly localCheckpointed per round, keeping
+    lineage flat (r2's Pregel-as-joins discipline)."""
+    ev = _t_fanout(spark, sf_dir, "events")
+    pres = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hb"), "user_id"
+    ).distinct()
+    bu = (
+        pres.groupBy("event_type", "hb")
+        .agg(F.sort_array(F.collect_set("user_id")).alias("us"))
+        .where((F.size("us") >= 2) & (F.size("us") <= 32))
+    )
+    pairs = bu.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(us, (u, i) -> "
+                "transform(slice(us, i + 2, size(us)), "
+                "v -> struct(u AS a, v AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            edges.select(F.col("a").alias("v"))
+            .unionAll(edges.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        ok = deg.where(F.col("d") >= 3).select("v")
+        edges = (
+            edges.join(ok.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(ok.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.select(F.col("a").alias("user_id"))
+        .unionAll(edges.select(F.col("b").alias("user_id")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #

@@ -506,3 +506,20 @@ def test_weighted_reservoir_biases_toward_weight(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
     assert sample_mean > corpus_mean
+
+
+def test_x100_bounded_peel_reaches_fixpoint_at_test_scale(spark):
+    """x100 fixes peeling at 3 rounds so it unrolls to SQL in both
+    engines — this is only honest if 3 rounds reach the k-core
+    FIXPOINT on the data the gate checks. A 4th peel must be a no-op:
+    identical (user_id, deg) sets."""
+    from etlp_spark.queries import x100_kcore_membership
+
+    sf = "/root/testdata/sf0.01"
+    r3 = {(r.user_id, r.deg) for r in x100_kcore_membership(spark, sf).collect()}
+    r4 = {
+        (r.user_id, r.deg)
+        for r in x100_kcore_membership(spark, sf, rounds=4).collect()
+    }
+    assert r3 == r4
+    assert len(r3) > 0
