@@ -73,6 +73,8 @@ __all__ = [
     "encode_png",
     "decode_jpeg",
     "encode_jpeg",
+    "decode_gif",
+    "encode_gif",
     "encode_jpeg_progressive",
     "decode_wav",
     "encode_wav",
@@ -1453,12 +1455,209 @@ def _audio_feature(rate: int, samples: np.ndarray, dims: int = 8) -> list[float]
     return [float(out[i % len(out)]) for i in range(dims)]
 
 
+# ---------------------------------------------------------------------------
+# GIF (stdlib-only): LZW decompression per the public GIF89a spec
+# (CompuServe 1990, https://www.w3.org/Graphics/GIF/spec-gif89a.txt)
+# — variable-width codes packed LSB-first, clear/EOI codes, 12-bit
+# dictionary cap, optional Adam-style 4-pass row interlace. Decoder
+# reads any sequential/interlaced 87a/89a still (first frame; GCE and
+# other extensions skipped); encoder emits GIF89a with an exact
+# palette, so decode(encode(px)) == px whenever the image has <= 256
+# distinct colors — the same independent round-trip contract the
+# PNG/JPEG codecs test against.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    code_size = min_code_size + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return out  # missing EOI: tolerate truncated streams
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)  # the cScSc case
+        else:
+            raise ValueError(f"corrupt GIF LZW stream: code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    prefix: tuple[int, ...] = ()
+    for k in indices:
+        cand = prefix + (k,)
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], code_size)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << code_size) and code_size < 12:
+                # the code just ASSIGNED is the first needing a wider
+                # field; the decoder widens after SEEING it, so the
+                # encoder widens after assigning it
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        prefix = (k,)
+    if prefix:
+        emit(table[prefix], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_row_order(h: int, interlaced: bool) -> list[int]:
+    if not interlaced:
+        return list(range(h))
+    return [y for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)]
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a GIF87a/GIF89a payload as (h, w, 3) uint8 RGB
+    (global/local color tables, sub-block reassembly, interlace)."""
+    if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF87a/GIF89a payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks, all skipped
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _lx, _ty, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(data), mcs)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data underrun")
+            arr = np.asarray(idx[: w * h], dtype=np.int64).reshape(h, w)
+            rows = np.empty((h, w), dtype=np.int64)
+            rows[_gif_row_order(h, bool(iflags & 0x40)), :] = arr
+            return ct[rows.clip(0, len(ct) - 1)].astype(np.uint8)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(pixels: np.ndarray, interlaced: bool = False) -> bytes:
+    """GIF89a from (h, w, 3) uint8 RGB with an EXACT palette (<= 256
+    distinct colors required — lossless round-trip by construction;
+    quantization is a modeling choice this codec refuses to hide)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("encode_gif wants (h, w, 3) RGB")
+    h, w = pixels.shape[:2]
+    flat = pixels.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"encode_gif is exact-palette only: {len(colors)} colors")
+    cbits = max(1, int(len(colors) - 1).bit_length())
+    n = 1 << cbits
+    palette = np.zeros((n, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    idx = inverse.reshape(h, w)
+    order = _gif_row_order(h, interlaced)
+    stream = idx[order, :].reshape(-1).tolist()
+    mcs = max(2, cbits)
+    lzw = _gif_lzw_encode(stream, mcs)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (cbits - 1), 0, 0)
+    out += palette.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlaced else 0)
+    out.append(mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
 def decode_image(payload: bytes, mime: str = "image/bmp") -> np.ndarray:
     """Decode an image payload to an (h, w, 3) uint8 RGB array.
 
-    Real for uncompressed 24-bpp BMP, 8-bit non-interlaced PNG, and
-    baseline sequential + progressive JPEG (stdlib decoders above).
-    Other formats
+    Real for uncompressed 24-bpp BMP, 8-bit non-interlaced PNG,
+    baseline sequential + progressive JPEG, and GIF87a/89a including
+    interlace (stdlib decoders above). Other formats
     need codec libraries not present in this container — swap the
     fallback for PIL/torchvision in a full environment."""
     # content magic wins over the mime hint (callers often pass the
@@ -1469,12 +1668,16 @@ def decode_image(payload: bytes, mime: str = "image/bmp") -> np.ndarray:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
     if mime == "image/bmp":
         return decode_bmp(payload)
     if mime == "image/png":
         return decode_png(payload)
     if mime == "image/jpeg":
         return decode_jpeg(payload)
+    if mime == "image/gif":
+        return decode_gif(payload)
     raise NotImplementedError(
         f"decode for {mime!r} is stubbed in this environment; install a "
         "codec library and replace decode_image's fallback"
@@ -1544,7 +1747,7 @@ def extract_features(media_df: DataFrame, dims: int = 8) -> DataFrame:
     def featurize(mime: str, payload: bytes) -> list[float]:
         # Real decode paths (stdlib BMP/PNG/JPEG/WAV parsers);
         # deterministic fake for formats this container can't decode.
-        if mime in ("image/bmp", "image/png", "image/jpeg"):
+        if mime in ("image/bmp", "image/png", "image/jpeg", "image/gif"):
             return _pixel_feature(decode_image(payload, mime), dims)
         if mime == "audio/wav":
             return _audio_feature(*decode_wav(payload), dims)

@@ -1282,3 +1282,41 @@ def test_hll_registers_cross_engine_and_python_twin(spark):
     py_hll_update(b, rb)
     merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
     assert merged == py_regs
+
+
+def test_gif_roundtrip_and_spec_fixture():
+    """GIF89a codec (stdlib LZW): exact-palette round-trips for
+    sequential AND interlaced streams; a 200x300 image crosses the
+    12-bit dictionary cap so the clear-code reset path runs; the
+    decoder is additionally pinned against a 1x1 HAND-BUILT byte
+    stream from the GIF89a spec's packing rules (LSB-first variable
+    codes) — decoder correctness independent of the encoder; and
+    decode_image dispatches on the GIF8 magic."""
+    import numpy as np
+
+    from etlp_spark.functions.multimodal import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, (97, 3), dtype=np.uint8)
+    px = base[rng.integers(0, 97, (37, 23))]
+    for inter in (False, True):
+        assert np.array_equal(decode_gif(encode_gif(px, interlaced=inter)), px)
+    assert np.array_equal(decode_image(encode_gif(px)), px)
+
+    big = base[rng.integers(0, 97, (200, 300))]
+    assert np.array_equal(decode_gif(encode_gif(big)), big)
+
+    hand = bytes(
+        [0x47, 0x49, 0x46, 0x38, 0x39, 0x61, 1, 0, 1, 0, 0x80, 0, 0,
+         10, 20, 30, 40, 50, 60,
+         0x2C, 0, 0, 0, 0, 1, 0, 1, 0, 0x00,
+         0x02, 0x02, 0x44, 0x01, 0x00, 0x3B]
+    )
+    assert decode_gif(hand).tolist() == [[[10, 20, 30]]]
+
+    with pytest.raises(ValueError, match="exact-palette"):
+        encode_gif(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
