@@ -9687,6 +9687,198 @@ def x100_kcore_membership(
     )
 
 
+@_register(
+    "x101_srm_check",
+    f"""
+    WITH ua AS (
+      SELECT DISTINCT event_type, user_id,
+             {_o_h16('user_id')} % 2 AS arm
+      FROM events),
+    m AS (
+      SELECT event_type,
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+      FROM ua GROUP BY event_type)
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(floor((n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b)
+                      * 1000000.0 + 0.5) AS BIGINT) AS chi2_e6,
+           (n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b) > 3.841458820694124
+             AS srm_flag
+    FROM m
+    """,
+)
+def x101_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the x99 experiment split:
+    per event_type, distinct users per md5-parity arm and the df=1
+    chi-square statistic against the designed 50/50 ratio, flagged at
+    the 95% critical value — the FIRST check any experimentation
+    readout runs, because a biased assignment invalidates x99's delta
+    no matter how good the variance reduction is (Fabijan et al.
+    2019, "Diagnosing Sample Ratio Mismatch").
+
+    Exactness: counts are integers; chi2 = (n_a-n_b)^2/(n_a+n_b) is
+    one float quotient of exact ints (engine-identical), e6-floored;
+    the flag compares the same double against the same literal.
+
+    Scale shape: distinct (event_type, user) dedup then a two-column
+    conditional count — one shuffle each, both map-side partial."""
+    ev = _t(spark, sf_dir, "events")
+    ua = ev.select(
+        "event_type", (_h16(F.col("user_id")) % 2).alias("arm"), "user_id"
+    ).distinct()
+    m = ua.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    chi2 = d * d * F.lit(1.0) / (F.col("n_a") + F.col("n_b"))
+    return m.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.floor(chi2 * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("chi2_e6"),
+        (chi2 > F.lit(3.841458820694124)).alias("srm_flag"),
+    )
+
+
+def _z16_sql(sa: str, sb: str) -> str:
+    """16-bit Morton interleave of two 8-bit scaled dims — identical
+    arithmetic text for Spark and DuckDB (both support >>, <<, &)."""
+    return " + ".join(
+        f"((({sa} >> {i}) & 1) << {2 * i}) + ((({sb} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+
+
+@_register(
+    "x102_zorder_layout",
+    f"""
+    WITH mx AS (
+      SELECT max(l_partkey) AS ma, max(l_suppkey) AS mb,
+             max(l_orderkey) AS mo
+      FROM lineitem),
+    s AS (
+      SELECT l_partkey AS a, l_suppkey AS b,
+             (l_partkey * 256) // (ma + 1) AS sa,
+             (l_suppkey * 256) // (mb + 1) AS sb,
+             (l_orderkey * 256) // (mo + 1) AS so,
+             (ma * 2) // 5 AS lo_a, ma // 2 AS hi_a,
+             (mb * 2) // 5 AS lo_b, mb // 2 AS hi_b
+      FROM lineitem CROSS JOIN mx),
+    z AS (
+      SELECT *, ({_z16_sql('sa', 'sb')}) // 256 AS zb FROM s),
+    lay AS (
+      SELECT 'linear' AS layout, so AS bucket, a, b,
+             lo_a, hi_a, lo_b, hi_b FROM z
+      UNION ALL
+      SELECT 'sorted_a', sa, a, b, lo_a, hi_a, lo_b, hi_b FROM z
+      UNION ALL
+      SELECT 'zorder', zb, a, b, lo_a, hi_a, lo_b, hi_b FROM z),
+    st AS (
+      SELECT layout, bucket,
+             min(a) AS amin, max(a) AS amax,
+             min(b) AS bmin, max(b) AS bmax,
+             min(lo_a) AS lo_a, min(hi_a) AS hi_a,
+             min(lo_b) AS lo_b, min(hi_b) AS hi_b
+      FROM lay GROUP BY layout, bucket),
+    ag AS (
+      SELECT layout,
+             count(*) AS n_buckets,
+             sum(CASE WHEN amax >= lo_a AND amin <= hi_a
+                      THEN 1 ELSE 0 END) AS scan_a,
+             sum(CASE WHEN bmax >= lo_b AND bmin <= hi_b
+                      THEN 1 ELSE 0 END) AS scan_b,
+             sum(CASE WHEN amax >= lo_a AND amin <= hi_a
+                       AND bmax >= lo_b AND bmin <= hi_b
+                      THEN 1 ELSE 0 END) AS scan_ab
+      FROM st GROUP BY layout)
+    SELECT layout,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(floor(scan_a * 1.0 / n_buckets * 1000000.0 + 0.5) AS BIGINT)
+             AS scan_a_e6,
+           CAST(floor(scan_b * 1.0 / n_buckets * 1000000.0 + 0.5) AS BIGINT)
+             AS scan_b_e6,
+           CAST(floor(scan_ab * 1.0 / n_buckets * 1000000.0 + 0.5) AS BIGINT)
+             AS scan_ab_e6
+    FROM ag
+    """,
+)
+def x102_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER data-layout audit — quantifies min/max file skipping
+    (the mechanism behind Delta/Iceberg ``OPTIMIZE ZORDER BY``,
+    Morton 1966): rows are bucketed into 256 'files' under three
+    layouts — insertion order (linear), sorted by one dim, and the
+    16-bit Morton interleave of both dims — and for range predicates
+    on a, on b, and on a AND b, the fraction of buckets whose
+    [min,max] zone-map overlaps the predicate is the fraction of the
+    table a pruning scan must READ. The readout is the canonical
+    layout tradeoff: sorted_a is perfect on a and useless on b;
+    linear is useless on both; z-order prunes on BOTH dims at once.
+
+    Exactness: scaling, interleave and zone maps are pure integer
+    arithmetic (DIV/shift/mask — identical in both engines); the only
+    floats are the three e6-floored scan-fraction quotients.
+
+    Scale shape: one pass to scale+interleave (scan-stage; the max()
+    dims ride along as a broadcast one-row cross join), one shuffle
+    per layout for the zone-map aggregate (the 3-way union shares one
+    shuffle boundary), then a 768-row rollup. At 100 TB this IS the
+    decision procedure for choosing a table's clustering keys — run
+    it on a sample, read the scan fractions, pick the layout."""
+    li = _t(spark, sf_dir, "lineitem")
+    mx = li.agg(
+        F.max("l_partkey").alias("ma"),
+        F.max("l_suppkey").alias("mb"),
+        F.max("l_orderkey").alias("mo"),
+    )
+    s = li.crossJoin(F.broadcast(mx)).select(
+        F.col("l_partkey").alias("a"),
+        F.col("l_suppkey").alias("b"),
+        F.expr("(l_partkey * 256) div (ma + 1)").alias("sa"),
+        F.expr("(l_suppkey * 256) div (mb + 1)").alias("sb"),
+        F.expr("(l_orderkey * 256) div (mo + 1)").alias("so"),
+        F.expr("(ma * 2) div 5").alias("lo_a"),
+        F.expr("ma div 2").alias("hi_a"),
+        F.expr("(mb * 2) div 5").alias("lo_b"),
+        F.expr("mb div 2").alias("hi_b"),
+    )
+    z = s.withColumn("zb", F.expr(f"({_z16_sql('sa', 'sb')}) div 256"))
+    cols = ["a", "b", "lo_a", "hi_a", "lo_b", "hi_b"]
+    lay = (
+        z.select(F.lit("linear").alias("layout"), F.col("so").alias("bucket"), *cols)
+        .unionAll(
+            z.select(F.lit("sorted_a"), F.col("sa").alias("bucket"), *cols)
+        )
+        .unionAll(z.select(F.lit("zorder"), F.col("zb").alias("bucket"), *cols))
+    )
+    st = lay.groupBy("layout", "bucket").agg(
+        F.min("a").alias("amin"), F.max("a").alias("amax"),
+        F.min("b").alias("bmin"), F.max("b").alias("bmax"),
+        F.min("lo_a").alias("lo_a"), F.min("hi_a").alias("hi_a"),
+        F.min("lo_b").alias("lo_b"), F.min("hi_b").alias("hi_b"),
+    )
+    hit_a = (F.col("amax") >= F.col("lo_a")) & (F.col("amin") <= F.col("hi_a"))
+    hit_b = (F.col("bmax") >= F.col("lo_b")) & (F.col("bmin") <= F.col("hi_b"))
+    ag = st.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(hit_a, 1).otherwise(0)).alias("scan_a"),
+        F.sum(F.when(hit_b, 1).otherwise(0)).alias("scan_b"),
+        F.sum(F.when(hit_a & hit_b, 1).otherwise(0)).alias("scan_ab"),
+    )
+    frac = lambda c: F.floor(
+        F.col(c) * F.lit(1.0) / F.col("n_buckets") * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    return ag.select(
+        "layout",
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        frac("scan_a").alias("scan_a_e6"),
+        frac("scan_b").alias("scan_b_e6"),
+        frac("scan_ab").alias("scan_ab_e6"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #

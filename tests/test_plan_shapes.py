@@ -248,3 +248,32 @@ def test_cdc_apply_no_cartesian_single_feed_window(spark):
     # second join means the apply grew a corpus-sized shuffle
     assert plan.count("Join") == 1, plan[:2000]
     assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_hll_registers_no_join_in_sketch_path(spark):
+    """x97: the sketch pipeline (register extraction -> estimate) is
+    pure aggregation — the ONLY join in the query is the final
+    est-vs-exact audit join on the tiny per-source frame, which must
+    be broadcast, never sort-merge."""
+    plan = _executed_plan(QUERIES["x97_hll_registers"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, f"x97 audit join de-broadcast:\n{plan[:2000]}"
+
+
+def test_source_overlap_no_cartesian_and_broadcast_dims(spark):
+    """x98: grams must NEVER pair-expand — the mask closed form exists
+    to keep the corpus side in one hash-aggregate. The pairs x masks
+    work is on two constant-size relations via broadcast nested loop;
+    a CartesianProduct or a gram-side SortMergeJoin would be the
+    quadratic shape the bitmask design eliminates."""
+    plan = _executed_plan(QUERIES["x98_source_overlap_matrix"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_cuped_two_level_aggregation_only(spark):
+    """x99: CUPED is two aggregations (per-user, then one moment row)
+    — no join anywhere; a join appearing here would mean the moments
+    stopped being a single all-reduce."""
+    plan = _executed_plan(QUERIES["x99_cuped_adjusted_delta"].fn(spark, SF))
+    assert "Join" not in plan, f"x99 regrew a join:\n{plan[:2000]}"
