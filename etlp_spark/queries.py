@@ -9968,42 +9968,45 @@ _GATED_PRIOR_ROUNDS = [
     "w17_bounce_rate", "x84_token_gini", "r2_pagerank_int",
     "f9_bitwise_funcs", "x85_weighted_reservoir",
     # (r5's other 21 gate slots were canaries already listed above)
+    # round 7 gated these (CORRECTNESS_r07.json) — all green (the
+    # other 40 r7 slots were the r3-era canaries listed above):
+    "x86_bloom_membership", "x87_dsir_importance",
+    "x89_bpe_merge_candidates", "x90_repeated_substring_spans",
+    "x91_matryoshka_recall", "x92_cooccurrence_triangles",
+    "x93_pq_adc_topk", "x94_ivf_adc_search", "x95_hybrid_rrf_fusion",
+    "x96_cdc_apply_latest",
 ]
 
-#: Round-7 gate (the driver records the FIRST 50 registered): leads
-#: with the ONLY three queries a driver has never checked (x86/x87/
-#: x89 — round 6 spent all 50 slots on canaries and pushed them to
-#: positions 51-53; x87 additionally changed this round: per-doc
-#: floor before the per-source sum, per ADVICE r6). Then 40 mid-age
-#: canaries last gated in ROUND 3 (the q-family/x10s/x30s/w-family
-#: block — oldest unverified-since evidence now that r6 re-gated the
-#: r1/r2 block). Deliberately sized at 43 so that NEW round-7
-#: queries (not in any gate list) auto-land via ``_ungated`` INSIDE
-#: the first-50 window — the structural fix for r6's slot-arithmetic
-#: bug, which only manifested because ``_NEWEST`` held exactly 50.
+#: Round-8 gate (the driver records the FIRST 50 registered): leads
+#: with x87 — its dsir_scores kernel grew the empty-target guard this
+#: round (ADVICE r7), so it re-gates as the changed-query canary —
+#: followed by the round-4-gated block, now the OLDEST evidence in
+#: the rotation (r6 re-gated r1/r2, r7 re-gated r3). Sized at 39 so
+#: the NEW round-8 queries (x97-x102 and any later additions, none
+#: in any gate list) auto-land via ``_ungated`` INSIDE the first-50
+#: window, with the remaining slots refilled by ``_rest``'s leading
+#: entries (more r4-era canaries) if fewer new queries ship.
 _NEWEST = [
-    # never-driver-gated (the 174/177 -> 177/177 gap):
-    "x86_bloom_membership", "x87_dsir_importance",
-    "x89_bpe_merge_candidates",
-    # mid-age canaries, last gated round 3:
-    "w5_batch_sessionize", "x33_time_decay_engagement",
-    "p2_unpivot_event_counts", "x35_weighted_sample",
-    "x36_dup_ngram_fraction", "x37_group_topk_sample",
-    "x32_bm25_retrieval", "x34_domain_mixture_sample",
-    "x38_incremental_dedup", "x39_funnel_conversion", "w7_session_paths",
-    "g10_rolling_distinct_users", "x40_fuzzy_name_match",
-    "f7_map_funcs", "w8_retention_curve", "x42_minhash_estimate_quality",
-    "x43_temperature_mixture", "g11_quality_deciles",
-    "g12_key_skew_profile", "j10_nonequi_time_join",
-    "x44_source_precedence_dedup", "x45_domain_percent_rank",
-    "m4_mapping_switch_call", "x10_ann_rerank", "x11_bpe_tokens",
-    "x13_char_ngram_jaccard", "x14_edit_distance", "x15_profile",
-    "x16_embedding_neardup", "x17_winnow_fingerprint",
-    "x18_neardup_clusters", "x19_stratified_sample", "f5_regex_json",
-    "q02_min_acctbal_supplier", "q04_order_priority_check",
-    "q05_local_supplier_volume", "q06_forecast_revenue",
-    "q07_volume_shipping", "q09_product_type_profit",
-    "q10_returned_items",
+    # changed this round (dsir_scores empty-target guard):
+    "x87_dsir_importance",
+    # oldest canaries, last gated round 4:
+    "x20_tfidf_topterms", "x21_quality_gates",
+    "x23_sequence_packing", "x24_contamination_check", "x25_pii_scrub",
+    "x26_shuffle_shard", "x27_repetition_stats", "x28_unigram_logprob",
+    "x29_embedding_quantize", "x30_ivf_assign_fixed",
+    "x31_retrieval_topk_docs", "q08_market_share", "q11_important_nations",
+    "q13_custdist", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q20_heavy_part_suppliers",
+    "q21_waiting_supplier", "m3_mapping_nested",
+    "g8_salted_quantity_rollup", "g9_hll_sketch_union",
+    "j8_salted_join_priority", "f6_variant_json",
+    "x46_simhash_hamming_neardup", "x47_quality_tertile_buckets",
+    "x48_label_centroids", "x49_vocab_coverage",
+    "w9_session_window_builtin", "x50_train_split", "x51_token_entropy",
+    "x52_containment_pairs", "x53_bigram_pmi", "x54_metric_correlation",
+    "x55_daily_anomaly_zscore", "x56_dup_rate_by_source",
+    "x57_uniform_k_sample", "x58_langid_confusion",
+    "w10_transition_matrix",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

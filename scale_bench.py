@@ -96,6 +96,12 @@ HEAVY = [
     "x94_ivf_adc_search",
     "x95_hybrid_rrf_fusion",
     "x96_cdc_apply_latest",
+    # round-8 additions
+    "x97_hll_registers",
+    "x98_source_overlap_matrix",
+    "x99_cuped_adjusted_delta",
+    "x100_kcore_membership",
+    "x102_zorder_layout",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -130,6 +136,11 @@ QUERY_TABLES = {
     "x94_ivf_adc_search": ["embeddings"],
     "x95_hybrid_rrf_fusion": ["documents", "embeddings"],
     "x96_cdc_apply_latest": ["orders"],
+    "x97_hll_registers": ["documents"],
+    "x98_source_overlap_matrix": ["documents"],
+    "x99_cuped_adjusted_delta": ["events"],
+    "x100_kcore_membership": ["events"],
+    "x102_zorder_layout": ["lineitem"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]
