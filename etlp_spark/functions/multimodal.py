@@ -78,6 +78,8 @@ __all__ = [
     "encode_jpeg_progressive",
     "decode_wav",
     "encode_wav",
+    "decode_avi_mjpeg",
+    "encode_avi_mjpeg",
 ]
 
 #: contract for a multimodal row: payload + typed metadata.
@@ -1652,6 +1654,87 @@ def encode_gif(pixels: np.ndarray, interlaced: bool = False) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI (stdlib-only): the RIFF container per the public AVI
+# spec (Microsoft "AVI RIFF File Reference") around the JPEG codec
+# above — which makes VIDEO frame sampling real in this container:
+# decode_avi_mjpeg walks RIFF chunks and returns each '00dc' frame's
+# JPEG bytes; encode_avi_mjpeg writes a spec-complete (playable)
+# file: avih main header, one 'vids'/'MJPG' stream with strh/strf
+# BITMAPINFOHEADER, word-aligned movi chunks, and an idx1 index.
+# ---------------------------------------------------------------------------
+
+
+def decode_avi_mjpeg(payload: bytes) -> list[bytes]:
+    """All video frames of an MJPEG AVI as raw JPEG payloads (chunks
+    '00dc'/'00db' inside LIST 'movi'; word alignment respected)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body = pos + 8
+            if fourcc == b"LIST":
+                walk(body + 4, body + size)  # skip the list type fourcc
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(payload[body : body + size])
+            pos = body + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(payload))
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    return frames
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Spec-complete MJPEG AVI from (h, w, 3) uint8 RGB frames (each
+    encoded by ``encode_jpeg``): avih + 'vids'/'MJPG' strh/strf,
+    word-aligned '00dc' movi chunks, idx1 index."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("all frames must share one size")
+    jpegs = [encode_jpeg(f) for f in frames]
+    maxsz = max(len(j) for j in jpegs)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(four: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", four + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, maxsz * fps, 0, 0x10,  # usec/frame, bytes/sec, pad, HASINDEX
+        len(jpegs), 0, 1, maxsz, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, len(jpegs), maxsz, -1, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = lst(b"movi", movi_body)
+    idx, off = [], 4  # offsets are relative to the start of 'movi'+4
+    for j in jpegs:
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(j)))
+        off += 8 + len(j) + (len(j) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def decode_image(payload: bytes, mime: str = "image/bmp") -> np.ndarray:
     """Decode an image payload to an (h, w, 3) uint8 RGB array.
 
@@ -1751,6 +1834,9 @@ def extract_features(media_df: DataFrame, dims: int = 8) -> DataFrame:
             return _pixel_feature(decode_image(payload, mime), dims)
         if mime == "audio/wav":
             return _audio_feature(*decode_wav(payload), dims)
+        if mime == "video/x-msvideo":
+            js = decode_avi_mjpeg(payload)
+            return _pixel_feature(decode_jpeg(js[len(js) // 2]), dims)
         return _fake_feature(payload, dims)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1830,16 +1916,22 @@ def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
     |media| × n_frames, and Arrow batch memory is bounded by
     ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 
-    WAV payloads fan out for REAL: the PCM stream splits into
-    ``n_frames`` equal time segments, each re-encoded as a standalone
-    WAV — the audio equivalent of video frame sampling (and the same
-    one-to-many batch shape). Undecodable formats use the
+    WAV payloads fan out for REAL (PCM split into ``n_frames`` time
+    segments re-encoded as standalone WAVs), and so do MJPEG AVIs:
+    every Nth '00dc' frame is emitted as its own standalone JPEG —
+    actual video frame sampling, since this container carries a full
+    RIFF walker + JPEG codec. Undecodable formats use the
     deterministic fake."""
 
     def frames_of(mime: str, payload: bytes) -> list[bytes]:
         if mime == "audio/wav":
             rate, samples = decode_wav(payload)
             return [encode_wav(seg, rate) for seg in np.array_split(samples, n_frames)]
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            # REAL video sampling: every Nth MJPEG frame, as its own
+            # standalone JPEG payload (decodable by decode_image)
+            js = decode_avi_mjpeg(payload)
+            return [js[(i * len(js)) // n_frames] for i in range(n_frames)]
         return [
             hashlib.md5(payload + bytes([i])).digest() for i in range(n_frames)
         ]
