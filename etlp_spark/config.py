@@ -381,6 +381,14 @@ def _s_approx_distinct(c: dict[str, Any]):
     )
 
 
+def _s_ddsketch(c: dict[str, Any]):
+    from etlp_spark.streaming import ddsketch_tws
+
+    return lambda df, _k=c["key"], _v=c["value"], _q=tuple(
+        c.get("qs", (0.5, 0.95, 0.99))
+    ), _a=c.get("alpha", 0.01): ddsketch_tws(df, _k, _v, qs=_q, alpha=_a)
+
+
 STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
     "running_counts": _s_running_counts,
     "ewma": _s_ewma,
@@ -388,6 +396,7 @@ STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
     "heavy_hitters_bounded": _s_heavy_hitters_bounded,
     "session_gap": _s_session_gap,
     "approx_distinct": _s_approx_distinct,
+    "ddsketch_quantiles": _s_ddsketch,
 }
 
 

@@ -39,6 +39,7 @@ data, now with engine-portable bytes.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -49,6 +50,10 @@ __all__ = [
     "hll_estimate",
     "py_hll_update",
     "py_hll_estimate",
+    "dd_gamma",
+    "dd_bucket",
+    "dd_sketch",
+    "dd_quantiles",
 ]
 
 _TWO53 = 1 << 53  # 2^-reg scaled to an exact int64 term: 2^(53-reg)
@@ -117,6 +122,93 @@ def hll_estimate(
     return d.select(
         *keys,
         F.floor(e * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("est_e6"),
+    )
+
+
+# ----- DDSketch (relative-error quantiles, engine-portable) ----------
+
+
+def dd_gamma(alpha: float = 0.01) -> float:
+    """DDSketch gamma for relative-error bound ``alpha`` (Masson et
+    al. 2019, "DDSketch: a fast and fully-mergeable quantile sketch
+    with relative-error guarantees") — one Python double embedded
+    identically in Spark and oracle SQL."""
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_bucket(value: Column | str, alpha: float = 0.01) -> Column:
+    """Log-bucket index ``ceil(ln(v)/ln(gamma))`` for v > 0 — the
+    same double ops in any engine give the same integer bucket."""
+    c = F.col(value) if isinstance(value, str) else value
+    g = dd_gamma(alpha)
+    return F.ceil(F.log(c.cast("double")) / F.lit(math.log(g))).cast("long")
+
+
+def dd_sketch(
+    df: DataFrame, value: Column | str, keys: tuple[str, ...] = (),
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Per-``keys`` DDSketch: (keys..., bucket, cnt) over POSITIVE
+    values. Sketches MERGE by adding counts bucket-wise — fully
+    mergeable across partials/days/engines, the property exact
+    quantiles lack. Bucket count is bounded by the dynamic range
+    (log_gamma(max/min) buckets — ~2.3k for 10 decades at alpha=1%),
+    CONSTANT in row count."""
+    c = F.col(value) if isinstance(value, str) else value
+    return (
+        df.where(c > 0)
+        .select(*keys, dd_bucket(c, alpha).alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dd_quantiles(
+    sketch: DataFrame, qs: tuple[float, ...], keys: tuple[str, ...] = (),
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Quantile estimates from a DDSketch: for each q, the bucket
+    where the cumulative count first reaches rank floor(q*(n-1))+1,
+    estimated at ``2*gamma^b/(gamma+1)`` (the bucket's geometric
+    midpoint). Returns keys + q + est_e6; the estimate is within
+    relative error alpha of the true rank statistic by construction.
+
+    Scale shape: one window cumsum over <=|buckets| rows per key
+    group, then a constant-size qs explode — nothing here scales with
+    row count; the corpus-sized work happened (and partial-aggregated
+    map-side) in ``dd_sketch``."""
+    from pyspark.sql import Window
+
+    g = dd_gamma(alpha)
+    w = Window.partitionBy(*keys).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy(*keys)
+    cum = sketch.select(
+        *keys, "bucket", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    # qs as a literal VALUES LocalRelation (broadcast is free; see the
+    # x98 createDataFrame lesson in PERF.md)
+    qdf = cum.crossJoin(
+        F.broadcast(
+            cum.sparkSession.sql(
+                "SELECT q FROM VALUES "
+                + ", ".join(f"(CAST({q!r} AS DOUBLE))" for q in qs)
+                + " AS t(q)"
+            )
+        )
+    )
+    rank = F.floor(F.col("q") * (F.col("n") - 1)) + 1
+    hit = qdf.where(
+        (F.col("cum") >= rank) & (F.col("cum") - F.col("cnt") < rank)
+    )
+    est = F.lit(2.0) * F.pow(F.lit(g), F.col("bucket")) / F.lit(g + 1.0)
+    return hit.select(
+        *keys,
+        "q",
+        F.floor(est * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("est_e6"),
     )
 
 

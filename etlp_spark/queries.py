@@ -9879,6 +9879,125 @@ def x102_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x103_oracle() -> str:
+    import math as _math
+
+    alpha = 0.01
+    g = (1.0 + alpha) / (1.0 - alpha)
+    lng = _math.log(g)
+    g1 = g + 1.0
+    return f"""
+    WITH pos AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value > 0),
+    bk AS (
+      SELECT event_type,
+             CAST(ceil(ln(v) / {lng!r}) AS BIGINT) AS bucket
+      FROM pos),
+    sk AS (SELECT event_type, bucket, count(*) AS cnt
+           FROM bk GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM sk),
+    qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+                          CAST(0.99 AS DOUBLE)]) AS q),
+    hit AS (
+      SELECT event_type, q, bucket
+      FROM cum CROSS JOIN qs
+      WHERE cum >= floor(q * (n - 1)) + 1
+        AND cum - cnt < floor(q * (n - 1)) + 1),
+    est AS (
+      SELECT event_type, q,
+             CAST(floor(2.0 * pow({g!r}, bucket) / {g1!r} * 1000000.0
+                        + 0.5) AS BIGINT) AS est_e6
+      FROM hit),
+    rk AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM pos),
+    ex AS (
+      SELECT event_type, q, v AS exact_v
+      FROM rk CROSS JOIN qs
+      WHERE r = floor(q * (n - 1)) + 1)
+    SELECT e.event_type,
+           CAST(floor(e.q * 100.0 + 0.5) AS BIGINT) AS pct,
+           est_e6,
+           CAST(floor(exact_v * 1000000.0 + 0.5) AS BIGINT) AS exact_e6,
+           CAST(floor(abs(est_e6 / 1000000.0 - exact_v) / exact_v
+                      * 1000000.0 + 0.5) AS BIGINT) AS relerr_e6
+    FROM est e JOIN ex ON e.event_type = ex.event_type AND e.q = ex.q
+    """
+
+
+@_register("x103_ddsketch_quantiles", _x103_oracle())
+def x103_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-PORTABLE quantile sketch (functions/sketches.py dd_*):
+    p50/p95/p99 of event value per type via DDSketch (Masson et al.
+    2019) — log-bucket counts with a relative-error GUARANTEE
+    (alpha=1%) that, unlike t-digest/Greenwald-Khanna, are fully
+    MERGEABLE (bucket-wise adds) and, unlike Spark's
+    approx_percentile, engine-portable: the bucket index is the same
+    integer in any engine. Emits estimate, exact rank statistic, and
+    the realized relative error per (type, percentile).
+
+    Exactness note (the subtle one): ``pow(gamma, b)`` differs by 1
+    ulp between JVM and libm at some buckets, but the e6-FLOORED
+    midpoint is identical for every integer bucket in [-800, 800] —
+    verified EXHAUSTIVELY (the input set is finite), pinned by
+    ``test_ddsketch_pow_floor_exhaustive_cross_engine``. Everything
+    else is integer counts and identical-operand float ops.
+
+    Scale shape: the sketch is one map-side-combinable count
+    aggregate into <= log_gamma(dynamic range) buckets (~2.3k for 10
+    decades — CONSTANT in row count); quantile extraction is a window
+    over those buckets. The exact-rank audit column is the only
+    corpus-sorting stage (drop it in production; the sketch needs no
+    sort)."""
+    from etlp_spark.functions.sketches import dd_sketch, dd_quantiles
+
+    alpha = 0.01
+    ev = _t(spark, sf_dir, "events")
+    pos = ev.select(
+        "event_type", F.col("value").cast("double").alias("v")
+    ).where(F.col("v") > 0)
+    sk = dd_sketch(pos, "v", keys=("event_type",), alpha=alpha)
+    est = dd_quantiles(sk, (0.5, 0.95, 0.99), keys=("event_type",), alpha=alpha)
+    wr = Window.partitionBy("event_type").orderBy("v")
+    wn = Window.partitionBy("event_type")
+    rk = pos.select(
+        "event_type", "v",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    qlit = spark.sql(
+        "SELECT q FROM VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE)), "
+        "(CAST(0.99 AS DOUBLE)) AS t(q)"
+    )
+    ex = rk.crossJoin(F.broadcast(qlit)).where(
+        F.col("r") == F.floor(F.col("q") * (F.col("n") - 1)) + 1
+    ).select("event_type", "q", F.col("v").alias("exact_v"))
+    return est.join(ex, ["event_type", "q"]).select(
+        "event_type",
+        F.floor(F.col("q") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("pct"),
+        "est_e6",
+        F.floor(F.col("exact_v") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("exact_e6"),
+        F.floor(
+            F.abs(F.col("est_e6") / F.lit(1000000.0) - F.col("exact_v"))
+            / F.col("exact_v")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("relerr_e6"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #

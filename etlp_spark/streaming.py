@@ -448,6 +448,93 @@ def approx_distinct_tws(
     )
 
 
+def ddsketch_tws(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Streaming quantiles per key — the DDSketch bucket counts of
+    ``functions/sketches.py`` held in TWS MAP state (bucket -> count,
+    bounded by the value column's dynamic range, CONSTANT in stream
+    length). Counts merge ADDITIVELY, so the estimate emitted after N
+    micro-batches equals the batch kernel over the batches' union —
+    exactly, like ``approx_distinct_tws``'s register claim. Each
+    estimate carries DDSketch's alpha relative-error guarantee.
+
+    Per micro-batch per key: vectorized numpy bucketing of the Arrow
+    batch, O(changed buckets) state writes, one bounded state scan
+    for the quantile walk. Emits (k, pct, est_e6) rows in Update
+    mode. Requires the RocksDB state store."""
+    import math as _math
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from etlp_spark.functions.sketches import dd_gamma
+
+    g = dd_gamma(alpha)
+    lng = _math.log(g)
+
+    class _DD(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("dd", "bucket BIGINT", "cnt BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            local: dict[int, int] = {}
+            for pdf in rows:
+                v = pdf[value_col].dropna().astype(float).to_numpy()
+                v = v[v > 0]
+                if not len(v):
+                    continue
+                bks, cnts = np.unique(
+                    np.ceil(np.log(v) / lng).astype(np.int64), return_counts=True
+                )
+                for b, c in zip(bks, cnts):
+                    local[int(b)] = local.get(int(b), 0) + int(c)
+            for b, c in local.items():
+                prev = self._counts.getValue((b,))
+                self._counts.updateValue((b,), ((prev[0] if prev else 0) + c,))
+            state = sorted(
+                (kk[0], vv[0]) for kk, vv in self._counts.iterator()
+            )
+            n = sum(c for _, c in state)
+            out_pct, out_est = [], []
+            for q in qs:
+                rank = _math.floor(q * (n - 1)) + 1
+                cum = 0
+                for b, c in state:
+                    cum += c
+                    if cum >= rank:
+                        est = 2.0 * (g ** b) / (g + 1.0)
+                        out_pct.append(int(_math.floor(q * 100.0 + 0.5)))
+                        out_est.append(int(_math.floor(est * 1000000.0 + 0.5)))
+                        break
+            yield pd.DataFrame(
+                {
+                    "k": [key[0]] * len(out_pct),
+                    "pct": out_pct,
+                    "est_e6": out_est,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _DD(),
+        outputStructType="k string, pct int, est_e6 bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def session_gap_tws(
     df: DataFrame, key_col: str, ts_col: str, gap_seconds: int = 1800
 ) -> DataFrame:

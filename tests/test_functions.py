@@ -1369,3 +1369,57 @@ def test_avi_mjpeg_video_frame_sampling(spark):
     assert [bytes(r.frame) for r in out] == [js[0], js[2], js[4]]
     feats = extract_features(media).collect()[0]
     assert feats.n_bytes == len(avi) and len(feats.feature) == 8
+
+
+def test_ddsketch_pow_floor_exhaustive_cross_engine(spark):
+    """The one float hazard in x103: pow(gamma, b) differs by 1 ulp
+    between the JVM and libm at some buckets. The e6-FLOORED bucket
+    midpoint must be identical for EVERY integer bucket either engine
+    can produce (the input set is finite — so verify it exhaustively,
+    not statistically, over [-800, 800] which covers doubles from
+    ~1e-7 to ~1e7 at alpha=1%)."""
+    import duckdb
+
+    from etlp_spark.functions.sketches import dd_gamma
+
+    g = dd_gamma(0.01)
+    expr = f"floor(2.0 * pow({g!r}, b) / {g + 1.0!r} * 1000000.0 + 0.5)"
+    jvm = {
+        r.b: r.e
+        for r in spark.sql(
+            f"SELECT b, {expr} AS e FROM range(-800, 801) t(b)"
+        ).collect()
+    }
+    du = duckdb.sql(
+        f"SELECT b, {expr} AS e FROM range(-800, 801) t(b)"
+    ).fetchall()
+    assert all(jvm[b] == e for b, e in du)
+
+
+def test_ddsketch_merge_and_error_bound(spark):
+    """DDSketch properties: (1) sketches merge by bucket-wise count
+    addition — sketch(A ∪ B) == merge(sketch(A), sketch(B)); (2) every
+    quantile estimate is within the alpha relative-error guarantee of
+    the true rank statistic on a log-spread distribution."""
+    from etlp_spark.functions.sketches import dd_quantiles, dd_sketch
+
+    vals = [1.0005 ** i for i in range(5000)]  # ~e^2.5 dynamic range
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    full = {
+        (r.bucket): r.cnt for r in dd_sketch(df, "v").collect()
+    }
+    a = spark.createDataFrame([(v,) for v in vals[:3000]], "v double")
+    b = spark.createDataFrame([(v,) for v in vals[3000:]], "v double")
+    merged: dict[int, int] = {}
+    for part in (a, b):
+        for r in dd_sketch(part, "v").collect():
+            merged[r.bucket] = merged.get(r.bucket, 0) + r.cnt
+    assert merged == full
+
+    qs = (0.5, 0.95, 0.99)
+    est = {r.q: r.est_e6 / 1e6 for r in dd_quantiles(dd_sketch(df, "v"), qs).collect()}
+    import math
+    sv = sorted(vals)
+    for q in qs:
+        true = sv[math.floor(q * (len(sv) - 1))]
+        assert abs(est[q] - true) / true <= 0.0101, (q, est[q], true)

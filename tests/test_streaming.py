@@ -791,3 +791,61 @@ def test_approx_distinct_tws_matches_batch_hll_exactly(spark, stream_dir, tmp_pa
             q.stop()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_ddsketch_tws_matches_batch_kernel_exactly(spark, stream_dir, tmp_path):
+    """Streaming DDSketch (ddsketch_tws): bucket counts persisted in
+    MapState merge additively, so after two micro-batches the emitted
+    p50/p95/p99 per key EQUAL the batch kernel (dd_sketch +
+    dd_quantiles) over the union of both batches — exact equality,
+    the same portability claim approx_distinct_tws makes for HLL."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.functions.sketches import dd_quantiles, dd_sketch
+    from etlp_spark.streaming import ddsketch_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        b1 = {"a": [1.0005 ** i for i in range(0, 2000)], "b": [5.0, 50.0, 500.0]}
+        b2 = {"a": [1.0005 ** i for i in range(2000, 3000)], "b": [0.5]}
+        _write_batch(
+            stream_dir, "q1.jsonl",
+            [{"k": k, "v": v} for k, vs in b1.items() for v in vs],
+        )
+        src = file_stream(spark, str(stream_dir), "k string, v double", fmt="json")
+        q = (
+            ddsketch_tws(src, "k", "v")
+            .writeStream.format("memory")
+            .queryName("tws_dd")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _write_batch(
+                stream_dir, "q2.jsonl",
+                [{"k": k, "v": v} for k, vs in b2.items() for v in vs],
+            )
+            q.processAllAvailable()
+            latest = {}
+            for r in spark.sql("select * from tws_dd").collect():
+                latest[(r.k, r.pct)] = r.est_e6  # batch order: last wins
+            for k in ("a", "b"):
+                union = b1.get(k, []) + b2.get(k, [])
+                df = spark.createDataFrame([(v,) for v in union], "v double")
+                batch = {
+                    int(r.q * 100 + 0.5): r.est_e6
+                    for r in dd_quantiles(dd_sketch(df, "v"), (0.5, 0.95, 0.99)).collect()
+                }
+                for pct in (50, 95, 99):
+                    assert latest[(k, pct)] == batch[pct], (k, pct)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
