@@ -102,6 +102,7 @@ HEAVY = [
     "x99_cuped_adjusted_delta",
     "x100_kcore_membership",
     "x102_zorder_layout",
+    "x103_ddsketch_quantiles",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -141,6 +142,7 @@ QUERY_TABLES = {
     "x99_cuped_adjusted_delta": ["events"],
     "x100_kcore_membership": ["events"],
     "x102_zorder_layout": ["lineitem"],
+    "x103_ddsketch_quantiles": ["events"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]

@@ -277,3 +277,16 @@ def test_cuped_two_level_aggregation_only(spark):
     stopped being a single all-reduce."""
     plan = _executed_plan(QUERIES["x99_cuped_adjusted_delta"].fn(spark, SF))
     assert "Join" not in plan, f"x99 regrew a join:\n{plan[:2000]}"
+
+
+def test_ddsketch_sketch_path_no_sort(spark):
+    """x103: the sketch estimate path is a count aggregate over
+    bounded log-buckets + a window over those buckets — the only
+    corpus SORT allowed in the plan is the exact-rank audit window.
+    More than one corpus-partitioned sort means the sketch started
+    sorting rows, which is exactly what it exists to avoid."""
+    plan = _executed_plan(QUERIES["x103_ddsketch_quantiles"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # the audit's row_number needs one sort of `pos` per event_type;
+    # the sketch side sorts only its <=|buckets| rows
+    assert plan.count("SortMergeJoin") == 0, plan[:2000]
