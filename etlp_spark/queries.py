@@ -9537,6 +9537,8 @@ def x99_cuped_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle to per-user rows (partial map-side
     sums), then a single all-reduce to ONE moment row — the classic
     two-level aggregation; nothing downstream exceeds one row."""
+    from etlp_spark.functions.stats import cuped_adjusted_delta
+
     ev = _t(spark, sf_dir, "events")
     t0 = F.lit("2024-01-16").cast("timestamp")
     fv = F.floor("value").cast("long")
@@ -9544,41 +9546,7 @@ def x99_cuped_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ts") < t0, fv).otherwise(F.lit(0))).alias("x"),
         F.sum(F.when(F.col("ts") >= t0, fv).otherwise(F.lit(0))).alias("y"),
     ).select((_h16(F.col("user_id")) % 2).alias("arm"), "x", "y")
-    arm0 = F.col("arm") == 0
-    m = u.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.when(arm0, 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(~arm0, 1).otherwise(0)).alias("n_b"),
-        F.sum(F.when(arm0, F.col("x")).otherwise(0)).alias("sx_a"),
-        F.sum(F.when(~arm0, F.col("x")).otherwise(0)).alias("sx_b"),
-        F.sum(F.when(arm0, F.col("y")).otherwise(0)).alias("sy_a"),
-        F.sum(F.when(~arm0, F.col("y")).otherwise(0)).alias("sy_b"),
-    )
-    raw_delta = (
-        F.col("sy_b") * F.lit(1.0) / F.col("n_b")
-        - F.col("sy_a") * F.lit(1.0) / F.col("n_a")
-    )
-    dx = (
-        F.col("sx_b") * F.lit(1.0) / F.col("n_b")
-        - F.col("sx_a") * F.lit(1.0) / F.col("n_a")
-    )
-    theta = (
-        F.col("sxy") * F.lit(1.0) - F.col("sx") * F.lit(1.0) * F.col("sy") / F.col("n")
-    ) / (
-        F.col("sxx") * F.lit(1.0) - F.col("sx") * F.lit(1.0) * F.col("sx") / F.col("n")
-    )
-    e6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")
-    return m.select(
-        F.col("n_a").cast("long").alias("n_a"),
-        F.col("n_b").cast("long").alias("n_b"),
-        e6(raw_delta).alias("raw_delta_e6"),
-        e6(theta).alias("theta_e6"),
-        e6(raw_delta - theta * dx).alias("adj_delta_e6"),
-    )
+    return cuped_adjusted_delta(u)
 
 
 @_register(
@@ -9640,50 +9608,18 @@ def x100_kcore_membership(
     edges only ever shrink, so per-round cost is bounded by round 0;
     the edge frame is eagerly localCheckpointed per round, keeping
     lineage flat (r2's Pregel-as-joins discipline)."""
+    from etlp_spark.functions.graph import cooccurrence_edges, degrees, kcore
+
     ev = _t_fanout(spark, sf_dir, "events")
     pres = ev.select(
         "event_type", F.date_trunc("hour", "ts").alias("hb"), "user_id"
-    ).distinct()
-    bu = (
-        pres.groupBy("event_type", "hb")
-        .agg(F.sort_array(F.collect_set("user_id")).alias("us"))
-        .where((F.size("us") >= 2) & (F.size("us") <= 32))
     )
-    pairs = bu.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(us, (u, i) -> "
-                "transform(slice(us, i + 2, size(us)), "
-                "v -> struct(u AS a, v AS b))))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
-    edges = (
-        pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= 3)
-        .select("a", "b")
-        .localCheckpoint(eager=True)
+    edges = cooccurrence_edges(
+        pres, "user_id", ("event_type", "hb"), min_shared=3, max_bucket=32
     )
-    for _ in range(rounds):
-        deg = (
-            edges.select(F.col("a").alias("v"))
-            .unionAll(edges.select(F.col("b").alias("v")))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        ok = deg.where(F.col("d") >= 3).select("v")
-        edges = (
-            edges.join(ok.withColumnRenamed("v", "a"), "a", "left_semi")
-            .join(ok.withColumnRenamed("v", "b"), "b", "left_semi")
-            .select("a", "b")
-            .localCheckpoint(eager=True)
-        )
-    return (
-        edges.select(F.col("a").alias("user_id"))
-        .unionAll(edges.select(F.col("b").alias("user_id")))
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    core = kcore(edges, k=3, rounds=rounds)
+    return degrees(core).select(
+        F.col("v").alias("user_id"), F.col("d").cast("long").alias("deg")
     )
 
 
@@ -9724,23 +9660,13 @@ def x101_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: distinct (event_type, user) dedup then a two-column
     conditional count — one shuffle each, both map-side partial."""
+    from etlp_spark.functions.stats import srm_chi2
+
     ev = _t(spark, sf_dir, "events")
     ua = ev.select(
         "event_type", (_h16(F.col("user_id")) % 2).alias("arm"), "user_id"
     ).distinct()
-    m = ua.groupBy("event_type").agg(
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
-    )
-    d = F.col("n_a") - F.col("n_b")
-    chi2 = d * d * F.lit(1.0) / (F.col("n_a") + F.col("n_b"))
-    return m.select(
-        "event_type",
-        F.col("n_a").cast("long").alias("n_a"),
-        F.col("n_b").cast("long").alias("n_b"),
-        F.floor(chi2 * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("chi2_e6"),
-        (chi2 > F.lit(3.841458820694124)).alias("srm_flag"),
-    )
+    return srm_chi2(ua, keys=("event_type",))
 
 
 def _z16_sql(sa: str, sb: str) -> str:

@@ -1423,3 +1423,77 @@ def test_ddsketch_merge_and_error_bound(spark):
     for q in qs:
         true = sv[math.floor(q * (len(sv) - 1))]
         assert abs(est[q] - true) / true <= 0.0101, (q, est[q], true)
+
+
+def test_graph_library_kcore_known_fixture(spark):
+    """functions/graph.py on a hand-built graph: a 4-clique with a
+    pendant path. kcore(k=3) must keep exactly the clique (every
+    clique node has degree 3) and peel the path — including the
+    cascade: removing the outer path node drops the inner one below
+    k on the NEXT round (rounds=1 is not enough, rounds=2 is)."""
+    from etlp_spark.functions.graph import degrees, kcore
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(3, 4), (4, 5)]  # pendant path off clique node 3
+    edges = spark.createDataFrame(clique + path, "a int, b int")
+    core2 = kcore(edges, k=3, rounds=2)
+    got = {(r.a, r.b) for r in core2.collect()}
+    assert got == set(clique)
+    assert {(r.v, r.d) for r in degrees(core2).collect()} == {
+        (v, 3) for v in range(4)
+    }
+    # one round is NOT the fixpoint here: node 4 still has degree 2...
+    # wait — k=3 peel round 1 removes BOTH 4 and 5 (degrees 2 and 1).
+    # The cascade case needs k=2: round 1 removes only 5, round 2
+    # finds 4's degree fallen to 1 and removes it.
+    one = {(r.a, r.b) for r in kcore(edges, k=2, rounds=1).collect()}
+    two = {(r.a, r.b) for r in kcore(edges, k=2, rounds=2).collect()}
+    assert (3, 4) in one and (4, 5) not in one
+    assert two == set(clique)
+
+
+def test_graph_cooccurrence_edges_threshold_and_cap(spark):
+    """Edge construction: pairs need >= min_shared distinct buckets;
+    buckets over max_bucket are dropped entirely (hub guard)."""
+    from etlp_spark.functions.graph import cooccurrence_edges
+
+    rows = []
+    # users 1,2 share 3 buckets; users 1,3 share only 2
+    for bkt in ("p", "q", "r"):
+        rows += [(bkt, 1), (bkt, 2)]
+    for bkt in ("p", "q"):
+        rows.append((bkt, 3))
+    # a hub bucket with 40 members (over the cap) — contributes nothing
+    rows += [("hub", u) for u in range(100, 140)]
+    df = spark.createDataFrame(rows, "bkt string, u int")
+    got = {(r.a, r.b) for r in
+           cooccurrence_edges(df, "u", ("bkt",), min_shared=3, max_bucket=32).collect()}
+    assert got == {(1, 2)}
+
+
+def test_stats_cuped_and_srm_known_values(spark):
+    """functions/stats.py against hand-computed values: a correlated
+    covariate shrinks the adjusted delta toward the true effect, and
+    theta equals the closed-form cov/var of the fixture; SRM flags an
+    exact 50/50 split as clean and a 90/10 split as mismatched."""
+    from etlp_spark.functions.stats import cuped_adjusted_delta, srm_chi2
+
+    # y = x + arm*10; POOLED theta includes the between-arm covariate
+    # shift: Sxy=3700, Sx*Sy/n=3000, Sxx=3000, Sx^2/n=2500 ->
+    # theta = 700/500 = 1.4 exactly; raw delta 45-15=30; dx 20;
+    # adjusted = 30 - 1.4*20 = 2 — the covariate imbalance (20 of the
+    # 30 raw delta) is removed, overshooting the true 10 because the
+    # fixture's assignment is maximally confounded by design
+    units = [(0, 10, 10), (0, 20, 20), (1, 30, 40), (1, 40, 50)]
+    df = spark.createDataFrame(units, "arm int, x long, y long")
+    r = cuped_adjusted_delta(df).collect()[0]
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert r.theta_e6 == 1_400_000
+    assert r.raw_delta_e6 == 30_000_000
+    assert r.adj_delta_e6 == 2_000_000
+
+    clean = spark.createDataFrame([(i % 2,) for i in range(100)], "arm int")
+    assert srm_chi2(clean).collect()[0].srm_flag is False
+    skew = spark.createDataFrame([(1 if i < 90 else 0,) for i in range(100)], "arm int")
+    row = skew.transform(lambda d: srm_chi2(d)).collect()[0]
+    assert row.srm_flag is True and row.chi2_e6 == 64_000_000  # (80^2)/100
