@@ -233,8 +233,49 @@ class SnapshotStore:
 
     # ----- write -------------------------------------------------------------
 
+    def _file_stats(
+        self, spark, files: list[str], stats_cols: tuple[str, ...]
+    ) -> dict[str, dict[str, list]]:
+        """Per-file [min, max] zone maps for ``stats_cols`` — ONE
+        distributed job over the new files (group by
+        ``input_file_name``), never a per-file loop. Values are
+        JSON-native (numbers/strings); timestamps stringify."""
+        from pyspark.sql import functions as F
+
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        rows = (
+            spark.read.parquet(*files)
+            .withColumn("__sf", F.input_file_name())
+            .groupBy("__sf")
+            .agg(*aggs)
+            .collect()  # bounded by |files|, not rows
+        )
+        from urllib.parse import unquote, urlparse
+
+        by_norm = {_norm_file(f): f for f in files}
+
+        def js(v):
+            return v if isinstance(v, (int, float, str, type(None))) else str(v)
+
+        out: dict[str, dict[str, list]] = {}
+        for r in rows:
+            # r["__sf"], not r.__sf — attribute access would name-mangle
+            # inside this class body
+            f = by_norm[_norm_file(unquote(urlparse(r["__sf"]).path))]
+            out[f] = {
+                c: [js(r[f"__lo_{c}"]), js(r[f"__hi_{c}"])] for c in stats_cols
+            }
+        return out
+
     def write(
-        self, df: DataFrame, mode: str = "snapshot", *, batch_id: int | None = None
+        self,
+        df: DataFrame,
+        mode: str = "snapshot",
+        *,
+        batch_id: int | None = None,
+        stats_cols: tuple[str, ...] = (),
     ) -> WriteResult:
         """Commit a new version.
 
@@ -246,7 +287,15 @@ class SnapshotStore:
 
         ``batch_id`` stamps the manifest (used by ``write_batch`` for
         exactly-once streaming commits).
-        """
+
+        ``stats_cols`` records per-file [min, max] ZONE MAPS in the
+        manifest (the x102 layout audit's mechanism, made real):
+        ``read_pruned`` then skips files whose zone cannot match a
+        range predicate — manifest-level file skipping on top of
+        parquet's own row-group pruning. Sort/z-order ``df`` by the
+        stats columns before writing to make the zones tight. Appends
+        inherit the parent's stats for carried files (stats_cols
+        defaults to the parent's choice so a chain stays prunable)."""
         if mode not in ("snapshot", "append"):
             raise ValueError(f"mode must be snapshot|append, got {mode!r}")
         parent = self.latest_version()
@@ -270,6 +319,7 @@ class SnapshotStore:
 
         files = list(new_files)
         n_rows = n_new
+        stats: dict[str, dict[str, list]] = {}
         if mode == "append":
             pm = self.manifest(parent)
             if pm["schema"] != df.schema.json():
@@ -279,6 +329,13 @@ class SnapshotStore:
                 )
             files = pm["files"] + files
             n_rows = pm["n_rows"] + n_new
+            if not stats_cols and pm.get("stats_cols"):
+                stats_cols = tuple(pm["stats_cols"])  # chain stays prunable
+            stats.update(pm.get("stats", {}))
+        if stats_cols:
+            stats.update(
+                self._file_stats(df.sparkSession, new_files, stats_cols)
+            )
         manifest = {
             "version": version,
             "parent": parent,
@@ -288,6 +345,9 @@ class SnapshotStore:
             "n_rows": n_rows,
             "schema": df.schema.json(),
         }
+        if stats_cols:
+            manifest["stats_cols"] = list(stats_cols)
+            manifest["stats"] = stats
         # Monotonic batch-id watermark: EVERY manifest carries forward
         # max(parent's watermark, this write's batch_id), so the
         # exactly-once check survives ``expire`` deleting the manifest
@@ -422,6 +482,59 @@ class SnapshotStore:
         m = self.manifest(version)
         return spark.read.parquet(*m["files"])
 
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict[str, int]]:
+        """Zone-map file skipping: plan over ONLY the files whose
+        manifest [min, max] stats can overlap every ``{col: (lo,
+        hi)}`` range (None bound = unbounded). Returns (DataFrame,
+        {"files_total", "files_read"}). The predicate itself is ALSO
+        applied to the scan — pruning is a plan optimization, never a
+        semantics change; files without recorded stats for a column
+        are read (safe). This is x102's audit turned into the actual
+        table format: manifest-level skipping above parquet's own
+        row-group zone maps, the Delta/Iceberg data-skipping shape."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"snapshot store {self.root} has no versions")
+        m = self.manifest(version)
+        stats = m.get("stats", {})
+
+        def may_match(f: str) -> bool:
+            fs = stats.get(f)
+            if fs is None:
+                return True
+            for col, (lo, hi) in ranges.items():
+                if col not in fs:
+                    continue
+                fmin, fmax = fs[col]
+                if fmin is None or fmax is None:
+                    continue  # all-NULL file zone: cannot disprove
+                if lo is not None and fmax < lo:
+                    return False
+                if hi is not None and fmin > hi:
+                    return False
+            return True
+
+        keep = [f for f in m["files"] if may_match(f)]
+        info = {"files_total": len(m["files"]), "files_read": len(keep)}
+        if not keep:
+            df = spark.read.parquet(*m["files"]).limit(0)
+            return df, info
+        df = spark.read.parquet(*keep)
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.where(F.col(col) >= lo)
+            if hi is not None:
+                df = df.where(F.col(col) <= hi)
+        return df, info
+
     # ----- delta -------------------------------------------------------------
 
     def diff(
@@ -522,6 +635,12 @@ class SnapshotStore:
             "n_rows": pm["n_rows"] - n_hit + n_new,
             "schema": df.schema.json(),
         }
+        if pm.get("stats_cols"):
+            sc = tuple(pm["stats_cols"])
+            stats = {f: pm["stats"][f] for f in untouched if f in pm.get("stats", {})}
+            stats.update(self._file_stats(spark, new_files, sc))
+            manifest["stats_cols"] = list(sc)
+            manifest["stats"] = stats
         wm = pm.get("max_batch_id")
         if batch_id is not None:
             manifest["batch_id"] = batch_id
@@ -576,6 +695,10 @@ class SnapshotStore:
             "n_rows": pm["n_rows"],
             "schema": pm["schema"],
         }
+        if pm.get("stats_cols"):
+            sc = tuple(pm["stats_cols"])
+            manifest["stats_cols"] = list(sc)
+            manifest["stats"] = self._file_stats(spark, new_files, sc)
         wm = pm.get("max_batch_id")
         if wm is not None:
             manifest["max_batch_id"] = wm

@@ -702,3 +702,54 @@ def test_merge_with_relative_and_symlinked_root(spark, tmp_path):
     st2.write(_df(spark, [1, 2]).coalesce(1))
     st2.merge(spark.createDataFrame([(1, "X")], ["id", "val"]), ["id"])
     assert {r.id: r.val for r in st2.read(spark).collect()} == {1: "X", 2: "r2"}
+
+
+def test_zone_map_stats_and_pruned_reads(spark, tmp_path):
+    """Manifest zone maps (x102's audit turned into the table format):
+    a write with stats_cols records per-file [min, max]; read_pruned
+    plans over ONLY files whose zone can match the range (correct
+    rows, fewer files); appends inherit the parent's stats_cols and
+    stay prunable; merge recomputes stats for rewritten files only;
+    files lacking stats are read (safe); disjoint ranges read zero
+    files but keep the schema."""
+    store = SnapshotStore(str(tmp_path / "zt"))
+    df = spark.range(0, 1000).selectExpr("id", "id % 7 AS grp")
+    # sort by id then split into 4 files -> tight, disjoint id zones
+    store.write(df.repartitionByRange(4, "id"), stats_cols=("id",))
+    m1 = store.manifest(1)
+    assert m1["stats_cols"] == ["id"] and len(m1["stats"]) == len(m1["files"])
+
+    out, info = store.read_pruned(spark, {"id": (100, 120)})
+    assert sorted(r.id for r in out.collect()) == list(range(100, 121))
+    assert info["files_read"] < info["files_total"]
+
+    # append inherits stats_cols; the chain stays prunable
+    store.write(
+        spark.range(5000, 5500).selectExpr("id", "id % 7 AS grp").coalesce(1),
+        mode="append",
+    )
+    out2, info2 = store.read_pruned(spark, {"id": (5400, None)})
+    assert sorted(r.id for r in out2.collect()) == list(range(5400, 5500))
+    assert info2["files_read"] == 1 and info2["files_total"] == 5
+
+    # disjoint range: zero files read, schema intact, zero rows
+    out3, info3 = store.read_pruned(spark, {"id": (99999, None)})
+    assert info3["files_read"] == 0 and out3.count() == 0
+    assert out3.columns == ["id", "grp"]
+
+    # merge rewrites only hit files and recomputes just their stats
+    # (built from range() so nullability matches the parent schema)
+    upd = spark.range(150, 151).selectExpr("id", "id % 7 + 997 AS grp")
+    store.merge(upd, ["id"])
+    m3 = store.manifest(3)
+    assert m3["stats_cols"] == ["id"]
+    assert len(m3["stats"]) == len(m3["files"])
+    out4, _ = store.read_pruned(spark, {"id": (150, 150)})
+    assert [(r.id, r.grp) for r in out4.collect()] == [(150, 150 % 7 + 997)]
+
+    # a store written WITHOUT stats prunes nothing but stays correct
+    plain = SnapshotStore(str(tmp_path / "plain"))
+    plain.write(df.repartitionByRange(4, "id"))
+    out5, info5 = plain.read_pruned(spark, {"id": (0, 10)})
+    assert info5["files_read"] == info5["files_total"]
+    assert out5.count() == 11
