@@ -121,6 +121,7 @@ def _snapshot_sink(cfg: dict[str, Any]):
         cfg["path"],
         mode=cfg.get("mode", "snapshot"),
         key_cols=cfg.get("key_cols"),
+        stats_cols=cfg.get("stats_cols"),
     )
 
 

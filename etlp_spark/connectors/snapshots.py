@@ -801,13 +801,18 @@ class SnapshotSink(Destination):
     (upsert by ``key_cols``, file-granular copy-on-write)."""
 
     def __init__(
-        self, root: str, mode: str = "snapshot", key_cols: list[str] | None = None
+        self,
+        root: str,
+        mode: str = "snapshot",
+        key_cols: list[str] | None = None,
+        stats_cols: list[str] | None = None,
     ):
         if mode == "merge" and not key_cols:
             raise ValueError("snapshot sink mode 'merge' requires key_cols")
         self.store = SnapshotStore(root)
         self.mode = mode
         self.key_cols = list(key_cols or [])
+        self.stats_cols = tuple(stats_cols or ())
 
     def spec(self) -> dict[str, Any]:
         return {
@@ -819,4 +824,4 @@ class SnapshotSink(Destination):
     def write(self, df: DataFrame) -> WriteResult:
         if self.mode == "merge":
             return self.store.merge(df, self.key_cols)
-        return self.store.write(df, mode=self.mode)
+        return self.store.write(df, mode=self.mode, stats_cols=self.stats_cols)

@@ -753,3 +753,15 @@ def test_zone_map_stats_and_pruned_reads(spark, tmp_path):
     out5, info5 = plain.read_pruned(spark, {"id": (0, 10)})
     assert info5["files_read"] == info5["files_total"]
     assert out5.count() == 11
+
+
+def test_snapshot_sink_declarative_stats_cols(spark, tmp_path):
+    """Zone maps as config vocabulary: a snapshot sink built with
+    stats_cols records per-file [min, max] in the manifest."""
+    sink = SnapshotSink(str(tmp_path / "cfg_zt"), stats_cols=["id"])
+    sink.write(_df(spark, [1, 2, 3]).coalesce(1))
+    st = SnapshotStore(str(tmp_path / "cfg_zt"))
+    m = st.manifest(1)
+    assert m["stats_cols"] == ["id"]
+    (fstats,) = m["stats"].values()
+    assert fstats["id"] == [1, 3]
