@@ -9262,8 +9262,10 @@ def x96_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     fl AS (SELECT source,
                   CAST(floor(e * 1000000.0 + 0.5) AS BIGINT) AS est_e6
            FROM fin),
-    ex AS (SELECT source, count(DISTINCT t) AS n_exact FROM toks
-           GROUP BY source)
+    ex AS (SELECT source,
+                  count(DISTINCT ('0x' || substr(md5(t), 1, 15))::BIGINT)
+                    AS n_exact
+           FROM toks GROUP BY source)
     SELECT f.source,
            est_e6,
            CAST(n_exact AS BIGINT) AS n_exact,
@@ -9312,8 +9314,17 @@ def x97_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     regs = hll_registers(toks, "t", keys=("source",))
     est = hll_estimate(regs, keys=("source",))
-    ex = toks.groupBy("source").agg(
-        F.countDistinct("t").cast("long").alias("n_exact")
+    # audit distinct on the 60-bit md5 prefix, NOT the raw trigram
+    # string: countDistinct(t) shuffled full trigram text and bent
+    # superlinear at x300 (113.8s, 1.68x per-replica drift); the
+    # fingerprint cuts shuffle bytes ~5x and the count is identical
+    # below the ~2^30 birthday bound (engine-identical regardless —
+    # both sides count the same md5 prefixes)
+    ex = toks.select(
+        "source",
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("tfp"),
+    ).groupBy("source").agg(
+        F.countDistinct("tfp").cast("long").alias("n_exact")
     )
     # recompute e inside the join for the error column (e is a
     # deterministic function of est's inputs; cheaper: carry e)
