@@ -128,3 +128,67 @@ def test_full_curation_pipeline(spark, docs, tmp_path):
         .count()
     )
     assert dup_hashes > 0
+
+
+def test_curation_health_report_and_layout(spark, docs, tmp_path):
+    """The round-8 surfaces composed as the pipeline's OBSERVABILITY
+    and LAYOUT layer — what an operator runs beside the curation flow:
+
+        HLL sketch audit (distinct-token estimate vs exact, per
+        source) → cross-source overlap matrix (dedup-budget planning)
+        → zone-mapped snapshot write sorted by doc_id →
+        range-pruned incremental read
+
+    Pins: the sketch estimate lands within the p=8 analytic bound of
+    the exact count it audits; the overlap matrix is symmetric-free
+    (each unordered pair once) with sane Jaccards; the zone-mapped
+    store prunes files on a doc_id range while returning exactly the
+    rows a full scan filters to."""
+    from etlp_spark.functions.sketches import hll_estimate, hll_registers
+    from etlp_spark.functions.text import tokens
+
+    toks = docs.select("source", F.explode(tokens("text")).alias("t"))
+    est = {
+        r.source: r.est_e6 / 1e6
+        for r in hll_estimate(
+            hll_registers(toks, "t", keys=("source",)), keys=("source",)
+        ).collect()
+    }
+    exact = {
+        r.source: r.n
+        for r in toks.groupBy("source").agg(
+            F.countDistinct("t").alias("n")
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for s in exact:
+        assert abs(est[s] - exact[s]) / exact[s] < 0.2, (s, est[s], exact[s])
+
+    # overlap matrix: every unordered source pair exactly once,
+    # jaccard in [0, 1e6], n_inter <= n_union
+    from etlp_spark.queries import QUERIES
+
+    mat = QUERIES["x98_source_overlap_matrix"].fn(spark, SF).collect()
+    n_src = docs.select("source").distinct().count()
+    assert len(mat) == n_src * (n_src - 1) // 2
+    for r in mat:
+        assert r.src_a < r.src_b
+        assert 0 <= r.n_inter <= r.n_union
+        assert 0 <= r.jaccard_e6 <= 1_000_000
+
+    # zone-mapped store: sort by doc_id so zones are tight, then a
+    # pruned ranged read returns exactly the filtered rows while
+    # reading fewer files
+    from etlp_spark.connectors.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "zoned"))
+    store.write(
+        docs.repartitionByRange(4, "doc_id"), stats_cols=("doc_id",)
+    )
+    lo, hi = 100, 160
+    pruned, info = store.read_pruned(spark, {"doc_id": (lo, hi)})
+    want = sorted(
+        r.doc_id for r in docs.where(F.col("doc_id").between(lo, hi)).collect()
+    )
+    assert sorted(r.doc_id for r in pruned.collect()) == want
+    assert info["files_read"] < info["files_total"]
