@@ -9935,6 +9935,97 @@ def x103_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x105_unseen_mass",
+    f"""
+    WITH tk AS (SELECT source, {_O_TOKS} AS tk FROM documents),
+    pos AS (
+      SELECT source, tk, unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i
+      FROM tk WHERE len(tk) >= 3),
+    g AS (
+      SELECT source,
+             ('0x' || substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 15))::BIGINT
+               AS fp
+      FROM pos),
+    tf AS (SELECT source, fp, count(*) AS c FROM g GROUP BY source, fp),
+    ff AS (
+      SELECT source,
+             count(*) AS v_obs,
+             sum(c) AS n_tok,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+      FROM tf GROUP BY source)
+    SELECT source,
+           CAST(v_obs AS BIGINT) AS v_obs,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           CAST(floor(n1 * 1.0 / n_tok * 1000000.0 + 0.5) AS BIGINT)
+             AS p0_e6,
+           CAST(floor((v_obs + n1 * 1.0 * (n1 - 1) / (2.0 * (n2 + 1)))
+                      * 1000000.0 + 0.5) AS BIGINT) AS chao1_e6
+    FROM ff
+    """,
+)
+def x105_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus COMPLETENESS estimation per source — the "is more
+    crawling worth it" readout: Good-Turing unseen probability mass
+    ``P0 = n1/N`` (Good 1953; the fraction of the next sample
+    expected to be novel) and the bias-corrected Chao1 richness lower
+    bound ``V + n1(n1-1)/(2(n2+1))`` (Chao 1984) over word-trigram
+    frequencies-of-frequencies. High P0 ⇒ the source is far from
+    exhausted (keep crawling / keep sampling it); P0 near 0 ⇒
+    additional data from this source is mostly repetition — the
+    scaling-curve sibling of x78's novelty curve, reduced to two
+    numbers a mixture designer can threshold.
+
+    Exactness: v/n/n1/n2 are exact integer counts (trigram identity
+    via the 60-bit md5 prefix — the x97 long-key shuffle rule); the
+    two statistics are single identical-operand float expressions,
+    e6-floored.
+
+    Scale shape: scan-stage gram explode → ONE (source, fp) count
+    shuffle (map-side partial) → frequency-of-frequency rollup on
+    the per-source vocab (Heaps-sublinear) → |sources| rows."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    tk = docs.select("source", tokens("text").alias("tk")).where(F.size("tk") >= 3)
+    g = tk.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 2),
+                lambda i: F.array_join(F.slice("tk", i, 3), " "),
+            )
+        ).alias("t"),
+    ).select(
+        "source",
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("fp"),
+    )
+    tf = g.groupBy("source", "fp").agg(F.count(F.lit(1)).alias("c"))
+    ff = tf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("v_obs"),
+        F.sum("c").alias("n_tok"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    chao1 = F.col("v_obs") + F.col("n1") * F.lit(1.0) * (F.col("n1") - 1) / (
+        F.lit(2.0) * (F.col("n2") + 1)
+    )
+    return ff.select(
+        "source",
+        F.col("v_obs").cast("long").alias("v_obs"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.floor(F.col("n1") * F.lit(1.0) / F.col("n_tok") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("p0_e6"),
+        F.floor(chao1 * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("chao1_e6"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #

@@ -103,6 +103,7 @@ HEAVY = [
     "x100_kcore_membership",
     "x102_zorder_layout",
     "x103_ddsketch_quantiles",
+    "x105_unseen_mass",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -143,6 +144,7 @@ QUERY_TABLES = {
     "x100_kcore_membership": ["events"],
     "x102_zorder_layout": ["lineitem"],
     "x103_ddsketch_quantiles": ["events"],
+    "x105_unseen_mass": ["documents"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]
