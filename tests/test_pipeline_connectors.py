@@ -728,3 +728,70 @@ def test_streaming_config_snapshot_merge_sink(spark, tmp_path):
     # watermark skip leaves the version chain untouched
     streaming_pipeline_from_config(cfg()).start(spark).awaitTermination(120)
     assert store.versions() == vs
+
+
+def test_streaming_config_sketch_ops(spark, tmp_path):
+    """The round-8 sketch family as config vocabulary: 'approx_distinct'
+    (HLL registers in MapState) and 'ddsketch_quantiles' (bucket
+    counts) both nameable from the streaming config's stateful block,
+    emitting their documented schemas with sane values."""
+    import json as _json
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.config import streaming_pipeline_from_config
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        for op, extra, check in (
+            (
+                "approx_distinct",
+                {},
+                lambda rows: abs(
+                    {r.k: r.est_e6 for r in rows}["a"] / 1e6 - 50
+                ) / 50 < 0.25,
+            ),
+            (
+                "ddsketch_quantiles",
+                {"qs": [0.5]},
+                lambda rows: any(
+                    r.pct == 50 and 0 < r.est_e6 / 1e6 < 100 for r in rows
+                ),
+            ),
+        ):
+            indir = tmp_path / f"in_{op}"
+            indir.mkdir()
+            (indir / "a.jsonl").write_text(
+                "\n".join(
+                    _json.dumps({"k": "a", "v": float(i % 50) + 1.0})
+                    for i in range(200)
+                )
+            )
+            cfg = {
+                "name": f"cfg-{op}",
+                "source": {
+                    "type": "file_stream",
+                    "path": str(indir),
+                    "schema": "k string, v string"
+                    if op == "approx_distinct"
+                    else "k string, v double",
+                },
+                "stateful": {"op": op, "key": "k", "value": "v", **extra},
+                "streaming": {
+                    "checkpoint": str(tmp_path / f"ckpt_{op}"),
+                    "trigger": {"availableNow": True},
+                    "output_mode": "update",
+                },
+                "sink": {"type": "memory", "name": f"out_{op}"},
+            }
+            q = streaming_pipeline_from_config(cfg).start(spark)
+            q.awaitTermination(120)
+            rows = spark.sql(f"select * from out_{op}").collect()
+            assert rows and check(rows), (op, rows)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
