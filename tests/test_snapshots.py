@@ -765,3 +765,48 @@ def test_snapshot_sink_declarative_stats_cols(spark, tmp_path):
     assert m["stats_cols"] == ["id"]
     (fstats,) = m["stats"].values()
     assert fstats["id"] == [1, 3]
+
+
+def test_zorder_sort_tightens_zone_maps_on_both_dims(spark, tmp_path):
+    """functions/layout.py closing the loop with the store's zone
+    maps: the SAME data written three ways (unsorted, sorted by a,
+    z-ordered on (a, b)) and range-read through read_pruned. The
+    z-ordered layout must prune files on BOTH single-dim ranges
+    (plain sort only prunes its own column) and return exactly the
+    rows a full-scan filter yields."""
+    from etlp_spark.functions.layout import zorder_sort
+
+    df = spark.range(0, 4096).selectExpr(
+        "id", "id % 64 AS a", "id div 64 AS b"
+    )
+    stores = {}
+    for name, frame in (
+        ("linear", df.repartition(16)),
+        ("sorted_a", df.repartitionByRange(16, "a")),
+        ("zorder", zorder_sort(df, ("a", "b"), num_files=16)),
+    ):
+        st = SnapshotStore(str(tmp_path / name))
+        st.write(frame, stats_cols=("a", "b"))
+        stores[name] = st
+
+    def frac(st, ranges):
+        _, info = st.read_pruned(spark, ranges)
+        return info["files_read"] / info["files_total"]
+
+    ra, rb = {"a": (10, 20)}, {"b": (10, 20)}
+    # plain sort: perfect on a, useless on b; z-order: prunes on both
+    assert frac(stores["sorted_a"], ra) < 0.5
+    assert frac(stores["sorted_a"], rb) == 1.0
+    assert frac(stores["zorder"], ra) < 1.0
+    assert frac(stores["zorder"], rb) < 1.0
+    assert frac(stores["linear"], ra) == 1.0
+
+    # correctness: pruned read == full-scan filter, on every layout
+    from pyspark.sql import functions as F
+
+    want = sorted(
+        r.id for r in df.where(F.col("a").between(10, 20)).collect()
+    )
+    for st in stores.values():
+        out, _ = st.read_pruned(spark, ra)
+        assert sorted(r.id for r in out.collect()) == want
