@@ -523,3 +523,52 @@ def test_x100_bounded_peel_reaches_fixpoint_at_test_scale(spark):
     }
     assert r3 == r4
     assert len(r3) > 0
+
+
+@given(
+    st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=300),
+    st.integers(min_value=0, max_value=300),
+)
+@settings(max_examples=60, deadline=None)
+def test_hll_python_twin_properties(vals, split):
+    """Pure-Python HLL twin properties under hypothesis (the Spark
+    parity is pinned separately on fixed data): (1) merge by
+    element-wise max over ANY partition of the values equals the
+    registers of the whole set; (2) the estimate depends only on the
+    distinct set (duplicates are invisible); (3) registers only grow
+    under more data (monotone)."""
+    from etlp_spark.functions.sketches import py_hll_estimate, py_hll_update
+
+    split = min(split, len(vals))
+    whole: dict[int, int] = {}
+    py_hll_update(vals, whole)
+    ra: dict[int, int] = {}
+    rb: dict[int, int] = {}
+    py_hll_update(vals[:split], ra)
+    py_hll_update(vals[split:], rb)
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    assert merged == whole
+
+    dup: dict[int, int] = {}
+    py_hll_update(vals * 3, dup)
+    assert dup == whole
+    assert py_hll_estimate(dup) == py_hll_estimate(whole)
+
+    assert all(whole.get(k, 0) >= v for k, v in ra.items())
+
+
+@given(st.floats(min_value=1e-6, max_value=1e12), st.floats(min_value=0.005, max_value=0.05))
+@settings(max_examples=200, deadline=None)
+def test_ddsketch_bucket_midpoint_relative_error(v, alpha):
+    """DDSketch's defining invariant, property-tested: for ANY
+    positive value and alpha, the midpoint of the bucket the value
+    lands in is within relative error alpha of the value itself —
+    this is the per-value guarantee the quantile bound inherits."""
+    import math
+
+    from etlp_spark.functions.sketches import dd_gamma
+
+    g = dd_gamma(alpha)
+    b = math.ceil(math.log(v) / math.log(g))
+    est = 2.0 * (g ** b) / (g + 1.0)
+    assert abs(est - v) / v <= alpha * 1.0000001, (v, alpha, est)
