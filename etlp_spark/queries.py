@@ -10026,6 +10026,122 @@ def x105_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x106_mixture_allocation",
+    f"""
+    WITH av AS (
+      SELECT source,
+             sum(CAST(len({_O_TOKS}) AS BIGINT)) AS avail,
+             1 + {_o_h16('min(source)')} % 5 AS w
+      FROM documents GROUP BY source),
+    c0 AS (
+      SELECT source, avail, w, 2 * avail AS cap,
+             (3 * sum(avail) OVER ()) // 2 AS t,
+             sum(w) OVER () AS wsum
+      FROM av),
+    r0 AS (
+      SELECT *, least((t * w) // wsum, cap) AS a FROM c0),
+    r1 AS (
+      SELECT source, avail, w, cap, t,
+             least(a + CASE WHEN a < cap THEN
+               ((t - sum(a) OVER ()) * w)
+                 // sum(CASE WHEN a < cap THEN w END) OVER ()
+               ELSE 0 END, cap) AS a
+      FROM r0),
+    r2 AS (
+      SELECT source, avail, w, cap, t,
+             least(a + CASE WHEN a < cap THEN
+               ((t - sum(a) OVER ()) * w)
+                 // sum(CASE WHEN a < cap THEN w END) OVER ()
+               ELSE 0 END, cap) AS a
+      FROM r1),
+    r3 AS (
+      SELECT source, avail, w, cap, t,
+             least(a + CASE WHEN a < cap THEN
+               ((t - sum(a) OVER ()) * w)
+                 // sum(CASE WHEN a < cap THEN w END) OVER ()
+               ELSE 0 END, cap) AS a
+      FROM r2)
+    SELECT source,
+           CAST(avail AS BIGINT) AS avail,
+           CAST(w AS BIGINT) AS w,
+           CAST(a AS BIGINT) AS alloc,
+           CAST((a * 1000000) // avail AS BIGINT) AS epochs_e6,
+           a >= cap AS capped,
+           CAST(t - sum(a) OVER () AS BIGINT) AS leftover
+    FROM r3
+    """,
+)
+def x106_mixture_allocation(
+    spark: SparkSession, sf_dir: str, *, rounds: int = 3
+) -> DataFrame:
+    """Token-budget MIXTURE ALLOCATION with epoch caps — the recipe
+    solver behind every pretraining data mix (the Llama/Gopher-style
+    table "source, weight, epochs"): given per-source available
+    tokens, configured priority weights (md5-derived 1..5 stand-ins
+    for the hand-tuned recipe), a total token budget (1.5× the
+    corpus — an oversampling recipe), and a max-epochs cap (2× per
+    source, so high-weight sources genuinely hit it), allocate the budget
+    by weighted waterfilling — desired share, cap at max epochs,
+    REDISTRIBUTE the undistributed remainder to uncapped sources by
+    weight, three unrolled rounds (x100's bounded-iteration
+    discipline; the pytest twin asserts a 4th round is a no-op at
+    test scale... see test_x106_waterfill_rounds_converge). Emits
+    per source: avail, weight, alloc, realized epochs (e6), capped
+    flag, and the final undistributable leftover.
+
+    Exactness: ALL-INTEGER arithmetic — weights, caps and every
+    redistribution are BIGINT ``DIV`` operations (floor division ≡
+    DuckDB ``//``); there is not a single float in this query.
+
+    Scale shape: one corpus scan to per-source token counts; every
+    round is a window over the |sources| aggregate (constant-size).
+    x43 answers "with what probability do I sample each doc"; this
+    answers the budgeting question ABOVE it — "how many tokens do I
+    take from each source, and who hits their repetition cap"."""
+    from etlp_spark.functions.text import token_count
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    av = docs.groupBy("source").agg(
+        F.sum(token_count("text").cast("long")).alias("avail"),
+        (1 + _h16(F.min("source")) % 5).alias("w"),
+    )
+    wall = Window.partitionBy()
+    c0 = av.select(
+        "source", "avail", "w",
+        (F.lit(2) * F.col("avail")).alias("cap"),
+        F.expr("(3 * sum(avail) OVER ()) div 2").alias("t"),
+        F.sum("w").over(wall).alias("wsum"),
+    )
+    cur = c0.withColumn(
+        "a", F.least(F.expr("(t * w) div wsum"), F.col("cap"))
+    ).drop("wsum")
+    for _ in range(rounds):
+        cur = cur.select(
+            "source", "avail", "w", "cap", "t",
+            F.least(
+                F.col("a")
+                + F.when(
+                    F.col("a") < F.col("cap"),
+                    F.expr(
+                        "((t - sum(a) OVER ()) * w) div "
+                        "sum(CASE WHEN a < cap THEN w END) OVER ()"
+                    ),
+                ).otherwise(F.lit(0)),
+                F.col("cap"),
+            ).alias("a"),
+        )
+    return cur.select(
+        "source",
+        F.col("avail").cast("long").alias("avail"),
+        F.col("w").cast("long").alias("w"),
+        F.col("a").cast("long").alias("alloc"),
+        F.expr("(a * 1000000) div avail").cast("long").alias("epochs_e6"),
+        (F.col("a") >= F.col("cap")).alias("capped"),
+        (F.col("t") - F.sum("a").over(wall)).cast("long").alias("leftover"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #

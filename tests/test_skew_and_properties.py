@@ -572,3 +572,27 @@ def test_ddsketch_bucket_midpoint_relative_error(v, alpha):
     b = math.ceil(math.log(v) / math.log(g))
     est = 2.0 * (g ** b) / (g + 1.0)
     assert abs(est - v) / v <= alpha * 1.0000001, (v, alpha, est)
+
+
+def test_x106_waterfill_rounds_converge(spark):
+    """x106 fixes redistribution at 3 rounds so it unrolls to SQL —
+    honest only if a 4th round changes nothing at the gate's scale,
+    and the allocation must respect its own invariants: alloc <= cap
+    everywhere, budget conservation (sum(alloc) + leftover == 1.5x
+    corpus), and capped sources sit exactly at 2x avail."""
+    from etlp_spark.queries import x106_mixture_allocation
+
+    sf = "/root/testdata/sf0.01"
+    r3 = sorted(
+        tuple(r) for r in x106_mixture_allocation(spark, sf).collect()
+    )
+    r4 = sorted(
+        tuple(r) for r in x106_mixture_allocation(spark, sf, rounds=4).collect()
+    )
+    assert r3 == r4
+    total = sum(r[1] for r in r3)
+    assert sum(r[3] for r in r3) + r3[0][6] == (3 * total) // 2
+    for _, avail, _, alloc, _, capped, _ in r3:
+        assert alloc <= 2 * avail
+        if capped:
+            assert alloc == 2 * avail
