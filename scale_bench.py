@@ -104,6 +104,7 @@ HEAVY = [
     "x102_zorder_layout",
     "x103_ddsketch_quantiles",
     "x105_unseen_mass",
+    "x106_mixture_allocation",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -145,6 +146,7 @@ QUERY_TABLES = {
     "x102_zorder_layout": ["lineitem"],
     "x103_ddsketch_quantiles": ["events"],
     "x105_unseen_mass": ["documents"],
+    "x106_mixture_allocation": ["documents"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]

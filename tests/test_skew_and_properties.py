@@ -596,3 +596,45 @@ def test_x106_waterfill_rounds_converge(spark):
         assert alloc <= 2 * avail
         if capped:
             assert alloc == 2 * avail
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kcore_invariant_random_graphs(spark, raw_edges, k):
+    """k-core peeling on random graphs: run rounds until a fixpoint
+    (edge count stable), then EVERY surviving node must have degree
+    >= k within the surviving subgraph, and the result must equal a
+    driver-side reference peel of the same edge set."""
+    from etlp_spark.functions.graph import degrees, kcore
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges})
+    # driver-side reference peel
+    ref = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in ref:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        nxt = {(a, b) for a, b in ref if deg[a] >= k and deg[b] >= k}
+        if nxt == ref:
+            break
+        ref = nxt
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "a int, b int")
+    # 16 nodes -> at most 16 peel rounds to the fixpoint
+    got = {(r.a, r.b) for r in kcore(df, k=k, rounds=16).collect()}
+    assert got == ref
+    if ref:
+        core_deg = {r.v: r.d for r in degrees(kcore(df, k=k, rounds=16)).collect()}
+        assert all(d >= k for d in core_deg.values())
