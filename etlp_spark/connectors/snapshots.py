@@ -174,6 +174,24 @@ def _list_files(data_dir: str) -> list[str]:
     )
 
 
+def _is_additive(old_json: str, new_schema) -> bool:
+    """True iff ``new_schema`` only ADDS nullable columns to the
+    schema serialized in ``old_json`` — every old field must survive
+    with its name and type (nullability may widen), and every added
+    field must be nullable (old files have no values for it)."""
+    from pyspark.sql.types import StructType
+
+    old = StructType.fromJson(json.loads(old_json))
+    new_by_name = {f.name: f for f in new_schema.fields}
+    for f in old.fields:
+        nf = new_by_name.get(f.name)
+        if nf is None or nf.dataType != f.dataType:
+            return False
+    return all(
+        f.nullable for f in new_schema.fields if f.name not in {o.name for o in old.fields}
+    )
+
+
 def _norm_file(f: str) -> str:
     """Canonical form for comparing a manifest file string against a
     path Spark reports via ``input_file_name()``. Spark always
@@ -276,6 +294,7 @@ class SnapshotStore:
         *,
         batch_id: int | None = None,
         stats_cols: tuple[str, ...] = (),
+        evolve: bool = False,
     ) -> WriteResult:
         """Commit a new version.
 
@@ -323,10 +342,19 @@ class SnapshotStore:
         if mode == "append":
             pm = self.manifest(parent)
             if pm["schema"] != df.schema.json():
-                raise ValueError(
-                    "append schema mismatch with parent version "
-                    f"{parent}: {pm['schema']} != {df.schema.json()}"
-                )
+                if not (evolve and _is_additive(pm["schema"], df.schema)):
+                    raise ValueError(
+                        "append schema mismatch with parent version "
+                        f"{parent}: {pm['schema']} != {df.schema.json()}"
+                        + (
+                            ""
+                            if evolve
+                            else " (pass evolve=True to ADD nullable columns)"
+                        )
+                    )
+                # additive evolution: the manifest adopts the WIDER
+                # schema; reads supply it explicitly, so old files
+                # yield NULL for the added columns
             files = pm["files"] + files
             n_rows = pm["n_rows"] + n_new
             if not stats_cols and pm.get("stats_cols"):
@@ -480,7 +508,17 @@ class SnapshotStore:
         if version is None:
             raise FileNotFoundError(f"snapshot store {self.root} has no versions")
         m = self.manifest(version)
-        return spark.read.parquet(*m["files"])
+        return self._reader(spark, m).parquet(*m["files"])
+
+    @staticmethod
+    def _reader(spark: SparkSession, m: dict[str, Any]):
+        """Reads supply the MANIFEST schema explicitly: after additive
+        evolution the file set mixes schemas, and an explicit schema
+        makes old files yield NULL for added columns (no mergeSchema
+        scan of every footer needed — the manifest already knows)."""
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(json.loads(m["schema"])))
 
     def read_pruned(
         self,
@@ -525,9 +563,9 @@ class SnapshotStore:
         keep = [f for f in m["files"] if may_match(f)]
         info = {"files_total": len(m["files"]), "files_read": len(keep)}
         if not keep:
-            df = spark.read.parquet(*m["files"]).limit(0)
+            df = self._reader(spark, m).parquet(*m["files"]).limit(0)
             return df, info
-        df = spark.read.parquet(*keep)
+        df = self._reader(spark, m).parquet(*keep)
         for col, (lo, hi) in ranges.items():
             if lo is not None:
                 df = df.where(F.col(col) >= lo)

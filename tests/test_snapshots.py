@@ -810,3 +810,43 @@ def test_zorder_sort_tightens_zone_maps_on_both_dims(spark, tmp_path):
     for st in stores.values():
         out, _ = st.read_pruned(spark, ra)
         assert sorted(r.id for r in out.collect()) == want
+
+
+def test_append_schema_evolution_additive_only(spark, store):
+    """Delta-style additive schema evolution: append with evolve=True
+    may ADD nullable columns — the manifest adopts the wider schema,
+    reads return NULL for the new column on pre-evolution rows, time
+    travel still shows v1 with the original schema; non-additive
+    changes (type change, dropped column, non-nullable addition) stay
+    loud errors; without evolve=True the mismatch error now hints."""
+    store.write(_df(spark, [1, 2]))
+    wider = spark.createDataFrame(
+        [(3, "r3", 7.5)], "id long, val string, score double"
+    )
+    with pytest.raises(ValueError, match="evolve=True"):
+        store.write(wider, mode="append")
+    store.write(wider, mode="append", evolve=True)
+    got = {r.id: (r.val, r.score) for r in store.read(spark).collect()}
+    assert got == {1: ("r1", None), 2: ("r2", None), 3: ("r3", 7.5)}
+    # time travel: v1 keeps its own (narrow) schema
+    assert store.read(spark, 1).columns == ["id", "val"]
+
+    # dropped column is NOT additive
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        store.write(
+            spark.createDataFrame([(9,)], "id long"), mode="append", evolve=True
+        )
+    # type change is NOT additive
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        store.write(
+            spark.createDataFrame([("x", "v", 1.0)],
+                                  "id string, val string, score double"),
+            mode="append", evolve=True,
+        )
+    # further appends with the evolved schema are plain appends
+    store.write(
+        spark.createDataFrame([(4, "r4", 1.25)],
+                              "id long, val string, score double"),
+        mode="append",
+    )
+    assert store.read(spark).count() == 4
