@@ -10142,6 +10142,89 @@ def x106_mixture_allocation(
     )
 
 
+@_register(
+    "j13_bloom_prejoin",
+    """
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+    SELECT date_trunc('month', o_orderdate) AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM dim d WHERE d.c_custkey = o.o_custkey)
+    GROUP BY 1
+    """,
+)
+def j13_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME-FILTER technique made explicit: before the fact table
+    ever reaches the join, a packed Bloom filter of the dim keys
+    (built once — 4096 bits folded into 64 BIGINT words, a bounded
+    driver collect like the IVF centroids) prunes orders at SCAN
+    speed; the exact broadcast semi-join then removes the Bloom's
+    false positives. The RESULT is identical to the plain semi-join
+    (the oracle — a Bloom prefilter can never change semantics, only
+    the plan), which is exactly what makes the technique safe to bolt
+    onto any join.
+
+    Why it matters at 100 TB: the dim side here is small enough to
+    broadcast anyway, but when the probe side feeds a SHUFFLE join
+    (dim too big to broadcast), this scan-stage filter is what keeps
+    non-matching fact rows out of the exchange — Spark's own AQE
+    runtime filters do the same thing when statistics cooperate;
+    composing it from ``dedup.bloom_bits`` makes it deterministic and
+    plan-pinned rather than statistics-dependent.
+
+    Exactness: money floors to integer cents per row before the sum
+    (order-free); months via date_trunc on loaded-normalized dates."""
+    from etlp_spark.functions.dedup import bloom_bits
+
+    m, k = 4096, 3
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    packed = (
+        dim.select(F.explode(bloom_bits(F.col("c_custkey").cast("string"), m, k)).alias("b"))
+        .distinct()
+        .select((F.col("b") / 64).cast("int").alias("w"),
+                F.expr("shiftleft(cast(1 as bigint), cast(b % 64 as int))").alias("bit"))
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()  # bounded: <= 64 rows regardless of dim size
+    )
+    words = [0] * (m // 64)
+    for r in packed:
+        words[r.w] = r.word
+    arr_sql = "array(" + ",".join(f"cast({w} as bigint)" for w in words) + ")"
+
+    def bit_sql(j: int) -> str:
+        # must mirror dedup.bloom_bits exactly (same md5 salt scheme)
+        return (
+            f"(cast(conv(substring(md5(concat(cast(o_custkey as string), "
+            f"'#{j}')), 1, 13), 16, 10) as bigint) % {m})"
+        )
+
+    cond = " AND ".join(
+        f"((element_at({arr_sql}, cast(({bit_sql(j)}) div 64 as int) + 1) & "
+        f"shiftleft(cast(1 as bigint), cast(({bit_sql(j)}) % 64 as int))) != 0)"
+        for j in range(k)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    prefiltered = orders.where(F.expr(cond))  # scan-stage, no shuffle
+    joined = prefiltered.join(
+        F.broadcast(dim),
+        prefiltered["o_custkey"] == dim["c_custkey"],
+        "left_semi",
+    )
+    return joined.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #

@@ -290,3 +290,15 @@ def test_ddsketch_sketch_path_no_sort(spark):
     # the audit's row_number needs one sort of `pos` per event_type;
     # the sketch side sorts only its <=|buckets| rows
     assert plan.count("SortMergeJoin") == 0, plan[:2000]
+
+
+def test_bloom_prejoin_probe_is_scan_stage(spark):
+    """j13: the Bloom probe must be a scan-stage Filter on orders
+    (the packed words are a folded literal — shiftleft bit tests in
+    the plan) and the exactness join must be broadcast, never
+    sort-merge. If the probe disappears the query silently degrades
+    to a plain semi-join (still correct — the pin guards the
+    TECHNIQUE, which is the point of the query)."""
+    plan = _executed_plan(QUERIES["j13_bloom_prejoin"].fn(spark, SF))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "shiftleft" in plan, "bloom probe filter missing:\n" + plan[:2000]
