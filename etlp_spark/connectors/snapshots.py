@@ -187,6 +187,10 @@ def _is_additive(old_json: str, new_schema) -> bool:
         nf = new_by_name.get(f.name)
         if nf is None or nf.dataType != f.dataType:
             return False
+        if f.nullable and not nf.nullable:
+            # narrowing nullable -> required would let the manifest
+            # CLAIM non-null over old files that may hold nulls
+            return False
     return all(
         f.nullable for f in new_schema.fields if f.name not in {o.name for o in old.fields}
     )

@@ -843,6 +843,15 @@ def test_append_schema_evolution_additive_only(spark, store):
                                   "id string, val string, score double"),
             mode="append", evolve=True,
         )
+    # narrowing nullable -> required is NOT additive (old files may
+    # hold nulls the manifest would then deny)
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        store.write(
+            spark.createDataFrame(
+                [(9, "r9", 2.0)], "id long, val string not null, score double"
+            ),
+            mode="append", evolve=True,
+        )
     # further appends with the evolved schema are plain appends
     store.write(
         spark.createDataFrame([(4, "r4", 1.25)],
