@@ -410,7 +410,13 @@ def approx_distinct_tws(
     Per micro-batch per key: md5 over the batch's UNIQUE values
     (duplicates can't raise a register max), O(changed buckets) state
     writes, one O(m) state scan for the estimate. Emits (k, est_e6)
-    in Update mode. Requires the RocksDB state store."""
+    in Update mode. Requires the RocksDB state store.
+
+    Value-column contract: pass STRINGS (cast upstream). The batch
+    kernel hashes ``cast(value as string)`` JVM-side while this twin
+    hashes Python ``str(v)`` — identical for strings and integers,
+    but exotic doubles format differently (``1e+16`` vs ``1.0E16``),
+    which would silently break the registers-equal claim."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
