@@ -48,6 +48,8 @@ __all__ = [
     "ewma_tws",
     "heavy_hitters_tws",
     "heavy_hitters_spacesaving_tws",
+    "approx_distinct_tws",
+    "ddsketch_tws",
     "session_gap_tws",
     "streaming_dedup",
     "CountLogSink",
