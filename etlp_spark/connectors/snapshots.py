@@ -166,6 +166,38 @@ _DATA_DIR = "data"
 _log = logging.getLogger(__name__)
 
 
+def _js(v):
+    """JSON-native form for a zone-map stat value: numbers and strings
+    pass through, everything else (timestamps, dates, Decimals)
+    stringifies via ``str()``."""
+    return v if isinstance(v, (int, float, str, type(None))) else str(v)
+
+
+def _zone_lt(a, b):
+    """Conservative zone-map ``a < b``: True/False when the comparison
+    is well-defined, None (caller treats as may-match) when it is not.
+    Stats arrive JSON-native (numbers, or ``str()``-ified timestamps /
+    dates / Decimals); bounds arrive as whatever native type the caller
+    holds, so both sides normalize through ``_js`` first.  String pairs
+    that parse as Decimal compare numerically (``str()`` of a Decimal
+    is NOT lexicographically ordered); other string pairs (the
+    fixed-width ISO-ish forms ``str()`` emits for timestamps/dates)
+    compare lexicographically, which IS order-correct for those forms.
+    A number/string mix is undecidable — never prune on it."""
+    from decimal import Decimal, InvalidOperation
+
+    a, b = _js(a), _js(b)
+    num = (int, float)
+    if isinstance(a, num) and isinstance(b, num):
+        return a < b
+    if isinstance(a, str) and isinstance(b, str):
+        try:
+            return Decimal(a) < Decimal(b)
+        except InvalidOperation:
+            return a < b
+    return None
+
+
 def _list_files(data_dir: str) -> list[str]:
     return sorted(
         os.path.join(data_dir, f)
@@ -274,20 +306,18 @@ class SnapshotStore:
             .agg(*aggs)
             .collect()  # bounded by |files|, not rows
         )
-        from urllib.parse import unquote, urlparse
-
         by_norm = {_norm_file(f): f for f in files}
-
-        def js(v):
-            return v if isinstance(v, (int, float, str, type(None))) else str(v)
 
         out: dict[str, dict[str, list]] = {}
         for r in rows:
             # r["__sf"], not r.__sf — attribute access would name-mangle
-            # inside this class body
-            f = by_norm[_norm_file(unquote(urlparse(r["__sf"]).path))]
+            # inside this class body.  The RAW reported URI goes to
+            # _norm_file (it handles schemes itself) — pre-stripping via
+            # urlparse().path would localize s3a://bucket/... keys and
+            # break the by_norm lookup for any non-local store root.
+            f = by_norm[_norm_file(r["__sf"])]
             out[f] = {
-                c: [js(r[f"__lo_{c}"]), js(r[f"__hi_{c}"])] for c in stats_cols
+                c: [_js(r[f"__lo_{c}"]), _js(r[f"__hi_{c}"])] for c in stats_cols
             }
         return out
 
@@ -558,9 +588,14 @@ class SnapshotStore:
                 fmin, fmax = fs[col]
                 if fmin is None or fmax is None:
                     continue  # all-NULL file zone: cannot disprove
-                if lo is not None and fmax < lo:
+                # _zone_lt returns None when stat/bound types are not
+                # comparably normalized (e.g. numeric bound vs a
+                # stringified stat) — None is falsy, so the file is
+                # read: pruning degrades to may-match, never raises
+                # and never lexicographically mis-prunes.
+                if lo is not None and _zone_lt(fmax, lo):
                     return False
-                if hi is not None and fmin > hi:
+                if hi is not None and _zone_lt(hi, fmin):
                     return False
             return True
 
@@ -621,8 +656,6 @@ class SnapshotStore:
         files' rows for the rewrite. The only driver-side state is
         the hit FILE list — bounded by |files|, never by rows.
         """
-        from urllib.parse import unquote, urlparse
-
         parent = self.latest_version()
         if parent is None:
             return self.write(df, "snapshot", batch_id=batch_id)
@@ -634,7 +667,13 @@ class SnapshotStore:
             )
         spark = df.sparkSession
         keys = df.select(*key_cols).distinct()
-        old = spark.read.parquet(*pm["files"])
+        # EVERY parent-file read below goes through _reader: after an
+        # evolve=True append the manifest's file set mixes schemas, and
+        # a schema-less read would infer from one (possibly
+        # pre-evolution) file — silently dropping the evolved column
+        # from the rewritten survivors. The manifest schema is the
+        # truth; old files null-fill added columns.
+        old = self._reader(spark, pm).parquet(*pm["files"])
         hit_rows = (
             old.withColumn("_sf", F.input_file_name())
             .join(keys, key_cols, "left_semi")
@@ -643,7 +682,8 @@ class SnapshotStore:
             .collect()  # bounded by |data files|, not by rows
         )
         by_norm = {_norm_file(f): f for f in pm["files"]}
-        hit_norm = sorted({_norm_file(unquote(urlparse(r._sf).path)) for r in hit_rows})
+        # raw URI to _norm_file — see _file_stats
+        hit_norm = sorted({_norm_file(r._sf) for r in hit_rows})
         unknown = set(hit_norm) - set(by_norm)
         if unknown:
             raise RuntimeError(f"merge located files outside the manifest: {unknown}")
@@ -657,11 +697,11 @@ class SnapshotStore:
             self.root, _DATA_DIR, f"v{version:05d}-{uuid.uuid4().hex[:12]}"
         )
         if hit_files:
-            survivors = spark.read.parquet(*hit_files).join(
+            survivors = self._reader(spark, pm).parquet(*hit_files).join(
                 keys, key_cols, "left_anti"
             )
             out = survivors.unionByName(df)
-            n_hit = spark.read.parquet(*hit_files).count()
+            n_hit = self._reader(spark, pm).parquet(*hit_files).count()
         else:
             out = df
             n_hit = 0
@@ -721,7 +761,11 @@ class SnapshotStore:
         if num_files is None:
             total = sum(os.path.getsize(f) for f in pm["files"])
             num_files = max(1, total // (128 * 1024 * 1024))
-        df = spark.read.parquet(*pm["files"]).coalesce(int(num_files))
+        # _reader, not schema-less read: after additive evolution the
+        # file set mixes schemas — inferring from one pre-evolution
+        # file would compact the evolved column OUT of the data while
+        # the manifest keeps claiming it (permanent silent null-fill).
+        df = self._reader(spark, pm).parquet(*pm["files"]).coalesce(int(num_files))
         version = parent + 1
         data_dir = os.path.join(
             self.root, _DATA_DIR, f"v{version:05d}-{uuid.uuid4().hex[:12]}"

@@ -1667,11 +1667,19 @@ def encode_gif(pixels: np.ndarray, interlaced: bool = False) -> bytes:
 
 def decode_avi_mjpeg(payload: bytes) -> list[bytes]:
     """All video frames of an MJPEG AVI as raw JPEG payloads (chunks
-    '00dc'/'00db' inside LIST 'movi'; word alignment respected)."""
+    'NNdc'/'NNdb' inside LIST 'movi', where NN are the stream ids the
+    hdrl declares as 'vids'; word alignment respected). Matching the
+    declared VIDEO stream ids — not just the dc/db suffix — keeps a
+    multi-stream AVI (e.g. an audio stream, or a second video stream
+    in a foreign codec) from interleaving foreign chunks into the
+    returned frame list. Files with no parseable hdrl fall back to
+    stream '00' (the first stream — where single-stream muxers put
+    their video)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
 
     frames: list[bytes] = []
+    strh_types: list[bytes] = []  # fccType per stream, in strl order
 
     def walk(start: int, end: int) -> None:
         pos = start
@@ -1681,11 +1689,31 @@ def decode_avi_mjpeg(payload: bytes) -> list[bytes]:
             body = pos + 8
             if fourcc == b"LIST":
                 walk(body + 4, body + size)  # skip the list type fourcc
-            elif fourcc[2:4] in (b"dc", b"db"):
-                frames.append(payload[body : body + size])
+            elif fourcc == b"strh":
+                strh_types.append(payload[body : body + 4])
             pos = body + size + (size & 1)  # chunks are word-aligned
 
+    # pass 1: headers only — stream N's type is the Nth strh's fccType
     walk(12, len(payload))
+    vids = {
+        f"{i:02d}".encode()
+        for i, t in enumerate(strh_types)
+        if t == b"vids"
+    } or {b"00"}
+
+    def collect(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body = pos + 8
+            if fourcc == b"LIST":
+                collect(body + 4, body + size)
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2] in vids:
+                frames.append(payload[body : body + size])
+            pos = body + size + (size & 1)
+
+    collect(12, len(payload))
     if not frames:
         raise ValueError("AVI contains no video frames")
     return frames

@@ -1371,6 +1371,64 @@ def test_avi_mjpeg_video_frame_sampling(spark):
     assert feats.n_bytes == len(avi) and len(feats.feature) == 8
 
 
+def test_avi_multistream_takes_only_declared_video_streams():
+    """ADVICE r8 (low): decode_avi_mjpeg used to accept ANY chunk
+    whose fourcc ends in dc/db, so a multi-stream AVI (audio track,
+    second foreign-codec video stream) interleaved foreign chunks
+    into the frame list. The decoder now reads the hdrl's strh
+    fccTypes and keeps only chunks of streams declared 'vids' — and
+    falls back to stream 00 when there is no parseable hdrl."""
+    import struct as _s
+
+    import numpy as np
+
+    from etlp_spark.functions.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    def chunk(four, body):
+        return four + _s.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(four, body):
+        return chunk(b"LIST", four + body)
+
+    f = np.zeros((8, 8, 3), np.uint8)
+    f[:, :, 1] = 130
+    jpeg = encode_jpeg(f)
+    strh_v = b"vids" + b"MJPG" + b"\x00" * 48
+    strh_a = b"auds" + b"\x00" * 52
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", b"\x00" * 56)
+        + lst(b"strl", chunk(b"strh", strh_v))
+        + lst(b"strl", chunk(b"strh", strh_a)),
+    )
+    # movi interleaves video (00dc), audio (01wb) and a rogue 01dc
+    # chunk claiming the dc suffix on the AUDIO stream id
+    movi = lst(
+        b"movi",
+        chunk(b"00dc", jpeg)
+        + chunk(b"01wb", b"\x01\x02\x03\x04")
+        + chunk(b"01dc", b"NOT A JPEG")
+        + chunk(b"00dc", jpeg),
+    )
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + _s.pack("<I", len(body)) + body
+    js = decode_avi_mjpeg(avi)
+    assert js == [jpeg, jpeg]  # the 01dc/01wb chunks never leak in
+
+    # single-stream files from our own encoder are unchanged
+    enc = encode_avi_mjpeg([f, f], fps=5)
+    assert decode_avi_mjpeg(enc) == [jpeg, jpeg]
+
+    # no hdrl at all: stream-00 fallback still yields the frames
+    movi_only = b"AVI " + movi
+    avi2 = b"RIFF" + _s.pack("<I", len(movi_only)) + movi_only
+    assert decode_avi_mjpeg(avi2) == [jpeg, jpeg]
+
+
 def test_ddsketch_pow_floor_exhaustive_cross_engine(spark):
     """The one float hazard in x103: pow(gamma, b) differs by 1 ulp
     between the JVM and libm at some buckets. The e6-FLOORED bucket

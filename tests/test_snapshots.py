@@ -859,3 +859,96 @@ def test_append_schema_evolution_additive_only(spark, store):
         mode="append",
     )
     assert store.read(spark).count() == 4
+
+
+def test_merge_and_compact_after_schema_evolution(spark, store):
+    """ADVICE r8 (high): merge() and compact() used to read the
+    parent's file set schema-LESS — after an evolve=True append the
+    file set mixes schemas, and inferring from a pre-evolution file
+    silently rewrote the table WITHOUT the evolved column (the
+    manifest keeps claiming it, so reads null-fill forever: permanent
+    undetected data loss). Every rewrite path now reads through the
+    manifest schema (_reader)."""
+    store.write(_df(spark, [1, 2]).coalesce(1))
+    wider = spark.createDataFrame(
+        [(3, "r3", 7.5)], "id long, val string, score double"
+    )
+    store.write(wider.coalesce(1), mode="append", evolve=True)
+
+    # compact after evolution: the evolved column's VALUES must survive
+    store.compact(spark, num_files=1)
+    got = {r.id: (r.val, r.score) for r in store.read(spark).collect()}
+    assert got == {1: ("r1", None), 2: ("r2", None), 3: ("r3", 7.5)}
+
+    # rebuild the mixed-schema state and merge a key living in a
+    # PRE-evolution file: survivors read under the wide schema
+    store2 = SnapshotStore(str(os.path.join(store.root, "..", "tbl2")))
+    store2.write(_df(spark, [1, 2]).coalesce(1))
+    store2.write(wider.coalesce(1), mode="append", evolve=True)
+    upd = spark.createDataFrame(
+        [(1, "NEW", 9.0)], "id long, val string, score double"
+    )
+    store2.merge(upd, ["id"])
+    got2 = {r.id: (r.val, r.score) for r in store2.read(spark).collect()}
+    assert got2 == {1: ("NEW", 9.0), 2: ("r2", None), 3: ("r3", 7.5)}
+
+
+def test_read_pruned_native_typed_stats(spark, tmp_path):
+    """ADVICE r8 (medium): zone stats stringify non-JSON-native values
+    (timestamps, Decimals) while callers pass native bounds — raw
+    Python comparison raised TypeError, and aligned types could
+    compare lexicographically. Pruning now normalizes both sides and
+    degrades to may-match when undecidable, so: (a) datetime bounds
+    prune on a timestamp column (str() forms are fixed-width, so the
+    string compare is order-correct), (b) Decimal stats compare
+    NUMERICALLY (str() of 9.5 vs 10.2 would mis-order), (c) rows are
+    always exactly the full-scan filter's."""
+    import datetime
+    from decimal import Decimal
+
+    st = SnapshotStore(str(tmp_path / "ts_tbl"))
+    df = spark.range(0, 128).selectExpr(
+        "id",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts",
+        "CAST(id AS DECIMAL(12,2)) / 10 AS amt",
+    )
+    st.write(df.repartitionByRange(4, "id"), stats_cols=("ts", "amt", "id"))
+
+    lo = datetime.datetime(2024, 1, 3, 2, 0, 0)
+    out, info = st.read_pruned(spark, {"ts": (lo, None)})
+    want = df.where(f"ts >= timestamp'{lo}'")
+    assert sorted(r.id for r in out.collect()) == sorted(
+        r.id for r in want.collect()
+    )
+    assert info["files_read"] < info["files_total"]
+
+    # Decimal bounds: amts span 0.0–12.7, so the top file's zone max
+    # "12.7" < "9.6" LEXICOGRAPHICALLY — a string compare would
+    # wrongly prune the only matching file; numeric parse keeps it
+    out2, info2 = st.read_pruned(spark, {"amt": (Decimal("9.6"), None)})
+    assert sorted(r.id for r in out2.collect()) == list(range(96, 128))
+    assert 0 < info2["files_read"] < info2["files_total"]
+
+    # undecidable mix (native int stats vs a string bound): never
+    # raises, never prunes — reads everything it cannot disprove
+    out3, info3 = st.read_pruned(spark, {"id": ("zzz", None)})
+    assert info3["files_read"] == info3["files_total"]
+
+
+def test_norm_file_keeps_object_store_uris(spark):
+    """ADVICE r8 (low): _file_stats/merge used to pre-strip URIs with
+    urlparse().path before _norm_file, localizing s3a://bucket/... to
+    /bucket/... and breaking the manifest lookup for any non-local
+    root. The raw URI now flows to _norm_file, which keeps
+    scheme+netloc for non-file schemes — a round trip through it is
+    stable, so manifest-string and Spark-reported forms meet."""
+    from etlp_spark.connectors.snapshots import _norm_file
+
+    s3 = "s3a://bucket/tbl/data/v00001-ab/part-0.parquet"
+    assert _norm_file(s3) == s3
+    assert _norm_file(_norm_file(s3)) == _norm_file(s3)
+    # percent-encoded path unquotes once and is then stable
+    enc = "s3a://bucket/tbl/data/v%2000001/part-0.parquet"
+    assert _norm_file(enc) == "s3a://bucket/tbl/data/v 00001/part-0.parquet"
+    # file scheme still normalizes to a local realpath
+    assert os.path.isabs(_norm_file("file:///tmp/x.parquet"))
