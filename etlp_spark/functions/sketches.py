@@ -170,7 +170,8 @@ def dd_quantiles(
     """Quantile estimates from a DDSketch: for each q, the bucket
     where the cumulative count first reaches rank floor(q*(n-1))+1,
     estimated at ``2*gamma^b/(gamma+1)`` (the bucket's geometric
-    midpoint). Returns keys + q + est_e6; the estimate is within
+    midpoint). Returns keys + q + est_e6 + n (the group's total
+    count, free from the same window); the estimate is within
     relative error alpha of the true rank statistic by construction.
 
     Scale shape: one window cumsum over <=|buckets| rows per key
@@ -209,6 +210,7 @@ def dd_quantiles(
         *keys,
         "q",
         F.floor(est * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("est_e6"),
+        "n",
     )
 
 

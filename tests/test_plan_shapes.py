@@ -211,10 +211,19 @@ def test_triangles_top20_is_take_ordered(spark):
     """x92: the top-20 must reduce via TakeOrderedAndProject (the
     final 20-row rank window is fine); a global Sort over the
     per-user frame, or a CartesianProduct in the wedge joins, is the
-    last-reducer shape the orientation exists to kill."""
+    last-reducer shape the orientation exists to kill. The
+    multi-consumer frames (pairs -> degree+orientation, ori ->
+    e1/e2/e3) are localCheckpoint-pinned, so the executed plan reads
+    checkpoint RDD scans instead of re-deriving the edge list per
+    consumer — single evaluation is structural (r8 verdict #2)."""
     plan = _executed_plan(QUERIES["x92_cooccurrence_triangles"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+    # every wedge-side input is a checkpoint scan: the corpus-side
+    # aggregation pipeline (collect_set over presence buckets) must
+    # appear NOWHERE in the final plan
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert "collect_set" not in plan, plan[:2000]
 
 
 def test_ivf_adc_no_cartesian_and_broadcast_probe(spark):
@@ -261,14 +270,20 @@ def test_hll_registers_no_join_in_sketch_path(spark):
 
 
 def test_source_overlap_no_cartesian_and_broadcast_dims(spark):
-    """x98: grams must NEVER pair-expand — the mask closed form exists
-    to keep the corpus side in one hash-aggregate. The pairs x masks
-    work is on two constant-size relations via broadcast nested loop;
-    a CartesianProduct or a gram-side SortMergeJoin would be the
-    quadratic shape the bitmask design eliminates."""
+    """x98: grams must NEVER pair-expand — the set-frequency closed
+    form exists to keep the corpus side in one hash-aggregate. The
+    pairs x sets work is on two constant-size relations via broadcast
+    nested loop; a CartesianProduct or a gram-side SortMergeJoin
+    would be the quadratic shape the design eliminates. Since r9 the
+    source dimension derives from the localCheckpoint-pinned
+    set-frequency table — the final plan must read checkpoint scans
+    and contain NO trace of the corpus aggregation (which also proves
+    there is no second corpus scan feeding a source list)."""
     plan = _executed_plan(QUERIES["x98_source_overlap_matrix"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert "collect_set" not in plan, plan[:2000]
 
 
 def test_cuped_two_level_aggregation_only(spark):
@@ -280,16 +295,25 @@ def test_cuped_two_level_aggregation_only(spark):
 
 
 def test_ddsketch_sketch_path_no_sort(spark):
-    """x103: the sketch estimate path is a count aggregate over
-    bounded log-buckets + a window over those buckets — the only
-    corpus SORT allowed in the plan is the exact-rank audit window.
-    More than one corpus-partitioned sort means the sketch started
-    sorting rows, which is exactly what it exists to avoid."""
+    """x103 (the r9 sketch-only headline): one count aggregate over
+    bounded log-buckets + a window over those buckets. NO corpus
+    window may appear — the plan's only window/sort input is the
+    post-aggregate bucket table, so there must be no row_number
+    anywhere (the audit's rank lives in x103b now), and the only
+    join is the broadcast qs explode."""
     plan = _executed_plan(QUERIES["x103_ddsketch_quantiles"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan[:2000]
-    # the audit's row_number needs one sort of `pos` per event_type;
-    # the sketch side sorts only its <=|buckets| rows
-    assert plan.count("SortMergeJoin") == 0, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "row_number" not in plan, "corpus rank leaked into the sketch path:\n" + plan[:2000]
+
+
+def test_ddsketch_audited_keeps_single_corpus_sort(spark):
+    """x103b (the audit form): the exact-rank column is ALLOWED its
+    one per-key corpus sort — but only one, and the est-vs-exact join
+    on the tiny per-(type, q) frames must broadcast."""
+    plan = _executed_plan(QUERIES["x103b_ddsketch_audited"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
 
 
 def test_bloom_prejoin_probe_is_scan_stage(spark):
