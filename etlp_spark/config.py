@@ -122,6 +122,8 @@ def _snapshot_sink(cfg: dict[str, Any]):
         mode=cfg.get("mode", "snapshot"),
         key_cols=cfg.get("key_cols"),
         stats_cols=cfg.get("stats_cols"),
+        cluster_by=cfg.get("cluster_by"),
+        cluster_files=cfg.get("cluster_files", 16),
     )
 
 

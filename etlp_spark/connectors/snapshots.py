@@ -884,7 +884,19 @@ class SnapshotSource(Source):
 class SnapshotSink(Destination):
     """Connector-protocol adapter: every ``write`` commits a new
     version — ``snapshot`` / ``append`` per ``mode``, or ``merge``
-    (upsert by ``key_cols``, file-granular copy-on-write)."""
+    (upsert by ``key_cols``, file-granular copy-on-write).
+
+    ``cluster_by`` requests Z-ORDERED layout declaratively (the r9
+    config surface for ``functions/layout.zorder_sort``): the frame is
+    Morton-clustered on those columns before the write and — unless
+    ``stats_cols`` says otherwise — the same columns get manifest zone
+    maps, so a config-built pipeline gets the full cluster → record →
+    prune loop (``read_pruned``) with one key. ``cluster_files``
+    bounds the clustered file count. Clustering applies to
+    snapshot/append commits; ``merge`` rewrites only hit files, where
+    re-clustering a fraction of the z-range would SCRAMBLE the
+    parent's layout, so it is rejected loudly rather than silently
+    degraded (run ``compact`` + a clustered snapshot to re-layout)."""
 
     def __init__(
         self,
@@ -892,22 +904,41 @@ class SnapshotSink(Destination):
         mode: str = "snapshot",
         key_cols: list[str] | None = None,
         stats_cols: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        cluster_files: int = 16,
     ):
         if mode == "merge" and not key_cols:
             raise ValueError("snapshot sink mode 'merge' requires key_cols")
+        if mode == "merge" and cluster_by:
+            raise ValueError(
+                "cluster_by does not compose with mode 'merge' (a merge "
+                "rewrites only hit files — re-clustering a subset would "
+                "scramble the parent layout); compact then write a "
+                "clustered snapshot instead"
+            )
         self.store = SnapshotStore(root)
         self.mode = mode
         self.key_cols = list(key_cols or [])
-        self.stats_cols = tuple(stats_cols or ())
+        self.cluster_by = tuple(cluster_by or ())
+        self.cluster_files = int(cluster_files)
+        # zone maps default to the clustering columns — that pairing
+        # is the entire point of clustering the write
+        self.stats_cols = tuple(stats_cols or ()) or self.cluster_by
 
     def spec(self) -> dict[str, Any]:
         return {
             "connector": "snapshot-sink",
             "config": {"root": self.store.root, "mode": self.mode,
-                       **({"key_cols": self.key_cols} if self.key_cols else {})},
+                       **({"key_cols": self.key_cols} if self.key_cols else {}),
+                       **({"cluster_by": list(self.cluster_by)}
+                          if self.cluster_by else {})},
         }
 
     def write(self, df: DataFrame) -> WriteResult:
         if self.mode == "merge":
             return self.store.merge(df, self.key_cols)
+        if self.cluster_by:
+            from etlp_spark.functions.layout import zorder_sort
+
+            df = zorder_sort(df, self.cluster_by, num_files=self.cluster_files)
         return self.store.write(df, mode=self.mode, stats_cols=self.stats_cols)

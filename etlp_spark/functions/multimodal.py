@@ -21,9 +21,12 @@ Decode support is tiered by what this container can honestly do:
   progressive (SOF2) and arithmetic-coded variants raise ValueError.
   ``encode_jpeg`` is the lossy inverse (quality-scaled Annex-K
   tables) used to build test fixtures and real resize output.
-- Formats whose decode is not practical stdlib-side (MP3/video) are
-  STUBBED (deterministic fakes clearly marked below); swap the decode
-  fallbacks for torchvision/ffmpeg in a full environment.
+- Formats whose decode is not practical stdlib-side (MP3, non-MJPEG
+  video) are STUBBED with deterministic fakes — but behind the
+  ``IMAGE_DECODERS`` / ``AUDIO_DECODERS`` / ``VIDEO_DECODERS``
+  registries (the ``FORMAT_REDUCERS`` shape): register a
+  torchvision/ffmpeg-backed callable for a mime type and every
+  kernel in this module uses it, no edits here.
 
 Everything Spark-side is real and tested either way — schema
 contracts, Arrow batch shape, ``mapInPandas`` partitioning behavior,
@@ -42,7 +45,7 @@ from __future__ import annotations
 import hashlib
 import struct
 import zlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -80,6 +83,9 @@ __all__ = [
     "encode_wav",
     "decode_avi_mjpeg",
     "encode_avi_mjpeg",
+    "IMAGE_DECODERS",
+    "AUDIO_DECODERS",
+    "VIDEO_DECODERS",
 ]
 
 #: contract for a multimodal row: payload + typed metadata.
@@ -1781,17 +1787,14 @@ def decode_image(payload: bytes, mime: str = "image/bmp") -> np.ndarray:
         return decode_jpeg(payload)
     if payload[:4] == b"GIF8":
         return decode_gif(payload)
-    if mime == "image/bmp":
-        return decode_bmp(payload)
-    if mime == "image/png":
-        return decode_png(payload)
-    if mime == "image/jpeg":
-        return decode_jpeg(payload)
-    if mime == "image/gif":
-        return decode_gif(payload)
+    dec = IMAGE_DECODERS.get(mime)
+    if dec is not None:
+        return dec(payload)
     raise NotImplementedError(
-        f"decode for {mime!r} is stubbed in this environment; install a "
-        "codec library and replace decode_image's fallback"
+        f"no decoder registered for {mime!r}; register one with "
+        f"IMAGE_DECODERS[{mime!r}] = your_decoder (payload -> "
+        "(h, w, 3) uint8 RGB) — e.g. a PIL/torchvision wrapper in a "
+        "full environment"
     )
 
 
@@ -1832,6 +1835,37 @@ def _resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     return pixels[rows][:, cols]
 
 
+#: Pluggable DECODER REGISTRIES — the ``FORMAT_REDUCERS`` shape for
+#: media (r8 verdict #8): users inject a codec for a mime type
+#: without editing this module, and every Spark-side kernel
+#: (``decode_image``, ``extract_features``, ``sample_frames``) picks
+#: it up. Contracts:
+#:
+#: - ``IMAGE_DECODERS[mime](payload) -> (h, w, 3) uint8 RGB ndarray``
+#: - ``AUDIO_DECODERS[mime](payload) -> (rate, int16 samples ndarray)``
+#:   (what an ``audio/mpeg`` MP3 decoder — e.g. a pydub/ffmpeg
+#:   wrapper — plugs into; this container ships none, so MP3 stays a
+#:   fake UNLESS a decoder is registered)
+#: - ``VIDEO_DECODERS[mime](payload) -> list of standalone image
+#:   payloads`` (one per frame, decodable by ``decode_image``)
+#:
+#: Registered callables are captured into ``mapInPandas`` closures by
+#: cloudpickle, so they must be picklable (module-level functions and
+#: lambdas both are; an open ffmpeg handle is not — wrap lazily).
+IMAGE_DECODERS: dict[str, "Callable[[bytes], np.ndarray]"] = {
+    "image/bmp": decode_bmp,
+    "image/png": decode_png,
+    "image/jpeg": decode_jpeg,
+    "image/gif": decode_gif,
+}
+AUDIO_DECODERS: dict[str, "Callable[[bytes], tuple[int, np.ndarray]]"] = {
+    "audio/wav": decode_wav,
+}
+VIDEO_DECODERS: dict[str, "Callable[[bytes], list[bytes]]"] = {
+    "video/x-msvideo": decode_avi_mjpeg,
+}
+
+
 def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Manufacture a deterministic binary payload column from text —
     exercises BinaryType end-to-end without real media files."""
@@ -1856,15 +1890,20 @@ def extract_features(media_df: DataFrame, dims: int = 8) -> DataFrame:
     """
 
     def featurize(mime: str, payload: bytes) -> list[float]:
-        # Real decode paths (stdlib BMP/PNG/JPEG/WAV parsers);
-        # deterministic fake for formats this container can't decode.
-        if mime in ("image/bmp", "image/png", "image/jpeg", "image/gif"):
-            return _pixel_feature(decode_image(payload, mime), dims)
-        if mime == "audio/wav":
-            return _audio_feature(*decode_wav(payload), dims)
-        if mime == "video/x-msvideo":
-            js = decode_avi_mjpeg(payload)
-            return _pixel_feature(decode_jpeg(js[len(js) // 2]), dims)
+        # Real decode paths resolve through the pluggable registries
+        # (stdlib BMP/PNG/JPEG/GIF/WAV/MJPEG-AVI built in; users
+        # register e.g. audio/mpeg or video/mp4 codecs); deterministic
+        # fake for anything unregistered.
+        dec = IMAGE_DECODERS.get(mime)
+        if dec is not None:
+            return _pixel_feature(dec(payload), dims)
+        adec = AUDIO_DECODERS.get(mime)
+        if adec is not None:
+            return _audio_feature(*adec(payload), dims)
+        vdec = VIDEO_DECODERS.get(mime)
+        if vdec is not None:
+            js = vdec(payload)
+            return _pixel_feature(decode_image(js[len(js) // 2]), dims)
         return _fake_feature(payload, dims)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1952,13 +1991,20 @@ def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
     deterministic fake."""
 
     def frames_of(mime: str, payload: bytes) -> list[bytes]:
-        if mime == "audio/wav":
-            rate, samples = decode_wav(payload)
+        adec = AUDIO_DECODERS.get(mime)
+        if adec is not None:
+            # audio "frames" are time segments, re-emitted as
+            # standalone PCM WAVs whatever the source codec was
+            rate, samples = adec(payload)
             return [encode_wav(seg, rate) for seg in np.array_split(samples, n_frames)]
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             # REAL video sampling: every Nth MJPEG frame, as its own
             # standalone JPEG payload (decodable by decode_image)
             js = decode_avi_mjpeg(payload)
+            return [js[(i * len(js)) // n_frames] for i in range(n_frames)]
+        vdec = VIDEO_DECODERS.get(mime)
+        if vdec is not None:
+            js = vdec(payload)
             return [js[(i * len(js)) // n_frames] for i in range(n_frames)]
         return [
             hashlib.md5(payload + bytes([i])).digest() for i in range(n_frames)

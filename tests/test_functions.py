@@ -1555,3 +1555,77 @@ def test_stats_cuped_and_srm_known_values(spark):
     skew = spark.createDataFrame([(1 if i < 90 else 0,) for i in range(100)], "arm int")
     row = skew.transform(lambda d: srm_chi2(d)).collect()[0]
     assert row.srm_flag is True and row.chi2_e6 == 64_000_000  # (80^2)/100
+
+
+def test_media_decoder_registry_seam(spark):
+    """r8 verdict #8: MP3 (and any foreign codec) plugs in through
+    the decoder registries instead of editing the module. Registering
+    an 'audio/mpeg' decoder routes extract_features through the REAL
+    audio-feature path (identical to the same samples as WAV) and
+    sample_frames emits standalone PCM WAV segments; unregistered
+    mimes still fall back to the deterministic fake; decode_image
+    names the registry in its error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etlp_spark.functions import multimodal as mm
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    samples = (np.sin(2 * np.pi * 440 * t) * 12000).astype(np.int16)
+    payload = b"ID3fake-mp3-container" + samples.tobytes()
+
+    def fake_mp3_decode(p):
+        assert p[:3] == b"ID3"
+        return rate, np.frombuffer(p[21:], dtype=np.int16)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), "audio/mpeg", 0, 0)],
+        "media_id int, payload binary, mime string, width int, height int",
+    )
+    # BEFORE registration: deterministic fake (md5-derived)
+    fake = mm.extract_features(media).collect()[0].feature
+
+    mm.AUDIO_DECODERS["audio/mpeg"] = fake_mp3_decode
+    try:
+        got = mm.extract_features(media).collect()[0].feature
+        wav_media = spark.createDataFrame(
+            [(1, bytearray(mm.encode_wav(samples, rate)), "audio/wav", 0, 0)],
+            "media_id int, payload binary, mime string, width int, height int",
+        )
+        want = mm.extract_features(wav_media).collect()[0].feature
+        assert got == want          # real audio path, same samples
+        assert got != fake          # and no longer the md5 fake
+
+        frames = mm.sample_frames(media, n_frames=4).collect()
+        assert [r.frame_idx for r in frames] == [0, 1, 2, 3]
+        # each segment is a standalone decodable WAV over the source
+        segs = [mm.decode_wav(bytes(r.frame)) for r in frames]
+        assert all(r0 == rate for r0, _ in segs)
+        assert np.concatenate([s for _, s in segs]).tolist() == samples.tolist()
+    finally:
+        del mm.AUDIO_DECODERS["audio/mpeg"]
+
+    # video seam: a fake mp4 "codec" returning encoded frames
+    f0 = np.zeros((8, 8, 3), np.uint8); f0[:, :, 2] = 77
+    jpeg = mm.encode_jpeg(f0)
+    mm.VIDEO_DECODERS["video/mp4"] = lambda p: [jpeg, jpeg, jpeg]
+    try:
+        vmedia = spark.createDataFrame(
+            [(2, bytearray(b"\x00\x00\x00 ftypisom-fake"), "video/mp4", 8, 8)],
+            "media_id int, payload binary, mime string, width int, height int",
+        )
+        vf = mm.sample_frames(vmedia, n_frames=2).collect()
+        assert [bytes(r.frame) for r in vf] == [jpeg, jpeg]
+        feat = mm.extract_features(vmedia).collect()[0].feature
+        # FEATURE_SCHEMA is float32 — compare at that precision
+        want_px = np.asarray(
+            mm._pixel_feature(mm.decode_jpeg(jpeg), 8), dtype=np.float32
+        )
+        assert np.array_equal(np.asarray(feat, dtype=np.float32), want_px)
+    finally:
+        del mm.VIDEO_DECODERS["video/mp4"]
+
+    # unregistered mime in decode_image points at the seam
+    with _pytest.raises(NotImplementedError, match="IMAGE_DECODERS"):
+        mm.decode_image(b"\x00\x01", "image/webp")
