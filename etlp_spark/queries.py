@@ -10278,6 +10278,500 @@ def j13_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x107_pagerank_topk",
+    """
+    WITH pres AS (
+      SELECT DISTINCT event_type, date_trunc('hour', ts) AS hb, user_id
+      FROM events),
+    bu AS (
+      SELECT event_type, hb, count(*) AS nu FROM pres GROUP BY 1, 2),
+    pe AS (
+      SELECT p1.user_id AS a, p2.user_id AS b
+      FROM pres p1
+      JOIN pres p2 USING (event_type, hb)
+      JOIN bu USING (event_type, hb)
+      WHERE p1.user_id < p2.user_id AND bu.nu BETWEEN 2 AND 32),
+    ed AS (SELECT a, b FROM pe GROUP BY a, b HAVING count(*) >= 3),
+    dirs AS (SELECT a AS src, b AS dst FROM ed
+             UNION ALL SELECT b AS src, a AS dst FROM ed),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM dirs GROUP BY src),
+    nodes AS (SELECT src AS v FROM deg),
+    cnt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+    r0 AS (SELECT v, 1000000000000 // nn AS r FROM nodes CROSS JOIN cnt),
+    c1 AS (SELECT dst, CAST(sum((r.r * 85) // (100 * deg.d)) AS BIGINT) AS s
+           FROM dirs JOIN deg USING (src) JOIN r0 r ON r.v = dirs.src
+           GROUP BY dst),
+    r1 AS (SELECT v, (15000000000000 // (100 * nn)) + coalesce(s, 0) AS r
+           FROM nodes CROSS JOIN cnt LEFT JOIN c1 ON c1.dst = v),
+    c2 AS (SELECT dst, CAST(sum((r.r * 85) // (100 * deg.d)) AS BIGINT) AS s
+           FROM dirs JOIN deg USING (src) JOIN r1 r ON r.v = dirs.src
+           GROUP BY dst),
+    r2 AS (SELECT v, (15000000000000 // (100 * nn)) + coalesce(s, 0) AS r
+           FROM nodes CROSS JOIN cnt LEFT JOIN c2 ON c2.dst = v),
+    c3 AS (SELECT dst, CAST(sum((r.r * 85) // (100 * deg.d)) AS BIGINT) AS s
+           FROM dirs JOIN deg USING (src) JOIN r2 r ON r.v = dirs.src
+           GROUP BY dst),
+    r3 AS (SELECT v, (15000000000000 // (100 * nn)) + coalesce(s, 0) AS r
+           FROM nodes CROSS JOIN cnt LEFT JOIN c3 ON c3.dst = v)
+    SELECT v AS user_id, CAST(r AS BIGINT) AS rank_e12,
+           row_number() OVER (ORDER BY r DESC, v) AS rnk
+    FROM r3 QUALIFY rnk <= 20
+    """,
+)
+def x107_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-iteration PageRank (Brin & Page 1998; damping 0.85,
+    THREE unrolled power steps) over the x92/x100 user co-occurrence
+    graph, top-20 users by final rank — the influence centrality the
+    graph family was missing between triangles (local density) and
+    k-core (global cohesion). r2_pagerank_int proved the integer
+    recurrence on a 6-node literal graph; THIS runs it on the
+    corpus-derived graph with the full edge-construction pipeline.
+
+    Exactness: ALL integer arithmetic — ranks live in e12 units,
+    per-neighbor contribution is ``(r * 85) div (100 * d)`` and the
+    teleport term ``(15e12) div (100 * n)``; both engines truncate
+    integer division toward zero identically, so every iterate is
+    bit-equal. No floats anywhere.
+
+    Scale shape: edge construction is x92's (presence dedup,
+    bucket-cap <= 32); each power step is ONE join of the rank vector
+    to the (src, dst, d)-annotated edge list + a sum by dst — the
+    Pregel-as-joins shape, with the edge list and each rank iterate
+    eagerly localCheckpointed (flat lineage, single evaluation; the
+    k-core discipline). Per-step shuffle is |E| contributions keyed
+    by dst — no corpus rescans after construction. The top-20 reduces
+    via TakeOrderedAndProject, never a global sort."""
+    from etlp_spark.functions.graph import cooccurrence_edges
+
+    ev = _t_fanout(spark, sf_dir, "events")
+    pres = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hb"), "user_id"
+    )
+    edges = cooccurrence_edges(
+        pres, "user_id", ("event_type", "hb"), min_shared=3, max_bucket=32
+    )
+    dirs = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = dirs.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ed = dirs.join(deg, "src").select("src", "dst", "d").localCheckpoint()
+    nodes = ed.select(F.col("src").alias("v")).distinct().localCheckpoint()
+    ncnt = nodes.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    r = (
+        nodes.crossJoin(F.broadcast(ncnt))
+        .select("v", F.expr("1000000000000 div nn").cast("long").alias("r"))
+        .localCheckpoint()
+    )
+    for _ in range(3):
+        contrib = (
+            ed.join(r.withColumnRenamed("v", "src"), "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr("(r * 85) div (100 * d)")).cast("long").alias("s")
+            )
+        )
+        r = (
+            nodes.join(contrib.withColumnRenamed("dst", "v"), "v", "left")
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                "v",
+                (
+                    F.expr("15000000000000 div (100 * nn)")
+                    + F.coalesce("s", F.lit(0))
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    top = r.orderBy(F.col("r").desc(), "v").limit(20)
+    w = Window.orderBy(F.col("r").desc(), F.col("v"))
+    return top.select(
+        F.col("v").alias("user_id"),
+        F.col("r").alias("rank_e12"),
+        F.row_number().over(w).alias("rnk"),
+    )
+
+
+def _x108_oracle() -> str:
+    l2 = (
+        "list_reduce(list_transform(list_zip(e.embedding, s.ce), "
+        "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)), "
+        "(a, b) -> a + b)"
+    )
+    return f"""
+    WITH seeds AS (
+      SELECT CAST(vec_id AS INT) AS cell, embedding AS ce
+      FROM embeddings WHERE vec_id < 4),
+    ds AS (
+      SELECT e.vec_id, e.embedding, s.cell, {l2} AS d2
+      FROM embeddings e CROSS JOIN seeds s),
+    rk AS (
+      SELECT vec_id, embedding, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      FROM ds),
+    asg AS (SELECT vec_id, embedding, cell FROM rk WHERE rn = 1),
+    dims AS (SELECT unnest(range(1, 65)) AS i),
+    ex AS (
+      SELECT cell, CAST(i - 1 AS INT) AS dim,
+             CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS v6
+      FROM asg CROSS JOIN dims),
+    sums AS (
+      SELECT cell, dim, CAST(sum(v6) AS BIGINT) AS s6,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ex GROUP BY cell, dim),
+    newc AS (SELECT cell, dim, n, s6 // n AS new_e6 FROM sums),
+    oldc AS (
+      SELECT cell, CAST(i - 1 AS INT) AS dim,
+             CAST(floor(ce[i]::DOUBLE * 1000000.0) AS BIGINT) AS old_e6
+      FROM seeds CROSS JOIN dims)
+    SELECT n.cell, max(n.n) AS n_members,
+           CAST(sum((n.new_e6 - o.old_e6) * (n.new_e6 - o.old_e6)) AS BIGINT)
+             AS movement,
+           CAST(max(CASE WHEN n.dim = 0 THEN n.new_e6 END) AS BIGINT)
+             AS new0_e6
+    FROM newc n JOIN oldc o ON o.cell = n.cell AND o.dim = n.dim
+    GROUP BY n.cell
+    """
+
+
+@_register("x108_kmeans_update", _x108_oracle())
+def x108_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd k-means UPDATE step (assign -> recompute centroids ->
+    report movement) seeded by the corpus's first four vectors — the
+    iteration kernel of embedding-space clustering (IVF training,
+    SemDeDup cell fitting, topic bucketing), exposed as a
+    value-checked operator. x12's end-to-end trainer stays rows-only
+    because float-mean centroids are order-dependent; THIS makes the
+    update itself oracle-exact by the repo's
+    e6-floor-then-integer-sum rule: each member coordinate floors to
+    e6 BEFORE the per-(cell, dim) integer sum, and the new centroid
+    coordinate is the integer quotient ``s6 div n`` — order-free in
+    both engines. Movement is the squared-integer displacement per
+    cell (convergence readout).
+
+    Seeds are DATA-DERIVED (vec_id < 4, the k-means++-degenerate
+    'first k' init) via a 4 x dims bounded collect — the IVF-init
+    precedent (similarity.py) — so the four cells actually partition
+    the corpus; distances are the same ordered float64 fold as x30
+    (float32 widens exactly), argmin ties break to the lowest cell in
+    both engines.
+
+    Scale shape: assignment is scan-stage (centroid literals, x30's
+    shape); the update is ONE (cell, dim)-keyed integer aggregate
+    (map-side combinable, |cells| x |dims| = 256 output rows), then
+    constant-size joins against the literal old centroids. No
+    row-count-sized shuffle carries vectors — only (cell, dim, int)
+    triples."""
+    import math as _math
+
+    from etlp_spark.functions.similarity import ivf_assign
+
+    emb = _t_fanout(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]  # bounded: k x dims, the IVF-init precedent
+    asg = ivf_assign(emb, cents).select("cell", "embedding")
+    ex = asg.select(
+        "cell", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "cell",
+        "dim",
+        F.floor(F.col("val").cast("double") * F.lit(1000000.0))
+        .cast("long")
+        .alias("v6"),
+    )
+    sums = ex.groupBy("cell", "dim").agg(
+        F.sum("v6").cast("long").alias("s6"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    newc = sums.select(
+        "cell", "dim", "n", F.expr("s6 div n").cast("long").alias("new_e6")
+    )
+    old_vals = ", ".join(
+        f"({j}, {i}, {int(_math.floor(v * 1000000.0))})"
+        for j, c in enumerate(cents)
+        for i, v in enumerate(c)
+    )  # math.floor on exact float64 == floor(DOUBLE) in either engine
+    oldc = spark.sql(
+        f"SELECT cell, dim, CAST(old_e6 AS BIGINT) AS old_e6 "
+        f"FROM VALUES {old_vals} AS t(cell, dim, old_e6)"
+    )
+    return (
+        newc.join(F.broadcast(oldc), ["cell", "dim"])
+        .groupBy("cell")
+        .agg(
+            F.max("n").alias("n_members"),
+            F.sum(
+                (F.col("new_e6") - F.col("old_e6"))
+                * (F.col("new_e6") - F.col("old_e6"))
+            )
+            .cast("long")
+            .alias("movement"),
+            F.max(F.when(F.col("dim") == 0, F.col("new_e6")))
+            .cast("long")
+            .alias("new0_e6"),
+        )
+    )
+
+
+@_register(
+    "x109_editdistance_neardup",
+    """
+    WITH blk AS (
+      SELECT doc_id, lang, n_chars // 32 AS bkt,
+             substr(text, 1, 64) AS pfx
+      FROM documents),
+    sized AS (SELECT lang, bkt FROM blk
+              GROUP BY 1, 2 HAVING count(*) <= 40),
+    kept AS (SELECT b.* FROM blk b JOIN sized s
+             ON s.lang = b.lang AND s.bkt = b.bkt),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+      FROM kept a JOIN kept b
+        ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, dist
+    FROM pairs WHERE dist <= 16
+    """,
+)
+def x109_editdistance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate pairs under BLOCKED comparison —
+    the fuzzy-dedup family's character-level member (x5 MinHash =
+    set overlap, x46 SimHash = weighted-feature hamming, x13 n-gram
+    Jaccard = set similarity; Levenshtein catches small in-place
+    EDITS those set views dilute). x14 proved the distance function
+    on literals; THIS is the corpus operator: block on (lang,
+    length-band), drop oversized blocks (the LSH bucket-cap
+    discipline — hubs are dropped, not exploded), compare 64-char
+    prefixes pairwise within blocks, keep pairs within distance 16.
+
+    Exactness: levenshtein is the same unit-cost DP integer in both
+    engines; blocking keys are integer division + substr.
+
+    Scale shape: the pairwise expansion is an equi-join on the block
+    key with per-block size capped at 40 -> <= 780 comparisons per
+    block regardless of corpus size; each comparison is O(64^2) on
+    prefixes, never full documents. At 100 TB the blocks shuffle by
+    (lang, band) — the same bounded-bucket shape as x5/x46; raising
+    recall means more bands (e.g. adding a simhash band column), not
+    bigger buckets."""
+    docs = _t_fanout(spark, sf_dir, "documents")
+    blk = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("n_chars div 32").cast("long").alias("bkt"),
+        F.substring("text", 1, 64).alias("pfx"),
+    )
+    sized = (
+        blk.groupBy("lang", "bkt")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .where(F.col("nb") <= 40)
+        .select("lang", "bkt")
+    )
+    kept = blk.join(F.broadcast(sized), ["lang", "bkt"])
+    a = kept.select(
+        "lang", "bkt", F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pa")
+    )
+    b = kept.select(
+        "lang", "bkt", F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pb")
+    )
+    return (
+        a.join(b, ["lang", "bkt"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= 16)
+    )
+
+
+@_register(
+    "x110_funnel_steps",
+    """
+    WITH b AS (
+      SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events),
+    c AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM b),
+    d AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM c),
+    u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+          FROM d GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t1) AS BIGINT) AS n_view,
+           CAST(count(t2) AS BIGINT) AS n_click_after,
+           CAST(count(t3) AS BIGINT) AS n_purchase_after,
+           CAST((count(t2) * 1000000) // count(t1) AS BIGINT)
+             AS conv_view_click_e6,
+           CAST((count(t3) * 1000000) // count(t2) AS BIGINT)
+             AS conv_click_purchase_e6
+    FROM u
+    """,
+)
+def x110_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICTLY-ORDERED funnel conversion (view -> click -> purchase,
+    each step's first occurrence must be LATER than the previous
+    step's): per user, t1 = first view, t2 = first click after t1,
+    t3 = first purchase after t2; then one global row of step counts
+    and step-to-step conversion rates. x39 counts unordered "did
+    both" conversion; ordered sequencing is the product-analytics
+    semantics (a purchase BEFORE the first view must not count) and
+    needs the chained time anchors.
+
+    Exactness: timestamps compare exactly (load-normalized); counts
+    are integers and the rates are integer ``(a * 1e6) div b``.
+
+    Scale shape: the three chained anchors are STACKED unbounded
+    windows over the SAME partition key — one user_id shuffle total,
+    no sort (unordered frames), no join-back of aggregates to the
+    corpus (the x78/x90 join-back-elimination rule applied to funnel
+    sequencing; the naive form is three self-joins of events). The
+    final reduce is a single all-combine row."""
+    ev = _t_fanout(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    b = ev.select("user_id", "event_type", "ts").withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    c = b.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d = c.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    u = d.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("t1").cast("long").alias("n_view"),
+        F.count("t2").cast("long").alias("n_click_after"),
+        F.count("t3").cast("long").alias("n_purchase_after"),
+        F.expr("(count(t2) * 1000000) div count(t1)")
+        .cast("long")
+        .alias("conv_view_click_e6"),
+        F.expr("(count(t3) * 1000000) div count(t2)")
+        .cast("long")
+        .alias("conv_click_purchase_e6"),
+    )
+
+
+def _o_h52(expr: str, salt: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({expr} AS VARCHAR) || '#{salt}'), 1, 13))"
+        "::BIGINT"
+    )
+
+
+def _h52(col, salt: str):
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(col.cast("string"), F.lit(f"#{salt}"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+@_register(
+    "x111_calibration_bins",
+    f"""
+    WITH sc AS (
+      SELECT event_id,
+             {_o_h52('event_id', 'S')} % 1000000 AS score_e6,
+             CASE WHEN {_o_h52('event_id', 'L')} % 1000000
+                       < {_o_h52('event_id', 'S')} % 1000000
+                  THEN 1 ELSE 0 END AS label
+      FROM events),
+    b AS (
+      SELECT score_e6 // 100000 AS bin, score_e6, label FROM sc)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           CAST(sum(score_e6) // count(*) AS BIGINT) AS mean_score_e6,
+           CAST((sum(label) * 1000000) // count(*) AS BIGINT) AS frac_pos_e6,
+           CAST(abs(sum(score_e6) // count(*)
+                    - (sum(label) * 1000000) // count(*)) AS BIGINT)
+             AS gap_e6
+    FROM b GROUP BY bin
+    """,
+)
+def x111_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram / calibration bins (the per-bin rows of
+    Expected Calibration Error, Guo et al. 2017): decile-bin a model
+    confidence score against outcomes, report per-bin mean
+    confidence, empirical positive rate, and their gap — the standard
+    readout for "is this quality/toxicity/langid classifier's score a
+    probability or just a ranking" before its threshold gets baked
+    into a filtering pipeline (x21's gates, x62's langid
+    calibration-by-agreement). Score and label are md5-derived
+    (52-bit salt-keyed hashes — the label is Bernoulli(score) by
+    construction, so gaps reflect pure binomial noise; swap in real
+    model columns in production).
+
+    Exactness: everything is integer hash arithmetic and integer
+    quotients — no floats at all.
+
+    Scale shape: scan-stage hashing + ONE 10-group aggregate with
+    map-side partials; nothing else. The 100 TB plan is the sf0.001
+    plan."""
+    ev = _t_fanout(spark, sf_dir, "events")
+    sc = ev.select(
+        (_h52(F.col("event_id"), "S") % 1000000).alias("score_e6"),
+        F.when(
+            (_h52(F.col("event_id"), "L") % 1000000)
+            < (_h52(F.col("event_id"), "S") % 1000000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+    return (
+        sc.withColumn("bin", F.expr("score_e6 div 100000").cast("long"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.expr("sum(score_e6) div count(*)")
+            .cast("long")
+            .alias("mean_score_e6"),
+            F.expr("(sum(label) * 1000000) div count(*)")
+            .cast("long")
+            .alias("frac_pos_e6"),
+            F.abs(
+                F.expr("sum(score_e6) div count(*)")
+                - F.expr("(sum(label) * 1000000) div count(*)")
+            )
+            .cast("long")
+            .alias("gap_e6"),
+        )
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -10374,38 +10868,45 @@ _GATED_PRIOR_ROUNDS = [
     "x91_matryoshka_recall", "x92_cooccurrence_triangles",
     "x93_pq_adc_topk", "x94_ivf_adc_search", "x95_hybrid_rrf_fusion",
     "x96_cdc_apply_latest",
+    # round 8 gated these (CORRECTNESS_r08.json) — all green (the
+    # other 39 r8 slots were x87 + r4-era canaries listed above):
+    "x97_hll_registers", "x98_source_overlap_matrix",
+    "x99_cuped_adjusted_delta", "x100_kcore_membership",
+    "x101_srm_check", "x102_zorder_layout", "x103_ddsketch_quantiles",
+    "x105_unseen_mass", "x106_mixture_allocation", "j13_bloom_prejoin",
 ]
 
-#: Round-8 gate (the driver records the FIRST 50 registered): leads
-#: with x87 — its dsir_scores kernel grew the empty-target guard this
-#: round (ADVICE r7), so it re-gates as the changed-query canary —
-#: followed by the round-4-gated block, now the OLDEST evidence in
-#: the rotation (r6 re-gated r1/r2, r7 re-gated r3). Sized at 39 so
-#: the NEW round-8 queries (x97-x102 and any later additions, none
-#: in any gate list) auto-land via ``_ungated`` INSIDE the first-50
-#: window, with the remaining slots refilled by ``_rest``'s leading
-#: entries (more r4-era canaries) if fewer new queries ship.
+#: Round-9 gate (the driver records the FIRST 50 registered): leads
+#: with the three queries whose implementation CHANGED this round
+#: (x103 became the sketch-only form, x98 lost its driver collect and
+#: bitmask for the set-frequency closed form, x92 grew its
+#: localCheckpoint pins), then the r8 verdict's 17-query STALE block
+#: — the only queries whose last driver evidence predates round 5 —
+#: then r5-era canaries. Sized at 44 so the NEW round-9 queries
+#: (x103b, x107-x111 — none in any gate list) auto-land via
+#: ``_ungated`` INSIDE the first-50 window.
 _NEWEST = [
-    # changed this round (dsir_scores empty-target guard):
-    "x87_dsir_importance",
-    # oldest canaries, last gated round 4:
-    "x20_tfidf_topterms", "x21_quality_gates",
-    "x23_sequence_packing", "x24_contamination_check", "x25_pii_scrub",
-    "x26_shuffle_shard", "x27_repetition_stats", "x28_unigram_logprob",
-    "x29_embedding_quantize", "x30_ivf_assign_fixed",
-    "x31_retrieval_topk_docs", "q08_market_share", "q11_important_nations",
-    "q13_custdist", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q20_heavy_part_suppliers",
-    "q21_waiting_supplier", "m3_mapping_nested",
-    "g8_salted_quantity_rollup", "g9_hll_sketch_union",
-    "j8_salted_join_priority", "f6_variant_json",
-    "x46_simhash_hamming_neardup", "x47_quality_tertile_buckets",
-    "x48_label_centroids", "x49_vocab_coverage",
-    "w9_session_window_builtin", "x50_train_split", "x51_token_entropy",
-    "x52_containment_pairs", "x53_bigram_pmi", "x54_metric_correlation",
-    "x55_daily_anomaly_zscore", "x56_dup_rate_by_source",
-    "x57_uniform_k_sample", "x58_langid_confusion",
-    "w10_transition_matrix",
+    # changed this round:
+    "x103_ddsketch_quantiles", "x98_source_overlap_matrix",
+    "x92_cooccurrence_triangles",
+    # the r8 verdict's stale block — last driver-gated rounds 2-4:
+    "g7_grouping_sets", "g13_modal_event_type", "j11_lateral_topk",
+    "p1_pivot_event_types", "q12_priority_shipmode", "q14_promo_effect",
+    "q15_top_supplier", "q18_large_volume_customer",
+    "q19_disjunctive_revenue", "q22_idle_balance", "s4_union_distinct",
+    "w4_per_user_trend", "w11_range_frame_rolling", "w12_gap_fill_ffill",
+    "x12_ivf_ann", "x59_winsorized_stats", "x60_doc_chunks",
+    # next-oldest canaries, last gated round 5:
+    "x61_zipf_slope", "x62_langid_calibration", "w13_ewma_smoothed",
+    "x63_retrieval_dcg", "w14_ohlc_candles", "x64_corpus_drift",
+    "x65_tokenizer_fertility", "x66_hard_negatives",
+    "r1_reachability_hops", "j12_asof_nearest",
+    "x67_data_quality_report", "f8_try_functions", "w15_centered_ma",
+    "x68_chunk_dedup_rate", "x69_countmin_heavyhitters",
+    "x70_segment_dedup", "w16_distribution_ranks",
+    "x74_touch_attribution", "x71_ann_recall", "x72_luhn_check",
+    "x73_bigram_logprob", "x75_pq_codes", "x76_semdedup_prune",
+    "x78_ngram_novelty",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
