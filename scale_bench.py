@@ -105,6 +105,13 @@ HEAVY = [
     "x103_ddsketch_quantiles",
     "x105_unseen_mass",
     "x106_mixture_allocation",
+    # round-9 additions
+    "x103b_ddsketch_audited",
+    "x107_pagerank_topk",
+    "x108_kmeans_update",
+    "x109_editdistance_neardup",
+    "x110_funnel_steps",
+    "x111_calibration_bins",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -147,6 +154,12 @@ QUERY_TABLES = {
     "x103_ddsketch_quantiles": ["events"],
     "x105_unseen_mass": ["documents"],
     "x106_mixture_allocation": ["documents"],
+    "x103b_ddsketch_audited": ["events"],
+    "x107_pagerank_topk": ["events"],
+    "x108_kmeans_update": ["embeddings"],
+    "x109_editdistance_neardup": ["documents"],
+    "x110_funnel_steps": ["events"],
+    "x111_calibration_bins": ["events"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]

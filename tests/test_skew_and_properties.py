@@ -638,3 +638,62 @@ def test_kcore_invariant_random_graphs(spark, raw_edges, k):
     if ref:
         core_deg = {r.v: r.d for r in degrees(kcore(df, k=k, rounds=16)).collect()}
         assert all(d >= k for d in core_deg.values())
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 30)),
+        min_size=0,
+        max_size=120,
+    ),
+    st.integers(min_value=2, max_value=6),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cooccurrence_bucket_cap_drops_hubs(spark, pres_pairs, cap, min_shared):
+    """The bucket cap is the load-bearing skew guard of the whole
+    graph family (x92 triangles, x100 k-core, x107 pagerank all build
+    edges through it) — property-pinned (r8 verdict #6): (1) the edge
+    list equals a driver-side reference that enumerates pairs ONLY in
+    buckets of size 2..cap; (2) adding a deliberately GIANT bucket
+    (size cap+1, the hub/celebrity shape) changes NOTHING — hubs are
+    dropped, never exploded, so a skewed key cannot re-enter as a
+    deg^2 pair blow-up."""
+    from etlp_spark.functions.graph import cooccurrence_edges
+
+    pres = sorted(set(pres_pairs))
+    # driver-side reference
+    by_bucket: dict[int, set[int]] = {}
+    for bkt, u in pres:
+        by_bucket.setdefault(bkt, set()).add(u)
+    from itertools import combinations
+
+    counts: dict[tuple[int, int], int] = {}
+    for members in by_bucket.values():
+        if 2 <= len(members) <= cap:
+            for a, b in combinations(sorted(members), 2):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+    ref = {p for p, c in counts.items() if c >= min_shared}
+
+    if not pres:
+        return
+    df = spark.createDataFrame(pres, "bkt int, u int")
+    got = {
+        (r.a, r.b)
+        for r in cooccurrence_edges(
+            df, "u", ("bkt",), min_shared=min_shared, max_bucket=cap
+        ).collect()
+    }
+    assert got == ref
+
+    # hub invariance: one giant bucket (size cap+1) joins the data
+    giant = [(99, 1000 + i) for i in range(cap + 1)]
+    df2 = spark.createDataFrame(pres + giant, "bkt int, u int")
+    got2 = {
+        (r.a, r.b)
+        for r in cooccurrence_edges(
+            df2, "u", ("bkt",), min_shared=min_shared, max_bucket=cap
+        ).collect()
+    }
+    assert got2 == ref
