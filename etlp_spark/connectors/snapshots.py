@@ -27,6 +27,13 @@ versions being compared. Manifest listing/IO uses the local filesystem
 (the container has no object store); the manifest records absolute
 file URIs, so porting to S3A/HDFS changes only ``_list_files`` and the
 link-based commit (object stores want a conditional PUT instead).
+Path comparison is already portable: every place a manifest string
+meets a Spark-reported ``input_file_name()`` URI goes through
+``_norm_file``, which realpath-normalizes local/file:// paths and
+keeps scheme+netloc verbatim for object-store schemes — an
+``s3a://bucket/...`` manifest string matches the identical reported
+URI with no local mangling (unit-pinned by
+``test_norm_file_keeps_object_store_uris``).
 
 Commit protocol: data first, then the manifest via write-temp +
 ``os.link`` (atomic on POSIX; exclusive — see concurrency below). A
