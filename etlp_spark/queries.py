@@ -10772,6 +10772,288 @@ def x111_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x112_k_anonymity",
+    """
+    WITH cells AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_cells,
+           CAST(sum(CASE WHEN n_users < 5 THEN n_users ELSE 0 END) AS BIGINT)
+             AS n_users_at_risk,
+           CAST(min(n_users) AS BIGINT) AS min_cell_users,
+           CAST((sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS risky_rate_e6
+    FROM cells GROUP BY event_type
+    """,
+)
+def x112_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over quasi-identifier cells —
+    the aggregate-level privacy check that complements x25's
+    value-level PII scrub: a release keyed by (event_type, day) is
+    k-anonymous iff every cell contains >= k distinct users; cells
+    below k re-identify their members by the quasi-identifiers alone.
+    Reports, per event type, the cell count, the sub-k (k=5) cell
+    count, how many users sit in risky cells, the minimum cell size,
+    and the risky-cell rate — the table a privacy reviewer reads
+    before approving an export.
+
+    Exactness: distinct counts and integer quotients only.
+
+    Scale shape: one (event_type, day, user) distinct aggregate
+    (map-side partial on the triple), one cell rollup, one per-type
+    rollup — sizes fall at each step; nothing row-scaled survives the
+    first shuffle. The 100 TB plan is the sf0.001 plan."""
+    ev = _t_fanout(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    risky = F.when(F.col("n_users") < 5, F.lit(1)).otherwise(F.lit(0))
+    return cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(risky).cast("long").alias("n_risky_cells"),
+        F.sum(F.when(F.col("n_users") < 5, F.col("n_users")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_users_at_risk"),
+        F.min("n_users").cast("long").alias("min_cell_users"),
+        F.expr(
+            "(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) * 1000000)"
+            " div count(*)"
+        )
+        .cast("long")
+        .alias("risky_rate_e6"),
+    )
+
+
+@_register(
+    "x113_power_iteration",
+    """
+    WITH y1 AS (
+      SELECT vec_id, embedding,
+             list_reduce(list_transform(embedding, e -> e::DOUBLE),
+                         (a, b) -> a + b) AS y1
+      FROM embeddings),
+    dims AS (SELECT unnest(range(1, 65)) AS i),
+    s1 AS (
+      SELECT CAST(i - 1 AS INT) AS dim,
+             CAST(sum(CAST(floor(embedding[i]::DOUBLE * y1 * 1000000.0)
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM y1 CROSS JOIN dims GROUP BY 1),
+    m1 AS (SELECT max(abs(s)) AS m FROM s1),
+    v1 AS (SELECT dim, (s * 1000000) // m AS v_e6 FROM s1 CROSS JOIN m1),
+    y2 AS (
+      SELECT vec_id,
+             CAST(sum(CAST(floor(e.embedding[v1.dim + 1]::DOUBLE * v1.v_e6)
+                           AS BIGINT)) AS BIGINT) AS y2
+      FROM embeddings e CROSS JOIN v1 GROUP BY vec_id),
+    s2 AS (
+      SELECT CAST(i - 1 AS INT) AS dim,
+             CAST(sum(CAST(floor(e.embedding[i]::DOUBLE * y2.y2) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM embeddings e JOIN y2 USING (vec_id) CROSS JOIN dims
+      GROUP BY 1),
+    m2 AS (SELECT max(abs(s)) AS m FROM s2)
+    SELECT v1.dim,
+           CAST(v1.v_e6 AS BIGINT) AS v1_e6,
+           CAST((s2.s * 1000000) // m2.m AS BIGINT) AS v2_e6
+    FROM v1 JOIN s2 ON s2.dim = v1.dim CROSS JOIN m2
+    """,
+)
+def x113_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed POWER ITERATION for the corpus's leading principal
+    direction (two unrolled steps of ``v <- X^T X v`` from the
+    all-ones start, max-abs-normalized) — the spectral primitive
+    under embedding whitening, ABTT-style dominant-direction removal
+    (Mu & Viswanath 2018), and spectral outlier screening, computed
+    WITHOUT ever materializing the 64x64 covariance (the two-pass
+    matvec shape that scales to any dim count).
+
+    Exactness (the float-sum hazard, solved the repo's standard way):
+    each per-row term ``x_ij * y_i`` e6-floors to an integer BEFORE
+    the cross-row sum, so the reduction is order-free; ``y1`` is an
+    ordered in-row fold (bit-equal across engines), ``y2`` is an
+    integer sum of per-element floors, and products stay exact in
+    float64 (24-bit float32 mantissa x <=2^27 integer < 2^53).
+    Normalization is integer ``(s * 1e6) div max|s|``.
+
+    Scale shape: two corpus passes, each ONE 64-group integer
+    aggregate (map-side combinable) — the matvec never shuffles
+    vectors, only (dim, int) partials; the 64-row v1 broadcast-joins
+    back for pass two. Overflow bound: |s2| < rows x 2^28, so BIGINT
+    holds to ~3e10 rows — beyond that, rescale y2 by a power of two
+    per the docnote (same integer semantics)."""
+    emb = _t_fanout(spark, sf_dir, "embeddings")
+    y1 = emb.select(
+        "vec_id",
+        "embedding",
+        F.aggregate(
+            F.transform("embedding", lambda e: e.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("y1"),
+    )
+    s1 = (
+        y1.select(
+            F.posexplode("embedding").alias("dim", "x"), F.col("y1")
+        )
+        .select(
+            "dim",
+            F.floor(F.col("x").cast("double") * F.col("y1") * F.lit(1000000.0))
+            .cast("long")
+            .alias("t"),
+        )
+        .groupBy("dim")
+        .agg(F.sum("t").cast("long").alias("s"))
+    )
+    m1 = s1.agg(F.max(F.abs("s")).alias("m"))
+    v1 = (
+        s1.crossJoin(F.broadcast(m1))
+        .select("dim", F.expr("(s * 1000000) div m").cast("long").alias("v_e6"))
+        .localCheckpoint()  # 64 rows; multi-consumer (y2 join + output)
+    )
+    y2 = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .join(F.broadcast(v1), "dim")
+        .select(
+            "vec_id",
+            F.floor(F.col("x").cast("double") * F.col("v_e6"))
+            .cast("long")
+            .alias("t"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("t").cast("long").alias("y2"))
+    )
+    s2 = (
+        emb.join(y2, "vec_id")
+        .select(F.posexplode("embedding").alias("dim", "x"), F.col("y2"))
+        .select(
+            "dim",
+            F.floor(F.col("x").cast("double") * F.col("y2"))
+            .cast("long")
+            .alias("t"),
+        )
+        .groupBy("dim")
+        .agg(F.sum("t").cast("long").alias("s"))
+    )
+    m2 = s2.agg(F.max(F.abs("s")).alias("m"))
+    return (
+        v1.join(s2, "dim")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "dim",
+            F.col("v_e6").alias("v1_e6"),
+            F.expr("(s * 1000000) div m").cast("long").alias("v2_e6"),
+        )
+    )
+
+
+@_register(
+    "x114_prefix_filter_jaccard",
+    f"""
+    WITH tk AS (SELECT doc_id, {_O_TOKS} AS tk FROM documents),
+    dt AS (SELECT DISTINCT doc_id, unnest(tk) AS t FROM tk),
+    sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM dt a JOIN dt b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT doc_a, doc_b, c, sa.n + sb.n - c AS u
+      FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b,
+           CAST(c AS BIGINT) AS n_inter,
+           CAST(u AS BIGINT) AS n_union,
+           CAST((c * 1000000) // u AS BIGINT) AS jaccard_e6
+    FROM j WHERE c * 5 >= u * 4
+    """,
+)
+def x114_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity JOIN by PREFIX FILTERING (Chaudhuri, Ganti &
+    Kaushik 2006; the SSJoin/PPJoin family): all document pairs with
+    token-set Jaccard >= 0.8, found WITHOUT the quadratic token
+    equi-join. Sort each doc's distinct tokens by ascending global
+    frequency (rarest first); if J(A, B) >= t, the first
+    ``|A| - ceil(t*|A|) + 1`` tokens of A and of B must share an
+    element — so candidate generation joins only on PREFIX tokens
+    (which are globally rare by construction), then exact Jaccard
+    verifies each candidate via in-row array intersection.
+
+    The ORACLE is the naive quadratic definition (full token
+    equi-join; hot/stop tokens explode it) — so the driver gate
+    proves the optimization LOSSLESS, the j13 pattern: a correct
+    prefix filter can never change semantics, only the plan. The
+    threshold compares as integers (``5c >= 4u``), no float ever.
+
+    Scale shape at 100 TB: the naive join's cost is sum over tokens
+    of f(t)^2 — a stopword with f=10^9 alone yields 10^18 pairs; the
+    prefix join's cost is the same sum over PREFIX occurrences only,
+    and a token's prefix occurrences are bounded by how many docs
+    rank it in their rarest ~20% — frequency ordering pushes hot
+    tokens out of every prefix. Verification touches only candidate
+    pairs, each an O(|tokens|) array intersect with both token
+    arrays broadcast-joined by doc id."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("tk")
+    ).where(F.size("tk") >= 1)
+    dt = tk.select("doc_id", F.explode("tk").alias("t"))
+    freq = dt.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    # rank tokens rarest-first per doc; prefix length n - ceil(0.8n) + 1
+    wd = Window.partitionBy("doc_id").orderBy("f", "t")
+    wn = Window.partitionBy("doc_id")
+    ranked = dt.join(freq, "t").select(
+        "doc_id",
+        "t",
+        F.row_number().over(wd).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    prefix = ranked.where(
+        F.col("rk") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+    ).select("doc_id", "t")
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "t")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = tk.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("ta"))
+    tb = tk.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tb"))
+    verified = (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("n_inter"),
+            (
+                F.size("ta") + F.size("tb")
+                - F.size(F.array_intersect("ta", "tb"))
+            )
+            .cast("long")
+            .alias("n_union"),
+        )
+        .where(F.col("n_inter") * 5 >= F.col("n_union") * 4)
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "n_union",
+        F.expr("(n_inter * 1000000) div n_union").cast("long").alias("jaccard_e6"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -10882,8 +11164,8 @@ _GATED_PRIOR_ROUNDS = [
 #: bitmask for the set-frequency closed form, x92 grew its
 #: localCheckpoint pins), then the r8 verdict's 17-query STALE block
 #: — the only queries whose last driver evidence predates round 5 —
-#: then r5-era canaries. Sized at 44 so the NEW round-9 queries
-#: (x103b, x107-x111 — none in any gate list) auto-land via
+#: then r5-era canaries. Sized at 41 so the NEW round-9 queries
+#: (x103b, x107-x114 — none in any gate list) auto-land via
 #: ``_ungated`` INSIDE the first-50 window.
 _NEWEST = [
     # changed this round:
@@ -10905,8 +11187,7 @@ _NEWEST = [
     "x68_chunk_dedup_rate", "x69_countmin_heavyhitters",
     "x70_segment_dedup", "w16_distribution_ranks",
     "x74_touch_attribution", "x71_ann_recall", "x72_luhn_check",
-    "x73_bigram_logprob", "x75_pq_codes", "x76_semdedup_prune",
-    "x78_ngram_novelty",
+    "x73_bigram_logprob",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
