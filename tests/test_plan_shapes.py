@@ -326,3 +326,41 @@ def test_bloom_prejoin_probe_is_scan_stage(spark):
     plan = _executed_plan(QUERIES["j13_bloom_prejoin"].fn(spark, SF))
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "shiftleft" in plan, "bloom probe filter missing:\n" + plan[:2000]
+
+
+def test_k_anonymity_pure_aggregation_cascade(spark):
+    """x112: the privacy audit is three strictly-shrinking hash
+    aggregates (distinct triple -> cell -> per-type) — no join may
+    ever appear, and every aggregate must be hash-based (an
+    ObjectHashAggregate/SortAggregate here would mean the distinct
+    count stopped being map-side combinable)."""
+    plan = _executed_plan(QUERIES["x112_k_anonymity"].fn(spark, SF))
+    assert "Join" not in plan, f"x112 grew a join:\n{plan[:2000]}"
+    assert "SortAggregate" not in plan, plan[:2000]
+
+
+def test_power_iteration_broadcasts_v_and_checkpoints(spark):
+    """x113: the matvec never shuffles vectors — the 64-row v1 is
+    localCheckpoint-pinned (multi-consumer: pass-two join + output)
+    and broadcast into the posexplode stream, so the executed plan
+    reads a checkpoint scan and contains no corpus-side sort-merge
+    for the dim joins. The only allowed SortMergeJoin is the
+    vec_id-keyed y2 join (row-scaled on BOTH sides — the one join
+    that legitimately shuffles at 100 TB)."""
+    plan = _executed_plan(QUERIES["x113_power_iteration"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Scan ExistingRDD" in plan, "v1 checkpoint pin lost:\n" + plan[:2000]
+    assert "BroadcastHashJoin" in plan, "v1 de-broadcast:\n" + plan[:2000]
+    assert plan.count("SortMergeJoin") <= 1, (
+        "a dim-side join de-broadcast into sort-merge:\n" + plan[:2000]
+    )
+
+
+def test_prefix_filter_join_no_cartesian_no_nested_loop(spark):
+    """x114: candidate generation must stay an equi-join on PREFIX
+    tokens — a CartesianProduct or BroadcastNestedLoopJoin anywhere
+    means the pair space stopped being prefix-bounded and the
+    quadratic shape the filter exists to kill is back."""
+    plan = _executed_plan(QUERIES["x114_prefix_filter_jaccard"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
