@@ -112,6 +112,9 @@ HEAVY = [
     "x109_editdistance_neardup",
     "x110_funnel_steps",
     "x111_calibration_bins",
+    "x112_k_anonymity",
+    "x113_power_iteration",
+    "x114_prefix_filter_jaccard",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -160,6 +163,9 @@ QUERY_TABLES = {
     "x109_editdistance_neardup": ["documents"],
     "x110_funnel_steps": ["events"],
     "x111_calibration_bins": ["events"],
+    "x112_k_anonymity": ["events"],
+    "x113_power_iteration": ["embeddings"],
+    "x114_prefix_filter_jaccard": ["documents"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]
