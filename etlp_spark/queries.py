@@ -11054,6 +11054,724 @@ def x114_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x115_kneser_ney_bigram",
+    f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKS} AS tk FROM documents),
+    bi AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+           FROM toks, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS r(i)),
+    tf AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c) AS ctot, count(*) AS ntypes FROM tf GROUP BY w1),
+    lft AS (SELECT w2, count(*) AS nleft FROM tf GROUP BY w2),
+    bt AS (SELECT count(*) AS bt FROM tf),
+    sc AS (
+      SELECT t.w1, t.w2,
+             ln((CAST(c AS DOUBLE) - 0.75) / CAST(ctot AS DOUBLE)
+                + ((0.75 * CAST(ntypes AS DOUBLE)) / CAST(ctot AS DOUBLE))
+                  * (CAST(nleft AS DOUBLE) / CAST(bt AS DOUBLE))) AS lp
+      FROM tf t JOIN ctx USING (w1) JOIN lft USING (w2) CROSS JOIN bt)
+    SELECT b.doc_id,
+           round(-avg(lp), 6) AS avg_neg_kn_logprob,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM bi b JOIN sc ON sc.w1 = b.w1 AND sc.w2 = b.w2
+    GROUP BY b.doc_id
+    """,
+)
+def x115_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.26, fixed discount D=0.75) — the
+    smoothing the CCNet/KenLM-style quality filters actually use,
+    upgrading x73's add-one: P(w2|w1) = max(c-D,0)/c(w1.) +
+    D*N1+(w1.)/c(w1.) * N1+(.w2)/|bigram types|. The continuation
+    probability N1+(.w2) (how many DISTINCT left contexts a word
+    follows) is what separates "san francisco"-style fused phrases
+    from genuinely productive words — the standard fluency signal
+    add-one smoothing cannot express. Scoring the training corpus
+    itself means every bigram has c >= 1 > D, so the max() never
+    clips and the score is everywhere finite.
+
+    Exactness: all four count tables are exact integers; the float
+    work is one fixed-shape expression tree (two divisions, one
+    multiply-add, one ln) on identical operands in both engines,
+    then x73's round-6 on the per-doc average.
+
+    Scale shape: bigram enumeration is scan-stage (x53's positional
+    zip, no self-join); tf/ctx/lft aggregate with map-side partials;
+    ctx and lft are keyed by SINGLE tokens (Heaps-sublinear vocab)
+    while the per-term score join carries NO broadcast hint exactly
+    like x73 — bigram vocabulary grows with the corpus, so AQE picks
+    broadcast only while it fits. One shuffle for the per-doc
+    aggregate. Reference: engine-added (SURVEY.md §2.2 text-analysis
+    family)."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens("text").alias("tk"))
+    m = F.size("tk") - 1
+    bi = tk.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                m >= 1,
+                F.zip_with(
+                    F.slice("tk", 1, F.greatest(m, F.lit(0))),
+                    F.slice("tk", 2, F.greatest(m, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    tf = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # consumed 4x: ctx, lft, bt, score
+    )
+    ctx = tf.groupBy("w1").agg(
+        F.sum("c").alias("ctot"), F.count(F.lit(1)).alias("ntypes")
+    )
+    lft = tf.groupBy("w2").agg(F.count(F.lit(1)).alias("nleft"))
+    bt = tf.agg(F.count(F.lit(1)).alias("bt"))
+    scored = (
+        tf.join(ctx, "w1")
+        .join(lft, "w2")
+        .join(F.broadcast(bt))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c").cast("double") - F.lit(0.75))
+                / F.col("ctot").cast("double")
+                + (
+                    (F.lit(0.75) * F.col("ntypes").cast("double"))
+                    / F.col("ctot").cast("double")
+                )
+                * (F.col("nleft").cast("double") / F.col("bt").cast("double"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        bi.join(scored, ["w1", "w2"])  # no broadcast hint: vocab scales
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.avg("lp"), 6).alias("avg_neg_kn_logprob"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+    )
+
+
+def _o_pois_w(u: str) -> str:
+    """Inverse-CDF Poisson(1) draw from an e6 uniform — the SAME five
+    integer thresholds (floor(CDF*1e6)) in both engines."""
+    return (
+        f"(CASE WHEN {u} < 367879 THEN 0 WHEN {u} < 735759 THEN 1 "
+        f"WHEN {u} < 919699 THEN 2 WHEN {u} < 981012 THEN 3 "
+        f"WHEN {u} < 996340 THEN 4 ELSE 5 END)"
+    )
+
+
+@_register(
+    "x116_poisson_bootstrap",
+    f"""
+    WITH base AS (
+      SELECT l_returnflag,
+             l_orderkey * 8 + l_linenumber AS k,
+             CAST(floor((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem),
+    reps AS (SELECT unnest(range(0, 32)) AS r),
+    wts AS (
+      SELECT l_returnflag, r, cents,
+             {_o_pois_w(
+                 "('0x' || substr(md5(CAST(k AS VARCHAR) || '#R' || "
+                 "CAST(r AS VARCHAR)), 1, 13))::BIGINT % 1000000"
+             )} AS w
+      FROM base CROSS JOIN reps),
+    rm AS (
+      SELECT l_returnflag, r, sum(w * cents) // sum(w) AS mean_r
+      FROM wts GROUP BY l_returnflag, r),
+    rk AS (
+      SELECT l_returnflag, mean_r,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY mean_r, r) AS rn
+      FROM rm),
+    ci AS (
+      SELECT l_returnflag,
+             min(CASE WHEN rn = 2 THEN mean_r END) AS lo,
+             min(CASE WHEN rn = 31 THEN mean_r END) AS hi
+      FROM rk GROUP BY l_returnflag),
+    pt AS (
+      SELECT l_returnflag, sum(cents) // count(*) AS est FROM base
+      GROUP BY l_returnflag)
+    SELECT p.l_returnflag,
+           CAST(est AS BIGINT) AS est_cents,
+           CAST(lo AS BIGINT) AS boot_lo_cents,
+           CAST(hi AS BIGINT) AS boot_hi_cents,
+           CAST(hi - lo AS BIGINT) AS ci_width_cents,
+           CAST(32 AS BIGINT) AS n_reps
+    FROM pt p JOIN ci USING (l_returnflag)
+    """,
+)
+def x116_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence intervals (Chamandy et al. 2012,
+    "Estimating uncertainty for massive data streams" — Google's
+    scalable bootstrap; equivalently the streaming limit of the
+    classical resample): per return flag, a 32-replicate bootstrap
+    of mean line revenue where each row's multiplicity in replicate
+    r is an INVERSE-CDF Poisson(1) draw from a deterministic
+    md5-derived uniform — no resample pass over the data, no
+    sampling coordination, reproducible across engines and reruns.
+    Replicate means are exact integer quotients in cents; the CI is
+    the 2nd/31st order statistic of the 32 replicate means
+    (~p05/p95 with explicit rank semantics, no interpolation).
+
+    Exactness: weights are integer CASE thresholds on e6 hash
+    uniforms (floor of the Poisson(1) CDF — both engines compare the
+    same integers); replicate means are integer `div`; order
+    statistics tie-break by replicate id.
+
+    Scale shape at 100 TB: the x32 replicate expansion is SCAN-STAGE
+    (explode + md5, no extra I/O) and collapses map-side — the
+    shuffle carries |flags| x 32 partial sums, CONSTANT in corpus
+    size; the rank window then runs over 32-row groups. This is the
+    whole point of the Poisson formulation: classical bootstrap
+    resampling needs N draws of size N, this needs one scan.
+    Reference: engine-added (SURVEY.md §2.2 stats family, with
+    x99/x101)."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k"),
+        F.floor(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            * F.lit(100)
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    wts = base.select(
+        "l_returnflag",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r"),
+        "k",
+    ).select(
+        "l_returnflag",
+        "r",
+        "cents",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("k").cast("string"),
+                            F.lit("#R"),
+                            F.col("r").cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        ).alias("u"),
+    )
+    w = (
+        F.when(F.col("u") < 367879, 0)
+        .when(F.col("u") < 735759, 1)
+        .when(F.col("u") < 919699, 2)
+        .when(F.col("u") < 981012, 3)
+        .when(F.col("u") < 996340, 4)
+        .otherwise(5)
+    )
+    rm = (
+        wts.select("l_returnflag", "r", w.alias("w"), "cents")
+        .groupBy("l_returnflag", "r")
+        .agg(F.expr("sum(w * cents) div sum(w)").alias("mean_r"))
+    )
+    rk = rm.select(
+        "l_returnflag",
+        "mean_r",
+        F.row_number()
+        .over(Window.partitionBy("l_returnflag").orderBy("mean_r", "r"))
+        .alias("rn"),
+    )
+    ci = rk.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("rn") == 2, F.col("mean_r"))).alias("lo"),
+        F.min(F.when(F.col("rn") == 31, F.col("mean_r"))).alias("hi"),
+    )
+    pt = base.groupBy("l_returnflag").agg(
+        F.expr("sum(cents) div count(*)").alias("est")
+    )
+    return pt.join(ci, "l_returnflag").select(
+        "l_returnflag",
+        F.col("est").cast("long").alias("est_cents"),
+        F.col("lo").cast("long").alias("boot_lo_cents"),
+        F.col("hi").cast("long").alias("boot_hi_cents"),
+        (F.col("hi") - F.col("lo")).cast("long").alias("ci_width_cents"),
+        F.lit(32).cast("long").alias("n_reps"),
+    )
+
+
+def _o_hll_est(regs: str, keys: str) -> str:
+    """Estimate CTE chain over a register relation — mirrors
+    sketches.hll_estimate (p=8) exactly; ``keys`` is the comma-joined
+    group columns."""
+    from etlp_spark.functions.sketches import hll_numer
+
+    numer = repr(hll_numer(8))
+    return f"""
+    agg_{regs} AS (
+      SELECT {keys},
+             sum(1::BIGINT << (53 - reg))
+               + (256 - count(*)) * (1::BIGINT << 53) AS s_int,
+             256 - count(*) AS v0
+      FROM {regs} GROUP BY {keys}),
+    fin_{regs} AS (
+      SELECT {keys},
+             CASE WHEN v0 > 0 AND {numer} / s_int <= 640.0
+                  THEN 256.0 * ln(256.0 / v0)
+                  ELSE {numer} / s_int END AS e
+      FROM agg_{regs}),
+    est_{regs} AS (
+      SELECT {keys},
+             CAST(floor(e * 1000000.0 + 0.5) AS BIGINT) AS est_e6
+      FROM fin_{regs})"""
+
+
+@_register(
+    "x117_hll_set_algebra",
+    f"""
+    WITH tk AS (
+      SELECT source, {_O_TOKS} AS tk FROM documents),
+    pos AS (
+      SELECT source, tk, unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i
+      FROM tk WHERE len(tk) >= 3),
+    toks AS (
+      SELECT source, array_to_string(tk[i:i+2], ' ') AS t FROM pos),
+    hs AS (SELECT DISTINCT source, md5(t) AS h FROM toks),
+    rr AS (SELECT source,
+                  ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+                  ('0x' || substr(h, 3, 13))::BIGINT AS v
+           FROM hs),
+    regs AS (SELECT source, bucket,
+                    max(CASE WHEN v = 0 THEN 53
+                             ELSE 53 - length(bin(v)) END) AS reg
+             FROM rr GROUP BY source, bucket),
+    {_o_hll_est('regs', 'source')},
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM (SELECT DISTINCT source FROM regs) a
+      JOIN (SELECT DISTINCT source FROM regs) b ON a.source < b.source),
+    uregs AS (
+      SELECT sa, sb, bucket, max(reg) AS reg FROM (
+        SELECT p.sa, p.sb, r.bucket, r.reg
+        FROM pairs p JOIN regs r ON r.source = p.sa
+        UNION ALL
+        SELECT p.sa, p.sb, r.bucket, r.reg
+        FROM pairs p JOIN regs r ON r.source = p.sb)
+      GROUP BY sa, sb, bucket),
+    {_o_hll_est('uregs', 'sa, sb')},
+    j AS (
+      SELECT u.sa, u.sb,
+             ea.est_e6 AS a_est_e6, eb.est_e6 AS b_est_e6,
+             u.est_e6 AS union_est_e6,
+             greatest(0, ea.est_e6 + eb.est_e6 - u.est_e6) AS inter_est_e6
+      FROM est_uregs u
+      JOIN est_regs ea ON ea.source = u.sa
+      JOIN est_regs eb ON eb.source = u.sb)
+    SELECT sa AS src_a, sb AS src_b,
+           CAST(a_est_e6 AS BIGINT) AS a_est_e6,
+           CAST(b_est_e6 AS BIGINT) AS b_est_e6,
+           CAST(union_est_e6 AS BIGINT) AS union_est_e6,
+           CAST(inter_est_e6 AS BIGINT) AS inter_est_e6,
+           CAST((inter_est_e6 * 1000000) // union_est_e6 AS BIGINT)
+             AS jaccard_est_e6
+    FROM j
+    """,
+)
+def x117_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA — the production form of x98's overlap matrix:
+    every pairwise source intersection/Jaccard estimated by
+    inclusion-exclusion over mergeable register tables (union
+    registers = element-wise max, Flajolet et al. 2007 §4), never
+    touching a shingle after the one register-extraction scan. x98
+    answers "exact overlap" with one corpus-sized distinct per gram;
+    THIS answers the same question from per-source sketches that are
+    256 rows each — the shape you keep in a metadata store and
+    combine across days/engines without rescanning 100 TB.
+
+    Exactness: registers are md5-derived integers (x97's recipe,
+    bit-identical in any engine); pair-union registers are integer
+    max; estimates are hll_estimate's exact BIGINT harmonic
+    denominator with one division (+ small-range branch) e6-floored.
+    Intersection clamps at >= 0 (inclusion-exclusion on sketches can
+    go negative for near-disjoint sets) so the integer quotient for
+    Jaccard stays floor-vs-truncate agnostic.
+
+    Scale shape at 100 TB: ONE scan extracts registers; everything
+    after operates on <= 256 x |sources| rows — pair expansion is
+    |sources|^2/2 x 256, still constant in corpus size. The register
+    table is checkpointed once (4 consumers: per-source estimate,
+    both pair taggings, the source list). Accuracy audit vs exact
+    counts is x97's job; x98 remains the exact-overlap oracle twin.
+    Reference: engine-added (SURVEY.md §2.2 dedup/sketch family)."""
+    from etlp_spark.functions.sketches import hll_estimate, hll_registers
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    tk = docs.select("source", tokens("text").alias("tk")).where(
+        F.size("tk") >= 3
+    )
+    toks = tk.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 2),
+                lambda i: F.array_join(F.slice("tk", i, 3), " "),
+            )
+        ).alias("t"),
+    )
+    regs = hll_registers(toks, "t", keys=("source",)).localCheckpoint(
+        eager=True
+    )  # consumed 4x: estimate, pair tag a, pair tag b, source list
+    per = hll_estimate(regs, keys=("source",))
+    srcs = regs.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .crossJoin(srcs.select(F.col("source").alias("sb")))
+        .where(F.col("sa") < F.col("sb"))
+    )
+    ra = pairs.join(regs.withColumnRenamed("source", "sa"), "sa").select(
+        "sa", "sb", "bucket", "reg"
+    )
+    rb = pairs.join(regs.withColumnRenamed("source", "sb"), "sb").select(
+        "sa", "sb", "bucket", "reg"
+    )
+    uregs = (
+        ra.unionByName(rb)
+        .groupBy("sa", "sb", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    uest = hll_estimate(uregs, keys=("sa", "sb")).withColumnRenamed(
+        "est_e6", "union_est_e6"
+    )
+    ea = per.select(
+        F.col("source").alias("sa"), F.col("est_e6").alias("a_est_e6")
+    )
+    eb = per.select(
+        F.col("source").alias("sb"), F.col("est_e6").alias("b_est_e6")
+    )
+    j = (
+        uest.join(F.broadcast(ea), "sa")
+        .join(F.broadcast(eb), "sb")
+        .select(
+            F.col("sa").alias("src_a"),
+            F.col("sb").alias("src_b"),
+            "a_est_e6",
+            "b_est_e6",
+            "union_est_e6",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("a_est_e6") + F.col("b_est_e6") - F.col("union_est_e6"),
+            ).alias("inter_est_e6"),
+        )
+    )
+    return j.withColumn(
+        "jaccard_est_e6",
+        F.expr("(inter_est_e6 * 1000000) div union_est_e6").cast("long"),
+    )
+
+
+@_register(
+    "x118_postings_delta_bits",
+    f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKS} AS tk FROM documents),
+    dt AS (SELECT DISTINCT doc_id, unnest(tk) AS term FROM toks),
+    g AS (
+      SELECT term,
+             doc_id - lag(doc_id, 1, CAST(-1 AS BIGINT))
+               OVER (PARTITION BY term ORDER BY doc_id) AS gap
+      FROM dt),
+    b AS (SELECT term, length(bin(gap)) AS bits FROM g),
+    per AS (
+      SELECT term, count(*) AS n_docs, sum(bits) AS db,
+             sum((bits + 6) // 7) AS vb
+      FROM b GROUP BY term)
+    SELECT CAST(length(bin(n_docs)) AS BIGINT) AS df_bucket,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(n_docs) AS BIGINT) AS n_postings,
+           CAST(sum(db) AS BIGINT) AS delta_bits,
+           CAST(sum(vb) AS BIGINT) AS varint_bytes,
+           CAST((sum(db) * 1000000) // (sum(n_docs) * 64) AS BIGINT)
+             AS ratio_e6
+    FROM per GROUP BY 1
+    """,
+)
+def x118_postings_delta_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index compression audit — the cost model a search
+    index build runs BEFORE choosing a postings codec (Zobel &
+    Moffat 2006 §8): delta-encode each term's sorted posting list
+    (doc-id gaps), cost each gap at its binary magnitude
+    (bit-length, the Elias/Golomb family's shared term) and at LEB128
+    varint bytes, then roll up by document-frequency magnitude
+    bucket. The readout — compressed-to-raw ratio per df bucket — is
+    what decides bitwise codecs for rare terms vs block codecs
+    (PForDelta) for stopword-range lists, and it doubles as the
+    index-size estimator for capacity planning.
+
+    Exactness: gaps are integer differences over an explicit total
+    order (doc_id within term, first gap anchored at -1 so it is
+    doc_id + 1 >= 1); bit-length is ``length(bin(x))`` — the exact
+    same engine-portable idiom x97's rho extraction uses; varint
+    bytes are ``(bits + 6) div 7``; ratios are integer e6 quotients.
+    No floats anywhere.
+
+    Scale shape at 100 TB: the (term, doc_id) distinct is the
+    index-build shuffle itself (keyed by term — exactly how the real
+    index would partition); the lag window runs inside those same
+    partitions with no extra exchange (sort within the shuffle);
+    per-term rollup collapses map-side to |vocab| rows and the final
+    table is <= ~30 df-bucket rows. Nothing row-scaled survives past
+    the window stage. Reference: engine-added (SURVEY.md §2.2
+    text/index family)."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).distinct()
+    w = Window.partitionBy("term").orderBy("doc_id")
+    g = dt.select(
+        "term",
+        (F.col("doc_id") - F.lag("doc_id", 1, -1).over(w)).alias("gap"),
+    )
+    b = g.select("term", F.length(F.bin("gap")).cast("long").alias("bits"))
+    per = b.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bits").alias("db"),
+        F.sum(F.expr("(bits + 6) div 7")).alias("vb"),
+    )
+    return per.groupBy(
+        F.length(F.bin("n_docs")).cast("long").alias("df_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("n_docs").cast("long").alias("n_postings"),
+        F.sum("db").cast("long").alias("delta_bits"),
+        F.sum("vb").cast("long").alias("varint_bytes"),
+        F.expr("(sum(db) * 1000000) div (sum(n_docs) * 64)")
+        .cast("long")
+        .alias("ratio_e6"),
+    )
+
+
+@_register(
+    "x119_l_diversity",
+    """
+    WITH cs AS (
+      SELECT event_type, date_trunc('day', ts) AS day, user_id % 8 AS seg,
+             count(*) AS c
+      FROM events GROUP BY 1, 2, 3),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type, day
+                                   ORDER BY c DESC, seg) AS rk
+      FROM cs),
+    cells AS (
+      SELECT event_type, day, count(*) AS d, sum(c) AS total,
+             max(CASE WHEN rk = 1 THEN c END) AS r1,
+             coalesce(sum(CASE WHEN rk >= 3 THEN c END), 0) AS tail
+      FROM rk GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_distinct,
+           CAST(sum(CASE WHEN d >= 3 AND r1 >= tail THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_recursive_fail,
+           CAST(min(d) AS BIGINT) AS min_distinct,
+           CAST(max((r1 * 1000000) // total) AS BIGINT)
+             AS worst_top_share_e6
+    FROM cells GROUP BY event_type
+    """,
+)
+def x119_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    SENSITIVE-attribute complement to x112's k-anonymity: a cell
+    that holds >= k users still leaks if they all share one
+    sensitive value. Per (event_type, day) quasi-identifier cell
+    over a synthetic 8-way sensitive segment (user_id % 8 — swap in
+    the real column in production), reports distinct-l failures
+    (< 3 distinct values) and RECURSIVE (c,l)-diversity failures
+    (top value count r1 >= sum of counts ranked l..m with c=1, l=3
+    — the paper's integer-exact criterion, chosen over entropy-l
+    precisely because it needs no floats), plus the worst top-value
+    share across cells per event type.
+
+    Exactness: counts, one rank window, integer comparisons and e6
+    quotients — no floats at all (the reason recursive-(c,l) was
+    picked over entropy-l for the gated form).
+
+    Scale shape: one (type, day, segment) count with map-side
+    partials — the only corpus-sized shuffle; the rank window and
+    everything after run over |types| x |days| x 8 rows. The 100 TB
+    plan is the sf0.001 plan. Reference: engine-added (SURVEY.md
+    §2.2 privacy family, with x112/x25/x72)."""
+    ev = _t_fanout(spark, sf_dir, "events")
+    cs = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        (F.col("user_id") % 8).alias("seg"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    rk = cs.select(
+        "event_type",
+        "day",
+        "c",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type", "day").orderBy(
+                F.col("c").desc(), "seg"
+            )
+        )
+        .alias("rk"),
+    )
+    cells = rk.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("c").alias("total"),
+        F.max(F.when(F.col("rk") == 1, F.col("c"))).alias("r1"),
+        F.coalesce(
+            F.sum(F.when(F.col("rk") >= 3, F.col("c"))), F.lit(0)
+        ).alias("tail"),
+    )
+    return cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(F.when(F.col("d") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_distinct"),
+        F.sum(
+            F.when((F.col("d") >= 3) & (F.col("r1") >= F.col("tail")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_recursive_fail"),
+        F.min("d").cast("long").alias("min_distinct"),
+        F.max(F.expr("(r1 * 1000000) div total"))
+        .cast("long")
+        .alias("worst_top_share_e6"),
+    )
+
+
+@_register(
+    "x120_cusum_drift",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, sum(x) AS tx, count(*) AS nd
+      FROM daily GROUP BY event_type),
+    dev AS (
+      SELECT d.event_type, d.day, d.x,
+             (t.tx * 1000000) // t.nd AS mu_e6,
+             d.x * 1000000 - (t.tx * 1000000) // t.nd
+               - ((t.tx * 1000000) // t.nd) // 10 AS dv
+      FROM daily d JOIN tot t USING (event_type)),
+    cum AS (
+      SELECT event_type, day, x, mu_e6,
+             sum(dv) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS p
+      FROM dev),
+    s AS (
+      SELECT event_type, day, x, mu_e6,
+             p - least(CAST(0 AS BIGINT),
+                       min(p) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)) AS s_e6
+      FROM cum),
+    mx AS (
+      SELECT *, max(s_e6) OVER (PARTITION BY event_type) AS mxs FROM s)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(s_e6) AS BIGINT) AS max_s_e6,
+           CAST(sum(CASE WHEN s_e6 > mu_e6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           min(CASE WHEN s_e6 = mxs THEN day END) AS peak_day
+    FROM mx GROUP BY event_type
+    """,
+)
+def x120_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection (Page 1954) on daily event
+    volumes — the SEQUENTIAL complement to x55's pointwise z-scores:
+    a z-score flags one bad day, CUSUM accumulates small persistent
+    shifts (a feed silently doubling, a source going stale) that
+    never individually cross a pointwise threshold. Uses the
+    prefix-sum identity S_t = P_t - min(0, min_{j<=t} P_j) with
+    P = cumsum(x - mu - k): the textbook recursive max(0, ...) form
+    is not a SQL window function, but this closed form IS — two
+    cumulative windows, no recursion, no driver loop. Slack k is 10%
+    of the per-type mean; alarm threshold h is one mean-day of
+    accumulated excess.
+
+    Exactness: daily counts, e6 integer means/quotients, integer
+    cumulative sums — no floats at all. Peak day ties resolve to the
+    earliest day in both engines.
+
+    Scale shape at 100 TB: ONE map-side-combinable (type, day) count
+    is the only corpus-sized work; every window runs over
+    |types| x |days| rows (hundreds). This is the standing pattern
+    for monitoring ops: aggregate first, analyze the constant-size
+    series after. Reference: engine-added (SURVEY.md §2.2
+    stats/monitoring family, with x55/x64)."""
+    ev = _t_fanout(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("x").alias("tx"), F.count(F.lit(1)).alias("nd")
+    )
+    dev = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        "x",
+        F.expr("(tx * 1000000) div nd").alias("mu_e6"),
+        F.expr(
+            "x * 1000000 - (tx * 1000000) div nd"
+            " - ((tx * 1000000) div nd) div 10"
+        ).alias("dv"),
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dev.select(
+        "event_type", "day", "x", "mu_e6", F.sum("dv").over(wp).alias("p")
+    )
+    s = cum.select(
+        "event_type",
+        "day",
+        "x",
+        "mu_e6",
+        (
+            F.col("p")
+            - F.least(F.lit(0).cast("long"), F.min("p").over(wp))
+        ).alias("s_e6"),
+    )
+    mx = s.select(
+        "*", F.max("s_e6").over(Window.partitionBy("event_type")).alias("mxs")
+    )
+    return mx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("s_e6").cast("long").alias("max_s_e6"),
+        F.sum(F.when(F.col("s_e6") > F.col("mu_e6"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.min(F.when(F.col("s_e6") == F.col("mxs"), F.col("day"))).alias(
+            "peak_day"
+        ),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -11164,8 +11882,8 @@ _GATED_PRIOR_ROUNDS = [
 #: bitmask for the set-frequency closed form, x92 grew its
 #: localCheckpoint pins), then the r8 verdict's 17-query STALE block
 #: — the only queries whose last driver evidence predates round 5 —
-#: then r5-era canaries. Sized at 41 so the NEW round-9 queries
-#: (x103b, x107-x114 — none in any gate list) auto-land via
+#: then r5-era canaries. Sized at 35 so ALL 15 new round-9 queries
+#: (x103b, x107-x120 — none in any gate list) auto-land via
 #: ``_ungated`` INSIDE the first-50 window.
 _NEWEST = [
     # changed this round:
@@ -11185,9 +11903,6 @@ _NEWEST = [
     "r1_reachability_hops", "j12_asof_nearest",
     "x67_data_quality_report", "f8_try_functions", "w15_centered_ma",
     "x68_chunk_dedup_rate", "x69_countmin_heavyhitters",
-    "x70_segment_dedup", "w16_distribution_ranks",
-    "x74_touch_attribution", "x71_ann_recall", "x72_luhn_check",
-    "x73_bigram_logprob",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
