@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["zorder_key", "zorder_sort"]
+__all__ = ["zorder_key", "zorder_sort", "write_bucketed"]
 
 
 def zorder_key(
@@ -68,3 +68,39 @@ def zorder_sort(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: tuple[str, ...],
+    n_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a BUCKETED parquet table: rows hash-
+    partitioned on ``keys`` into ``n_buckets`` files at WRITE time, so
+    every later equi-join or aggregation on ``keys`` between tables
+    bucketed the same way plans with ZERO exchange — the shuffle is
+    paid once at ingest instead of on every query. This is the
+    co-located-join layout a 100 TB fact/fact join wants (broadcast
+    covers small dims; bucketing covers the big-big case z-order
+    can't: z-order tightens zone maps for range SCANS, bucketing
+    aligns partitioning for JOINS).
+
+    ``sort_cols`` adds within-bucket sort (sort-merge joins then skip
+    the sort too). Catalyst only recognizes bucketing through the
+    catalog, hence ``saveAsTable`` rather than a bare path write —
+    ``path`` pins the storage location (external table) so callers
+    control layout on disk. At cluster scale the same call works
+    against a Hive metastore; locally the in-memory catalog carries
+    the bucket spec for the session.
+    """
+    if not keys:
+        raise ValueError("bucketing requires at least one key column")
+    w = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, *keys)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -11527,25 +11527,25 @@ def x118_postings_delta_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes are ``(bits + 6) div 7``; ratios are integer e6 quotients.
     No floats anywhere.
 
-    Scale shape at 100 TB: the (term, doc_id) distinct is the
-    index-build shuffle itself (keyed by term — exactly how the real
-    index would partition); the lag window runs inside those same
-    partitions with no extra exchange (sort within the shuffle);
-    per-term rollup collapses map-side to |vocab| rows and the final
+    Scale shape at 100 TB: ONE exchange keyed by term (exactly how
+    the real index would partition) feeds the lag window, and
+    DEDUPLICATION RIDES THE SAME WINDOW — a repeated (term, doc_id)
+    sorts adjacent and yields gap 0, so `gap > 0` IS the distinct,
+    saving the separate distinct-shuffle a naive plan would add
+    (plan-pinned to a single corpus-sized hashpartitioning).
+    Per-term rollup collapses map-side to |vocab| rows and the final
     table is <= ~30 df-bucket rows. Nothing row-scaled survives past
     the window stage. Reference: engine-added (SURVEY.md §2.2
     text/index family)."""
     from etlp_spark.functions.text import tokens
 
     docs = _t_fanout(spark, sf_dir, "documents")
-    dt = docs.select(
-        "doc_id", F.explode(tokens("text")).alias("term")
-    ).distinct()
+    dt = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     w = Window.partitionBy("term").orderBy("doc_id")
     g = dt.select(
         "term",
         (F.col("doc_id") - F.lag("doc_id", 1, -1).over(w)).alias("gap"),
-    )
+    ).where(F.col("gap") > 0)
     b = g.select("term", F.length(F.bin("gap")).cast("long").alias("bits"))
     per = b.groupBy("term").agg(
         F.count(F.lit(1)).alias("n_docs"),

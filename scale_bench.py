@@ -115,6 +115,12 @@ HEAVY = [
     "x112_k_anonymity",
     "x113_power_iteration",
     "x114_prefix_filter_jaccard",
+    "x115_kneser_ney_bigram",
+    "x116_poisson_bootstrap",
+    "x117_hll_set_algebra",
+    "x118_postings_delta_bits",
+    "x119_l_diversity",
+    "x120_cusum_drift",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -166,6 +172,12 @@ QUERY_TABLES = {
     "x112_k_anonymity": ["events"],
     "x113_power_iteration": ["embeddings"],
     "x114_prefix_filter_jaccard": ["documents"],
+    "x115_kneser_ney_bigram": ["documents"],
+    "x116_poisson_bootstrap": ["lineitem"],
+    "x117_hll_set_algebra": ["documents"],
+    "x118_postings_delta_bits": ["documents"],
+    "x119_l_diversity": ["events"],
+    "x120_cusum_drift": ["events"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]

@@ -364,3 +364,63 @@ def test_prefix_filter_join_no_cartesian_no_nested_loop(spark):
     plan = _executed_plan(QUERIES["x114_prefix_filter_jaccard"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_kneser_ney_checkpoints_bigram_counts(spark):
+    """x115: the bigram count table feeds FOUR consumers (ctx, lft,
+    bt, score join) — it must be localCheckpoint-pinned (checkpoint
+    scans in the executed plan) so the corpus-sized bigram aggregate
+    evaluates once, and nothing may pair-expand."""
+    plan = _executed_plan(QUERIES["x115_kneser_ney_bigram"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Scan ExistingRDD" in plan, "tf checkpoint pin lost:\n" + plan[:2000]
+
+
+def test_poisson_bootstrap_constant_size_shuffle(spark):
+    """x116: the x32 replicate expansion must collapse MAP-SIDE — the
+    shuffle carries |flags| x 32 partial sums, so no sort-merge join
+    and no corpus-side sort may appear; the pt/ci join on 3-row
+    frames must broadcast. A SortMergeJoin here would mean the
+    replicate means stopped being a partial aggregate."""
+    plan = _executed_plan(QUERIES["x116_poisson_bootstrap"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_hll_set_algebra_post_scan_is_constant_size(spark):
+    """x117: ONE scan extracts registers; the register table is
+    localCheckpoint-pinned (4 consumers) and every join after it runs
+    on <= 256 x |sources| rows — broadcast or nested-loop on tiny
+    frames, never a sort-merge (which would mean a corpus-sized
+    relation leaked past the sketch boundary)."""
+    plan = _executed_plan(QUERIES["x117_hll_set_algebra"].fn(spark, SF))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Scan ExistingRDD" in plan, "regs checkpoint pin lost:\n" + plan[:2000]
+
+
+def test_postings_single_corpus_exchange_no_joins(spark):
+    """x118: join-free, and the corpus crosses the wire ONCE — the
+    term-keyed window exchange doubles as the dedup (gap > 0). The
+    only other hashpartitioning is the |vocab|-row df-bucket rollup.
+    A third exchange means someone reintroduced the distinct()."""
+    plan = _executed_plan(QUERIES["x118_postings_delta_bits"].fn(spark, SF))
+    assert "Join" not in plan, f"x118 grew a join:\n{plan[:2000]}"
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 2, f"expected <=2 hash exchanges, saw {n_ex}:\n{plan[:3000]}"
+
+
+def test_l_diversity_aggregation_and_rank_only(spark):
+    """x119: a strictly-shrinking aggregate cascade with one rank
+    window over cell-sized groups — no join may ever appear."""
+    plan = _executed_plan(QUERIES["x119_l_diversity"].fn(spark, SF))
+    assert "Join" not in plan, f"x119 grew a join:\n{plan[:2000]}"
+
+
+def test_cusum_single_corpus_aggregate_broadcast_mu(spark):
+    """x120: the (type, day) count is the only corpus-sized work; the
+    per-type totals join back by BROADCAST and all windows run over
+    the |types| x |days| series. A sort-merge join would mean the
+    constant-size series analysis regressed to corpus scale."""
+    plan = _executed_plan(QUERIES["x120_cusum_drift"].fn(spark, SF))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, "mu join de-broadcast:\n" + plan[:2000]
