@@ -392,6 +392,14 @@ def _s_ddsketch(c: dict[str, Any]):
     ), _a=c.get("alpha", 0.01): ddsketch_tws(df, _k, _v, qs=_q, alpha=_a)
 
 
+def _s_cusum(c: dict[str, Any]):
+    from etlp_spark.streaming import cusum_tws
+
+    return lambda df, _k=c["key"], _v=c["value"], _m=c["mu_e6"], _s=c.get(
+        "slack_e6", 0
+    ), _h=c.get("h_e6"): cusum_tws(df, _k, _v, mu_e6=_m, slack_e6=_s, h_e6=_h)
+
+
 STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
     "running_counts": _s_running_counts,
     "ewma": _s_ewma,
@@ -400,6 +408,7 @@ STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
     "session_gap": _s_session_gap,
     "approx_distinct": _s_approx_distinct,
     "ddsketch_quantiles": _s_ddsketch,
+    "cusum": _s_cusum,
 }
 
 

@@ -11772,6 +11772,550 @@ def x120_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x121_ams_f2",
+    f"""
+    WITH hs AS (
+      SELECT event_type,
+             {_o_h52('user_id', 'F2B')} % 64 AS b,
+             CASE WHEN {_o_h52('user_id', 'F2S')} % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM events),
+    sk AS (SELECT event_type, b, sum(s) AS sb FROM hs GROUP BY 1, 2),
+    est AS (SELECT event_type, sum(sb * sb) AS f2_est FROM sk GROUP BY 1),
+    cu AS (SELECT event_type, user_id, count(*) AS c
+           FROM events GROUP BY 1, 2),
+    ex AS (SELECT event_type, sum(c * c) AS f2_exact FROM cu GROUP BY 1)
+    SELECT e.event_type,
+           CAST(f2_est AS BIGINT) AS f2_est,
+           CAST(f2_exact AS BIGINT) AS f2_exact,
+           CAST((abs(f2_est - f2_exact) * 1000000) // f2_exact AS BIGINT)
+             AS err_e6
+    FROM est e JOIN ex USING (event_type)
+    """,
+)
+def x121_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second frequency moment (Alon, Matias & Szegedy 1996, in
+    the bucketed Count-Sketch form of Thorup & Zhang 2004): estimate
+    F2 = sum over users of count² per event type from a 64-bucket
+    signed sketch — sum(S_b²) where S_b accumulates ±1 signs of every
+    occurrence. F2 IS the self-join size, the statistic a distributed
+    optimizer wants before picking a join strategy on a skewed key,
+    and this completes the repo's frequency-moment trio: x97 HLL
+    estimates F0 (distincts), x69 count-min bounds point frequencies
+    (F1 coordinates), x121 estimates F2 (join size / skew energy).
+    The exact-F2 audit column rides along, x97-style.
+
+    Exactness: EVERYTHING is integer — signs are ±1 CASEs on
+    md5-derived hashes, bucket sums, squares, and the relative-error
+    e6 quotient. No floats at all, so the sketch is bit-identical in
+    any engine (the x97 portability contract, without even a ln()).
+
+    Scale shape at 100 TB: sign/bucket extraction is scan-stage; the
+    sketch aggregate carries |types| x 64 cells with map-side
+    partials (CONSTANT in corpus size) and merges across
+    partitions/days/engines by plain addition — fully re-aggregatable
+    like every sketch in the family. The exact audit is the only
+    row-scaled shuffle (drop it in production). Reference:
+    engine-added (SURVEY.md §2.2 sketch family)."""
+    ev = _t_fanout(spark, sf_dir, "events")
+    hs = ev.select(
+        "event_type",
+        (_h52(F.col("user_id"), "F2B") % 64).alias("b"),
+        F.when((_h52(F.col("user_id"), "F2S") % 2) == 0, 1)
+        .otherwise(-1)
+        .alias("s"),
+    )
+    sk = hs.groupBy("event_type", "b").agg(F.sum("s").alias("sb"))
+    est = sk.groupBy("event_type").agg(
+        F.sum(F.col("sb") * F.col("sb")).alias("f2_est")
+    )
+    cu = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    ex = cu.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).alias("f2_exact")
+    )
+    return est.join(ex, "event_type").select(
+        "event_type",
+        F.col("f2_est").cast("long").alias("f2_est"),
+        F.col("f2_exact").cast("long").alias("f2_exact"),
+        F.expr("(abs(f2_est - f2_exact) * 1000000) div f2_exact")
+        .cast("long")
+        .alias("err_e6"),
+    )
+
+
+def _o_x122_sql() -> str:
+    l2 = (
+        "list_reduce(list_transform(list_zip(e.embedding, s.ce), "
+        "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)), "
+        "(a, b) -> a + b)"
+    )
+    u = _o_h52("vec_id", "KPP")
+    return f"""
+    WITH seeds AS (
+      SELECT CAST(vec_id AS INT) AS cell, embedding AS ce
+      FROM embeddings WHERE vec_id < 4),
+    ds AS (
+      SELECT e.vec_id, s.cell, {l2} AS d2
+      FROM embeddings e CROSS JOIN seeds s),
+    rk AS (
+      SELECT vec_id, cell, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      FROM ds),
+    asg AS (
+      SELECT vec_id, cell,
+             CAST(floor(d2 * 1000000.0) AS BIGINT) AS d2_e6
+      FROM rk WHERE rn = 1),
+    phi AS (SELECT sum(d2_e6) AS phi FROM asg)
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell, d2_e6
+    FROM asg CROSS JOIN phi
+    WHERE {u} % 1000000 < (8000000 * d2_e6) // phi
+    """
+
+
+@_register("x122_kmeanspp_oversample", _o_x122_sql())
+def x122_kmeanspp_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means|| OVERSAMPLING round (Bahmani et al. 2012,
+    "Scalable k-means++"): given the current centers (the first-4
+    seeds, x108's init), sample new candidate centers with
+    probability min(1, l*d²(x,C)/phi) where phi = sum d² and l = 2k
+    = 8 — the distributed replacement for k-means++'s inherently
+    sequential D² sampling (which needs one full pass PER center;
+    k-means|| gets O(k) candidates in O(log n) rounds). Completes
+    the clustering kernel set: x122 init round -> x108 Lloyd update
+    -> x12 end-to-end trainer.
+
+    Exactness: distances are the x108/x30 ordered float64 fold on
+    identical operands, e6-floored BEFORE the phi sum (order-free
+    BIGINT). The Bernoulli draw is an md5 e6-uniform compared against
+    the INTEGER threshold ``(8000000 * d2_e6) div phi`` — computed
+    this way round (divide before compare, never u*phi) so no
+    product can overflow BIGINT at any corpus size, and floor-vs-
+    truncate agrees because everything is nonnegative.
+
+    Scale shape at 100 TB: centers ride as literals (scan-stage
+    assignment, x30's shape); phi is ONE all-reduce row broadcast
+    back; the sample emits ~l rows in expectation regardless of
+    corpus size. Two scans total — the algorithm's own lower bound
+    (you cannot know phi before seeing every point). Reference:
+    engine-added (SURVEY.md §2.2 similarity/clustering family)."""
+    emb = _t_fanout(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]  # bounded: k x dims, the IVF-init precedent
+    v = F.col("embedding")
+    d2s = []
+    for c in cents:
+        carr = F.array(*[F.lit(x) for x in c])
+        diff2 = F.zip_with(
+            v, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        )
+        d2s.append(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+    dmin = F.array_min(F.array(*d2s))
+    cell = (F.array_position(F.array(*d2s), dmin) - 1).cast("long")
+    asg = emb.select(
+        "vec_id",
+        cell.alias("cell"),
+        F.floor(dmin * F.lit(1000000.0)).cast("long").alias("d2_e6"),
+    )
+    phi = asg.agg(F.sum("d2_e6").alias("phi"))
+    return (
+        asg.join(F.broadcast(phi))
+        .where(
+            (_h52(F.col("vec_id"), "KPP") % 1000000)
+            < F.expr("(8000000 * d2_e6) div phi")
+        )
+        .select("vec_id", "cell", "d2_e6")
+    )
+
+
+@_register(
+    "x123_feature_hashing",
+    f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKS} AS tk FROM documents),
+    dt AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+    hx AS (
+      SELECT doc_id,
+             {_o_h52('t', 'FH')} % 1024 AS i,
+             CASE WHEN {_o_h52('t', 'FHS')} % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM dt),
+    feat AS (
+      SELECT doc_id, i, sum(s) AS v, count(*) AS c
+      FROM hx GROUP BY doc_id, i)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v != 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+           CAST(sum(abs(v)) AS BIGINT) AS l1_norm,
+           CAST(sum(v * v) AS BIGINT) AS l2_sq,
+           CAST(((sum(c) - sum(abs(v))) * 1000000) // sum(c) AS BIGINT)
+             AS cancel_e6
+    FROM feat GROUP BY doc_id
+    """,
+)
+def x123_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer audit (Weinberger et al. 2009,
+    "Feature hashing for large scale multitask learning"): hash each
+    token into a 1024-dim signed feature space (index + ±1 sign from
+    independent salts) and report, per document, the vector's nnz,
+    L1, L2² and the SIGN-CANCELLATION rate ((tokens - L1)/tokens) —
+    the empirical collision-loss readout that decides the hash-space
+    width before a linear model trains on 100 TB of text. The signed
+    construction makes collisions cancel in expectation (the paper's
+    unbiasedness trick); the cancel rate measures exactly how much
+    of that actually happened at this width.
+
+    Exactness: indices and signs are md5-derived integers; feature
+    values, norms and the e6 rate are pure integer arithmetic — no
+    floats, bit-identical in any engine.
+
+    Scale shape at 100 TB: hashing is scan-stage; the (doc, index)
+    aggregate is the featurization shuffle itself (keyed exactly how
+    a downstream trainer wants its sparse rows partitioned) with
+    map-side partials, and the per-doc rollup collapses to one row
+    per document. Nothing exceeds the output's own size. Reference:
+    engine-added (SURVEY.md §2.2 text/ML-featurization family)."""
+    from etlp_spark.functions.text import tokens
+
+    docs = _t_fanout(spark, sf_dir, "documents")
+    dt = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    hx = dt.select(
+        "doc_id",
+        (_h52(F.col("t"), "FH") % 1024).alias("i"),
+        F.when((_h52(F.col("t"), "FHS") % 2) == 0, 1).otherwise(-1).alias("s"),
+    )
+    feat = hx.groupBy("doc_id", "i").agg(
+        F.sum("s").alias("v"), F.count(F.lit(1)).alias("c")
+    )
+    return feat.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("v") != 0, 1).otherwise(0)).cast("long").alias("nnz"),
+        F.sum(F.abs("v")).cast("long").alias("l1_norm"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("l2_sq"),
+        F.expr("((sum(c) - sum(abs(v))) * 1000000) div sum(c)")
+        .cast("long")
+        .alias("cancel_e6"),
+    )
+
+
+@_register(
+    "x124_simpson_reversal",
+    """
+    WITH base AS (
+      SELECT event_type,
+             user_id % 2 AS cohort,
+             CASE WHEN value > 20 THEN 1 ELSE 0 END AS conv
+      FROM events),
+    strat AS (
+      SELECT event_type,
+             sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN cohort = 0 THEN conv ELSE 0 END) AS c_a,
+             sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS n_b,
+             sum(CASE WHEN cohort = 1 THEN conv ELSE 0 END) AS c_b
+      FROM base GROUP BY event_type),
+    rates AS (
+      SELECT event_type, n_a, n_b,
+             (c_a * 1000000) // n_a AS rate_a_e6,
+             (c_b * 1000000) // n_b AS rate_b_e6
+      FROM strat),
+    pooled AS (
+      SELECT (sum(CASE WHEN cohort = 0 THEN conv ELSE 0 END) * 1000000)
+               // sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS pr_a,
+             (sum(CASE WHEN cohort = 1 THEN conv ELSE 0 END) * 1000000)
+               // sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS pr_b
+      FROM base)
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(rate_a_e6 AS BIGINT) AS rate_a_e6,
+           CAST(rate_b_e6 AS BIGINT) AS rate_b_e6,
+           CAST(CASE WHEN rate_a_e6 > rate_b_e6 THEN 1
+                     WHEN rate_a_e6 < rate_b_e6 THEN -1 ELSE 0 END
+                AS BIGINT) AS stratum_dir,
+           CAST(CASE WHEN pr_a > pr_b THEN 1
+                     WHEN pr_a < pr_b THEN -1 ELSE 0 END
+                AS BIGINT) AS pooled_dir,
+           CAST(CASE WHEN (CASE WHEN rate_a_e6 > rate_b_e6 THEN 1
+                                WHEN rate_a_e6 < rate_b_e6 THEN -1
+                                ELSE 0 END)
+                        * (CASE WHEN pr_a > pr_b THEN 1
+                                WHEN pr_a < pr_b THEN -1 ELSE 0 END) < 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS reversal_flag
+    FROM rates CROSS JOIN pooled
+    """,
+)
+def x124_simpson_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit (Simpson 1951; Bickel et al. 1975's
+    Berkeley admissions readout): per-stratum cohort conversion rates
+    against the POOLED rates, flagging strata whose effect direction
+    contradicts the aggregate — the first check an experiment
+    analysis runs before trusting a pooled lift, and the standard
+    trap when traffic allocation correlates with a stratum (x101's
+    SRM is the allocation check; THIS is the aggregation check).
+    Cohort and conversion are synthesized deterministically
+    (user_id parity, value > 20); swap in the real columns in
+    production.
+
+    Exactness: counts and e6 integer-quotient rates, sign compares —
+    no floats at all.
+
+    Scale shape: ONE conditional-sum aggregate per stratum (map-side
+    partials, pooled row derived by the same scan shape) and a
+    broadcast of the single pooled row. The 100 TB plan is the
+    sf0.001 plan. Reference: engine-added (SURVEY.md §2.2 stats
+    family, with x99/x101/x116)."""
+    ev = _t_fanout(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("cohort"),
+        F.when(F.col("value") > 20, 1).otherwise(0).alias("conv"),
+    )
+    a = F.when(F.col("cohort") == 0, 1).otherwise(0)
+    ca = F.when(F.col("cohort") == 0, F.col("conv")).otherwise(0)
+    b = F.when(F.col("cohort") == 1, 1).otherwise(0)
+    cb = F.when(F.col("cohort") == 1, F.col("conv")).otherwise(0)
+    strat = base.groupBy("event_type").agg(
+        F.sum(a).alias("n_a"),
+        F.sum(ca).alias("c_a"),
+        F.sum(b).alias("n_b"),
+        F.sum(cb).alias("c_b"),
+    )
+    rates = strat.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr("(c_a * 1000000) div n_a").alias("rate_a_e6"),
+        F.expr("(c_b * 1000000) div n_b").alias("rate_b_e6"),
+    )
+    pooled = base.agg(
+        F.expr(
+            "(sum(CASE WHEN cohort = 0 THEN conv ELSE 0 END) * 1000000)"
+            " div sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)"
+        ).alias("pr_a"),
+        F.expr(
+            "(sum(CASE WHEN cohort = 1 THEN conv ELSE 0 END) * 1000000)"
+            " div sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)"
+        ).alias("pr_b"),
+    )
+    sd = (
+        F.when(F.col("rate_a_e6") > F.col("rate_b_e6"), 1)
+        .when(F.col("rate_a_e6") < F.col("rate_b_e6"), -1)
+        .otherwise(0)
+    )
+    pd_ = (
+        F.when(F.col("pr_a") > F.col("pr_b"), 1)
+        .when(F.col("pr_a") < F.col("pr_b"), -1)
+        .otherwise(0)
+    )
+    return rates.join(F.broadcast(pooled)).select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("rate_a_e6").cast("long").alias("rate_a_e6"),
+        F.col("rate_b_e6").cast("long").alias("rate_b_e6"),
+        sd.cast("long").alias("stratum_dir"),
+        pd_.cast("long").alias("pooled_dir"),
+        F.when(sd * pd_ < 0, 1).otherwise(0).cast("long").alias("reversal_flag"),
+    )
+
+
+def _benford_e6() -> dict[int, int]:
+    """floor(log10(1 + 1/d) * 1e6) for d in 1..9 — computed once in
+    Python and embedded as the SAME integer literals in both engines
+    (the portable-constant rule: never recompute a float constant in
+    two runtimes)."""
+    import math
+
+    return {d: int(math.floor(math.log10(1.0 + 1.0 / d) * 1000000)) for d in range(1, 10)}
+
+
+def _o_x125_sql() -> str:
+    exp_case = " ".join(
+        f"WHEN {d} THEN {v}" for d, v in _benford_e6().items()
+    )
+    return f"""
+    WITH dig AS (
+      SELECT o_orderpriority,
+             CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders),
+    obs AS (
+      SELECT o_orderpriority, digit, count(*) AS n_obs
+      FROM dig GROUP BY 1, 2),
+    tot AS (
+      SELECT *, sum(n_obs) OVER (PARTITION BY o_orderpriority) AS n
+      FROM obs)
+    SELECT o_orderpriority,
+           CAST(digit AS BIGINT) AS digit,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           CAST((n_obs * 1000000) // n AS BIGINT) AS obs_share_e6,
+           CAST(CASE digit {exp_case} END AS BIGINT) AS exp_share_e6,
+           CAST(abs((n_obs * 1000000) // n
+                    - CASE digit {exp_case} END) AS BIGINT) AS dev_e6
+    FROM tot
+    """
+
+
+@_register("x125_benford_audit", _o_x125_sql())
+def x125_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (Newcomb 1881; Benford 1938; Nigrini
+    1996's fraud-detection use): the observed first-significant-digit
+    distribution of order totals per priority class against the
+    Benford expectation log10(1 + 1/d) — the cheap data-quality /
+    fabrication screen for any multiplicative-range money column
+    (synthetic or copy-pasted values flatten the curve; real
+    organic amounts follow it). Emits per (priority, digit) the
+    observed count, observed and expected e6 shares, and the
+    deviation — the table an auditor or a data-quality gate (x21's
+    family) thresholds.
+
+    Exactness: digit extraction is floor -> BIGINT -> first char
+    (identical semantics both engines for positive values); shares
+    are integer e6 quotients; the Benford constants are floor'd e6
+    literals computed ONCE in Python and embedded in both plans —
+    never recomputed in two float runtimes.
+
+    Scale shape: scan-stage digit extraction, one (priority, digit)
+    aggregate (map-side partials, <= 45 output rows), one window
+    over 9-row groups. The 100 TB plan is the sf0.001 plan.
+    Reference: engine-added (SURVEY.md §2.2 quality family, with
+    x21/x67/x72)."""
+    exp_map = F.create_map(
+        *[F.lit(x) for kv in _benford_e6().items() for x in kv]
+    )
+    o = _t(spark, sf_dir, "orders")
+    dig = o.select(
+        "o_orderpriority",
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit"),
+    )
+    obs = dig.groupBy("o_orderpriority", "digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    w = Window.partitionBy("o_orderpriority")
+    tot = obs.select("*", F.sum("n_obs").over(w).alias("n"))
+    share = F.expr("(n_obs * 1000000) div n")
+    exp = exp_map[F.col("digit")]
+    return tot.select(
+        "o_orderpriority",
+        F.col("digit").cast("long").alias("digit"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        share.cast("long").alias("obs_share_e6"),
+        exp.cast("long").alias("exp_share_e6"),
+        F.abs(share - exp).cast("long").alias("dev_e6"),
+    )
+
+
+@_register(
+    "x126_neyman_allocation",
+    """
+    WITH st AS (
+      SELECT source, count(*) AS n_h,
+             sum(n_chars) // count(*) AS mean_c
+      FROM documents GROUP BY source),
+    dev AS (
+      SELECT d.source, st.n_h,
+             sum((d.n_chars - st.mean_c) * (d.n_chars - st.mean_c))
+               // st.n_h AS s2
+      FROM documents d JOIN st USING (source)
+      GROUP BY d.source, st.n_h),
+    wts AS (
+      SELECT source, n_h,
+             CAST(floor(sqrt(CAST(s2 AS DOUBLE))) AS BIGINT) AS s_h,
+             n_h * CAST(floor(sqrt(CAST(s2 AS DOUBLE))) AS BIGINT) AS w_h
+      FROM dev),
+    tw AS (SELECT sum(w_h) AS tot_w FROM wts),
+    base AS (
+      SELECT source, n_h, s_h, w_h,
+             (10000 * w_h) // tot_w AS alloc_base,
+             (10000 * w_h) % tot_w AS rem
+      FROM wts CROSS JOIN tw),
+    lft AS (SELECT 10000 - sum(alloc_base) AS leftover FROM base),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rnk
+      FROM base)
+    SELECT source,
+           CAST(n_h AS BIGINT) AS n_docs,
+           CAST(s_h AS BIGINT) AS s_h,
+           CAST(alloc_base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM rk CROSS JOIN lft
+    """,
+)
+def x126_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934) with
+    LARGEST-REMAINDER integer apportionment (Hamilton's method): a
+    10k-document eval/annotation budget split across sources
+    proportional to N_h * S_h (stratum size x stddev) — the standard
+    design when strata differ in variance (uniform allocation wastes
+    budget on homogeneous sources; THIS is how eval sets and
+    labeling batches should be drawn from a 100 TB corpus, feeding
+    x19's stratified sampler the per-stratum counts). Hamilton
+    rounding guarantees the allocations sum EXACTLY to the budget —
+    integer `div` everywhere would under-spend by up to |strata|-1.
+
+    Exactness: per-stratum variance is integer (mean by `div`,
+    squared integer deviations — raw char units so squares stay far
+    from BIGINT range at any corpus size); sqrt of an integer is
+    correctly-rounded IEEE in both engines so its floor matches;
+    apportionment is pure integer div/mod plus one rank window over
+    |strata| rows.
+
+    Scale shape: two (source)-keyed aggregates (the second needs the
+    first's means — a broadcast-size join), then everything runs on
+    |sources| rows. The 100 TB plan is the sf0.001 plan. Reference:
+    engine-added (SURVEY.md §2.2 sampling family, with
+    x19/x34/x106)."""
+    docs = _t_fanout(spark, sf_dir, "documents")
+    st = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.expr("sum(n_chars) div count(*)").alias("mean_c"),
+    )
+    dev = (
+        docs.join(F.broadcast(st), "source")
+        .groupBy("source", "n_h")
+        .agg(
+            F.expr(
+                "sum((n_chars - mean_c) * (n_chars - mean_c)) div n_h"
+            ).alias("s2")
+        )
+    )
+    wts = dev.select(
+        "source",
+        "n_h",
+        F.floor(F.sqrt(F.col("s2").cast("double"))).cast("long").alias("s_h"),
+    ).withColumn("w_h", F.col("n_h") * F.col("s_h"))
+    tw = wts.agg(F.sum("w_h").alias("tot_w"))
+    base = wts.join(F.broadcast(tw)).select(
+        "source",
+        "n_h",
+        "s_h",
+        F.expr("(10000 * w_h) div tot_w").alias("alloc_base"),
+        F.expr("(10000 * w_h) % tot_w").alias("rem"),
+    )
+    lft = base.agg((F.lit(10000) - F.sum("alloc_base")).alias("leftover"))
+    rk = base.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "source"))
+        .alias("rnk"),
+    )
+    return rk.join(F.broadcast(lft)).select(
+        "source",
+        F.col("n_h").cast("long").alias("n_docs"),
+        F.col("s_h").cast("long").alias("s_h"),
+        (
+            F.col("alloc_base")
+            + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -11882,8 +12426,8 @@ _GATED_PRIOR_ROUNDS = [
 #: bitmask for the set-frequency closed form, x92 grew its
 #: localCheckpoint pins), then the r8 verdict's 17-query STALE block
 #: — the only queries whose last driver evidence predates round 5 —
-#: then r5-era canaries. Sized at 35 so ALL 15 new round-9 queries
-#: (x103b, x107-x120 — none in any gate list) auto-land via
+#: then r5-era canaries. Sized at 29 so ALL 21 new round-9 queries
+#: (x103b, x107-x126 — none in any gate list) auto-land via
 #: ``_ungated`` INSIDE the first-50 window.
 _NEWEST = [
     # changed this round:
@@ -11900,9 +12444,7 @@ _NEWEST = [
     "x61_zipf_slope", "x62_langid_calibration", "w13_ewma_smoothed",
     "x63_retrieval_dcg", "w14_ohlc_candles", "x64_corpus_drift",
     "x65_tokenizer_fertility", "x66_hard_negatives",
-    "r1_reachability_hops", "j12_asof_nearest",
-    "x67_data_quality_report", "f8_try_functions", "w15_centered_ma",
-    "x68_chunk_dedup_rate", "x69_countmin_heavyhitters",
+    "r1_reachability_hops",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

@@ -50,6 +50,7 @@ __all__ = [
     "heavy_hitters_spacesaving_tws",
     "approx_distinct_tws",
     "ddsketch_tws",
+    "cusum_tws",
     "session_gap_tws",
     "streaming_dedup",
     "CountLogSink",
@@ -538,6 +539,82 @@ def ddsketch_tws(
     return df.groupBy(key_col).transformWithStateInPandas(
         _DD(),
         outputStructType="k string, pct int, est_e6 bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def cusum_tws(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    mu_e6: int,
+    slack_e6: int = 0,
+    h_e6: int | None = None,
+) -> DataFrame:
+    """Streaming one-sided CUSUM drift detector per key (Page 1954)
+    — x120's batch closed form for a metric stream that never ends:
+    state carries the cumulative deviation prefix sum P and its
+    running minimum (floored at the empty prefix, 0), and the CUSUM
+    statistic S = P - min(0, min P) accumulates small persistent
+    shifts above ``mu_e6 + slack_e6`` that no single-batch threshold
+    would catch. ALL-INTEGER (e6 units), so after N micro-batches the
+    emitted S equals x120's window closed form over the concatenated
+    series EXACTLY — the same portability claim as
+    ``approx_distinct_tws``/``ddsketch_tws``, without even a float.
+
+    Values fold in arrival order per key (the ``ewma_tws`` contract);
+    ``h_e6`` defaults to ``mu_e6`` (one mean-unit of accumulated
+    excess — x120's alarm line). Emits (k, s_e6, n, alarmed) in
+    Update mode. State is three BIGINTs per key in RocksDB —
+    constant in stream length. Requires the RocksDB state store."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    h = mu_e6 if h_e6 is None else h_e6
+
+    class _Cusum(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "cusum", "p BIGINT, minp BIGINT, n BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import math
+
+            import pandas as pd
+
+            prev = self._st.get()
+            p, minp, n = (prev[0], prev[1], prev[2]) if prev else (0, 0, 0)
+            for pdf in rows:
+                for x in pdf[value_col]:
+                    # NULL/NaN would poison integer state (ewma_tws's
+                    # lesson) — skip, like every SQL aggregate.
+                    if x is None or (isinstance(x, float) and math.isnan(x)):
+                        continue
+                    p += int(x) * 1_000_000 - mu_e6 - slack_e6
+                    if p < minp:
+                        minp = p
+                    n += 1
+            self._st.update((p, minp, n))
+            s = p - min(0, minp)
+            yield pd.DataFrame(
+                {
+                    "k": [key[0]],
+                    "s_e6": [s],
+                    "n": [n],
+                    "alarmed": [bool(s > h)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _Cusum(),
+        outputStructType="k string, s_e6 bigint, n bigint, alarmed boolean",
         outputMode="Update",
         timeMode="None",
     )

@@ -121,6 +121,12 @@ HEAVY = [
     "x118_postings_delta_bits",
     "x119_l_diversity",
     "x120_cusum_drift",
+    "x121_ams_f2",
+    "x122_kmeanspp_oversample",
+    "x123_feature_hashing",
+    "x124_simpson_reversal",
+    "x125_benford_audit",
+    "x126_neyman_allocation",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -178,6 +184,12 @@ QUERY_TABLES = {
     "x118_postings_delta_bits": ["documents"],
     "x119_l_diversity": ["events"],
     "x120_cusum_drift": ["events"],
+    "x121_ams_f2": ["events"],
+    "x122_kmeanspp_oversample": ["embeddings"],
+    "x123_feature_hashing": ["documents"],
+    "x124_simpson_reversal": ["events"],
+    "x125_benford_audit": ["orders"],
+    "x126_neyman_allocation": ["documents"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]

@@ -844,3 +844,63 @@ def test_config_snapshot_sink_cluster_by(spark, tmp_path):
             "sink": {"type": "snapshot", "path": store_path, "mode": "merge",
                      "key_cols": ["id"], "cluster_by": ["a"]},
         })
+
+
+def test_streaming_config_cusum_op(spark, tmp_path):
+    """'cusum' as config vocabulary: the drift detector is nameable
+    from the stateful block with integer e6 params, emits its
+    documented schema, and alarms on a stream that runs persistently
+    above mu + slack."""
+    import json as _json
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.config import streaming_pipeline_from_config
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        indir = tmp_path / "in_cusum"
+        indir.mkdir()
+        (indir / "a.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"k": "drift", "v": 15})
+                for _ in range(10)
+            )
+            + "\n"
+            + "\n".join(_json.dumps({"k": "flat", "v": 10}) for _ in range(10))
+        )
+        cfg = {
+            "name": "cfg-cusum",
+            "source": {
+                "type": "file_stream",
+                "path": str(indir),
+                "schema": "k string, v long",
+            },
+            "stateful": {
+                "op": "cusum",
+                "key": "k",
+                "value": "v",
+                "mu_e6": 10_000_000,
+                "slack_e6": 1_000_000,
+            },
+            "streaming": {
+                "checkpoint": str(tmp_path / "ckpt_cusum_cfg"),
+                "trigger": {"availableNow": True},
+                "output_mode": "update",
+            },
+            "sink": {"type": "memory", "name": "out_cusum"},
+        }
+        q = streaming_pipeline_from_config(cfg).start(spark)
+        q.awaitTermination(120)
+        rows = {r.k: r for r in spark.sql("select * from out_cusum").collect()}
+        # drift: 10 points at +4e6 over mu+slack → S = 40e6 > h=10e6
+        assert rows["drift"].alarmed is True and rows["drift"].s_e6 == 40_000_000
+        # flat: every dev is -1e6 (slack) → S stays 0
+        assert rows["flat"].alarmed is False and rows["flat"].s_e6 == 0
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

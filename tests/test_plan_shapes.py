@@ -424,3 +424,58 @@ def test_cusum_single_corpus_aggregate_broadcast_mu(spark):
     plan = _executed_plan(QUERIES["x120_cusum_drift"].fn(spark, SF))
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan, "mu join de-broadcast:\n" + plan[:2000]
+
+
+def test_ams_f2_constant_sketch_no_smj(spark):
+    """x121: the sketch path shuffles |types| x 64 signed cells and
+    the est-vs-exact join runs on 7-row frames — broadcast, never
+    sort-merge (an SMJ would mean a corpus-sized relation reached the
+    join)."""
+    plan = _executed_plan(QUERIES["x121_ams_f2"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_kmeanspp_two_scans_broadcast_phi(spark):
+    """x122: centers are literals (scan-stage distance fold), phi is
+    ONE all-reduce row joined back by broadcast — no shuffle join of
+    any kind may appear. Two corpus scans are the algorithm's lower
+    bound; a SortMergeJoin would mean assignments started shuffling."""
+    plan = _executed_plan(QUERIES["x122_kmeanspp_oversample"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        "phi join lost its broadcast:\n" + plan[:2000]
+    )
+
+
+def test_feature_hashing_join_free(spark):
+    """x123: hash featurization is two aggregates (doc x index, then
+    per-doc) — join-free by construction."""
+    plan = _executed_plan(QUERIES["x123_feature_hashing"].fn(spark, SF))
+    assert "Join" not in plan, f"x123 grew a join:\n{plan[:2000]}"
+
+
+def test_simpson_one_scan_shape_broadcast_pooled(spark):
+    """x124: per-stratum and pooled rates are conditional-sum
+    aggregates; the single pooled row joins back by broadcast — no
+    sort-merge join, no cartesian beyond the 1-row broadcast."""
+    plan = _executed_plan(QUERIES["x124_simpson_reversal"].fn(spark, SF))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_benford_join_free_one_aggregate(spark):
+    """x125: scan-stage digit extraction + one (priority, digit)
+    aggregate + a window over 9-row groups — join-free."""
+    plan = _executed_plan(QUERIES["x125_benford_audit"].fn(spark, SF))
+    assert "Join" not in plan, f"x125 grew a join:\n{plan[:2000]}"
+
+
+def test_neyman_broadcast_means_and_tiny_windows(spark):
+    """x126: the means join back into the variance pass by BROADCAST
+    (per-stratum frame), and no corpus-sized sort-merge join may
+    appear; everything after the two aggregates runs on |strata|
+    rows."""
+    plan = _executed_plan(QUERIES["x126_neyman_allocation"].fn(spark, SF))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, "means join de-broadcast:\n" + plan[:2000]

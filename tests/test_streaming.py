@@ -849,3 +849,64 @@ def test_ddsketch_tws_matches_batch_kernel_exactly(spark, stream_dir, tmp_path):
             q.stop()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_cusum_tws_matches_batch_closed_form_exactly(spark, stream_dir, tmp_path):
+    """Streaming CUSUM (cusum_tws): all-integer state (P, min prefix,
+    n), so after two micro-batches the emitted S per key EQUALS the
+    x120 prefix-sum closed form over the concatenated series — exact
+    equality, no floats anywhere (the strongest form of the
+    approx_distinct/ddsketch portability claim)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.streaming import cusum_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    MU, SLACK = 10_000_000, 1_000_000  # mean 10/unit, 10% slack (e6)
+    b1 = {"a": [10, 11, 9, 30, 31], "b": [10, 10]}
+    b2 = {"a": [32, 28], "b": [9]}
+    try:
+        _write_batch(
+            stream_dir, "c1.jsonl",
+            [{"k": k, "v": v} for k, vs in b1.items() for v in vs],
+        )
+        src = file_stream(spark, str(stream_dir), "k string, v long", fmt="json")
+        q = (
+            cusum_tws(src, "k", "v", mu_e6=MU, slack_e6=SLACK)
+            .writeStream.format("memory")
+            .queryName("tws_cusum")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _write_batch(
+                stream_dir, "c2.jsonl",
+                [{"k": k, "v": v} for k, vs in b2.items() for v in vs],
+            )
+            q.processAllAvailable()
+            latest = {}
+            for r in spark.sql("select * from tws_cusum").collect():
+                latest[r.k] = (r.s_e6, r.n, r.alarmed)  # last batch wins
+            for k in ("a", "b"):
+                series = b1.get(k, []) + b2.get(k, [])
+                p, minp = 0, 0
+                for x in series:  # the x120 closed form, driver-side
+                    p += x * 1_000_000 - MU - SLACK
+                    minp = min(minp, p)
+                s = p - min(0, minp)
+                assert latest[k] == (s, len(series), s > MU), (k, latest[k], s)
+            # key 'a' drifted +3x mean for 4 of 7 points: must alarm;
+            # key 'b' hovered at the mean: must not
+            assert latest["a"][2] is True
+            assert latest["b"][2] is False
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
