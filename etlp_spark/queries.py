@@ -12316,6 +12316,497 @@ def x126_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X127_CHANNELS = ("click", "error", "signup", "view")
+_X127_STEPS = 12
+
+
+def _x127_transitions_sql() -> str:
+    """Shared transition-extraction CTEs (journeys -> first-order
+    Markov counts) — the corpus-sized half of x127, identical
+    windows in both engines."""
+    return """
+    ord AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    fp AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' THEN rn END)
+                  OVER (PARTITION BY user_id) AS fp_rn
+      FROM ord),
+    kept AS (
+      SELECT user_id, event_type, rn, fp_rn
+      FROM fp
+      WHERE event_type != 'purchase' AND (fp_rn IS NULL OR rn < fp_rn)),
+    steps AS (
+      SELECT user_id,
+             coalesce(lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY rn), 'START') AS src,
+             event_type AS dst
+      FROM kept),
+    lasts AS (
+      SELECT f.user_id,
+             coalesce(max(CASE WHEN k.rn = k.mx THEN k.event_type END),
+                      'START') AS src,
+             CASE WHEN max(f.fp_rn) IS NOT NULL
+                  THEN 'CONV' ELSE 'NULL' END AS dst
+      FROM (SELECT user_id, fp_rn FROM fp GROUP BY user_id, fp_rn) f
+      LEFT JOIN (SELECT user_id, event_type, rn,
+                        max(rn) OVER (PARTITION BY user_id) AS mx
+                 FROM kept) k USING (user_id)
+      GROUP BY f.user_id),
+    trans AS (
+      SELECT src, dst, count(*) AS cnt FROM (
+        SELECT src, dst FROM steps
+        UNION ALL SELECT src, dst FROM lasts)
+      GROUP BY src, dst),
+    tot AS (SELECT src, sum(cnt) AS total FROM trans GROUP BY src),
+    p AS (
+      SELECT t.src, t.dst, (t.cnt * 1000000) // x.total AS p6
+      FROM trans t JOIN tot x USING (src))"""
+
+
+def _x127_oracle() -> str:
+    scen = " UNION ALL ".join(
+        f"SELECT '{c}' AS removed" for c in ("NONE",) + _X127_CHANNELS
+    )
+    ctes = [
+        f"scen AS ({scen})",
+        "m0 AS (SELECT removed, 'START' AS state,"
+        " CAST(1000000000000 AS BIGINT) AS mass FROM scen)",
+        "c0 AS (SELECT removed, CAST(0 AS BIGINT) AS conv FROM scen)",
+    ]
+    for k in range(1, _X127_STEPS + 1):
+        ctes.append(
+            f"""m{k} AS (
+      SELECT m.removed, p.dst AS state,
+             CAST(sum((m.mass * p.p6) // 1000000) AS BIGINT) AS mass
+      FROM m{k - 1} m JOIN p ON p.src = m.state
+      WHERE p.dst NOT IN ('CONV', 'NULL') AND p.dst != m.removed
+      GROUP BY m.removed, p.dst)"""
+        )
+        ctes.append(
+            f"""c{k} AS (
+      SELECT m.removed,
+             CAST(coalesce(sum((m.mass * p.p6) // 1000000), 0) AS BIGINT)
+               AS conv
+      FROM m{k - 1} m JOIN p ON p.src = m.state
+      WHERE p.dst = 'CONV'
+      GROUP BY m.removed)"""
+        )
+    conv_union = " UNION ALL ".join(
+        f"SELECT * FROM c{k}" for k in range(_X127_STEPS + 1)
+    )
+    ctes.append(
+        f"convs AS (SELECT removed, sum(conv) AS conv_e12 FROM ({conv_union})"
+        " GROUP BY removed)"
+    )
+    return f"""
+    WITH {_x127_transitions_sql().lstrip()},
+    {(','+ chr(10)).join(ctes)}
+    SELECT r.removed AS channel,
+           CAST(f.conv_e12 // 1000000 AS BIGINT) AS conv_full_e6,
+           CAST(r.conv_e12 // 1000000 AS BIGINT) AS conv_removed_e6,
+           CAST(((f.conv_e12 - r.conv_e12) * 1000000)
+                // f.conv_e12 AS BIGINT) AS removal_effect_e6
+    FROM convs r CROSS JOIN (SELECT conv_e12 FROM convs
+                             WHERE removed = 'NONE') f
+    WHERE r.removed != 'NONE'
+    """
+
+
+@_register("x127_removal_effect_attribution", _x127_oracle())
+def x127_removal_effect_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov REMOVAL-EFFECT attribution (Anderl et al. 2016, "Mapping
+    the customer journey") — the model-based upgrade to x74's
+    heuristic touch credits: build the first-order journey chain
+    (START -> channels -> CONV at first purchase / NULL), then credit
+    each channel by how much total conversion probability DISAPPEARS
+    when that channel's inflow redirects to NULL. Computed by 12
+    unrolled integer mass-propagation steps per scenario (the
+    x106/x113 bounded-unroll pattern; mass decays geometrically so
+    12 steps exhaust it to e-12 precision).
+
+    The corpus-sized work is ONE set of per-user windows (order,
+    first-purchase cut, lag) feeding a (src, dst) count aggregate —
+    everything downstream operates on the <= (|channels|+1) x
+    (|channels|+3) transition matrix. That matrix is collected
+    driver-side (bounded by the CHANNEL VOCABULARY squared, never by
+    corpus size — the Bloom-fold/IVF-init precedent) and the
+    absorption fold runs in exact Python integers, mirrored
+    edge-for-edge by the oracle's unrolled SQL: per-edge
+    ``(mass * p6) div 1e6`` floors, then order-free integer sums.
+
+    Exactness: transition probabilities are integer e6 quotients;
+    every propagation step is floor-divided per edge identically in
+    Python and SQL; removal scenarios drop the removed channel's
+    column (redirect-to-NULL, the standard convention — no
+    renormalization). Reference: engine-added (SURVEY.md §2.2
+    attribution family, with x74/w10)."""
+    ev = _t_fanout(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    orde = ev.select(
+        "user_id", "event_type", F.row_number().over(wu).alias("rn")
+    )
+    fp = orde.select(
+        "*",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        )
+        .over(Window.partitionBy("user_id"))
+        .alias("fp_rn"),
+    )
+    kept = fp.where(
+        (F.col("event_type") != "purchase")
+        & (F.col("fp_rn").isNull() | (F.col("rn") < F.col("fp_rn")))
+    )
+    steps = kept.select(
+        F.coalesce(
+            F.lag("event_type").over(
+                Window.partitionBy("user_id").orderBy("rn")
+            ),
+            F.lit("START"),
+        ).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    konly = kept.select(
+        "user_id",
+        "event_type",
+        "rn",
+        F.max("rn").over(Window.partitionBy("user_id")).alias("mx"),
+    )
+    lasts = (
+        fp.groupBy("user_id", "fp_rn")
+        .agg(F.lit(1).alias("_one"))
+        .join(konly, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(F.col("rn") == F.col("mx"), F.col("event_type"))
+                ),
+                F.lit("START"),
+            ).alias("src"),
+            F.when(F.max("fp_rn").isNotNull(), F.lit("CONV"))
+            .otherwise(F.lit("NULL"))
+            .alias("dst"),
+        )
+        .select("src", "dst")
+    )
+    trans = (
+        steps.unionByName(lasts)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = trans.groupBy("src").agg(F.sum("cnt").alias("total"))
+    p_rows = (
+        trans.join(tot, "src")
+        .select("src", "dst", F.expr("(cnt * 1000000) div total").alias("p6"))
+        .collect()
+    )  # bounded: (|channels|+1) x (|channels|+3) rows, never corpus-sized
+    p = {}
+    for r in p_rows:
+        p.setdefault(r.src, {})[r.dst] = int(r.p6)
+
+    def absorb(removed: str) -> int:
+        mass = {"START": 10**12}
+        conv = 0
+        for _ in range(_X127_STEPS):
+            nxt: dict[str, int] = {}
+            step_conv = 0
+            for s, m in mass.items():
+                for d, p6 in p.get(s, {}).items():
+                    flow = (m * p6) // 1000000  # per-edge floor == SQL
+                    if d == "CONV":
+                        step_conv += flow
+                    elif d == "NULL" or d == removed:
+                        continue
+                    else:
+                        nxt[d] = nxt.get(d, 0) + flow
+            conv += step_conv
+            mass = nxt
+            if not mass:
+                break
+        return conv
+
+    full = absorb("NONE")
+    vals = ", ".join(
+        f"('{c}', {full // 1000000}, {absorb(c) // 1000000}, "
+        f"{((full - absorb(c)) * 1000000) // full})"
+        for c in _X127_CHANNELS
+    )
+    return spark.sql(
+        "SELECT channel, CAST(conv_full_e6 AS BIGINT) AS conv_full_e6, "
+        "CAST(conv_removed_e6 AS BIGINT) AS conv_removed_e6, "
+        "CAST(removal_effect_e6 AS BIGINT) AS removal_effect_e6 "
+        f"FROM VALUES {vals} AS "
+        "t(channel, conv_full_e6, conv_removed_e6, removal_effect_e6)"
+    )
+
+
+@_register(
+    "x128_clustering_coefficient",
+    """
+    WITH pres AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS hb,
+                                  user_id
+                  FROM events),
+    sized AS (SELECT event_type, hb FROM pres
+              GROUP BY 1, 2 HAVING count(*) <= 32),
+    kept AS (SELECT p.* FROM pres p JOIN sized s USING (event_type, hb)),
+    pairs AS (SELECT a.user_id AS ua, b.user_id AS ub
+              FROM kept a JOIN kept b
+                ON a.event_type = b.event_type AND a.hb = b.hb
+               AND a.user_id < b.user_id
+              GROUP BY 1, 2 HAVING count(*) >= 3),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM (
+              SELECT ua AS u FROM pairs UNION ALL SELECT ub FROM pairs)
+            GROUP BY u),
+    ori AS (SELECT CASE WHEN (da.d, p.ua) < (db.d, p.ub)
+                        THEN p.ua ELSE p.ub END AS src,
+                   CASE WHEN (da.d, p.ua) < (db.d, p.ub)
+                        THEN p.ub ELSE p.ua END AS dst,
+                   CASE WHEN (da.d, p.ua) < (db.d, p.ub)
+                        THEN db.d ELSE da.d END AS dd
+            FROM pairs p
+            JOIN deg da ON da.u = p.ua JOIN deg db ON db.u = p.ub),
+    tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM ori e1 JOIN ori e2
+              ON e2.src = e1.src AND (e2.dd, e2.dst) > (e1.dd, e1.dst)
+            JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+    per_user AS (SELECT u, CAST(count(*) AS BIGINT) AS n_tri FROM (
+                   SELECT a AS u FROM tri UNION ALL
+                   SELECT b FROM tri UNION ALL SELECT c FROM tri)
+                 GROUP BY u)
+    SELECT d.u AS user_id,
+           d.d AS degree,
+           CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST((2 * coalesce(p.n_tri, 0) * 1000000)
+                // (d.d * (d.d - 1)) AS BIGINT) AS cc_e6
+    FROM deg d LEFT JOIN per_user p ON p.u = d.u
+    WHERE d.d >= 2
+    """,
+)
+def x128_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL clustering coefficient per node (Watts & Strogatz 1998:
+    cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1))) over the x92/x100/x107
+    co-occurrence graph — the node-level density readout that
+    separates community members (high cc) from BRIDGES and bot-like
+    hub accounts (high degree, near-zero cc): exactly the feature a
+    fraud/community model wants beside raw degree. Triangle counts
+    come from the same Suri-Vassilvitskii degree-ordered orientation
+    as x92 (each triangle generated by ONE wedge); the coefficient
+    adds the degree join and an integer e6 ratio, emitting every
+    node with degree >= 2 (nodes with no triangles kept via left
+    join — a 0 coefficient is the interesting signal).
+
+    Exactness: all integers — pair/triangle counts, degree products,
+    e6 quotients.
+
+    Scale shape: identical to x92 (bucket cap <= 32 bounds pair
+    generation; oriented wedge joins kill the hub deg^2 explosion)
+    plus one |nodes|-sized left join. Both multi-consumer frames are
+    localCheckpoint-pinned per the repo's rule. Reference:
+    engine-added (SURVEY.md §2.2 graph family, completing
+    x92/x100/x107/r1/r2)."""
+    from etlp_spark.functions.graph import cooccurrence_edges
+
+    ev = _t_fanout(spark, sf_dir, "events")
+    pres = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hb"), "user_id"
+    )
+    pairs = cooccurrence_edges(
+        pres, "user_id", ("event_type", "hb"), min_shared=3, max_bucket=32
+    ).localCheckpoint()  # multi-consumer: degree agg + orientation join
+    deg = (
+        pairs.select(F.col("a").alias("u"))
+        .unionAll(pairs.select(F.col("b").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint()  # multi-consumer: orientation + final join
+    )
+    da = deg.select(F.col("u").alias("ua"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("ub"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("ua") < F.col("ub"))
+    )
+    ori = (
+        pairs.select(F.col("a").alias("ua"), F.col("b").alias("ub"))
+        .join(da, "ua")
+        .join(db, "ub")
+        .select(
+            F.when(lower_first, F.col("ua")).otherwise(F.col("ub")).alias("src"),
+            F.when(lower_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
+            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+        )
+        .localCheckpoint()  # fans into e1/e2/e3
+    )
+    e1 = ori.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dd").alias("bd")
+    )
+    e2 = ori.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("dd").alias("cd")
+    )
+    e3 = ori.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = (
+        e1.join(e2, "a")
+        .where(
+            (F.col("cd") > F.col("bd"))
+            | ((F.col("cd") == F.col("bd")) & (F.col("c") > F.col("b")))
+        )
+        .join(e3, ["b", "c"])
+    )
+    per_user = (
+        tri.select(F.col("a").alias("u"))
+        .unionAll(tri.select(F.col("b").alias("u")))
+        .unionAll(tri.select(F.col("c").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return (
+        deg.where(F.col("d") >= 2)
+        .join(per_user, "u", "left")
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("d").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.expr("(2 * coalesce(n_tri, 0) * 1000000) div (d * (d - 1))")
+            .cast("long")
+            .alias("cc_e6"),
+        )
+    )
+
+
+def _fs_weights() -> dict[str, tuple[int, int]]:
+    """Fellegi-Sunter agreement/disagreement log-odds weights in e3,
+    floor'd ONCE in Python from fixed (m, u) priors and embedded as
+    the same integer literals in both engines."""
+    import math
+
+    mu = {"sign": (0.95, 0.5), "kbucket": (0.9, 0.1), "cents": (0.85, 0.01)}
+    return {
+        f: (
+            int(math.floor(math.log(m / u) * 1000)),
+            int(math.floor(math.log((1 - m) / (1 - u)) * 1000)),
+        )
+        for f, (m, u) in mu.items()
+    }
+
+
+def _o_x129_sql() -> str:
+    w = _fs_weights()
+    score = " + ".join(
+        f"(CASE WHEN a.{f} = b.{f} THEN {wa} ELSE {wd} END)"
+        for f, (wa, wd) in w.items()
+    )
+    return f"""
+    WITH feat AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS sign,
+             CAST(floor(abs(c_acctbal)) AS BIGINT) // 1000 AS kbucket,
+             CAST(floor(abs(c_acctbal) * 100) AS BIGINT) % 100 AS cents
+      FROM customer),
+    sized AS (SELECT c_nationkey, c_mktsegment FROM feat
+              GROUP BY 1, 2 HAVING count(*) <= 40),
+    blk AS (SELECT f.* FROM feat f JOIN sized USING (c_nationkey,
+                                                     c_mktsegment)),
+    scored AS (
+      SELECT a.c_nationkey, {score} AS score_e3
+      FROM blk a JOIN blk b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.c_custkey < b.c_custkey)
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN score_e3 >= 4000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_match,
+           CAST(sum(CASE WHEN score_e3 >= 0 AND score_e3 < 4000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_possible,
+           CAST(max(score_e3) AS BIGINT) AS max_score_e3,
+           CAST(min(score_e3) AS BIGINT) AS min_score_e3
+    FROM scored GROUP BY c_nationkey
+    """
+
+
+@_register("x129_fellegi_sunter", _o_x129_sql())
+def x129_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter
+    1969) — the decision-theoretic layer the fuzzy-match family
+    (x40 string similarity, x109 edit distance) feeds into: each
+    blocked candidate pair scores the SUM of per-field log-odds
+    ln(m/u) on agreement and ln((1-m)/(1-u)) on disagreement, and
+    the score thresholds into match / possible-match / non-match —
+    the three-region rule that lets a 100 TB linkage route only the
+    "possible" band to expensive (human or model) review. Fields are
+    acctbal-derived here (sign / magnitude bucket / exact cents —
+    the fixture has no PII columns, the OPERATOR is the point, x72's
+    framing); m/u priors are fixed and the weights are e3-floored
+    Python literals embedded in both engines.
+
+    Exactness: all integers — field extraction (floor/abs/mod on an
+    IEEE-identical float product), CASE weight sums, threshold
+    counts.
+
+    Scale shape: blocking on (nation, segment) with the x109 cap
+    (<= 40: over-cap blocks DROPPED, not exploded — recall at scale
+    comes from more/better blocking keys, never bigger blocks), so
+    pair generation is bounded per block; one aggregate after. At
+    100 TB the blocked join is the linkage shuffle itself.
+    Reference: engine-added (SURVEY.md §2.2 entity-resolution
+    family, with x40/x109)."""
+    cust = _t(spark, sf_dir, "customer")
+    feat = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") >= 0, 1).otherwise(0).alias("sign"),
+        F.expr("CAST(floor(abs(c_acctbal)) AS BIGINT) div 1000").alias(
+            "kbucket"
+        ),
+        (F.floor(F.abs(F.col("c_acctbal")) * 100).cast("long") % 100).alias(
+            "cents"
+        ),
+    )
+    sized = (
+        feat.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") <= 40)
+        .drop("bn")
+    )
+    blk = feat.join(sized, ["c_nationkey", "c_mktsegment"])
+    a = blk.alias("a")
+    b = blk.alias("b")
+    w = _fs_weights()
+    score = None
+    for f, (wa, wd) in w.items():
+        term = F.when(F.col(f"a.{f}") == F.col(f"b.{f}"), wa).otherwise(wd)
+        score = term if score is None else score + term
+    scored = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(F.col("a.c_nationkey").alias("c_nationkey"), score.alias("score_e3"))
+    )
+    return scored.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("score_e3") >= 4000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_match"),
+        F.sum(
+            F.when((F.col("score_e3") >= 0) & (F.col("score_e3") < 4000), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_possible"),
+        F.max("score_e3").cast("long").alias("max_score_e3"),
+        F.min("score_e3").cast("long").alias("min_score_e3"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -12426,8 +12917,8 @@ _GATED_PRIOR_ROUNDS = [
 #: bitmask for the set-frequency closed form, x92 grew its
 #: localCheckpoint pins), then the r8 verdict's 17-query STALE block
 #: — the only queries whose last driver evidence predates round 5 —
-#: then r5-era canaries. Sized at 29 so ALL 21 new round-9 queries
-#: (x103b, x107-x126 — none in any gate list) auto-land via
+#: then r5-era canaries. Sized at 26 so ALL 24 new round-9 queries
+#: (x103b, x107-x129 — none in any gate list) auto-land via
 #: ``_ungated`` INSIDE the first-50 window.
 _NEWEST = [
     # changed this round:
@@ -12443,8 +12934,6 @@ _NEWEST = [
     # next-oldest canaries, last gated round 5:
     "x61_zipf_slope", "x62_langid_calibration", "w13_ewma_smoothed",
     "x63_retrieval_dcg", "w14_ohlc_candles", "x64_corpus_drift",
-    "x65_tokenizer_fertility", "x66_hard_negatives",
-    "r1_reachability_hops",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

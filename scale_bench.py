@@ -127,6 +127,9 @@ HEAVY = [
     "x124_simpson_reversal",
     "x125_benford_audit",
     "x126_neyman_allocation",
+    "x127_removal_effect_attribution",
+    "x128_clustering_coefficient",
+    "x129_fellegi_sunter",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -190,6 +193,9 @@ QUERY_TABLES = {
     "x124_simpson_reversal": ["events"],
     "x125_benford_audit": ["orders"],
     "x126_neyman_allocation": ["documents"],
+    "x127_removal_effect_attribution": ["events"],
+    "x128_clustering_coefficient": ["events"],
+    "x129_fellegi_sunter": ["customer"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]

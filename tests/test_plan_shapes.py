@@ -479,3 +479,22 @@ def test_neyman_broadcast_means_and_tiny_windows(spark):
     plan = _executed_plan(QUERIES["x126_neyman_allocation"].fn(spark, SF))
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan, "means join de-broadcast:\n" + plan[:2000]
+
+
+def test_clustering_coefficient_checkpointed_oriented(spark):
+    """x128: same discipline as x92 — pairs/deg/ori are
+    localCheckpoint-pinned (checkpoint scans in the plan) and the
+    wedge joins stay equi-joins; no cartesian anywhere."""
+    plan = _executed_plan(QUERIES["x128_clustering_coefficient"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Scan ExistingRDD" in plan, "checkpoint pins lost:\n" + plan[:2000]
+
+
+def test_fellegi_sunter_blocked_equijoin_only(spark):
+    """x129: candidate generation must stay a (nation, segment)
+    equi-join over capped blocks — a CartesianProduct or
+    BroadcastNestedLoopJoin means blocking stopped bounding the pair
+    space (the x109/x114 rule)."""
+    plan = _executed_plan(QUERIES["x129_fellegi_sunter"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]

@@ -697,3 +697,26 @@ def test_cooccurrence_bucket_cap_drops_hubs(spark, pres_pairs, cap, min_shared):
         ).collect()
     }
     assert got2 == ref
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=10**9), min_size=0, max_size=60),
+    mu=st.integers(min_value=0, max_value=10**15),
+    slack=st.integers(min_value=0, max_value=10**14),
+)
+def test_cusum_prefix_identity_equals_textbook_recursion(xs, mu, slack):
+    """The closed form BOTH x120 and streaming.cusum_tws rest on:
+    S_t = P_t - min(0, min_{j<=t} P_j) with P = cumsum(x*1e6 - mu -
+    slack) equals Page's textbook recursion S_t = max(0, S_{t-1} +
+    dev_t) at EVERY step — pure integers, so the equality is exact.
+    (Proof sketch: both are the max suffix-sum ending at t, but the
+    recursion is not a SQL window function and the closed form is.)"""
+    p, minp, s_rec = 0, 0, 0
+    for x in xs:
+        dev = x * 1_000_000 - mu - slack
+        p += dev
+        minp = min(minp, p)
+        s_closed = p - min(0, minp)
+        s_rec = max(0, s_rec + dev)
+        assert s_closed == s_rec
