@@ -10954,8 +10954,15 @@ def x113_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "x114_prefix_filter_jaccard",
     f"""
-    WITH tk AS (SELECT doc_id, {_O_TOKS} AS tk FROM documents),
-    dt AS (SELECT DISTINCT doc_id, unnest(tk) AS t FROM tk),
+    WITH tk0 AS (SELECT doc_id, {_O_TOKS} AS tk FROM documents
+                 WHERE len({_O_TOKS}) >= 3),
+    pos AS (SELECT doc_id, tk,
+                   unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i
+            FROM tk0),
+    dt AS (SELECT DISTINCT doc_id,
+                  ('0x' || substr(md5(array_to_string(tk[i:i+2], ' ')),
+                                  1, 15))::BIGINT AS t
+           FROM pos),
     sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
@@ -10976,34 +10983,63 @@ def x113_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x114_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity JOIN by PREFIX FILTERING (Chaudhuri, Ganti &
     Kaushik 2006; the SSJoin/PPJoin family): all document pairs with
-    token-set Jaccard >= 0.8, found WITHOUT the quadratic token
-    equi-join. Sort each doc's distinct tokens by ascending global
-    frequency (rarest first); if J(A, B) >= t, the first
-    ``|A| - ceil(t*|A|) + 1`` tokens of A and of B must share an
-    element — so candidate generation joins only on PREFIX tokens
-    (which are globally rare by construction), then exact Jaccard
-    verifies each candidate via in-row array intersection.
+    3-gram SHINGLE-set Jaccard >= 0.8, found WITHOUT the quadratic
+    shingle equi-join. Sort each doc's distinct shingles by ascending
+    global frequency (rarest first); if J(A, B) >= t, the first
+    ``|A| - ceil(t*|A|) + 1`` shingles of A and of B must share an
+    element — so candidate generation joins only on PREFIX shingles
+    (globally rare by construction), then exact Jaccard verifies
+    each candidate via in-row array intersection.
 
-    The ORACLE is the naive quadratic definition (full token
-    equi-join; hot/stop tokens explode it) — so the driver gate
-    proves the optimization LOSSLESS, the j13 pattern: a correct
-    prefix filter can never change semantics, only the plan. The
-    threshold compares as integers (``5c >= 4u``), no float ever.
+    Sets are word TRIGRAMS, not single tokens (the x5/MinHash
+    shingling convention), and that choice is load-bearing at scale:
+    the r9 quiet bench caught the single-token form at 137 s on
+    sf0.1 because this corpus's token VOCABULARY is tiny (~18 words
+    — every token is a stopword, so every prefix collided: 89M
+    candidate pairs). Shingle vocabulary grows combinatorially, so
+    prefixes are rare again and the filter actually filters —
+    the prefix-filter guarantee is only as good as the element
+    frequency distribution, which is a property to MEASURE, not
+    assume (SCALE_BENCH carries the x10/x100 points).
 
-    Scale shape at 100 TB: the naive join's cost is sum over tokens
-    of f(t)^2 — a stopword with f=10^9 alone yields 10^18 pairs; the
-    prefix join's cost is the same sum over PREFIX occurrences only,
-    and a token's prefix occurrences are bounded by how many docs
-    rank it in their rarest ~20% — frequency ordering pushes hot
-    tokens out of every prefix. Verification touches only candidate
-    pairs, each an O(|tokens|) array intersect with both token
-    arrays broadcast-joined by doc id."""
+    The ORACLE is the naive quadratic definition (full shingle
+    equi-join) — so the driver gate proves the optimization
+    LOSSLESS, the j13 pattern: a correct prefix filter can never
+    change semantics, only the plan. The threshold compares as
+    integers (``5c >= 4u``), no float ever.
+
+    Scale shape at 100 TB: the naive join's cost is sum over
+    elements of f(e)^2; the prefix join's cost is the same sum over
+    PREFIX occurrences only, and an element's prefix occurrences
+    are bounded by how many docs rank it in their rarest ~20% —
+    frequency ordering pushes hot shingles out of every prefix.
+    Verification touches only candidate pairs, each an O(|set|)
+    array intersect with both shingle arrays joined by doc id."""
     from etlp_spark.functions.text import tokens
 
     docs = _t_fanout(spark, sf_dir, "documents")
-    tk = docs.select(
-        "doc_id", F.array_distinct(tokens("text")).alias("tk")
-    ).where(F.size("tk") >= 1)
+    tk0 = docs.select("doc_id", tokens("text").alias("tk0")).where(
+        F.size("tk0") >= 3
+    )
+    # 60-bit md5 fingerprints IN BOTH ENGINES (the x97 long-key rule:
+    # shingle strings never shuffle — identical fp arithmetic on both
+    # sides keeps the gate exact even in the astronomically-unlikely
+    # collision case, because a collision collides identically)
+    tk = tk0.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk0") - 2),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice("tk0", i, 3), " ")), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias("tk"),
+    )
     dt = tk.select("doc_id", F.explode("tk").alias("t"))
     freq = dt.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
     # rank tokens rarest-first per doc; prefix length n - ceil(0.8n) + 1
@@ -11160,12 +11196,12 @@ def x115_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_pois_w(u: str) -> str:
-    """Inverse-CDF Poisson(1) draw from an e6 uniform — the SAME five
-    integer thresholds (floor(CDF*1e6)) in both engines."""
+    """Inverse-CDF Poisson(1) draw from a 16-bit uniform — the SAME
+    five integer thresholds (floor(CDF*65536)) in both engines."""
     return (
-        f"(CASE WHEN {u} < 367879 THEN 0 WHEN {u} < 735759 THEN 1 "
-        f"WHEN {u} < 919699 THEN 2 WHEN {u} < 981012 THEN 3 "
-        f"WHEN {u} < 996340 THEN 4 ELSE 5 END)"
+        f"(CASE WHEN {u} < 24109 THEN 0 WHEN {u} < 48218 THEN 1 "
+        f"WHEN {u} < 60273 THEN 2 WHEN {u} < 64291 THEN 3 "
+        f"WHEN {u} < 65296 THEN 4 ELSE 5 END)"
     )
 
 
@@ -11178,14 +11214,22 @@ def _o_pois_w(u: str) -> str:
              CAST(floor((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
                AS cents
       FROM lineitem),
+    hs AS (
+      SELECT l_returnflag, cents,
+             md5(CAST(k AS VARCHAR) || '#B0') AS h0,
+             md5(CAST(k AS VARCHAR) || '#B1') AS h1,
+             md5(CAST(k AS VARCHAR) || '#B2') AS h2,
+             md5(CAST(k AS VARCHAR) || '#B3') AS h3
+      FROM base),
     reps AS (SELECT unnest(range(0, 32)) AS r),
     wts AS (
       SELECT l_returnflag, r, cents,
              {_o_pois_w(
-                 "('0x' || substr(md5(CAST(k AS VARCHAR) || '#R' || "
-                 "CAST(r AS VARCHAR)), 1, 13))::BIGINT % 1000000"
+                 "('0x' || substr(CASE r // 8 WHEN 0 THEN h0 WHEN 1 THEN h1 "
+                 "WHEN 2 THEN h2 ELSE h3 END, "
+                 "CAST((r % 8) * 4 + 1 AS INT), 4))::BIGINT"
              )} AS w
-      FROM base CROSS JOIN reps),
+      FROM hs CROSS JOIN reps),
     rm AS (
       SELECT l_returnflag, r, sum(w * cents) // sum(w) AS mean_r
       FROM wts GROUP BY l_returnflag, r),
@@ -11218,26 +11262,28 @@ def x116_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     classical resample): per return flag, a 32-replicate bootstrap
     of mean line revenue where each row's multiplicity in replicate
     r is an INVERSE-CDF Poisson(1) draw from a deterministic
-    md5-derived uniform — no resample pass over the data, no
+    md5-derived 16-bit uniform — no resample pass over the data, no
     sampling coordination, reproducible across engines and reruns.
     Replicate means are exact integer quotients in cents; the CI is
     the 2nd/31st order statistic of the 32 replicate means
     (~p05/p95 with explicit rank semantics, no interpolation).
 
-    Exactness: weights are integer CASE thresholds on e6 hash
-    uniforms (floor of the Poisson(1) CDF — both engines compare the
-    same integers); replicate means are integer `div`; order
-    statistics tie-break by replicate id.
+    Exactness: weights are integer CASE thresholds on 16-bit hash
+    uniforms (floor of the Poisson(1) CDF * 65536 — both engines
+    compare the same integers); replicate means are integer `div`;
+    order statistics tie-break by replicate id.
 
     Scale shape at 100 TB: the x32 replicate expansion is SCAN-STAGE
-    (explode + md5, no extra I/O) and collapses map-side — the
-    shuffle carries |flags| x 32 partial sums, CONSTANT in corpus
-    size; the rank window then runs over 32-row groups. This is the
-    whole point of the Poisson formulation: classical bootstrap
-    resampling needs N draws of size N, this needs one scan.
-    Reference: engine-added (SURVEY.md §2.2 stats family, with
-    x99/x101)."""
-    li = _t(spark, sf_dir, "lineitem")
+    and collapses map-side — the shuffle carries |flags| x 32
+    partial sums, CONSTANT in corpus size; the rank window then runs
+    over 32-row groups. The hash bill is FOUR md5s per base row
+    (each 128-bit digest is sliced into eight 16-bit uniforms,
+    indexed by ``r div 8`` / ``r % 8``), not 32 — the r9 quiet bench
+    caught the one-md5-per-(row, replicate) form at 17.9 s on sf0.1,
+    8x the necessary hashing. Classical bootstrap resampling needs N
+    draws of size N; this needs one scan. Reference: engine-added
+    (SURVEY.md §2.2 stats family, with x99/x101)."""
+    li = _t_fanout(spark, sf_dir, "lineitem")  # compute-bound scan
     base = li.select(
         "l_returnflag",
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k"),
@@ -11248,40 +11294,45 @@ def x116_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    wts = base.select(
+    hs = base.select(
+        "l_returnflag",
+        "cents",
+        *[
+            F.md5(
+                F.concat(F.col("k").cast("string"), F.lit(f"#B{j}"))
+            ).alias(f"h{j}")
+            for j in range(4)
+        ],
+    )
+    wts = hs.select(
         "l_returnflag",
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r"),
-        "k",
+        "h0",
+        "h1",
+        "h2",
+        "h3",
     ).select(
         "l_returnflag",
         "r",
         "cents",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("k").cast("string"),
-                            F.lit("#R"),
-                            F.col("r").cast("string"),
-                        )
-                    ),
-                    1,
-                    13,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 1000000
-        ).alias("u"),
+        F.conv(
+            F.expr(
+                "substring(CASE r div 8 WHEN 0 THEN h0 WHEN 1 THEN h1 "
+                "WHEN 2 THEN h2 ELSE h3 END, (r % 8) * 4 + 1, 4)"
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u"),
     )
     w = (
-        F.when(F.col("u") < 367879, 0)
-        .when(F.col("u") < 735759, 1)
-        .when(F.col("u") < 919699, 2)
-        .when(F.col("u") < 981012, 3)
-        .when(F.col("u") < 996340, 4)
+        F.when(F.col("u") < 24109, 0)
+        .when(F.col("u") < 48218, 1)
+        .when(F.col("u") < 60273, 2)
+        .when(F.col("u") < 64291, 3)
+        .when(F.col("u") < 65296, 4)
         .otherwise(5)
     )
     rm = (
