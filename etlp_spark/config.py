@@ -143,12 +143,25 @@ def _jdbc_sink(cfg: dict[str, Any]):
     return JdbcSink(cfg["url"], cfg["table"], **cfg.get("options", {}))
 
 
+def _bucketed_table_sink(cfg: dict[str, Any]):
+    from etlp_spark.connectors.files import BucketedTableSink
+
+    return BucketedTableSink(
+        cfg["table"],
+        keys=tuple(cfg["keys"]),
+        n_buckets=cfg.get("n_buckets", 8),
+        sort_cols=tuple(cfg.get("sort", ())),
+        path=cfg.get("path"),
+    )
+
+
 SINK_TYPES: dict[str, Callable[[dict[str, Any]], Any]] = {
     "parquet": _parquet_sink,
     "console": _console_sink,
     "snapshot": _snapshot_sink,
     "upsert_parquet": _upsert_parquet_sink,
     "jdbc": _jdbc_sink,
+    "bucketed_table": _bucketed_table_sink,
 }
 
 

@@ -191,6 +191,48 @@ class ParquetSink(Destination):
 
 
 @dataclass
+class BucketedTableSink(Destination):
+    """Persist as a hash-BUCKETED parquet table (layout.write_bucketed):
+    pay the shuffle once at ingest; every later equi-join or
+    aggregation on ``keys`` between same-bucketed tables plans with
+    ZERO exchange — the co-located-join layout for repeated big-big
+    joins at 100 TB (the declarative twin of the snapshot sink's
+    ``cluster_by`` z-order, which serves range SCANS where this
+    serves JOINS)."""
+
+    table: str
+    keys: tuple[str, ...]
+    n_buckets: int = 8
+    sort_cols: tuple[str, ...] = ()
+    path: str | None = None
+
+    def spec(self) -> dict[str, Any]:
+        return {
+            "type": "table/bucketed_parquet",
+            "table": self.table,
+            "keys": list(self.keys),
+            "n_buckets": self.n_buckets,
+        }
+
+    def write(self, df: DataFrame) -> WriteResult:
+        from pyspark.sql import Observation
+
+        from etlp_spark.functions.layout import write_bucketed
+
+        obs = Observation("etlp_bucketed_sink")
+        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        write_bucketed(
+            observed,
+            self.table,
+            tuple(self.keys),
+            self.n_buckets,
+            sort_cols=tuple(self.sort_cols),
+            path=self.path,
+        )
+        return WriteResult(rows=obs.get["rows"], target=self.table)
+
+
+@dataclass
 class ConsoleSink(Destination):
     """K1/K2: print a bounded sample, report the exact count.
 

@@ -904,3 +904,55 @@ def test_streaming_config_cusum_op(spark, tmp_path):
         assert rows["flat"].alarmed is False and rows["flat"].s_e6 == 0
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_config_bucketed_table_sink(spark, tmp_path):
+    """'bucketed_table' as config vocabulary: a config-built pipeline
+    lands a hash-bucketed table, and a join between two such runs on
+    the bucket key plans WITHOUT re-shuffling either side — the
+    pay-the-shuffle-once-at-ingest layout, declaratively."""
+    import json as _json
+    import shutil
+
+    from etlp_spark.config import pipeline_from_config
+
+    for t in ("cfg_bk_a", "cfg_bk_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for side, vals in (("a", [1, 2, 3, 4]), ("b", [2, 4, 6, 8])):
+        indir = tmp_path / f"in_{side}"
+        indir.mkdir()
+        (indir / "r.jsonl").write_text(
+            "\n".join(_json.dumps({"k": v, "v": v * 10}) for v in vals)
+        )
+        res = pipeline_from_config(
+            {
+                "source": {
+                    "type": "file",
+                    "path": str(indir),
+                    "reducer": "jsonl",
+                    "options": {"schema": "k long, v long"},
+                },
+                "sink": {
+                    "type": "bucketed_table",
+                    "table": f"cfg_bk_{side}",
+                    "keys": ["k"],
+                    "n_buckets": 4,
+                    "sort": ["k"],
+                    "path": str(tmp_path / f"bk_{side}"),
+                },
+            }
+        ).run(spark)
+        assert res.rows == 4
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("cfg_bk_a").join(spark.table("cfg_bk_b"), "k")
+        j.write.format("noop").mode("overwrite").save()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert j.count() == 2  # keys 2 and 4
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("cfg_bk_a", "cfg_bk_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(str(tmp_path), ignore_errors=True)
