@@ -561,6 +561,37 @@ class SnapshotStore:
 
         return spark.read.schema(StructType.fromJson(json.loads(m["schema"])))
 
+    def read_increment(
+        self, spark: SparkSession, from_version: int, to_version: int
+    ) -> DataFrame:
+        """Incremental scan along an APPEND chain: exactly the rows in
+        files added after ``from_version`` up to ``to_version`` — the
+        Iceberg-style incremental read that lets a downstream consumer
+        (or an incremental aggregate) process ONLY the delta instead
+        of rescanning 100 TB per version. Plans over the file-list
+        difference, so cost scales with the increment, not the table.
+
+        Only well-defined when the chain is append-only between the
+        two versions: if any of ``from_version``'s files was REMOVED
+        (merge/compact/snapshot rewrote data), file-level increments
+        no longer equal row-level deltas and this raises — use
+        ``diff`` (key-level, two anti-joins) for rewrite chains."""
+        mf = self.manifest(from_version)
+        mt = self.manifest(to_version)
+        old = {_norm_file(f) for f in mf["files"]}
+        new_files = [f for f in mt["files"] if _norm_file(f) not in old]
+        removed = old - {_norm_file(f) for f in mt["files"]}
+        if removed:
+            raise ValueError(
+                f"versions v{from_version}..v{to_version} are not an "
+                f"append chain ({len(removed)} file(s) removed — a "
+                "merge/compact/snapshot rewrote data); use diff() for "
+                "row-level deltas across rewrites"
+            )
+        if not new_files:
+            return self._reader(spark, mt).parquet(*mt["files"]).limit(0)
+        return self._reader(spark, mt).parquet(*new_files)
+
     def read_pruned(
         self,
         spark: SparkSession,

@@ -952,3 +952,48 @@ def test_norm_file_keeps_object_store_uris(spark):
     assert _norm_file(enc) == "s3a://bucket/tbl/data/v 00001/part-0.parquet"
     # file scheme still normalizes to a local realpath
     assert os.path.isabs(_norm_file("file:///tmp/x.parquet"))
+
+
+def test_read_increment_and_incremental_aggregate(spark, store):
+    """Incremental scan along an append chain: read_increment returns
+    exactly the delta rows, and an aggregate MAINTAINED by folding
+    per-increment aggregates equals the full recompute — the pattern
+    that turns a 100 TB-per-version rescan into a delta-sized job."""
+    from pyspark.sql import functions as F
+
+    def grp(df):
+        return {
+            r.g: (r.n, r.s)
+            for r in df.groupBy((F.col("id") % 2).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+            .collect()
+        }
+
+    store.write(_df(spark, [1, 2, 3]))
+    store.write(_df(spark, [10, 11]), mode="append")
+    store.write(_df(spark, [20]), mode="append")
+
+    inc12 = store.read_increment(spark, 1, 2)
+    assert sorted(r.id for r in inc12.collect()) == [10, 11]
+    inc13 = store.read_increment(spark, 1, 3)
+    assert sorted(r.id for r in inc13.collect()) == [10, 11, 20]
+    # same version → empty increment with the right schema
+    assert store.read_increment(spark, 2, 2).count() == 0
+
+    # incremental aggregate maintenance: v1 agg + delta aggs == full
+    maintained = grp(store.read(spark, 1))
+    for lo, hi in ((1, 2), (2, 3)):
+        for g, (n, s) in grp(store.read_increment(spark, lo, hi)).items():
+            on, os_ = maintained.get(g, (0, 0))
+            maintained[g] = (on + n, os_ + s)
+    assert maintained == grp(store.read(spark, 3))
+
+
+def test_read_increment_refuses_rewrite_chains(spark, store):
+    """After a rewrite (merge/compact/snapshot), file-level increments
+    stop meaning row-level deltas — the API must refuse loudly and
+    point at diff()."""
+    store.write(_df(spark, [1, 2, 3]))
+    store.merge(_df(spark, [2, 9]), key_cols=["id"])
+    with pytest.raises(ValueError, match="append chain"):
+        store.read_increment(spark, 1, 2)
