@@ -12858,6 +12858,197 @@ def x129_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x130_welch_ttest",
+    """
+    WITH base AS (
+      SELECT event_type, user_id % 2 AS cohort,
+             CAST(floor(value * 100) AS BIGINT) AS v2
+      FROM events),
+    mo AS (
+      SELECT event_type,
+             sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN cohort = 0 THEN v2 ELSE 0 END) AS sa,
+             sum(CASE WHEN cohort = 0 THEN v2 * v2 ELSE 0 END) AS qa,
+             sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS nb,
+             sum(CASE WHEN cohort = 1 THEN v2 ELSE 0 END) AS sb,
+             sum(CASE WHEN cohort = 1 THEN v2 * v2 ELSE 0 END) AS qb
+      FROM base GROUP BY event_type),
+    st AS (
+      SELECT event_type, na, nb,
+             sa // na - sb // nb AS diff_e2,
+             (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+             / sqrt(
+                 ((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
+                  / (na - 1)) / na
+                 + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb)
+                    / (nb - 1)) / nb) AS t
+      FROM mo)
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(diff_e2 AS BIGINT) AS diff_e2,
+           CAST(floor(t * 1000000.0) AS BIGINT) AS t_e6,
+           CAST(CASE WHEN abs(floor(t * 1000000.0)) > 1959963
+                     THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM st
+    """,
+)
+def x130_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per stratum (Welch 1947) — the
+    plain-difference readout beside x99's CUPED-adjusted one, and the
+    significance layer over x124's direction check: cohort means,
+    their difference, and the t statistic from INTEGER moments
+    (n, sum, sum-of-squares of CENTS-floored values — the x99
+    moment-table discipline: floats floor per value BEFORE any
+    cross-row sum, so the three moments are order-free BIGINTs; e2
+    precision keeps sum(v2*v2) under 2^63 even at 10^11 rows, where
+    an e6 scaling would overflow Spark's long while DuckDB's HUGEINT
+    silently kept going — the cross-engine trap), then
+    one fixed-shape float dag (two divisions, variance identity,
+    sqrt) on identical operands in both engines, e6-floored. The
+    significance flag compares the integer t_e6 against the exact
+    two-sided 5% critical value floor(1.959963*1e6).
+
+    Scale shape: ONE conditional-moment aggregate with map-side
+    partials (six BIGINTs per stratum — the re-aggregatable
+    experiment-moment rollup, mergeable across days/engines like
+    every sketch here); everything after runs on |strata| rows. The
+    100 TB plan is the sf0.001 plan. Reference: engine-added
+    (SURVEY.md §2.2 stats family: x99 CUPED, x101 SRM, x116
+    bootstrap, x124 Simpson, x130 Welch)."""
+    ev = _t_fanout(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("cohort"),
+        F.floor(F.col("value") * 100).cast("long").alias("v2"),
+    )
+    c0 = F.col("cohort") == 0
+    mo = base.groupBy("event_type").agg(
+        F.sum(F.when(c0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(c0, F.col("v2")).otherwise(0)).alias("sa"),
+        F.sum(F.when(c0, F.col("v2") * F.col("v2")).otherwise(0)).alias("qa"),
+        F.sum(F.when(~c0, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(~c0, F.col("v2")).otherwise(0)).alias("sb"),
+        F.sum(F.when(~c0, F.col("v2") * F.col("v2")).otherwise(0)).alias("qb"),
+    )
+    t = (
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
+    ) / F.sqrt(
+        (
+            (
+                F.col("qa").cast("double")
+                - F.col("sa").cast("double") * F.col("sa") / F.col("na")
+            )
+            / (F.col("na") - 1)
+        )
+        / F.col("na")
+        + (
+            (
+                F.col("qb").cast("double")
+                - F.col("sb").cast("double") * F.col("sb") / F.col("nb")
+            )
+            / (F.col("nb") - 1)
+        )
+        / F.col("nb")
+    )
+    t6 = F.floor(t * F.lit(1000000.0)).cast("long")
+    return mo.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.expr("sa div na - sb div nb").cast("long").alias("diff_e2"),
+        t6.alias("t_e6"),
+        F.when(F.abs(t6) > 1959963, 1).otherwise(0).cast("long").alias(
+            "significant"
+        ),
+    )
+
+
+@_register(
+    "x131_power_mde",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CASE WHEN value > 20 THEN 1 ELSE 0 END AS conv
+      FROM events),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_avail,
+             (sum(conv) * 1000000) // count(*) AS p_e6
+      FROM base GROUP BY event_type),
+    calc AS (
+      SELECT event_type, n_avail, p_e6,
+             p_e6 // 10 AS delta_e6,
+             CASE WHEN p_e6 = 0 OR p_e6 // 10 = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(ceil(
+                    15.697674 * 2.0
+                    * (CAST(p_e6 AS DOUBLE) / 1000000.0)
+                    * (1.0 - CAST(p_e6 AS DOUBLE) / 1000000.0)
+                    / ((CAST(p_e6 // 10 AS DOUBLE) / 1000000.0)
+                       * (CAST(p_e6 // 10 AS DOUBLE) / 1000000.0))
+                  ) AS BIGINT) END AS n_required
+      FROM agg)
+    SELECT event_type, n_avail,
+           CAST(p_e6 AS BIGINT) AS p_e6,
+           CAST(delta_e6 AS BIGINT) AS delta_e6,
+           n_required,
+           CAST(CASE WHEN n_required > 0 AND n_avail / 2 >= n_required
+                     THEN 1 ELSE 0 END AS BIGINT) AS feasible
+    FROM calc
+    """,
+)
+def x131_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-size / minimum-detectable-effect feasibility check —
+    the experiment-DESIGN operator that runs BEFORE x101/x130/x99
+    ever see data: per stratum, the baseline conversion rate p, the
+    10%-relative MDE, and the required per-arm n from the standard
+    two-proportion formula n = (z_{a/2} + z_b)^2 * 2 p(1-p) / delta^2
+    with 80% power at two-sided 5% ((1.959964 + 1.281552)^2 =
+    15.697674, one Python-computed literal embedded in both engines
+    — the Benford-constant rule). The feasibility flag answers "can
+    this stratum's traffic power this test at all", which is what
+    decides experiment duration and stratification before launch.
+
+    Exactness: p and delta are integer e6 quotients; the formula is
+    one fixed-shape float dag on identical operands, ceil'd to the
+    integer n; zero-rate strata short-circuit to 0/infeasible in
+    integer logic.
+
+    Scale shape: ONE conditional count aggregate (map-side partials),
+    then |strata| rows of arithmetic. The 100 TB plan is the sf0.001
+    plan. Reference: engine-added (SURVEY.md §2.2 stats family)."""
+    ev = _t_fanout(spark, sf_dir, "events")
+    agg = ev.select(
+        "event_type", F.when(F.col("value") > 20, 1).otherwise(0).alias("conv")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_avail"),
+        F.expr("(sum(conv) * 1000000) div count(*)").alias("p_e6"),
+    )
+    p = F.col("p_e6").cast("double") / F.lit(1000000.0)
+    d = F.expr("p_e6 div 10").cast("double") / F.lit(1000000.0)
+    n_req = F.when(
+        (F.col("p_e6") == 0) | (F.expr("p_e6 div 10") == 0),
+        F.lit(0).cast("long"),
+    ).otherwise(
+        F.ceil(F.lit(15.697674) * F.lit(2.0) * p * (F.lit(1.0) - p) / (d * d))
+        .cast("long")
+    )
+    return agg.select(
+        "event_type",
+        "n_avail",
+        F.col("p_e6").cast("long").alias("p_e6"),
+        F.expr("p_e6 div 10").cast("long").alias("delta_e6"),
+        n_req.alias("n_required"),
+        F.when(
+            (n_req > 0) & (F.col("n_avail") / 2 >= n_req), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("feasible"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -12968,8 +13159,8 @@ _GATED_PRIOR_ROUNDS = [
 #: bitmask for the set-frequency closed form, x92 grew its
 #: localCheckpoint pins), then the r8 verdict's 17-query STALE block
 #: — the only queries whose last driver evidence predates round 5 —
-#: then r5-era canaries. Sized at 26 so ALL 24 new round-9 queries
-#: (x103b, x107-x129 — none in any gate list) auto-land via
+#: then r5-era canaries. Sized at 24 so ALL 26 new round-9 queries
+#: (x103b, x107-x131 — none in any gate list) auto-land via
 #: ``_ungated`` INSIDE the first-50 window.
 _NEWEST = [
     # changed this round:
@@ -12984,7 +13175,7 @@ _NEWEST = [
     "x12_ivf_ann", "x59_winsorized_stats", "x60_doc_chunks",
     # next-oldest canaries, last gated round 5:
     "x61_zipf_slope", "x62_langid_calibration", "w13_ewma_smoothed",
-    "x63_retrieval_dcg", "w14_ohlc_candles", "x64_corpus_drift",
+    "x63_retrieval_dcg",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

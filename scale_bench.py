@@ -130,6 +130,8 @@ HEAVY = [
     "x127_removal_effect_attribution",
     "x128_clustering_coefficient",
     "x129_fellegi_sunter",
+    "x130_welch_ttest",
+    "x131_power_mde",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -196,6 +198,8 @@ QUERY_TABLES = {
     "x127_removal_effect_attribution": ["events"],
     "x128_clustering_coefficient": ["events"],
     "x129_fellegi_sunter": ["customer"],
+    "x130_welch_ttest": ["events"],
+    "x131_power_mde": ["events"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]

@@ -498,3 +498,16 @@ def test_fellegi_sunter_blocked_equijoin_only(spark):
     plan = _executed_plan(QUERIES["x129_fellegi_sunter"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_welch_single_moment_aggregate(spark):
+    """x130: one conditional-moment aggregate, join-free; the t
+    statistic is arithmetic over |strata| rows."""
+    plan = _executed_plan(QUERIES["x130_welch_ttest"].fn(spark, SF))
+    assert "Join" not in plan, f"x130 grew a join:\n{plan[:2000]}"
+
+
+def test_power_mde_single_aggregate(spark):
+    """x131: one conditional count aggregate, join-free."""
+    plan = _executed_plan(QUERIES["x131_power_mde"].fn(spark, SF))
+    assert "Join" not in plan, f"x131 grew a join:\n{plan[:2000]}"
