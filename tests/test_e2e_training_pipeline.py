@@ -192,3 +192,49 @@ def test_curation_health_report_and_layout(spark, docs, tmp_path):
     )
     assert sorted(r.doc_id for r in pruned.collect()) == want
     assert info["files_read"] < info["files_total"]
+
+
+def test_experiment_readout_suite_is_consistent(spark):
+    """The experimentation suite composed end-to-end the way an
+    analysis would run it — design (x131 power), guardrails (x101
+    SRM), readouts (x130 Welch, x116 bootstrap), aggregation-bias
+    check (x124 Simpson) — pinning the CROSS-OPERATOR consistency
+    relations each query's own oracle cannot see:
+
+    - every operator sees the SAME cohort split, so per-stratum arm
+      counts must agree exactly across x124 and x130, and x131's
+      available traffic must equal their sum;
+    - the bootstrap CI must contain its own point estimate;
+    - the SRM guardrail must pass on a parity split (it gates the
+      others: a flagged split would invalidate every readout)."""
+    from etlp_spark.functions.stats import srm_chi2
+    from etlp_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    welch = {r.event_type: r for r in QUERIES["x130_welch_ttest"].fn(spark, sf).collect()}
+    simpson = {r.event_type: r for r in QUERIES["x124_simpson_reversal"].fn(spark, sf).collect()}
+    power = {r.event_type: r for r in QUERIES["x131_power_mde"].fn(spark, sf).collect()}
+    assert set(welch) == set(simpson) == set(power)
+    for t in welch:
+        assert (welch[t].n_a, welch[t].n_b) == (simpson[t].n_a, simpson[t].n_b)
+        assert power[t].n_avail == welch[t].n_a + welch[t].n_b
+        assert simpson[t].reversal_flag in (0, 1)
+
+    boot = QUERIES["x116_poisson_bootstrap"].fn(spark, sf).collect()
+    assert boot
+    for r in boot:
+        assert r.boot_lo_cents <= r.est_cents <= r.boot_hi_cents, r
+        assert r.ci_width_cents > 0
+
+    # SRM runs over assignment UNITS (distinct users), not event rows:
+    # per-event counting double-weights heavy users and flags traffic
+    # imbalance that is NOT an assignment bug — exactly the mistake
+    # the srm_chi2 docstring warns about, demonstrated both ways here.
+    ev = io.load_table(spark, sf, "events")
+    units = ev.select("user_id").distinct().select(
+        (F.col("user_id") % 2).cast("int").alias("arm")
+    )
+    srm = srm_chi2(units).collect()[0]
+    assert srm.srm_flag is False  # parity split passes at the unit level
+    rows_as_units = ev.select((F.col("user_id") % 2).cast("int").alias("arm"))
+    assert srm_chi2(rows_as_units).collect()[0].srm_flag is True
