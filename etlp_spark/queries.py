@@ -13049,6 +13049,309 @@ def x131_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_hrw(n: int) -> str:
+    """Greatest-of SQL for rendezvous weights over ``n`` shards."""
+    ws = ", ".join(
+        f"{_o_h52('doc_id', f'SH{s}')}" for s in range(n)
+    )
+    arms = " ".join(
+        f"WHEN {_o_h52('doc_id', f'SH{s}')} = g THEN {s}" for s in range(n)
+    )
+    return f"(SELECT CASE {arms} END FROM (SELECT greatest({ws}) AS g) _)"
+
+
+@_register(
+    "x132_rendezvous_sharding",
+    f"""
+    WITH asg AS (
+      SELECT doc_id,
+             {_o_hrw(16)} AS shard16,
+             {_o_hrw(17)} AS shard17
+      FROM documents),
+    per AS (
+      SELECT shard16 AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN shard17 != shard16 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_moved
+      FROM asg GROUP BY shard16),
+    tot AS (SELECT sum(n_docs) AS n FROM per)
+    SELECT shard, n_docs, n_moved,
+           CAST((n_docs * 16000000) // n AS BIGINT) AS balance_e6,
+           CAST((n_moved * 1000000) // n_docs AS BIGINT) AS moved_rate_e6
+    FROM per CROSS JOIN tot
+    """,
+)
+def x132_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding audit (Thaler &
+    Ravishankar 1998 — the consistent-placement scheme behind cache
+    and shard routing): assign each document to argmax over shards of
+    hash(doc, shard), then report per-shard balance (x16 so 1e6 =
+    perfectly even) AND the elasticity property that justifies HRW —
+    growing 16 -> 17 shards moves only ~1/17 of each shard's keys
+    (vs ~16/17 under mod-N). The movement rate per shard is the
+    column a capacity planner reads before a reshard of a 100 TB
+    corpus; the audit makes the property MEASURED, not assumed.
+
+    Exactness: 52-bit salt-keyed md5 weights (the x111 hash recipe),
+    integer argmax with ties impossible below the birthday bound of
+    52 bits (and engine-identical regardless — both engines compare
+    the same integers); balance/movement are integer e6 quotients.
+
+    Scale shape: 33 hashes per row at scan stage (16 + 17 shard
+    weights), one 16-group aggregate with map-side partials. The
+    100 TB plan is the sf0.001 plan. Reference: engine-added
+    (SURVEY.md §2.2 layout/sharding family, with x26/x102)."""
+    docs = _t_fanout(spark, sf_dir, "documents")
+
+    def hrw(n: int):
+        ws = [_h52(F.col("doc_id"), f"SH{s}") for s in range(n)]
+        g = F.greatest(*ws)
+        arm = F.lit(None).cast("int")
+        expr = None
+        for s, w in enumerate(ws):
+            expr = (
+                F.when(w == g, s) if expr is None else expr.when(w == g, s)
+            )
+        return expr
+
+    asg = docs.select(
+        "doc_id", hrw(16).alias("shard16"), hrw(17).alias("shard17")
+    )
+    per = asg.groupBy(F.col("shard16").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("shard17") != F.col("shard16"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved"),
+    )
+    tot = per.agg(F.sum("n_docs").alias("n"))
+    return per.join(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "n_moved",
+        F.expr("(n_docs * 16000000) div n").cast("long").alias("balance_e6"),
+        F.expr("(n_moved * 1000000) div n_docs")
+        .cast("long")
+        .alias("moved_rate_e6"),
+    )
+
+
+@_register(
+    "x133_ks_test",
+    """
+    WITH two AS (
+      SELECT source, n_chars FROM documents
+      WHERE source IN ('src0', 'src1')),
+    sz AS (
+      SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS n2
+      FROM two),
+    cum AS (
+      SELECT n_chars,
+             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+               OVER (ORDER BY n_chars
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+               OVER (ORDER BY n_chars
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+      FROM two),
+    steps AS (
+      SELECT n_chars, max(c1) AS c1, max(c2) AS c2
+      FROM cum GROUP BY n_chars),
+    d AS (
+      SELECT max(abs(c1 * (SELECT n2 FROM sz) - c2 * (SELECT n1 FROM sz)))
+               AS d_cross
+      FROM steps)
+    SELECT CAST((SELECT n1 FROM sz) AS BIGINT) AS n1,
+           CAST((SELECT n2 FROM sz) AS BIGINT) AS n2,
+           CAST(d_cross AS BIGINT) AS d_cross,
+           CAST((d_cross * 1000000)
+                // ((SELECT n1 FROM sz) * (SELECT n2 FROM sz)) AS BIGINT)
+             AS d_e6,
+           CAST(CASE WHEN CAST(d_cross AS DOUBLE)
+                          / ((SELECT n1 FROM sz) * (SELECT n2 FROM sz))
+                     > 1.358102
+                       * sqrt((CAST((SELECT n1 FROM sz) AS DOUBLE)
+                               + (SELECT n2 FROM sz))
+                              / (CAST((SELECT n1 FROM sz) AS DOUBLE)
+                                 * (SELECT n2 FROM sz)))
+                     THEN 1 ELSE 0 END AS BIGINT) AS rejected
+    FROM d
+    """,
+)
+def x133_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test (Smirnov 1939) on document
+    LENGTH distributions between two sources — the distribution-drift
+    test that needs NO binning (x64's KL/JSD compares binned
+    histograms; KS compares the full empirical CDFs and catches
+    shape changes bins smear out). The statistic is computed in EXACT
+    INTEGERS via cross-multiplication: D*n1*n2 = max over the merged
+    sample of |c1*n2 - c2*n1| (cumulative counts cross-scaled, so no
+    fraction ever materializes); only the final critical-value
+    comparison (alpha=0.05, c = 1.358102 — a Python literal embedded
+    in both engines) runs in floats, on identical operands.
+
+    Step values are taken AFTER grouping by distinct length (max of
+    each cumulative count per tie group) — both CDFs step at the
+    same x-coordinates, the textbook tie handling.
+
+    Scale shape: one filter to the two sources, one global-order
+    cumulative window over their union (the KS sort — inherent to
+    the statistic; at 100 TB run it per-stratum or on the x19
+    stratified sample), then a 1-row reduce. Reference: engine-added
+    (SURVEY.md §2.2 stats/drift family, with x64/x55/x120)."""
+    docs = _t_fanout(spark, sf_dir, "documents")
+    two = docs.where(
+        F.col("source").isin("src0", "src1")
+    ).select("source", "n_chars")
+    sz = two.agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("n2"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = two.select(
+        "n_chars",
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .over(w)
+        .alias("c1"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .over(w)
+        .alias("c2"),
+    )
+    steps = cum.groupBy("n_chars").agg(
+        F.max("c1").alias("c1"), F.max("c2").alias("c2")
+    )
+    d = steps.crossJoin(F.broadcast(sz)).agg(
+        F.max(
+            F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+        ).alias("d_cross"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    crit = F.lit(1.358102) * F.sqrt(
+        (F.col("n1").cast("double") + F.col("n2"))
+        / (F.col("n1").cast("double") * F.col("n2"))
+    )
+    return d.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("d_cross").cast("long").alias("d_cross"),
+        F.expr("(d_cross * 1000000) div (n1 * n2)")
+        .cast("long")
+        .alias("d_e6"),
+        F.when(
+            F.col("d_cross").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2"))
+            > crit,
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("rejected"),
+    )
+
+
+@_register(
+    "x134_dp_noised_release",
+    f"""
+    WITH cells AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS true_n
+      FROM events GROUP BY 1, 2),
+    u AS (
+      SELECT *,
+             ({_o_h52("event_type || '|' || CAST(CAST(day AS DATE) AS VARCHAR)", 'DP')}
+              % 999999 + 1) AS u6
+      FROM cells),
+    lap AS (
+      SELECT *,
+             CAST(CASE WHEN u6 >= 500000
+                  THEN floor(-2.0 * ln((1000000 - u6) / 500000.0) + 0.5)
+                  ELSE -floor(-2.0 * ln(u6 / 500000.0) + 0.5)
+                  END AS BIGINT) AS noise
+      FROM u)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(true_n) AS BIGINT) AS true_total,
+           CAST(sum(greatest(CAST(0 AS BIGINT), true_n + noise)) AS BIGINT)
+             AS released_total,
+           CAST(sum(abs(noise)) AS BIGINT) AS l1_noise,
+           CAST((sum(abs(noise)) * 1000000) // sum(true_n) AS BIGINT)
+             AS rel_err_e6
+    FROM lap GROUP BY event_type
+    """,
+)
+def x134_dp_noised_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private noised count release (Dwork et al.
+    2006): per (event_type, day) cell, add Laplace(1/epsilon) noise
+    (epsilon = 0.5, scale b = 2) to the true count via the inverse
+    CDF on a salt-keyed md5 uniform, clamp at zero, and report the
+    per-type utility audit (L1 noise, relative error) a data steward
+    reads next to x112/x119 before approving an export. The noise is
+    DETERMINISTIC here (hash-seeded) so the release is reproducible
+    and cross-engine checkable — production swaps the uniform for a
+    real RNG; scale, clamping, and the utility accounting are the
+    operator.
+
+    Exactness: the uniform is an integer in [1, 999999] (never 0 —
+    ln(0) guarded by construction); the inverse CDF is one fixed-
+    shape ln on identical operands rounded to the nearest INTEGER
+    noise (floor(x + 0.5)), after which everything is integer
+    arithmetic.
+
+    Scale shape: one cell-count aggregate (map-side partials), then
+    hashing + noise over |cells| rows and a per-type rollup. The
+    100 TB plan is the sf0.001 plan. Reference: engine-added
+    (SURVEY.md §2.2 privacy family, completing x25/x72/x112/x119)."""
+    ev = _t_fanout(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    u6 = (
+        _h52(
+            F.concat(
+                F.col("event_type"),
+                F.lit("|"),
+                F.to_date("day").cast("string"),
+            ),
+            "DP",
+        )
+        % 999999
+        + 1
+    )
+    lap = cells.select(
+        "event_type",
+        "true_n",
+        F.when(
+            u6 >= 500000,
+            F.floor(
+                F.lit(-2.0)
+                * F.log((F.lit(1000000) - u6) / F.lit(500000.0))
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(
+            -F.floor(F.lit(-2.0) * F.log(u6 / F.lit(500000.0)) + F.lit(0.5))
+        )
+        .cast("long")
+        .alias("noise"),
+    )
+    return lap.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("true_n").cast("long").alias("true_total"),
+        F.sum(
+            F.greatest(F.lit(0).cast("long"), F.col("true_n") + F.col("noise"))
+        )
+        .cast("long")
+        .alias("released_total"),
+        F.sum(F.abs("noise")).cast("long").alias("l1_noise"),
+        F.expr("(sum(abs(noise)) * 1000000) div sum(true_n)")
+        .cast("long")
+        .alias("rel_err_e6"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -13159,8 +13462,8 @@ _GATED_PRIOR_ROUNDS = [
 #: bitmask for the set-frequency closed form, x92 grew its
 #: localCheckpoint pins), then the r8 verdict's 17-query STALE block
 #: — the only queries whose last driver evidence predates round 5 —
-#: then r5-era canaries. Sized at 24 so ALL 26 new round-9 queries
-#: (x103b, x107-x131 — none in any gate list) auto-land via
+#: then r5-era canaries. Sized at 21 so ALL 29 new round-9 queries
+#: (x103b, x107-x134 — none in any gate list) auto-land via
 #: ``_ungated`` INSIDE the first-50 window.
 _NEWEST = [
     # changed this round:
@@ -13173,9 +13476,8 @@ _NEWEST = [
     "q19_disjunctive_revenue", "q22_idle_balance", "s4_union_distinct",
     "w4_per_user_trend", "w11_range_frame_rolling", "w12_gap_fill_ffill",
     "x12_ivf_ann", "x59_winsorized_stats", "x60_doc_chunks",
-    # next-oldest canaries, last gated round 5:
-    "x61_zipf_slope", "x62_langid_calibration", "w13_ewma_smoothed",
-    "x63_retrieval_dcg",
+    # next-oldest canary, last gated round 5:
+    "x61_zipf_slope",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

@@ -132,6 +132,9 @@ HEAVY = [
     "x129_fellegi_sunter",
     "x130_welch_ttest",
     "x131_power_mde",
+    "x132_rendezvous_sharding",
+    "x133_ks_test",
+    "x134_dp_noised_release",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -200,6 +203,9 @@ QUERY_TABLES = {
     "x129_fellegi_sunter": ["customer"],
     "x130_welch_ttest": ["events"],
     "x131_power_mde": ["events"],
+    "x132_rendezvous_sharding": ["documents"],
+    "x133_ks_test": ["documents"],
+    "x134_dp_noised_release": ["events"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]

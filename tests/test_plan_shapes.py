@@ -511,3 +511,28 @@ def test_power_mde_single_aggregate(spark):
     """x131: one conditional count aggregate, join-free."""
     plan = _executed_plan(QUERIES["x131_power_mde"].fn(spark, SF))
     assert "Join" not in plan, f"x131 grew a join:\n{plan[:2000]}"
+
+
+def test_rendezvous_scan_stage_single_aggregate(spark):
+    """x132: 33 hash weights at scan stage, one 16-group aggregate,
+    the total joined back by broadcast — join-free except that 1-row
+    broadcast; no sort-merge anywhere."""
+    plan = _executed_plan(QUERIES["x132_rendezvous_sharding"].fn(spark, SF))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_ks_single_global_window_then_reduce(spark):
+    """x133: ONE global-order cumulative window over the two-source
+    union (inherent to the KS statistic — the docstring routes 100 TB
+    use through strata/samples) and a 1-row reduce; no joins beyond
+    the broadcast of the 1-row size frame."""
+    plan = _executed_plan(QUERIES["x133_ks_test"].fn(spark, SF))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_dp_release_aggregation_only(spark):
+    """x134: cell counts -> scan-stage noise -> per-type rollup;
+    join-free."""
+    plan = _executed_plan(QUERIES["x134_dp_noised_release"].fn(spark, SF))
+    assert "Join" not in plan, f"x134 grew a join:\n{plan[:2000]}"
