@@ -13352,6 +13352,203 @@ def x134_dp_noised_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x135_sequence_perplexity",
+    """
+    WITH ordd AS (
+      SELECT user_id, user_id % 2 AS fold, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    steps AS (
+      SELECT user_id, fold,
+             coalesce(lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY rn), 'START') AS src,
+             event_type AS dst
+      FROM ordd),
+    tr AS (SELECT src, dst, count(*) AS c FROM steps
+           WHERE fold = 0 GROUP BY src, dst),
+    tot AS (SELECT src, sum(c) AS ctot FROM tr GROUP BY src),
+    ev AS (
+      SELECT s.src, s.dst,
+             ln((CAST(coalesce(t.c, 0) AS DOUBLE) + 1.0)
+                / (CAST(coalesce(x.ctot, 0) AS DOUBLE) + 5.0)) AS lp
+      FROM steps s
+      LEFT JOIN tr t ON t.src = s.src AND t.dst = s.dst
+      LEFT JOIN tot x ON x.src = s.src
+      WHERE s.fold = 1)
+    SELECT src,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           round(-avg(lp), 6) AS avg_neg_logprob
+    FROM ev GROUP BY src
+    """,
+)
+def x135_sequence_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out SEQUENCE perplexity of the journey Markov model — the
+    evaluation half w10's transition matrix and x127's attribution
+    chain never had: train first-order transition counts on EVEN
+    users, score ODD users' transitions with add-one smoothing over
+    the 5-state vocabulary, report per-source-state average negative
+    log-probability (exp of it = per-state perplexity). This is the
+    x50 train/eval-split discipline applied to BEHAVIORAL sequences
+    (x73 is the same operator for text bigrams): the state whose
+    successors a model trained on half the population cannot predict
+    is where personalization or finer state-space pays.
+
+    Exactness: counts are integers; each lp is one fixed-shape
+    expression ((c+1)/(ctot+5), both coalesced through the SAME
+    integer path for unseen transitions/sources) on identical
+    operands; x73's round-6 on the per-state average.
+
+    Scale shape: the per-user order window is the journey shuffle
+    (shared shape with x127/w10); transition counts aggregate
+    map-side to |states|^2 rows; the eval join is against those
+    constant-size tables (AQE broadcasts them). Reference:
+    engine-added (SURVEY.md §2.2 sequence family, with
+    w10/x127/x73/x50)."""
+    evt = _t_fanout(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordd = evt.select(
+        "user_id",
+        (F.col("user_id") % 2).alias("fold"),
+        "event_type",
+        F.row_number().over(wu).alias("rn"),
+    )
+    steps = ordd.select(
+        "fold",
+        F.coalesce(
+            F.lag("event_type").over(
+                Window.partitionBy("user_id").orderBy("rn")
+            ),
+            F.lit("START"),
+        ).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    tr = (
+        steps.where(F.col("fold") == 0)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tr.groupBy("src").agg(F.sum("c").alias("ctot"))
+    ev = (
+        steps.where(F.col("fold") == 1)
+        .join(tr, ["src", "dst"], "left")
+        .join(tot, "src", "left")
+        .select(
+            "src",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(1.0))
+                / (
+                    F.coalesce(F.col("ctot"), F.lit(0)).cast("double")
+                    + F.lit(5.0)
+                )
+            ).alias("lp"),
+        )
+    )
+    return ev.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.round(-F.avg("lp"), 6).alias("avg_neg_logprob"),
+    )
+
+
+@_register(
+    "x136_diff_in_diff",
+    """
+    WITH base AS (
+      SELECT event_type,
+             user_id % 2 AS arm,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 0 ELSE 1 END AS post,
+             CAST(floor(value * 100) AS BIGINT) AS v2
+      FROM events),
+    m AS (
+      SELECT event_type,
+             sum(CASE WHEN arm = 1 AND post = 1 THEN v2 ELSE 0 END)
+               // sum(CASE WHEN arm = 1 AND post = 1 THEN 1 ELSE 0 END)
+               AS t_post,
+             sum(CASE WHEN arm = 1 AND post = 0 THEN v2 ELSE 0 END)
+               // sum(CASE WHEN arm = 1 AND post = 0 THEN 1 ELSE 0 END)
+               AS t_pre,
+             sum(CASE WHEN arm = 0 AND post = 1 THEN v2 ELSE 0 END)
+               // sum(CASE WHEN arm = 0 AND post = 1 THEN 1 ELSE 0 END)
+               AS c_post,
+             sum(CASE WHEN arm = 0 AND post = 0 THEN v2 ELSE 0 END)
+               // sum(CASE WHEN arm = 0 AND post = 0 THEN 1 ELSE 0 END)
+               AS c_pre,
+             CAST(count(*) AS BIGINT) AS n
+      FROM base GROUP BY event_type)
+    SELECT event_type, n,
+           CAST(t_pre AS BIGINT) AS treat_pre_cents,
+           CAST(t_post AS BIGINT) AS treat_post_cents,
+           CAST(c_pre AS BIGINT) AS ctrl_pre_cents,
+           CAST(c_post AS BIGINT) AS ctrl_post_cents,
+           CAST((t_post - t_pre) - (c_post - c_pre) AS BIGINT) AS did_cents
+    FROM m
+    """,
+)
+def x136_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator (Card & Krueger 1994's
+    canonical design) per stratum: the treatment effect when you
+    CANNOT randomize is (treated post - treated pre) - (control post
+    - control pre) — the control arm's trend nets out shared shocks
+    under the parallel-trends assumption. Completes the causal corner
+    of the experiment suite: x130/x99 read randomized experiments,
+    x124 audits their aggregation, THIS is the observational
+    fallback when assignment is a rollout, not a coin flip. Arms and
+    the 2024-01-16 cutover are synthesized deterministically; swap
+    in the real rollout flag and date in production.
+
+    Exactness: four conditional (sum, count) pairs per stratum —
+    cents-floored integer moments (x130's overflow-safe discipline)
+    — and the estimator is pure integer quotient arithmetic. No
+    floats anywhere.
+
+    Scale shape: ONE conditional-moment aggregate with map-side
+    partials (8 BIGINTs per stratum, mergeable across days/engines);
+    |strata| rows after. The 100 TB plan is the sf0.001 plan.
+    Reference: engine-added (SURVEY.md §2.2 stats/causal family)."""
+    evt = _t_fanout(spark, sf_dir, "events")
+    base = evt.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("post"),
+        F.floor(F.col("value") * 100).cast("long").alias("v2"),
+    )
+
+    def cell(a, p, what):
+        cond = (F.col("arm") == a) & (F.col("post") == p)
+        if what == "s":
+            return F.sum(F.when(cond, F.col("v2")).otherwise(0))
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    m = base.groupBy("event_type").agg(
+        (cell(1, 1, "s")).alias("s11"),
+        (cell(1, 1, "n")).alias("n11"),
+        (cell(1, 0, "s")).alias("s10"),
+        (cell(1, 0, "n")).alias("n10"),
+        (cell(0, 1, "s")).alias("s01"),
+        (cell(0, 1, "n")).alias("n01"),
+        (cell(0, 0, "s")).alias("s00"),
+        (cell(0, 0, "n")).alias("n00"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.expr("s10 div n10").cast("long").alias("treat_pre_cents"),
+        F.expr("s11 div n11").cast("long").alias("treat_post_cents"),
+        F.expr("s00 div n00").cast("long").alias("ctrl_pre_cents"),
+        F.expr("s01 div n01").cast("long").alias("ctrl_post_cents"),
+        F.expr("(s11 div n11 - s10 div n10) - (s01 div n01 - s00 div n00)")
+        .cast("long")
+        .alias("did_cents"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -13462,13 +13659,15 @@ _GATED_PRIOR_ROUNDS = [
 #: bitmask for the set-frequency closed form, x92 grew its
 #: localCheckpoint pins), then the r8 verdict's 17-query STALE block
 #: — the only queries whose last driver evidence predates round 5 —
-#: then r5-era canaries. Sized at 21 so ALL 29 new round-9 queries
-#: (x103b, x107-x134 — none in any gate list) auto-land via
-#: ``_ungated`` INSIDE the first-50 window.
+#: then nothing else. Sized at 19 so ALL 31 new round-9 queries
+#: (x103b, x107-x136 — none in any gate list) auto-land via
+#: ``_ungated`` INSIDE the first-50 window. x92 (r9 change =
+#: localCheckpoint pins only — results identical, plan-pinned,
+#: locally value-verified) and the r5 canaries yield their slots to
+#: the new queries; both rotate back next round.
 _NEWEST = [
     # changed this round:
     "x103_ddsketch_quantiles", "x98_source_overlap_matrix",
-    "x92_cooccurrence_triangles",
     # the r8 verdict's stale block — last driver-gated rounds 2-4:
     "g7_grouping_sets", "g13_modal_event_type", "j11_lateral_topk",
     "p1_pivot_event_types", "q12_priority_shipmode", "q14_promo_effect",
@@ -13476,8 +13675,6 @@ _NEWEST = [
     "q19_disjunctive_revenue", "q22_idle_balance", "s4_union_distinct",
     "w4_per_user_trend", "w11_range_frame_rolling", "w12_gap_fill_ffill",
     "x12_ivf_ann", "x59_winsorized_stats", "x60_doc_chunks",
-    # next-oldest canary, last gated round 5:
-    "x61_zipf_slope",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

@@ -135,6 +135,8 @@ HEAVY = [
     "x132_rendezvous_sharding",
     "x133_ks_test",
     "x134_dp_noised_release",
+    "x135_sequence_perplexity",
+    "x136_diff_in_diff",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -206,6 +208,8 @@ QUERY_TABLES = {
     "x132_rendezvous_sharding": ["documents"],
     "x133_ks_test": ["documents"],
     "x134_dp_noised_release": ["events"],
+    "x135_sequence_perplexity": ["events"],
+    "x136_diff_in_diff": ["events"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]

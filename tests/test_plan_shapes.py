@@ -536,3 +536,18 @@ def test_dp_release_aggregation_only(spark):
     join-free."""
     plan = _executed_plan(QUERIES["x134_dp_noised_release"].fn(spark, SF))
     assert "Join" not in plan, f"x134 grew a join:\n{plan[:2000]}"
+
+
+def test_sequence_perplexity_broadcast_model_tables(spark):
+    """x135: the eval join runs against |states|^2-row model tables —
+    broadcast, never sort-merge (an SMJ would mean the model tables
+    stopped being constant-size)."""
+    plan = _executed_plan(QUERIES["x135_sequence_perplexity"].fn(spark, SF))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_diff_in_diff_single_moment_aggregate(spark):
+    """x136: one conditional 8-moment aggregate, join-free."""
+    plan = _executed_plan(QUERIES["x136_diff_in_diff"].fn(spark, SF))
+    assert "Join" not in plan, f"x136 grew a join:\n{plan[:2000]}"
