@@ -11013,7 +11013,10 @@ def x114_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     PREFIX occurrences only, and an element's prefix occurrences
     are bounded by how many docs rank it in their rarest ~20% —
     frequency ordering pushes hot shingles out of every prefix.
-    Verification touches only candidate pairs, each an O(|set|)
+    The PPJoin LENGTH filter (5*min(|A|,|B|) >= 4*max — necessary
+    for J >= 0.8 since J <= min/max) prunes candidates at
+    generation, before verification ever joins a shingle array.
+    Verification touches only surviving pairs, each an O(|set|)
     array intersect with both shingle arrays joined by doc id."""
     from etlp_spark.functions.text import tokens
 
@@ -11053,11 +11056,24 @@ def x114_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.where(
         F.col("rk") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
-    ).select("doc_id", "t")
+    ).select("doc_id", "t", "n")
+    # PPJoin LENGTH filter (Xiao et al. 2008 §3.1): J(A,B) <=
+    # min(|A|,|B|)/max(|A|,|B|), so J >= 4/5 requires 5*min >= 4*max.
+    # Sizes already ride on every prefix row (the window count), so
+    # the inequality prunes candidate pairs AT GENERATION — before
+    # the distinct and before any shingle array is materialized for
+    # verification. Lossless by the bound; the naive-join oracle
+    # proves it per-run.
     cands = (
         prefix.alias("a")
         .join(prefix.alias("b"), "t")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n")) * 5
+                >= F.greatest(F.col("a.n"), F.col("b.n")) * 4
+            )
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
@@ -13190,37 +13206,39 @@ def x133_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison (alpha=0.05, c = 1.358102 — a Python literal embedded
     in both engines) runs in floats, on identical operands.
 
-    Step values are taken AFTER grouping by distinct length (max of
-    each cumulative count per tie group) — both CDFs step at the
-    same x-coordinates, the textbook tie handling.
+    Only the order over DISTINCT x-values is inherent to KS — the
+    CDFs step once per distinct length, so the corpus is first
+    reduced to a per-length histogram (one map-side-combinable
+    shuffle), and the single-partition cumulative window runs over
+    |distinct lengths| rows, never |documents| (the same
+    compact-histogram discipline as the g5 percentile path). Both
+    CDFs step at the same x-coordinates by construction — tie
+    handling falls out of the grouping.
 
-    Scale shape: one filter to the two sources, one global-order
-    cumulative window over their union (the KS sort — inherent to
-    the statistic; at 100 TB run it per-stratum or on the x19
-    stratified sample), then a 1-row reduce. Reference: engine-added
-    (SURVEY.md §2.2 stats/drift family, with x64/x55/x120)."""
+    Scale shape: one filter to the two sources, one integer
+    aggregate to the length histogram, a bounded-width cumulative
+    window over the histogram (distinct lengths, not rows), then a
+    1-row reduce. Reference: engine-added (SURVEY.md §2.2
+    stats/drift family, with x64/x55/x120)."""
     docs = _t_fanout(spark, sf_dir, "documents")
     two = docs.where(
         F.col("source").isin("src0", "src1")
     ).select("source", "n_chars")
-    sz = two.agg(
-        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("n2"),
+    hist = two.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("f2"),
+    )
+    sz = hist.agg(
+        F.sum("f1").alias("n1"),
+        F.sum("f2").alias("n2"),
     )
     w = Window.orderBy("n_chars").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = two.select(
+    steps = hist.select(
         "n_chars",
-        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
-        .over(w)
-        .alias("c1"),
-        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
-        .over(w)
-        .alias("c2"),
-    )
-    steps = cum.groupBy("n_chars").agg(
-        F.max("c1").alias("c1"), F.max("c2").alias("c2")
+        F.sum("f1").over(w).alias("c1"),
+        F.sum("f2").over(w).alias("c2"),
     )
     d = steps.crossJoin(F.broadcast(sz)).agg(
         F.max(

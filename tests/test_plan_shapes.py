@@ -551,3 +551,39 @@ def test_diff_in_diff_single_moment_aggregate(spark):
     """x136: one conditional 8-moment aggregate, join-free."""
     plan = _executed_plan(QUERIES["x136_diff_in_diff"].fn(spark, SF))
     assert "Join" not in plan, f"x136 grew a join:\n{plan[:2000]}"
+
+
+def test_ks_window_input_is_aggregated(spark):
+    """x133: the single-partition KS cumulative window must consume
+    the per-length HISTOGRAM, not corpus rows — the r9 form funneled
+    every document of both sources through one window task. The pin:
+    a keys=[n_chars] hash aggregate sits BELOW the window (textually
+    after it in the top-down plan print), and no aggregate above the
+    window re-groups cumulative counts (the old tie-group max)."""
+    plan = _executed_plan(QUERIES["x133_ks_test"].fn(spark, SF))
+    wi = plan.index("Window")
+    assert "HashAggregate(keys=[n_chars" in plan[wi:], (
+        f"x133's window no longer consumes the length histogram:\n{plan[:3000]}"
+    )
+    assert "max(c1" not in plan, (
+        f"x133 regrew the post-window tie-group max (corpus-row window):\n{plan[:3000]}"
+    )
+
+
+def test_prefix_filter_length_prune_before_verify(spark):
+    """x114: the PPJoin size-ratio filter (5*min >= 4*max) must prune
+    candidate pairs at GENERATION — inside the prefix self-join's
+    condition — so pruned pairs never reach the distinct or the
+    shingle-array verification joins."""
+    plan = _executed_plan(QUERIES["x114_prefix_filter_jaccard"].fn(spark, SF))
+    assert "least" in plan and "greatest" in plan, (
+        f"x114 lost the PPJoin length filter:\n{plan[:3000]}"
+    )
+    # the filter must sit below the candidate-dedup aggregate: find a
+    # join line that carries the size-ratio condition
+    joins = [ln for ln in plan.splitlines()
+             if "Join" in ln and "least" in ln and "greatest" in ln]
+    assert joins, (
+        "x114's length filter is not in the candidate join condition "
+        f"(post-join filter would expand pairs first):\n{plan[:3000]}"
+    )
