@@ -1,0 +1,139 @@
+"""Persisted ANN index artifacts — IVF centroid tables and PQ
+codebooks stored as versioned :class:`SnapshotStore` tables.
+
+At 100 TB you train the coarse quantizer ONCE (on a sample) and ship
+the index: every later query loads the centroid table (k x dims
+doubles — kilobytes) instead of re-scanning the corpus ``2*iters + 2``
+times per run. The store is the engine's own SnapshotStore, so index
+artifacts get the same lifecycle as data tables for free — versioned,
+time-travelable, atomically published (a re-train is a NEW version; a
+reader pinned to v0 keeps bit-identical results forever; a racing
+double-train raises ``ConcurrentWriteError`` instead of clobbering).
+
+Determinism round-trip: ``ivf_train``'s centroids are a pure function
+of their input (quantized-int64 means, functions/similarity.py), and
+parquet FLOAT8 is an exact IEEE-754 round-trip, so persist-then-load
+reproduces the in-run index bit-for-bit — which keeps the persisted
+search path fully ORACLE-ABLE (x137 trains, persists, reloads and
+searches; the DuckDB oracle replays training via x12's CTE chain and
+every distance agrees exactly).
+
+Reference: engine-added lifecycle (SURVEY.md §2.2 similarity family);
+aregee/etlp pipelines are stateless streams with no model artifacts
+(src/etlp/core.clj — no persisted state beyond connector configs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, SparkSession
+
+from etlp_spark.connectors.snapshots import CommitProtocol, SnapshotStore
+
+__all__ = [
+    "save_ivf_centroids",
+    "load_ivf_centroids",
+    "save_pq_codebooks",
+    "load_pq_codebooks",
+]
+
+_CENTROID_SCHEMA = "cell INT NOT NULL, centroid ARRAY<DOUBLE> NOT NULL"
+_CODEBOOK_SCHEMA = (
+    "book INT NOT NULL, code INT NOT NULL, centroid ARRAY<DOUBLE> NOT NULL"
+)
+
+
+def save_ivf_centroids(
+    spark: SparkSession,
+    root: str,
+    centroids: list[list[float]],
+    *,
+    commit_protocol: CommitProtocol | None = None,
+) -> int:
+    """Persist a trained IVF centroid table as a new snapshot version.
+
+    Rows are (cell, centroid); ``cell`` zone maps ride in the manifest
+    so a partial reader could prune, though the table is model-sized
+    (k rows) — the value is the versioned atomic publish, not pruning.
+    Returns the committed version number.
+    """
+    if not centroids:
+        raise ValueError("cannot persist an empty centroid table")
+    dims = len(centroids[0])
+    if any(len(c) != dims for c in centroids):
+        raise ValueError("all centroids must share one dimensionality")
+    df = spark.createDataFrame(
+        [Row(cell=i, centroid=[float(x) for x in c]) for i, c in enumerate(centroids)],
+        schema=_CENTROID_SCHEMA,
+    ).coalesce(1)  # k rows — one file keeps the manifest minimal
+    store = SnapshotStore(root, commit_protocol=commit_protocol)
+    res = store.write(df, mode="snapshot", stats_cols=("cell",))
+    return int(res.extra["version"])
+
+
+def load_ivf_centroids(
+    spark: SparkSession, root: str, version: int | None = None
+) -> list[list[float]]:
+    """Time-travel load of a persisted centroid table (default:
+    latest version) back into the literal-list form every consumer
+    (``ivf_assign`` / ``ivf_search`` / ADC) takes. The collect is
+    bounded by the MODEL size (k rows), never the corpus."""
+    store = SnapshotStore(root)
+    rows = store.read(spark, version).orderBy("cell").collect()
+    cells = [r["cell"] for r in rows]
+    if cells != list(range(len(rows))):
+        raise ValueError(
+            f"centroid table at {root} v{version} is not contiguous cells "
+            f"0..k-1 (got {cells[:10]}...) — corrupt or not an IVF index"
+        )
+    return [[float(x) for x in r["centroid"]] for r in rows]
+
+
+def save_pq_codebooks(
+    spark: SparkSession,
+    root: str,
+    codebooks: list[list[list[float]]],
+    *,
+    commit_protocol: CommitProtocol | None = None,
+) -> int:
+    """Persist PQ codebooks (one sub-quantizer per subspace) as a new
+    snapshot version: rows are (book, code, centroid). Books may have
+    different subdims (matryoshka-style splits) but centroids within
+    one book must agree — the same invariant ``pq_codes`` enforces."""
+    if not codebooks or any(not b for b in codebooks):
+        raise ValueError("cannot persist empty codebooks")
+    rows = []
+    for s, book in enumerate(codebooks):
+        subdim = len(book[0])
+        if any(len(c) != subdim for c in book):
+            raise ValueError(f"codebook {s} has centroids of mixed dims")
+        rows += [
+            Row(book=s, code=c, centroid=[float(x) for x in cent])
+            for c, cent in enumerate(book)
+        ]
+    df = spark.createDataFrame(rows, schema=_CODEBOOK_SCHEMA).coalesce(1)
+    store = SnapshotStore(root, commit_protocol=commit_protocol)
+    res = store.write(df, mode="snapshot", stats_cols=("book",))
+    return int(res.extra["version"])
+
+
+def load_pq_codebooks(
+    spark: SparkSession, root: str, version: int | None = None
+) -> list[list[list[float]]]:
+    """Load persisted PQ codebooks (default: latest) back into the
+    ``list[book][code][dim]`` form ``pq_codes``/``pq_adc_topk`` take.
+    Bounded by model size (m x k rows)."""
+    store = SnapshotStore(root)
+    rows = store.read(spark, version).orderBy("book", "code").collect()
+    books: list[list[list[float]]] = []
+    for r in rows:
+        if r["book"] == len(books):
+            books.append([])
+        if r["book"] != len(books) - 1 or r["code"] != len(books[-1]):
+            raise ValueError(
+                f"codebook table at {root} v{version} is not contiguous "
+                "(book, code) — corrupt or not a PQ index"
+            )
+        books[-1].append([float(x) for x in r["centroid"]])
+    if not books:
+        raise ValueError(f"codebook table at {root} v{version} is empty")
+    return books

@@ -31,6 +31,10 @@ __all__ = [
     "srp_buckets",
     "banded_srp_pairs",
     "embedding_neardup",
+    "ivf_train",
+    "ivf_assign",
+    "ivf_probe_cells",
+    "ivf_search",
     "pq_codes",
     "pq_adc_topk",
     "rrf_fuse",
@@ -435,6 +439,22 @@ def pq_codes(
     return df.select(*out_cols)
 
 
+def ivf_probe_cells(
+    centroids: list[list[float]], query_vec: list[float], n_probe: int = 1
+) -> list[int]:
+    """The ``n_probe`` nearest cells to one query vector — driver-side
+    over the k x dims model (never the corpus). Ties break to the
+    LOWEST cell (Python's stable sort), and the left-fold ``sum``
+    starting at 0 is IEEE-identical to a SQL ``list_reduce`` fold over
+    the same operands, so an oracle replaying ``ORDER BY d2, cell
+    LIMIT n`` picks the same cells bit-for-bit."""
+
+    def d2(c):
+        return sum((a - b) ** 2 for a, b in zip(query_vec, c))
+
+    return sorted(range(len(centroids)), key=lambda i: d2(centroids[i]))[:n_probe]
+
+
 def ivf_search(
     df: DataFrame,
     centroids: list[list[float]],
@@ -448,11 +468,7 @@ def ivf_search(
     cosine rerank inside them. The scan prunes to the probed cells'
     inverted lists — the 1/k (or n_probe/k) cost reduction that makes
     ANN viable at 100 TB."""
-
-    def d2(c):
-        return sum((a - b) ** 2 for a, b in zip(query_vec, c))
-
-    probes = sorted(range(len(centroids)), key=lambda i: d2(centroids[i]))[:n_probe]
+    probes = ivf_probe_cells(centroids, query_vec, n_probe)
     assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
     qarr = F.array(*[F.lit(float(x)) for x in query_vec])
     return (

@@ -1,0 +1,128 @@
+"""Persisted ANN index lifecycle (functions/ann_index.py): train →
+persist → reload → search parity, versioned time travel, and the
+contiguity validation that keeps a corrupted table loud."""
+
+import pytest
+
+from etlp_spark.connectors.snapshots import ConcurrentWriteError
+from etlp_spark.functions.ann_index import (
+    load_ivf_centroids,
+    load_pq_codebooks,
+    save_ivf_centroids,
+    save_pq_codebooks,
+)
+from etlp_spark.functions.similarity import ivf_search, ivf_train, pq_codes
+from etlp_spark.io import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_ivf_persist_roundtrip_bit_exact(spark, emb, tmp_path):
+    trained = ivf_train(emb, k=4, iters=1)
+    root = str(tmp_path / "ivf")
+    v = save_ivf_centroids(spark, root, trained)
+    assert v == 1  # SnapshotStore versions start at 1
+    loaded = load_ivf_centroids(spark, root)
+    # parquet FLOAT8 is an exact IEEE round-trip — equality, no atol
+    assert loaded == trained
+
+
+def test_ivf_persisted_search_parity(spark, emb, tmp_path):
+    """The verdict-item contract: search through the RELOADED index
+    returns exactly the in-run index's results (recall parity is
+    equality here, since the centroids round-trip bit-for-bit)."""
+    trained = ivf_train(emb, k=4, iters=2)
+    root = str(tmp_path / "ivf")
+    save_ivf_centroids(spark, root, trained)
+    loaded = load_ivf_centroids(spark, root)
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    got = ivf_search(emb, loaded, q, k=5, n_probe=2).collect()
+    want = ivf_search(emb, trained, q, k=5, n_probe=2).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(want) == 5
+
+
+def test_ivf_retrain_is_new_version_and_v0_time_travels(spark, emb, tmp_path):
+    root = str(tmp_path / "ivf")
+    first = ivf_train(emb, k=4, iters=1)
+    second = ivf_train(emb, k=4, iters=2)
+    assert first != second
+    assert save_ivf_centroids(spark, root, first) == 1
+    assert save_ivf_centroids(spark, root, second) == 2
+    assert load_ivf_centroids(spark, root) == second  # latest wins
+    assert load_ivf_centroids(spark, root, version=1) == first  # pinned
+
+
+def test_ivf_train_publish_goes_through_commit_protocol(spark, emb, tmp_path):
+    """Index saves thread the pluggable commit protocol — a losing
+    conditional PUT (another trainer won the version) surfaces as a
+    loud ConcurrentWriteError, exactly as for data tables (the race
+    semantics themselves are covered in test_snapshots.py)."""
+    from etlp_spark.connectors.snapshots import ConditionalPutCommitProtocol
+
+    root = str(tmp_path / "ivf")
+    c = ivf_train(emb, k=4, iters=1)
+    always_lose = ConditionalPutCommitProtocol(lambda key, payload: False)
+    with pytest.raises(ConcurrentWriteError):
+        save_ivf_centroids(spark, root, c, commit_protocol=always_lose)
+
+
+def test_centroid_table_contiguity_validated(spark, tmp_path):
+    root = str(tmp_path / "ivf")
+    save_ivf_centroids(spark, root, [[0.0, 1.0], [2.0, 3.0]])
+    # corrupt: drop cell 0 by persisting a gapped table directly
+    from etlp_spark.connectors.snapshots import SnapshotStore
+    from pyspark.sql import Row
+
+    bad = spark.createDataFrame(
+        [Row(cell=1, centroid=[0.0, 1.0]), Row(cell=3, centroid=[2.0, 3.0])],
+        schema="cell INT NOT NULL, centroid ARRAY<DOUBLE> NOT NULL",
+    )
+    SnapshotStore(root).write(bad, mode="snapshot")
+    with pytest.raises(ValueError, match="contiguous"):
+        load_ivf_centroids(spark, root)
+    assert load_ivf_centroids(spark, root, version=1) == [
+        [0.0, 1.0],
+        [2.0, 3.0],
+    ]
+
+
+def test_save_rejects_ragged_centroids(spark, tmp_path):
+    with pytest.raises(ValueError, match="dimensionality"):
+        save_ivf_centroids(spark, str(tmp_path / "x"), [[1.0], [1.0, 2.0]])
+    with pytest.raises(ValueError, match="empty"):
+        save_ivf_centroids(spark, str(tmp_path / "y"), [])
+
+
+def test_pq_codebook_roundtrip_and_encode_parity(spark, emb, tmp_path):
+    from etlp_spark.queries import _pq_fixed_codebooks
+
+    books = _pq_fixed_codebooks()
+    root = str(tmp_path / "pq")
+    assert save_pq_codebooks(spark, root, books) == 1
+    loaded = load_pq_codebooks(spark, root)
+    assert loaded == books
+    got = pq_codes(emb, loaded).orderBy("vec_id").limit(20).collect()
+    want = pq_codes(emb, books).orderBy("vec_id").limit(20).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_pq_codebooks_mixed_subdims_roundtrip(spark, tmp_path):
+    """Books of different subdims (matryoshka splits) must survive."""
+    books = [
+        [[0.5, -0.5], [1.0, 2.0]],
+        [[1.0, 2.0, 3.0], [0.0, 0.0, 1.0], [4.0, 5.0, 6.0]],
+    ]
+    root = str(tmp_path / "pq")
+    save_pq_codebooks(spark, root, books)
+    assert load_pq_codebooks(spark, root) == books
+
+
+def test_pq_save_rejects_ragged_book(spark, tmp_path):
+    with pytest.raises(ValueError, match="mixed dims"):
+        save_pq_codebooks(
+            spark, str(tmp_path / "x"), [[[1.0, 2.0], [1.0]]]
+        )
