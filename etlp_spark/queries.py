@@ -13568,6 +13568,117 @@ def x136_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x139_psi_drift",
+    """
+    WITH two AS (
+      SELECT source, least(n_chars // 50, 11) AS bin
+      FROM documents WHERE source IN ('src0', 'src1')),
+    cnt AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb
+      FROM two GROUP BY bin),
+    spine AS (
+      SELECT s.bin, coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+      FROM (SELECT unnest(range(0, 12)) AS bin) s
+      LEFT JOIN cnt c USING (bin)),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb,
+             CAST(count(*) AS BIGINT) AS v,
+             list({'bin': bin, 'ca': ca, 'cb': cb} ORDER BY bin) AS arr
+      FROM spine)
+    SELECT v AS n_bins, na AS n_ref, nb AS n_live,
+           CAST(floor(list_reduce(list_transform(arr, s ->
+                  (((s.cb + 1.0) / (nb + v)) - ((s.ca + 1.0) / (na + v)))
+                  * ln(((s.cb + 1.0) / (nb + v))
+                       / ((s.ca + 1.0) / (na + v)))),
+                (a, b) -> a + b) * 1000000 + 0.5) AS BIGINT) AS psi_e6,
+           CAST(CASE WHEN floor(list_reduce(list_transform(arr, s ->
+                  (((s.cb + 1.0) / (nb + v)) - ((s.ca + 1.0) / (na + v)))
+                  * ln(((s.cb + 1.0) / (nb + v))
+                       / ((s.ca + 1.0) / (na + v)))),
+                (a, b) -> a + b) * 1000000 + 0.5) > 200000
+                THEN 1 ELSE 0 END AS BIGINT) AS drifted
+    FROM tot
+    """,
+)
+def x139_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (the scorecard-monitoring drift
+    metric; Karakoulas 2004) of the document-LENGTH distribution,
+    live source src1 against reference src0, over 12 fixed-width
+    bins (width 50, top bin open) — the BINNED drift check that
+    completes the family: x64 compares token distributions (KL/JSD),
+    x133 compares full CDFs (KS), PSI is the fixed-bin form every
+    model-monitoring stack reports because its per-bin terms are
+    auditable and streamable. PSI = sum over bins of
+    (p_live - p_ref) * ln(p_live / p_ref) with add-one smoothing on
+    BOTH sides (x64's discipline — empty bins stay finite); the 0.2
+    alarm line is the conventional "significant shift" threshold.
+
+    Exactness: bin counts are exact integers over a 12-bin spine
+    (empty bins participate); probabilities are single IEEE
+    divisions; the fold runs in bin order over the 12-element sorted
+    array; output is e6-floored (f8's quotient rule), never round().
+
+    Scale shape: ONE map-side-combinable conditional aggregate to 12
+    bin rows, a broadcast join to the literal spine, and a 12-term
+    fold — the 100 TB plan is the sf0.001 plan. The streaming twin
+    (psi_drift_tws) folds the same arithmetic over RocksDB bin-count
+    state. Reference: engine-added (SURVEY.md §2.2 stats/drift
+    family; VERDICT r9 item 7)."""
+    docs = _t_fanout(spark, sf_dir, "documents")
+    two = docs.where(F.col("source").isin("src0", "src1")).select(
+        "source", F.expr("least(n_chars div 50, 11)").alias("bin")
+    )
+    cnt = two.groupBy("bin").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("cb"),
+    )
+    spine = spark.range(0, 12).select(F.col("id").alias("bin"))
+    filled = (
+        spine.join(cnt, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = filled.groupBy().agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.array_sort(F.collect_list(F.struct("bin", "ca", "cb"))).alias("arr"),
+    )
+    na, nb, v = F.col("na"), F.col("nb"), F.col("v")
+
+    def p_ref(s):
+        return (s["ca"] + F.lit(1.0)) / (na + v)
+
+    def p_live(s):
+        return (s["cb"] + F.lit(1.0)) / (nb + v)
+
+    psi = F.aggregate(
+        F.transform(
+            F.col("arr"),
+            lambda s: (p_live(s) - p_ref(s)) * F.log(p_live(s) / p_ref(s)),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    psi_e6 = F.floor(psi * 1000000 + F.lit(0.5)).cast("long")
+    return tot.select(
+        v.alias("n_bins"),
+        na.alias("n_ref"),
+        nb.alias("n_live"),
+        psi_e6.alias("psi_e6"),
+        F.when(psi_e6 > 200000, 1).otherwise(0).cast("long").alias("drifted"),
+    )
+
+
+@_register(
     "x137_ivf_persisted_search",
     f"""
     WITH ivf_sample AS (

@@ -620,6 +620,94 @@ def cusum_tws(
     )
 
 
+def psi_drift_tws(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ref_counts: list[int],
+    bin_width: int,
+    threshold_e6: int = 200_000,
+) -> DataFrame:
+    """Streaming Population Stability Index drift monitor per key —
+    x139's batch form for a metric stream that never ends, completing
+    the drift family's streaming side (cusum_tws watches a MEAN
+    shift; this watches the whole DISTRIBUTION against a frozen
+    reference histogram, the scorecard-monitoring convention).
+
+    ``ref_counts`` is the reference histogram (len = n_bins, the last
+    bin open-ended); live values bin as ``min(v // bin_width,
+    n_bins - 1)``. State is the live bin-count vector plus n — one
+    BIGINT per bin per key in RocksDB, constant in stream length.
+    Each update emits (k, n, psi_e6, drifted): add-one-smoothed
+    PSI = sum over bins of (p_live - p_ref) * ln(p_live / p_ref),
+    folded in bin order with the exact operation sequence of x139's
+    batch fold — bin counts are integers, so after N micro-batches
+    the emitted psi_e6 EQUALS the batch form over the concatenated
+    series (the cusum_tws portability claim; the one float edge is
+    the shared ln). Emits in Update mode; requires the RocksDB state
+    store. NULL/NaN values are skipped (every SQL aggregate's
+    convention — they would poison integer state)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    n_bins = len(ref_counts)
+    if n_bins < 2:
+        raise ValueError("PSI needs at least 2 reference bins")
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    ref = [int(c) for c in ref_counts]
+    n_ref = sum(ref)
+
+    class _Psi(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            cols = ", ".join(f"b{i} BIGINT" for i in range(n_bins))
+            self._st = handle.getValueState("psi_bins", f"{cols}, n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import math
+
+            import pandas as pd
+
+            prev = self._st.get()
+            counts = list(prev[:n_bins]) if prev else [0] * n_bins
+            n = prev[n_bins] if prev else 0
+            for pdf in rows:
+                for x in pdf[value_col]:
+                    if x is None or (isinstance(x, float) and math.isnan(x)):
+                        continue
+                    counts[min(int(x) // bin_width, n_bins - 1)] += 1
+                    n += 1
+            self._st.update((*counts, n))
+            # x139's fold, bin order, identical operation sequence:
+            # (p_live - p_ref) * ln(p_live / p_ref), add-one smoothed
+            psi = 0.0
+            for i in range(n_bins):
+                p_ref = (ref[i] + 1.0) / (n_ref + n_bins)
+                p_live = (counts[i] + 1.0) / (n + n_bins)
+                psi = psi + (p_live - p_ref) * math.log(p_live / p_ref)
+            psi_e6 = int(math.floor(psi * 1000000 + 0.5))
+            yield pd.DataFrame(
+                {
+                    "k": [key[0]],
+                    "n": [n],
+                    "psi_e6": [psi_e6],
+                    "drifted": [bool(psi_e6 > threshold_e6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _Psi(),
+        outputStructType="k string, n bigint, psi_e6 bigint, drifted boolean",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def session_gap_tws(
     df: DataFrame, key_col: str, ts_col: str, gap_seconds: int = 1800
 ) -> DataFrame:

@@ -910,3 +910,108 @@ def test_cusum_tws_matches_batch_closed_form_exactly(spark, stream_dir, tmp_path
             q.stop()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_psi_drift_tws_matches_batch_fold(spark, stream_dir, tmp_path):
+    """Streaming PSI (psi_drift_tws): live bin counts are integer
+    state, so after two micro-batches the emitted psi_e6 per key
+    equals x139's BATCH fold (JVM doubles, F.aggregate in bin order)
+    over the concatenated series — the drift-family twin the r9
+    verdict asked for. Key 'a' is replayed matching the reference
+    (no drift); key 'b' piles into the top bin (must alarm)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.streaming import psi_drift_tws
+
+    REF = [6, 3, 1]  # reference histogram: bins [0,10) [10,20) [20,inf)
+    BIN_W = 10
+    b1 = {"a": [1, 2, 11, 3], "b": [25, 27, 29]}
+    b2 = {"a": [4, 5, 21], "b": [31, 33, 2]}
+
+    def batch_psi(values):
+        # x139's batch arithmetic verbatim: spine join + ordered fold
+        n_bins = len(REF)
+        live = spark.createDataFrame([(v,) for v in values], "v long")
+        cnt = (
+            live.select(
+                F.expr(f"least(v div {BIN_W}, {n_bins - 1})").alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cb"))
+        )
+        spine = spark.createDataFrame(
+            [(i, REF[i]) for i in range(n_bins)], "bin long, ca long"
+        )
+        filled = spine.join(cnt, "bin", "left").select(
+            "bin", "ca", F.coalesce("cb", F.lit(0)).alias("cb")
+        )
+        tot = filled.groupBy().agg(
+            F.sum("ca").cast("long").alias("na"),
+            F.sum("cb").cast("long").alias("nb"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+            F.array_sort(F.collect_list(F.struct("bin", "ca", "cb"))).alias("arr"),
+        )
+        na, nb, v = F.col("na"), F.col("nb"), F.col("v")
+        psi = F.aggregate(
+            F.transform(
+                F.col("arr"),
+                lambda s: (
+                    ((s["cb"] + F.lit(1.0)) / (nb + v))
+                    - ((s["ca"] + F.lit(1.0)) / (na + v))
+                )
+                * F.log(
+                    ((s["cb"] + F.lit(1.0)) / (nb + v))
+                    / ((s["ca"] + F.lit(1.0)) / (na + v))
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        return tot.select(
+            F.floor(psi * 1000000 + F.lit(0.5)).cast("long").alias("psi_e6")
+        ).first()["psi_e6"]
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_batch(
+            stream_dir, "p1.jsonl",
+            [{"k": k, "v": v} for k, vs in b1.items() for v in vs],
+        )
+        src = file_stream(spark, str(stream_dir), "k string, v long", fmt="json")
+        q = (
+            psi_drift_tws(src, "k", "v", ref_counts=REF, bin_width=BIN_W)
+            .writeStream.format("memory")
+            .queryName("tws_psi")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_psi"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _write_batch(
+                stream_dir, "p2.jsonl",
+                [{"k": k, "v": v} for k, vs in b2.items() for v in vs],
+            )
+            q.processAllAvailable()
+            latest = {}
+            for r in spark.sql("select * from tws_psi").collect():
+                latest[r.k] = (r.n, r.psi_e6, r.drifted)  # last batch wins
+            for k in ("a", "b"):
+                series = b1.get(k, []) + b2.get(k, [])
+                want = batch_psi(series)
+                assert latest[k] == (len(series), want, want > 200_000), (
+                    k, latest[k], want,
+                )
+            # 'b' lives entirely in the reference's rarest bin → alarm;
+            # 'a' tracks the reference shape → quiet
+            assert latest["b"][2] is True
+            assert latest["a"][2] is False
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
