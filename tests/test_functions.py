@@ -1629,3 +1629,75 @@ def test_media_decoder_registry_seam(spark):
     # unregistered mime in decode_image points at the seam
     with _pytest.raises(NotImplementedError, match="IMAGE_DECODERS"):
         mm.decode_image(b"\x00\x01", "image/webp")
+
+
+def test_registered_decoder_drives_full_feature_query(spark, sf_dir):
+    """Decoder-registry seam END-TO-END (r9 verdict item 6): register
+    a third-party-style codec for an unsupported MIME and run the
+    full multimodal feature pipeline (the x9 shape: documents table →
+    media frame → Arrow-batched extract_features) through it across
+    multiple partitions — proving the seam's CONTRACT (registered
+    callable is cloudpickle-captured into the mapInPandas kernel and
+    routes every row through the real pixel path), not just its
+    error. The codec parses a fixture container: b'RAWRGB' + h + w +
+    raw RGB24 bytes."""
+    import hashlib as _hl
+
+    import numpy as _np
+
+    from etlp_spark.functions import multimodal as mm
+    from etlp_spark.io import load_table
+
+    MIME = "image/x-rawrgb"
+    H = W = 4
+
+    def build_payload(text: str) -> bytes:
+        # 4x4 RGB pixels derived from the doc text — deterministic
+        raw = (_hl.md5(text.encode()).digest() * 3)[: H * W * 3]
+        return b"RAWRGB" + bytes([H, W]) + raw
+
+    def rawrgb_decode(p: bytes) -> "_np.ndarray":
+        assert p[:6] == b"RAWRGB", "third-party codec got a foreign payload"
+        h, w = p[6], p[7]
+        return _np.frombuffer(p[8:], dtype=_np.uint8).reshape(h, w, 3)
+
+    docs = load_table(spark, sf_dir, "documents").repartition(8)
+
+    def to_media(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int32"),
+                    "payload": [build_payload(t) for t in pdf["text"]],
+                    "mime": MIME,
+                    "width": _np.int32(W),
+                    "height": _np.int32(H),
+                }
+            )
+
+    media = docs.mapInPandas(
+        to_media,
+        "media_id int, payload binary, mime string, width int, height int",
+    )
+
+    mm.IMAGE_DECODERS[MIME] = rawrgb_decode
+    try:
+        rows = mm.extract_features(media).collect()
+        texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+        assert len(rows) == len(texts) and len(rows) > 0
+        for r in rows:
+            payload = build_payload(texts[r.media_id])
+            assert r.n_bytes == len(payload)
+            assert r.digest == _hl.md5(payload).hexdigest()
+            want = _np.asarray(
+                mm._pixel_feature(rawrgb_decode(payload), 8), dtype=_np.float32
+            )
+            got = _np.asarray(r.feature, dtype=_np.float32)
+            assert _np.array_equal(got, want), r.media_id
+            # and it is NOT the unregistered md5 fake
+            fake = _np.asarray(mm._fake_feature(payload, 8), dtype=_np.float32)
+            assert not _np.array_equal(got, fake), r.media_id
+    finally:
+        del mm.IMAGE_DECODERS[MIME]

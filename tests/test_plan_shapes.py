@@ -523,10 +523,11 @@ def test_rendezvous_scan_stage_single_aggregate(spark):
 
 
 def test_ks_single_global_window_then_reduce(spark):
-    """x133: ONE global-order cumulative window over the two-source
-    union (inherent to the KS statistic — the docstring routes 100 TB
-    use through strata/samples) and a 1-row reduce; no joins beyond
-    the broadcast of the 1-row size frame."""
+    """x133: ONE global-order cumulative window over the per-length
+    HISTOGRAM (only the order over distinct x-values is inherent to
+    KS — see test_ks_window_input_is_aggregated for the input pin)
+    and a 1-row reduce; no joins beyond the broadcast of the 1-row
+    size frame."""
     plan = _executed_plan(QUERIES["x133_ks_test"].fn(spark, SF))
     assert "SortMergeJoin" not in plan, plan[:2000]
 
