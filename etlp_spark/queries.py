@@ -13926,30 +13926,53 @@ _GATED_PRIOR_ROUNDS = [
     "x99_cuped_adjusted_delta", "x100_kcore_membership",
     "x101_srm_check", "x102_zorder_layout", "x103_ddsketch_quantiles",
     "x105_unseen_mass", "x106_mixture_allocation", "j13_bloom_prejoin",
+    # round 9 gated these (CORRECTNESS_r09.json) — all green (the
+    # other 19 r9 slots were x103/x98 + the r8-verdict stale block,
+    # all listed above):
+    "x103b_ddsketch_audited", "x107_pagerank_topk",
+    "x108_kmeans_update", "x109_editdistance_neardup",
+    "x110_funnel_steps", "x111_calibration_bins", "x112_k_anonymity",
+    "x113_power_iteration", "x114_prefix_filter_jaccard",
+    "x115_kneser_ney_bigram", "x116_poisson_bootstrap",
+    "x117_hll_set_algebra", "x118_postings_delta_bits",
+    "x119_l_diversity", "x120_cusum_drift", "x121_ams_f2",
+    "x122_kmeanspp_oversample", "x123_feature_hashing",
+    "x124_simpson_reversal", "x125_benford_audit",
+    "x126_neyman_allocation", "x127_removal_effect_attribution",
+    "x128_clustering_coefficient", "x129_fellegi_sunter",
+    "x130_welch_ttest", "x131_power_mde", "x132_rendezvous_sharding",
+    "x133_ks_test", "x134_dp_noised_release",
+    "x135_sequence_perplexity", "x136_diff_in_diff",
 ]
 
-#: Round-9 gate (the driver records the FIRST 50 registered): leads
-#: with the three queries whose implementation CHANGED this round
-#: (x103 became the sketch-only form, x98 lost its driver collect and
-#: bitmask for the set-frequency closed form, x92 grew its
-#: localCheckpoint pins), then the r8 verdict's 17-query STALE block
-#: — the only queries whose last driver evidence predates round 5 —
-#: then nothing else. Sized at 19 so ALL 31 new round-9 queries
-#: (x103b, x107-x136 — none in any gate list) auto-land via
-#: ``_ungated`` INSIDE the first-50 window. x92 (r9 change =
-#: localCheckpoint pins only — results identical, plan-pinned,
-#: locally value-verified) and the r5 canaries yield their slots to
-#: the new queries; both rotate back next round.
+#: Round-10 gate (the driver records the FIRST 50 registered): leads
+#: with the two queries whose implementation CHANGED this round
+#: (x133's cumulative window now consumes the per-length histogram;
+#: x114 gained the PPJoin length filter inside the candidate join),
+#: then x92 (r9 change was localCheckpoint pins only — demoted from
+#: r9's window per the documented rule, rotating back now as
+#: promised), then the 28-query round-5 block — the oldest driver
+#: evidence in the repo (exactly the set whose freshest CORRECTNESS
+#: row is r5, recomputed from the artifact union). Sized at 31 so
+#: the round-10 additions (x137/x138/x139 — in no gate list) land
+#: via ``_ungated`` inside the first-50 window, and the remaining
+#: ~16 slots re-gate the head of ``_rest`` for free.
 _NEWEST = [
     # changed this round:
-    "x103_ddsketch_quantiles", "x98_source_overlap_matrix",
-    # the r8 verdict's stale block — last driver-gated rounds 2-4:
-    "g7_grouping_sets", "g13_modal_event_type", "j11_lateral_topk",
-    "p1_pivot_event_types", "q12_priority_shipmode", "q14_promo_effect",
-    "q15_top_supplier", "q18_large_volume_customer",
-    "q19_disjunctive_revenue", "q22_idle_balance", "s4_union_distinct",
-    "w4_per_user_trend", "w11_range_frame_rolling", "w12_gap_fill_ffill",
-    "x12_ivf_ann", "x59_winsorized_stats", "x60_doc_chunks",
+    "x133_ks_test", "x114_prefix_filter_jaccard",
+    # pin-only r9 change, demoted from r9's window — rotates back:
+    "x92_cooccurrence_triangles",
+    # the round-5 stale block (freshest driver evidence = r5):
+    "f8_try_functions", "f9_bitwise_funcs", "r1_reachability_hops",
+    "r2_pagerank_int", "w13_ewma_smoothed", "w14_ohlc_candles",
+    "w15_centered_ma", "w16_distribution_ranks", "w17_bounce_rate",
+    "w6_scd2_intervals", "x61_zipf_slope", "x62_langid_calibration",
+    "x63_retrieval_dcg", "x64_corpus_drift", "x65_tokenizer_fertility",
+    "x66_hard_negatives", "x67_data_quality_report",
+    "x68_chunk_dedup_rate", "x69_countmin_heavyhitters",
+    "x70_segment_dedup", "x71_ann_recall", "x72_luhn_check",
+    "x73_bigram_logprob", "x74_touch_attribution", "x75_pq_codes",
+    "x76_semdedup_prune", "x78_ngram_novelty", "x85_weighted_reservoir",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
