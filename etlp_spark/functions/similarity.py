@@ -33,6 +33,7 @@ __all__ = [
     "embedding_neardup",
     "ivf_train",
     "ivf_assign",
+    "ivf_min_d2",
     "ivf_probe_cells",
     "ivf_search",
     "pq_codes",
@@ -367,16 +368,34 @@ def ivf_train(df: DataFrame, k: int = 8, iters: int = 2,
     return centroids
 
 
-def ivf_assign(df: DataFrame, centroids: list[list[float]],
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector to its nearest centroid cell (argmin L2²).
-    Centroids ride as literal arrays — no join, no shuffle."""
-    v = F.col(vec_col)
+def _l2_sq_per_centroid(v: Column, centroids: list[list[float]]) -> list[Column]:
+    """Squared-L2 distance of ``v`` to each centroid — one ordered
+    fold per centroid (bit-identical across engines on identical
+    input), centroids as literal arrays (no join, no shuffle)."""
     d2s = []
     for c in centroids:
         carr = F.array(*[F.lit(x) for x in c])
         diff2 = F.zip_with(v, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b))
         d2s.append(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+    return d2s
+
+
+def ivf_min_d2(vec_col: Column | str, centroids: list[list[float]]) -> Column:
+    """Quantization distortion of one vector under an index: min over
+    cells of squared L2 — the per-vector term of the index-staleness
+    audit (mean distortion growing vs a fresh index = retrain
+    signal). min over doubles is order-independent, so any engine's
+    min over the same fold values agrees exactly."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.array_min(F.array(*_l2_sq_per_centroid(v, centroids)))
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid cell (argmin L2²).
+    Centroids ride as literal arrays — no join, no shuffle."""
+    v = F.col(vec_col)
+    d2s = _l2_sq_per_centroid(v, centroids)
     best = F.array_position(
         F.array(*d2s), F.array_min(F.array(*d2s))
     ) - 1  # 1-based → 0-based cell id

@@ -1557,8 +1557,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the trained centroids agree bit-for-bit (see ivf_train).
 # =====================================================================
 
-def _ivf_lloyd_round_sql(prev: str, out: str) -> str:
-    """One Lloyd round as DuckDB CTEs: assign ``ivf_sample`` to the
+def _ivf_lloyd_round_sql(prev: str, out: str, src: str = "ivf_sample") -> str:
+    """One Lloyd round as DuckDB CTEs: assign ``src`` to the
     nearest ``prev`` centroid (ordered-fold L2², ties → lowest cell —
     the exact operation sequence ``ivf_assign`` runs, so distances are
     bit-equal), then recompute means from quantized int64 sums
@@ -1570,7 +1570,7 @@ def _ivf_lloyd_round_sql(prev: str, out: str) -> str:
              list_reduce(list_transform(list_zip(s.embedding, c.c),
                p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])),
                (a, b) -> a + b) AS d2
-      FROM ivf_sample s CROSS JOIN {prev} c),
+      FROM {src} s CROSS JOIN {prev} c),
     {out}_best AS (
       SELECT vec_id, embedding, cell FROM (
         SELECT vec_id, embedding, cell,
@@ -11296,9 +11296,14 @@ def x116_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each 128-bit digest is sliced into eight 16-bit uniforms,
     indexed by ``r div 8`` / ``r % 8``), not 32 — the r9 quiet bench
     caught the one-md5-per-(row, replicate) form at 17.9 s on sf0.1,
-    8x the necessary hashing. Classical bootstrap resampling needs N
-    draws of size N; this needs one scan. Reference: engine-added
-    (SURVEY.md §2.2 stats family, with x99/x101)."""
+    8x the necessary hashing. The r10 x300 deep point measured this
+    form 1.48x over linear (per-task GC/memory pressure at 5.8B
+    exploded tuples, shuffle still constant); two explode-avoiding
+    rewrites were benchmarked and REJECTED as strictly slower at
+    every scale (see the inline form-selection note). Classical
+    bootstrap resampling needs N draws of size N; this needs one
+    scan. Reference: engine-added (SURVEY.md §2.2 stats family, with
+    x99/x101)."""
     li = _t_fanout(spark, sf_dir, "lineitem")  # compute-bound scan
     base = li.select(
         "l_returnflag",
@@ -11320,6 +11325,16 @@ def x116_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(4)
         ],
     )
+    # Form kept ON MEASUREMENT (r10 x300 study): this explode form
+    # runs 5.33/29.7/131.9 s at x10/x100/x300. Two "fixes" for the
+    # mild x300 over-linearity (1.48x over linear — per-task GC /
+    # memory pressure, NOT an algorithmic blowup; the shuffle stays
+    # |flags| x 32 partials at every scale) both measured WORSE:
+    # 64 conditional aggregate columns with a post-agg stack =
+    # 9.1/78.5/207 s (wide-agg codegen fallback); a per-row 32-int
+    # weight array + posexplode_outer = 8.9/72.9 s (array
+    # allocation per row beats the explode's streaming CASE). The
+    # per-exploded-row CASE below stays inside whole-stage codegen.
     wts = hs.select(
         "l_returnflag",
         "cents",
@@ -13679,6 +13694,247 @@ def x139_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x141_ivf_index_staleness",
+    f"""
+    WITH sa AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 20 = 0),
+    sb AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 10 = 0),
+    a0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             list_transform(embedding, x -> x::DOUBLE) AS c
+      FROM (SELECT vec_id, embedding FROM sa ORDER BY vec_id LIMIT 8)),
+    {_ivf_lloyd_round_sql('a0', 'a1', src='sa')},
+    {_ivf_lloyd_round_sql('a1', 'a2', src='sa')},
+    b0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             list_transform(embedding, x -> x::DOUBLE) AS c
+      FROM (SELECT vec_id, embedding FROM sb ORDER BY vec_id LIMIT 8)),
+    {_ivf_lloyd_round_sql('b0', 'b1', src='sb')},
+    {_ivf_lloyd_round_sql('b1', 'b2', src='sb')},
+    da AS (
+      SELECT e.vec_id,
+             min(list_reduce(list_transform(list_zip(e.embedding, c.c),
+               p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])),
+               (a, b) -> a + b)) AS md2
+      FROM embeddings e CROSS JOIN a2 c GROUP BY e.vec_id),
+    db AS (
+      SELECT e.vec_id,
+             min(list_reduce(list_transform(list_zip(e.embedding, c.c),
+               p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])),
+               (a, b) -> a + b)) AS md2
+      FROM embeddings e CROSS JOIN b2 c GROUP BY e.vec_id),
+    agg AS (
+      SELECT (SELECT count(*) FROM embeddings) AS nv,
+             (SELECT sum(CAST(floor(md2 * 1000000 + 0.5) AS BIGINT))
+              FROM da) AS so,
+             (SELECT sum(CAST(floor(md2 * 1000000 + 0.5) AS BIGINT))
+              FROM db) AS sn)
+    SELECT CAST(nv AS BIGINT) AS n_vectors,
+           CAST(so // nv AS BIGINT) AS avg_stale_e6,
+           CAST(sn // nv AS BIGINT) AS avg_fresh_e6,
+           CAST(((so // nv) * 1000000) // (sn // nv) AS BIGINT) AS ratio_e6,
+           CAST(CASE WHEN ((so // nv) * 1000000) // (sn // nv) > 1050000
+                THEN 1 ELSE 0 END AS BIGINT) AS stale
+    FROM agg
+    """,
+)
+def x141_ivf_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index STALENESS audit — the retrain trigger that closes
+    the persisted-index lifecycle (x137 trains-and-ships, THIS
+    decides when to re-train): mean quantization distortion of
+    today's full corpus under the SHIPPED index (trained on the
+    v0-era 1-in-20 sample) vs under a freshly trained index (x12's
+    1-in-10 recipe on today's corpus). A ratio drifting above 1.05
+    means the corpus moved out from under the shipped centroids —
+    recall is quietly degrading and the index earns a new
+    SnapshotStore version. (Deterministic sample predicates stand in
+    for 'last month's corpus'; in production the stale side loads
+    its centroids via load_ivf_centroids and only the fresh side
+    trains.)
+
+    Exactness: both trainings are the x12 exact Lloyd replay (the
+    oracle runs two chains via the shared CTE generator); per-vector
+    distortion is min over ordered L2² folds (order-independent min
+    of bit-equal doubles), e6-floored BEFORE summing so both engines
+    add exact integers. Ratio is computed from the integer AVERAGES
+    (sum div n), keeping every product under 2^63 at any corpus
+    size.
+
+    Scale shape: two sample-bounded trainings + ONE full scan that
+    evaluates both distortion folds per row (2·k literal-centroid
+    folds, scan-stage, no join/shuffle) into a 1-row integer
+    aggregate. Reference: engine-added (SURVEY.md §2.2 similarity
+    family; VERDICT r9 item 3's lifecycle, refresh half)."""
+    from etlp_spark.functions.similarity import ivf_min_d2, ivf_train
+
+    emb = _t_fanout(spark, sf_dir, "embeddings").persist()
+    c_stale = ivf_train(emb.where(F.col("vec_id") % 20 == 0), k=8, iters=2)
+    c_fresh = ivf_train(emb.where(F.col("vec_id") % 10 == 0), k=8, iters=2)
+    d = emb.select(
+        F.floor(ivf_min_d2("embedding", c_stale) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("d_old"),
+        F.floor(ivf_min_d2("embedding", c_fresh) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("d_new"),
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nv"),
+        F.sum("d_old").alias("so"),
+        F.sum("d_new").alias("sn"),
+    )
+    return agg.select(
+        F.col("nv").alias("n_vectors"),
+        F.expr("so div nv").cast("long").alias("avg_stale_e6"),
+        F.expr("sn div nv").cast("long").alias("avg_fresh_e6"),
+        F.expr("((so div nv) * 1000000) div (sn div nv)")
+        .cast("long")
+        .alias("ratio_e6"),
+        F.expr(
+            "CASE WHEN ((so div nv) * 1000000) div (sn div nv) > 1050000 "
+            "THEN 1 ELSE 0 END"
+        )
+        .cast("long")
+        .alias("stale"),
+    )
+
+
+@_register(
+    "x140_mann_whitney",
+    """
+    WITH two AS (
+      SELECT source, n_chars FROM documents
+      WHERE source IN ('src0', 'src1')),
+    hist AS (
+      SELECT n_chars,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+               AS f1,
+             CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+               AS f2
+      FROM two GROUP BY n_chars),
+    rk AS (
+      SELECT f1, f2,
+             coalesce(sum(f1 + f2) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM hist),
+    m AS (
+      SELECT CAST(sum(f1) AS BIGINT) AS n1,
+             CAST(sum(f2) AS BIGINT) AS n2,
+             sum(CAST(f1 AS HUGEINT) * (2 * cb + f1 + f2 + 1)) AS r1x2,
+             sum(CAST(f1 + f2 AS HUGEINT) * (f1 + f2) * (f1 + f2)
+                 - (f1 + f2)) AS t3
+      FROM rk),
+    s AS (
+      SELECT n1, n2,
+             r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1x2,
+             r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+               - CAST(n1 AS HUGEINT) * n2 AS u2d,
+             CAST(n1 AS HUGEINT) * n2
+               * (CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2)
+                  - (n1 + n2) - t3) AS n1n2a,
+             CAST(12 AS HUGEINT) * (n1 + n2) * (n1 + n2 - 1) AS dvar
+      FROM m),
+    z AS (
+      SELECT n1, n2, u1x2,
+             (CAST(u2d AS DOUBLE) / 2.0)
+               / sqrt(CAST(n1n2a AS DOUBLE) / CAST(dvar AS DOUBLE)) AS zv
+      FROM s)
+    SELECT n1, n2,
+           CAST(u1x2 AS BIGINT) AS u1_x2,
+           CAST(floor(zv * 1000000 + 0.5) AS BIGINT) AS z_e6,
+           CAST(CASE WHEN abs(zv) > 1.959964 THEN 1 ELSE 0 END AS BIGINT)
+             AS rejected
+    FROM z
+    """,
+)
+def x140_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947; normal
+    approximation with the Lehmann tie correction) on document
+    lengths, src1 vs src0 — the RANK-based two-sample test that
+    completes the family: x130's Welch t compares means (moment-
+    sensitive), x133's KS compares full CDFs (max deviation), x139's
+    PSI compares fixed bins; Mann-Whitney detects a LOCATION shift
+    robustly to outliers and any monotone transform, which is what
+    you want when a crawl source's length distribution has a heavy
+    tail that would dominate a t statistic.
+
+    Arithmetic is EXACT-INTEGER to the final division: midranks over
+    the per-length histogram are kept DOUBLED (2·midrank = 2·cum_before
+    + t + 1 — always an integer), so 2·R1, 2·U1, the tie term
+    SUM(t³ − t) and the variance numerator n1·n2·(n³ − n − SUM(t³−t))
+    are exact. Spark carries them in DECIMAL(38,0), the oracle in
+    HUGEINT — both cast once to DOUBLE (correctly rounded in both
+    engines) for the single z division, e6-floored (f8's rule). Good
+    to ~1e12 rows per comparison (n³ < 1e38); shard by stratum past
+    that.
+
+    Scale shape: x133's compact-histogram discipline — one
+    map-side-combinable aggregate to |distinct lengths| rows, the
+    cumulative window runs over the histogram (never corpus rows),
+    then a 1-row reduce. Reference: engine-added (SURVEY.md §2.2
+    stats/drift family)."""
+    dec = "decimal(38,0)"
+    docs = _t_fanout(spark, sf_dir, "documents")
+    two = docs.where(F.col("source").isin("src0", "src1")).select(
+        "source", "n_chars"
+    )
+    hist = two.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    wb = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    rk = hist.select(
+        "f1",
+        "f2",
+        F.coalesce(
+            F.sum(F.col("f1") + F.col("f2")).over(wb), F.lit(0)
+        ).alias("cb"),
+    )
+    f, f1 = F.col("f1") + F.col("f2"), F.col("f1")
+    m = rk.agg(
+        F.sum("f1").cast("long").alias("n1"),
+        F.sum("f2").cast("long").alias("n2"),
+        F.sum(
+            f1.cast(dec) * (F.lit(2) * F.col("cb") + f + 1)
+        ).alias("r1x2"),
+        F.sum(f.cast(dec) * f * f - f).alias("t3"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    s = m.select(
+        n1,
+        n2,
+        (F.col("r1x2") - n1.cast(dec) * (n1 + 1)).alias("u1x2"),
+        (
+            F.col("r1x2") - n1.cast(dec) * (n1 + 1) - n1.cast(dec) * n2
+        ).alias("u2d"),
+        (
+            n1.cast(dec)
+            * n2
+            * (n.cast(dec) * n * n - n - F.col("t3"))
+        ).alias("n1n2a"),
+        (F.lit(12).cast(dec) * n * (n - 1)).alias("dvar"),
+    )
+    zv = (F.col("u2d").cast("double") / F.lit(2.0)) / F.sqrt(
+        F.col("n1n2a").cast("double") / F.col("dvar").cast("double")
+    )
+    return s.select(
+        "n1",
+        "n2",
+        F.col("u1x2").cast("long").alias("u1_x2"),
+        F.floor(zv * 1000000 + F.lit(0.5)).cast("long").alias("z_e6"),
+        F.when(F.abs(zv) > 1.959964, 1).otherwise(0).cast("long").alias(
+            "rejected"
+        ),
+    )
+
+
+@_register(
     "x137_ivf_persisted_search",
     f"""
     WITH ivf_sample AS (
@@ -13954,9 +14210,12 @@ _GATED_PRIOR_ROUNDS = [
 #: promised), then the 28-query round-5 block — the oldest driver
 #: evidence in the repo (exactly the set whose freshest CORRECTNESS
 #: row is r5, recomputed from the artifact union). Sized at 31 so
-#: the round-10 additions (x137/x138/x139 — in no gate list) land
-#: via ``_ungated`` inside the first-50 window, and the remaining
-#: ~16 slots re-gate the head of ``_rest`` for free.
+#: the round-10 additions (x137-x141 — in no gate list) land via
+#: ``_ungated`` inside the first-50 window, and the remaining ~14
+#: slots re-gate the head of ``_rest`` for free. (x116's r10 change
+#: is docstring/comment-only — measured form-selection history; the
+#: executable code is byte-identical to the r9-gated binary, so it
+#: claims no priority slot.)
 _NEWEST = [
     # changed this round:
     "x133_ks_test", "x114_prefix_filter_jaccard",

@@ -137,6 +137,12 @@ HEAVY = [
     "x134_dp_noised_release",
     "x135_sequence_perplexity",
     "x136_diff_in_diff",
+    # round-10 additions
+    "x137_ivf_persisted_search",
+    "x138_pq_persisted_codes",
+    "x139_psi_drift",
+    "x140_mann_whitney",
+    "x141_ivf_index_staleness",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -210,6 +216,11 @@ QUERY_TABLES = {
     "x134_dp_noised_release": ["events"],
     "x135_sequence_perplexity": ["events"],
     "x136_diff_in_diff": ["events"],
+    "x137_ivf_persisted_search": ["embeddings"],
+    "x138_pq_persisted_codes": ["embeddings"],
+    "x139_psi_drift": ["documents"],
+    "x140_mann_whitney": ["documents"],
+    "x141_ivf_index_staleness": ["embeddings"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]

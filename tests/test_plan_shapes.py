@@ -588,3 +588,29 @@ def test_prefix_filter_length_prune_before_verify(spark):
         "x114's length filter is not in the candidate join condition "
         f"(post-join filter would expand pairs first):\n{plan[:3000]}"
     )
+
+
+def test_mann_whitney_window_over_histogram(spark):
+    """x140: the rank window must consume the per-length histogram
+    (x133's compact-histogram discipline — midranks need only
+    distinct values), and the whole statistic is join-free."""
+    plan = _executed_plan(QUERIES["x140_mann_whitney"].fn(spark, SF))
+    wi = plan.index("Window")
+    assert "HashAggregate(keys=[n_chars" in plan[wi:], (
+        f"x140's window no longer consumes the length histogram:\n{plan[:3000]}"
+    )
+    assert "Join" not in plan, f"x140 grew a join:\n{plan[:3000]}"
+
+
+def test_index_staleness_single_scan_no_join(spark):
+    """x141: both distortion folds (stale + fresh index, centroids as
+    literals) evaluate in ONE scan into a 1-row aggregate — no join,
+    no cartesian, no window."""
+    plan = _executed_plan(QUERIES["x141_ivf_index_staleness"].fn(spark, SF))
+    assert "Join" not in plan, f"x141 grew a join:\n{plan[:3000]}"
+    assert "CartesianProduct" not in plan, plan[:3000]
+    # the only exchange is the 1-row final-aggregate gather — a hash
+    # exchange would mean a shuffle crept into the distortion scan
+    assert "Exchange hashpartitioning" not in plan, (
+        f"x141 grew a shuffle:\n{plan[:3000]}"
+    )
