@@ -413,6 +413,16 @@ def _s_cusum(c: dict[str, Any]):
     ), _h=c.get("h_e6"): cusum_tws(df, _k, _v, mu_e6=_m, slack_e6=_s, h_e6=_h)
 
 
+def _s_psi_drift(c: dict[str, Any]):
+    from etlp_spark.streaming import psi_drift_tws
+
+    return lambda df, _k=c["key"], _v=c["value"], _r=[
+        int(x) for x in c["ref_counts"]
+    ], _b=c["bin_width"], _t=c.get("threshold_e6", 200_000): psi_drift_tws(
+        df, _k, _v, ref_counts=_r, bin_width=_b, threshold_e6=_t
+    )
+
+
 STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
     "running_counts": _s_running_counts,
     "ewma": _s_ewma,
@@ -422,6 +432,7 @@ STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
     "approx_distinct": _s_approx_distinct,
     "ddsketch_quantiles": _s_ddsketch,
     "cusum": _s_cusum,
+    "psi_drift": _s_psi_drift,
 }
 
 

@@ -956,3 +956,69 @@ def test_config_bucketed_table_sink(spark, tmp_path):
         for t in ("cfg_bk_a", "cfg_bk_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_streaming_config_psi_drift_op(spark, tmp_path):
+    """'psi_drift' as config vocabulary: the distribution-drift
+    monitor is nameable from the stateful block with a frozen
+    reference histogram, emits its documented schema, and alarms on
+    a key whose live values pile into the reference's rarest bin."""
+    import json as _json
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.config import streaming_pipeline_from_config
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        indir = tmp_path / "in_psi"
+        indir.mkdir()
+        # 'match' replays the reference shape; 'shift' lives in the
+        # top (rarest) bin
+        (indir / "a.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"k": "match", "v": v})
+                for v in [1, 2, 3, 4, 5, 6, 11, 12, 13, 21]
+            )
+            + "\n"
+            + "\n".join(
+                _json.dumps({"k": "shift", "v": v})
+                for v in [25, 27, 29, 31, 33, 35, 37, 39, 41, 43]
+            )
+        )
+        cfg = {
+            "name": "cfg-psi",
+            "source": {
+                "type": "file_stream",
+                "path": str(indir),
+                "schema": "k string, v long",
+            },
+            "stateful": {
+                "op": "psi_drift",
+                "key": "k",
+                "value": "v",
+                "ref_counts": [6, 3, 1],
+                "bin_width": 10,
+            },
+            "streaming": {
+                "checkpoint": str(tmp_path / "ckpt_psi_cfg"),
+                "trigger": {"availableNow": True},
+                "output_mode": "update",
+            },
+            "sink": {"type": "memory", "name": "out_psi"},
+        }
+        q = streaming_pipeline_from_config(cfg).start(spark)
+        q.awaitTermination(120)
+        rows = {r.k: r for r in spark.sql("select * from out_psi").collect()}
+        assert rows["match"].n == 10 and rows["shift"].n == 10
+        assert rows["shift"].drifted is True
+        assert rows["match"].drifted is False
+        # 'match' mirrors the reference EXACTLY -> smoothed PSI is 0
+        assert rows["shift"].psi_e6 > 200_000 and rows["match"].psi_e6 == 0
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
