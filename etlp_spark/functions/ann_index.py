@@ -51,10 +51,11 @@ def save_ivf_centroids(
 ) -> int:
     """Persist a trained IVF centroid table as a new snapshot version.
 
-    Rows are (cell, centroid); ``cell`` zone maps ride in the manifest
-    so a partial reader could prune, though the table is model-sized
-    (k rows) — the value is the versioned atomic publish, not pruning.
-    Returns the committed version number.
+    Rows are (cell, centroid). No zone-map stats are recorded: the
+    table is MODEL-sized (k rows, one file) — the store's value here
+    is the versioned atomic publish, and a stats pass would spend a
+    whole Spark job computing min/max over 8 rows. Returns the
+    committed version number.
     """
     if not centroids:
         raise ValueError("cannot persist an empty centroid table")
@@ -66,7 +67,7 @@ def save_ivf_centroids(
         schema=_CENTROID_SCHEMA,
     ).coalesce(1)  # k rows — one file keeps the manifest minimal
     store = SnapshotStore(root, commit_protocol=commit_protocol)
-    res = store.write(df, mode="snapshot", stats_cols=("cell",))
+    res = store.write(df, mode="snapshot")
     return int(res.extra["version"])
 
 
@@ -112,7 +113,7 @@ def save_pq_codebooks(
         ]
     df = spark.createDataFrame(rows, schema=_CODEBOOK_SCHEMA).coalesce(1)
     store = SnapshotStore(root, commit_protocol=commit_protocol)
-    res = store.write(df, mode="snapshot", stats_cols=("book",))
+    res = store.write(df, mode="snapshot")
     return int(res.extra["version"])
 
 

@@ -77,6 +77,7 @@ __all__ = [
     "decode_jpeg",
     "encode_jpeg",
     "decode_gif",
+    "decode_gif_frames",
     "encode_gif",
     "encode_jpeg_progressive",
     "decode_wav",
@@ -1625,6 +1626,111 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image data")
 
 
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """EVERY frame of an animated GIF89a, composed per the spec's
+    graphic-control semantics, each as a full-canvas (h, w, 3) uint8
+    RGB array — the real second motion format beside MJPEG-AVI
+    (``decode_gif`` returns only the first image, uncomposed).
+
+    Composition implements what animation actually requires:
+
+    - frames render at their (left, top) offset onto the LOGICAL
+      SCREEN canvas (partial-update frames are the norm — encoders
+      ship only the changed rect);
+    - Graphic Control Extension TRANSPARENCY (flagged index leaves
+      the underlying canvas pixel) — how inter-frame deltas encode
+      "unchanged";
+    - DISPOSAL methods: 0/1 leave the composite, 2 restores the
+      frame's rect to the background color, 3 restores the canvas to
+      its pre-frame state (the "flash a sprite" mode).
+
+    The canvas starts as the global background color (black when the
+    header declares no global table) — deterministic, so the frame
+    list is a pure function of the payload."""
+    if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF87a/GIF89a payload")
+    sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    bg_rgb = (
+        gct[bg].astype(np.uint8)
+        if gct is not None and bg < len(gct)
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
+    disposal, tflag, tidx = 0, False, 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:
+                packed, _delay, ti = struct.unpack_from("<BHB", payload, pos + 1)
+                disposal = (packed >> 2) & 0x07
+                tflag = bool(packed & 0x01)
+                tidx = ti
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            lx, ty, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(bytes(data), mcs)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data underrun")
+            arr = np.asarray(idx[: w * h], dtype=np.int64).reshape(h, w)
+            rows = np.empty((h, w), dtype=np.int64)
+            rows[_gif_row_order(h, bool(iflags & 0x40)), :] = arr
+            before = canvas.copy() if disposal == 3 else None
+            rect = canvas[ty : ty + h, lx : lx + w]
+            rgb = ct[rows.clip(0, len(ct) - 1)].astype(np.uint8)
+            if tflag:
+                opaque = rows != tidx
+                rect[opaque] = rgb[opaque]
+            else:
+                rect[:, :] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[ty : ty + h, lx : lx + w] = bg_rgb
+            elif disposal == 3:
+                canvas = before
+            disposal, tflag, tidx = 0, False, 0  # GCE scopes one image
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def _gif_video_adapter(payload: bytes) -> list[bytes]:
+    """Animated GIF → standalone per-frame payloads for the video
+    registry (BMP: composed frames can exceed 256 distinct colors, so
+    re-encoding as GIF could legitimately refuse)."""
+    return [encode_bmp(f) for f in decode_gif_frames(payload)]
+
+
 def encode_gif(pixels: np.ndarray, interlaced: bool = False) -> bytes:
     """GIF89a from (h, w, 3) uint8 RGB with an EXACT palette (<= 256
     distinct colors required — lossless round-trip by construction;
@@ -1863,6 +1969,10 @@ AUDIO_DECODERS: dict[str, "Callable[[bytes], tuple[int, np.ndarray]]"] = {
 }
 VIDEO_DECODERS: dict[str, "Callable[[bytes], list[bytes]]"] = {
     "video/x-msvideo": decode_avi_mjpeg,
+    # animated GIF is a motion format: sample_frames gets the real
+    # composed animation; extract_features keeps the image semantics
+    # (first frame) because IMAGE_DECODERS matches image/gif first
+    "image/gif": _gif_video_adapter,
 }
 
 

@@ -1701,3 +1701,108 @@ def test_registered_decoder_drives_full_feature_query(spark, sf_dir):
             assert not _np.array_equal(got, fake), r.media_id
     finally:
         del mm.IMAGE_DECODERS[MIME]
+
+
+def _build_animated_gif():
+    """Hand-assembled 4-frame GIF89a (4x4 canvas, 4-color global
+    table) exercising partial-rect placement, GCE transparency, and
+    disposal methods 2 (restore background) and 3 (restore previous)."""
+    import struct as _st
+
+    import numpy as _np
+
+    from etlp_spark.functions import multimodal as mm
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += _st.pack("<HHBBB", 4, 4, 0x80 | (2 - 1), 0, 0)  # GCT, 4 entries
+    palette = _np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], _np.uint8
+    )
+    out += palette.tobytes()
+
+    def gce(disposal, tflag, tidx=0):
+        return _st.pack("<BBBBHBB", 0x21, 0xF9, 4,
+                        (disposal << 2) | int(tflag), 0, tidx, 0)
+
+    def img(lx, ty, w, h, idx_rows):
+        blob = bytearray(_st.pack("<BHHHHB", 0x2C, lx, ty, w, h, 0))
+        blob.append(2)  # min code size
+        lzw = mm._gif_lzw_encode([i for row in idx_rows for i in row], 2)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            blob.append(len(chunk))
+            blob += chunk
+        blob.append(0)
+        return blob
+
+    out += img(0, 0, 4, 4, [[1] * 4] * 4)                 # f0: all red
+    out += gce(3, True, 0)                                 # f1: dispose=prev
+    out += img(1, 1, 2, 2, [[2, 0], [0, 2]])               #   green diag, transp 0
+    out += gce(2, False)                                   # f2: dispose=bg
+    out += img(0, 0, 2, 2, [[3, 3], [3, 3]])               #   blue rect
+    out += img(3, 3, 1, 1, [[3]])                          # f3: blue dot
+    out += b"\x3b"
+    return bytes(out), palette
+
+
+def test_decode_gif_frames_composition_and_disposal():
+    import numpy as _np
+
+    from etlp_spark.functions import multimodal as mm
+
+    payload, pal = _build_animated_gif()
+    frames = mm.decode_gif_frames(payload)
+    assert len(frames) == 4
+    R, G, B, K = pal[1], pal[2], pal[3], pal[0]
+    f0 = _np.broadcast_to(R, (4, 4, 3)).copy()
+    assert _np.array_equal(frames[0], f0)
+    # f1: transparency keeps red under idx-0 pixels of the 2x2 rect
+    f1 = f0.copy(); f1[1, 1] = G; f1[2, 2] = G
+    assert _np.array_equal(frames[1], f1)
+    # f2: disposal 3 restored all-red, then opaque blue rect at (0,0)
+    f2 = f0.copy(); f2[0:2, 0:2] = B
+    assert _np.array_equal(frames[2], f2)
+    # f3: disposal 2 blanked f2's rect to background, then a blue dot
+    f3 = f0.copy(); f3[0:2, 0:2] = K; f3[3, 3] = B
+    assert _np.array_equal(frames[3], f3)
+
+
+def test_decode_gif_frames_single_frame_matches_decode_gif():
+    import numpy as _np
+
+    from etlp_spark.functions import multimodal as mm
+
+    px = _np.zeros((5, 3, 3), _np.uint8)
+    px[:, :, 0] = 200; px[2, 1] = (0, 99, 7)
+    payload = mm.encode_gif(px)
+    frames = mm.decode_gif_frames(payload)
+    assert len(frames) == 1
+    assert _np.array_equal(frames[0], mm.decode_gif(payload))
+
+
+def test_gif_animation_samples_real_frames_via_video_registry(spark):
+    """image/gif rides the VIDEO registry in sample_frames (real
+    composed animation frames as standalone BMPs) while keeping
+    IMAGE semantics in extract_features (first frame)."""
+    import numpy as _np
+
+    from etlp_spark.functions import multimodal as mm
+
+    payload, pal = _build_animated_gif()
+    media = spark.createDataFrame(
+        [(7, bytearray(payload), "image/gif", 4, 4)],
+        "media_id int, payload binary, mime string, width int, height int",
+    )
+    frames = {r.frame_idx: bytes(r.frame)
+              for r in mm.sample_frames(media, n_frames=4).collect()}
+    want = mm.decode_gif_frames(payload)
+    assert len(frames) == 4
+    for i in range(4):
+        assert _np.array_equal(mm.decode_bmp(frames[i]), want[i]), i
+    # feature path: image registry wins -> first-frame pixel feature
+    feat = mm.extract_features(media).collect()[0].feature
+    want_px = _np.asarray(
+        mm._pixel_feature(mm.decode_gif(payload), 8), dtype=_np.float32
+    )
+    assert _np.array_equal(_np.asarray(feat, dtype=_np.float32), want_px)
