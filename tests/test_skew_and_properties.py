@@ -720,3 +720,127 @@ def test_cusum_prefix_identity_equals_textbook_recursion(xs, mu, slack):
         s_closed = p - min(0, minp)
         s_rec = max(0, s_rec + dev)
         assert s_closed == s_rec
+
+
+# ---------------------------------------------------------------------------
+# round 10: persisted-index round-trip and GIF animation composition
+# ---------------------------------------------------------------------------
+
+_finite = st.floats(
+    allow_nan=False, allow_infinity=False, width=64,
+    min_value=-1e12, max_value=1e12,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    k=st.integers(min_value=1, max_value=6),
+    dims=st.integers(min_value=1, max_value=8),
+    data=st.data(),
+)
+def test_ivf_centroid_roundtrip_is_identity(spark, tmp_path_factory, k, dims, data):
+    """Property: save→load of ANY centroid table is the identity —
+    parquet FLOAT8 round-trips every finite double bit-for-bit, and
+    the (cell) ordering is reconstructed from the stored column, not
+    file order."""
+    from etlp_spark.functions.ann_index import (
+        load_ivf_centroids,
+        save_ivf_centroids,
+    )
+
+    cents = data.draw(
+        st.lists(
+            st.lists(_finite, min_size=dims, max_size=dims),
+            min_size=k, max_size=k,
+        )
+    )
+    root = str(tmp_path_factory.mktemp("ivfprop"))
+    save_ivf_centroids(spark, root, cents)
+    assert load_ivf_centroids(spark, root) == [
+        [float(x) for x in c] for c in cents
+    ]
+
+
+def _naive_gif_compose(sw, sh, bg_rgb, palette, frames_spec):
+    """Reference compositor: the GIF89a disposal/transparency rules
+    written independently of decode_gif_frames (dict-of-pixels, no
+    numpy slicing) — what the production decoder must agree with."""
+    import numpy as _np
+
+    canvas = [[tuple(bg_rgb) for _ in range(sw)] for _ in range(sh)]
+    out = []
+    for (lx, ty, idx_rows, disposal, tflag, tidx) in frames_spec:
+        before = [row[:] for row in canvas]
+        for r, row in enumerate(idx_rows):
+            for c, ix in enumerate(row):
+                if tflag and ix == tidx:
+                    continue
+                canvas[ty + r][lx + c] = tuple(palette[ix])
+        out.append(_np.array(canvas, dtype=_np.uint8))
+        if disposal == 2:
+            for r in range(len(idx_rows)):
+                for c in range(len(idx_rows[0])):
+                    canvas[ty + r][lx + c] = tuple(bg_rgb)
+        elif disposal == 3:
+            canvas = before
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_gif_animation_composition_matches_reference(data):
+    """Property: decode_gif_frames(assembled animation) equals an
+    independent naive compositor for random frame rects, disposal
+    methods, and transparency flags — exercising LZW round-trip,
+    sub-block splitting, and the canvas state machine together."""
+    import struct as _st2
+
+    import numpy as _np
+
+    from etlp_spark.functions import multimodal as mm
+
+    sw = data.draw(st.integers(2, 6))
+    sh = data.draw(st.integers(2, 6))
+    ncol = 4
+    palette = _np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], _np.uint8
+    )
+    out = bytearray()
+    out += b"GIF89a"
+    out += _st2.pack("<HHBBB", sw, sh, 0x80 | (2 - 1), 0, 0)
+    out += palette.tobytes()
+    frames_spec = []
+    n_frames = data.draw(st.integers(1, 4))
+    for _ in range(n_frames):
+        w = data.draw(st.integers(1, sw))
+        h = data.draw(st.integers(1, sh))
+        lx = data.draw(st.integers(0, sw - w))
+        ty = data.draw(st.integers(0, sh - h))
+        idx_rows = data.draw(
+            st.lists(
+                st.lists(st.integers(0, ncol - 1), min_size=w, max_size=w),
+                min_size=h, max_size=h,
+            )
+        )
+        disposal = data.draw(st.sampled_from([0, 1, 2, 3]))
+        tflag = data.draw(st.booleans())
+        tidx = data.draw(st.integers(0, ncol - 1))
+        frames_spec.append((lx, ty, idx_rows, disposal, tflag, tidx))
+        out += _st2.pack("<BBBBHBB", 0x21, 0xF9, 4,
+                         (disposal << 2) | int(tflag), 0, tidx, 0)
+        out += _st2.pack("<BHHHHB", 0x2C, lx, ty, w, h, 0)
+        out.append(2)
+        lzw = mm._gif_lzw_encode([i for row in idx_rows for i in row], 2)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += bytes(chunk)
+        out.append(0)
+    out += b"\x3b"
+
+    got = mm.decode_gif_frames(bytes(out))
+    want = _naive_gif_compose(sw, sh, palette[0], palette, frames_spec)
+    assert len(got) == len(want)
+    for g, w_ in zip(got, want):
+        assert _np.array_equal(g, w_)
