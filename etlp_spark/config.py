@@ -423,6 +423,14 @@ def _s_psi_drift(c: dict[str, Any]):
     )
 
 
+def _s_bootstrap_ci(c: dict[str, Any]):
+    from etlp_spark.streaming import bootstrap_ci_tws
+
+    return lambda df, _k=c["key"], _v=c["value"], _i=c["id"], _n=c.get(
+        "n_reps", 32
+    ): bootstrap_ci_tws(df, _k, _v, _i, n_reps=_n)
+
+
 STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
     "running_counts": _s_running_counts,
     "ewma": _s_ewma,
@@ -433,6 +441,7 @@ STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
     "ddsketch_quantiles": _s_ddsketch,
     "cusum": _s_cusum,
     "psi_drift": _s_psi_drift,
+    "bootstrap_ci": _s_bootstrap_ci,
 }
 
 

@@ -708,6 +708,118 @@ def psi_drift_tws(
     )
 
 
+#: Poisson(1) CDF thresholds on 16-bit uniforms — x116's literals.
+_BOOT_THRESHOLDS = (24109, 48218, 60273, 64291, 65296)
+
+
+def bootstrap_ci_tws(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    n_reps: int = 32,
+) -> DataFrame:
+    """Streaming Poisson-bootstrap confidence interval per key —
+    x116's batch estimator for a stream that never ends, closing the
+    statistical-twin family (cusum watches a mean, psi_drift watches
+    a distribution, THIS carries the uncertainty of the running
+    mean itself). Each arriving row joins every replicate with an
+    INVERSE-CDF Poisson(1) multiplicity drawn from a 16-bit slice of
+    md5(id + replicate-block) — x116's exact arithmetic (integer
+    thresholds on the same hex slices), so the emitted interval
+    after N micro-batches EQUALS the batch form over the
+    concatenated rows, integer-for-integer.
+
+    State per key: ``n_reps`` (weighted-sum, weight-count) BIGINT
+    pairs plus the exact (sum, count) for the point estimate —
+    constant in stream length. Emits (k, n, est_cents, boot_lo_cents,
+    boot_hi_cents) in Update mode: the ~p05/p95 CI as the 2nd/31st
+    order statistic of the replicate means (x116's rank semantics,
+    replicate id as tiebreaker). Values must be integers (cents —
+    the x130 discipline); ``id_col`` must be a stable per-row id
+    (the resample identity: the same row re-delivered draws the same
+    weights, so at-least-once sources do not skew the interval the
+    way they would a count). NULL/NaN rows are skipped."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    if n_reps % 8 != 0 or n_reps <= 0:
+        raise ValueError("n_reps must be a positive multiple of 8 (md5 slicing)")
+    n_blocks = n_reps // 8
+
+    class _Boot(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            cols = ", ".join(
+                f"s{r} BIGINT, c{r} BIGINT" for r in range(n_reps)
+            )
+            self._st = handle.getValueState(
+                "boot", f"{cols}, tot BIGINT, n BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import hashlib
+            import math
+
+            import pandas as pd
+
+            prev = self._st.get()
+            if prev:
+                s = list(prev[: 2 * n_reps])
+                tot, n = prev[2 * n_reps], prev[2 * n_reps + 1]
+            else:
+                s, tot, n = [0] * (2 * n_reps), 0, 0
+            for pdf in rows:
+                for rid, x in zip(pdf[id_col], pdf[value_col]):
+                    if x is None or (isinstance(x, float) and math.isnan(x)):
+                        continue
+                    v = int(x)
+                    digests = [
+                        hashlib.md5(f"{int(rid)}#B{j}".encode()).hexdigest()
+                        for j in range(n_blocks)
+                    ]
+                    for r in range(n_reps):
+                        u = int(digests[r // 8][(r % 8) * 4 : (r % 8) * 4 + 4], 16)
+                        w = 5
+                        for wi, t in enumerate(_BOOT_THRESHOLDS):
+                            if u < t:
+                                w = wi
+                                break
+                        if w:
+                            s[2 * r] += w * v
+                            s[2 * r + 1] += w
+                    tot += v
+                    n += 1
+            self._st.update((*s, tot, n))
+            means = sorted(
+                (s[2 * r] // s[2 * r + 1] if s[2 * r + 1] else 0, r)
+                for r in range(n_reps)
+            )
+            yield pd.DataFrame(
+                {
+                    "k": [key[0]],
+                    "n": [n],
+                    "est_cents": [tot // n if n else 0],
+                    "boot_lo_cents": [means[1][0]],
+                    "boot_hi_cents": [means[n_reps - 2][0]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _Boot(),
+        outputStructType=(
+            "k string, n bigint, est_cents bigint, "
+            "boot_lo_cents bigint, boot_hi_cents bigint"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def session_gap_tws(
     df: DataFrame, key_col: str, ts_col: str, gap_seconds: int = 1800
 ) -> DataFrame:

@@ -1022,3 +1022,57 @@ def test_streaming_config_psi_drift_op(spark, tmp_path):
         assert rows["shift"].psi_e6 > 200_000 and rows["match"].psi_e6 == 0
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_config_bootstrap_ci_op(spark, tmp_path):
+    """'bootstrap_ci' as config vocabulary: nameable with key/value/id
+    columns, emits its documented schema with a sane interval."""
+    import json as _json
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.config import streaming_pipeline_from_config
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        indir = tmp_path / "in_boot"
+        indir.mkdir()
+        (indir / "a.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"k": "m", "rid": i, "cents": 1000 + 10 * i})
+                for i in range(20)
+            )
+        )
+        cfg = {
+            "name": "cfg-boot",
+            "source": {
+                "type": "file_stream",
+                "path": str(indir),
+                "schema": "k string, rid long, cents long",
+            },
+            "stateful": {
+                "op": "bootstrap_ci",
+                "key": "k",
+                "value": "cents",
+                "id": "rid",
+            },
+            "streaming": {
+                "checkpoint": str(tmp_path / "ckpt_boot_cfg"),
+                "trigger": {"availableNow": True},
+                "output_mode": "update",
+            },
+            "sink": {"type": "memory", "name": "out_boot"},
+        }
+        q = streaming_pipeline_from_config(cfg).start(spark)
+        q.awaitTermination(120)
+        row = spark.sql("select * from out_boot").collect()[-1]
+        assert row.n == 20
+        assert row.boot_lo_cents <= row.est_cents <= row.boot_hi_cents
+        assert row.boot_lo_cents < row.boot_hi_cents
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

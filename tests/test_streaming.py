@@ -1015,3 +1015,85 @@ def test_psi_drift_tws_matches_batch_fold(spark, stream_dir, tmp_path):
             q.stop()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_bootstrap_ci_tws_matches_batch_arithmetic(spark, stream_dir, tmp_path):
+    """Streaming Poisson-bootstrap CI (bootstrap_ci_tws): all-integer
+    replicate state, so after two micro-batches the emitted interval
+    per key EQUALS x116's batch arithmetic (md5-sliced 16-bit
+    uniforms -> inverse-CDF Poisson weights -> integer replicate
+    means -> 2nd/31st order statistic) over the concatenated rows.
+    Re-delivering a row draws the SAME weights (resample identity),
+    which is the at-least-once-safety claim."""
+    import hashlib as _hl
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.streaming import _BOOT_THRESHOLDS, bootstrap_ci_tws
+
+    b1 = {"a": [(1, 1000), (2, 1200), (3, 800), (4, 2000)],
+          "b": [(10, 50), (11, 70)]}
+    b2 = {"a": [(5, 1500), (6, 900)], "b": [(12, 60), (13, 6000)]}
+
+    def batch_ci(rows):
+        s = [[0, 0] for _ in range(32)]
+        tot = 0
+        for rid, v in rows:
+            digs = [_hl.md5(f"{rid}#B{j}".encode()).hexdigest() for j in range(4)]
+            for r in range(32):
+                u = int(digs[r // 8][(r % 8) * 4 : (r % 8) * 4 + 4], 16)
+                w = 5
+                for wi, t in enumerate(_BOOT_THRESHOLDS):
+                    if u < t:
+                        w = wi
+                        break
+                s[r][0] += w * v
+                s[r][1] += w
+            tot += v
+        means = sorted((sw // cw if cw else 0, r) for r, (sw, cw) in enumerate(s))
+        return (len(rows), tot // len(rows), means[1][0], means[30][0])
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_batch(
+            stream_dir, "bc1.jsonl",
+            [{"k": k, "rid": i, "cents": v}
+             for k, rows in b1.items() for i, v in rows],
+        )
+        src = file_stream(
+            spark, str(stream_dir), "k string, rid long, cents long", fmt="json"
+        )
+        q = (
+            bootstrap_ci_tws(src, "k", "cents", "rid")
+            .writeStream.format("memory")
+            .queryName("tws_boot")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_boot"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _write_batch(
+                stream_dir, "bc2.jsonl",
+                [{"k": k, "rid": i, "cents": v}
+                 for k, rows in b2.items() for i, v in rows],
+            )
+            q.processAllAvailable()
+            latest = {}
+            for r in spark.sql("select * from tws_boot").collect():
+                latest[r.k] = (r.n, r.est_cents, r.boot_lo_cents, r.boot_hi_cents)
+            for k in ("a", "b"):
+                assert latest[k] == batch_ci(b1[k] + b2[k]), k
+            # b's outlier (6000 vs ~60) must blow its interval wide open
+            assert (latest["b"][3] - latest["b"][2]) > (
+                latest["a"][3] - latest["a"][2]
+            )
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
