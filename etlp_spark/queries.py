@@ -11018,31 +11018,29 @@ def x114_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation, before verification ever joins a shingle array.
     Verification touches only surviving pairs, each an O(|set|)
     array intersect with both shingle arrays joined by doc id."""
-    from etlp_spark.functions.text import tokens
+    from etlp_spark.functions.dedup import word_shingles
 
     docs = _t_fanout(spark, sf_dir, "documents")
-    tk0 = docs.select("doc_id", tokens("text").alias("tk0")).where(
-        F.size("tk0") >= 3
-    )
     # 60-bit md5 fingerprints IN BOTH ENGINES (the x97 long-key rule:
     # shingle strings never shuffle — identical fp arithmetic on both
     # sides keeps the gate exact even in the astronomically-unlikely
-    # collision case, because a collision collides identically)
-    tk = tk0.select(
+    # collision case, because a collision collides identically).
+    # Shingles come from word_shingles' slice+zip_with form — the r9
+    # per-position slice/array_join lambda re-did the whole-array
+    # work inside an interpreted HOF per element (measured 8.2 s vs
+    # 1.5 s for the identical fingerprint set at sf0.1 — the exact
+    # anti-pattern word_shingles' own docstring records). Docs
+    # shorter than one shingle yield the empty array and drop here,
+    # same set as the old tokens>=3 filter.
+    tk = docs.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tk0") - 2),
-                lambda i: F.conv(
-                    F.substring(
-                        F.md5(F.array_join(F.slice("tk0", i, 3), " ")), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-            )
+        F.transform(
+            word_shingles("text", 3),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "long"
+            ),
         ).alias("tk"),
-    )
+    ).where(F.size("tk") >= 1)
     dt = tk.select("doc_id", F.explode("tk").alias("t"))
     freq = dt.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
     # rank tokens rarest-first per doc; prefix length n - ceil(0.8n) + 1
