@@ -29,6 +29,7 @@ from etlp_spark.functions.text import fingerprint, tokens
 
 __all__ = [
     "exact_dedup",
+    "word_ngrams",
     "word_shingles",
     "minhash_signature",
     "lsh_candidates",
@@ -55,25 +56,31 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized token stream.
-
-    Built with sequence+transform+slice — pure JVM array ops.
-    """
-    toks = tokens(text_col)
-    # Built from n whole-array slices zipped with concat — per-row
-    # cost is n slices + (n-1) zip_with passes, instead of one
-    # slice+join per *position* inside an interpreted lambda
-    # (~10× faster at bench scale). Guard: Spark's sequence/slice
-    # behave badly for docs shorter than one shingle.
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Positional word n-grams of a TOKEN-ARRAY column as joined
+    strings — NON-distinct, so term frequencies survive (x105's
+    Good-Turing counts need the multiset; HLL/overlap callers simply
+    don't care). Built from n whole-array slices zipped with concat —
+    per-row cost is n slices + (n-1) zip_with passes, instead of one
+    slice+join per *position* inside an interpreted lambda (~10×
+    faster at bench scale; the r10 x114 profile measured the
+    per-position form at 8.2 s vs 1.5 s for the identical result).
+    Empty array when the document is shorter than one n-gram
+    (Spark's sequence/slice behave badly there)."""
     m = F.size(toks) - (n - 1)
     shifted = [F.slice(toks, i + 1, m) for i in range(n)]
     joined = shifted[0]
     for nxt in shifted[1:]:
         joined = F.zip_with(joined, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(joined)
+        joined
     )
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized token stream
+    (``word_ngrams`` of ``tokens(text)``, deduplicated)."""
+    return F.array_distinct(word_ngrams(tokens(text_col), n))
 
 
 # k-permutation MinHash constants: universal hashing (a·x + b) mod P

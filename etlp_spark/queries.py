@@ -3191,17 +3191,12 @@ def x24_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etlp_spark.functions.text import tokens
 
     docs = _t_fanout(spark, sf_dir, "documents")
+    from etlp_spark.functions.dedup import word_ngrams
+
     tk = docs.select("doc_id", tokens("text").alias("tk")).where(F.size("tk") >= 5)
     grams = tk.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("tk") - 5),
-                    lambda i: F.array_join(F.slice("tk", i + 1, 5), " "),
-                )
-            )
-        ).alias("g"),
+        F.explode(F.array_distinct(word_ngrams(F.col("tk"), 5))).alias("g"),
     )
     bench = grams.where(F.col("doc_id") % 97 == 0).select("g").distinct()
     return (
@@ -4208,17 +4203,12 @@ def x36_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etlp_spark.functions.text import tokens
 
     docs = _t_fanout(spark, sf_dir, "documents")
+    from etlp_spark.functions.dedup import word_ngrams
+
     toks = docs.select("doc_id", tokens("text").alias("t")).where(F.size("t") >= 5)
     sh = toks.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 4),
-                    lambda i: F.concat_ws(" ", F.slice("t", i, 5)),
-                )
-            )
-        ).alias("s"),
+        F.explode(F.array_distinct(word_ngrams(F.col("t"), 5))).alias("s"),
     ).localCheckpoint(eager=True)  # two consumers: the df aggregate and the join back
     cnt = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("nd"))
     return (
@@ -9310,15 +9300,11 @@ def x97_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etlp_spark.functions.text import tokens
 
     docs = _t_fanout(spark, sf_dir, "documents")
+    from etlp_spark.functions.dedup import word_ngrams
+
     tk = docs.select("source", tokens("text").alias("tk")).where(F.size("tk") >= 3)
     toks = tk.select(
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tk") - 2),
-                lambda i: F.array_join(F.slice("tk", i, 3), " "),
-            )
-        ).alias("t"),
+        "source", F.explode(word_ngrams(F.col("tk"), 3)).alias("t")
     )
     regs = hll_registers(toks, "t", keys=("source",))
     est = hll_estimate(regs, keys=("source",))
@@ -9424,15 +9410,11 @@ def x98_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t_fanout(spark, sf_dir, "documents")
     from etlp_spark.functions.text import tokens
 
+    from etlp_spark.functions.dedup import word_ngrams
+
     tk = docs.select("source", tokens("text").alias("tk")).where(F.size("tk") >= 5)
     grams = tk.select(
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tk") - 4),
-                lambda i: F.array_join(F.slice("tk", i, 5), " "),
-            )
-        ).alias("gram"),
+        "source", F.explode(word_ngrams(F.col("tk"), 5)).alias("gram")
     ).select(
         "source",
         F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("fp"),
@@ -10043,15 +10025,11 @@ def x105_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etlp_spark.functions.text import tokens
 
     docs = _t_fanout(spark, sf_dir, "documents")
+    from etlp_spark.functions.dedup import word_ngrams
+
     tk = docs.select("source", tokens("text").alias("tk")).where(F.size("tk") >= 3)
     g = tk.select(
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tk") - 2),
-                lambda i: F.array_join(F.slice("tk", i, 3), " "),
-            )
-        ).alias("t"),
+        "source", F.explode(word_ngrams(F.col("tk"), 3)).alias("t")
     ).select(
         "source",
         F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("fp"),
@@ -11500,17 +11478,13 @@ def x117_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etlp_spark.functions.text import tokens
 
     docs = _t_fanout(spark, sf_dir, "documents")
+    from etlp_spark.functions.dedup import word_ngrams
+
     tk = docs.select("source", tokens("text").alias("tk")).where(
         F.size("tk") >= 3
     )
     toks = tk.select(
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tk") - 2),
-                lambda i: F.array_join(F.slice("tk", i, 3), " "),
-            )
-        ).alias("t"),
+        "source", F.explode(word_ngrams(F.col("tk"), 3)).alias("t")
     )
     regs = hll_registers(toks, "t", keys=("source",)).localCheckpoint(
         eager=True
@@ -14207,9 +14181,10 @@ _GATED_PRIOR_ROUNDS = [
 #: r9's window per the documented rule, rotating back now as
 #: promised), then the 28-query round-5 block — the oldest driver
 #: evidence in the repo (exactly the set whose freshest CORRECTNESS
-#: row is r5, recomputed from the artifact union). Sized at 31 so
-#: the round-10 additions (x137-x141 — in no gate list) land via
-#: ``_ungated`` inside the first-50 window, and the remaining ~14
+#: row is r5, recomputed from the artifact union). Sized at 37 (2
+#: rewrites + 6 word_ngrams swaps + x92 + the 28 stale) so the
+#: round-10 additions (x137-x141 — in no gate list) land via
+#: ``_ungated`` inside the first-50 window, and the remaining ~8
 #: slots re-gate the head of ``_rest`` for free. (x116's r10 change
 #: is docstring/comment-only — measured form-selection history; the
 #: executable code is byte-identical to the r9-gated binary, so it
@@ -14217,6 +14192,11 @@ _GATED_PRIOR_ROUNDS = [
 _NEWEST = [
     # changed this round:
     "x133_ks_test", "x114_prefix_filter_jaccard",
+    # changed this round (word_ngrams shingle-path swap — result-
+    # identical by oracle at sf0.001/0.01, but the binary changed):
+    "x24_contamination_check", "x36_dup_ngram_fraction",
+    "x97_hll_registers", "x98_source_overlap_matrix",
+    "x105_unseen_mass", "x117_hll_set_algebra",
     # pin-only r9 change, demoted from r9's window — rotates back:
     "x92_cooccurrence_triangles",
     # the round-5 stale block (freshest driver evidence = r5):
