@@ -34,6 +34,8 @@ __all__ = [
     "load_ivf_centroids",
     "save_pq_codebooks",
     "load_pq_codebooks",
+    "ensure_ivf_index",
+    "ensure_pq_codebooks",
 ]
 
 _CENTROID_SCHEMA = "cell INT NOT NULL, centroid ARRAY<DOUBLE> NOT NULL"
@@ -138,3 +140,46 @@ def load_pq_codebooks(
     if not books:
         raise ValueError(f"codebook table at {root} v{version} is empty")
     return books
+
+
+def _ensure(spark, root, train, save, load):
+    """Train-once discipline: if the store already holds a version,
+    LOAD it and never call ``train``; otherwise train, publish, and
+    return the STORED form (so callers always consume the artifact
+    path, never the in-memory one). A racing trainer that loses the
+    exclusive publish loads the winner's version — both racers end
+    up on the same index, which is the whole point of versioning."""
+    import os
+
+    from etlp_spark.connectors.snapshots import ConcurrentWriteError
+
+    if os.path.isdir(os.path.join(root, "_manifests")):
+        store = SnapshotStore(root)
+        if store.latest_version() is not None:
+            return load(spark, root)
+    model = train()
+    try:
+        save(spark, root, model)
+    except ConcurrentWriteError:
+        pass  # a concurrent trainer won — same input, same model
+    return load(spark, root)
+
+
+def ensure_ivf_index(spark: SparkSession, root: str, train) -> list[list[float]]:
+    """Load the centroid table at ``root`` if one is published, else
+    call ``train()`` (a zero-arg callable returning centroids),
+    publish, and load — the at-most-one-training lifecycle a 100 TB
+    deployment runs: queries name the index root; only the first
+    ever run (or an explicit re-train to a new root/version) pays
+    the training scans. Keying the root by corpus identity + trainer
+    version is the CALLER's contract — a stale root silently serves
+    the old index, which is exactly the version-pinning feature, but
+    only if the key says what the index was built from."""
+    return _ensure(spark, root, train, save_ivf_centroids, load_ivf_centroids)
+
+
+def ensure_pq_codebooks(
+    spark: SparkSession, root: str, train
+) -> list[list[list[float]]]:
+    """``ensure_ivf_index`` for PQ codebooks."""
+    return _ensure(spark, root, train, save_pq_codebooks, load_pq_codebooks)

@@ -126,3 +126,37 @@ def test_pq_save_rejects_ragged_book(spark, tmp_path):
         save_pq_codebooks(
             spark, str(tmp_path / "x"), [[[1.0, 2.0], [1.0]]]
         )
+
+
+def test_ensure_ivf_index_trains_at_most_once(spark, emb, tmp_path):
+    """ensure_ivf_index: first call trains + publishes + returns the
+    STORED form; every later call loads without training (the
+    train-once lifecycle x137 demonstrates)."""
+    from etlp_spark.functions.ann_index import ensure_ivf_index
+
+    calls = {"n": 0}
+
+    def train():
+        calls["n"] += 1
+        return ivf_train(emb, k=4, iters=1)
+
+    root = str(tmp_path / "ivf")
+    first = ensure_ivf_index(spark, root, train)
+    second = ensure_ivf_index(spark, root, train)
+    assert calls["n"] == 1
+    assert first == second == ivf_train(emb, k=4, iters=1)
+
+
+def test_ensure_pq_codebooks_prefers_published_version(spark, tmp_path):
+    """A root that already holds a (different) published codebook
+    wins over the trainer — version pinning is the feature: the
+    caller's root key says what the index was built from."""
+    from etlp_spark.functions.ann_index import ensure_pq_codebooks
+
+    root = str(tmp_path / "pq")
+    published = [[[1.0, 2.0], [3.0, 4.0]]]
+    save_pq_codebooks(spark, root, published)
+    got = ensure_pq_codebooks(
+        spark, root, lambda: [[[9.0, 9.0], [8.0, 8.0]]]
+    )
+    assert got == published
