@@ -143,6 +143,7 @@ HEAVY = [
     "x139_psi_drift",
     "x140_mann_whitney",
     "x141_ivf_index_staleness",
+    "x142_conformal_coverage",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -221,6 +222,7 @@ QUERY_TABLES = {
     "x139_psi_drift": ["documents"],
     "x140_mann_whitney": ["documents"],
     "x141_ivf_index_staleness": ["embeddings"],
+    "x142_conformal_coverage": ["events"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]

@@ -614,3 +614,15 @@ def test_index_staleness_single_scan_no_join(spark):
     assert "Exchange hashpartitioning" not in plan, (
         f"x141 grew a shuffle:\n{plan[:3000]}"
     )
+
+
+def test_conformal_window_over_residual_histogram(spark):
+    """x142: the order-statistic window must consume the per-type
+    DISTINCT-residual histogram (x133's discipline), and every join
+    is a broadcast of a |types|-row frame — no sort-merge anywhere."""
+    plan = _executed_plan(QUERIES["x142_conformal_coverage"].fn(spark, SF))
+    wi = plan.index("Window")
+    assert "HashAggregate(keys=[event_type" in plan[wi:], (
+        f"x142's window no longer consumes the residual histogram:\n{plan[:3000]}"
+    )
+    assert "SortMergeJoin" not in plan, plan[:3000]
