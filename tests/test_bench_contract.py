@@ -58,3 +58,28 @@ def test_bench_rejects_unknown_subset_names():
     )
     assert proc.returncode == 2
     assert "unknown query names" in proc.stderr
+
+
+def test_gate_window_rotation_invariants():
+    """The driver's correctness gate records the FIRST 50 registered
+    queries. Pin the rotation contract so a future edit can't
+    silently push a priority or never-gated query out of the window:
+    every _NEWEST entry (changed/stale-evidence priorities) and every
+    query absent from _GATED_PRIOR_ROUNDS (i.e. new, with no driver
+    evidence at all) must sit inside the first 50."""
+    import etlp_spark.queries as Q
+
+    names = list(Q.QUERIES)
+    window = set(names[:50])
+    missing_priority = [n for n in Q._NEWEST if n in Q.QUERIES and n not in window]
+    assert not missing_priority, (
+        f"priority queries fell out of the 50-slot gate window: {missing_priority}"
+    )
+    gated_ever = set(Q._GATED_PRIOR_ROUNDS)
+    never_gated = [n for n in names if n not in gated_ever]
+    out = [n for n in never_gated if n not in window]
+    assert not out, (
+        "queries with NO driver evidence are outside the gate window "
+        f"(they would ship unverified): {out}"
+    )
+    assert len(names) == len(set(names))
