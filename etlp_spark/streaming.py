@@ -646,7 +646,20 @@ def psi_drift_tws(
     series (the cusum_tws portability claim; the one float edge is
     the shared ln). Emits in Update mode; requires the RocksDB state
     store. NULL/NaN values are skipped (every SQL aggregate's
-    convention — they would poison integer state)."""
+    convention — they would poison integer state).
+
+    DOMAIN CONTRACT: values are NONNEGATIVE (the histogram starts at
+    0 and the last bin is the only open end), and the equals-batch
+    claim is scoped to that domain. Negative values are skipped like
+    NULLs — a negative ``v // bin_width`` would otherwise index a
+    bin from the END of the count vector (Python's silent negative
+    indexing), corrupting RocksDB state with no error. The batch
+    twin (x139) has no coherent negative story either (``div``
+    truncates −bin_width < v < 0 into bin 0; anything lower falls
+    off the reference spine join), so out-of-domain rows are
+    DROPPED, never guessed into a bin — the op is config-nameable
+    (STREAM_STATEFUL_OPS) over arbitrary value columns and must not
+    corrupt state when one goes negative."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -676,6 +689,11 @@ def psi_drift_tws(
             for pdf in rows:
                 for x in pdf[value_col]:
                     if x is None or (isinstance(x, float) and math.isnan(x)):
+                        continue
+                    # negative values: out of the histogram's domain
+                    # (see DOMAIN CONTRACT) — skip, never index
+                    # counts[-1] into the wrong (top) bin.
+                    if x < 0:
                         continue
                     counts[min(int(x) // bin_width, n_bins - 1)] += 1
                     n += 1
@@ -736,10 +754,21 @@ def bootstrap_ci_tws(
     boot_hi_cents) in Update mode: the ~p05/p95 CI as the 2nd/31st
     order statistic of the replicate means (x116's rank semantics,
     replicate id as tiebreaker). Values must be integers (cents —
-    the x130 discipline); ``id_col`` must be a stable per-row id
-    (the resample identity: the same row re-delivered draws the same
-    weights, so at-least-once sources do not skew the interval the
-    way they would a count). NULL/NaN rows are skipped."""
+    the x130 discipline; negative cents are fine — division matches
+    Spark's truncate-toward-zero ``div``, not Python's floor);
+    ``id_col`` must be a stable per-row id (the resample identity:
+    the same row re-delivered draws the same weights, so
+    at-least-once sources do not skew the interval the way they
+    would a count). NULL/NaN rows are skipped.
+
+    EMPTY replicates (zero sampled weight — expected while a key has
+    only a few rows: each row misses a given replicate with prob
+    ~0.368) mirror the batch form exactly: x116's ``sum(w*cents) div
+    sum(w)`` is NULL there, and Spark's ascending ``row_number``
+    ranks NULLS FIRST, so an empty replicate occupies the LOWEST
+    ranks and the emitted bound is NULL whenever the 2nd/31st rank
+    lands on one — never a fabricated 0 mean ranked among the real
+    ones."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -792,17 +821,35 @@ def bootstrap_ci_tws(
                     tot += v
                     n += 1
             self._st.update((*s, tot, n))
+
+            def tdiv(a, b):
+                # Spark's integer `div` truncates toward zero; Python's
+                # // floors. Identical for nonnegative a, different for
+                # negative cents — mirror Spark.
+                q = abs(a) // b
+                return q if a >= 0 else -q
+
+            # batch rank semantics: mean_r ASC with NULLS FIRST (an
+            # empty replicate's `div` is NULL), replicate id tiebreak.
             means = sorted(
-                (s[2 * r] // s[2 * r + 1] if s[2 * r + 1] else 0, r)
+                (
+                    (1, tdiv(s[2 * r], s[2 * r + 1]), r)
+                    if s[2 * r + 1]
+                    else (0, 0, r)
+                )
                 for r in range(n_reps)
             )
+
+            def stat(entry):
+                return entry[1] if entry[0] else None
+
             yield pd.DataFrame(
                 {
                     "k": [key[0]],
                     "n": [n],
-                    "est_cents": [tot // n if n else 0],
-                    "boot_lo_cents": [means[1][0]],
-                    "boot_hi_cents": [means[n_reps - 2][0]],
+                    "est_cents": [tdiv(tot, n) if n else None],
+                    "boot_lo_cents": [stat(means[1])],
+                    "boot_hi_cents": [stat(means[n_reps - 2])],
                 }
             )
 

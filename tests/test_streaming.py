@@ -918,7 +918,11 @@ def test_psi_drift_tws_matches_batch_fold(spark, stream_dir, tmp_path):
     equals x139's BATCH fold (JVM doubles, F.aggregate in bin order)
     over the concatenated series — the drift-family twin the r9
     verdict asked for. Key 'a' is replayed matching the reference
-    (no drift); key 'b' piles into the top bin (must alarm)."""
+    (no drift); key 'b' piles into the top bin (must alarm). Key 'a'
+    also carries NEGATIVE values in batch 2: out of the histogram's
+    documented nonnegative domain, they must be SKIPPED (not wrapped
+    into the top bin by Python negative indexing, not counted in n)
+    — the r10 advice finding."""
     pytest.importorskip(
         "google.protobuf.descriptor",
         reason="TWS needs a google.protobuf runtime; none vendorable",
@@ -928,7 +932,9 @@ def test_psi_drift_tws_matches_batch_fold(spark, stream_dir, tmp_path):
     REF = [6, 3, 1]  # reference histogram: bins [0,10) [10,20) [20,inf)
     BIN_W = 10
     b1 = {"a": [1, 2, 11, 3], "b": [25, 27, 29]}
-    b2 = {"a": [4, 5, 21], "b": [31, 33, 2]}
+    # -7 would land in counts[-1] (the top bin) under naive
+    # `v // bin_width` indexing; -40 would raise IndexError.
+    b2 = {"a": [4, 5, 21, -7, -40], "b": [31, 33, 2]}
 
     def batch_psi(values):
         # x139's batch arithmetic verbatim: spine join + ordered fold
@@ -1002,7 +1008,9 @@ def test_psi_drift_tws_matches_batch_fold(spark, stream_dir, tmp_path):
             for r in spark.sql("select * from tws_psi").collect():
                 latest[r.k] = (r.n, r.psi_e6, r.drifted)  # last batch wins
             for k in ("a", "b"):
-                series = b1.get(k, []) + b2.get(k, [])
+                # the equals-batch claim is scoped to the nonnegative
+                # domain; negatives are dropped by contract
+                series = [v for v in b1.get(k, []) + b2.get(k, []) if v >= 0]
                 want = batch_psi(series)
                 assert latest[k] == (len(series), want, want > 200_000), (
                     k, latest[k], want,
@@ -1024,7 +1032,15 @@ def test_bootstrap_ci_tws_matches_batch_arithmetic(spark, stream_dir, tmp_path):
     uniforms -> inverse-CDF Poisson weights -> integer replicate
     means -> 2nd/31st order statistic) over the concatenated rows.
     Re-delivering a row draws the SAME weights (resample identity),
-    which is the at-least-once-safety claim."""
+    which is the at-least-once-safety claim.
+
+    Key 'c' exercises the r10 advice findings: NEGATIVE cents whose
+    replicate means need Spark's truncate-toward-zero `div` (Python
+    // floors -905/3 to -302; div gives -301), and a small n whose
+    zero-weight replicates must rank NULLS FIRST like the batch
+    row_number — rid 20 alone leaves 11 of 32 replicates empty, so
+    the 2nd order statistic is NULL, never a fabricated 0 ranked
+    above the (negative) real means."""
     import hashlib as _hl
 
     pytest.importorskip(
@@ -1034,8 +1050,14 @@ def test_bootstrap_ci_tws_matches_batch_arithmetic(spark, stream_dir, tmp_path):
     from etlp_spark.streaming import _BOOT_THRESHOLDS, bootstrap_ci_tws
 
     b1 = {"a": [(1, 1000), (2, 1200), (3, 800), (4, 2000)],
-          "b": [(10, 50), (11, 70)]}
-    b2 = {"a": [(5, 1500), (6, 900)], "b": [(12, 60), (13, 6000)]}
+          "b": [(10, 50), (11, 70)],
+          "c": [(20, -305)]}
+    b2 = {"a": [(5, 1500), (6, 900)], "b": [(12, 60), (13, 6000)],
+          "c": [(21, -300)]}
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
 
     def batch_ci(rows):
         s = [[0, 0] for _ in range(32)]
@@ -1052,8 +1074,17 @@ def test_bootstrap_ci_tws_matches_batch_arithmetic(spark, stream_dir, tmp_path):
                 s[r][0] += w * v
                 s[r][1] += w
             tot += v
-        means = sorted((sw // cw if cw else 0, r) for r, (sw, cw) in enumerate(s))
-        return (len(rows), tot // len(rows), means[1][0], means[30][0])
+        # x116's rank semantics: mean_r ASC NULLS FIRST, replicate
+        # id tiebreak; an empty replicate's div is NULL
+        means = sorted(
+            (1, tdiv(sw, cw), r) if cw else (0, 0, r)
+            for r, (sw, cw) in enumerate(s)
+        )
+
+        def stat(e):
+            return e[1] if e[0] else None
+
+        return (len(rows), tdiv(tot, len(rows)), stat(means[1]), stat(means[30]))
 
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
@@ -1087,12 +1118,18 @@ def test_bootstrap_ci_tws_matches_batch_arithmetic(spark, stream_dir, tmp_path):
             latest = {}
             for r in spark.sql("select * from tws_boot").collect():
                 latest[r.k] = (r.n, r.est_cents, r.boot_lo_cents, r.boot_hi_cents)
-            for k in ("a", "b"):
+            for k in ("a", "b", "c"):
                 assert latest[k] == batch_ci(b1[k] + b2[k]), k
             # b's outlier (6000 vs ~60) must blow its interval wide open
             assert (latest["b"][3] - latest["b"][2]) > (
                 latest["a"][3] - latest["a"][2]
             )
+            # c: >=2 replicates sampled neither row -> NULL lower
+            # bound (NULLS FIRST), while rank 31 is a real (negative,
+            # truncate-divided) mean — the fixture is chosen so both
+            # fixed paths actually fire
+            assert latest["c"][2] is None
+            assert latest["c"][3] is not None and latest["c"][3] < 0
         finally:
             q.stop()
     finally:
