@@ -13860,10 +13860,16 @@ def x141_ivf_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-in-10 recipe on today's corpus). A ratio drifting above 1.05
     means the corpus moved out from under the shipped centroids —
     recall is quietly degrading and the index earns a new
-    SnapshotStore version. (Deterministic sample predicates stand in
-    for 'last month's corpus'; in production the stale side loads
-    its centroids via load_ivf_centroids and only the fresh side
-    trains.)
+    SnapshotStore version. The STALE side consumes the PUBLISHED
+    SnapshotStore artifact via ``ensure_ivf_index`` — only the first
+    run ever trains-and-publishes it (one-training-only is
+    pytest-asserted); every later run LOADS, so the executed audit is
+    load → score, the production lifecycle end-to-end. Only the
+    fresh side trains per run — that cost is the audit's subject.
+    (A deterministic sample predicate stands in for 'last month's
+    corpus'; determinism is what keeps the loaded artifact
+    oracle-able — the DuckDB twin replays the same training and gets
+    the bit-identical centroids the store round-trips.)
 
     Exactness: both trainings are the x12 exact Lloyd replay (the
     oracle runs two chains via the shared CTE generator); per-vector
@@ -13873,15 +13879,24 @@ def x141_ivf_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum div n), keeping every product under 2^63 at any corpus
     size.
 
-    Scale shape: two sample-bounded trainings + ONE full scan that
-    evaluates both distortion folds per row (2·k literal-centroid
-    folds, scan-stage, no join/shuffle) into a 1-row integer
-    aggregate. Reference: engine-added (SURVEY.md §2.2 similarity
-    family; VERDICT r9 item 3's lifecycle, refresh half)."""
+    Scale shape: one model-sized artifact load + one sample-bounded
+    training (the fresh side) + ONE full scan that evaluates both
+    distortion folds per row (2·k literal-centroid folds, scan-stage,
+    no join/shuffle) into a 1-row integer aggregate. Reference:
+    engine-added (SURVEY.md §2.2 similarity family; VERDICT r9 item
+    3's lifecycle, refresh half; r10 item 2 — loaded stale side)."""
+    from etlp_spark.functions.ann_index import ensure_ivf_index
     from etlp_spark.functions.similarity import ivf_min_d2, ivf_train
 
     emb = _t_fanout(spark, sf_dir, "embeddings").persist()
-    c_stale = ivf_train(emb.where(F.col("vec_id") % 20 == 0), k=8, iters=2)
+    # the shipped (v0-era) index: published once, loaded ever after —
+    # key fingerprints the dataset content, so regenerated data
+    # rotates the root instead of serving a stale artifact
+    c_stale = ensure_ivf_index(
+        spark,
+        _index_root(sf_dir, "embeddings", "ivf-k8-i2-mod20|v1"),
+        lambda: ivf_train(emb.where(F.col("vec_id") % 20 == 0), k=8, iters=2),
+    )
     c_fresh = ivf_train(emb.where(F.col("vec_id") % 10 == 0), k=8, iters=2)
     d = emb.select(
         F.floor(ivf_min_d2("embedding", c_stale) * 1000000 + F.lit(0.5))
@@ -13942,15 +13957,15 @@ def x141_ivf_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
              r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1x2,
              r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)
                - CAST(n1 AS HUGEINT) * n2 AS u2d,
-             CAST(n1 AS HUGEINT) * n2
-               * (CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2)
-                  - (n1 + n2) - t3) AS n1n2a,
+             CAST(n1 AS DOUBLE) * n2
+               * CAST(CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2)
+                      - (n1 + n2) - t3 AS DOUBLE) AS n1n2a_d,
              CAST(12 AS HUGEINT) * (n1 + n2) * (n1 + n2 - 1) AS dvar
       FROM m),
     z AS (
       SELECT n1, n2, u1x2,
              (CAST(u2d AS DOUBLE) / 2.0)
-               / sqrt(CAST(n1n2a AS DOUBLE) / CAST(dvar AS DOUBLE)) AS zv
+               / sqrt(n1n2a_d / CAST(dvar AS DOUBLE)) AS zv
       FROM s)
     SELECT n1, n2,
            CAST(u1x2 AS BIGINT) AS u1_x2,
@@ -13971,15 +13986,21 @@ def x140_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     you want when a crawl source's length distribution has a heavy
     tail that would dominate a t statistic.
 
-    Arithmetic is EXACT-INTEGER to the final division: midranks over
-    the per-length histogram are kept DOUBLED (2·midrank = 2·cum_before
-    + t + 1 — always an integer), so 2·R1, 2·U1, the tie term
-    SUM(t³ − t) and the variance numerator n1·n2·(n³ − n − SUM(t³−t))
-    are exact. Spark carries them in DECIMAL(38,0), the oracle in
-    HUGEINT — both cast once to DOUBLE (correctly rounded in both
-    engines) for the single z division, e6-floored (f8's rule). Good
-    to ~1e12 rows per comparison (n³ < 1e38); shard by stratum past
-    that.
+    Arithmetic is EXACT-INTEGER through the tie correction: midranks
+    over the per-length histogram are kept DOUBLED (2·midrank =
+    2·cum_before + t + 1 — always an integer), so 2·R1, 2·U1, the tie
+    term SUM(t³ − t) and the tie-corrected factor a = n³ − n −
+    SUM(t³−t) are exact (Spark DECIMAL(38,0), oracle HUGEINT). The
+    variance NUMERATOR n1·n2·a then multiplies in DOUBLE — n1·n2·a ≈
+    n⁵/4 would overflow BOTH 38-digit carriers near n ≈ 6e7 (Spark's
+    non-ANSI overflow NULLs while the oracle errors — the r10 advice
+    finding), and exactness past the tie sum buys nothing: z gets one
+    rounded division anyway. Each engine computes CAST(n1 AS
+    DOUBLE) * n2 * CAST(a AS DOUBLE) in the same sequence
+    (wide-int→double casts are correctly rounded in both), so the
+    e6-floored z (f8's rule) stays bit-identical. Good to ~1e12 rows
+    per comparison (the exact factor needs n³ < 1e38); shard by
+    stratum past that.
 
     Scale shape: x133's compact-histogram discipline — one
     map-side-combinable aggregate to |distinct lengths| rows, the
@@ -14026,14 +14047,14 @@ def x140_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r1x2") - n1.cast(dec) * (n1 + 1) - n1.cast(dec) * n2
         ).alias("u2d"),
         (
-            n1.cast(dec)
+            n1.cast("double")
             * n2
-            * (n.cast(dec) * n * n - n - F.col("t3"))
-        ).alias("n1n2a"),
+            * (n.cast(dec) * n * n - n - F.col("t3")).cast("double")
+        ).alias("n1n2a_d"),
         (F.lit(12).cast(dec) * n * (n - 1)).alias("dvar"),
     )
     zv = (F.col("u2d").cast("double") / F.lit(2.0)) / F.sqrt(
-        F.col("n1n2a").cast("double") / F.col("dvar").cast("double")
+        F.col("n1n2a_d") / F.col("dvar").cast("double")
     )
     return s.select(
         "n1",
@@ -14044,6 +14065,50 @@ def x140_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rejected"
         ),
     )
+
+
+def _dataset_fingerprint(sf_dir: str, table: str) -> str:
+    """Content fingerprint of one parquet table: md5 over the sorted
+    (relative path, byte size, mtime_ns) of every data file under
+    ``{sf_dir}/{table}.parquet``. Folded into every persisted-index
+    root key so that REGENERATING a dataset at the same path rotates
+    the key and forces a retrain — without it, ``ensure_ivf_index``
+    would silently serve the stale artifact while the oracle retrains
+    on the new bytes (the r10 advice finding). Driver-side stat calls
+    only — file-count-bounded, no data read."""
+    import hashlib
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    parts = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                fp = os.path.join(root, fn)
+                st = os.stat(fp)
+                parts.append(
+                    f"{os.path.relpath(fp, path)}|{st.st_size}|{st.st_mtime_ns}"
+                )
+    else:
+        st = os.stat(path)
+        parts.append(f".|{st.st_size}|{st.st_mtime_ns}")
+    return hashlib.md5("\n".join(sorted(parts)).encode()).hexdigest()[:16]
+
+
+def _index_root(sf_dir: str, table: str, tag: str) -> str:
+    """Persisted-index root under the system tempdir, keyed by
+    dataset path + content fingerprint + trainer tag — the full
+    (corpus, trainer-version) identity ``ensure_ivf_index``'s
+    contract requires of its caller."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{_dataset_fingerprint(sf_dir, table)}"
+        f"|{tag}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"etlp_index_{key}")
 
 
 @_register(
@@ -14123,10 +14188,6 @@ def x137_ivf_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     traffic: k-row centroid load + 1-row query fetch. Reference:
     engine-added (SURVEY.md §2.2 similarity family; VERDICT r9 item
     3 — persisted ANN index lifecycle)."""
-    import hashlib
-    import os
-    import tempfile
-
     from etlp_spark.functions.ann_index import ensure_ivf_index
     from etlp_spark.functions.similarity import (
         cosine,
@@ -14136,10 +14197,10 @@ def x137_ivf_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t_fanout(spark, sf_dir, "embeddings").persist()
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|ivf-k8-i2-mod10|v1".encode()
-    ).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), f"etlp_ivf_index_{key}")
+    # root key carries the dataset CONTENT fingerprint (not just the
+    # path): regenerated data at the same path rotates the key, so
+    # the cache can never serve an index trained on different bytes.
+    root = _index_root(sf_dir, "embeddings", "ivf-k8-i2-mod10|v1")
     # Everything below runs off the PUBLISHED artifact — on the first
     # ever run ensure trains + publishes + reloads; afterwards it
     # only loads. The load path is what this query exists to verify.
@@ -14192,6 +14253,10 @@ def x138_pq_persisted_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etlp_spark.functions.ann_index import ensure_pq_codebooks
     from etlp_spark.functions.similarity import pq_codes
 
+    # no dataset fingerprint in this key (unlike x137/x141): the
+    # fixed codebooks are pure literals, not trained on any data, so
+    # the artifact can never go stale under a regenerated dataset —
+    # the key IS content-complete.
     key = hashlib.md5(b"pq-fixed-4x8x16|v1").hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), f"etlp_pq_index_{key}")
     books = ensure_pq_codebooks(spark, root, _pq_fixed_codebooks)

@@ -147,6 +147,76 @@ def test_ensure_ivf_index_trains_at_most_once(spark, emb, tmp_path):
     assert first == second == ivf_train(emb, k=4, iters=1)
 
 
+def test_x141_stale_side_loads_published_index(spark, sf_dir, monkeypatch):
+    """The staleness audit's STALE side consumes the published
+    SnapshotStore artifact: once the index exists, a run trains
+    exactly ONCE (the fresh side — the audit's subject), never the
+    stale side (VERDICT r10 item 2). Counted by wrapping ivf_train at
+    the module the query imports from at call time."""
+    import etlp_spark.functions.similarity as sim
+    from etlp_spark.connectors.snapshots import SnapshotStore
+    from etlp_spark.queries import QUERIES, _index_root
+
+    real_train = sim.ivf_train
+    calls = {"n": 0}
+
+    def counting_train(*a, **kw):
+        calls["n"] += 1
+        return real_train(*a, **kw)
+
+    monkeypatch.setattr(sim, "ivf_train", counting_train)
+
+    first = QUERIES["x141_ivf_index_staleness"].fn(spark, sf_dir).collect()
+    first_trainings = calls["n"]
+    # first run: fresh side (1) + stale side only if the store was
+    # empty (0 on a warm tempdir, 1 on a cold one)
+    assert first_trainings in (1, 2)
+
+    calls["n"] = 0
+    second = QUERIES["x141_ivf_index_staleness"].fn(spark, sf_dir).collect()
+    # the published artifact exists now: ONLY the fresh side trains
+    assert calls["n"] == 1
+    assert [tuple(r) for r in second] == [tuple(r) for r in first]
+
+    root = _index_root(sf_dir, "embeddings", "ivf-k8-i2-mod20|v1")
+    assert SnapshotStore(root).latest_version() >= 1
+
+
+def test_index_root_rotates_when_dataset_changes(tmp_path):
+    """_index_root keys by dataset CONTENT (file sizes + mtimes), so
+    regenerating the data at the same path yields a DIFFERENT index
+    root instead of silently serving the stale artifact (the r10
+    advice finding on x137)."""
+    import os
+
+    from etlp_spark.queries import _index_root
+
+    ds = tmp_path / "sfX"
+    ds.mkdir()
+    f = ds / "embeddings.parquet"
+    f.write_bytes(b"PAR1-fake-bytes")
+    r1 = _index_root(str(ds), "embeddings", "ivf|v1")
+    assert r1 == _index_root(str(ds), "embeddings", "ivf|v1")  # stable
+
+    f.write_bytes(b"PAR1-fake-bytes-regenerated")  # size change
+    r2 = _index_root(str(ds), "embeddings", "ivf|v1")
+    assert r2 != r1
+
+    st = os.stat(f)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    r3 = _index_root(str(ds), "embeddings", "ivf|v1")  # mtime-only change
+    assert r3 != r2
+
+    # directory-shaped table (multi-split parquet): every file counts
+    d = ds / "documents.parquet"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"a")
+    da = _index_root(str(ds), "documents", "ivf|v1")
+    (d / "part-1.parquet").write_bytes(b"b")
+    assert _index_root(str(ds), "documents", "ivf|v1") != da
+    assert _index_root(str(ds), "documents", "ivf|v1") != r1  # table-keyed
+
+
 def test_ensure_pq_codebooks_prefers_published_version(spark, tmp_path):
     """A root that already holds a (different) published codebook
     wins over the trainer — version pinning is the feature: the
