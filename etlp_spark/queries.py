@@ -10992,10 +10992,13 @@ def x114_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bounded by how many docs rank it in their rarest ~20% —
     frequency ordering pushes hot shingles out of every prefix.
     The PPJoin LENGTH filter (5*min(|A|,|B|) >= 4*max — necessary
-    for J >= 0.8 since J <= min/max) prunes candidates at
-    generation, before verification ever joins a shingle array.
-    Verification touches only surviving pairs, each an O(|set|)
-    array intersect with both shingle arrays joined by doc id."""
+    for J >= 0.8 since J <= min/max) and POSITIONAL filter (the
+    matched prefix ranks bound the achievable overlap: 1 +
+    min(|A|-i, |B|-j) >= ceil(4(|A|+|B|)/9), Xiao et al. 2008 §3.2)
+    both prune candidates at generation, before verification ever
+    joins a shingle array. Verification touches only surviving
+    pairs, each an O(|set|) array intersect with both shingle arrays
+    joined by doc id."""
     from etlp_spark.functions.dedup import word_shingles
 
     docs = _t_fanout(spark, sf_dir, "documents")
@@ -11032,7 +11035,7 @@ def x114_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.where(
         F.col("rk") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
-    ).select("doc_id", "t", "n")
+    ).select("doc_id", "t", "rk", "n")
     # PPJoin LENGTH filter (Xiao et al. 2008 §3.1): J(A,B) <=
     # min(|A|,|B|)/max(|A|,|B|), so J >= 4/5 requires 5*min >= 4*max.
     # Sizes already ride on every prefix row (the window count), so
@@ -11040,6 +11043,16 @@ def x114_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the distinct and before any shingle array is materialized for
     # verification. Lossless by the bound; the naive-join oracle
     # proves it per-run.
+    # PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2): J >= 4/5
+    # needs overlap c >= ceil(4(na+nb)/9) (J = c/(na+nb-c)), and a
+    # prefix element matched at sorted ranks (i, j) bounds the
+    # achievable overlap by 1 + min(na - i, nb - j) — only that many
+    # elements remain AFTER the match on either side. For a true
+    # match this bound holds with room at the pair's FIRST common
+    # element (which the prefix filter guarantees lies in both
+    # prefixes), so dropping failing (pair, token) rows BEFORE the
+    # distinct is lossless — the naive-join oracle proves it per-run.
+    # Both filters compare integers (9c >= 4(na+nb)); no float.
     cands = (
         prefix.alias("a")
         .join(prefix.alias("b"), "t")
@@ -11048,6 +11061,17 @@ def x114_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 F.least(F.col("a.n"), F.col("b.n")) * 5
                 >= F.greatest(F.col("a.n"), F.col("b.n")) * 4
+            )
+            & (
+                (
+                    F.least(
+                        F.col("a.n") - F.col("a.rk"),
+                        F.col("b.n") - F.col("b.rk"),
+                    )
+                    + 1
+                )
+                * 9
+                >= (F.col("a.n") + F.col("b.n")) * 4
             )
         )
         .select(
