@@ -423,6 +423,26 @@ def _s_psi_drift(c: dict[str, Any]):
     )
 
 
+def _s_ks_drift(c: dict[str, Any]):
+    from etlp_spark.streaming import ks_drift_tws
+
+    return lambda df, _k=c["key"], _v=c["value"], _r={
+        int(v): int(n) for v, n in c["ref_hist"].items()
+    }, _c=c.get("c_alpha", 1.358102): ks_drift_tws(
+        df, _k, _v, ref_hist=_r, c_alpha=_c
+    )
+
+
+def _s_mann_whitney(c: dict[str, Any]):
+    from etlp_spark.streaming import mann_whitney_tws
+
+    return lambda df, _k=c["key"], _v=c["value"], _r={
+        int(v): int(n) for v, n in c["ref_hist"].items()
+    }, _z=c.get("z_crit", 1.959964): mann_whitney_tws(
+        df, _k, _v, ref_hist=_r, z_crit=_z
+    )
+
+
 def _s_bootstrap_ci(c: dict[str, Any]):
     from etlp_spark.streaming import bootstrap_ci_tws
 
@@ -441,6 +461,8 @@ STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
     "ddsketch_quantiles": _s_ddsketch,
     "cusum": _s_cusum,
     "psi_drift": _s_psi_drift,
+    "ks_drift": _s_ks_drift,
+    "mann_whitney": _s_mann_whitney,
     "bootstrap_ci": _s_bootstrap_ci,
 }
 

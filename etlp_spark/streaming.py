@@ -726,6 +726,222 @@ def psi_drift_tws(
     )
 
 
+def _merged_hist(ref: dict, counts: dict):
+    """Sorted merged support of a frozen reference histogram and the
+    live MapState counts — the shared spine of the rank/CDF drift
+    twins (ks_drift_tws / mann_whitney_tws): both statistics step
+    only at DISTINCT observed values, so per-update work is
+    O(|support|), never O(stream length)."""
+    return [
+        (v, ref.get(v, 0), counts.get(v, 0))
+        for v in sorted(set(ref) | set(counts))
+    ]
+
+
+def ks_drift_tws(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ref_hist: dict,
+    c_alpha: float = 1.358102,
+) -> DataFrame:
+    """Streaming two-sample Kolmogorov–Smirnov drift monitor per key —
+    x133's batch statistic against a FROZEN reference histogram, for
+    a metric stream that never ends (the drift family's rank/CDF
+    member beside psi_drift_tws: PSI needs bins fixed up front, KS
+    compares full empirical CDFs and catches shape changes bins
+    smear out).
+
+    ``ref_hist`` maps integer value -> reference count (side 1); live
+    integer values accumulate in RocksDB MAP state (value -> count —
+    exactly the per-length histogram x133 reduces to, maintained
+    incrementally). Each update emits (k, n1, n2, d_cross, d_e6,
+    rejected) via x133's EXACT-INTEGER cross-multiplication over the
+    merged support: D*n1*n2 = max |c1*n2 - c2*n1|, so after N
+    micro-batches the emitted statistic EQUALS the batch form over
+    the concatenated series, integer-for-integer (the psi_drift_tws
+    portability claim); the alpha=0.05 critical-value comparison
+    replays x133's float sequence on identical operands. d_e6 and
+    rejected are NULL until the live side has a value. State is
+    O(|distinct live values|) per key; per-update work is
+    O(|merged support|). NULL/NaN skipped; Update mode; RocksDB
+    state store required."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ref = {int(v): int(c) for v, c in ref_hist.items() if int(c) > 0}
+    if not ref:
+        raise ValueError("KS needs a non-empty reference histogram")
+    n1 = sum(ref.values())
+
+    class _Ks(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getMapState("ks_hist", "v BIGINT", "cnt BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import math
+
+            import pandas as pd
+
+            local: dict[int, int] = {}
+            for pdf in rows:
+                for v, n in pdf[value_col].dropna().value_counts().items():
+                    local[int(v)] = local.get(int(v), 0) + int(n)
+            for v, n in local.items():
+                prev = self._st.getValue((v,))
+                self._st.updateValue((v,), ((prev[0] if prev else 0) + n,))
+            counts = {kk[0]: vv[0] for kk, vv in self._st.iterator()}
+            n2 = sum(counts.values())
+            if n2 == 0:
+                yield pd.DataFrame(
+                    {"k": [key[0]], "n1": [n1], "n2": [0],
+                     "d_cross": [None], "d_e6": [None], "rejected": [None]}
+                )
+                return
+            # x133's integer cross-multiplication over the merged
+            # support (both CDFs step at the same x by construction)
+            c1 = c2 = d_cross = 0
+            for _v, f1, f2 in _merged_hist(ref, counts):
+                c1 += f1
+                c2 += f2
+                d = abs(c1 * n2 - c2 * n1)
+                if d > d_cross:
+                    d_cross = d
+            d_e6 = (d_cross * 1000000) // (n1 * n2)
+            # x133's float sequence on identical operands
+            crit = c_alpha * math.sqrt(
+                (float(n1) + n2) / (float(n1) * n2)
+            )
+            rejected = (float(d_cross) / (float(n1) * n2)) > crit
+            yield pd.DataFrame(
+                {
+                    "k": [key[0]],
+                    "n1": [n1],
+                    "n2": [n2],
+                    "d_cross": [d_cross],
+                    "d_e6": [d_e6],
+                    "rejected": [rejected],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _Ks(),
+        outputStructType=(
+            "k string, n1 bigint, n2 bigint, d_cross bigint, "
+            "d_e6 bigint, rejected boolean"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def mann_whitney_tws(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ref_hist: dict,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Streaming Mann-Whitney U drift monitor per key — x140's
+    rank-sum test of the live stream (side 2) against a FROZEN
+    reference histogram (side 1), completing the streaming drift
+    family: cusum watches a mean, psi a binned distribution, ks the
+    CDF's max deviation; Mann-Whitney detects a LOCATION shift
+    robustly to heavy tails.
+
+    Same MapState per-value histogram as ks_drift_tws; each update
+    replays x140's arithmetic over the merged support: DOUBLED
+    midranks (2·mid = 2·cum_before + t + 1) keep 2·R1, 2·U1 and the
+    tie correction EXACT in Python's unbounded ints (the HUGEINT
+    role), the variance numerator multiplies in double with x140's
+    exact cast/multiply sequence, and z is e6-floored — so the
+    emitted row EQUALS the batch form over ref + concatenated live
+    series, integer-for-integer. Emits (k, n1, n2, u1_x2, z_e6,
+    rejected); z_e6/rejected are NULL while the statistic is
+    undefined (no live values yet, or every observation tied at one
+    value — zero variance). NULL/NaN skipped; Update mode; RocksDB
+    state store required."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ref = {int(v): int(c) for v, c in ref_hist.items() if int(c) > 0}
+    if not ref:
+        raise ValueError("Mann-Whitney needs a non-empty reference histogram")
+
+    class _Mw(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getMapState("mw_hist", "v BIGINT", "cnt BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import math
+
+            import pandas as pd
+
+            local: dict[int, int] = {}
+            for pdf in rows:
+                for v, n in pdf[value_col].dropna().value_counts().items():
+                    local[int(v)] = local.get(int(v), 0) + int(n)
+            for v, n in local.items():
+                prev = self._st.getValue((v,))
+                self._st.updateValue((v,), ((prev[0] if prev else 0) + n,))
+            counts = {kk[0]: vv[0] for kk, vv in self._st.iterator()}
+            n1 = sum(ref.values())
+            n2 = sum(counts.values())
+            # x140's histogram fold: exact ints through the tie term
+            cb = r1x2 = t3 = 0
+            for _v, f1, f2 in _merged_hist(ref, counts):
+                f = f1 + f2
+                r1x2 += f1 * (2 * cb + f + 1)
+                t3 += f * f * f - f
+                cb += f
+            n = n1 + n2
+            u1x2 = r1x2 - n1 * (n1 + 1)
+            u2d = u1x2 - n1 * n2
+            a = n * n * n - n - t3
+            if n2 == 0 or a <= 0:
+                yield pd.DataFrame(
+                    {"k": [key[0]], "n1": [n1], "n2": [n2],
+                     "u1_x2": [u1x2 if n2 else None],
+                     "z_e6": [None], "rejected": [None]}
+                )
+                return
+            dvar = 12 * n * (n - 1)
+            # x140's double sequence: (n1_d * n2) * a_d, then one
+            # rounded division and sqrt — identical IEEE ops
+            n1n2a_d = float(n1) * n2 * float(a)
+            zv = (float(u2d) / 2.0) / math.sqrt(n1n2a_d / float(dvar))
+            yield pd.DataFrame(
+                {
+                    "k": [key[0]],
+                    "n1": [n1],
+                    "n2": [n2],
+                    "u1_x2": [u1x2],
+                    "z_e6": [int(math.floor(zv * 1000000 + 0.5))],
+                    "rejected": [bool(abs(zv) > z_crit)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _Mw(),
+        outputStructType=(
+            "k string, n1 bigint, n2 bigint, u1_x2 bigint, "
+            "z_e6 bigint, rejected boolean"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 #: Poisson(1) CDF thresholds on 16-bit uniforms — x116's literals.
 _BOOT_THRESHOLDS = (24109, 48218, 60273, 64291, 65296)
 

@@ -1024,6 +1024,78 @@ def test_streaming_config_psi_drift_op(spark, tmp_path):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_streaming_config_ks_and_mann_whitney_ops(spark, tmp_path):
+    """'ks_drift' and 'mann_whitney' as config vocabulary: both
+    rank/CDF drift monitors are nameable from the stateful block
+    with a frozen reference histogram whose keys arrive as STRINGS
+    (JSON objects can't carry int keys — the wrapper coerces), emit
+    their documented schemas, and reject a pure location shift while
+    staying quiet on a replay of the reference itself."""
+    import json as _json
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.config import streaming_pipeline_from_config
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        for op, out_name in (("ks_drift", "out_ks"), ("mann_whitney", "out_mw")):
+            indir = tmp_path / f"in_{op}"
+            indir.mkdir()
+            (indir / "a.jsonl").write_text(
+                "\n".join(
+                    _json.dumps({"k": "match", "v": v})
+                    for v in [10, 10, 20, 20, 20, 30]
+                )
+                + "\n"
+                + "\n".join(
+                    _json.dumps({"k": "shift", "v": v})
+                    for v in [90, 91, 92, 93, 94, 95]
+                )
+            )
+            cfg = {
+                "name": f"cfg-{op}",
+                "source": {
+                    "type": "file_stream",
+                    "path": str(indir),
+                    "schema": "k string, v long",
+                },
+                "stateful": {
+                    "op": op,
+                    "key": "k",
+                    "value": "v",
+                    # string keys, as a JSON config would carry them
+                    "ref_hist": {"10": 2, "20": 3, "30": 1},
+                },
+                "streaming": {
+                    "checkpoint": str(tmp_path / f"ckpt_{op}"),
+                    "trigger": {"availableNow": True},
+                    "output_mode": "update",
+                },
+                "sink": {"type": "memory", "name": out_name},
+            }
+            q = streaming_pipeline_from_config(cfg).start(spark)
+            q.awaitTermination(120)
+            rows = {
+                r.k: r for r in spark.sql(f"select * from {out_name}").collect()
+            }
+            assert rows["match"].n1 == 6 and rows["match"].n2 == 6
+            assert rows["shift"].rejected is True, (op, rows["shift"])
+            assert rows["match"].rejected is False, (op, rows["match"])
+            if op == "ks_drift":
+                # live doubles the reference exactly -> CDFs coincide
+                assert rows["match"].d_cross == 0
+                # disjoint support above -> D = 1 -> d_e6 = 1e6
+                assert rows["shift"].d_e6 == 1_000_000
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_streaming_config_bootstrap_ci_op(spark, tmp_path):
     """'bootstrap_ci' as config vocabulary: nameable with key/value/id
     columns, emits its documented schema with a sane interval."""

@@ -6,6 +6,7 @@ drains each stage, no sleeps."""
 import json
 
 import pytest
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etlp_spark import ops
@@ -1019,6 +1020,211 @@ def test_psi_drift_tws_matches_batch_fold(spark, stream_dir, tmp_path):
             # 'a' tracks the reference shape → quiet
             assert latest["b"][2] is True
             assert latest["a"][2] is False
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_ks_drift_tws_matches_batch_statistic(spark, stream_dir, tmp_path):
+    """Streaming KS (ks_drift_tws): the live per-value histogram is
+    integer MapState, so after two micro-batches the emitted
+    (d_cross, d_e6, rejected) per key equals x133's BATCH arithmetic
+    (integer cross-multiplication over the merged support, float
+    critical-value compare) with the frozen reference as side 1 and
+    the concatenated live series as side 2 — the rank/CDF drift twin
+    the r10 verdict asked for. Key 'a' tracks the reference's
+    support; key 'b' lives entirely above it (D = 1, must reject);
+    ties with reference values exercise the same-x stepping."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.streaming import ks_drift_tws
+
+    REF = {1: 3, 2: 4, 3: 2, 5: 1}  # n1 = 10
+    b1 = {"a": [1, 2, 2, 3], "b": [20, 25, 21]}
+    b2 = {"a": [5, 1, 2], "b": [30, 22, 24, 29]}
+
+    def batch_ks(live):
+        # x133's batch arithmetic verbatim (hist -> cumulative window
+        # -> integer cross-multiplied max), ref as src0, live as src1
+        two = spark.createDataFrame(
+            [("src0", v) for v, c in REF.items() for _ in range(c)]
+            + [("src1", v) for v in live],
+            "source string, n_chars long",
+        )
+        hist = two.groupBy("n_chars").agg(
+            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("f1"),
+            F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("f2"),
+        )
+        sz = hist.agg(F.sum("f1").alias("n1"), F.sum("f2").alias("n2"))
+        w = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+        steps = hist.select(
+            F.sum("f1").over(w).alias("c1"), F.sum("f2").over(w).alias("c2")
+        )
+        d = steps.crossJoin(F.broadcast(sz)).agg(
+            F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+                  ).alias("d_cross"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+        )
+        crit = F.lit(1.358102) * F.sqrt(
+            (F.col("n1").cast("double") + F.col("n2"))
+            / (F.col("n1").cast("double") * F.col("n2"))
+        )
+        r = d.select(
+            "d_cross",
+            F.expr("(d_cross * 1000000) div (n1 * n2)").alias("d_e6"),
+            (F.col("d_cross").cast("double")
+             / (F.col("n1").cast("double") * F.col("n2")) > crit
+             ).alias("rejected"),
+        ).first()
+        return (r.d_cross, r.d_e6, r.rejected)
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_batch(
+            stream_dir, "ks1.jsonl",
+            [{"k": k, "v": v} for k, vs in b1.items() for v in vs],
+        )
+        src = file_stream(spark, str(stream_dir), "k string, v long", fmt="json")
+        q = (
+            ks_drift_tws(src, "k", "v", ref_hist=REF)
+            .writeStream.format("memory")
+            .queryName("tws_ks")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ks"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _write_batch(
+                stream_dir, "ks2.jsonl",
+                [{"k": k, "v": v} for k, vs in b2.items() for v in vs],
+            )
+            q.processAllAvailable()
+            latest = {}
+            for r in spark.sql("select * from tws_ks").collect():
+                latest[r.k] = (r.n1, r.n2, r.d_cross, r.d_e6, r.rejected)
+            for k in ("a", "b"):
+                series = b1.get(k, []) + b2.get(k, [])
+                want = batch_ks(series)
+                assert latest[k] == (10, len(series), *want), (k, latest[k], want)
+            assert latest["b"][4] is True  # disjoint support: D = 1
+            assert latest["a"][4] is False
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_mann_whitney_tws_matches_batch_arithmetic(spark, stream_dir, tmp_path):
+    """Streaming Mann-Whitney (mann_whitney_tws): after two
+    micro-batches the emitted (u1_x2, z_e6, rejected) per key equals
+    x140's BATCH arithmetic (doubled midranks over the per-value
+    histogram, exact tie correction, double variance product,
+    e6-floored z) with the frozen reference as side 1 and the
+    concatenated live series as side 2. Key 'a' interleaves the
+    reference's own values (heavy TIES — exercises the Lehmann
+    correction); key 'b' sits entirely above (location shift, must
+    reject)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.streaming import mann_whitney_tws
+
+    REF = {10: 4, 20: 3, 30: 3}  # n1 = 10
+    b1 = {"a": [10, 20, 20, 30], "b": [50, 55, 60]}
+    b2 = {"a": [30, 10, 20], "b": [52, 58, 61, 57]}
+
+    def batch_mw(live):
+        # x140's batch arithmetic verbatim over (ref=src0, live=src1)
+        dec = "decimal(38,0)"
+        two = spark.createDataFrame(
+            [("src0", v) for v, c in REF.items() for _ in range(c)]
+            + [("src1", v) for v in live],
+            "source string, n_chars long",
+        )
+        hist = two.groupBy("n_chars").agg(
+            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+            .cast("long").alias("f1"),
+            F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+            .cast("long").alias("f2"),
+        )
+        wb = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, -1)
+        rk = hist.select(
+            "f1", "f2",
+            F.coalesce(F.sum(F.col("f1") + F.col("f2")).over(wb), F.lit(0)
+                       ).alias("cb"),
+        )
+        f, f1c = F.col("f1") + F.col("f2"), F.col("f1")
+        m = rk.agg(
+            F.sum("f1").cast("long").alias("n1"),
+            F.sum("f2").cast("long").alias("n2"),
+            F.sum(f1c.cast(dec) * (F.lit(2) * F.col("cb") + f + 1)).alias("r1x2"),
+            F.sum(f.cast(dec) * f * f - f).alias("t3"),
+        )
+        n1, n2 = F.col("n1"), F.col("n2")
+        n = n1 + n2
+        s = m.select(
+            n1, n2,
+            (F.col("r1x2") - n1.cast(dec) * (n1 + 1)).alias("u1x2"),
+            (F.col("r1x2") - n1.cast(dec) * (n1 + 1) - n1.cast(dec) * n2
+             ).alias("u2d"),
+            (n1.cast("double") * n2
+             * (n.cast(dec) * n * n - n - F.col("t3")).cast("double")
+             ).alias("n1n2a_d"),
+            (F.lit(12).cast(dec) * n * (n - 1)).alias("dvar"),
+        )
+        zv = (F.col("u2d").cast("double") / F.lit(2.0)) / F.sqrt(
+            F.col("n1n2a_d") / F.col("dvar").cast("double")
+        )
+        r = s.select(
+            F.col("u1x2").cast("long").alias("u1_x2"),
+            F.floor(zv * 1000000 + F.lit(0.5)).cast("long").alias("z_e6"),
+            (F.abs(zv) > 1.959964).alias("rejected"),
+        ).first()
+        return (r.u1_x2, r.z_e6, r.rejected)
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_batch(
+            stream_dir, "mw1.jsonl",
+            [{"k": k, "v": v} for k, vs in b1.items() for v in vs],
+        )
+        src = file_stream(spark, str(stream_dir), "k string, v long", fmt="json")
+        q = (
+            mann_whitney_tws(src, "k", "v", ref_hist=REF)
+            .writeStream.format("memory")
+            .queryName("tws_mw")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_mw"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _write_batch(
+                stream_dir, "mw2.jsonl",
+                [{"k": k, "v": v} for k, vs in b2.items() for v in vs],
+            )
+            q.processAllAvailable()
+            latest = {}
+            for r in spark.sql("select * from tws_mw").collect():
+                latest[r.k] = (r.n1, r.n2, r.u1_x2, r.z_e6, r.rejected)
+            for k in ("a", "b"):
+                series = b1.get(k, []) + b2.get(k, [])
+                want = batch_mw(series)
+                assert latest[k] == (10, len(series), *want), (k, latest[k], want)
+            assert latest["b"][4] is True  # pure location shift
+            assert latest["a"][4] is False  # replays the reference
         finally:
             q.stop()
     finally:
