@@ -21,9 +21,15 @@ Decode support is tiered by what this container can honestly do:
   progressive (SOF2) and arithmetic-coded variants raise ValueError.
   ``encode_jpeg`` is the lossy inverse (quality-scaled Annex-K
   tables) used to build test fixtures and real resize output.
-- Formats whose decode is not practical stdlib-side (MP3, non-MJPEG
-  video) are STUBBED with deterministic fakes — but behind the
-  ``IMAGE_DECODERS`` / ``AUDIO_DECODERS`` / ``VIDEO_DECODERS``
+- **MP3 METADATA extracts for real** (round 11): MPEG audio frame
+  headers carry everything needed for frame count, duration,
+  bitrate profile and byte accounting (``mp3_metadata`` /
+  ``extract_mp3_metadata`` walk them, skipping ID3v1/v2 tags) — the
+  metadata half a crawl pipeline needs natively; PCM decode still
+  requires a registered codec.
+- Formats whose decode is not practical stdlib-side (MP3 PCM,
+  non-MJPEG video) are STUBBED with deterministic fakes — but behind
+  the ``IMAGE_DECODERS`` / ``AUDIO_DECODERS`` / ``VIDEO_DECODERS``
   registries (the ``FORMAT_REDUCERS`` shape): register a
   torchvision/ffmpeg-backed callable for a mime type and every
   kernel in this module uses it, no edits here.
@@ -82,6 +88,9 @@ __all__ = [
     "encode_jpeg_progressive",
     "decode_wav",
     "encode_wav",
+    "mp3_metadata",
+    "encode_mp3_frames",
+    "extract_mp3_metadata",
     "decode_avi_mjpeg",
     "encode_avi_mjpeg",
     "IMAGE_DECODERS",
@@ -1462,6 +1471,238 @@ def _audio_feature(rate: int, samples: np.ndarray, dims: int = 8) -> list[float]
     ]
     out = [max(-1.0, min(1.0, f * 2 - 1 if i != 3 else f)) for i, f in enumerate(feats)]
     return [float(out[i % len(out)]) for i in range(dims)]
+
+
+# ---------------------------------------------------------------------------
+# MPEG audio (MP3) frame-header walk — METADATA ONLY, no PCM decode.
+# Per the public header layout of ISO/IEC 11172-3 / 13818-3: 11 sync
+# bits, version, layer, bitrate index, sample-rate index, padding.
+# Frame LENGTHS are computable from the header alone, so frame count,
+# duration, bitrate profile (CBR/VBR) and stream-size accounting need
+# no Huffman/MDCT work — the metadata-extraction half of MP3 support
+# a crawl pipeline actually needs (full PCM decode stays behind the
+# AUDIO_DECODERS registry seam for an ffmpeg-backed callable).
+# ---------------------------------------------------------------------------
+
+#: bitrate tables in kbps, indexed [1..14] (0 = free-format, 15 = bad)
+#: — public tables from the MPEG audio spec.
+_MP3_BITRATES = {
+    # (version_group, layer): version_group 1 = MPEG1, 2 = MPEG2/2.5
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+
+#: sample-rate tables by version bits (0=MPEG2.5, 2=MPEG2, 3=MPEG1)
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_frame_header(b0: int, b1: int, b2: int):
+    """Parse one 4-byte MPEG audio frame header (byte 3 carries only
+    channel/emphasis bits — irrelevant to length/duration). Returns
+    (version_bits, layer, kbps, sample_rate, frame_bytes,
+    samples_per_frame) or None if the bytes are not a valid header."""
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version_bits = (b1 >> 3) & 3
+    layer_bits = (b1 >> 1) & 3
+    if version_bits == 1 or layer_bits == 0:
+        return None  # reserved version / reserved layer
+    layer = 4 - layer_bits  # bits 3/2/1 -> Layer I/II/III
+    br_idx = (b2 >> 4) & 15
+    sr_idx = (b2 >> 2) & 3
+    pad = (b2 >> 1) & 1
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format needs full decode; 15/3 invalid
+    vgroup = 1 if version_bits == 3 else 2
+    kbps = _MP3_BITRATES[(vgroup, layer)][br_idx - 1]
+    sr = _MP3_RATES[version_bits][sr_idx]
+    if layer == 1:
+        spf = 384
+        frame_bytes = (12000 * kbps // sr + pad) * 4
+    elif layer == 2:
+        spf = 1152
+        frame_bytes = 144000 * kbps // sr + pad
+    else:  # Layer III
+        spf = 1152 if vgroup == 1 else 576
+        frame_bytes = (144000 if vgroup == 1 else 72000) * kbps // sr + pad
+    return version_bits, layer, kbps, sr, frame_bytes, spf
+
+
+def _id3v2_size(payload: bytes) -> int:
+    """Bytes occupied by a leading ID3v2 tag (0 if none): 10-byte
+    header + syncsafe size (+10-byte footer when flag bit 4 set)."""
+    if len(payload) < 10 or payload[:3] != b"ID3":
+        return 0
+    flags = payload[5]
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            return 0  # not syncsafe -> not a valid ID3v2 header
+        size = (size << 7) | b
+    return 10 + size + (10 if flags & 0x10 else 0)
+
+
+def mp3_metadata(payload: bytes) -> dict:
+    """Walk MPEG audio frame headers and return stream metadata with
+    NO PCM decode: frame count, constant sample rate, kbps min/max,
+    VBR flag (measured: distinct bitrates), exact audio byte count,
+    integer duration_ms, tag accounting, and a clean_eof audit flag.
+
+    Leading ID3v2 tags are skipped by their syncsafe length; a
+    trailing 128-byte ID3v1 'TAG' block is recognized at any frame
+    boundary. The walk STOPS (clean_eof=False) at a truncated final
+    frame or non-header bytes — the tolerant posture a crawl
+    pipeline needs — but raises ValueError when no valid first frame
+    exists (not an MPEG audio stream) or when sample rate / version
+    change mid-stream (a spliced file: per-frame duration would no
+    longer sum exactly). Free-format bitrate (index 0) is treated as
+    invalid — its frame length is only discoverable by full decode.
+
+    All outputs are exact integers: duration_ms = floor(total_samples
+    * 1000 / sample_rate) — the per-frame sample counts are spec
+    constants, so this is reproducible arithmetic, not an estimate."""
+    pos = _id3v2_size(payload)
+    id3v2_bytes = pos
+    n_frames = 0
+    audio_bytes = 0
+    total_samples = 0
+    sr = version = None
+    kbps_min = kbps_max = None
+    id3v1 = False
+    clean = True
+    while True:
+        remaining = len(payload) - pos
+        if remaining == 0:
+            break
+        if remaining >= 3 and payload[pos : pos + 3] == b"TAG" and remaining == 128:
+            id3v1 = True
+            pos += 128
+            break
+        if remaining < 4:
+            clean = False
+            break
+        hdr = _mp3_frame_header(payload[pos], payload[pos + 1], payload[pos + 2])
+        if hdr is None:
+            clean = False
+            break
+        vbits, _layer, kbps, fsr, frame_bytes, spf = hdr
+        if sr is None:
+            sr, version = fsr, vbits
+        elif fsr != sr or vbits != version:
+            raise ValueError(
+                "inconsistent MPEG stream: sample rate/version changed "
+                f"mid-stream at byte {pos} ({sr}Hz -> {fsr}Hz)"
+            )
+        if remaining < frame_bytes:
+            clean = False  # truncated final frame: not counted
+            break
+        n_frames += 1
+        audio_bytes += frame_bytes
+        total_samples += spf
+        kbps_min = kbps if kbps_min is None else min(kbps_min, kbps)
+        kbps_max = kbps if kbps_max is None else max(kbps_max, kbps)
+        pos += frame_bytes
+    if n_frames == 0:
+        raise ValueError("no valid MPEG audio frame found")
+    return {
+        "n_frames": n_frames,
+        "sample_rate": sr,
+        "kbps_min": kbps_min,
+        "kbps_max": kbps_max,
+        "vbr": int(kbps_min != kbps_max),
+        "audio_bytes": audio_bytes,
+        "duration_ms": total_samples * 1000 // sr,
+        "id3v2_bytes": id3v2_bytes,
+        "id3v1": id3v1,
+        "clean_eof": clean,
+    }
+
+
+def encode_mp3_frames(
+    frames: "list[tuple[int, int]]",
+    sample_rate: int = 44100,
+    *,
+    layer: int = 3,
+    id3v2_payload: bytes | None = None,
+    id3v1: bool = False,
+) -> bytes:
+    """Synthesize a structurally valid MPEG-1 audio stream for
+    fixtures: one (kbps, padding) tuple per frame, deterministic
+    0xAA filler for the frame bodies (metadata walkers never read
+    them). The inverse fixture generator for ``mp3_metadata`` — NOT
+    a real encoder (bodies are not audio)."""
+    vgroup_rates = _MP3_RATES[3]
+    if sample_rate not in vgroup_rates:
+        raise ValueError(f"MPEG-1 sample rate must be one of {vgroup_rates}")
+    sr_idx = vgroup_rates.index(sample_rate)
+    table = _MP3_BITRATES[(1, layer)]
+    out = bytearray()
+    if id3v2_payload is not None:
+        size = len(id3v2_payload)
+        out += b"ID3" + bytes([3, 0, 0]) + bytes(
+            (size >> s) & 0x7F for s in (21, 14, 7, 0)
+        ) + id3v2_payload
+    for kbps, pad in frames:
+        if kbps not in table:
+            raise ValueError(f"kbps {kbps} not in the MPEG-1 L{layer} table")
+        br_idx = table.index(kbps) + 1
+        layer_bits = 4 - layer
+        h = bytes(
+            [
+                0xFF,
+                0xE0 | (3 << 3) | (layer_bits << 1) | 1,  # MPEG1, no CRC
+                (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+                0xC0,  # single-channel, no emphasis
+            ]
+        )
+        if layer == 1:
+            frame_bytes = (12000 * kbps // sample_rate + pad) * 4
+        else:
+            frame_bytes = 144000 * kbps // sample_rate + pad
+        out += h + b"\xaa" * (frame_bytes - 4)
+    if id3v1:
+        out += b"TAG" + b"\x00" * 125
+    return bytes(out)
+
+
+def extract_mp3_metadata(
+    media_df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas MP3 metadata extraction: Arrow-batched header walk
+    over binary payloads, scan-stage (no shuffle), one output row per
+    payload. The 100 TB shape matches ``extract_features``: per-batch
+    peak memory is payload_bytes x batch_rows, bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+
+    def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            metas = [mp3_metadata(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int32"),
+                    "n_frames": [m["n_frames"] for m in metas],
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                    "kbps_min": [m["kbps_min"] for m in metas],
+                    "kbps_max": [m["kbps_max"] for m in metas],
+                    "vbr": [m["vbr"] for m in metas],
+                    "audio_bytes": [m["audio_bytes"] for m in metas],
+                    "duration_ms": [m["duration_ms"] for m in metas],
+                }
+            )
+
+    return media_df.mapInPandas(
+        kernel,
+        "media_id int, n_frames int, sample_rate int, kbps_min int, "
+        "kbps_max int, vbr int, audio_bytes bigint, duration_ms bigint",
+    )
 
 
 # ---------------------------------------------------------------------------

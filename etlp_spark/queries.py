@@ -14295,6 +14295,114 @@ def x138_pq_persisted_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x143_mp3_metadata",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             CAST(doc_id % 5 + 1 AS INT) AS n_frames,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS INT) AS sample_rate
+      FROM documents),
+    fr AS (
+      SELECT f.doc_id, f.sample_rate AS sr,
+             CASE WHEN f.doc_id % 2 = 1 THEN
+               CASE (f.doc_id + i) % 4 WHEN 0 THEN 112 WHEN 1 THEN 128
+                    WHEN 2 THEN 160 ELSE 192 END
+             ELSE 128 END AS kbps,
+             (f.doc_id + i) % 2 AS pad
+      FROM f, unnest(range(0, f.n_frames)) AS r(i)),
+    agg AS (
+      SELECT doc_id,
+             CAST(min(kbps) AS INT) AS kbps_min,
+             CAST(max(kbps) AS INT) AS kbps_max,
+             CAST(sum(144000 * kbps // sr + pad) AS BIGINT) AS audio_bytes
+      FROM fr GROUP BY doc_id)
+    SELECT CAST(f.doc_id AS INT) AS media_id,
+           f.n_frames,
+           f.sample_rate,
+           a.kbps_min,
+           a.kbps_max,
+           CAST(CASE WHEN a.kbps_min <> a.kbps_max THEN 1 ELSE 0 END AS INT)
+             AS vbr,
+           a.audio_bytes,
+           CAST(CAST(f.n_frames AS BIGINT) * 1152 * 1000 // f.sample_rate
+                AS BIGINT) AS duration_ms
+    FROM f JOIN agg a USING (doc_id)
+    """,
+)
+def x143_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 metadata extraction over a binary column — MPEG audio
+    frame-header walking (``multimodal.mp3_metadata``) with NO PCM
+    decode: frame count, sample rate, bitrate profile (CBR/VBR),
+    exact audio byte accounting and integer duration per payload.
+    This is the metadata half of MP3 support a crawl pipeline needs
+    natively (dedupe by duration/bitrate, filter sub-second clips,
+    size audio shards by decoded seconds); full PCM decode stays
+    behind the AUDIO_DECODERS registry seam (the r10 verdict's
+    missing item #1, metadata half).
+
+    The payloads are DETERMINISTIC FIXTURES manufactured per doc_id
+    by ``encode_mp3_frames`` (structurally valid MPEG-1 Layer III
+    frames: doc_id-derived frame count, sample rate, per-frame
+    bitrate/padding, plus ID3v2 headers on doc_id%7==0 and ID3v1
+    trailers on doc_id%11==0 that the walker must SKIP) — so the
+    ORACLE recomputes every output closed-form from doc_id alone:
+    the gate proves the byte-level walk exactly inverts the
+    generator, tags excluded from audio accounting, spec arithmetic
+    (frame_bytes = 144000*kbps//sr + pad; duration = n*1152*1000//sr)
+    reproduced to the byte. Real corpora swap the attach kernel for
+    a parquet binary column; the walker is format-real either way
+    (pytest covers Layer I/II, MPEG-2, truncation, spliced streams).
+
+    Scale shape: two Arrow-batched mapInPandas kernels fused in ONE
+    scan stage (attach → walk), no shuffle, no join on the Spark
+    side; per-batch memory is payload_bytes x batch_rows (Arrow
+    maxRecordsPerBatch bounds it). The oracle's join is DuckDB-side
+    only. Reference: engine-added (SURVEY.md §2.2 multimodal
+    family, with x9)."""
+    from etlp_spark.functions.multimodal import (
+        encode_mp3_frames,
+        extract_mp3_metadata,
+    )
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+
+    def attach(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                nf = d % 5 + 1
+                sr = (44100, 48000, 32000)[d % 3]
+                frames = [
+                    (
+                        (112, 128, 160, 192)[(d + i) % 4]
+                        if d % 2 == 1
+                        else 128,
+                        (d + i) % 2,
+                    )
+                    for i in range(nf)
+                ]
+                payloads.append(
+                    encode_mp3_frames(
+                        frames,
+                        sr,
+                        id3v2_payload=(b"\x00" * 32 if d % 7 == 0 else None),
+                        id3v1=(d % 11 == 0),
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": ids.astype("int32"), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(attach, "media_id int, payload binary")
+    return extract_mp3_metadata(media)
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #

@@ -721,6 +721,117 @@ def test_wav_real_frames_through_spark(spark):
     assert np.array_equal(np.concatenate(by_media[1]), loud)
 
 
+def test_mp3_metadata_cbr_vbr_and_tags():
+    """MP3 frame-header walk: exact frame count / byte accounting /
+    integer duration for CBR and VBR MPEG-1 Layer III streams, with
+    ID3v2 (syncsafe-sized) and ID3v1 tags skipped and accounted."""
+    from etlp_spark.functions.multimodal import encode_mp3_frames, mp3_metadata
+
+    # CBR: 3 frames of 128 kbps @ 44100, padding 0/1/0
+    m = mp3_metadata(encode_mp3_frames([(128, 0), (128, 1), (128, 0)]))
+    assert m["n_frames"] == 3 and m["sample_rate"] == 44100
+    assert m["kbps_min"] == m["kbps_max"] == 128 and m["vbr"] == 0
+    # 144000*128//44100 = 417 per frame, +1 for the padded one
+    assert m["audio_bytes"] == 417 + 418 + 417
+    assert m["duration_ms"] == 3 * 1152 * 1000 // 44100  # 78
+    assert m["clean_eof"] is True and m["id3v2_bytes"] == 0 and not m["id3v1"]
+
+    # VBR with both tags
+    p = encode_mp3_frames(
+        [(112, 0), (192, 1), (160, 0)],
+        sample_rate=32000,
+        id3v2_payload=b"\x00" * 32,
+        id3v1=True,
+    )
+    m = mp3_metadata(p)
+    assert (m["kbps_min"], m["kbps_max"], m["vbr"]) == (112, 192, 1)
+    assert m["id3v2_bytes"] == 42 and m["id3v1"] is True
+    assert m["sample_rate"] == 32000 and m["clean_eof"] is True
+    assert m["audio_bytes"] == (
+        144000 * 112 // 32000 + (144000 * 192 // 32000 + 1) + 144000 * 160 // 32000
+    )
+    # tag bytes never count as audio
+    assert m["audio_bytes"] + 42 + 128 == len(p)
+
+
+def test_mp3_metadata_layers_versions_and_errors():
+    """Layer I/II frame-size formulas, an MPEG-2 Layer III header
+    (576 samples/frame, the 72000 coefficient), truncation tolerance,
+    and the loud failure modes (garbage, mid-stream rate change,
+    free-format bitrate)."""
+    import pytest as _pt
+
+    from etlp_spark.functions.multimodal import encode_mp3_frames, mp3_metadata
+
+    # Layer I: (12000*kbps//sr + pad) * 4 bytes, 384 samples/frame
+    m = mp3_metadata(encode_mp3_frames([(256, 1)], 48000, layer=1))
+    assert m["audio_bytes"] == (12000 * 256 // 48000 + 1) * 4
+    assert m["duration_ms"] == 384 * 1000 // 48000
+    # Layer II: 144000 coefficient, 1152 samples
+    m = mp3_metadata(encode_mp3_frames([(384, 0)], 48000, layer=2))
+    assert m["audio_bytes"] == 144000 * 384 // 48000
+    assert m["duration_ms"] == 1152 * 1000 // 48000
+
+    # hand-built MPEG-2 Layer III frame: 64 kbps @ 22050
+    fb = 72000 * 64 // 22050
+    hdr = bytes([0xFF, 0xF3, 0x80, 0xC0])
+    m = mp3_metadata(hdr + b"\xaa" * (fb - 4))
+    assert m["sample_rate"] == 22050 and m["audio_bytes"] == fb
+    assert m["duration_ms"] == 576 * 1000 // 22050
+
+    # truncated final frame: counted frames stay exact, clean_eof off
+    full = encode_mp3_frames([(128, 0), (128, 0)])
+    m = mp3_metadata(full[:-10])
+    assert m["n_frames"] == 1 and m["clean_eof"] is False
+    assert m["audio_bytes"] == 417
+
+    with _pt.raises(ValueError, match="no valid MPEG"):
+        mp3_metadata(b"this is not audio at all")
+    with _pt.raises(ValueError, match="inconsistent"):
+        mp3_metadata(
+            encode_mp3_frames([(128, 0)], 44100)
+            + encode_mp3_frames([(128, 0)], 32000)
+        )
+    # free-format bitrate (index 0) is indistinguishable from junk
+    # without full decode — loud, not guessed
+    free = bytes([0xFF, 0xFB, 0x00, 0xC0]) + b"\xaa" * 413
+    with _pt.raises(ValueError, match="no valid MPEG"):
+        mp3_metadata(free)
+
+
+def test_mp3_metadata_through_spark(spark):
+    """extract_mp3_metadata: Arrow-batched header walk over a binary
+    column, one row per payload, values equal the local walker."""
+    from etlp_spark.functions.multimodal import (
+        encode_mp3_frames,
+        extract_mp3_metadata,
+        mp3_metadata,
+    )
+
+    payloads = {
+        1: encode_mp3_frames([(128, 0)] * 4),
+        2: encode_mp3_frames([(112, 1), (320, 0)], 48000, id3v1=True),
+        3: encode_mp3_frames([(40, 0)], 32000, id3v2_payload=b"x" * 7),
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads.items()],
+        "media_id int, payload binary",
+    )
+    got = {r.media_id: r for r in extract_mp3_metadata(df).collect()}
+    assert len(got) == 3
+    for i, p in payloads.items():
+        want = mp3_metadata(p)
+        r = got[i]
+        assert (
+            r.n_frames, r.sample_rate, r.kbps_min, r.kbps_max,
+            r.vbr, r.audio_bytes, r.duration_ms,
+        ) == (
+            want["n_frames"], want["sample_rate"], want["kbps_min"],
+            want["kbps_max"], want["vbr"], want["audio_bytes"],
+            want["duration_ms"],
+        ), i
+
+
 def test_bmp_wav_roundtrip_property():
     """Property: encode→decode is the identity for ANY pixel array /
     sample stream (hypothesis over shapes and values)."""
