@@ -14522,45 +14522,55 @@ _GATED_PRIOR_ROUNDS = [
     "x130_welch_ttest", "x131_power_mde", "x132_rendezvous_sharding",
     "x133_ks_test", "x134_dp_noised_release",
     "x135_sequence_perplexity", "x136_diff_in_diff",
+    # round 10 gated these (CORRECTNESS_r10.json) — all green (the
+    # other 44 r10 slots were the r5-stale block + changed/demoted
+    # canaries, all listed above):
+    "x137_ivf_persisted_search", "x138_pq_persisted_codes",
+    "x139_psi_drift", "x140_mann_whitney", "x141_ivf_index_staleness",
+    "x142_conformal_coverage",
 ]
 
-#: Round-10 gate (the driver records the FIRST 50 registered): leads
-#: with the two queries whose implementation CHANGED this round
-#: (x133's cumulative window now consumes the per-length histogram;
-#: x114 gained the PPJoin length filter inside the candidate join),
-#: then x92 (r9 change was localCheckpoint pins only — demoted from
-#: r9's window per the documented rule, rotating back now as
-#: promised), then the 28-query round-5 block — the oldest driver
-#: evidence in the repo (exactly the set whose freshest CORRECTNESS
-#: row is r5, recomputed from the artifact union). Sized at 37 (2
-#: rewrites + 6 word_ngrams swaps + x92 + the 28 stale) so the
-#: round-10 additions (x137-x142 — in no gate list) land via
-#: ``_ungated`` inside the first-50 window, and the remaining ~7
-#: slots re-gate the head of ``_rest`` for free. (x116's r10 change
-#: is docstring/comment-only — measured form-selection history; the
-#: executable code is byte-identical to the r9-gated binary, so it
-#: claims no priority slot.)
+#: Round-11 gate (the driver records the FIRST 50 registered): leads
+#: with the two queries whose EXECUTED semantics changed this round
+#: (x141's stale side now consumes the published SnapshotStore index
+#: via ensure_ivf_index; x140's variance numerator multiplies in
+#: DOUBLE after the exact tie sum), then 47 of the 50-query round-6
+#: evidence block — the oldest driver evidence in the repo (the set
+#: whose freshest CORRECTNESS row is r6, recomputed from the
+#: artifact union of r01-r10). Sized at 49 so the round-11 addition
+#: (x143_mp3_metadata — in no gate list) lands via ``_ungated`` as
+#: slot 50. Demoted per the documented result-identical rule (each
+#: locally value-verified at sf0.001 AND sf0.01 against its
+#: unchanged oracle this round): x114 (positional filter added
+#: inside the candidate join — plan-only change, naive-join oracle
+#: exact) and x137/x138 (index-root KEY now carries a dataset
+#: fingerprint — cache-identity change, executed plan byte-identical
+#: once the artifact exists). Three r6 canaries (t1/t2/t3 — trivial
+#: single-op queries, each driver-gated 3+ times historically) are
+#: deferred to lead r12 so the genuinely-changed queries and the new
+#: query keep window slots.
 _NEWEST = [
     # changed this round:
-    "x133_ks_test", "x114_prefix_filter_jaccard",
-    # changed this round (word_ngrams shingle-path swap — result-
-    # identical by oracle at sf0.001/0.01, but the binary changed):
-    "x24_contamination_check", "x36_dup_ngram_fraction",
-    "x97_hll_registers", "x98_source_overlap_matrix",
-    "x105_unseen_mass", "x117_hll_set_algebra",
-    # pin-only r9 change, demoted from r9's window — rotates back:
-    "x92_cooccurrence_triangles",
-    # the round-5 stale block (freshest driver evidence = r5):
-    "f8_try_functions", "f9_bitwise_funcs", "r1_reachability_hops",
-    "r2_pagerank_int", "w13_ewma_smoothed", "w14_ohlc_candles",
-    "w15_centered_ma", "w16_distribution_ranks", "w17_bounce_rate",
-    "w6_scd2_intervals", "x61_zipf_slope", "x62_langid_calibration",
-    "x63_retrieval_dcg", "x64_corpus_drift", "x65_tokenizer_fertility",
-    "x66_hard_negatives", "x67_data_quality_report",
-    "x68_chunk_dedup_rate", "x69_countmin_heavyhitters",
-    "x70_segment_dedup", "x71_ann_recall", "x72_luhn_check",
-    "x73_bigram_logprob", "x74_touch_attribution", "x75_pq_codes",
-    "x76_semdedup_prune", "x78_ngram_novelty", "x85_weighted_reservoir",
+    "x141_ivf_index_staleness", "x140_mann_whitney",
+    # the round-6 evidence block (freshest driver row = r6), minus
+    # the three deferred t-canaries:
+    "a1_counts", "d5_union_merge", "f1_string_funcs", "f2_date_funcs",
+    "f3_array_funcs", "f4_math_funcs", "g1_rollup_flags",
+    "g2_distinct_users_by_type", "g3_cube_flags",
+    "g4_time_bucket_rollup", "g5_percentiles",
+    "g6_approx_distinct_guard", "j12_asof_nearest", "j1_order_customer",
+    "j2_region_revenue", "j3_semi_customers_with_orders",
+    "j4_anti_orders_no_lineitem", "j5_asof_last_signup",
+    "j6_range_join_ship_window", "j7_outer_join_counts",
+    "j9_asof_forward_tolerance", "k1_top_orders", "m1_mapping_dsl",
+    "m2_envelope", "m2b_envelope_roundtrip", "q01_pricing_summary",
+    "q03_shipping_priority", "s1_intersect_active_custs",
+    "s2_except_inactive_custs", "s3_distinct_pairs", "t4_keep_json_k",
+    "t5_batch_counts", "t6_array_sum", "t8_concat_flags",
+    "w1_rank_orders", "w2_lag_lead_events", "w3_running_sum",
+    "x1_text_stats", "x2_lang_id", "x3_quality_score", "x4_exact_dedup",
+    "x5_minhash_lsh", "x6_simhash", "x7_cosine_topk", "x84_token_gini",
+    "x8_srp_buckets", "x9_multimodal_features",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

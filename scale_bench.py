@@ -45,7 +45,9 @@ needs) — the cheap way to add a confirmation point for a specific
 plan-flip. Writes one JSON file with per-query seconds at each scale
 plus the time ratio between the two LARGEST scales; superlinear
 ratio = regression. Runs each query twice, keeps the best (first run
-pays Janino compilation).
+pays Janino compilation); ``--deep`` points run BEST-OF-3 (single
+shots at a cold deep scale read 1.6-2x over warm steady-state — the
+r10 judge audit).
 
 Scale points are all GENERATED directories (32 parquet splits each):
 the raw sf0.1 baseline plans only ~3 input splits per table, so
@@ -330,19 +332,20 @@ def _gen_scale(spark, n: int, tables: list[str]) -> str:
     return out
 
 
-def _time_query(spark, qs, name: str, sf_dir: str) -> tuple[float, float]:
+def _time_query(
+    spark, qs, name: str, sf_dir: str, runs: int = 2
+) -> tuple[float, float]:
     # construction INSIDE the timed window: queries built around an
     # eager localCheckpoint loop (x100 k-core, r2 pagerank) run their
     # real jobs at build time — timing only the final action would
     # report the cost of reading a checkpoint (found via x100's
     # impossible 0.05s at x100 scale; bench.py always timed this way)
-    t0 = time.time()
-    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    first = time.time() - t0
-    t0 = time.time()
-    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    second = time.time() - t0
-    return first, min(first, second)
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times.append(time.time() - t0)
+    return times[0], min(times)
 
 
 def main() -> None:
@@ -382,7 +385,12 @@ def main() -> None:
         name, _, s = spec.partition(":")
         n = int(s)
         sf_dir = _gen_scale(spark, n, QUERY_TABLES.get(name, SCALED_TABLES))
-        first, best = _time_query(spark, qs, name, sf_dir)
+        # deep points run BEST-OF-3 in-session: the r10 judge audit
+        # measured cold single-session deep shots 1.6-2x over warm
+        # steady-state (x98 x300: 31-41 s cold vs 18.9 s warm) — one
+        # extra repetition absorbs the JVM/host cold phase the way the
+        # regular-scale path's first/best discipline does at x10/x100.
+        first, best = _time_query(spark, qs, name, sf_dir, runs=3)
         result["queries"].setdefault(name, {})[f"x{n}"] = round(best, 3)
         print(f"x{n} {name} (deep): first={first:.2f}s best={best:.2f}s", flush=True)
 
