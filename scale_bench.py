@@ -146,6 +146,8 @@ HEAVY = [
     "x140_mann_whitney",
     "x141_ivf_index_staleness",
     "x142_conformal_coverage",
+    # round-11 additions
+    "x143_mp3_metadata",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -225,6 +227,7 @@ QUERY_TABLES = {
     "x140_mann_whitney": ["documents"],
     "x141_ivf_index_staleness": ["embeddings"],
     "x142_conformal_coverage": ["events"],
+    "x143_mp3_metadata": ["documents"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]

@@ -588,6 +588,14 @@ def test_prefix_filter_length_prune_before_verify(spark):
         "x114's length filter is not in the candidate join condition "
         f"(post-join filter would expand pairs first):\n{plan[:3000]}"
     )
+    # r11: the POSITIONAL filter (1 + min(n_a - rk_a, n_b - rk_b)
+    # must reach ceil(4(n_a+n_b)/9)) rides the same join condition —
+    # it references the prefix RANK columns, which the length filter
+    # alone never does
+    assert any("rk#" in ln for ln in joins), (
+        "x114's positional filter (prefix-rank bound) is not in the "
+        f"candidate join condition:\n{plan[:3000]}"
+    )
 
 
 def test_mann_whitney_window_over_histogram(spark):
