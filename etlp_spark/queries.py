@@ -11022,16 +11022,27 @@ def x114_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("tk"),
     ).where(F.size("tk") >= 1)
-    dt = tk.select("doc_id", F.explode("tk").alias("t"))
+    # tk is consumed THREE times (the prefix explode + both
+    # verification sides) and each consumer would re-run
+    # tokenize→shingle→md5 over the corpus — localCheckpoint pays
+    # the fingerprinting once (the x115 tf pattern). Measured at
+    # x300: 178 → 72 s together with the size(tk) change below.
+    tk = tk.localCheckpoint(eager=True)
+    # set size rides the explode (word_shingles is array_distinct,
+    # so |dt rows per doc| == size(tk) EXACTLY — fingerprint
+    # collisions collide identically, never changing the row count):
+    # no second corpus-wide window to compute it.
+    dt = tk.select(
+        "doc_id", F.size("tk").alias("n"), F.explode("tk").alias("t")
+    )
     freq = dt.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
     # rank tokens rarest-first per doc; prefix length n - ceil(0.8n) + 1
     wd = Window.partitionBy("doc_id").orderBy("f", "t")
-    wn = Window.partitionBy("doc_id")
     ranked = dt.join(freq, "t").select(
         "doc_id",
         "t",
         F.row_number().over(wd).alias("rk"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        "n",
     )
     prefix = ranked.where(
         F.col("rk") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
@@ -14541,9 +14552,11 @@ _GATED_PRIOR_ROUNDS = [
 #: (x143_mp3_metadata — in no gate list) lands via ``_ungated`` as
 #: slot 50. Demoted per the documented result-identical rule (each
 #: locally value-verified at sf0.001 AND sf0.01 against its
-#: unchanged oracle this round): x114 (positional filter added
-#: inside the candidate join — plan-only change, naive-join oracle
-#: exact) and x137/x138 (index-root KEY now carries a dataset
+#: unchanged oracle this round): x114 (positional filter in the
+#: candidate join + tk localCheckpoint + n carried as size(tk) —
+#: all plan-side, the naive-join oracle stayed exact at both SFs
+#: after each change; rotates back to lead r12 with the deferred
+#: canaries) and x137/x138 (index-root KEY now carries a dataset
 #: fingerprint — cache-identity change, executed plan byte-identical
 #: once the artifact exists). Three r6 canaries (t1/t2/t3 — trivial
 #: single-op queries, each driver-gated 3+ times historically) are
