@@ -11307,10 +11307,13 @@ def x116_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each 128-bit digest is sliced into eight 16-bit uniforms,
     indexed by ``r div 8`` / ``r % 8``), not 32 — the r9 quiet bench
     caught the one-md5-per-(row, replicate) form at 17.9 s on sf0.1,
-    8x the necessary hashing. The r10 x300 deep point measured this
-    form 1.48x over linear (per-task GC/memory pressure at 5.8B
-    exploded tuples, shuffle still constant); two explode-avoiding
-    rewrites were benchmarked and REJECTED as strictly slower at
+    8x the necessary hashing. The r10 x300 single-shot read 1.48x
+    over linear and was diagnosed as a GC band; the r11 BEST-OF-3
+    protocol corrected the measurement itself: x300 = 67.2 s
+    (sub-linear vs x100) and the x1000 probe holds 0.22-0.30 s per
+    replica across 10x more data (19B exploded tuples) — a constant
+    per-row cost, no band, no compounding. Two explode-avoiding
+    rewrites remain benchmarked and REJECTED as strictly slower at
     every scale (see the inline form-selection note). Classical
     bootstrap resampling needs N draws of size N; this needs one
     scan. Reference: engine-added (SURVEY.md §2.2 stats family, with
