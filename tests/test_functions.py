@@ -870,6 +870,62 @@ def test_bmp_wav_roundtrip_property():
     wav_prop()
 
 
+def test_mp3_metadata_property_inverts_generator():
+    """Property: for ANY frame spec (layer, rates, per-frame bitrate/
+    padding, optional tags), mp3_metadata exactly inverts
+    encode_mp3_frames — counts, byte accounting, duration, tag sizes
+    (hypothesis over the full MPEG-1 table space)."""
+    from hypothesis import given, settings, strategies as st
+
+    from etlp_spark.functions.multimodal import (
+        _MP3_BITRATES,
+        encode_mp3_frames,
+        mp3_metadata,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        layer=st.sampled_from([1, 2, 3]),
+        rate=st.sampled_from([44100, 48000, 32000]),
+        data=st.data(),
+        id3v2_len=st.one_of(st.none(), st.integers(0, 200)),
+        id3v1=st.booleans(),
+    )
+    def prop(layer, rate, data, id3v2_len, id3v1):
+        table = _MP3_BITRATES[(1, layer)]
+        frames = data.draw(
+            st.lists(
+                st.tuples(st.sampled_from(table), st.integers(0, 1)),
+                min_size=1,
+                max_size=8,
+            )
+        )
+        tag = None if id3v2_len is None else bytes(id3v2_len)
+        payload = encode_mp3_frames(
+            frames, rate, layer=layer, id3v2_payload=tag, id3v1=id3v1
+        )
+        m = mp3_metadata(payload)
+        coef = 12000 if layer == 1 else 144000
+        unit = 4 if layer == 1 else 1
+        want_bytes = sum((coef * k // rate + p) * unit for k, p in frames)
+        spf = 384 if layer == 1 else 1152
+        assert m["n_frames"] == len(frames)
+        assert m["sample_rate"] == rate
+        assert m["kbps_min"] == min(k for k, _ in frames)
+        assert m["kbps_max"] == max(k for k, _ in frames)
+        assert m["vbr"] == int(m["kbps_min"] != m["kbps_max"])
+        assert m["audio_bytes"] == want_bytes
+        assert m["duration_ms"] == len(frames) * spf * 1000 // rate
+        assert m["id3v2_bytes"] == (0 if tag is None else 10 + len(tag))
+        assert m["id3v1"] is id3v1
+        assert m["clean_eof"] is True
+        assert m["audio_bytes"] + m["id3v2_bytes"] + (128 if id3v1 else 0) == len(
+            payload
+        )
+
+    prop()
+
+
 def test_simhash_hamming_pairs_api(spark, docs):
     """The promoted dedup API: identical docs collide at hd=0; the
     bucket cap bounds fan-out (cap 1 → no pairs)."""
