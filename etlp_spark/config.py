@@ -451,6 +451,14 @@ def _s_bootstrap_ci(c: dict[str, Any]):
     ): bootstrap_ci_tws(df, _k, _v, _i, n_reps=_n)
 
 
+def _s_conformal(c: dict[str, Any]):
+    from etlp_spark.streaming import conformal_tws
+
+    return lambda df, _k=c["key"], _v=c["value"], _i=c["id"]: conformal_tws(
+        df, _k, _v, _i
+    )
+
+
 STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
     "running_counts": _s_running_counts,
     "ewma": _s_ewma,
@@ -464,6 +472,7 @@ STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
     "ks_drift": _s_ks_drift,
     "mann_whitney": _s_mann_whitney,
     "bootstrap_ci": _s_bootstrap_ci,
+    "conformal": _s_conformal,
 }
 
 

@@ -1536,6 +1536,48 @@ def _mp3_frame_header(b0: int, b1: int, b2: int):
     return version_bits, layer, kbps, sr, frame_bytes, spf
 
 
+def _mp3_vbr_header(payload: bytes, pos: int, frame_bytes: int,
+                    version_bits: int):
+    """Read a Xing/Info/LAME-style or VBRI metadata header out of the
+    FIRST frame's body, per the public de-facto layouts (the Xing SDK
+    header and the Fraunhofer VBRI header, both documented in the
+    multiformat MPEG-audio references): Xing/Info sits right after
+    the Layer III side info (MPEG1: 17 bytes mono / 32 stereo;
+    MPEG2/2.5: 9 / 17), VBRI at a fixed 32 bytes after the 4-byte
+    frame header. Returns (tag, frames, bytes_) with None fields for
+    absent values, or (None, None, None) when the frame carries no
+    recognized header. Pure byte reads bounded by ``frame_bytes`` —
+    never walks past the frame."""
+    end = pos + frame_bytes
+
+    def be32(off: int):
+        if off + 4 > min(len(payload), end):
+            return None
+        return int.from_bytes(payload[off : off + 4], "big")
+
+    mono = (payload[pos + 3] >> 6) == 3 if pos + 3 < len(payload) else False
+    side = (17 if mono else 32) if version_bits == 3 else (9 if mono else 17)
+    off = pos + 4 + side
+    tag4 = payload[off : off + 4]
+    if tag4 in (b"Xing", b"Info"):
+        flags = be32(off + 4)
+        if flags is None:
+            return None, None, None
+        cur = off + 8
+        frames = bytes_ = None
+        if flags & 1:
+            frames = be32(cur)
+            cur += 4
+        if flags & 2:
+            bytes_ = be32(cur)
+        return tag4.decode("ascii"), frames, bytes_
+    off = pos + 4 + 32
+    if payload[off : off + 4] == b"VBRI":
+        # VBRI: version(2) delay(2) quality(2) bytes(4) frames(4)
+        return "VBRI", be32(off + 14), be32(off + 10)
+    return None, None, None
+
+
 def _id3v2_size(payload: bytes) -> int:
     """Bytes occupied by a leading ID3v2 tag (0 if none): 10-byte
     header + syncsafe size (+10-byte footer when flag bit 4 set)."""
@@ -1568,7 +1610,22 @@ def mp3_metadata(payload: bytes) -> dict:
 
     All outputs are exact integers: duration_ms = floor(total_samples
     * 1000 / sample_rate) — the per-frame sample counts are spec
-    constants, so this is reproducible arithmetic, not an estimate."""
+    constants, so this is reproducible arithmetic, not an estimate.
+
+    VBR headers (round-12): when the FIRST frame carries a Xing /
+    Info / VBRI metadata header (``_mp3_vbr_header``), its
+    frame-count / byte-count fields are surfaced as ``hdr_frames`` /
+    ``hdr_bytes`` beside the walked values, with ``hdr_consistent``
+    auditing them against the walk (header frames exclude the
+    metadata frame itself; header bytes include it — the LAME/Xing
+    convention). The metadata frame stays in the STRUCTURAL counts
+    (n_frames / audio_bytes) but its spec samples are excluded from
+    duration_ms, and for a HEAD-TRUNCATED payload (clean_eof False)
+    with a frame-count field the header becomes the duration source
+    (``duration_source = 'header'``) — the only duration available
+    when a crawl kept just the head of a file. Streams without a VBR
+    header keep the exact pre-round-12 outputs (hdr_* all None,
+    duration_source 'walk')."""
     pos = _id3v2_size(payload)
     id3v2_bytes = pos
     n_frames = 0
@@ -1578,6 +1635,8 @@ def mp3_metadata(payload: bytes) -> dict:
     kbps_min = kbps_max = None
     id3v1 = False
     clean = True
+    hdr_tag = hdr_frames = hdr_bytes = None
+    spf0 = None
     while True:
         remaining = len(payload) - pos
         if remaining == 0:
@@ -1604,14 +1663,49 @@ def mp3_metadata(payload: bytes) -> dict:
         if remaining < frame_bytes:
             clean = False  # truncated final frame: not counted
             break
+        if n_frames == 0:
+            spf0 = spf
+            hdr_tag, hdr_frames, hdr_bytes = _mp3_vbr_header(
+                payload, pos, frame_bytes, vbits
+            )
+        # the metadata frame's own bitrate is an encoder artifact —
+        # keeping it in the stats would flip a CBR file to vbr=1
+        is_meta = n_frames == 0 and hdr_tag is not None
         n_frames += 1
         audio_bytes += frame_bytes
         total_samples += spf
-        kbps_min = kbps if kbps_min is None else min(kbps_min, kbps)
-        kbps_max = kbps if kbps_max is None else max(kbps_max, kbps)
+        if not is_meta:
+            kbps_min = kbps if kbps_min is None else min(kbps_min, kbps)
+            kbps_max = kbps if kbps_max is None else max(kbps_max, kbps)
         pos += frame_bytes
     if n_frames == 0:
         raise ValueError("no valid MPEG audio frame found")
+    if hdr_tag is not None:
+        # the metadata frame carries no audio: its spec samples come
+        # out of the walked duration (players skip it). The header
+        # becomes the duration source whenever the walk cannot
+        # account for the frames it claims — a mid-frame truncation
+        # (clean_eof False) OR a cut exactly at a frame boundary,
+        # which only the header's frame count can expose.
+        music_samples = total_samples - spf0
+        if hdr_frames is not None and (
+            not clean or hdr_frames > n_frames - 1
+        ):
+            duration_ms = hdr_frames * spf0 * 1000 // sr
+            duration_source = "header"
+        else:
+            duration_ms = music_samples * 1000 // sr
+            duration_source = "walk"
+        hdr_consistent = None
+        if clean:
+            hdr_consistent = int(
+                (hdr_frames is None or hdr_frames == n_frames - 1)
+                and (hdr_bytes is None or hdr_bytes == audio_bytes)
+            )
+    else:
+        duration_ms = total_samples * 1000 // sr
+        duration_source = "walk"
+        hdr_consistent = None
     return {
         "n_frames": n_frames,
         "sample_rate": sr,
@@ -1619,10 +1713,15 @@ def mp3_metadata(payload: bytes) -> dict:
         "kbps_max": kbps_max,
         "vbr": int(kbps_min != kbps_max),
         "audio_bytes": audio_bytes,
-        "duration_ms": total_samples * 1000 // sr,
+        "duration_ms": duration_ms,
         "id3v2_bytes": id3v2_bytes,
         "id3v1": id3v1,
         "clean_eof": clean,
+        "hdr_tag": hdr_tag,
+        "hdr_frames": hdr_frames,
+        "hdr_bytes": hdr_bytes,
+        "hdr_consistent": hdr_consistent,
+        "duration_source": duration_source,
     }
 
 
@@ -1633,29 +1732,36 @@ def encode_mp3_frames(
     layer: int = 3,
     id3v2_payload: bytes | None = None,
     id3v1: bool = False,
+    xing: "dict | None" = None,
 ) -> bytes:
     """Synthesize a structurally valid MPEG-1 audio stream for
     fixtures: one (kbps, padding) tuple per frame, deterministic
     0xAA filler for the frame bodies (metadata walkers never read
     them). The inverse fixture generator for ``mp3_metadata`` — NOT
-    a real encoder (bodies are not audio)."""
+    a real encoder (bodies are not audio).
+
+    ``xing`` (round-12): prepend a Xing/Info metadata frame (Layer
+    III only) whose body carries the de-facto Xing header at the
+    MPEG-1 mono offset (4-byte header + 17 bytes side info): tag,
+    flags (frames|bytes), then big-endian frame and byte counts.
+    Keys, all optional: ``kbps`` (default 64), ``tag`` (default
+    ``"Xing"``; use ``"Info"`` for the CBR marker), ``frames`` /
+    ``bytes`` to OVERRIDE the auto-computed truthful values (music
+    frame count; total audio bytes including the metadata frame —
+    the LAME convention) so property tests can emit inconsistent
+    headers on purpose."""
     vgroup_rates = _MP3_RATES[3]
     if sample_rate not in vgroup_rates:
         raise ValueError(f"MPEG-1 sample rate must be one of {vgroup_rates}")
     sr_idx = vgroup_rates.index(sample_rate)
     table = _MP3_BITRATES[(1, layer)]
-    out = bytearray()
-    if id3v2_payload is not None:
-        size = len(id3v2_payload)
-        out += b"ID3" + bytes([3, 0, 0]) + bytes(
-            (size >> s) & 0x7F for s in (21, 14, 7, 0)
-        ) + id3v2_payload
-    for kbps, pad in frames:
+    layer_bits = 4 - layer
+
+    def header(kbps: int, pad: int) -> bytes:
         if kbps not in table:
             raise ValueError(f"kbps {kbps} not in the MPEG-1 L{layer} table")
         br_idx = table.index(kbps) + 1
-        layer_bits = 4 - layer
-        h = bytes(
+        return bytes(
             [
                 0xFF,
                 0xE0 | (3 << 3) | (layer_bits << 1) | 1,  # MPEG1, no CRC
@@ -1663,46 +1769,116 @@ def encode_mp3_frames(
                 0xC0,  # single-channel, no emphasis
             ]
         )
+
+    def frame_len(kbps: int, pad: int) -> int:
         if layer == 1:
-            frame_bytes = (12000 * kbps // sample_rate + pad) * 4
-        else:
-            frame_bytes = 144000 * kbps // sample_rate + pad
-        out += h + b"\xaa" * (frame_bytes - 4)
+            return (12000 * kbps // sample_rate + pad) * 4
+        return 144000 * kbps // sample_rate + pad
+
+    music = bytearray()
+    for kbps, pad in frames:
+        music += header(kbps, pad) + b"\xaa" * (frame_len(kbps, pad) - 4)
+
+    out = bytearray()
+    if id3v2_payload is not None:
+        size = len(id3v2_payload)
+        out += b"ID3" + bytes([3, 0, 0]) + bytes(
+            (size >> s) & 0x7F for s in (21, 14, 7, 0)
+        ) + id3v2_payload
+    if xing is not None:
+        if layer != 3:
+            raise ValueError("Xing headers are a Layer III convention")
+        x_kbps = xing.get("kbps", 64)
+        fb = frame_len(x_kbps, 0)
+        n_val = xing.get("frames", len(frames))
+        b_val = xing.get("bytes", fb + len(music))
+        tag = xing.get("tag", "Xing").encode("ascii")
+        body = bytearray(b"\x00" * 17)  # MPEG-1 mono side info
+        body += tag + (3).to_bytes(4, "big")  # flags: frames|bytes
+        body += int(n_val).to_bytes(4, "big") + int(b_val).to_bytes(4, "big")
+        if len(body) > fb - 4:
+            raise ValueError(f"Xing frame at {x_kbps} kbps too small")
+        out += header(x_kbps, 0) + body + b"\x00" * (fb - 4 - len(body))
+    out += music
     if id3v1:
         out += b"TAG" + b"\x00" * 125
     return bytes(out)
 
 
+#: metadata columns emitted per payload, in schema order
+_MP3_META_COLS = (
+    ("n_frames", "int"),
+    ("sample_rate", "int"),
+    ("kbps_min", "int"),
+    ("kbps_max", "int"),
+    ("vbr", "int"),
+    ("audio_bytes", "bigint"),
+    ("duration_ms", "bigint"),
+)
+
+#: VBR-header audit columns appended under ``vbr_audit=True``
+_MP3_AUDIT_COLS = (
+    ("hdr_tag", "string"),
+    ("hdr_frames", "int"),
+    ("hdr_bytes", "bigint"),
+    ("hdr_consistent", "int"),
+    ("duration_source", "string"),
+)
+
+
 def extract_mp3_metadata(
-    media_df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+    media_df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    *,
+    strict: bool = True,
+    vbr_audit: bool = False,
 ) -> DataFrame:
     """mapInPandas MP3 metadata extraction: Arrow-batched header walk
     over binary payloads, scan-stage (no shuffle), one output row per
     payload. The 100 TB shape matches ``extract_features``: per-batch
     peak memory is payload_bytes x batch_rows, bounded by
-    ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+
+    The id column keeps its INPUT name and Spark type (no silent
+    int32 downcast — a 64-bit id survives round-trip exactly).
+    ``strict=False`` adds per-row error containment for crawl
+    corpora: a payload ``mp3_metadata`` rejects (not MPEG audio,
+    spliced stream) yields NULL metadata plus the ValueError text in
+    a ``parse_error`` column instead of failing the whole Spark
+    stage — one bad blob cannot kill a 100 TB scan. ``strict=True``
+    (default) keeps fail-fast semantics for curated corpora.
+    ``vbr_audit=True`` appends the Xing/Info/VBRI header columns
+    (hdr_tag / hdr_frames / hdr_bytes / hdr_consistent /
+    duration_source — see ``mp3_metadata``)."""
+    id_type = dict(media_df.dtypes)[id_col]
+    cols = list(_MP3_META_COLS) + (
+        list(_MP3_AUDIT_COLS) if vbr_audit else []
+    )
+    if not strict:
+        cols.append(("parse_error", "string"))
+    schema = ", ".join(
+        [f"{id_col} {id_type}"] + [f"{n} {t}" for n, t in cols]
+    )
 
     def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
-            metas = [mp3_metadata(b) for b in pdf[payload_col]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col].astype("int32"),
-                    "n_frames": [m["n_frames"] for m in metas],
-                    "sample_rate": [m["sample_rate"] for m in metas],
-                    "kbps_min": [m["kbps_min"] for m in metas],
-                    "kbps_max": [m["kbps_max"] for m in metas],
-                    "vbr": [m["vbr"] for m in metas],
-                    "audio_bytes": [m["audio_bytes"] for m in metas],
-                    "duration_ms": [m["duration_ms"] for m in metas],
-                }
-            )
+            metas = []
+            for b in pdf[payload_col]:
+                try:
+                    metas.append(mp3_metadata(b))
+                except ValueError as e:
+                    if strict:
+                        raise
+                    metas.append({"parse_error": str(e)})
+            out = {id_col: pdf[id_col]}
+            for name, _t in cols:
+                out[name] = pd.Series(
+                    [m.get(name) for m in metas], dtype="object"
+                )
+            yield pd.DataFrame(out)
 
-    return media_df.mapInPandas(
-        kernel,
-        "media_id int, n_frames int, sample_rate int, kbps_min int, "
-        "kbps_max int, vbr int, audio_bytes bigint, duration_ms bigint",
-    )
+    return media_df.mapInPandas(kernel, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -14133,20 +14133,47 @@ def _dataset_fingerprint(sf_dir: str, table: str) -> str:
     return hashlib.md5("\n".join(sorted(parts)).encode()).hexdigest()[:16]
 
 
+def _index_cache_dir() -> str:
+    """Per-uid, mode-0700 parent for every persisted-index root
+    (r11 ADVICE): artifacts under the world-shared system tempdir
+    with predictable names could be PRE-PLANTED by another local
+    user and then load-and-trusted by x137/x138/x141 — scoping the
+    cache to a directory only this uid can write (and verifying
+    ownership, in case an attacker pre-created the path) closes
+    that. A 100 TB deployment points this at a per-principal
+    bucket/prefix; the ownership check is the local-FS analogue of
+    that ACL."""
+    import os
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(), f"etlp_index_cache_{os.getuid()}"
+    )
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"index cache dir {d} is owned by uid {st.st_uid}, not "
+            f"{os.getuid()} — refusing to trust pre-planted artifacts"
+        )
+    if st.st_mode & 0o077:
+        os.chmod(d, 0o700)  # we own it (checked above); tighten
+    return d
+
+
 def _index_root(sf_dir: str, table: str, tag: str) -> str:
-    """Persisted-index root under the system tempdir, keyed by
+    """Persisted-index root under the per-uid cache dir, keyed by
     dataset path + content fingerprint + trainer tag — the full
     (corpus, trainer-version) identity ``ensure_ivf_index``'s
     contract requires of its caller."""
     import hashlib
     import os
-    import tempfile
 
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{_dataset_fingerprint(sf_dir, table)}"
         f"|{tag}".encode()
     ).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"etlp_index_{key}")
+    return os.path.join(_index_cache_dir(), f"etlp_index_{key}")
 
 
 @_register(
@@ -14286,7 +14313,6 @@ def x138_pq_persisted_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted ANN index lifecycle, codebook half)."""
     import hashlib
     import os
-    import tempfile
 
     from etlp_spark.functions.ann_index import ensure_pq_codebooks
     from etlp_spark.functions.similarity import pq_codes
@@ -14296,7 +14322,7 @@ def x138_pq_persisted_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the artifact can never go stale under a regenerated dataset —
     # the key IS content-complete.
     key = hashlib.md5(b"pq-fixed-4x8x16|v1").hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), f"etlp_pq_index_{key}")
+    root = os.path.join(_index_cache_dir(), f"etlp_pq_index_{key}")
     books = ensure_pq_codebooks(spark, root, _pq_fixed_codebooks)
     emb = _t_fanout(spark, sf_dir, "embeddings")
     coded = pq_codes(emb, books)
@@ -14415,6 +14441,127 @@ def x143_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(attach, "media_id int, payload binary")
     return extract_mp3_metadata(media)
+
+
+@_register(
+    "x144_mp3_vbr_audit",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             CAST(doc_id % 6 + 2 AS INT) AS nf,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS INT) AS sr,
+             (doc_id % 13 = 0) AS bad,
+             (doc_id % 4 = 0) AS trunc
+      FROM documents),
+    fr AS (
+      SELECT f.doc_id,
+             144000 * (CASE (f.doc_id + i) % 4 WHEN 0 THEN 112
+                       WHEN 1 THEN 128 WHEN 2 THEN 160 ELSE 192 END)
+               // f.sr + (f.doc_id + i) % 2 AS fb
+      FROM f, unnest(range(0, f.nf)) AS r(i) WHERE NOT f.bad),
+    tot AS (SELECT doc_id, sum(fb) AS music_bytes FROM fr GROUP BY doc_id)
+    SELECT CAST(f.doc_id AS BIGINT) AS media_id,
+           CAST(CASE WHEN f.bad THEN -1 WHEN f.trunc THEN 1
+                ELSE f.nf + 1 END AS INT) AS n_frames,
+           CASE WHEN f.bad THEN 'none' ELSE 'Xing' END AS hdr_tag,
+           CAST(CASE WHEN f.bad THEN -1 ELSE f.nf END AS INT)
+             AS hdr_frames,
+           CAST(CASE WHEN f.bad THEN -1
+                ELSE 144000 * 64 // f.sr + t.music_bytes END AS BIGINT)
+             AS hdr_bytes,
+           CAST(CASE WHEN f.bad OR f.trunc THEN -1 ELSE 1 END AS INT)
+             AS hdr_consistent,
+           CAST(CASE WHEN f.bad THEN -1
+                ELSE CAST(f.nf AS BIGINT) * 1152 * 1000 // f.sr END
+                AS BIGINT) AS duration_ms,
+           CASE WHEN f.bad THEN 'none' WHEN f.trunc THEN 'header'
+                ELSE 'walk' END AS duration_source,
+           CASE WHEN f.bad THEN 'no valid MPEG audio frame found'
+                ELSE '' END AS parse_error
+    FROM f LEFT JOIN tot t USING (doc_id)
+    """,
+)
+def x144_mp3_vbr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 Xing/VBRI header audit over a binary column — the r11
+    verdict's missing item #2 (functions/multimodal.py Xing parse)
+    plus its ADVICE per-row error containment, both exercised through
+    the gate: ``extract_mp3_metadata(..., strict=False,
+    vbr_audit=True)`` walks every frame AND reads the Xing header
+    out of the first frame, emitting the header's frame/byte counts
+    beside the walked values with a consistency verdict
+    (hdr_consistent), the duration source actually used, and a NULL
+    row + parse_error (not a stage failure) for payloads that are
+    not MPEG audio at all.
+
+    Fixture corpus, closed-form from doc_id (``encode_mp3_frames``
+    with a truthful Xing frame — kbps 64, frames = music count,
+    bytes = total audio incl. the metadata frame, the LAME
+    convention): doc_id%13==0 rows are GARBAGE bytes (strict=False
+    containment: all-NULL metadata, error string preserved);
+    doc_id%4==0 rows are HEAD-TRUNCATED after the Xing frame (walk
+    sees 1 frame, clean_eof False, duration comes from the HEADER —
+    the only source a crawl that kept file heads has);
+    everything else is a full VBR stream where the oracle proves
+    hdr_consistent==1 (header exactly matches the walk) and
+    duration_source=='walk' (metadata frame's samples excluded).
+    duration_ms = nf*1152*1000//sr is IDENTICAL for the header and
+    walk paths by construction — the header audit is exact, not
+    approximate.
+
+    Scale shape: x143's — two Arrow-batched mapInPandas kernels in
+    ONE scan stage, no shuffle, no Spark-side join; per-batch memory
+    bounded by Arrow maxRecordsPerBatch. The oracle's join is
+    DuckDB-side only. Reference: engine-added (SURVEY.md §2.2
+    multimodal family, with x9/x143)."""
+    from etlp_spark.functions.multimodal import (
+        encode_mp3_frames,
+        extract_mp3_metadata,
+    )
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+
+    def attach(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                if d % 13 == 0:
+                    payloads.append(b"garbage-not-audio-" + str(d).encode())
+                    continue
+                nf = d % 6 + 2
+                sr = (44100, 48000, 32000)[d % 3]
+                frames = [
+                    ((112, 128, 160, 192)[(d + i) % 4], (d + i) % 2)
+                    for i in range(nf)
+                ]
+                p = encode_mp3_frames(frames, sr, xing={})
+                if d % 4 == 0:
+                    p = p[: 144000 * 64 // sr + 2]  # head-truncated
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(attach, "media_id bigint, payload binary")
+    meta = extract_mp3_metadata(media, strict=False, vbr_audit=True)
+    # NULL-free output edge (comparator tuples sort across engines):
+    # contained-error rows carry sentinel -1 / 'none' / '' instead of
+    # SQL NULL — the audit stays lossless.
+    return meta.select(
+        "media_id",
+        F.coalesce("n_frames", F.lit(-1)).alias("n_frames"),
+        F.coalesce("hdr_tag", F.lit("none")).alias("hdr_tag"),
+        F.coalesce("hdr_frames", F.lit(-1)).alias("hdr_frames"),
+        F.coalesce("hdr_bytes", F.lit(-1)).alias("hdr_bytes"),
+        F.coalesce("hdr_consistent", F.lit(-1)).alias("hdr_consistent"),
+        F.coalesce("duration_ms", F.lit(-1)).alias("duration_ms"),
+        F.coalesce("duration_source", F.lit("none")).alias(
+            "duration_source"
+        ),
+        F.coalesce("parse_error", F.lit("")).alias("parse_error"),
+    )
 
 
 # =====================================================================
@@ -14542,51 +14689,57 @@ _GATED_PRIOR_ROUNDS = [
     "x137_ivf_persisted_search", "x138_pq_persisted_codes",
     "x139_psi_drift", "x140_mann_whitney", "x141_ivf_index_staleness",
     "x142_conformal_coverage",
+    # round 11 gated these (CORRECTNESS_r11.json) — all green (the
+    # other 49 r11 slots were x140/x141 + the r6-stale block, all
+    # listed above):
+    "x143_mp3_metadata",
 ]
 
-#: Round-11 gate (the driver records the FIRST 50 registered): leads
-#: with the two queries whose EXECUTED semantics changed this round
-#: (x141's stale side now consumes the published SnapshotStore index
-#: via ensure_ivf_index; x140's variance numerator multiplies in
-#: DOUBLE after the exact tie sum), then 47 of the 50-query round-6
-#: evidence block — the oldest driver evidence in the repo (the set
-#: whose freshest CORRECTNESS row is r6, recomputed from the
-#: artifact union of r01-r10). Sized at 49 so the round-11 addition
-#: (x143_mp3_metadata — in no gate list) lands via ``_ungated`` as
-#: slot 50. Demoted per the documented result-identical rule (each
-#: locally value-verified at sf0.001 AND sf0.01 against its
-#: unchanged oracle this round): x114 (positional filter in the
-#: candidate join + tk localCheckpoint + n carried as size(tk) —
-#: all plan-side, the naive-join oracle stayed exact at both SFs
-#: after each change; rotates back to lead r12 with the deferred
-#: canaries) and x137/x138 (index-root KEY now carries a dataset
-#: fingerprint — cache-identity change, executed plan byte-identical
-#: once the artifact exists). Three r6 canaries (t1/t2/t3 — trivial
-#: single-op queries, each driver-gated 3+ times historically) are
-#: deferred to lead r12 so the genuinely-changed queries and the new
-#: query keep window slots.
+#: Round-12 gate (the driver records the FIRST 50 registered),
+#: exactly the r11 verdict's directive (item 1): lead with the three
+#: t-canaries deferred from r11 (t1/t2/t3 — the repo's oldest driver
+#: evidence, r6), then the three queries demoted result-identical in
+#: r11 but owed a driver row (x114 positional filter, x137/x138
+#: fingerprinted index keys — each judge-re-verified vs oracle at
+#: both SFs in r11, and x137/x138/x141's index roots moved again
+#: this round into the per-uid 0700 cache dir, a cache-identity
+#: change with byte-identical executed plans), then 43 of the
+#: 47-query round-7 evidence block. Sized at 49 so the round-12
+#: addition (x144_mp3_vbr_audit — in no gate list) lands via
+#: ``_ungated`` as slot 50. FOUR r7 stragglers lead r13 (one more
+#: than the verdict's three because x144 takes a slot the verdict's
+#: count didn't know about): f5_regex_json, f7_map_funcs,
+#: m4_mapping_switch_call, p2_unpivot_event_counts — simple
+#: function/mapping canaries, each gated twice historically (r3+r7),
+#: the lowest-risk deferrals in the block.
 _NEWEST = [
-    # changed this round:
-    "x141_ivf_index_staleness", "x140_mann_whitney",
-    # the round-6 evidence block (freshest driver row = r6), minus
-    # the three deferred t-canaries:
-    "a1_counts", "d5_union_merge", "f1_string_funcs", "f2_date_funcs",
-    "f3_array_funcs", "f4_math_funcs", "g1_rollup_flags",
-    "g2_distinct_users_by_type", "g3_cube_flags",
-    "g4_time_bucket_rollup", "g5_percentiles",
-    "g6_approx_distinct_guard", "j12_asof_nearest", "j1_order_customer",
-    "j2_region_revenue", "j3_semi_customers_with_orders",
-    "j4_anti_orders_no_lineitem", "j5_asof_last_signup",
-    "j6_range_join_ship_window", "j7_outer_join_counts",
-    "j9_asof_forward_tolerance", "k1_top_orders", "m1_mapping_dsl",
-    "m2_envelope", "m2b_envelope_roundtrip", "q01_pricing_summary",
-    "q03_shipping_priority", "s1_intersect_active_custs",
-    "s2_except_inactive_custs", "s3_distinct_pairs", "t4_keep_json_k",
-    "t5_batch_counts", "t6_array_sum", "t8_concat_flags",
-    "w1_rank_orders", "w2_lag_lead_events", "w3_running_sum",
-    "x1_text_stats", "x2_lang_id", "x3_quality_score", "x4_exact_dedup",
-    "x5_minhash_lsh", "x6_simhash", "x7_cosine_topk", "x84_token_gini",
-    "x8_srp_buckets", "x9_multimodal_features",
+    # deferred r6-evidence canaries (r11 verdict item 1):
+    "t1_map_revenue", "t2_filter_shipped", "t3_explode_words",
+    # demoted-in-r11 changed queries, owed a driver row:
+    "x114_prefix_filter_jaccard", "x137_ivf_persisted_search",
+    "x138_pq_persisted_codes",
+    # the round-7 evidence block (freshest driver row = r7), minus
+    # the four documented r13 stragglers:
+    "g10_rolling_distinct_users", "g11_quality_deciles",
+    "g12_key_skew_profile", "j10_nonequi_time_join",
+    "q02_min_acctbal_supplier", "q04_order_priority_check",
+    "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q07_volume_shipping", "q09_product_type_profit",
+    "q10_returned_items", "w5_batch_sessionize", "w7_session_paths",
+    "w8_retention_curve", "x10_ann_rerank", "x11_bpe_tokens",
+    "x13_char_ngram_jaccard", "x14_edit_distance", "x15_profile",
+    "x16_embedding_neardup", "x17_winnow_fingerprint",
+    "x18_neardup_clusters", "x19_stratified_sample",
+    "x32_bm25_retrieval", "x33_time_decay_engagement",
+    "x34_domain_mixture_sample", "x35_weighted_sample",
+    "x37_group_topk_sample", "x38_incremental_dedup",
+    "x39_funnel_conversion", "x40_fuzzy_name_match",
+    "x42_minhash_estimate_quality", "x43_temperature_mixture",
+    "x44_source_precedence_dedup", "x45_domain_percent_rank",
+    "x86_bloom_membership", "x89_bpe_merge_candidates",
+    "x90_repeated_substring_spans", "x91_matryoshka_recall",
+    "x93_pq_adc_topk", "x94_ivf_adc_search", "x95_hybrid_rrf_fusion",
+    "x96_cdc_apply_latest",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

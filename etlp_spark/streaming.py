@@ -726,6 +726,26 @@ def psi_drift_tws(
     )
 
 
+def _int_hist_accumulate(local: dict, series, op_name: str) -> None:
+    """Fold a micro-batch value column into a value->count dict,
+    ENFORCING the rank twins' integer-domain contract: NULL/NaN are
+    skipped (missing data is normal), but a non-integral value (e.g.
+    3.7 from a mis-typed column) raises instead of silently
+    truncating toward zero — truncation would quietly shift the
+    emitted statistic, which is exactly the failure a drift monitor
+    exists to catch, not to cause."""
+    for v, n in series.dropna().value_counts().items():
+        iv = int(v)
+        if iv != v:
+            raise ValueError(
+                f"{op_name}: non-integral value {v!r} in the value "
+                "column — the integer-domain contract rejects silent "
+                "truncation (cast to an integer unit upstream, e.g. "
+                "cents)"
+            )
+        local[iv] = local.get(iv, 0) + int(n)
+
+
 def _merged_hist(ref: dict, counts: dict):
     """Sorted merged support of a frozen reference histogram and the
     live MapState counts — the shared spine of the rank/CDF drift
@@ -764,8 +784,9 @@ def ks_drift_tws(
     replays x133's float sequence on identical operands. d_e6 and
     rejected are NULL until the live side has a value. State is
     O(|distinct live values|) per key; per-update work is
-    O(|merged support|). NULL/NaN skipped; Update mode; RocksDB
-    state store required."""
+    O(|merged support|). NULL/NaN skipped; NON-INTEGRAL values raise
+    (``_int_hist_accumulate`` — silent truncation would bias the
+    statistic); Update mode; RocksDB state store required."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -787,8 +808,7 @@ def ks_drift_tws(
 
             local: dict[int, int] = {}
             for pdf in rows:
-                for v, n in pdf[value_col].dropna().value_counts().items():
-                    local[int(v)] = local.get(int(v), 0) + int(n)
+                _int_hist_accumulate(local, pdf[value_col], "ks_drift_tws")
             for v, n in local.items():
                 prev = self._st.getValue((v,))
                 self._st.updateValue((v,), ((prev[0] if prev else 0) + n,))
@@ -864,8 +884,9 @@ def mann_whitney_tws(
     series, integer-for-integer. Emits (k, n1, n2, u1_x2, z_e6,
     rejected); z_e6/rejected are NULL while the statistic is
     undefined (no live values yet, or every observation tied at one
-    value — zero variance). NULL/NaN skipped; Update mode; RocksDB
-    state store required."""
+    value — zero variance). NULL/NaN skipped; NON-INTEGRAL values
+    raise (``_int_hist_accumulate``); Update mode; RocksDB state
+    store required."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -886,8 +907,9 @@ def mann_whitney_tws(
 
             local: dict[int, int] = {}
             for pdf in rows:
-                for v, n in pdf[value_col].dropna().value_counts().items():
-                    local[int(v)] = local.get(int(v), 0) + int(n)
+                _int_hist_accumulate(
+                    local, pdf[value_col], "mann_whitney_tws"
+                )
             for v, n in local.items():
                 prev = self._st.getValue((v,))
                 self._st.updateValue((v,), ((prev[0] if prev else 0) + n,))
@@ -936,6 +958,143 @@ def mann_whitney_tws(
         outputStructType=(
             "k string, n1 bigint, n2 bigint, u1_x2 bigint, "
             "z_e6 bigint, rejected boolean"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def conformal_tws(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Streaming split-conformal interval + live coverage audit per
+    key — x142's batch form for a prediction stream that never ends,
+    the last batch-only member of the monitoring family (r11 verdict
+    item 6): cusum watches a mean, psi/ks/mw a distribution, x116's
+    twin the mean's CI; THIS maintains the 90% distribution-free
+    PER-PREDICTION interval and audits its empirical coverage live.
+
+    Split discipline is x142's: rows with EVEN ``id_col`` are the
+    calibration half, ODD ids the held-out evaluation half. State is
+    one RocksDB MAP per key over (side, cents) -> count — the same
+    compact per-value histogram as ks_drift_tws, O(distinct values),
+    never O(stream length). Each update replays x142's EXACT integer
+    arithmetic over the histograms: mu = truncating div of the
+    calibration sum (Spark ``div`` semantics, x116's tdiv), absolute
+    residuals folded per distinct value, the ceil-rank order
+    statistic kr = min((9(n_cal+1)+9) div 10, n_cal) read off the
+    cumulative distinct-residual histogram, and coverage counted on
+    the eval half — so after N micro-batches the emitted row EQUALS
+    x142's batch output over the concatenated series,
+    integer-for-integer.
+
+    CRUCIALLY this is NOT an incremental approximation: mu and every
+    residual are recomputed from the stored cents histogram at each
+    update, so late calibration rows retroactively move the interval
+    exactly as a batch recompute would — the failure mode of naive
+    running-residual designs (frozen mu, drifting residual defs) is
+    structurally absent. Emits (k, n_cal, n_eval, q_hat_cents,
+    covered, coverage_e6); q_hat/coverage are NULL while undefined
+    (no calibration rows / no eval rows yet). Values are integer
+    cents (x130 discipline) — NULL/NaN skipped, NON-INTEGRAL values
+    raise (``_int_hist_accumulate``'s contract); rows with NULL id
+    are skipped (no side). Update mode; RocksDB state store
+    required."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Conformal(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getMapState(
+                "conf_hist", "side INT, v BIGINT", "cnt BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import math
+
+            import pandas as pd
+
+            local: dict[tuple[int, int], int] = {}
+            for pdf in rows:
+                for rid, x in zip(pdf[id_col], pdf[value_col]):
+                    if rid is None or (
+                        isinstance(rid, float) and math.isnan(rid)
+                    ):
+                        continue
+                    if x is None or (
+                        isinstance(x, float) and math.isnan(x)
+                    ):
+                        continue
+                    iv = int(x)
+                    if iv != x:
+                        raise ValueError(
+                            f"conformal_tws: non-integral value {x!r} "
+                            "— cast to integer cents upstream"
+                        )
+                    side = int(rid) % 2
+                    local[(side, iv)] = local.get((side, iv), 0) + 1
+            for sk, n in local.items():
+                prev = self._st.getValue(sk)
+                self._st.updateValue(sk, ((prev[0] if prev else 0) + n,))
+            cal: dict[int, int] = {}
+            ev: dict[int, int] = {}
+            for kk, vv in self._st.iterator():
+                (cal if kk[0] == 0 else ev)[kk[1]] = vv[0]
+            n_cal = sum(cal.values())
+            n_eval = sum(ev.values())
+            if n_cal == 0:
+                yield pd.DataFrame(
+                    {"k": [key[0]], "n_cal": [0], "n_eval": [n_eval],
+                     "q_hat_cents": [None], "covered": [None],
+                     "coverage_e6": [None]}
+                )
+                return
+            s_cal = sum(v * c for v, c in cal.items())
+            # Spark `div`: truncate toward zero (x116's tdiv)
+            mu = abs(s_cal) // n_cal
+            if s_cal < 0:
+                mu = -mu
+            rh: dict[int, int] = {}
+            for v, c in cal.items():
+                r = abs(v - mu)
+                rh[r] = rh.get(r, 0) + c
+            kr = min((9 * (n_cal + 1) + 9) // 10, n_cal)
+            cum = 0
+            q_hat = None
+            for r in sorted(rh):
+                cum += rh[r]
+                if cum >= kr:
+                    q_hat = r
+                    break
+            covered = sum(
+                c for v, c in ev.items() if abs(v - mu) <= q_hat
+            )
+            yield pd.DataFrame(
+                {
+                    "k": [key[0]],
+                    "n_cal": [n_cal],
+                    "n_eval": [n_eval],
+                    "q_hat_cents": [q_hat],
+                    "covered": [covered if n_eval else None],
+                    "coverage_e6": [
+                        (covered * 1000000) // n_eval if n_eval else None
+                    ],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _Conformal(),
+        outputStructType=(
+            "k string, n_cal bigint, n_eval bigint, q_hat_cents bigint, "
+            "covered bigint, coverage_e6 bigint"
         ),
         outputMode="Update",
         timeMode="None",

@@ -832,6 +832,161 @@ def test_mp3_metadata_through_spark(spark):
         ), i
 
 
+def test_mp3_xing_vbri_headers():
+    """Xing/Info/VBRI header parse (r11 verdict item 5): header
+    frame/byte counts surface beside the walked values, the metadata
+    frame stays out of bitrate stats and duration, hdr_consistent
+    audits header-vs-walk, and a HEAD-TRUNCATED payload takes its
+    duration from the header (the only source a head-only crawl
+    has)."""
+    import struct
+
+    from etlp_spark.functions.multimodal import encode_mp3_frames, mp3_metadata
+
+    frames = [(112, 0), (128, 1), (160, 0), (192, 1)]
+    p = encode_mp3_frames(frames, 44100, xing={})
+    m = mp3_metadata(p)
+    assert m["hdr_tag"] == "Xing"
+    assert m["n_frames"] == 5  # structural count includes the Xing frame
+    assert m["hdr_frames"] == 4 and m["hdr_bytes"] == m["audio_bytes"]
+    assert m["hdr_consistent"] == 1
+    # metadata frame (64 kbps) excluded from bitrate stats + duration
+    assert (m["kbps_min"], m["kbps_max"], m["vbr"]) == (112, 192, 1)
+    assert m["duration_ms"] == 4 * 1152 * 1000 // 44100
+    assert m["duration_source"] == "walk"
+
+    # head truncation: only the Xing frame + 2 bytes survive
+    t = mp3_metadata(p[: 144000 * 64 // 44100 + 2])
+    assert t["n_frames"] == 1 and t["clean_eof"] is False
+    assert t["duration_source"] == "header"
+    assert t["duration_ms"] == 4 * 1152 * 1000 // 44100  # from hdr_frames
+    assert t["hdr_consistent"] is None  # walk cannot confirm
+
+    # Info tag: the CBR marker — stream must stay vbr=0
+    m2 = mp3_metadata(encode_mp3_frames([(128, 0)] * 3, 48000,
+                                        xing={"tag": "Info"}))
+    assert m2["hdr_tag"] == "Info" and m2["vbr"] == 0
+    assert m2["kbps_min"] == m2["kbps_max"] == 128
+
+    # deliberately wrong header values -> hdr_consistent == 0
+    assert mp3_metadata(
+        encode_mp3_frames([(128, 0)] * 3, 48000, xing={"frames": 99})
+    )["hdr_consistent"] == 0
+    assert mp3_metadata(
+        encode_mp3_frames([(128, 0)] * 3, 48000, xing={"bytes": 7})
+    )["hdr_consistent"] == 0
+
+    # VBRI (Fraunhofer layout, fixed offset 32 after the 4-byte
+    # header): hand-built first frame, deliberately wrong byte count
+    fb = 144000 * 64 // 44100
+    hdr = bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1, (5 << 4), 0xC0])
+    body = bytearray(b"\x00" * 32)
+    body += b"VBRI" + struct.pack(">HHH", 1, 0, 0)
+    body += struct.pack(">I", 12345) + struct.pack(">I", 7)
+    body += b"\x00" * (fb - 4 - len(body))
+    m3 = mp3_metadata(bytes(hdr) + bytes(body)
+                      + encode_mp3_frames([(128, 0)] * 7))
+    assert m3["hdr_tag"] == "VBRI"
+    assert (m3["hdr_frames"], m3["hdr_bytes"]) == (7, 12345)
+    assert m3["hdr_consistent"] == 0  # byte count is wrong on purpose
+
+    # streams without a VBR header keep the legacy outputs exactly
+    m4 = mp3_metadata(encode_mp3_frames([(128, 0), (128, 1)]))
+    assert m4["hdr_tag"] is None and m4["hdr_frames"] is None
+    assert m4["duration_source"] == "walk"
+    assert m4["duration_ms"] == 2 * 1152 * 1000 // 44100
+
+
+def test_mp3_xing_walk_property():
+    """Property (hypothesis over frame lists / rates / truncation):
+    a truthful generator Xing frame always audits consistent, the
+    walked duration always excludes the metadata frame, and the
+    header-derived duration of a head-truncated payload EQUALS the
+    full walk's — the whole point of trusting the header."""
+    from hypothesis import given, settings, strategies as st
+
+    from etlp_spark.functions.multimodal import (
+        _MP3_BITRATES,
+        encode_mp3_frames,
+        mp3_metadata,
+    )
+
+    kbps_l3 = st.sampled_from(_MP3_BITRATES[(1, 3)])
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        frames=st.lists(
+            st.tuples(kbps_l3, st.integers(0, 1)), min_size=1, max_size=12
+        ),
+        sr=st.sampled_from((44100, 48000, 32000)),
+        xing_kbps=st.sampled_from((64, 96, 128)),
+        head_extra=st.integers(0, 3),
+    )
+    def check(frames, sr, xing_kbps, head_extra):
+        p = encode_mp3_frames(frames, sr, xing={"kbps": xing_kbps})
+        m = mp3_metadata(p)
+        assert m["hdr_tag"] == "Xing" and m["hdr_consistent"] == 1
+        assert m["hdr_frames"] == len(frames) == m["n_frames"] - 1
+        assert m["hdr_bytes"] == m["audio_bytes"] == len(p)
+        music_kbps = [k for k, _ in frames]
+        assert m["kbps_min"] == min(music_kbps)
+        assert m["kbps_max"] == max(music_kbps)
+        assert m["vbr"] == int(len(set(music_kbps)) > 1)
+        full_duration = len(frames) * 1152 * 1000 // sr
+        assert m["duration_ms"] == full_duration
+        assert m["duration_source"] == "walk"
+        # head-truncated: header duration == full-walk duration.
+        # head_extra == 0 cuts EXACTLY at the frame boundary — the
+        # walk looks clean, and only the header's frame count
+        # exposes the truncation (hdr_consistent 0, not None).
+        t = mp3_metadata(p[: 144000 * xing_kbps // sr + head_extra])
+        assert t["duration_source"] == "header"
+        assert t["duration_ms"] == full_duration
+        if head_extra == 0:
+            assert t["clean_eof"] is True and t["hdr_consistent"] == 0
+        else:
+            assert t["clean_eof"] is False and t["hdr_consistent"] is None
+
+    check()
+
+
+def test_mp3_strict_and_id_passthrough_through_spark(spark):
+    """extract_mp3_metadata hardening (r11 ADVICE items 1+2): a
+    64-bit id column keeps its name and Spark type end-to-end (no
+    int32 wrap), and strict=False contains a garbage payload as a
+    NULL row + parse_error instead of failing the stage."""
+    import pytest as _pt
+
+    from etlp_spark.functions.multimodal import (
+        encode_mp3_frames,
+        extract_mp3_metadata,
+    )
+
+    big = 2**40 + 7  # would silently wrap in int32
+    rows = [
+        (big, bytearray(encode_mp3_frames([(128, 0)] * 2, xing={}))),
+        (2, bytearray(b"garbage, not mpeg audio")),
+    ]
+    df = spark.createDataFrame(rows, "blob_id bigint, payload binary")
+
+    out = extract_mp3_metadata(
+        df, id_col="blob_id", strict=False, vbr_audit=True
+    )
+    assert dict(out.dtypes)["blob_id"] == "bigint"
+    got = {r.blob_id: r for r in out.collect()}
+    assert set(got) == {big, 2}  # 64-bit id survives exactly
+    ok, bad = got[big], got[2]
+    assert ok.parse_error is None and ok.hdr_tag == "Xing"
+    assert ok.n_frames == 3 and ok.hdr_frames == 2
+    assert ok.duration_source == "walk"
+    assert bad.parse_error == "no valid MPEG audio frame found"
+    assert bad.n_frames is None and bad.duration_ms is None
+
+    # strict=True keeps fail-fast semantics on the same data
+    with _pt.raises(Exception, match="no valid MPEG"):
+        extract_mp3_metadata(df, id_col="blob_id", strict=True).collect()
+
+
 def test_bmp_wav_roundtrip_property():
     """Property: encode→decode is the identity for ANY pixel array /
     sample stream (hypothesis over shapes and values)."""

@@ -1231,6 +1231,164 @@ def test_mann_whitney_tws_matches_batch_arithmetic(spark, stream_dir, tmp_path):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_int_hist_accumulate_rejects_non_integral():
+    """The rank/CDF twins' integer-domain contract is ENFORCED, not
+    just documented (r11 ADVICE): NULL/NaN skip, exact-integral
+    floats fold, 3.7 raises instead of silently truncating to 3 and
+    biasing the drift statistic."""
+    import pandas as pd
+    import pytest as _pt
+
+    from etlp_spark.streaming import _int_hist_accumulate
+
+    local: dict = {}
+    _int_hist_accumulate(
+        local, pd.Series([1, 2.0, 2, None, float("nan")]), "t"
+    )
+    assert local == {1: 1, 2: 2}
+    with _pt.raises(ValueError, match="non-integral value 3.7"):
+        _int_hist_accumulate(local, pd.Series([3.7]), "t")
+
+
+def test_conformal_tws_matches_batch_arithmetic(spark, stream_dir, tmp_path):
+    """Streaming split-conformal (conformal_tws): after two
+    micro-batches the emitted (n_cal, n_eval, q_hat_cents, covered,
+    coverage_e6) per key equals x142's BATCH arithmetic (truncating
+    integer mean, ceil-rank order statistic off the distinct-residual
+    histogram, eval-half coverage count) over the concatenated
+    series — the last batch-only member of the monitoring family
+    gains its twin (r11 verdict item 6). Key 'a' mixes calibration
+    (even id) and eval (odd id) rows with ties; key 'b' is
+    ALL-NEGATIVE cents (exercises the truncate-toward-zero mean,
+    where Python floor would differ) and has no eval rows until
+    batch 2 (NULL coverage first)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.streaming import conformal_tws
+
+    b1 = {
+        "a": [(0, 100), (2, 140), (4, 100), (1, 120), (3, 260)],
+        "b": [(10, -100), (12, -105), (14, -109)],
+    }
+    b2 = {
+        "a": [(6, 160), (8, 100), (5, 115), (7, 99)],
+        # cal sum -417 over 4: trunc div -> -104, floor would be -105
+        "b": [(16, -103), (11, -101), (13, -250)],
+    }
+
+    def batch_conformal(rows):
+        # x142's Spark plan verbatim, adapted to (id, cents)
+        pts = spark.createDataFrame(rows, "event_id long, cents long")
+        cal = pts.where(F.col("event_id") % 2 == 0)
+        mu = cal.agg(
+            F.expr("sum(cents) div count(*)").cast("long").alias("mu_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_cal"),
+        )
+        res = cal.crossJoin(F.broadcast(mu)).select(
+            F.abs(F.col("cents") - F.col("mu_cents")).alias("r")
+        )
+        hist = res.groupBy("r").agg(F.count(F.lit(1)).alias("f"))
+        wc = W.orderBy("r").rowsBetween(W.unboundedPreceding, W.currentRow)
+        cum = hist.select("r", F.sum("f").over(wc).alias("c"))
+        k = mu.select(
+            "mu_cents", "n_cal",
+            F.least(
+                F.expr("(9 * (n_cal + 1) + 9) div 10"), F.col("n_cal")
+            ).alias("kr"),
+        )
+        q = (
+            cum.crossJoin(F.broadcast(k))
+            .where(F.col("c") >= F.col("kr"))
+            .groupBy("mu_cents", "n_cal")
+            .agg(F.min("r").alias("q_hat"))
+        )
+        ev = (
+            pts.where(F.col("event_id") % 2 == 1)
+            .crossJoin(F.broadcast(q))
+            .groupBy("n_cal", "q_hat")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_eval"),
+                F.sum(
+                    F.when(
+                        F.abs(F.col("cents") - F.col("mu_cents"))
+                        <= F.col("q_hat"), 1,
+                    ).otherwise(0)
+                ).cast("long").alias("covered"),
+            )
+        )
+        r = ev.select(
+            "n_cal", "n_eval",
+            F.col("q_hat").cast("long").alias("q_hat_cents"),
+            "covered",
+            F.expr("(covered * 1000000) div n_eval").cast("long")
+            .alias("coverage_e6"),
+        ).collect()
+        if not r:  # no eval rows: interval only
+            r2 = q.crossJoin(
+                pts.where(F.col("event_id") % 2 == 0)
+                .agg(F.count(F.lit(1)).alias("nc"))
+            ).first()
+            return (r2.n_cal, 0, r2.q_hat, None, None)
+        row = r[0]
+        return (row.n_cal, row.n_eval, row.q_hat_cents, row.covered,
+                row.coverage_e6)
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_batch(
+            stream_dir, "cf1.jsonl",
+            [{"k": k, "id": i, "v": v}
+             for k, rows in b1.items() for i, v in rows],
+        )
+        src = file_stream(
+            spark, str(stream_dir), "k string, id long, v long", fmt="json"
+        )
+        q = (
+            conformal_tws(src, "k", "v", "id")
+            .writeStream.format("memory")
+            .queryName("tws_conformal")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_cf"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            mid = {}
+            for r in spark.sql("select * from tws_conformal").collect():
+                mid[r.k] = (r.n_cal, r.n_eval, r.q_hat_cents, r.covered,
+                            r.coverage_e6)
+            # key 'b' has no eval rows yet: coverage NULL, interval live
+            assert mid["b"][1] == 0 and mid["b"][4] is None
+            assert mid["b"][2] is not None
+            _write_batch(
+                stream_dir, "cf2.jsonl",
+                [{"k": k, "id": i, "v": v}
+                 for k, rows in b2.items() for i, v in rows],
+            )
+            q.processAllAvailable()
+            latest = {}
+            for r in spark.sql("select * from tws_conformal").collect():
+                latest[r.k] = (r.n_cal, r.n_eval, r.q_hat_cents, r.covered,
+                               r.coverage_e6)
+            for k in ("a", "b"):
+                series = b1.get(k, []) + b2.get(k, [])
+                want = batch_conformal(series)
+                assert latest[k] == want, (k, latest[k], want)
+            # late calibration rows RETROACTIVELY moved 'a's interval:
+            # batch-1 interval differs from the final one (the frozen-mu
+            # failure mode this design structurally avoids)
+            assert mid["a"][2] != latest["a"][2]
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_bootstrap_ci_tws_matches_batch_arithmetic(spark, stream_dir, tmp_path):
     """Streaming Poisson-bootstrap CI (bootstrap_ci_tws): all-integer
     replicate state, so after two micro-batches the emitted interval
