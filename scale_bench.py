@@ -200,6 +200,7 @@ QUERY_TABLES = {
     "x113_power_iteration": ["embeddings"],
     "x114_prefix_filter_jaccard": ["documents"],
     "x115_kneser_ney_bigram": ["documents"],
+    "x32_bm25_retrieval": ["documents"],
     "x116_poisson_bootstrap": ["lineitem"],
     "x117_hll_set_algebra": ["documents"],
     "x118_postings_delta_bits": ["documents"],
@@ -335,6 +336,206 @@ def _gen_scale(spark, n: int, tables: list[str]) -> str:
     return out
 
 
+def _gen_zipf(spark, n: int) -> str:
+    """Heavy-tailed documents corpus at x{n} volume (r11 verdict item
+    2): the BASE synthetic corpus has a ~18-word vocabulary, so every
+    text-family scale conclusion (x114 prefix-filter efficacy, x5 LSH
+    band occupancy, x32 BM25, x115 KN-bigram) rests on shingle
+    combinatorics over a toy vocabulary. This generator emits
+    ``n * 5000`` docs over a ZIPF(s=1.1) vocabulary of 100k types
+    (bounded continuous inverse-CDF; top type carries ~10% of tokens
+    — a true stopword), 12-35 tokens/doc, with 10% of docs NEAR-DUPS
+    of their predecessor (one substituted token) so the similarity
+    families have real positives. Everything is a pure function of
+    doc_id (counter-based hashing, no RNG state), so the corpus is
+    deterministic under any partitioning."""
+    out = os.path.join(ROOT, f"zipf_x{n}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    total = n * 5000
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        V = 100_000
+        s = 1.1
+        A = (V + 1) ** (1 - s)
+        langs = ("en", "zh", "de", "fr", "es")
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            if len(ids) == 0:
+                continue
+            deff = np.where(ids % 10 == 9, ids - 1, ids)
+            L = 12 + (deff % 24)
+            tot = int(L.sum())
+            off = np.zeros(len(ids) + 1, np.int64)
+            off[1:] = np.cumsum(L)
+            drep = np.repeat(deff.astype(np.uint64), L)
+            irep = (np.arange(tot, dtype=np.int64)
+                    - np.repeat(off[:-1], L)).astype(np.uint64)
+            mask = np.uint64(0xFFFFFFFF)
+            h = ((drep * np.uint64(1_000_003) + irep)
+                 * np.uint64(2654435761)) & mask
+            h ^= h >> np.uint64(13)
+            h = (h * np.uint64(0x5BD1E995)) & mask
+            h ^= h >> np.uint64(15)
+            u = h.astype(np.float64) / 2.0**32
+            x = (1.0 - (1.0 - A) * u) ** (1.0 / (1.0 - s))
+            rank = np.clip(x.astype(np.int64), 1, V)
+            texts = []
+            for j in range(len(ids)):
+                words = [f"w{r}" for r in rank[off[j]:off[j + 1]]]
+                d = int(ids[j])
+                if d % 10 == 9:  # near-dup: ONE token substituted
+                    p = d % len(words)
+                    words[p] = f"w{1 + (d * 2654435761) % V}"
+                texts.append(" ".join(words))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "text": texts,
+                    "lang": [langs[int(d) % 5] for d in ids],
+                    "source": [f"src{int(d) % 5}" for d in ids],
+                    "n_chars": [len(t) for t in texts],
+                }
+            )
+
+    df = spark.range(total, numPartitions=32).mapInPandas(
+        gen,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    df.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return out
+
+
+def _corpus_diagnostics(spark, sf_dir: str) -> dict:
+    """The distributions the text-family filters' efficacy rides on,
+    EXECUTED (not assumed) over a corpus: token/shingle frequency
+    quantiles, x114's naive-vs-prefix candidate-pair volumes (its
+    exact shingle-fingerprint + rarest-first-prefix construction),
+    and x5's LSH band-bucket occupancy (its exact 16x4 banding).
+    Run on both the replicated base corpus and the Zipf variant, the
+    deltas say whether the 100 TB claims transfer to a realistic
+    vocabulary."""
+    from etlp_spark.functions.dedup import minhash_signature, word_shingles
+    from etlp_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out: dict = {"n_docs": docs.count()}
+
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).where(F.col("w") != "")
+    tf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("f")).persist()
+    row = tf.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("f").alias("tokens"),
+        F.max("f").alias("max_df"),
+        F.expr("percentile(f, array(0.5, 0.9, 0.99))").alias("q"),
+    ).first()
+    out.update(
+        vocab=row.vocab, tokens=row.tokens, token_max_df=row.max_df,
+        token_df_p50=row.q[0], token_df_p90=row.q[1],
+        token_df_p99=row.q[2],
+        top_token_share_e6=int(row.max_df * 1_000_000 // row.tokens),
+    )
+    tf.unpersist()
+
+    # x114's exact construction: 3-gram shingle fingerprints, rarest-
+    # first rank, prefix size n - ceil(0.8n) + 1. The two pair-volume
+    # sums ARE the join costs: naive = sum f^2-ish over all shingle
+    # occurrences, prefix = same sum over prefix occurrences only.
+    tk = docs.select(
+        "doc_id",
+        F.transform(
+            word_shingles("text", 3),
+            lambda sh: F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        ).alias("tk"),
+    ).where(F.size("tk") >= 1).localCheckpoint(eager=True)
+    dt = tk.select(
+        "doc_id", F.size("tk").alias("n"), F.explode("tk").alias("t")
+    )
+    freq = dt.groupBy("t").agg(F.count(F.lit(1)).alias("f")).persist()
+    srow = freq.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.max("f").alias("mx"),
+        F.sum(F.col("f") * (F.col("f") - 1) / 2).alias("pairs"),
+    ).first()
+    out.update(
+        shingle_vocab=srow.v, shingle_max_df=srow.mx,
+        naive_pair_volume=int(srow.pairs),
+    )
+    from pyspark.sql import Window as _W
+
+    wd = _W.partitionBy("doc_id").orderBy("f", "t")
+    ranked = dt.join(freq, "t").select(
+        "doc_id", "t", F.row_number().over(wd).alias("rk"), "n"
+    )
+    prefix = ranked.where(
+        F.col("rk") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+    )
+    pf = prefix.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    prow = pf.agg(
+        F.max("f").alias("mx"),
+        F.sum(F.col("f") * (F.col("f") - 1) / 2).alias("pairs"),
+    ).first()
+    freq.unpersist()
+    out.update(
+        prefix_max_df=prow.mx,
+        prefix_pair_volume=int(prow.pairs or 0),
+        prefix_filter_ratio_e6=int(
+            (prow.pairs or 0) * 1_000_000 // max(int(srow.pairs), 1)
+        ),
+    )
+
+    # x5's exact banding (k=16, 4 bands): bucket occupancy + how many
+    # buckets the max_bucket=50 cap drops, and the kept pair fan-out.
+    sig = minhash_signature(docs)
+    rows_per = 16 // 4
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(str(b)),
+                    *[F.col(f"sig_{b * rows_per + r}").cast("string")
+                      for r in range(rows_per)],
+                )
+            )
+            for b in range(4)
+        ]
+    )
+    buckets = (
+        sig.select(F.explode(band_keys).alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("sz"))
+    )
+    brow = buckets.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.max("sz").alias("mx"),
+        F.expr("percentile(sz, array(0.5, 0.99))").alias("q"),
+        F.sum(F.when(F.col("sz") > 50, 1).otherwise(0)).alias("over"),
+        F.sum(
+            F.when(F.col("sz") <= 50,
+                   F.col("sz") * (F.col("sz") - 1) / 2).otherwise(0)
+        ).alias("kept_pairs"),
+    ).first()
+    out.update(
+        lsh_buckets=brow.nb, bucket_max=brow.mx,
+        bucket_p50=brow.q[0], bucket_p99=brow.q[1],
+        buckets_over_cap=brow.over,
+        lsh_kept_pair_volume=int(brow.kept_pairs or 0),
+    )
+    return out
+
+
 def _time_query(
     spark, qs, name: str, sf_dir: str, runs: int = 2
 ) -> tuple[float, float]:
@@ -363,8 +564,15 @@ def main() -> None:
     )
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset of HEAVY to run")
+    ap.add_argument(
+        "--zipf", type=int, default=None, metavar="N",
+        help="generate the Zipf-vocabulary documents corpus at xN "
+        "volume, run the text family against it (keys zipf_xN), and "
+        "record corpus diagnostics for BOTH the zipf and replicated "
+        "corpora (r11 verdict item 2)",
+    )
     args = ap.parse_args()
-    scales = [int(s) for s in args.scales.split(",")]
+    scales = [int(s) for s in args.scales.split(",")] if args.scales else []
     queries = args.queries.split(",") if args.queries else HEAVY
 
     from etlp_spark.session import get_spark
@@ -376,12 +584,30 @@ def main() -> None:
     needed = sorted(
         {t for q in queries for t in QUERY_TABLES.get(q, SCALED_TABLES)}
     )
-    result: dict = {"base_sf": 0.1, "scales": scales, "queries": {}}
+    # per-row measurement provenance (r11 verdict item 7): every
+    # (query, scale) cell records WHICH harness session measured it,
+    # so two-session discrepancies (x114's 25.3 vs 31.6 s at x100 in
+    # r11) are machine-readable in the merged artifact instead of
+    # PERF.md prose. One run_id per scale_bench invocation; merge
+    # tooling unions the provenance dict alongside the times.
+    run_id = f"{time.strftime('%Y%m%dT%H%M%S')}.{os.getpid()}"
+    result: dict = {
+        "base_sf": 0.1,
+        "scales": scales,
+        "run_id": run_id,
+        "queries": {},
+        "provenance": {},
+    }
+
+    def record(name: str, n: int, best: float) -> None:
+        result["queries"].setdefault(name, {})[f"x{n}"] = round(best, 3)
+        result["provenance"].setdefault(name, {})[f"x{n}"] = run_id
+
     for n in scales:
         sf_dir = _gen_scale(spark, n, needed)
         for name in queries:
             first, best = _time_query(spark, qs, name, sf_dir)
-            result["queries"].setdefault(name, {})[f"x{n}"] = round(best, 3)
+            record(name, n, best)
             print(f"x{n} {name}: first={first:.2f}s best={best:.2f}s", flush=True)
 
     for spec in args.deep:
@@ -394,17 +620,43 @@ def main() -> None:
         # extra repetition absorbs the JVM/host cold phase the way the
         # regular-scale path's first/best discipline does at x10/x100.
         first, best = _time_query(spark, qs, name, sf_dir, runs=3)
-        result["queries"].setdefault(name, {})[f"x{n}"] = round(best, 3)
+        record(name, n, best)
         print(f"x{n} {name} (deep): first={first:.2f}s best={best:.2f}s", flush=True)
 
-    lo, hi = f"x{scales[0]}", f"x{scales[-1]}"
-    factor = scales[-1] / scales[0]
-    for name, times in result["queries"].items():
-        if lo in times and hi in times and times[lo] > 0:
-            ratio = times[hi] / times[lo]
-            times["time_ratio"] = round(ratio, 2)
-            # per-row throughput ratio: 1.0 = perfectly linear scaling
-            times["scaling_efficiency"] = round(factor / ratio, 2)
+    if args.zipf:
+        zn = args.zipf
+        zdir = _gen_zipf(spark, zn)
+        text_family = [
+            q for q in (
+                "x114_prefix_filter_jaccard", "x5_minhash_lsh",
+                "x32_bm25_retrieval", "x115_kneser_ney_bigram",
+            )
+            if args.queries is None or q in queries
+        ]
+        for name in text_family:
+            # zipf points are deep-style: best-of-3 on a cold corpus
+            first, best = _time_query(spark, qs, name, zdir, runs=3)
+            result["queries"].setdefault(name, {})[f"zipf_x{zn}"] = round(
+                best, 3
+            )
+            result["provenance"].setdefault(name, {})[f"zipf_x{zn}"] = run_id
+            print(f"zipf_x{zn} {name}: first={first:.2f}s best={best:.2f}s",
+                  flush=True)
+        diags = {f"zipf_x{zn}": _corpus_diagnostics(spark, zdir)}
+        base_dir = os.path.join(ROOT, f"x{zn}")
+        if os.path.exists(os.path.join(base_dir, "_DONE")):
+            diags[f"x{zn}"] = _corpus_diagnostics(spark, base_dir)
+        result["diagnostics"] = diags
+
+    if len(scales) >= 2:
+        lo, hi = f"x{scales[0]}", f"x{scales[-1]}"
+        factor = scales[-1] / scales[0]
+        for name, times in result["queries"].items():
+            if lo in times and hi in times and times[lo] > 0:
+                ratio = times[hi] / times[lo]
+                times["time_ratio"] = round(ratio, 2)
+                # per-row throughput ratio: 1.0 = perfectly linear
+                times["scaling_efficiency"] = round(factor / ratio, 2)
     with open(args.out, "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
