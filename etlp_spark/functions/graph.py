@@ -39,10 +39,27 @@ def cooccurrence_edges(
     ``min_shared`` distinct presence buckets, with buckets larger
     than ``max_bucket`` dropped (the hub-bucket skew guard)."""
     pres = df.select(*bucket_cols, node_col).distinct()
+    # Sort AFTER the cap (r12): only survivor buckets (<= max_bucket
+    # members) pay the O(s log s) sort; a hub bucket's set is built
+    # during partial aggregation (bounded per map task by its input
+    # split) and dropped at the size check WITHOUT the wasted
+    # full-array sort. A count-guard + semi-join variant that never
+    # builds hub arrays at all was measured and REJECTED: +25-55% at
+    # sf0.1 on the 4 graph queries (two extra stages' fixed overhead
+    # on the family's 2-4 s runtimes) for zero x1000 wall-clock gain
+    # (14.3 vs 13.7 s — partial aggregation already spreads the
+    # build across map tasks; the r12 hub micro-benchmark put a 1M-
+    # member hub at parity). The residual exposure is the single
+    # reduce task MERGING a celebrity bucket's partials (~8 MB per
+    # 1M members); the LSH family documents the same
+    # cap-after-collect convention, and a corpus where one bucket
+    # approaches reducer memory wants the count-guard variant — the
+    # measured trade is recorded here so that flip is a one-liner.
     bu = (
         pres.groupBy(*bucket_cols)
-        .agg(F.sort_array(F.collect_set(node_col)).alias("us"))
-        .where((F.size("us") >= 2) & (F.size("us") <= max_bucket))
+        .agg(F.collect_set(node_col).alias("us0"))
+        .where((F.size("us0") >= 2) & (F.size("us0") <= max_bucket))
+        .select(*bucket_cols, F.sort_array("us0").alias("us"))
     )
     pairs = bu.select(
         F.explode(

@@ -8744,11 +8744,15 @@ def x92_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one aggregate shuffle + one pair-count shuffle, instead of two
     # scans + a bucket self-join (2.2x faster measured at sf0.1); the
     # <=32 cap bounds the per-bucket expansion exactly like x5's LSH
-    # bucket cap
+    # bucket cap. Since r12 only SURVIVOR buckets pay the sort (the
+    # cap filter runs on the unsorted set; a hub bucket's array is
+    # never sorted just to be dropped — graph.cooccurrence_edges
+    # records the measured trade vs a full count-guard variant).
     bu = (
         pres.groupBy("event_type", "hb")
-        .agg(F.sort_array(F.collect_set("user_id")).alias("us"))
-        .where((F.size("us") >= 2) & (F.size("us") <= 32))
+        .agg(F.collect_set("user_id").alias("us0"))
+        .where((F.size("us0") >= 2) & (F.size("us0") <= 32))
+        .select("event_type", "hb", F.sort_array("us0").alias("us"))
     )
     pairs = (
         bu.select(
