@@ -626,13 +626,19 @@ def main() -> None:
     if args.zipf:
         zn = args.zipf
         zdir = _gen_zipf(spark, zn)
-        text_family = [
-            q for q in (
+        # default: the four queries the r11 verdict named; an explicit
+        # --queries list widens the zipf sweep to any documents-only
+        # query (the zipf dir materializes no other table)
+        if args.queries is None:
+            text_family = [
                 "x114_prefix_filter_jaccard", "x5_minhash_lsh",
                 "x32_bm25_retrieval", "x115_kneser_ney_bigram",
-            )
-            if args.queries is None or q in queries
-        ]
+            ]
+        else:
+            text_family = [
+                q for q in queries
+                if QUERY_TABLES.get(q) == ["documents"]
+            ]
         for name in text_family:
             # zipf points are deep-style: best-of-3 on a cold corpus
             first, best = _time_query(spark, qs, name, zdir, runs=3)
