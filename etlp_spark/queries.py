@@ -14568,6 +14568,144 @@ def x144_mp3_vbr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x145_t_closeness",
+    """
+    WITH pts AS (
+      SELECT event_type, user_id % 4 AS seg,
+             CAST(least(floor(value / 25), 19) AS INT) AS sv
+      FROM events),
+    cnt AS (SELECT event_type, seg, sv, count(*) AS c
+            FROM pts GROUP BY event_type, seg, sv),
+    gd AS (SELECT sv, sum(c) AS g FROM cnt GROUP BY sv),
+    m AS (SELECT count(*) AS m, CAST(sum(g) AS BIGINT) AS N FROM gd),
+    grp AS (SELECT event_type, seg, sum(c) AS n_g
+            FROM cnt GROUP BY event_type, seg),
+    spine AS (
+      SELECT gr.event_type, gr.seg, gr.n_g, gl.sv, gl.g,
+             coalesce(cn.c, 0) AS c
+      FROM grp gr CROSS JOIN gd gl
+      LEFT JOIN cnt cn ON cn.event_type = gr.event_type
+        AND cn.seg = gr.seg AND cn.sv = gl.sv),
+    cum AS (
+      SELECT event_type, seg, n_g,
+             sum(c * m.N - g * n_g) OVER (
+               PARTITION BY event_type, seg ORDER BY sv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+      FROM spine CROSS JOIN m),
+    s AS (
+      SELECT event_type, seg, n_g, sum(abs(r)) AS s_abs
+      FROM cum GROUP BY event_type, seg, n_g)
+    SELECT s.event_type,
+           CAST(s.seg AS BIGINT) AS seg,
+           CAST(s.n_g AS BIGINT) AS n_g,
+           CAST((s.s_abs * 1000000)
+                // (greatest(m.m - 1, 1) * s.n_g * m.N) AS BIGINT)
+             AS t_e6,
+           CAST(CASE WHEN (s.s_abs * 1000000)
+                // (greatest(m.m - 1, 1) * s.n_g * m.N) > 150000
+                THEN 1 ELSE 0 END AS INT) AS disclosive
+    FROM s CROSS JOIN m
+    """,
+)
+def x145_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third member of the anonymization-audit progression, completing
+    the family: x112 checks cell SIZE (k-anonymity, Sweeney 2002),
+    x119 checks sensitive-value DIVERSITY (Machanavajjhala 2007),
+    and this checks sensitive-value DISTRIBUTION — a cell can be
+    large and diverse yet still disclosive if its distribution
+    diverges from the global one (the classic skewness attack
+    l-diversity misses). Per quasi-cell (event_type, user segment),
+    the Earth Mover's Distance between the cell's ordered
+    sensitive-attribute distribution (value bucketed to a 20-step
+    spine) and the GLOBAL distribution, with cells over t = 0.15
+    flagged (the paper's example threshold).
+
+    Exact integer arithmetic end to end: for ordered support, EMD =
+    (1/(m-1)) * sum_i |cumsum_i(p - q)|, and with p_i = c_i/n_g,
+    q_i = g_i/N every cumulative term scales to the integer
+    c_i*N - g_i*n_g — the x133 cross-multiplication trick — so
+    t_e6 = (sum|cum| * 1e6) div ((m-1) * n_g * N) needs ONE integer
+    division, no float ever. BIGINT headroom: sum|cum| <=
+    (m-1)*n_g*N, so the scaled numerator is bounded by
+    (m-1)*n_g*N*1e6 (~1e17 at sf0.1's 1e5 rows); a cluster corpus
+    where n_g*N approaches 9e18/20e6 moves the two products to
+    DECIMAL(38,0) — the x140 discipline — with no other change.
+
+    Scale shape: ONE corpus scan into the map-side-combinable
+    (cell, sv) histogram; the global distribution, cell totals and
+    (m, N) all re-aggregate from that model-sized frame
+    (localCheckpoint-pinned — three consumers), so no second corpus
+    pass exists in the plan. The |cells| x |support| spine (both
+    model-sized: the 20-bucket spine is a design constant, cells are
+    the quasi-identifier cardinality) is a broadcast cross join,
+    then a spine-sized cumulative window per cell and one final
+    cell-sized aggregate. Missing (cell, sv) pairs
+    materialize as ZERO rows on the spine (the left join), which the
+    EMD REQUIRES — skipping absent support would understate
+    divergence exactly where it is largest. Reference: engine-added
+    (SURVEY.md §2.2 stats/privacy family, with x112/x119/x134)."""
+    ev = _t_fanout(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        (F.col("user_id") % 4).alias("seg"),
+        F.least(F.floor(F.col("value") / 25), F.lit(19))
+        .cast("int")
+        .alias("sv"),
+    )
+    # ONE corpus scan: the (cell, sv) histogram is model-sized
+    # (|cells| x |support|), so the global and per-cell totals
+    # re-aggregate from IT, never from the corpus again. The pin is
+    # structural (three consumers; lineage would re-scan per use).
+    cnt = (
+        pts.groupBy("event_type", "seg", "sv")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    glob = cnt.groupBy("sv").agg(F.sum("c").alias("g"))
+    m = glob.agg(
+        F.count(F.lit(1)).alias("m"), F.sum("g").cast("long").alias("N")
+    )
+    grp = cnt.groupBy("event_type", "seg").agg(
+        F.sum("c").alias("n_g")
+    )
+    spine = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(cnt, ["event_type", "seg", "sv"], "left")
+        .select(
+            "event_type", "seg", "n_g", "sv", "g",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    wc = (
+        Window.partitionBy("event_type", "seg")
+        .orderBy("sv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = spine.crossJoin(F.broadcast(m)).select(
+        "event_type", "seg", "n_g", "m", "N",
+        F.sum(
+            F.col("c") * F.col("N") - F.col("g") * F.col("n_g")
+        ).over(wc).alias("r"),
+    )
+    s = cum.groupBy("event_type", "seg", "n_g", "m", "N").agg(
+        F.sum(F.abs(F.col("r"))).alias("s_abs")
+    )
+    t = F.expr(
+        "(s_abs * 1000000) div (greatest(m - 1, 1) * n_g * N)"
+    )
+    return s.select(
+        "event_type",
+        F.col("seg").cast("long").alias("seg"),
+        F.col("n_g").cast("long").alias("n_g"),
+        t.cast("long").alias("t_e6"),
+        F.when(t > 150000, 1).otherwise(0).cast("int").alias(
+            "disclosive"
+        ),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -14710,12 +14848,17 @@ _GATED_PRIOR_ROUNDS = [
 #: change with byte-identical executed plans), then 43 of the
 #: 47-query round-7 evidence block. Sized at 49 so the round-12
 #: addition (x144_mp3_vbr_audit — in no gate list) lands via
-#: ``_ungated`` as slot 50. FOUR r7 stragglers lead r13 (one more
-#: than the verdict's three because x144 takes a slot the verdict's
-#: count didn't know about): f5_regex_json, f7_map_funcs,
-#: m4_mapping_switch_call, p2_unpivot_event_counts — simple
-#: function/mapping canaries, each gated twice historically (r3+r7),
-#: the lowest-risk deferrals in the block.
+#: ``_ungated`` as slots 49-50 (x144_mp3_vbr_audit — the
+#: verdict-directed addition — then x145_t_closeness, the privacy
+#: family's third member; the rotation invariant test rightly
+#: refuses to let a never-gated query sit outside the window, so
+#: _NEWEST is sized 48 to gate BOTH). FIVE r7 stragglers lead r13
+#: (two more than the verdict's three because the round added two
+#: queries the verdict's count didn't know about): f5_regex_json,
+#: f7_map_funcs, m4_mapping_switch_call, p2_unpivot_event_counts,
+#: g12_key_skew_profile — simple function/mapping/profile canaries,
+#: each gated twice historically (r3+r7), the lowest-risk deferrals
+#: in the block.
 _NEWEST = [
     # deferred r6-evidence canaries (r11 verdict item 1):
     "t1_map_revenue", "t2_filter_shipped", "t3_explode_words",
@@ -14723,9 +14866,9 @@ _NEWEST = [
     "x114_prefix_filter_jaccard", "x137_ivf_persisted_search",
     "x138_pq_persisted_codes",
     # the round-7 evidence block (freshest driver row = r7), minus
-    # the four documented r13 stragglers:
+    # the five documented r13 stragglers:
     "g10_rolling_distinct_users", "g11_quality_deciles",
-    "g12_key_skew_profile", "j10_nonequi_time_join",
+    "j10_nonequi_time_join",
     "q02_min_acctbal_supplier", "q04_order_priority_check",
     "q05_local_supplier_volume", "q06_forecast_revenue",
     "q07_volume_shipping", "q09_product_type_profit",

@@ -148,6 +148,9 @@ HEAVY = [
     "x142_conformal_coverage",
     # round-11 additions
     "x143_mp3_metadata",
+    # round-12 additions
+    "x144_mp3_vbr_audit",
+    "x145_t_closeness",
 ]
 
 #: tables each heavy query scans — lets --deep runs generate only
@@ -229,6 +232,8 @@ QUERY_TABLES = {
     "x141_ivf_index_staleness": ["embeddings"],
     "x142_conformal_coverage": ["events"],
     "x143_mp3_metadata": ["documents"],
+    "x144_mp3_vbr_audit": ["documents"],
+    "x145_t_closeness": ["events"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]
