@@ -1745,11 +1745,13 @@ def encode_mp3_frames(
     MPEG-1 mono offset (4-byte header + 17 bytes side info): tag,
     flags (frames|bytes), then big-endian frame and byte counts.
     Keys, all optional: ``kbps`` (default 64), ``tag`` (default
-    ``"Xing"``; use ``"Info"`` for the CBR marker), ``frames`` /
-    ``bytes`` to OVERRIDE the auto-computed truthful values (music
-    frame count; total audio bytes including the metadata frame —
-    the LAME convention) so property tests can emit inconsistent
-    headers on purpose."""
+    ``"Xing"``; use ``"Info"`` for the CBR marker, or ``"VBRI"``
+    for the Fraunhofer layout — version/delay/quality shorts then
+    byte and frame counts at the fixed offset 32 after the frame
+    header), ``frames`` / ``bytes`` to OVERRIDE the auto-computed
+    truthful values (music frame count; total audio bytes including
+    the metadata frame — the LAME convention) so property tests can
+    emit inconsistent headers on purpose."""
     vgroup_rates = _MP3_RATES[3]
     if sample_rate not in vgroup_rates:
         raise ValueError(f"MPEG-1 sample rate must be one of {vgroup_rates}")
@@ -1792,12 +1794,22 @@ def encode_mp3_frames(
         fb = frame_len(x_kbps, 0)
         n_val = xing.get("frames", len(frames))
         b_val = xing.get("bytes", fb + len(music))
-        tag = xing.get("tag", "Xing").encode("ascii")
-        body = bytearray(b"\x00" * 17)  # MPEG-1 mono side info
-        body += tag + (3).to_bytes(4, "big")  # flags: frames|bytes
-        body += int(n_val).to_bytes(4, "big") + int(b_val).to_bytes(4, "big")
+        tag = xing.get("tag", "Xing")
+        if tag == "VBRI":
+            # Fraunhofer layout: fixed 32 bytes after the 4-byte
+            # header, then version(2) delay(2) quality(2) bytes(4)
+            # frames(4), all big-endian
+            body = bytearray(b"\x00" * 32)
+            body += b"VBRI" + (1).to_bytes(2, "big") + b"\x00" * 4
+            body += int(b_val).to_bytes(4, "big")
+            body += int(n_val).to_bytes(4, "big")
+        else:
+            body = bytearray(b"\x00" * 17)  # MPEG-1 mono side info
+            body += tag.encode("ascii") + (3).to_bytes(4, "big")
+            body += int(n_val).to_bytes(4, "big")
+            body += int(b_val).to_bytes(4, "big")
         if len(body) > fb - 4:
-            raise ValueError(f"Xing frame at {x_kbps} kbps too small")
+            raise ValueError(f"metadata frame at {x_kbps} kbps too small")
         out += header(x_kbps, 0) + body + b"\x00" * (fb - 4 - len(body))
     out += music
     if id3v1:

@@ -921,11 +921,13 @@ def test_mp3_xing_walk_property():
         sr=st.sampled_from((44100, 48000, 32000)),
         xing_kbps=st.sampled_from((64, 96, 128)),
         head_extra=st.integers(0, 3),
+        tag=st.sampled_from(("Xing", "Info", "VBRI")),
     )
-    def check(frames, sr, xing_kbps, head_extra):
-        p = encode_mp3_frames(frames, sr, xing={"kbps": xing_kbps})
+    def check(frames, sr, xing_kbps, head_extra, tag):
+        p = encode_mp3_frames(frames, sr, xing={"kbps": xing_kbps,
+                                                "tag": tag})
         m = mp3_metadata(p)
-        assert m["hdr_tag"] == "Xing" and m["hdr_consistent"] == 1
+        assert m["hdr_tag"] == tag and m["hdr_consistent"] == 1
         assert m["hdr_frames"] == len(frames) == m["n_frames"] - 1
         assert m["hdr_bytes"] == m["audio_bytes"] == len(p)
         music_kbps = [k for k, _ in frames]
