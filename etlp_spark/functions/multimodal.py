@@ -1558,23 +1558,33 @@ def _mp3_vbr_header(payload: bytes, pos: int, frame_bytes: int,
     mono = (payload[pos + 3] >> 6) == 3 if pos + 3 < len(payload) else False
     side = (17 if mono else 32) if version_bits == 3 else (9 if mono else 17)
     off = pos + 4 + side
-    tag4 = payload[off : off + 4]
-    if tag4 in (b"Xing", b"Info"):
-        flags = be32(off + 4)
-        if flags is None:
-            return None, None, None
-        cur = off + 8
-        frames = bytes_ = None
-        if flags & 1:
-            frames = be32(cur)
-            cur += 4
-        if flags & 2:
-            bytes_ = be32(cur)
-        return tag4.decode("ascii"), frames, bytes_
+    # the tag probe itself must stay inside the frame: a short
+    # MPEG2/2.5 low-bitrate frame (e.g. 8 kbps @ 24 kHz = 24 bytes)
+    # ends before the Xing offset, and an unbounded read would sniff
+    # the NEXT frame's bytes — a chance 'Xing' match there would
+    # misclassify a real audio frame as metadata.
+    if off + 4 <= min(len(payload), end):
+        tag4 = payload[off : off + 4]
+        if tag4 in (b"Xing", b"Info"):
+            flags = be32(off + 4)
+            if flags is None:
+                return None, None, None
+            cur = off + 8
+            frames = bytes_ = None
+            if flags & 1:
+                frames = be32(cur)
+                cur += 4
+            if flags & 2:
+                bytes_ = be32(cur)
+            return tag4.decode("ascii"), frames, bytes_
     off = pos + 4 + 32
-    if payload[off : off + 4] == b"VBRI":
-        # VBRI: version(2) delay(2) quality(2) bytes(4) frames(4)
-        return "VBRI", be32(off + 14), be32(off + 10)
+    # VBRI's full field block is 4(tag)+2+2+2+4+4 = 18 bytes at a
+    # fixed 36-byte offset; skip the probe when the frame can't hold
+    # it (same next-frame-sniff hazard as above).
+    if 4 + 32 + 18 <= frame_bytes and off + 4 <= len(payload):
+        if payload[off : off + 4] == b"VBRI":
+            # VBRI: version(2) delay(2) quality(2) bytes(4) frames(4)
+            return "VBRI", be32(off + 14), be32(off + 10)
     return None, None, None
 
 
@@ -1623,9 +1633,14 @@ def mp3_metadata(payload: bytes) -> dict:
     duration_ms, and for a HEAD-TRUNCATED payload (clean_eof False)
     with a frame-count field the header becomes the duration source
     (``duration_source = 'header'``) — the only duration available
-    when a crawl kept just the head of a file. Streams without a VBR
-    header keep the exact pre-round-12 outputs (hdr_* all None,
-    duration_source 'walk')."""
+    when a crawl kept just the head of a file. A CLEAN stream whose
+    header over-claims frames is only trusted when its byte count
+    ALSO exceeds the walked audio bytes (the frame-boundary-cut
+    signature); a header whose bytes agree with the walk but whose
+    frame count doesn't is a lying header on a complete file —
+    duration stays 'walk' and hdr_consistent==0 flags the header
+    (round-13, ADVICE). Streams without a VBR header keep the exact
+    pre-round-12 outputs (hdr_* all None, duration_source 'walk')."""
     pos = _id3v2_size(payload)
     id3v2_bytes = pos
     n_frames = 0
@@ -1686,10 +1701,20 @@ def mp3_metadata(payload: bytes) -> dict:
         # becomes the duration source whenever the walk cannot
         # account for the frames it claims — a mid-frame truncation
         # (clean_eof False) OR a cut exactly at a frame boundary,
-        # which only the header's frame count can expose.
+        # which only the header's frame count can expose. A boundary
+        # cut is discriminated from a LYING header by the byte
+        # field: a cut leaves hdr_bytes > audio_bytes (the header
+        # counted the whole file), while a corrupt frame count on a
+        # complete file typically keeps hdr_bytes == audio_bytes —
+        # in that case the walk is the evidence, and the row's
+        # hdr_consistent==0 already flags the header as bad.
         music_samples = total_samples - spf0
         if hdr_frames is not None and (
-            not clean or hdr_frames > n_frames - 1
+            not clean
+            or (
+                hdr_frames > n_frames - 1
+                and (hdr_bytes is None or hdr_bytes > audio_bytes)
+            )
         ):
             duration_ms = hdr_frames * spf0 * 1000 // sr
             duration_source = "header"

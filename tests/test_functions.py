@@ -868,10 +868,16 @@ def test_mp3_xing_vbri_headers():
     assert m2["hdr_tag"] == "Info" and m2["vbr"] == 0
     assert m2["kbps_min"] == m2["kbps_max"] == 128
 
-    # deliberately wrong header values -> hdr_consistent == 0
-    assert mp3_metadata(
+    # deliberately wrong header values -> hdr_consistent == 0, and a
+    # LYING frame count on a COMPLETE file (hdr_bytes agrees with the
+    # walk — no boundary-cut signature) must NOT hijack the duration:
+    # the walk stays the source (round-13 ADVICE fix)
+    lie = mp3_metadata(
         encode_mp3_frames([(128, 0)] * 3, 48000, xing={"frames": 99})
-    )["hdr_consistent"] == 0
+    )
+    assert lie["hdr_consistent"] == 0
+    assert lie["duration_source"] == "walk"
+    assert lie["duration_ms"] == 3 * 1152 * 1000 // 48000
     assert mp3_metadata(
         encode_mp3_frames([(128, 0)] * 3, 48000, xing={"bytes": 7})
     )["hdr_consistent"] == 0
@@ -895,6 +901,30 @@ def test_mp3_xing_vbri_headers():
     assert m4["hdr_tag"] is None and m4["hdr_frames"] is None
     assert m4["duration_source"] == "walk"
     assert m4["duration_ms"] == 2 * 1152 * 1000 // 44100
+
+
+def test_mp3_vbr_probe_bounded_to_frame():
+    """The Xing/VBRI tag probes must never read past the first
+    frame's end (round-13 ADVICE fix): an MPEG-2 8 kbps @ 24 kHz
+    Layer III frame is only 24 bytes — the VBRI offset (36) lands in
+    the NEXT frame, and a chance 'VBRI' match there used to
+    misclassify a real audio frame as metadata, silently dropping
+    its samples from duration_ms."""
+    from etlp_spark.functions.multimodal import mp3_metadata
+
+    # MPEG2 (version_bits=2) Layer III, 8 kbps, 24 kHz, stereo:
+    # frame_bytes = 72000*8//24000 = 24, spf = 576
+    hdr = bytes([0xFF, 0xF3, 0x14, 0x00])
+    f1 = hdr + b"\x00" * 20
+    body2 = bytearray(b"\x00" * 20)
+    body2[8:12] = b"VBRI"  # stream offset 36 — the old unbounded probe hit this
+    f2 = hdr + bytes(body2)
+    m = mp3_metadata(f1 + f2)
+    assert m["hdr_tag"] is None
+    assert m["n_frames"] == 2
+    assert m["duration_source"] == "walk"
+    assert m["duration_ms"] == 2 * 576 * 1000 // 24000
+    assert m["kbps_min"] == m["kbps_max"] == 8
 
 
 def test_mp3_xing_walk_property():
