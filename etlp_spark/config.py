@@ -459,6 +459,14 @@ def _s_conformal(c: dict[str, Any]):
     )
 
 
+def _s_funnel(c: dict[str, Any]):
+    from etlp_spark.streaming import funnel_tws
+
+    return lambda df, _k=c["key"], _t=c["type"], _ts=c["ts"], _s=tuple(
+        c.get("steps", ("signup", "click", "purchase"))
+    ): funnel_tws(df, _k, _t, _ts, steps=_s)
+
+
 STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
     "running_counts": _s_running_counts,
     "ewma": _s_ewma,
@@ -473,6 +481,7 @@ STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
     "mann_whitney": _s_mann_whitney,
     "bootstrap_ci": _s_bootstrap_ci,
     "conformal": _s_conformal,
+    "funnel": _s_funnel,
 }
 
 

@@ -91,6 +91,9 @@ __all__ = [
     "mp3_metadata",
     "encode_mp3_frames",
     "extract_mp3_metadata",
+    "mp4_metadata",
+    "encode_mp4_boxes",
+    "extract_mp4_metadata",
     "decode_avi_mjpeg",
     "encode_avi_mjpeg",
     "IMAGE_DECODERS",
@@ -1904,6 +1907,336 @@ def extract_mp3_metadata(
             for b in pdf[payload_col]:
                 try:
                     metas.append(mp3_metadata(b))
+                except ValueError as e:
+                    if strict:
+                        raise
+                    metas.append({"parse_error": str(e)})
+            out = {id_col: pdf[id_col]}
+            for name, _t in cols:
+                out[name] = pd.Series(
+                    [m.get(name) for m in metas], dtype="object"
+                )
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (ISO/IEC 14496-12) container metadata — METADATA
+# ONLY, no codec decode. The box grammar is a public length-prefixed
+# tree (size+fourcc headers, 64-bit largesize and to-EOF forms), so
+# movie duration, track count, codec fourccs and frame dimensions are
+# pure byte-walks over `moov`/`mvhd`/`trak`/`tkhd`/`mdia`/`mdhd`/
+# `hdlr`/`stbl`/`stsd` — the metadata half a crawl pipeline needs for
+# the dominant video container (dedupe by duration/dims, filter
+# sub-second clips, route by codec) while actual sample decode stays
+# behind the VIDEO_DECODERS/AUDIO_DECODERS registry seam.
+# ---------------------------------------------------------------------------
+
+
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Parse the ISO-BMFF box sequence in ``[start, end)``. Returns
+    ``(boxes, clean)`` where each box is ``(type, body_start,
+    body_end_declared)`` and ``clean`` is False when the final box
+    (or its header) is cut short — a cut box is still reported with
+    its DECLARED extent when its header was readable, so accounting
+    columns (mdat bytes) survive head-truncated crawls. Handles the
+    three public size forms: 32-bit, ``size==1`` + 64-bit largesize,
+    and ``size==0`` (to end of enclosing scope). Raises ValueError on
+    a size smaller than its own header (structurally corrupt)."""
+    boxes = []
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            return boxes, False
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        btype = bytes(payload[pos + 4 : pos + 8])
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return boxes, False
+            size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr:
+            raise ValueError(
+                f"corrupt ISO-BMFF box: size {size} < header at byte {pos}"
+            )
+        boxes.append((btype, pos + hdr, pos + size))
+        if pos + size > end:
+            return boxes, False
+        pos += size
+    return boxes, True
+
+
+def _mp4_find(boxes, btype: bytes):
+    """First child box of the given fourcc, or None."""
+    for t, b0, b1 in boxes:
+        if t == btype:
+            return b0, b1
+    return None
+
+
+def mp4_metadata(payload: bytes) -> dict:
+    """Walk an ISO-BMFF (MP4/M4A/MOV-style) container and return
+    stream metadata with NO sample decode: major brand, movie
+    timescale + integer duration_ms, track counts by handler, first
+    video track's codec fourcc and pixel dimensions (tkhd 16.16
+    fixed-point, integer part), first audio track's codec fourcc,
+    declared mdat byte total, and a ``clean`` audit flag (0 when the
+    final top-level box is cut — the head-truncation a crawl that
+    kept file heads produces; metadata still parses when ``moov``
+    precedes ``mdat``, the web-optimized layout).
+
+    Raises ValueError when neither ``ftyp`` nor ``moov`` exists at
+    the top level (not an ISO-BMFF payload) — ``strict=False``
+    extraction contains that per-row. Version 0 and version 1
+    (64-bit duration) ``mvhd``/``mdhd``/``tkhd`` layouts are both
+    read; width/height come from the tkhd tail, which is
+    version-invariant. All outputs are exact integers:
+    duration_ms = duration * 1000 // timescale."""
+    n = len(payload)
+    top, clean = _mp4_boxes(payload, 0, n)
+    major = None
+    moov = None
+    mdat_bytes = 0
+    for btype, b0, b1 in top:
+        if btype == b"ftyp" and major is None and b0 + 4 <= n:
+            major = payload[b0 : b0 + 4].decode("latin-1").strip()
+        elif btype == b"moov" and moov is None and b1 <= n:
+            moov = (b0, b1)
+        elif btype == b"mdat":
+            mdat_bytes += b1 - b0  # declared, survives truncation
+    if major is None and moov is None:
+        raise ValueError("no ftyp/moov box found (not an ISO-BMFF payload)")
+
+    def be32(off: int):
+        return int.from_bytes(payload[off : off + 4], "big")
+
+    def be64(off: int):
+        return int.from_bytes(payload[off : off + 8], "big")
+
+    timescale = duration_ms = None
+    n_tracks = n_video = n_audio = 0
+    video_codec = audio_codec = None
+    width = height = None
+    if moov is not None:
+        children, _ = _mp4_boxes(payload, moov[0], moov[1])
+        mvhd = _mp4_find(children, b"mvhd")
+        if mvhd is not None:
+            v = payload[mvhd[0]]
+            p = mvhd[0] + 4  # past version/flags
+            if v == 1:
+                timescale = be32(p + 16)
+                duration = be64(p + 20)
+            else:
+                timescale = be32(p + 8)
+                duration = be32(p + 12)
+            if timescale:
+                duration_ms = duration * 1000 // timescale
+        for btype, b0, b1 in children:
+            if btype != b"trak":
+                continue
+            n_tracks += 1
+            tk, _ = _mp4_boxes(payload, b0, b1)
+            handler = codec = None
+            tw = th = None
+            tkhd = _mp4_find(tk, b"tkhd")
+            if tkhd is not None:
+                # width/height are the LAST 8 body bytes (16.16
+                # fixed) in both the v0 and v1 layouts
+                tw = be32(tkhd[1] - 8) >> 16
+                th = be32(tkhd[1] - 4) >> 16
+            mdia = _mp4_find(tk, b"mdia")
+            if mdia is not None:
+                md, _ = _mp4_boxes(payload, mdia[0], mdia[1])
+                hdlr = _mp4_find(md, b"hdlr")
+                if hdlr is not None:
+                    handler = payload[hdlr[0] + 8 : hdlr[0] + 12]
+                minf = _mp4_find(md, b"minf")
+                if minf is not None:
+                    mi, _ = _mp4_boxes(payload, minf[0], minf[1])
+                    stbl = _mp4_find(mi, b"stbl")
+                    if stbl is not None:
+                        st, _ = _mp4_boxes(payload, stbl[0], stbl[1])
+                        stsd = _mp4_find(st, b"stsd")
+                        if stsd is not None and be32(stsd[0] + 4) >= 1:
+                            codec = payload[
+                                stsd[0] + 12 : stsd[0] + 16
+                            ].decode("latin-1").strip()
+            if handler == b"vide":
+                n_video += 1
+                if video_codec is None:
+                    video_codec, width, height = codec, tw, th
+            elif handler == b"soun":
+                n_audio += 1
+                if audio_codec is None:
+                    audio_codec = codec
+    return {
+        "major_brand": major,
+        "timescale": timescale,
+        "duration_ms": duration_ms,
+        "n_tracks": n_tracks,
+        "n_video": n_video,
+        "n_audio": n_audio,
+        "video_codec": video_codec,
+        "width": width,
+        "height": height,
+        "audio_codec": audio_codec,
+        "mdat_bytes": mdat_bytes,
+        "clean": int(clean),
+    }
+
+
+def encode_mp4_boxes(
+    *,
+    major_brand: str = "isom",
+    timescale: int = 600,
+    duration: int = 600,
+    tracks: "tuple | list" = (),
+    mdat_payload: bytes = b"",
+    version: int = 0,
+    use64: bool = False,
+) -> bytes:
+    """Synthesize a structurally valid ISO-BMFF container for
+    fixtures: ``ftyp`` + ``moov`` (mvhd + one trak/tkhd/mdia/mdhd/
+    hdlr/minf/stbl/stsd tree per track) + ``mdat``. The inverse
+    fixture generator for ``mp4_metadata`` — NOT a muxer (mdat bytes
+    are opaque, sample tables are minimal single-entry stsd boxes
+    whose entry type is the codec fourcc).
+
+    ``tracks``: dicts with keys ``handler`` ('vide'/'soun'),
+    ``codec`` (fourcc), optional ``width``/``height`` (pixels, vide)
+    and ``timescale``/``duration`` (default: the movie's).
+    ``version=1`` emits the 64-bit mvhd/mdhd/tkhd layouts (same
+    values — walkers must normalize). ``use64=True`` wraps moov and
+    mdat in size==1 + largesize headers (the 64-bit box-size form)."""
+    import struct as _s
+
+    def box(t: str, body: bytes, big: bool = False) -> bytes:
+        if big:
+            return (
+                (1).to_bytes(4, "big")
+                + t.encode("ascii")
+                + (16 + len(body)).to_bytes(8, "big")
+                + body
+            )
+        return (8 + len(body)).to_bytes(4, "big") + t.encode("ascii") + body
+
+    def fullbox(t: str, v: int, body: bytes) -> bytes:
+        return box(t, bytes([v, 0, 0, 0]) + body)
+
+    matrix = _s.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+    def mvhd() -> bytes:
+        if version == 1:
+            head = _s.pack(">QQIQ", 0, 0, timescale, duration)
+        else:
+            head = _s.pack(">IIII", 0, 0, timescale, duration)
+        tail = (
+            _s.pack(">iHH", 0x10000, 0x0100, 0)
+            + b"\x00" * 8
+            + matrix
+            + b"\x00" * 24
+            + _s.pack(">I", len(tracks) + 1)
+        )
+        return fullbox("mvhd", version, head + tail)
+
+    def trak(i: int, t: dict) -> bytes:
+        tts = int(t.get("timescale", timescale))
+        tdur = int(t.get("duration", duration))
+        w = int(t.get("width", 0))
+        h = int(t.get("height", 0))
+        if version == 1:
+            tk_head = _s.pack(">QQII", 0, 0, i + 1, 0) + _s.pack(">Q", tdur)
+            md_head = _s.pack(">QQIQ", 0, 0, tts, tdur)
+        else:
+            tk_head = _s.pack(">IIII", 0, 0, i + 1, 0) + _s.pack(">I", tdur)
+            md_head = _s.pack(">IIII", 0, 0, tts, tdur)
+        tkhd = fullbox(
+            "tkhd",
+            version,
+            tk_head
+            + b"\x00" * 8
+            + _s.pack(">HHHH", 0, 0, 0x0100, 0)
+            + matrix
+            + _s.pack(">II", w << 16, h << 16),
+        )
+        mdhd = fullbox("mdhd", version, md_head + _s.pack(">HH", 0x55C4, 0))
+        hdlr = fullbox(
+            "hdlr",
+            0,
+            b"\x00" * 4 + t["handler"].encode("ascii") + b"\x00" * 12 + b"\x00",
+        )
+        entry = box(t["codec"], b"\x00" * 6 + _s.pack(">H", 1))
+        stsd = fullbox("stsd", 0, _s.pack(">I", 1) + entry)
+        stbl = box("stbl", stsd)
+        minf = box("minf", stbl)
+        mdia = box("mdia", mdhd + hdlr + minf)
+        return box("trak", tkhd + mdia)
+
+    ftyp = box(
+        "ftyp",
+        major_brand.ljust(4).encode("ascii")[:4]
+        + b"\x00" * 4
+        + major_brand.ljust(4).encode("ascii")[:4],
+    )
+    moov_body = mvhd() + b"".join(trak(i, t) for i, t in enumerate(tracks))
+    return (
+        ftyp
+        + box("moov", moov_body, big=use64)
+        + box("mdat", mdat_payload, big=use64)
+    )
+
+
+#: metadata columns emitted per payload by ``extract_mp4_metadata``
+_MP4_META_COLS = (
+    ("major_brand", "string"),
+    ("timescale", "bigint"),
+    ("duration_ms", "bigint"),
+    ("n_tracks", "int"),
+    ("n_video", "int"),
+    ("n_audio", "int"),
+    ("video_codec", "string"),
+    ("width", "int"),
+    ("height", "int"),
+    ("audio_codec", "string"),
+    ("mdat_bytes", "bigint"),
+    ("clean", "int"),
+)
+
+
+def extract_mp4_metadata(
+    media_df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    *,
+    strict: bool = True,
+) -> DataFrame:
+    """mapInPandas MP4/ISO-BMFF metadata extraction — the container
+    sibling of ``extract_mp3_metadata`` with the identical 100 TB
+    shape: Arrow-batched byte-walk in the SCAN stage (no shuffle,
+    one output row per payload), per-batch peak memory bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``, input id name
+    and Spark type preserved. ``strict=False`` contains per-row
+    failures (not a container, corrupt box sizes) as NULL metadata +
+    the ValueError text in ``parse_error`` — one bad blob cannot
+    kill a 100 TB scan."""
+    id_type = dict(media_df.dtypes)[id_col]
+    cols = list(_MP4_META_COLS)
+    if not strict:
+        cols.append(("parse_error", "string"))
+    schema = ", ".join(
+        [f"{id_col} {id_type}"] + [f"{n} {t}" for n, t in cols]
+    )
+
+    def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            metas = []
+            for b in pdf[payload_col]:
+                try:
+                    metas.append(mp4_metadata(b))
                 except ValueError as e:
                     if strict:
                         raise

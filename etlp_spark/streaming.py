@@ -52,6 +52,7 @@ __all__ = [
     "ddsketch_tws",
     "cusum_tws",
     "session_gap_tws",
+    "funnel_tws",
     "streaming_dedup",
     "CountLogSink",
     "StreamingPipeline",
@@ -1601,4 +1602,109 @@ def interval_join(
             f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts} "
             f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {within}"
         ),
+    )
+
+
+def funnel_tws(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: "tuple[str, ...]" = ("signup", "click", "purchase"),
+) -> DataFrame:
+    """Streaming ordered-funnel progression per key — x39's batch
+    semantics (first step-0 event, first step-1 event STRICTLY after
+    it, first step-2 event strictly after that, ...) for an event
+    stream that never ends, the r12 verdict's item 8 (the
+    sessionization-adjacent family's first streaming twin).
+
+    State is one RocksDB MAP per key over (step, ts_micros) -> count
+    — the distinct event timestamps per funnel step, O(distinct
+    (step, ts)) per user, never O(stream length). Each update
+    RECOMPUTES the funnel walk from the stored timestamps (the
+    conformal_tws discipline: recompute-from-state, not incremental
+    mutation), which makes the result ORDER-INSENSITIVE under
+    replay: a LATE signup that is EARLIER than the one already seen
+    retroactively re-qualifies clicks that previously sat "before
+    signup" — exactly as a batch recompute would — the failure mode
+    of advance-on-match funnel state machines (frozen stage
+    pointers) is structurally absent. Emits (k, stage, ts0_us, ...,
+    ts{n-1}_us): ``stage`` is the number of steps reached, later
+    ``tsN_us`` are NULL once the walk stops. Timestamps may arrive
+    as TIMESTAMP or integer micros; NULL type/ts rows and event
+    types outside ``steps`` are skipped. Update mode; RocksDB state
+    store required (same as running_counts_tws).
+
+    The batch x39 aggregate (cohort counts per stage) is the
+    downstream ``count(*) group by stage`` over each key's LATEST
+    row — kept out of the twin so the per-key rows stay incremental
+    and the global count needs no cross-key state."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    n_steps = len(steps)
+
+    class _Funnel(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getMapState(
+                "funnel_ts", "step INT, t BIGINT", "cnt BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            step_idx = {s: i for i, s in enumerate(steps)}
+            local: dict[tuple[int, int], int] = {}
+            for pdf in rows:
+                for et, t in zip(pdf[type_col], pdf[ts_col]):
+                    i = step_idx.get(et)
+                    if i is None or t is None or t is pd.NaT:
+                        continue
+                    # pandas Timestamp -> micros; integers pass through
+                    tus = (
+                        int(t.value) // 1000
+                        if hasattr(t, "value")
+                        else int(t)
+                    )
+                    local[(i, tus)] = local.get((i, tus), 0) + 1
+            for sk, n in local.items():
+                prev = self._st.getValue(sk)
+                self._st.updateValue(sk, ((prev[0] if prev else 0) + n,))
+            per_step: list[list[int]] = [[] for _ in range(n_steps)]
+            for kk, _vv in self._st.iterator():
+                per_step[kk[0]].append(kk[1])
+            # the batch walk, recomputed from state: min of step 0,
+            # then min strictly after the previous step's timestamp
+            reached: list[int] = []
+            prev_ts = None
+            for i in range(n_steps):
+                cand = (
+                    per_step[0]
+                    if i == 0
+                    else [t for t in per_step[i] if t > prev_ts]
+                )
+                if not cand:
+                    break
+                prev_ts = min(cand)
+                reached.append(prev_ts)
+            out = {"k": [key[0]], "stage": [len(reached)]}
+            for i in range(n_steps):
+                out[f"ts{i}_us"] = [
+                    reached[i] if i < len(reached) else None
+                ]
+            yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    schema = "k string, stage int, " + ", ".join(
+        f"ts{i}_us bigint" for i in range(n_steps)
+    )
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _Funnel(),
+        outputStructType=schema,
+        outputMode="Update",
+        timeMode="None",
     )

@@ -1214,3 +1214,63 @@ def test_streaming_config_conformal_op(spark, tmp_path):
         assert row.covered == 9 and row.coverage_e6 == 900_000
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_config_funnel_op(spark, tmp_path):
+    """'funnel' as config vocabulary: the ordered-funnel twin is
+    nameable with key/type/ts columns and custom steps, and emits
+    its documented schema — the r12-verdict item 8 twin joins the
+    family registry beside conformal/bootstrap_ci/etc."""
+    import json as _json
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.config import streaming_pipeline_from_config
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        indir = tmp_path / "in_funnel"
+        indir.mkdir()
+        rows = [
+            {"k": "u1", "et": "install", "ts": 100},
+            {"k": "u1", "et": "open", "ts": 150},
+            {"k": "u1", "et": "open", "ts": 90},      # precedes install
+            {"k": "u2", "et": "open", "ts": 10},      # no install at all
+        ]
+        (indir / "a.jsonl").write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+        cfg = {
+            "name": "cfg-funnel",
+            "source": {
+                "type": "file_stream",
+                "path": str(indir),
+                "schema": "k string, et string, ts long",
+            },
+            "stateful": {
+                "op": "funnel",
+                "key": "k",
+                "type": "et",
+                "ts": "ts",
+                "steps": ["install", "open"],
+            },
+            "streaming": {
+                "checkpoint": str(tmp_path / "ckpt_funnel_cfg"),
+                "trigger": {"availableNow": True},
+                "output_mode": "update",
+            },
+            "sink": {"type": "memory", "name": "out_funnel"},
+        }
+        q = streaming_pipeline_from_config(cfg).start(spark)
+        q.awaitTermination(120)
+        got = {r.k: (r.stage, r.ts0_us, r.ts1_us)
+               for r in spark.sql("select * from out_funnel").collect()}
+        assert got["u1"] == (2, 100, 150)  # open@90 excluded (before)
+        assert got["u2"] == (0, None, None)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

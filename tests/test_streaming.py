@@ -1389,6 +1389,111 @@ def test_conformal_tws_matches_batch_arithmetic(spark, stream_dir, tmp_path):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_funnel_tws_matches_batch_walk(spark, stream_dir, tmp_path):
+    """Streaming ordered funnel (funnel_tws): after two micro-batches
+    the per-key (stage, ts0, ts1, ts2) equals x39's BATCH walk (min
+    signup, min click strictly after, min purchase strictly after)
+    over the concatenated events — and a LATE signup EARLIER than the
+    one already seen retroactively re-qualifies clicks that sat
+    "before signup", exactly as a batch recompute would (the
+    frozen-stage-pointer failure mode this design avoids). Ties
+    (click at exactly the signup timestamp) are excluded on both
+    engines; non-funnel event types are ignored."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.streaming import funnel_tws
+
+    b1 = [
+        # key 'a': click+purchase arrive BEFORE any qualifying signup
+        ("a", "click", 50), ("a", "purchase", 60), ("a", "signup", 100),
+        # key 'b': signup first; an early click that precedes it
+        ("b", "signup", 10), ("b", "click", 5), ("b", "view", 7),
+        # key 'c': no signup at all
+        ("c", "click", 1), ("c", "purchase", 2),
+        # key 'd': tie cases — strictly-after excludes equal ts
+        ("d", "signup", 10), ("d", "click", 10), ("d", "click", 11),
+        ("d", "purchase", 11),
+    ]
+    b2 = [
+        # the retroactive case: a LATE signup EARLIER than a's first
+        ("a", "signup", 10),
+        ("b", "click", 20), ("b", "purchase", 15), ("b", "purchase", 30),
+        ("c", "click", 3),
+        ("d", "purchase", 11),
+    ]
+
+    def batch_funnel(rows):
+        # x39's three-stage batch walk, per key
+        pts = spark.createDataFrame(rows, "k string, et string, ts long")
+        s = (pts.where(F.col("et") == "signup")
+             .groupBy("k").agg(F.min("ts").alias("t0")))
+        c = (pts.where(F.col("et") == "click")
+             .join(s, "k").where(F.col("ts") > F.col("t0"))
+             .groupBy("k").agg(F.min("ts").alias("t1")))
+        p = (pts.where(F.col("et") == "purchase")
+             .join(c, "k").where(F.col("ts") > F.col("t1"))
+             .groupBy("k").agg(F.min("ts").alias("t2")))
+        out = {}
+        t1s = {r.k: r.t1 for r in c.collect()}
+        t2s = {r.k: r.t2 for r in p.collect()}
+        for r in s.collect():
+            t1, t2 = t1s.get(r.k), t2s.get(r.k)
+            stage = 1 + (t1 is not None) + (t2 is not None)
+            out[r.k] = (stage, r.t0, t1, t2)
+        return out
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_batch(
+            stream_dir, "fn1.jsonl",
+            [{"k": k, "et": et, "ts": ts} for k, et, ts in b1],
+        )
+        src = file_stream(
+            spark, str(stream_dir), "k string, et string, ts long",
+            fmt="json",
+        )
+        q = (
+            funnel_tws(src, "k", "et", "ts")
+            .writeStream.format("memory")
+            .queryName("tws_funnel")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_fn"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            mid = {r.k: (r.stage, r.ts0_us, r.ts1_us, r.ts2_us)
+                   for r in spark.sql("select * from tws_funnel").collect()}
+            # 'a' is stuck at stage 1: its click/purchase precede the
+            # only signup seen so far
+            assert mid["a"] == (1, 100, None, None)
+            assert mid["c"] == (0, None, None, None)
+            # tie exclusion: d's click@10 == signup@10 doesn't count
+            assert mid["d"] == (2, 10, 11, None)
+            _write_batch(
+                stream_dir, "fn2.jsonl",
+                [{"k": k, "et": et, "ts": ts} for k, et, ts in b2],
+            )
+            q.processAllAvailable()
+            latest = {r.k: (r.stage, r.ts0_us, r.ts1_us, r.ts2_us)
+                      for r in spark.sql("select * from tws_funnel").collect()}
+            want = batch_funnel(b1 + b2)
+            for k in ("a", "b", "d"):
+                assert latest[k] == want[k], (k, latest[k], want.get(k))
+            # the late earlier signup retroactively completed a's funnel
+            assert latest["a"] == (3, 10, 50, 60)
+            assert latest["c"] == (0, None, None, None)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_bootstrap_ci_tws_matches_batch_arithmetic(spark, stream_dir, tmp_path):
     """Streaming Poisson-bootstrap CI (bootstrap_ci_tws): all-integer
     replicate state, so after two micro-batches the emitted interval
