@@ -88,19 +88,38 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def kcore(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    checkpoint_every: int = 1,
+) -> DataFrame:
     """``rounds`` peeling rounds toward the k-core (Matula & Beck
     1983): repeatedly drop nodes of degree < k. Returns the surviving
     edges. Bounded rounds keep the computation SQL-unrollable; pick
     ``rounds`` so a further peel is a no-op at your scale (verify
-    like x100's fixpoint pytest does)."""
+    like x100's fixpoint pytest does).
+
+    ``checkpoint_every`` sets the lineage-truncation cadence: rounds
+    whose index is not a multiple of it chain their two semi-joins
+    lazily onto the previous checkpoint instead of materializing an
+    intermediate edge list. The result is cadence-invariant (a
+    checkpoint only truncates lineage); the trade is recomputation
+    width (un-checkpointed rounds re-plan as one deeper DAG) vs
+    checkpoint I/O (each eager localCheckpoint writes the surviving
+    edge list to local block storage). The r12 x1000 probe found
+    x100's deep cost checkpoint-I/O-bound (heap-insensitive at 16.5 s
+    while its siblings dropped to ~7 s at 64g), which is why the
+    cadence is a knob; the r13 study measures cadences 1/2/3 at
+    x300/x1000 before changing any default."""
     cur = edges.select("a", "b").localCheckpoint(eager=True)
-    for _ in range(rounds):
+    for i in range(rounds):
         ok = degrees(cur).where(F.col("d") >= k).select("v")
         cur = (
             cur.join(ok.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(ok.withColumnRenamed("v", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
         )
+        if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
+            cur = cur.localCheckpoint(eager=True)
     return cur

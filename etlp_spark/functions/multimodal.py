@@ -91,6 +91,11 @@ __all__ = [
     "mp3_metadata",
     "encode_mp3_frames",
     "extract_mp3_metadata",
+    "id3_tags",
+    "id3v1_tags",
+    "encode_id3v2",
+    "encode_id3v1",
+    "extract_id3_tags",
     "mp4_metadata",
     "encode_mp4_boxes",
     "extract_mp4_metadata",
@@ -1907,6 +1912,360 @@ def extract_mp3_metadata(
             for b in pdf[payload_col]:
                 try:
                     metas.append(mp3_metadata(b))
+                except ValueError as e:
+                    if strict:
+                        raise
+                    metas.append({"parse_error": str(e)})
+            out = {id_col: pdf[id_col]}
+            for name, _t in cols:
+                out[name] = pd.Series(
+                    [m.get(name) for m in metas], dtype="object"
+                )
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# ID3 tag CONTENT (ID3v2.3 / v2.4 / v1) — the descriptive-metadata
+# half the MP3 family was still missing: mp3_metadata SKIPS a leading
+# ID3v2 tag by its syncsafe length (structural accounting only);
+# this section reads the tag's text frames (title/artist/album/year/
+# track), the fields a crawled-audio pipeline dedupes and routes by.
+# Pure byte-walks over the public informal standards (id3.org
+# id3v2.3.0 / id3v2.4.0-structure / id3v1): 10-byte header, syncsafe
+# tag size, per-frame headers (BE32 sizes in v2.3, syncsafe in
+# v2.4), $00/$01/$02/$03 text-encoding bytes, whole-tag (v2.3) and
+# per-frame (v2.4) unsynchronisation, trailing 128-byte ID3v1 block
+# as the fallback source.
+# ---------------------------------------------------------------------------
+
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def _id3_deunsync(data: bytes) -> bytes:
+    """Reverse ID3 unsynchronisation: every $FF 00 becomes $FF."""
+    return data.replace(b"\xff\x00", b"\xff")
+
+
+def _id3_text(body: bytes) -> str | None:
+    """Decode one text-frame body: encoding byte + text, first
+    string up to its terminator (multi-value frames keep value 1)."""
+    if not body:
+        return None
+    codec = _ID3_ENCODINGS.get(body[0])
+    if codec is None:
+        return None
+    try:
+        text = body[1:].decode(codec)
+    except UnicodeDecodeError:
+        return None
+    return text.split("\x00", 1)[0]
+
+
+def _id3_year(text: str | None) -> int | None:
+    """Year from a TYER ('1993') or TDRC ('1993-06-15T...') value —
+    the leading 4 digits under both conventions."""
+    if text is None or len(text) < 4 or not text[:4].isdigit():
+        return None
+    return int(text[:4])
+
+
+def _id3_track(text: str | None) -> int | None:
+    """Track number from a TRCK value: leading digits of '3' or
+    '3/12' (the set-size suffix is discarded)."""
+    if not text:
+        return None
+    digits = ""
+    for ch in text:
+        if not ch.isdigit():
+            break
+        digits += ch
+    return int(digits) if digits else None
+
+
+def _id3v1_field(raw: bytes) -> str | None:
+    """One fixed-width ID3v1 field: latin-1, NUL/space padded."""
+    s = raw.decode("latin-1").rstrip("\x00 ")
+    return s if s else None
+
+
+def id3v1_tags(payload: bytes) -> "dict | None":
+    """Parse a trailing 128-byte ID3v1 block (None if absent):
+    fixed-offset latin-1 fields; a v1.1 track number lives in the
+    last two comment bytes (comment[28] == 0, comment[29] != 0)."""
+    if len(payload) < 128:
+        return None
+    b = payload[-128:]
+    if b[:3] != b"TAG":
+        return None
+    track = b[126] if b[125] == 0 and b[126] != 0 else None
+    year = None
+    ytxt = b[93:97].decode("latin-1", "replace")
+    if ytxt.isdigit():
+        year = int(ytxt)
+    return {
+        "source": "id3v1",
+        "title": _id3v1_field(b[3:33]),
+        "artist": _id3v1_field(b[33:63]),
+        "album": _id3v1_field(b[63:93]),
+        "year": year,
+        "track_no": track,
+        "n_frames": None,
+        "tag_bytes": 128,
+        "padding_bytes": None,
+        "clean": 1,
+    }
+
+
+#: text frames surfaced as columns (first value wins); TYER is the
+#: v2.3 year convention, TDRC its v2.4 replacement
+_ID3_TEXT_IDS = ("TIT2", "TPE1", "TALB", "TYER", "TDRC", "TRCK")
+
+
+def id3_tags(payload: bytes) -> dict:
+    """Descriptive metadata from a leading ID3v2.3/v2.4 tag, falling
+    back to a trailing ID3v1 block when no v2 tag leads the payload
+    (the de-facto precedence: v2 supersedes v1).
+
+    The v2 walk: header (major version, flags, syncsafe size) →
+    optional extended header skipped (v2.3 non-syncsafe size
+    EXCLUDES its own 4 size bytes; v2.4 syncsafe size INCLUDES
+    itself) → frame headers until the first $00 frame id (padding)
+    or the tag end. v2.3 sets unsynchronisation tag-wide (the whole
+    body is de-unsynced before the walk, so frame sizes address the
+    original bytes); v2.4 sets it per frame (flag bit $02, body
+    de-unsynced after the optional $01 data-length indicator is
+    skipped). Text frames (T***, excluding TXXX) decode by their
+    encoding byte: $00 latin-1, $01 UTF-16 with BOM, $02 UTF-16BE,
+    $03 UTF-8. A frame whose declared size runs past the tag end
+    stops the walk with clean=0 (head-truncated crawl payload);
+    everything already parsed is kept — the containment posture of
+    mp3_metadata/mp4_metadata.
+
+    Raises ValueError when the payload has neither tag — the
+    strict=False extractor turns that into a parse_error row.
+    Reference: engine-added (SURVEY.md §2.2 multimodal family);
+    layouts from the public id3.org informal standards."""
+    hdr_bytes = _id3v2_size(payload)
+    if hdr_bytes == 0:
+        v1 = id3v1_tags(payload)
+        if v1 is None:
+            raise ValueError("no ID3v1 or ID3v2 tag found")
+        return v1
+    major = payload[3]
+    if major not in (3, 4):
+        v1 = id3v1_tags(payload)
+        if v1 is not None:
+            return v1
+        raise ValueError(f"unsupported ID3v2 major version {major}")
+    flags = payload[5]
+    clean = 1
+    body_end = hdr_bytes - (10 if flags & 0x10 else 0)
+    if body_end > len(payload):
+        body_end = len(payload)
+        clean = 0
+    body = payload[10:body_end]
+    if major == 3 and flags & 0x80:
+        body = _id3_deunsync(body)
+    pos = 0
+    if flags & 0x40 and len(body) >= 4:  # extended header
+        ext = int.from_bytes(body[:4], "big")
+        if major == 4:
+            ext_total = sum(
+                (b & 0x7F) << s for b, s in zip(body[:4], (21, 14, 7, 0))
+            )
+        else:
+            ext_total = 4 + ext
+        pos = min(ext_total, len(body))
+    n_frames = 0
+    padding = 0
+    texts: dict[str, str | None] = {}
+    while pos + 10 <= len(body):
+        fid = body[pos : pos + 4]
+        if fid[0] == 0:
+            padding = len(body) - pos
+            break
+        if not all(0x30 <= c <= 0x5A and (c <= 0x39 or c >= 0x41)
+                   for c in fid):
+            clean = 0
+            break
+        if major == 4:
+            if any(b & 0x80 for b in body[pos + 4 : pos + 8]):
+                clean = 0
+                break
+            fsize = sum(
+                (b & 0x7F) << s
+                for b, s in zip(body[pos + 4 : pos + 8], (21, 14, 7, 0))
+            )
+        else:
+            fsize = int.from_bytes(body[pos + 4 : pos + 8], "big")
+        fflags2 = body[pos + 9]
+        fstart = pos + 10
+        if fstart + fsize > len(body):
+            clean = 0  # declared frame runs past the tag: truncated
+            break
+        fbody = body[fstart : fstart + fsize]
+        if major == 4:
+            if fflags2 & 0x01:  # data-length indicator precedes body
+                fbody = fbody[4:]
+            if fflags2 & 0x02:
+                fbody = _id3_deunsync(fbody)
+        n_frames += 1
+        name = fid.decode("ascii")
+        if (
+            name in _ID3_TEXT_IDS
+            and name != "TXXX"
+            and name not in texts
+        ):
+            texts[name] = _id3_text(fbody)
+        pos = fstart + fsize
+    if n_frames == 0 and padding == 0:
+        clean = 0
+    return {
+        "source": f"id3v2.{major}",
+        "title": texts.get("TIT2"),
+        "artist": texts.get("TPE1"),
+        "album": texts.get("TALB"),
+        "year": _id3_year(texts.get("TDRC") or texts.get("TYER")),
+        "track_no": _id3_track(texts.get("TRCK")),
+        "n_frames": n_frames,
+        "tag_bytes": hdr_bytes,
+        "padding_bytes": padding,
+        "clean": clean,
+    }
+
+
+def _id3_unsync(data: bytes) -> bytes:
+    """Apply ID3 unsynchronisation: insert $00 after every $FF."""
+    return data.replace(b"\xff", b"\xff\x00")
+
+
+def encode_id3v2(
+    fields: "dict[str, str]",
+    *,
+    version: int = 3,
+    enc: int = 0,
+    padding: int = 0,
+    unsync: bool = False,
+    extra_frames: "tuple[tuple[str, bytes], ...]" = (),
+) -> bytes:
+    """Synthesize a complete ID3v2.3/v2.4 tag for fixtures — the
+    inverse generator for ``id3_tags``. ``fields`` maps frame ids
+    (TIT2/TPE1/...) to text values written with encoding byte
+    ``enc`` (0 latin-1, 1 UTF-16+BOM, 2 UTF-16BE, 3 UTF-8);
+    ``extra_frames`` appends raw (id, body) frames (e.g. a PRIV
+    blob) so walkers prove they count-and-skip what they don't
+    read. ``unsync`` exercises the two spec mechanisms: v2.3
+    unsynchronises the WHOLE tag body (flag $80), v2.4 each frame
+    (frame flag $02). Returns only the tag — callers append audio
+    bytes (``encode_mp3_frames``) for a full payload."""
+    if version not in (3, 4):
+        raise ValueError("only ID3v2.3 and v2.4 are emitted")
+    codec = _ID3_ENCODINGS[enc]
+
+    def one(fid: str, body: bytes) -> bytes:
+        fflags = 0
+        if version == 4:
+            if unsync:
+                body = _id3_unsync(body)
+                fflags = 0x02
+            size = bytes(
+                (len(body) >> s) & 0x7F for s in (21, 14, 7, 0)
+            )
+        else:
+            size = len(body).to_bytes(4, "big")
+        return fid.encode("ascii") + size + bytes([0, fflags]) + body
+
+    frames = bytearray()
+    for fid, text in fields.items():
+        frames += one(fid, bytes([enc]) + text.encode(codec))
+    for fid, body in extra_frames:
+        frames += one(fid, body)
+    tag_flags = 0
+    body = bytes(frames)
+    if unsync and version == 3:
+        body = _id3_unsync(body)
+        tag_flags |= 0x80
+    body += b"\x00" * padding
+    return (
+        b"ID3"
+        + bytes([version, 0, tag_flags])
+        + bytes((len(body) >> s) & 0x7F for s in (21, 14, 7, 0))
+        + body
+    )
+
+
+def encode_id3v1(
+    title: str = "",
+    artist: str = "",
+    album: str = "",
+    year: "int | None" = None,
+    track: "int | None" = None,
+) -> bytes:
+    """The 128-byte trailing ID3v1 block (v1.1 when ``track`` is
+    set) — append after the audio bytes."""
+
+    def fix(s: str, n: int) -> bytes:
+        b = s.encode("latin-1")[:n]
+        return b + b"\x00" * (n - len(b))
+
+    out = bytearray(b"TAG")
+    out += fix(title, 30) + fix(artist, 30) + fix(album, 30)
+    out += fix(str(year) if year is not None else "", 4)
+    comment = bytearray(30)
+    if track is not None:
+        comment[28] = 0
+        comment[29] = track & 0xFF
+    out += comment
+    out += b"\xff"  # genre: none
+    return bytes(out)
+
+
+#: tag columns emitted per payload, in schema order
+_ID3_COLS = (
+    ("source", "string"),
+    ("title", "string"),
+    ("artist", "string"),
+    ("album", "string"),
+    ("year", "int"),
+    ("track_no", "int"),
+    ("n_frames", "int"),
+    ("tag_bytes", "bigint"),
+    ("padding_bytes", "int"),
+    ("clean", "int"),
+)
+
+
+def extract_id3_tags(
+    media_df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    *,
+    strict: bool = True,
+) -> DataFrame:
+    """mapInPandas ID3 tag extraction — the descriptive-metadata
+    sibling of ``extract_mp3_metadata`` with the identical 100 TB
+    shape: Arrow-batched byte-walk in the SCAN stage (no shuffle,
+    one output row per payload), per-batch peak memory bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``, input id name
+    and Spark type preserved. ``strict=False`` contains per-row
+    failures (no tag at all, unsupported version) as NULL metadata +
+    the ValueError text in ``parse_error``."""
+    id_type = dict(media_df.dtypes)[id_col]
+    cols = list(_ID3_COLS)
+    if not strict:
+        cols.append(("parse_error", "string"))
+    schema = ", ".join(
+        [f"{id_col} {id_type}"] + [f"{n} {t}" for n, t in cols]
+    )
+
+    def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            metas = []
+            for b in pdf[payload_col]:
+                try:
+                    metas.append(id3_tags(b))
                 except ValueError as e:
                     if strict:
                         raise

@@ -14844,6 +14844,146 @@ def x146_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x147_id3_tags",
+    """
+    WITH f AS (SELECT doc_id AS d FROM documents)
+    SELECT CAST(d AS BIGINT) AS media_id,
+      CASE WHEN d % 13 = 0 THEN 'none'
+           WHEN d % 11 = 0 THEN 'id3v1'
+           WHEN d % 5 = 0 THEN 'id3v2.4' ELSE 'id3v2.3' END AS source,
+      CASE WHEN d % 13 = 0 THEN 'none'
+           WHEN d % 11 = 0 THEN 'T1-' || CAST(d % 100 AS VARCHAR)
+           ELSE 'Tïtle-' || CAST(d % 100 AS VARCHAR) END AS title,
+      CASE WHEN d % 13 = 0 THEN 'none'
+           WHEN d % 11 = 0 THEN 'A1-' || CAST(d % 50 AS VARCHAR)
+           ELSE 'Ärtist-' || CAST(d % 50 AS VARCHAR) END AS artist,
+      CASE WHEN d % 13 = 0 THEN 'none'
+           WHEN d % 11 = 0 THEN 'B1-' || CAST(d % 20 AS VARCHAR)
+           ELSE 'Albüm-' || CAST(d % 20 AS VARCHAR) END AS album,
+      CAST(CASE WHEN d % 13 = 0 THEN -1
+           WHEN d % 11 = 0 THEN 1970 + d % 30
+           ELSE 1980 + d % 40 END AS INT) AS year,
+      CAST(CASE WHEN d % 13 = 0 THEN -1 ELSE d % 12 + 1 END AS INT)
+        AS track_no,
+      CAST(CASE WHEN d % 13 = 0 OR d % 11 = 0 THEN -1
+           WHEN d % 6 = 0 THEN 6 ELSE 5 END AS INT) AS n_frames,
+      CAST(CASE WHEN d % 13 = 0 OR d % 11 = 0 THEN -1
+           WHEN d % 4 = 0 THEN 64 ELSE 0 END AS INT) AS padding_bytes,
+      CAST(CASE WHEN d % 13 = 0 THEN -1 ELSE 1 END AS INT) AS clean,
+      CASE WHEN d % 13 = 0 THEN 'no ID3v1 or ID3v2 tag found' ELSE '' END
+        AS parse_error
+    FROM f
+    """,
+)
+def x147_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3 tag CONTENT over MP3 payloads — the descriptive-metadata
+    half the MP3 family (x143 structure, x144 VBR headers) still
+    skipped over: title/artist/album/year/track from ID3v2.3/v2.4
+    text frames, with the trailing 128-byte ID3v1 block as the
+    fallback source (``functions/multimodal.id3_tags``) — the fields
+    a crawled-audio pipeline dedupes and routes by.
+
+    Fixture corpus, closed-form from doc_id (``encode_id3v2`` /
+    ``encode_id3v1``, the inverse generators): doc_id%13==0 rows are
+    GARBAGE (strict=False containment: sentinel row + error string);
+    doc_id%11==0 rows carry ONLY a trailing ID3v1.1 block after the
+    audio (fallback path, fixed-width latin-1 fields, track in the
+    comment tail); the rest lead with an ID3v2 tag — v2.4 when
+    doc_id%5==0 (syncsafe frame sizes, TDRC year, per-frame
+    unsynchronisation when doc_id%7==0) else v2.3 (BE32 frame sizes,
+    TYER year, whole-tag unsync when doc_id%7==0), cycling the three
+    practical text encodings (latin-1 / UTF-16+BOM / UTF-8) by
+    doc_id%3 over non-ASCII values, a 64-byte padding block when
+    doc_id%4==0, an uncounted-content PRIV frame when doc_id%6==0
+    (walkers must count-and-skip binary frames), and a TRCK '3/12'
+    set-size suffix on even ids (parsers take the leading digits).
+
+    Scale shape: x143/x144/x146's — two Arrow-batched mapInPandas
+    kernels (attach → walk) fused in ONE scan stage, no shuffle;
+    per-row error containment. Real corpora swap the attach kernel
+    for a parquet binary column. Reference: engine-added (SURVEY.md
+    §2.2 multimodal family); tag layouts from the public id3.org
+    informal standards."""
+    from etlp_spark.functions.multimodal import (
+        encode_id3v1,
+        encode_id3v2,
+        encode_mp3_frames,
+        extract_id3_tags,
+    )
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+
+    def attach(batches):
+        import pandas as pd
+
+        audio = encode_mp3_frames([(128, 0), (128, 1)])
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                if d % 13 == 0:
+                    payloads.append(b"no-tag-" + str(d).encode())
+                    continue
+                if d % 11 == 0:
+                    payloads.append(
+                        audio
+                        + encode_id3v1(
+                            f"T1-{d % 100}",
+                            f"A1-{d % 50}",
+                            f"B1-{d % 20}",
+                            1970 + d % 30,
+                            track=d % 12 + 1,
+                        )
+                    )
+                    continue
+                ver = 4 if d % 5 == 0 else 3
+                year = 1980 + d % 40
+                fields = {
+                    "TIT2": f"Tïtle-{d % 100}",
+                    "TPE1": f"Ärtist-{d % 50}",
+                    "TALB": f"Albüm-{d % 20}",
+                }
+                if ver == 4:
+                    fields["TDRC"] = f"{year}-06-15"
+                else:
+                    fields["TYER"] = str(year)
+                trk = d % 12 + 1
+                fields["TRCK"] = f"{trk}/12" if d % 2 == 0 else str(trk)
+                tag = encode_id3v2(
+                    fields,
+                    version=ver,
+                    enc=(0, 1, 3)[d % 3],
+                    padding=64 if d % 4 == 0 else 0,
+                    unsync=d % 7 == 0,
+                    extra_frames=(
+                        (("PRIV", b"owner\x00" + bytes([d % 251])),)
+                        if d % 6 == 0
+                        else ()
+                    ),
+                )
+                payloads.append(tag + audio)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(attach, "media_id bigint, payload binary")
+    tags = extract_id3_tags(media, strict=False)
+    # NULL-free output edge (x144/x146's sentinel pattern)
+    return tags.select(
+        "media_id",
+        F.coalesce("source", F.lit("none")).alias("source"),
+        F.coalesce("title", F.lit("none")).alias("title"),
+        F.coalesce("artist", F.lit("none")).alias("artist"),
+        F.coalesce("album", F.lit("none")).alias("album"),
+        F.coalesce("year", F.lit(-1)).alias("year"),
+        F.coalesce("track_no", F.lit(-1)).alias("track_no"),
+        F.coalesce("n_frames", F.lit(-1)).alias("n_frames"),
+        F.coalesce("padding_bytes", F.lit(-1)).alias("padding_bytes"),
+        F.coalesce("clean", F.lit(-1)).alias("clean"),
+        F.coalesce("parse_error", F.lit("")).alias("parse_error"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -14990,11 +15130,11 @@ _GATED_PRIOR_ROUNDS = [
 #: ENTIRE remaining r8-evidence block (37 queries; the verdict
 #: budgeted 38 with ≤3 leftovers, but x100 sits in both the changed
 #: set and the r8 block, so the whole block clears with ZERO r8
-#: leftovers). Sized at 49 — the three freed slots pull the first
-#: r9-evidence queries (g13/g7/j11) forward — so the round-13
-#: addition (x146_mp4_metadata, in no gate list) lands via
-#: ``_ungated`` as slot 50. After this gate the oldest driver
-#: evidence fleet-wide is r9.
+#: leftovers). Sized at 48 — two freed slots pull the first
+#: r9-evidence queries (g13/g7) forward — so the TWO round-13
+#: additions (x146_mp4_metadata, x147_id3_tags; in no gate list)
+#: land via ``_ungated`` as slots 49-50. After this gate the oldest
+#: driver evidence fleet-wide is r9.
 _NEWEST = [
     # changed-in-r12 graph queries (cooccurrence_edges cap-before-
     # sort), owed a driver row:
@@ -15023,9 +15163,9 @@ _NEWEST = [
     "x56_dup_rate_by_source", "x57_uniform_k_sample",
     "x58_langid_confusion", "x87_dsir_importance",
     "x99_cuped_adjusted_delta",
-    # first of the r9-evidence block, pulled forward into the three
-    # slots the x100 overlap freed:
-    "g13_modal_event_type", "g7_grouping_sets", "j11_lateral_topk",
+    # first of the r9-evidence block, pulled forward into the slots
+    # the x100 overlap freed:
+    "g13_modal_event_type", "g7_grouping_sets",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

@@ -234,6 +234,8 @@ QUERY_TABLES = {
     "x143_mp3_metadata": ["documents"],
     "x144_mp3_vbr_audit": ["documents"],
     "x145_t_closeness": ["events"],
+    "x146_mp4_metadata": ["documents"],
+    "x147_id3_tags": ["documents"],
 }
 
 SCALED_TABLES = ["documents", "embeddings", "lineitem", "orders", "customer", "events"]
@@ -420,6 +422,274 @@ def _gen_zipf(spark, n: int) -> str:
     return out
 
 
+def _gen_graph(spark, n: int) -> str:
+    """Replica-LOCKED bucket-key events corpus at x{n} volume (r12
+    verdict item 2): the standard replica recipe offsets event_id/
+    user_id but keeps ``ts`` and ``event_type`` untouched, so the
+    graph family's (event_type, hour) presence buckets accumulate
+    users from EVERY replica — at x300 each bucket exceeds the 32
+    cap and the co-occurrence graph is empty (executed r12 counts:
+    0 edges), leaving the deep points measuring only the scan/cap
+    path. This variant additionally shifts ``ts`` by ``r * 32 days``
+    per replica (the base corpus spans 30 days, so replica hour
+    buckets can never collide), which reproduces the BASE bucket
+    structure once per replica: surviving-bucket density per replica
+    is equal to gate-scale density BY CONSTRUCTION, and the deep
+    points exercise surviving-bucket pair expansion, the path the
+    r12 probes structurally couldn't.
+
+    Generated via one crossJoin against a broadcast replica range
+    instead of a 1000-way unionByName — same rows, one projection in
+    the plan instead of n."""
+    out = os.path.join(ROOT, f"graph_x{n}")
+    marker = os.path.join(out, "_COMPLETE_events")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    base = spark.read.parquet(f"{BASE}/events.parquet")
+    rep = F.broadcast(spark.range(n).select(F.col("id").alias("r")))
+    df = base.crossJoin(rep).select(
+        (F.col("event_id") + F.col("r") * _OFF_EVENT).alias("event_id"),
+        F.expr("ts + make_dt_interval(r * 32)").alias("ts"),
+        (F.col("user_id") + F.col("r") * _OFF_USER).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    df.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return out
+
+
+def _graph_diagnostics(spark, sf_dir: str) -> dict:
+    """EXECUTED bucket/edge counts for the graph family's exact
+    construction ((event_type, hour) buckets, 2..32 survivors,
+    min_shared=3 pair threshold) — the numbers that decide whether a
+    deep point measured pair expansion or an empty graph."""
+    from etlp_spark.functions.graph import cooccurrence_edges
+    from etlp_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    pres = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hb"), "user_id"
+    ).distinct()
+    sizes = pres.groupBy("event_type", "hb").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.max("sz").alias("mx"),
+        F.expr("percentile(sz, array(0.5, 0.99))").alias("q"),
+        F.sum(
+            F.when((F.col("sz") >= 2) & (F.col("sz") <= 32), 1).otherwise(0)
+        ).alias("surv"),
+        F.sum(F.when(F.col("sz") > 32, 1).otherwise(0)).alias("over"),
+    ).first()
+    edges = cooccurrence_edges(
+        pres, "user_id", ("event_type", "hb"), min_shared=3, max_bucket=32
+    )
+    n_edges = edges.count()
+    return dict(
+        buckets=row.nb, bucket_max=row.mx, bucket_p50=row.q[0],
+        bucket_p99=row.q[1], surviving_buckets=row.surv,
+        buckets_over_cap=row.over, edges=n_edges,
+    )
+
+
+def _kcore_cadence_study(
+    spark, sf_dir: str, cadences=(1, 2, 3), runs: int = 3
+) -> dict:
+    """x100's full pipeline (edge construction + 3 peel rounds +
+    degree report) timed at each localCheckpoint cadence (r12
+    verdict item 3: the x1000 k-core cost was checkpoint-I/O-bound
+    and heap-insensitive — 16.5 s at 64g while its siblings dropped
+    to ~7 s). Cadence 1 is the shipped per-round default; cadence 3
+    checkpoints only after the final round. Results are
+    cadence-invariant (pytest-pinned), so this is a pure
+    I/O-vs-recompute trade measurement. Best-of-3 per cadence, same
+    session."""
+    from etlp_spark.functions.graph import cooccurrence_edges, degrees, kcore
+    from etlp_spark.io import load_table
+
+    out: dict = {}
+    for cad in cadences:
+        times = []
+        for _ in range(runs):
+            t0 = time.time()
+            ev = load_table(spark, sf_dir, "events")
+            pres = ev.select(
+                "event_type",
+                F.date_trunc("hour", "ts").alias("hb"),
+                "user_id",
+            )
+            edges = cooccurrence_edges(
+                pres, "user_id", ("event_type", "hb"),
+                min_shared=3, max_bucket=32,
+            )
+            core = kcore(edges, k=3, rounds=3, checkpoint_every=cad)
+            degrees(core).write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+        out[f"cadence_{cad}"] = round(min(times), 3)
+        print(f"kcore cadence={cad}: {['%.2f' % t for t in times]}",
+              flush=True)
+    return out
+
+
+def _gen_mog(spark, n: int) -> str:
+    """Mixture-of-Gaussians embeddings corpus at x{n} volume (r12
+    verdict item 7): the replicated corpus inherits the synthetic
+    base's near-uniform cluster structure, so the IVF family's
+    occupancy numbers never see realistic cluster IMBALANCE. This
+    generator emits ``n * 2000`` 64-d vectors from 12 Gaussian
+    clusters with ZIPF(s=1.2) mixing weights (top cluster ~26% of
+    rows, smallest ~2%), sigma 0.12 around centers drawn uniform in
+    [-0.6, 0.6]^64. Everything is a pure function of vec_id
+    (counter-based hashing, no RNG state — the zipf-corpus
+    discipline), so the corpus is deterministic under any
+    partitioning. ``label`` carries the true component."""
+    out = os.path.join(ROOT, f"mog_x{n}")
+    marker = os.path.join(out, "_COMPLETE_embeddings")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    total = n * 2000
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        K, D, S = 12, 64, 1.2
+        mask = np.uint64(0xFFFFFFFF)
+
+        def h01(x):  # counter hash -> uniform [0, 1)
+            x = (x * np.uint64(2654435761)) & mask
+            x ^= x >> np.uint64(13)
+            x = (x * np.uint64(0x5BD1E995)) & mask
+            x ^= x >> np.uint64(15)
+            return x.astype(np.float64) / 2.0**32
+
+        w = 1.0 / (1.0 + np.arange(K)) ** S
+        cumw = np.cumsum(w / w.sum())
+        kd = np.arange(K * D, dtype=np.uint64)
+        centers = (1.2 * (h01(kd * np.uint64(1_000_003)
+                               + np.uint64(7)) - 0.5)).reshape(K, D)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            if len(ids) == 0:
+                continue
+            u = h01(ids.astype(np.uint64) * np.uint64(11400714819323198485))
+            comp = np.searchsorted(cumw, u).clip(0, K - 1)
+            base = (ids.astype(np.uint64)[:, None] * np.uint64(97)
+                    + np.arange(D, dtype=np.uint64)[None, :])
+            u1 = np.maximum(h01(base * np.uint64(31)), 1e-12)
+            u2 = h01(base * np.uint64(37) + np.uint64(1))
+            z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+            vecs = (centers[comp] + 0.12 * z).astype(np.float32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "embedding": list(vecs),
+                    "label": comp.astype(np.int32),
+                }
+            )
+
+    df = spark.range(total, numPartitions=32).mapInPandas(
+        gen, "vec_id bigint, embedding array<float>, label int"
+    )
+    df.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return out
+
+
+def _mog_diagnostics(spark, sf_dir: str) -> dict:
+    """IVF probe-skew numbers under realistic cluster imbalance (r12
+    verdict item 7): train x12's exact quantizer (k=8, 2 Lloyd
+    rounds, 1-in-10 sample) on the corpus, then record (a) cell
+    occupancy (max/p50/p99 + top-cell corpus share) and (b) the
+    probe-count distribution over a 64-query deterministic sample —
+    how many distinct cells the fleet of queries probes and what
+    fraction of the corpus a query's n_probe=2 scan touches at
+    p50/p99/max. The scanned-share numbers are the 'does a fat cell
+    need salting' verdict: under a cell-pruned layout a probe scans
+    whole cells, so top-cell share IS the worst-case per-query scan
+    fraction. A second quantizer at k=32 (same recipe otherwise)
+    records whether centroid-count scaling — the standard IVF
+    answer, k ~ sqrt(N) — dissolves the fat cell or whether the
+    imbalance is intrinsic and needs cell splitting at ingest."""
+    from etlp_spark.functions.similarity import (
+        ivf_assign,
+        ivf_probe_cells,
+        ivf_train,
+    )
+    from etlp_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    n = emb.count()
+    centroids = ivf_train(emb.where(F.col("vec_id") % 10 == 0), k=8, iters=2)
+    occ = {
+        r.cell: r.n
+        for r in ivf_assign(emb, centroids)
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sizes = sorted(occ.values(), reverse=True)
+    qvecs = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id") % (max(n // 64, 1)) == 0)
+        .orderBy("vec_id").limit(64).select("embedding").collect()
+    ]
+    # k-scaling comparison: same recipe at k=32 — does the fat cell
+    # dissolve when the centroid count grows with the corpus?
+    c32 = ivf_train(emb.where(F.col("vec_id") % 10 == 0), k=32, iters=2)
+    s32 = sorted(
+        (
+            r.n
+            for r in ivf_assign(emb, c32)
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        ),
+        reverse=True,
+    )
+    k32 = dict(
+        cells_nonempty=len(s32),
+        cell_max=s32[0],
+        cell_p50=s32[len(s32) // 2],
+        top_cell_share_e6=int(s32[0] * 1_000_000 // max(n, 1)),
+    )
+    emb.unpersist()
+    scanned = []
+    probed_cells: set = set()
+    for qv in qvecs:
+        cells = ivf_probe_cells(centroids, qv, n_probe=2)
+        probed_cells.update(cells)
+        scanned.append(sum(occ.get(c, 0) for c in cells))
+    scanned.sort()
+
+    def share_e6(x: int) -> int:
+        return int(x * 1_000_000 // max(n, 1))
+
+    return dict(
+        n_vectors=n,
+        cells_nonempty=len(sizes),
+        cell_max=sizes[0],
+        cell_p50=sizes[len(sizes) // 2],
+        cell_min=sizes[-1],
+        top_cell_share_e6=share_e6(sizes[0]),
+        queries_sampled=len(qvecs),
+        distinct_cells_probed=len(probed_cells),
+        scan_share_p50_e6=share_e6(scanned[len(scanned) // 2]),
+        scan_share_p99_e6=share_e6(
+            scanned[min(len(scanned) - 1, int(len(scanned) * 0.99))]
+        ),
+        scan_share_max_e6=share_e6(scanned[-1]),
+        k32=k32,
+    )
+
+
 def _corpus_diagnostics(spark, sf_dir: str) -> dict:
     """The distributions the text-family filters' efficacy rides on,
     EXECUTED (not assumed) over a corpus: token/shingle frequency
@@ -576,6 +846,36 @@ def main() -> None:
         "record corpus diagnostics for BOTH the zipf and replicated "
         "corpora (r11 verdict item 2)",
     )
+    ap.add_argument(
+        "--graph", action="append", type=int, default=[], metavar="N",
+        help="generate the replica-locked bucket-key events corpus "
+        "at xN volume, run the graph family against it (keys "
+        "graph_xN) with executed bucket/edge diagnostics, and run "
+        "the k-core checkpoint-cadence study (r12 verdict items "
+        "2+3); repeatable",
+    )
+    ap.add_argument(
+        "--graph-runs", type=int, default=3, metavar="R",
+        help="repetitions per (query, scale) cell in the --graph "
+        "loop and the cadence study (best-of-R; lower it at x1000 "
+        "where one x92 run costs ~12 min)",
+    )
+    ap.add_argument(
+        "--cadences", default="1,2,3", metavar="LIST",
+        help="comma list of k-core checkpoint cadences to study",
+    )
+    ap.add_argument(
+        "--cadence-scales", default=None, metavar="LIST",
+        help="run the cadence study only at these --graph scales "
+        "(default: all) — deep un-checkpointed lineages can OOM the "
+        "local JVM, and the study is a one-scale comparison anyway",
+    )
+    ap.add_argument(
+        "--mog", type=int, default=None, metavar="N",
+        help="generate the mixture-of-Gaussians embeddings corpus "
+        "at xN volume, run the IVF family against it (keys mog_xN), "
+        "and record IVF probe-skew diagnostics (r12 verdict item 7)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")] if args.scales else []
     queries = args.queries.split(",") if args.queries else HEAVY
@@ -600,13 +900,25 @@ def main() -> None:
         "base_sf": 0.1,
         "scales": scales,
         "run_id": run_id,
+        # heap matters at deep scales (the r12 24g-vs-64g finding):
+        # make every artifact carry the JVM size it measured under
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         "queries": {},
         "provenance": {},
     }
 
+    def dump() -> None:
+        # incremental checkpoint after every measured cell: a killed
+        # or crashed session keeps its already-paid measurements
+        # (r13 — the x300 graph points cost ~15 min each to re-earn)
+        with open(args.out, "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+
     def record(name: str, n: int, best: float) -> None:
         result["queries"].setdefault(name, {})[f"x{n}"] = round(best, 3)
         result["provenance"].setdefault(name, {})[f"x{n}"] = run_id
+        dump()
 
     for n in scales:
         sf_dir = _gen_scale(spark, n, needed)
@@ -658,6 +970,78 @@ def main() -> None:
         if os.path.exists(os.path.join(base_dir, "_DONE")):
             diags[f"x{zn}"] = _corpus_diagnostics(spark, base_dir)
         result["diagnostics"] = diags
+
+    graph_family = [
+        "x92_cooccurrence_triangles", "x100_kcore_membership",
+        "x107_pagerank_topk", "x128_clustering_coefficient",
+    ]
+    cadences = tuple(int(c) for c in args.cadences.split(","))
+    cadence_scales = (
+        {int(s) for s in args.cadence_scales.split(",")}
+        if args.cadence_scales else set(args.graph)
+    )
+    for gn in args.graph:
+        gdir = _gen_graph(spark, gn)
+        key = f"graph_x{gn}"
+        for name in graph_family:
+            first, best = _time_query(
+                spark, qs, name, gdir, runs=args.graph_runs
+            )
+            result["queries"].setdefault(name, {})[key] = round(best, 3)
+            result["provenance"].setdefault(name, {})[key] = run_id
+            dump()
+            print(f"{key} {name}: first={first:.2f}s best={best:.2f}s",
+                  flush=True)
+        diags = result.setdefault("diagnostics", {})
+        diags[key] = _graph_diagnostics(spark, gdir)
+        # gate-scale density reference: the same executed counts on
+        # raw sf0.1 — surviving buckets per replica should match it
+        # by construction (the corpus's whole point)
+        diags.setdefault("graph_base_sf0.1", _graph_diagnostics(spark, BASE))
+        dump()
+        print(f"{key} diagnostics: {diags[key]}", flush=True)
+    # Cadence studies LAST: an executor OOM under a deep
+    # un-checkpointed lineage kills the whole local JVM
+    # (SparkUncaughtExceptionHandler exits on OOM — the r13 x300
+    # cadence=2 run died exactly this way at 24g), so every
+    # query/diagnostic cell must already be on disk before the
+    # first risky cadence cell runs.
+    for gn in args.graph:
+        if gn not in cadence_scales:
+            continue
+        key = f"graph_x{gn}"
+        diags = result.setdefault("diagnostics", {})
+        diags.setdefault(key, {})["kcore_cadence"] = _kcore_cadence_study(
+            spark, _gen_graph(spark, gn), cadences=cadences,
+            runs=args.graph_runs,
+        )
+        dump()
+        print(f"{key} kcore_cadence: {diags[key]['kcore_cadence']}",
+              flush=True)
+
+    if args.mog:
+        mn = args.mog
+        mdir = _gen_mog(spark, mn)
+        key = f"mog_x{mn}"
+        for name in [
+            "x12_ivf_ann", "x94_ivf_adc_search",
+            "x137_ivf_persisted_search", "x141_ivf_index_staleness",
+        ]:
+            first, best = _time_query(spark, qs, name, mdir, runs=3)
+            result["queries"].setdefault(name, {})[key] = round(best, 3)
+            result["provenance"].setdefault(name, {})[key] = run_id
+            dump()
+            print(f"{key} {name}: first={first:.2f}s best={best:.2f}s",
+                  flush=True)
+        diags = result.setdefault("diagnostics", {})
+        diags[key] = _mog_diagnostics(spark, mdir)
+        dump()
+        # the replicated corpus's skew numbers for comparison, if its
+        # embeddings were already materialized this or a prior session
+        base_dir = os.path.join(ROOT, f"x{mn}")
+        if os.path.exists(os.path.join(base_dir, "_COMPLETE_embeddings")):
+            diags[f"x{mn}_ivf"] = _mog_diagnostics(spark, base_dir)
+        print(f"{key} diagnostics: {diags[key]}", flush=True)
 
     if len(scales) >= 2:
         lo, hi = f"x{scales[0]}", f"x{scales[-1]}"

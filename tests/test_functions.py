@@ -1174,6 +1174,141 @@ def test_mp4_strict_and_id_passthrough_through_spark(spark):
         extract_mp4_metadata(df, id_col="blob_id", strict=True).collect()
 
 
+def test_id3_walk_property():
+    """Property (hypothesis over field values / encodings / tag
+    versions / unsynchronisation / padding / extra binary frames):
+    id3_tags exactly inverts encode_id3v2 — text survives all four
+    encoding bytes, v2.3 BE32 vs v2.4 syncsafe frame sizes are
+    indistinguishable in the output, whole-tag (v2.3) and per-frame
+    (v2.4) unsync round-trip (UTF-16 BOMs force real $FF bytes), and
+    non-text frames are counted but not read."""
+    from hypothesis import given, settings, strategies as st
+
+    from etlp_spark.functions.multimodal import encode_id3v2, id3_tags
+
+    # printable-ish text with non-ASCII and $FF-prone chars, no NULs
+    text = st.text(
+        alphabet=st.characters(
+            codec="utf-8", min_codepoint=0x20, max_codepoint=0x2FA1D,
+            exclude_characters="\x00",
+        ),
+        min_size=1, max_size=24,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        title=text,
+        artist=text,
+        year=st.integers(1000, 9999),
+        track=st.integers(1, 99),
+        suffix=st.booleans(),
+        version=st.sampled_from((3, 4)),
+        enc=st.sampled_from((0, 1, 2, 3)),
+        unsync=st.booleans(),
+        padding=st.integers(0, 128),
+        priv=st.binary(min_size=0, max_size=40),
+        with_priv=st.booleans(),
+    )
+    def check(title, artist, year, track, suffix, version, enc,
+              unsync, padding, priv, with_priv):
+        if enc == 0:
+            try:
+                (title + artist).encode("latin-1")
+            except UnicodeEncodeError:
+                return  # latin-1 can't carry this draw; skip
+        fields = {
+            "TIT2": title,
+            "TPE1": artist,
+            ("TDRC" if version == 4 else "TYER"): str(year),
+            "TRCK": f"{track}/12" if suffix else str(track),
+        }
+        tag = encode_id3v2(
+            fields, version=version, enc=enc, unsync=unsync,
+            padding=padding,
+            extra_frames=(("PRIV", priv),) if with_priv else (),
+        )
+        m = id3_tags(tag + b"\xffaudio-bytes-after-tag")
+        assert m["source"] == f"id3v2.{version}"
+        assert m["title"] == title and m["artist"] == artist
+        assert m["album"] is None
+        assert m["year"] == year and m["track_no"] == track
+        assert m["n_frames"] == 4 + int(with_priv)
+        assert m["padding_bytes"] == padding
+        assert m["tag_bytes"] == len(tag) and m["clean"] == 1
+
+    check()
+
+
+def test_id3_v1_fallback_and_truncation():
+    """The non-v2 paths: a trailing ID3v1.1 block is the fallback
+    source (fixed-width latin-1 fields, track in the comment tail);
+    a v2 tag cut inside a frame keeps the already-parsed frames with
+    clean=0; a payload with neither tag raises."""
+    import pytest as _pt
+
+    from etlp_spark.functions.multimodal import (
+        encode_id3v1,
+        encode_id3v2,
+        encode_mp3_frames,
+        id3_tags,
+    )
+
+    audio = encode_mp3_frames([(128, 0)])
+    m = id3_tags(audio + encode_id3v1("Tï", "A", "B", 1984, track=7))
+    assert (m["source"], m["title"], m["artist"], m["album"]) == (
+        "id3v1", "Tï", "A", "B",
+    )
+    assert m["year"] == 1984 and m["track_no"] == 7
+    assert m["n_frames"] is None and m["padding_bytes"] is None
+    assert m["tag_bytes"] == 128 and m["clean"] == 1
+
+    # v2 wins over a v1 trailer on the same payload
+    tag = encode_id3v2({"TIT2": "V2"}, version=3)
+    m = id3_tags(tag + audio + encode_id3v1("V1"))
+    assert m["source"] == "id3v2.3" and m["title"] == "V2"
+
+    # head truncation inside frame 2: frame 1 survives, clean=0
+    tag = encode_id3v2({"TIT2": "Keep", "TALB": "Lost-" + "x" * 40})
+    m = id3_tags(tag[:-30])
+    assert m["title"] == "Keep" and m["album"] is None
+    assert m["n_frames"] == 1 and m["clean"] == 0
+
+    with _pt.raises(ValueError, match="no ID3v1 or ID3v2 tag"):
+        id3_tags(b"not-audio-at-all")
+
+
+def test_id3_strict_and_id_passthrough_through_spark(spark):
+    """extract_id3_tags mirrors the MP3/MP4 kernel hardening: a
+    64-bit id keeps its name and Spark type end-to-end, and
+    strict=False contains tagless payloads as a NULL row +
+    parse_error."""
+    from etlp_spark.functions.multimodal import (
+        encode_id3v2,
+        extract_id3_tags,
+    )
+
+    big = 2**41 + 3
+    tag = encode_id3v2(
+        {"TIT2": "Söng", "TPE1": "Bänd", "TYER": "2001", "TRCK": "4"},
+        version=3, enc=1,
+    )
+    rows = [(big, bytearray(tag)), (2, bytearray(b"no tag here"))]
+    df = spark.createDataFrame(rows, "blob_id bigint, payload binary")
+    out = extract_id3_tags(df, id_col="blob_id", strict=False)
+    assert dict(out.dtypes)["blob_id"] == "bigint"
+    got = {r.blob_id: r for r in out.collect()}
+    ok, bad = got[big], got[2]
+    assert ok.parse_error is None and ok.title == "Söng"
+    assert ok.artist == "Bänd" and ok.year == 2001 and ok.track_no == 4
+    assert bad.parse_error == "no ID3v1 or ID3v2 tag found"
+    assert bad.title is None and bad.n_frames is None
+
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="no ID3v1 or ID3v2"):
+        extract_id3_tags(df, id_col="blob_id", strict=True).collect()
+
+
 def test_bmp_wav_roundtrip_property():
     """Property: encode→decode is the identity for ANY pixel array /
     sample stream (hypothesis over shapes and values)."""
@@ -2017,6 +2152,32 @@ def test_graph_library_kcore_known_fixture(spark):
     two = {(r.a, r.b) for r in kcore(edges, k=2, rounds=2).collect()}
     assert (3, 4) in one and (4, 5) not in one
     assert two == set(clique)
+
+
+def test_graph_kcore_checkpoint_cadence_invariant(spark):
+    """checkpoint_every only changes WHERE lineage is truncated,
+    never the peeling result: the cascade fixture (k=2 needs the
+    round-2 re-peel of node 4) must come out identical at cadence
+    1 (per-round, the default), 2 (every other round), and 3 (only
+    the final round checkpoints for rounds=3)."""
+    from etlp_spark.functions.graph import kcore
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(3, 4), (4, 5)]
+    edges = spark.createDataFrame(clique + path, "a int, b int")
+    want = {
+        (r.a, r.b)
+        for r in kcore(edges, k=2, rounds=3, checkpoint_every=1).collect()
+    }
+    assert want == set(clique)
+    for cadence in (2, 3):
+        got = {
+            (r.a, r.b)
+            for r in kcore(
+                edges, k=2, rounds=3, checkpoint_every=cadence
+            ).collect()
+        }
+        assert got == want, cadence
 
 
 def test_graph_cooccurrence_edges_threshold_and_cap(spark):
