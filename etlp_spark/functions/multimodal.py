@@ -2120,6 +2120,17 @@ def id3_tags(payload: bytes) -> dict:
         ):
             texts[name] = _id3_text(fbody)
         pos = fstart + fsize
+    else:
+        # normal exit: fewer than 10 bytes left — a padding block
+        # SHORTER than one frame header never enters the walk above
+        # (found by the round-13 property test at padding=1). All-
+        # zero tail = padding; a non-zero partial header = a cut.
+        rest = body[pos:]
+        if rest:
+            if any(rest):
+                clean = 0
+            else:
+                padding = len(rest)
     if n_frames == 0 and padding == 0:
         clean = 0
     return {
