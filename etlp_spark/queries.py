@@ -15117,55 +15117,55 @@ _GATED_PRIOR_ROUNDS = [
     # other 48 r12 slots were t1/t2/t3 + x114/x137/x138 + 42 of the
     # r7-evidence block, all listed above):
     "x144_mp3_vbr_audit", "x145_t_closeness",
+    # round 13 gated these (CORRECTNESS_r13.json) — all green (the
+    # other 48 r13 slots were the changed-kernel graph four + the r7
+    # stragglers + the full r8-evidence block, all listed above):
+    "x146_mp4_metadata", "x147_id3_tags",
 ]
 
-#: Round-13 gate (the driver records the FIRST 50 registered),
-#: exactly the r12 verdict's directive (item 1): lead with the FOUR
-#: graph queries whose shared ``cooccurrence_edges`` kernel changed
-#: in r12 (cap-before-sort) — locally oracle-verified at both gate
-#: SFs after the change but carrying r8–r10 driver evidence, so owed
-#: a driver row under the established demotion-repayment policy —
-#: then the five r7 stragglers deferred exactly once (simple
-#: function/mapping/profile canaries, each gated r3+r7), then the
-#: ENTIRE remaining r8-evidence block (37 queries; the verdict
-#: budgeted 38 with ≤3 leftovers, but x100 sits in both the changed
-#: set and the r8 block, so the whole block clears with ZERO r8
-#: leftovers). Sized at 48 — two freed slots pull the first
-#: r9-evidence queries (g13/g7) forward — so the TWO round-13
-#: additions (x146_mp4_metadata, x147_id3_tags; in no gate list)
-#: land via ``_ungated`` as slots 49-50. After this gate the oldest
-#: driver evidence fleet-wide is r9.
+#: Round-14 gate (the driver records the FIRST 50 registered),
+#: exactly the r13 verdict's directive (item 1): lead with
+#: x143_mp3_metadata + x144_mp3_vbr_audit — their shared kernel
+#: (``_mp3_vbr_header`` probe bounding + ``mp3_metadata``
+#: lying-header demotion) changed in commit 0f2112a AFTER the r13
+#: window was designed, a behavior change for short-frame and
+#: lying-header inputs; both are locally oracle-exact at sf0.01 on
+#: that binary but owed a driver row under the demotion-repayment
+#: policy (the r13 verdict flagged that this debt was undocumented;
+#: this comment IS the record) — then the ENTIRE 42-query
+#: r9-evidence block, then the first 6 of the 44-query r10-evidence
+#: block (taken in CORRECTNESS_r10.json gate order) pulled forward.
+#: Sized at exactly 50. After this gate the oldest driver evidence
+#: fleet-wide is r10; the remaining 38 r10-evidence queries lead the
+#: r15 window (the steady-state cadence).
 _NEWEST = [
-    # changed-in-r12 graph queries (cooccurrence_edges cap-before-
-    # sort), owed a driver row:
-    "x92_cooccurrence_triangles", "x100_kcore_membership",
-    "x107_pagerank_topk", "x128_clustering_coefficient",
-    # the five r7 stragglers (deferred once, documented in the r12
-    # sizing comment):
-    "f5_regex_json", "f7_map_funcs", "m4_mapping_switch_call",
-    "p2_unpivot_event_counts", "g12_key_skew_profile",
-    # the remaining round-8 evidence block (freshest driver row =
-    # r8; x100 already listed above):
-    "f6_variant_json", "g8_salted_quantity_rollup",
-    "g9_hll_sketch_union", "j13_bloom_prejoin",
-    "j8_salted_join_priority", "m3_mapping_nested",
-    "q08_market_share", "q11_important_nations", "q13_custdist",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q20_heavy_part_suppliers", "q21_waiting_supplier",
-    "w10_transition_matrix", "w9_session_window_builtin",
-    "x101_srm_check", "x102_zorder_layout", "x106_mixture_allocation",
-    "x28_unigram_logprob", "x29_embedding_quantize",
-    "x30_ivf_assign_fixed", "x31_retrieval_topk_docs",
-    "x46_simhash_hamming_neardup", "x47_quality_tertile_buckets",
-    "x48_label_centroids", "x49_vocab_coverage", "x50_train_split",
-    "x51_token_entropy", "x52_containment_pairs", "x53_bigram_pmi",
-    "x54_metric_correlation", "x55_daily_anomaly_zscore",
-    "x56_dup_rate_by_source", "x57_uniform_k_sample",
-    "x58_langid_confusion", "x87_dsir_importance",
-    "x99_cuped_adjusted_delta",
-    # first of the r9-evidence block, pulled forward into the slots
-    # the x100 overlap freed:
-    "g13_modal_event_type", "g7_grouping_sets",
+    # changed-in-r13 MP3 kernel (0f2112a: VBR probe bounds +
+    # lying-header demotion), owed a driver row:
+    "x143_mp3_metadata", "x144_mp3_vbr_audit",
+    # the full round-9 evidence block (freshest driver row = r9):
+    "j11_lateral_topk", "p1_pivot_event_types",
+    "q12_priority_shipmode", "q14_promo_effect", "q15_top_supplier",
+    "q18_large_volume_customer", "q19_disjunctive_revenue",
+    "q22_idle_balance", "s4_union_distinct", "w4_per_user_trend",
+    "w11_range_frame_rolling", "w12_gap_fill_ffill", "x12_ivf_ann",
+    "x59_winsorized_stats", "x60_doc_chunks",
+    "x103_ddsketch_quantiles", "x103b_ddsketch_audited",
+    "x108_kmeans_update", "x109_editdistance_neardup",
+    "x110_funnel_steps", "x111_calibration_bins", "x112_k_anonymity",
+    "x113_power_iteration", "x115_kneser_ney_bigram",
+    "x116_poisson_bootstrap", "x118_postings_delta_bits",
+    "x119_l_diversity", "x120_cusum_drift", "x121_ams_f2",
+    "x122_kmeanspp_oversample", "x123_feature_hashing",
+    "x124_simpson_reversal", "x125_benford_audit",
+    "x126_neyman_allocation", "x127_removal_effect_attribution",
+    "x129_fellegi_sunter", "x130_welch_ttest", "x131_power_mde",
+    "x132_rendezvous_sharding", "x134_dp_noised_release",
+    "x135_sequence_perplexity", "x136_diff_in_diff",
+    # first 6 of the r10-evidence block (CORRECTNESS_r10.json gate
+    # order), pulled forward into the remaining slots:
+    "x133_ks_test", "x24_contamination_check",
+    "x36_dup_ngram_fraction", "x97_hll_registers",
+    "x98_source_overlap_matrix", "x105_unseen_mass",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
