@@ -112,6 +112,12 @@ def kcore(
     while its siblings dropped to ~7 s at 64g), which is why the
     cadence is a knob; the r13 study measures cadences 1/2/3 at
     x300/x1000 before changing any default."""
+    if checkpoint_every < 1:
+        # 0 would hit the modulo as an opaque ZeroDivisionError and
+        # negatives would silently disable mid-run checkpointing
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     cur = edges.select("a", "b").localCheckpoint(eager=True)
     for i in range(rounds):
         ok = degrees(cur).where(F.col("d") >= k).select("v")

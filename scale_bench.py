@@ -910,10 +910,14 @@ def main() -> None:
     def dump() -> None:
         # incremental checkpoint after every measured cell: a killed
         # or crashed session keeps its already-paid measurements
-        # (r13 — the x300 graph points cost ~15 min each to re-earn)
-        with open(args.out, "w") as fh:
+        # (r13 — the x300 graph points cost ~15 min each to re-earn).
+        # Write-to-temp + os.replace so a crash MID-WRITE can't
+        # corrupt the artifact the checkpointing exists to preserve.
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(result, fh, indent=1, sort_keys=True)
             fh.write("\n")
+        os.replace(tmp, args.out)
 
     def record(name: str, n: int, best: float) -> None:
         result["queries"].setdefault(name, {})[f"x{n}"] = round(best, 3)
