@@ -2113,11 +2113,17 @@ def id3_tags(payload: bytes) -> dict:
                 fbody = _id3_deunsync(fbody)
         n_frames += 1
         name = fid.decode("ascii")
-        if (
-            name in _ID3_TEXT_IDS
-            and name != "TXXX"
-            and name not in texts
-        ):
+        # Compressed/encrypted frame bodies (v2.3 format-flag bits
+        # 0x80/0x40, v2.4 bits 0x08/0x04) are not text we can decode:
+        # count the frame but skip extraction — the same count-and-
+        # skip posture binary frames get (r13 ADVICE).
+        if major == 4:
+            opaque = bool(fflags2 & 0x0C)
+        else:
+            opaque = bool(fflags2 & 0xC0)
+        # TXXX is excluded by the _ID3_TEXT_IDS allowlist (it carries
+        # a user description + value pair, not a plain text body)
+        if name in _ID3_TEXT_IDS and name not in texts and not opaque:
             texts[name] = _id3_text(fbody)
         pos = fstart + fsize
     else:
@@ -2607,6 +2613,408 @@ def extract_mp4_metadata(
             for b in pdf[payload_col]:
                 try:
                     metas.append(mp4_metadata(b))
+                except ValueError as e:
+                    if strict:
+                        raise
+                    metas.append({"parse_error": str(e)})
+            out = {id_col: pdf[id_col]}
+            for name, _t in cols:
+                out[name] = pd.Series(
+                    [m.get(name) for m in metas], dtype="object"
+                )
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# JPEG EXIF (stdlib-only): APP1/Exif TIFF-IFD byte-walk per the public
+# EXIF 2.3 and TIFF 6.0 specs (CIPA DC-008 / Adobe 1992) — JPEG marker
+# scan to the APP1 "Exif\0\0" segment, then IFD0 → Exif/GPS sub-IFDs
+# with both byte orders ("II" little / "MM" big), SHORT/LONG/ASCII/
+# RATIONAL value decoding, and inline-vs-offset value placement.
+# Orientation matters to dedup semantics (a rotated duplicate pHashes
+# differently until normalized); DateTimeOriginal / Make / Model / GPS
+# are the routing fields a crawled-image pipeline keys on. No pixel
+# decode — this is the x146/x147 one-scan metadata shape. GPS
+# coordinates are returned as EXACT signed integer micro-degrees:
+# udeg = sign * floor((deg + min/60 + sec/3600) * 1e6), computed with
+# Fraction so arbitrary rational denominators stay exact.
+# ---------------------------------------------------------------------------
+
+_EXIF_TAG_MAKE = 0x010F
+_EXIF_TAG_MODEL = 0x0110
+_EXIF_TAG_ORIENTATION = 0x0112
+_EXIF_TAG_XRESOLUTION = 0x011A
+_EXIF_TAG_EXIF_IFD = 0x8769
+_EXIF_TAG_GPS_IFD = 0x8825
+_EXIF_TAG_DT_ORIGINAL = 0x9003
+#: TIFF 6.0 field types → byte size per element (type 6/8 and the
+#: 11/12 float types never carry the fields we read; unknown types
+#: default to 1 so a corrupt type byte cannot explode the size math)
+_EXIF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _exif_udeg(dms, sign: int) -> "int | None":
+    """Signed micro-degrees from three (num, den) GPS rationals:
+    ``sign * floor((d + m/60 + s/3600) * 1e6)`` — the magnitude is
+    floored BEFORE the sign is applied (documented contract; the
+    closed-form oracles mirror it). Exact via Fraction; a zero
+    denominator returns None (field unreadable)."""
+    from fractions import Fraction
+
+    try:
+        f = (
+            Fraction(dms[0][0], dms[0][1])
+            + Fraction(dms[1][0], dms[1][1]) / 60
+            + Fraction(dms[2][0], dms[2][1]) / 3600
+        ) * 1_000_000
+    except ZeroDivisionError:
+        return None
+    return sign * (f.numerator // f.denominator)
+
+
+def exif_metadata(payload: bytes) -> dict:
+    """Walk a JPEG byte stream's marker segments to the APP1/Exif
+    block and return camera metadata with NO pixel decode: TIFF byte
+    order, Orientation, Make/Model, DateTimeOriginal (Exif sub-IFD),
+    GPS latitude/longitude as exact signed micro-degrees (GPS
+    sub-IFD; 'S'/'W' negative), the IFD0 entry count, and a ``clean``
+    audit flag. ``has_exif`` stays 0 for a well-formed JPEG that
+    simply carries no Exif APP1 (common; NOT an error row).
+
+    Containment posture (x146's): raises ValueError only when the
+    payload is not a JPEG at all (no SOI) — ``strict=False``
+    extraction contains that per-row. Inside the TIFF block every
+    read is bounds-checked against the APP1 segment: a truncated or
+    lying layout yields None fields + clean=0, never an exception.
+    ``clean`` also flips when the marker walk desyncs or the final
+    segment is cut (the head-truncation a crawl that kept file heads
+    produces)."""
+    n = len(payload)
+    if n < 2 or payload[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI marker)")
+    clean = 1
+    tiff = None
+    pos = 2
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            clean = 0  # marker walk desynced
+            break
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
+        if pos + 4 > n:
+            clean = 0
+            break
+        seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if seglen < 2:
+            clean = 0
+            break
+        segend = pos + 2 + seglen
+        if segend > n:
+            clean = 0  # declared segment runs past the payload: cut
+            segend = n
+        if (
+            marker == 0xE1
+            and tiff is None
+            and payload[pos + 4 : pos + 10] == b"Exif\x00\x00"
+        ):
+            tiff = (pos + 10, segend)
+        if marker == 0xDA:  # SOS: entropy-coded data follows
+            break
+        pos = segend
+    out: dict = {
+        "byte_order": None,
+        "has_exif": 0,
+        "orientation": None,
+        "make": None,
+        "model": None,
+        "datetime_original": None,
+        "gps_lat_udeg": None,
+        "gps_lon_udeg": None,
+        "n_ifd0_entries": None,
+        "clean": clean,
+    }
+    if tiff is None:
+        return out
+    t0, t1 = tiff
+    out["has_exif"] = 1
+    bo = payload[t0 : t0 + 2]
+    if bo == b"II":
+        endian = "little"
+    elif bo == b"MM":
+        endian = "big"
+    else:
+        out["clean"] = 0
+        return out
+    out["byte_order"] = bo.decode("ascii")
+
+    def num(off: int, size: int) -> "int | None":
+        # TIFF offsets are relative to the byte-order mark (t0);
+        # every read is bounded by the APP1 segment end
+        a = t0 + off
+        if off < 0 or a + size > t1:
+            return None
+        return int.from_bytes(payload[a : a + size], endian)
+
+    def raw(off: int, size: int) -> "bytes | None":
+        a = t0 + off
+        if off < 0 or a + size > t1:
+            return None
+        return payload[a : a + size]
+
+    if num(2, 2) != 42:  # TIFF magic
+        out["clean"] = 0
+        return out
+
+    def read_ifd(off: "int | None"):
+        """Entry table at ``off`` → ({tag: (type, count, value_off)},
+        complete). value_off is the INLINE position when the value
+        fits 4 bytes, else the offset the entry points at."""
+        if off is None:
+            return {}, False
+        cnt = num(off, 2)
+        if cnt is None:
+            return {}, False
+        entries: dict = {}
+        for i in range(cnt):
+            e = off + 2 + 12 * i
+            tag = num(e, 2)
+            typ = num(e + 2, 2)
+            count = num(e + 4, 4)
+            if tag is None or typ is None or count is None or num(e + 8, 4) is None:
+                return entries, False  # entry table itself is cut
+            size = _EXIF_TYPE_SIZES.get(typ, 1) * count
+            voff = e + 8 if size <= 4 else num(e + 8, 4)
+            entries[tag] = (typ, count, voff)
+        return entries, True
+
+    def ascii_val(ent) -> "str | None":
+        if ent is None:
+            return None
+        typ, count, voff = ent
+        if typ != 2 or voff is None or count < 1:
+            return None
+        b = raw(voff, count)
+        if b is None:
+            return None
+        return b.split(b"\x00")[0].decode("latin-1") or None
+
+    def int_val(ent) -> "int | None":
+        if ent is None:
+            return None
+        typ, count, voff = ent
+        if voff is None or count < 1:
+            return None
+        if typ == 3:
+            return num(voff, 2)
+        if typ == 4:
+            return num(voff, 4)
+        return None
+
+    def rational3(ent):
+        if ent is None:
+            return None
+        typ, count, voff = ent
+        if typ != 5 or count != 3 or voff is None:
+            return None
+        vals = []
+        for i in range(3):
+            nu = num(voff + 8 * i, 4)
+            de = num(voff + 8 * i + 4, 4)
+            if nu is None or de is None:
+                return None
+            vals.append((nu, de))
+        return vals
+
+    ifd0, complete = read_ifd(num(4, 4))
+    if not complete:
+        out["clean"] = 0
+    else:
+        out["n_ifd0_entries"] = len(ifd0)
+    out["make"] = ascii_val(ifd0.get(_EXIF_TAG_MAKE))
+    out["model"] = ascii_val(ifd0.get(_EXIF_TAG_MODEL))
+    out["orientation"] = int_val(ifd0.get(_EXIF_TAG_ORIENTATION))
+    if _EXIF_TAG_EXIF_IFD in ifd0:
+        sub, c2 = read_ifd(int_val(ifd0[_EXIF_TAG_EXIF_IFD]))
+        if not c2:
+            out["clean"] = 0
+        out["datetime_original"] = ascii_val(sub.get(_EXIF_TAG_DT_ORIGINAL))
+    if _EXIF_TAG_GPS_IFD in ifd0:
+        gps, c3 = read_ifd(int_val(ifd0[_EXIF_TAG_GPS_IFD]))
+        if not c3:
+            out["clean"] = 0
+        lat_ref = ascii_val(gps.get(0x0001))
+        lat = rational3(gps.get(0x0002))
+        lon_ref = ascii_val(gps.get(0x0003))
+        lon = rational3(gps.get(0x0004))
+        if lat is not None and lat_ref in ("N", "S"):
+            out["gps_lat_udeg"] = _exif_udeg(lat, -1 if lat_ref == "S" else 1)
+        if lon is not None and lon_ref in ("E", "W"):
+            out["gps_lon_udeg"] = _exif_udeg(lon, -1 if lon_ref == "W" else 1)
+    return out
+
+
+def encode_exif(
+    *,
+    byte_order: str = "II",
+    orientation: "int | None" = 1,
+    make: "str | None" = None,
+    model: "str | None" = None,
+    datetime_original: "str | None" = None,
+    gps: "tuple | None" = None,
+    xresolution: "tuple[int, int] | None" = (72, 1),
+    truncate_tiff_at: "int | None" = None,
+) -> bytes:
+    """Inverse fixture generator (x146/x147's pattern): build a JPEG
+    marker stream SOI + APP1(Exif\\0\\0 + TIFF) + COM + EOI whose
+    ``exif_metadata`` walk returns exactly the arguments. ``gps`` is
+    ``(lat_dms, lat_ref, lon_dms, lon_ref)`` with each dms a
+    3-tuple of (num, den) rationals. ``truncate_tiff_at=k`` keeps the
+    APP1 header's DECLARED length but ends the whole payload after
+    the first k TIFF bytes — the head-truncation case (clean=0, the
+    byte-order mark still readable when k >= 2). Entries are emitted
+    tag-sorted per TIFF 6.0; values wider than 4 bytes go to a shared
+    data area after the last IFD."""
+    little = byte_order == "II"
+    endk = "little" if little else "big"
+
+    def pk(v: int, size: int) -> bytes:
+        return int(v).to_bytes(size, endk)
+
+    def ascii_entry(tag: int, s: str):
+        b = s.encode("latin-1") + b"\x00"
+        return (tag, 2, len(b), b)
+
+    def rat_entry(tag: int, rats):
+        b = b"".join(pk(nu, 4) + pk(de, 4) for nu, de in rats)
+        return (tag, 5, len(rats), b)
+
+    exif_entries = []
+    if datetime_original is not None:
+        exif_entries.append(ascii_entry(_EXIF_TAG_DT_ORIGINAL, datetime_original))
+    gps_entries = []
+    if gps is not None:
+        lat_dms, lat_ref, lon_dms, lon_ref = gps
+        gps_entries = [
+            ascii_entry(0x0001, lat_ref),
+            rat_entry(0x0002, lat_dms),
+            ascii_entry(0x0003, lon_ref),
+            rat_entry(0x0004, lon_dms),
+        ]
+    ifd0 = []
+    if make is not None:
+        ifd0.append(ascii_entry(_EXIF_TAG_MAKE, make))
+    if model is not None:
+        ifd0.append(ascii_entry(_EXIF_TAG_MODEL, model))
+    if orientation is not None:
+        ifd0.append((_EXIF_TAG_ORIENTATION, 3, 1, pk(orientation, 2)))
+    if xresolution is not None:
+        ifd0.append(rat_entry(_EXIF_TAG_XRESOLUTION, [xresolution]))
+
+    def ifd_size(entries) -> int:
+        return 2 + 12 * len(entries) + 4
+
+    n0 = len(ifd0) + (1 if exif_entries else 0) + (1 if gps_entries else 0)
+    ifd0_off = 8
+    pos = ifd0_off + 2 + 12 * n0 + 4
+    exif_off = None
+    if exif_entries:
+        exif_off = pos
+        pos += ifd_size(exif_entries)
+        ifd0.append((_EXIF_TAG_EXIF_IFD, 4, 1, pk(exif_off, 4)))
+    gps_off = None
+    if gps_entries:
+        gps_off = pos
+        pos += ifd_size(gps_entries)
+        ifd0.append((_EXIF_TAG_GPS_IFD, 4, 1, pk(gps_off, 4)))
+
+    data = b""
+    data_start = pos
+
+    def ser_ifd(entries) -> bytes:
+        nonlocal data
+        body = pk(len(entries), 2)
+        for tag, typ, count, pay in sorted(entries):
+            body += pk(tag, 2) + pk(typ, 2) + pk(count, 4)
+            if len(pay) <= 4:
+                body += pay + b"\x00" * (4 - len(pay))
+            else:
+                body += pk(data_start + len(data), 4)
+                data += pay
+        return body + pk(0, 4)  # no next IFD
+
+    blocks = [ser_ifd(ifd0)]
+    if exif_entries:
+        blocks.append(ser_ifd(exif_entries))
+    if gps_entries:
+        blocks.append(ser_ifd(gps_entries))
+    tiff = (
+        (b"II" if little else b"MM") + pk(42, 2) + pk(8, 4)
+        + b"".join(blocks) + data
+    )
+    app1_body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(app1_body) + 2).to_bytes(2, "big") + app1_body
+    if truncate_tiff_at is not None:
+        keep = 2 + 2 + 6 + truncate_tiff_at  # marker+len+Exif\0\0+k
+        return b"\xff\xd8" + app1[:keep]
+    com_body = b"fixture"
+    com = b"\xff\xfe" + (len(com_body) + 2).to_bytes(2, "big") + com_body
+    return b"\xff\xd8" + app1 + com + b"\xff\xd9"
+
+
+_EXIF_COLS = (
+    ("byte_order", "string"),
+    ("has_exif", "int"),
+    ("orientation", "int"),
+    ("make", "string"),
+    ("model", "string"),
+    ("datetime_original", "string"),
+    ("gps_lat_udeg", "bigint"),
+    ("gps_lon_udeg", "bigint"),
+    ("n_ifd0_entries", "int"),
+    ("clean", "int"),
+)
+
+
+def extract_exif_metadata(
+    media_df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    *,
+    strict: bool = True,
+) -> DataFrame:
+    """mapInPandas JPEG EXIF extraction — the image sibling of
+    ``extract_mp4_metadata`` with the identical 100 TB shape:
+    Arrow-batched byte-walk in the SCAN stage (no shuffle, one output
+    row per payload), per-batch peak memory bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``, input id name
+    and Spark type preserved. ``strict=False`` contains per-row
+    failures (not a JPEG at all) as NULL metadata + the ValueError
+    text in ``parse_error`` — one bad blob cannot kill a 100 TB scan.
+    Corrupt Exif INSIDE a real JPEG never raises: it degrades to
+    None fields + clean=0 (see ``exif_metadata``)."""
+    id_type = dict(media_df.dtypes)[id_col]
+    cols = list(_EXIF_COLS)
+    if not strict:
+        cols.append(("parse_error", "string"))
+    schema = ", ".join(
+        [f"{id_col} {id_type}"] + [f"{n} {t}" for n, t in cols]
+    )
+
+    def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            metas = []
+            for b in pdf[payload_col]:
+                try:
+                    metas.append(exif_metadata(b))
                 except ValueError as e:
                     if strict:
                         raise

@@ -14984,6 +14984,162 @@ def x147_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x148_jpeg_exif",
+    """
+    WITH f AS (SELECT doc_id AS d FROM documents)
+    SELECT CAST(d AS BIGINT) AS media_id,
+      CASE WHEN d % 13 = 0 OR d % 11 = 0 THEN 'none'
+           WHEN d % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      CAST(CASE WHEN d % 13 = 0 THEN -1
+           WHEN d % 11 = 0 THEN 0 ELSE 1 END AS INT) AS has_exif,
+      CAST(CASE WHEN d % 13 = 0 OR d % 11 = 0 OR d % 9 = 0 THEN -1
+           ELSE d % 8 + 1 END AS INT) AS orientation,
+      CASE WHEN d % 13 = 0 OR d % 11 = 0 OR d % 9 = 0 THEN 'none'
+           ELSE 'Maker-' || CAST(d % 7 AS VARCHAR) END AS make,
+      CASE WHEN d % 13 = 0 OR d % 11 = 0 OR d % 9 = 0 THEN 'none'
+           ELSE 'Model-' || CAST(d % 17 AS VARCHAR) END AS model,
+      CASE WHEN d % 13 = 0 OR d % 11 = 0 OR d % 9 = 0 THEN 'none'
+           ELSE CAST(2010 + d % 15 AS VARCHAR) || ':06:'
+                || lpad(CAST(d % 28 + 1 AS VARCHAR), 2, '0')
+                || ' 12:' || lpad(CAST(d % 60 AS VARCHAR), 2, '0')
+                || ':00' END AS datetime_original,
+      CAST(CASE WHEN d % 13 = 0 OR d % 11 = 0 OR d % 9 = 0 OR d % 3 = 0
+             THEN -1
+           ELSE (CASE WHEN d % 4 < 2 THEN 1 ELSE -1 END)
+                * ((((d % 90) * 360000 + (d % 60) * 6000 + (d % 6000))
+                    * 25) // 9)
+           END AS BIGINT) AS gps_lat_udeg,
+      CAST(CASE WHEN d % 13 = 0 OR d % 11 = 0 OR d % 9 = 0 OR d % 3 = 0
+             THEN -1
+           ELSE (CASE WHEN d % 5 < 3 THEN 1 ELSE -1 END)
+                * ((((d % 180) * 360000 + ((d * 7) % 60) * 6000
+                    + ((d * 11) % 6000)) * 25) // 9)
+           END AS BIGINT) AS gps_lon_udeg,
+      CAST(CASE WHEN d % 13 = 0 OR d % 11 = 0 OR d % 9 = 0 THEN -1
+           WHEN d % 3 = 0 THEN 5 ELSE 6 END AS INT) AS n_ifd0_entries,
+      CAST(CASE WHEN d % 13 = 0 THEN -1
+           WHEN d % 11 = 0 THEN 1
+           WHEN d % 9 = 0 THEN 0 ELSE 1 END AS INT) AS clean,
+      CASE WHEN d % 13 = 0 THEN 'not a JPEG payload (no SOI marker)'
+           ELSE '' END AS parse_error
+    FROM f
+    """,
+)
+def x148_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG EXIF metadata over image payloads — the r13 verdict's
+    missing item 2: crawled image corpora carry orientation, capture
+    timestamp, camera make/model, and GPS in the APP1/TIFF-IFD block,
+    and orientation alone changes pHash/dedup semantics (a rotated
+    duplicate hashes differently until normalized — see
+    ``extract_features``' docs). Pure byte-walk, no pixel decode
+    (``functions/multimodal.exif_metadata``); GPS returned as EXACT
+    signed integer micro-degrees so the cross-engine compare never
+    touches a float.
+
+    Fixture corpus, closed-form from doc_id (``encode_exif``, the
+    inverse generator): doc_id%13==0 rows are GARBAGE (strict=False
+    containment: sentinel row + error string); doc_id%11==0 rows are
+    well-formed JPEGs WITHOUT an Exif APP1 (has_exif=0 — a normal
+    row, not an error; the common crawl case); doc_id%9==0 rows are
+    head-truncated INSIDE the TIFF block (declared APP1 length kept,
+    payload cut 8 bytes into the TIFF: byte order readable, entry
+    table unreadable, clean=0); the rest carry a full Exif block —
+    byte order alternating II/MM by doc_id%2 (both-endianness
+    sentinel rows), orientation cycling all 8 spec values, Make /
+    Model / DateTimeOriginal ASCII fields, an offset-valued
+    XResolution RATIONAL (walkers must skip unhandled tags AND
+    follow out-of-line values), and a GPS sub-IFD when doc_id%3!=0
+    with 'S'/'W' negative references exercised (doc_id%4, doc_id%5
+    splits) and centisecond-precision rationals (den=100).
+
+    Scale shape: x146/x147's — two Arrow-batched mapInPandas kernels
+    (attach → walk) fused in ONE scan stage, no shuffle; per-row
+    error containment. Real corpora swap the attach kernel for a
+    parquet binary column. Reference: engine-added (SURVEY.md §2.2
+    multimodal family); EXIF 2.3 / TIFF 6.0 public layouts."""
+    from etlp_spark.functions.multimodal import (
+        encode_exif,
+        extract_exif_metadata,
+    )
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+
+    def attach(batches):
+        import pandas as pd
+
+        jfif = (
+            b"\xff\xd8\xff\xe0" + (18).to_bytes(2, "big")
+            + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+            + b"\xff\xd9"
+        )
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                if d % 13 == 0:
+                    payloads.append(b"not-a-jpeg-" + str(d).encode())
+                    continue
+                if d % 11 == 0:
+                    payloads.append(jfif)
+                    continue
+                bo = "II" if d % 2 == 0 else "MM"
+                if d % 9 == 0:
+                    payloads.append(
+                        encode_exif(
+                            byte_order=bo, orientation=1, make="cut",
+                            model="cut",
+                            datetime_original="2010:06:01 12:00:00",
+                            truncate_tiff_at=8,
+                        )
+                    )
+                    continue
+                gps = None
+                if d % 3 != 0:
+                    gps = (
+                        ((d % 90, 1), (d % 60, 1), (d % 6000, 100)),
+                        "N" if d % 4 < 2 else "S",
+                        ((d % 180, 1), ((d * 7) % 60, 1),
+                         ((d * 11) % 6000, 100)),
+                        "E" if d % 5 < 3 else "W",
+                    )
+                payloads.append(
+                    encode_exif(
+                        byte_order=bo,
+                        orientation=d % 8 + 1,
+                        make=f"Maker-{d % 7}",
+                        model=f"Model-{d % 17}",
+                        datetime_original=(
+                            f"{2010 + d % 15}:06:{d % 28 + 1:02d}"
+                            f" 12:{d % 60:02d}:00"
+                        ),
+                        gps=gps,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(attach, "media_id bigint, payload binary")
+    meta = extract_exif_metadata(media, strict=False)
+    # NULL-free output edge (x144/x146/x147's sentinel pattern)
+    return meta.select(
+        "media_id",
+        F.coalesce("byte_order", F.lit("none")).alias("byte_order"),
+        F.coalesce("has_exif", F.lit(-1)).alias("has_exif"),
+        F.coalesce("orientation", F.lit(-1)).alias("orientation"),
+        F.coalesce("make", F.lit("none")).alias("make"),
+        F.coalesce("model", F.lit("none")).alias("model"),
+        F.coalesce("datetime_original", F.lit("none")).alias(
+            "datetime_original"
+        ),
+        F.coalesce("gps_lat_udeg", F.lit(-1)).alias("gps_lat_udeg"),
+        F.coalesce("gps_lon_udeg", F.lit(-1)).alias("gps_lon_udeg"),
+        F.coalesce("n_ifd0_entries", F.lit(-1)).alias("n_ifd0_entries"),
+        F.coalesce("clean", F.lit(-1)).alias("clean"),
+        F.coalesce("parse_error", F.lit("")).alias("parse_error"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -15135,9 +15291,13 @@ _GATED_PRIOR_ROUNDS = [
 #: this comment IS the record) — then the ENTIRE 42-query
 #: r9-evidence block, then the first 6 of the 44-query r10-evidence
 #: block (taken in CORRECTNESS_r10.json gate order) pulled forward.
-#: Sized at exactly 50. After this gate the oldest driver evidence
-#: fleet-wide is r10; the remaining 38 r10-evidence queries lead the
-#: r15 window (the steady-state cadence).
+#: Sized at 47 — three freed slots (the verdict budgeted 6 r10
+#: pull-forwards; 3 are deferred to r15) let the round-14 additions
+#: (x148_jpeg_exif, x149_riff_webp, x150_png_text; in no gate list)
+#: land via ``_ungated`` as slots 48-50 exactly as x146/x147 did in
+#: r13. After this gate the oldest driver evidence fleet-wide is
+#: r10; the remaining 41 r10-evidence queries lead the r15 window
+#: (the steady-state cadence).
 _NEWEST = [
     # changed-in-r13 MP3 kernel (0f2112a: VBR probe bounds +
     # lying-header demotion), owed a driver row:
@@ -15161,11 +15321,10 @@ _NEWEST = [
     "x129_fellegi_sunter", "x130_welch_ttest", "x131_power_mde",
     "x132_rendezvous_sharding", "x134_dp_noised_release",
     "x135_sequence_perplexity", "x136_diff_in_diff",
-    # first 6 of the r10-evidence block (CORRECTNESS_r10.json gate
+    # first 3 of the r10-evidence block (CORRECTNESS_r10.json gate
     # order), pulled forward into the remaining slots:
     "x133_ks_test", "x24_contamination_check",
-    "x36_dup_ngram_fraction", "x97_hll_registers",
-    "x98_source_overlap_matrix", "x105_unseen_mass",
+    "x36_dup_ngram_fraction",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

@@ -2476,3 +2476,167 @@ def test_gif_animation_samples_real_frames_via_video_registry(spark):
         mm._pixel_feature(mm.decode_gif(payload), 8), dtype=_np.float32
     )
     assert _np.array_equal(_np.asarray(feat, dtype=_np.float32), want_px)
+
+
+def test_exif_walk_deterministic_cases():
+    """exif_metadata exactly inverts encode_exif for both byte
+    orders, floors GPS micro-degrees with the documented
+    sign-after-floor contract, flags head-truncation inside the TIFF
+    block (byte order readable, entry table not), treats a JPEG
+    without APP1 as a NORMAL no-exif row, and raises the containment
+    error only for non-JPEG payloads."""
+    import pytest as _pt
+
+    from etlp_spark.functions.multimodal import encode_exif, exif_metadata
+
+    gps = (
+        ((12, 1), (34, 1), (5599, 100)), "S",
+        ((120, 1), (7, 1), (0, 100)), "E",
+    )
+    p = encode_exif(
+        byte_order="MM", orientation=6, make="Maker-3", model="Model-9",
+        datetime_original="2019:06:05 12:07:00", gps=gps,
+    )
+    m = exif_metadata(p)
+    lat_cs = 12 * 360000 + 34 * 6000 + 5599
+    lon_cs = 120 * 360000 + 7 * 6000 + 0
+    assert m == {
+        "byte_order": "MM", "has_exif": 1, "orientation": 6,
+        "make": "Maker-3", "model": "Model-9",
+        "datetime_original": "2019:06:05 12:07:00",
+        "gps_lat_udeg": -(lat_cs * 25 // 9),
+        "gps_lon_udeg": lon_cs * 25 // 9,
+        "n_ifd0_entries": 6, "clean": 1,
+    }
+
+    # little-endian layout, no GPS: 5 IFD0 entries (make, model,
+    # orientation, XResolution, Exif pointer)
+    m2 = exif_metadata(
+        encode_exif(
+            byte_order="II", orientation=8, make="a", model="b",
+            datetime_original="2010:06:01 12:00:00",
+        )
+    )
+    assert m2["byte_order"] == "II" and m2["orientation"] == 8
+    assert m2["n_ifd0_entries"] == 5 and m2["clean"] == 1
+    assert m2["gps_lat_udeg"] is None and m2["gps_lon_udeg"] is None
+
+    # head truncation 8 bytes into the TIFF block: the declared APP1
+    # length survives but the IFD0 entry count is unreadable
+    t = exif_metadata(
+        encode_exif(byte_order="II", make="cut", truncate_tiff_at=8)
+    )
+    assert t["has_exif"] == 1 and t["clean"] == 0
+    assert t["byte_order"] == "II" and t["n_ifd0_entries"] is None
+    assert t["make"] is None and t["orientation"] is None
+
+    # well-formed JPEG with no Exif APP1: normal row, not an error
+    jfif = (
+        b"\xff\xd8\xff\xe0" + (18).to_bytes(2, "big")
+        + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00\xff\xd9"
+    )
+    nm = exif_metadata(jfif)
+    assert nm["has_exif"] == 0 and nm["clean"] == 1
+    assert nm["byte_order"] is None
+
+    with _pt.raises(ValueError, match="not a JPEG payload"):
+        exif_metadata(b"not-a-jpeg-payload")
+
+
+def test_exif_walk_property():
+    """Property (hypothesis over byte orders / orientations / field
+    presence / GPS rationals incl. non-unit denominators):
+    exif_metadata exactly inverts encode_exif — strings round-trip,
+    the IFD0 entry count is the constructed one, and GPS
+    micro-degrees equal the Fraction-exact floor with sign applied
+    after."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings, strategies as st
+
+    from etlp_spark.functions.multimodal import encode_exif, exif_metadata
+
+    rational = st.tuples(
+        st.integers(0, 179), st.sampled_from((1, 2, 100))
+    )
+    dms = st.tuples(rational, rational, rational)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        bo=st.sampled_from(("II", "MM")),
+        orient=st.one_of(st.none(), st.integers(1, 8)),
+        make=st.one_of(st.none(), st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1, max_size=12)),
+        dt=st.booleans(),
+        lat=dms, lon=dms,
+        lat_ref=st.sampled_from(("N", "S")),
+        lon_ref=st.sampled_from(("E", "W")),
+        with_gps=st.booleans(),
+    )
+    def check(bo, orient, make, dt, lat, lon, lat_ref, lon_ref, with_gps):
+        gps = (lat, lat_ref, lon, lon_ref) if with_gps else None
+        dtv = "2015:06:07 08:09:10" if dt else None
+        p = encode_exif(
+            byte_order=bo, orientation=orient, make=make, model=None,
+            datetime_original=dtv, gps=gps,
+        )
+        m = exif_metadata(p)
+        assert m["byte_order"] == bo and m["has_exif"] == 1
+        assert m["clean"] == 1
+        assert m["orientation"] == orient
+        assert m["make"] == make
+        assert m["datetime_original"] == dtv
+        n = (1 if orient is not None else 0) + (1 if make else 0) + 1 \
+            + (1 if dtv else 0) + (1 if with_gps else 0)
+        assert m["n_ifd0_entries"] == n
+        if with_gps:
+            def udeg(d3, sign):
+                f = (Fraction(*d3[0]) + Fraction(*d3[1]) / 60
+                     + Fraction(*d3[2]) / 3600) * 1_000_000
+                return sign * (f.numerator // f.denominator)
+            assert m["gps_lat_udeg"] == udeg(lat, -1 if lat_ref == "S" else 1)
+            assert m["gps_lon_udeg"] == udeg(lon, -1 if lon_ref == "W" else 1)
+        else:
+            assert m["gps_lat_udeg"] is None
+
+    check()
+
+
+def test_exif_strict_and_id_passthrough_through_spark(spark):
+    """extract_exif_metadata mirrors the MP3/MP4 kernel hardening: a
+    64-bit id keeps its name and Spark type end-to-end, and
+    strict=False contains garbage as a NULL row + parse_error while
+    corrupt Exif INSIDE a real JPEG degrades (clean=0), never
+    raises."""
+    import pytest as _pt
+
+    from etlp_spark.functions.multimodal import (
+        encode_exif,
+        extract_exif_metadata,
+    )
+
+    big = 2**40 + 11
+    rows = [
+        (big, bytearray(encode_exif(
+            byte_order="II", orientation=3, make="M", model="X",
+            datetime_original="2020:06:01 10:00:00",
+        ))),
+        (2, bytearray(b"garbage, not a jpeg")),
+        (3, bytearray(encode_exif(byte_order="MM", truncate_tiff_at=4))),
+    ]
+    df = spark.createDataFrame(rows, "blob_id bigint, payload binary")
+    out = extract_exif_metadata(df, id_col="blob_id", strict=False)
+    assert dict(out.dtypes)["blob_id"] == "bigint"
+    got = {r.blob_id: r for r in out.collect()}
+    assert set(got) == {big, 2, 3}
+    ok, bad, cut = got[big], got[2], got[3]
+    assert ok.parse_error is None and ok.orientation == 3
+    assert ok.make == "M" and ok.clean == 1 and ok.byte_order == "II"
+    assert bad.parse_error == "not a JPEG payload (no SOI marker)"
+    assert bad.has_exif is None and bad.orientation is None
+    assert cut.parse_error is None and cut.clean == 0
+    assert cut.has_exif == 1 and cut.byte_order == "MM"
+
+    with _pt.raises(Exception, match="not a JPEG payload"):
+        extract_exif_metadata(df, id_col="blob_id", strict=True).collect()
