@@ -3030,6 +3030,495 @@ def extract_exif_metadata(
 
 
 # ---------------------------------------------------------------------------
+# RIFF/WebP (stdlib-only): container walk per the public WebP
+# container spec (developers.google.com/speed/webp/docs/riff_container)
+# and the VP8 (RFC 6386 §9.1) / VP8L (WebP lossless bitstream spec)
+# frame headers — fourcc chunks with little-endian sizes and even-byte
+# padding, dimensions from the first image chunk: VP8 sync code
+# 0x9D012A + two 14-bit LE fields, VP8L signature 0x2F + two 14-bit
+# fields packed into one LE32, VP8X canvas as two 24-bit LE minus-one
+# fields after the feature-flag byte. No pixel decode — the
+# x146/x147/x148 one-scan metadata shape for the web's dominant
+# crawled-image format.
+# ---------------------------------------------------------------------------
+
+_WEBP_FLAG_ICC = 0x20
+_WEBP_FLAG_ALPHA = 0x10
+_WEBP_FLAG_EXIF = 0x08
+_WEBP_FLAG_XMP = 0x04
+_WEBP_FLAG_ANIM = 0x02
+
+
+def webp_metadata(payload: bytes) -> dict:
+    """Walk a RIFF/WebP container and return image metadata with NO
+    pixel decode: format ('vp8' lossy / 'vp8l' lossless / 'vp8x'
+    extended), pixel dimensions (canvas dimensions for VP8X), the
+    VP8X feature flags (alpha/anim/ICC/EXIF/XMP; VP8L's alpha bit for
+    lossless), chunk count, the DECLARED RIFF byte size (survives
+    truncation), and a ``clean`` audit flag (0 when a chunk's
+    declared payload runs past the buffer — head truncation — or the
+    declared RIFF size disagrees with the actual length).
+
+    Raises ValueError when the RIFF/WEBP magic is absent (not a WebP
+    payload) — ``strict=False`` extraction contains that per-row. A
+    cut or corrupt chunk inside a real container never raises: it
+    degrades to None fields + clean=0."""
+    n = len(payload)
+    if n < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WebP payload")
+    riff_bytes = int.from_bytes(payload[4:8], "little")
+    clean = 1
+    if 8 + riff_bytes != n:
+        clean = 0  # declared size disagrees with the actual buffer
+    fmt = None
+    width = height = None
+    has_alpha = has_anim = has_icc = has_exif = has_xmp = 0
+    n_chunks = 0
+    pos = 12
+    while pos + 8 <= n:
+        fourcc = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body0 = pos + 8
+        body1 = body0 + size
+        n_chunks += 1
+        cut = body1 > n
+        if cut:
+            clean = 0
+        body = payload[body0 : min(body1, n)]
+        if fourcc == b"VP8 " and fmt is None:
+            fmt = "vp8"
+            # RFC 6386 §9.1: 3-byte frame tag, sync 0x9D012A, then
+            # two LE16s whose low 14 bits are width/height
+            if len(body) >= 10 and body[3:6] == b"\x9d\x01\x2a":
+                width = int.from_bytes(body[6:8], "little") & 0x3FFF
+                height = int.from_bytes(body[8:10], "little") & 0x3FFF
+            else:
+                clean = 0
+        elif fourcc == b"VP8L" and fmt is None:
+            fmt = "vp8l"
+            # signature 0x2F, then 14-bit width-1 / height-1 and the
+            # alpha-is-used bit packed into the next LE32
+            if len(body) >= 5 and body[0] == 0x2F:
+                bits = int.from_bytes(body[1:5], "little")
+                width = (bits & 0x3FFF) + 1
+                height = ((bits >> 14) & 0x3FFF) + 1
+                has_alpha = (bits >> 28) & 1
+            else:
+                clean = 0
+        elif fourcc == b"VP8X" and fmt is None:
+            fmt = "vp8x"
+            # flags byte + 3 reserved + canvas W-1 / H-1 as 24-bit LE
+            if len(body) >= 10:
+                flags = body[0]
+                has_icc = 1 if flags & _WEBP_FLAG_ICC else 0
+                has_alpha = 1 if flags & _WEBP_FLAG_ALPHA else 0
+                has_exif = 1 if flags & _WEBP_FLAG_EXIF else 0
+                has_xmp = 1 if flags & _WEBP_FLAG_XMP else 0
+                has_anim = 1 if flags & _WEBP_FLAG_ANIM else 0
+                width = int.from_bytes(body[4:7], "little") + 1
+                height = int.from_bytes(body[7:10], "little") + 1
+            else:
+                clean = 0
+        if cut:
+            break
+        pos = body1 + (size & 1)  # chunks pad to even byte offsets
+    if fmt is None:
+        clean = 0
+    return {
+        "format": fmt,
+        "width": width,
+        "height": height,
+        "has_alpha": has_alpha,
+        "has_anim": has_anim,
+        "has_icc": has_icc,
+        "has_exif_chunk": has_exif,
+        "has_xmp": has_xmp,
+        "n_chunks": n_chunks,
+        "riff_bytes": riff_bytes,
+        "clean": clean,
+    }
+
+
+def encode_webp(
+    *,
+    fmt: str = "vp8",
+    width: int = 1,
+    height: int = 1,
+    alpha: bool = False,
+    anim: bool = False,
+    icc: bool = False,
+    exif: bool = False,
+    xmp: bool = False,
+    truncate_after_chunk_header: bool = False,
+) -> bytes:
+    """Inverse fixture generator (x146/x147/x148's pattern): build a
+    RIFF/WebP container whose ``webp_metadata`` walk returns exactly
+    the arguments. ``fmt='vp8'``/``'vp8l'`` emit a single image chunk
+    with the real dimension encoding (VP8 limited to 14-bit dims);
+    ``fmt='vp8x'`` emits a VP8X header chunk (flags + 24-bit canvas),
+    an odd-sized EXIF chunk when ``exif`` (exercising the even-byte
+    pad rule), and a VP8 image chunk. Image payloads carry a filler
+    body after the header — the walker must not read past the fields
+    the spec defines. ``truncate_after_chunk_header`` keeps the
+    DECLARED RIFF size but ends the payload right after the first
+    chunk's fourcc+size — the head-truncation case (clean=0, format
+    readable, dimensions not)."""
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return (
+            fourcc + len(body).to_bytes(4, "little") + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    if fmt == "vp8":
+        body = (
+            b"\x00\x00\x00" + b"\x9d\x01\x2a"
+            + (width & 0x3FFF).to_bytes(2, "little")
+            + (height & 0x3FFF).to_bytes(2, "little")
+            + b"\xaa" * 20
+        )
+        chunks = chunk(b"VP8 ", body)
+    elif fmt == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14) | (int(alpha) << 28)
+        chunks = chunk(
+            b"VP8L", b"\x2f" + bits.to_bytes(4, "little") + b"\xbb" * 25
+        )
+    elif fmt == "vp8x":
+        flags = (
+            (_WEBP_FLAG_ICC if icc else 0)
+            | (_WEBP_FLAG_ALPHA if alpha else 0)
+            | (_WEBP_FLAG_EXIF if exif else 0)
+            | (_WEBP_FLAG_XMP if xmp else 0)
+            | (_WEBP_FLAG_ANIM if anim else 0)
+        )
+        vp8x = bytes([flags]) + b"\x00\x00\x00" \
+            + (width - 1).to_bytes(3, "little") \
+            + (height - 1).to_bytes(3, "little")
+        chunks = chunk(b"VP8X", vp8x)
+        if exif:
+            chunks += chunk(b"EXIF", b"exifdata0")  # odd: pad byte
+        chunks += chunk(
+            b"VP8 ",
+            b"\x00\x00\x00\x9d\x01\x2a"
+            + (width & 0x3FFF).to_bytes(2, "little")
+            + (height & 0x3FFF).to_bytes(2, "little")
+            + b"\xaa" * 20,
+        )
+    else:
+        raise ValueError(f"unknown webp fmt {fmt!r}")
+    full = b"WEBP" + chunks
+    out = b"RIFF" + len(full).to_bytes(4, "little") + full
+    if truncate_after_chunk_header:
+        return out[: 12 + 8]
+    return out
+
+
+_WEBP_COLS = (
+    ("format", "string"),
+    ("width", "int"),
+    ("height", "int"),
+    ("has_alpha", "int"),
+    ("has_anim", "int"),
+    ("has_icc", "int"),
+    ("has_exif_chunk", "int"),
+    ("has_xmp", "int"),
+    ("n_chunks", "int"),
+    ("riff_bytes", "bigint"),
+    ("clean", "int"),
+)
+
+
+def extract_webp_metadata(
+    media_df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    *,
+    strict: bool = True,
+) -> DataFrame:
+    """mapInPandas RIFF/WebP metadata extraction — identical 100 TB
+    shape to ``extract_mp4_metadata``/``extract_exif_metadata``:
+    Arrow-batched byte-walk in the SCAN stage, no shuffle, one output
+    row per payload, id name/type preserved; ``strict=False``
+    contains non-WebP blobs as NULL rows + ``parse_error``."""
+    id_type = dict(media_df.dtypes)[id_col]
+    cols = list(_WEBP_COLS)
+    if not strict:
+        cols.append(("parse_error", "string"))
+    schema = ", ".join(
+        [f"{id_col} {id_type}"] + [f"{n} {t}" for n, t in cols]
+    )
+
+    def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            metas = []
+            for b in pdf[payload_col]:
+                try:
+                    metas.append(webp_metadata(b))
+                except ValueError as e:
+                    if strict:
+                        raise
+                    metas.append({"parse_error": str(e)})
+            out = {id_col: pdf[id_col]}
+            for name, _t in cols:
+                out[name] = pd.Series(
+                    [m.get(name) for m in metas], dtype="object"
+                )
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# PNG ancillary metadata (stdlib-only): chunk walk per the public PNG
+# spec (W3C/ISO 15948) — IHDR structural fields, the three text chunk
+# forms (tEXt latin-1, zTXt zlib-compressed, iTXt UTF-8 with optional
+# compression + language/translated-keyword headers), gAMA, and a
+# per-chunk CRC32 audit. Complements decode_png (pixels) the way the
+# EXIF walker complements decode_jpeg: crawled PNGs carry provenance
+# (Software, Author, Title) and color intent in ancillary chunks, and
+# a pipeline wants them WITHOUT inflating IDAT.
+# ---------------------------------------------------------------------------
+
+_PNG_TEXT_KEYWORDS = ("Title", "Author", "Description", "Software")
+
+
+def png_text_metadata(payload: bytes) -> dict:
+    """Walk a PNG chunk stream and return structural + textual
+    metadata with NO pixel decode: IHDR width/height/bit-depth/color
+    type, the standard Title/Author/Description/Software text values
+    (first occurrence wins, any of the three text chunk forms), the
+    gAMA value (gamma * 100000, exact integer), chunk counts, a
+    CRC32 audit count, and a ``clean`` flag (0 on truncation, a
+    failed CRC, a missing IHDR, or a missing IEND).
+
+    Raises ValueError when the 8-byte PNG signature is absent —
+    ``strict=False`` extraction contains that per-row. Corrupt
+    chunks inside a real PNG never raise: a bad CRC still yields the
+    chunk's text (extraction and audit are separate concerns — a
+    single flipped bit shouldn't hide an otherwise-readable
+    provenance field), an undecompressable zTXt/iTXt body yields
+    None, and every read is bounds-checked."""
+    n = len(payload)
+    if n < 8 or payload[0:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (no signature)")
+    width = height = bit_depth = color_type = None
+    gamma_scaled = None
+    texts: dict = {}
+    n_chunks = n_text = n_crc_bad = 0
+    seen_ihdr = seen_iend = False
+    clean = 1
+    pos = 8
+    while pos + 8 <= n:
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        n_chunks += 1
+        if pos + 12 + clen > n:
+            clean = 0  # declared chunk runs past the payload: cut
+            break
+        body = payload[pos + 8 : pos + 8 + clen]
+        crc = int.from_bytes(payload[pos + 8 + clen : pos + 12 + clen], "big")
+        if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            n_crc_bad += 1
+            clean = 0
+        if ctype == b"IHDR" and not seen_ihdr:
+            seen_ihdr = True
+            if clen >= 10:
+                width = int.from_bytes(body[0:4], "big")
+                height = int.from_bytes(body[4:8], "big")
+                bit_depth = body[8]
+                color_type = body[9]
+            else:
+                clean = 0
+        elif ctype == b"gAMA" and clen >= 4:
+            gamma_scaled = int.from_bytes(body[0:4], "big")
+        elif ctype == b"tEXt":
+            n_text += 1
+            kw, _, val = body.partition(b"\x00")
+            texts.setdefault(
+                kw.decode("latin-1"), val.decode("latin-1")
+            )
+        elif ctype == b"zTXt":
+            n_text += 1
+            kw, _, rest = body.partition(b"\x00")
+            val = None
+            if rest[:1] == b"\x00":  # compression method 0 = zlib
+                try:
+                    val = zlib.decompress(rest[1:]).decode("latin-1")
+                except zlib.error:
+                    clean = 0
+            if val is not None:
+                texts.setdefault(kw.decode("latin-1"), val)
+        elif ctype == b"iTXt":
+            n_text += 1
+            kw, _, rest = body.partition(b"\x00")
+            if len(rest) >= 2:
+                comp_flag, comp_method = rest[0], rest[1]
+                rest2 = rest[2:]
+                _lang, _, rest3 = rest2.partition(b"\x00")
+                _trans, _, raw_val = rest3.partition(b"\x00")
+                val = None
+                if comp_flag == 0:
+                    val = raw_val.decode("utf-8", errors="replace")
+                elif comp_method == 0:
+                    try:
+                        val = zlib.decompress(raw_val).decode(
+                            "utf-8", errors="replace"
+                        )
+                    except zlib.error:
+                        clean = 0
+                if val is not None:
+                    texts.setdefault(kw.decode("latin-1"), val)
+        elif ctype == b"IEND":
+            seen_iend = True
+            pos += 12 + clen
+            break
+        pos += 12 + clen
+    if not seen_ihdr or not seen_iend:
+        clean = 0
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+        "title": texts.get("Title"),
+        "author": texts.get("Author"),
+        "description": texts.get("Description"),
+        "software": texts.get("Software"),
+        "gamma_scaled": gamma_scaled,
+        "n_chunks": n_chunks,
+        "n_text_chunks": n_text,
+        "n_crc_bad": n_crc_bad,
+        "clean": clean,
+    }
+
+
+def encode_png_text(
+    *,
+    width: int = 1,
+    height: int = 1,
+    bit_depth: int = 8,
+    color_type: int = 2,
+    texts: "tuple[tuple[str, str, str], ...]" = (),
+    gamma_scaled: "int | None" = None,
+    corrupt_crc: bool = False,
+    truncate_mid_chunk: bool = False,
+) -> bytes:
+    """Inverse fixture generator (x146-x149's pattern): build a PNG
+    chunk stream whose ``png_text_metadata`` walk returns exactly
+    the arguments. ``texts`` is a tuple of (keyword, value, form)
+    with form one of 'tEXt' (latin-1), 'zTXt' (zlib body), 'iTXt'
+    (UTF-8, compressed when the keyword sorts odd — both branches
+    exercised deterministically). ``corrupt_crc`` flips one bit of
+    the FIRST text chunk's CRC (extraction still works, audit
+    counts it); ``truncate_mid_chunk`` ends the payload inside the
+    first text chunk's declared body (IHDR intact, clean=0). A
+    minimal IDAT keeps the layout realistic; no pixel semantics are
+    claimed."""
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([bit_depth, color_type, 0, 0, 0])
+    )
+    out = [b"\x89PNG\r\n\x1a\n", _png_chunk(b"IHDR", ihdr)]
+    if gamma_scaled is not None:
+        out.append(_png_chunk(b"gAMA", gamma_scaled.to_bytes(4, "big")))
+    text_chunks = []
+    for kw, val, form in texts:
+        k = kw.encode("latin-1")
+        if form == "tEXt":
+            text_chunks.append(_png_chunk(b"tEXt", k + b"\x00" + val.encode("latin-1")))
+        elif form == "zTXt":
+            text_chunks.append(
+                _png_chunk(
+                    b"zTXt",
+                    k + b"\x00\x00" + zlib.compress(val.encode("latin-1")),
+                )
+            )
+        elif form == "iTXt":
+            compressed = (sum(k) % 2) == 1
+            raw = val.encode("utf-8")
+            body = (
+                k + b"\x00"
+                + bytes([1 if compressed else 0, 0])
+                + b"\x00\x00"  # empty language + translated keyword
+                + (zlib.compress(raw) if compressed else raw)
+            )
+            text_chunks.append(_png_chunk(b"iTXt", body))
+        else:
+            raise ValueError(f"unknown text chunk form {form!r}")
+    if corrupt_crc and text_chunks:
+        c = bytearray(text_chunks[0])
+        c[-1] ^= 0x01
+        text_chunks[0] = bytes(c)
+    out.extend(text_chunks)
+    out.append(_png_chunk(b"IDAT", zlib.compress(b"\x00" * (width + 1))))
+    out.append(_png_chunk(b"IEND", b""))
+    payload = b"".join(out)
+    if truncate_mid_chunk and text_chunks:
+        head_len = len(out[0]) + len(out[1]) + (
+            len(_png_chunk(b"gAMA", b"\x00" * 4)) if gamma_scaled is not None else 0
+        )
+        return payload[: head_len + 8 + 2]  # 8-byte chunk header + 2
+    return payload
+
+
+_PNG_TEXT_COLS = (
+    ("width", "int"),
+    ("height", "int"),
+    ("bit_depth", "int"),
+    ("color_type", "int"),
+    ("title", "string"),
+    ("author", "string"),
+    ("description", "string"),
+    ("software", "string"),
+    ("gamma_scaled", "bigint"),
+    ("n_chunks", "int"),
+    ("n_text_chunks", "int"),
+    ("n_crc_bad", "int"),
+    ("clean", "int"),
+)
+
+
+def extract_png_text_metadata(
+    media_df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    *,
+    strict: bool = True,
+) -> DataFrame:
+    """mapInPandas PNG ancillary-metadata extraction — identical
+    100 TB shape to the EXIF/WebP/MP4 kernels: Arrow-batched
+    byte-walk in the SCAN stage, no shuffle, one output row per
+    payload, id name/type preserved; ``strict=False`` contains
+    non-PNG blobs as NULL rows + ``parse_error``."""
+    id_type = dict(media_df.dtypes)[id_col]
+    cols = list(_PNG_TEXT_COLS)
+    if not strict:
+        cols.append(("parse_error", "string"))
+    schema = ", ".join(
+        [f"{id_col} {id_type}"] + [f"{n} {t}" for n, t in cols]
+    )
+
+    def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            metas = []
+            for b in pdf[payload_col]:
+                try:
+                    metas.append(png_text_metadata(b))
+                except ValueError as e:
+                    if strict:
+                        raise
+                    metas.append({"parse_error": str(e)})
+            out = {id_col: pdf[id_col]}
+            for name, _t in cols:
+                out[name] = pd.Series(
+                    [m.get(name) for m in metas], dtype="object"
+                )
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
 # GIF (stdlib-only): LZW decompression per the public GIF89a spec
 # (CompuServe 1990, https://www.w3.org/Graphics/GIF/spec-gif89a.txt)
 # — variable-width codes packed LSB-first, clear/EOI codes, 12-bit

@@ -15140,6 +15140,292 @@ def x148_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x149_riff_webp",
+    """
+    WITH f AS (SELECT doc_id AS d FROM documents)
+    SELECT CAST(d AS BIGINT) AS media_id,
+      CASE WHEN d % 13 = 0 THEN 'none'
+           WHEN d % 11 = 0 THEN 'vp8'
+           WHEN d % 3 = 0 THEN 'vp8x'
+           WHEN d % 3 = 1 THEN 'vp8' ELSE 'vp8l' END AS format,
+      CAST(CASE WHEN d % 13 = 0 OR d % 11 = 0 THEN -1
+           ELSE d % 4000 + 1 END AS INT) AS width,
+      CAST(CASE WHEN d % 13 = 0 OR d % 11 = 0 THEN -1
+           ELSE d % 3000 + 1 END AS INT) AS height,
+      CAST(CASE WHEN d % 13 = 0 THEN -1
+           WHEN d % 11 = 0 THEN 0
+           WHEN d % 3 = 1 THEN 0 ELSE d % 2 END AS INT) AS has_alpha,
+      CAST(CASE WHEN d % 13 = 0 THEN -1
+           WHEN d % 11 = 0 OR d % 3 <> 0 THEN 0
+           ELSE (d // 2) % 2 END AS INT) AS has_anim,
+      CAST(CASE WHEN d % 13 = 0 THEN -1
+           WHEN d % 11 = 0 OR d % 3 <> 0 THEN 0
+           ELSE (d // 4) % 2 END AS INT) AS has_icc,
+      CAST(CASE WHEN d % 13 = 0 THEN -1
+           WHEN d % 11 = 0 OR d % 3 <> 0 THEN 0
+           ELSE (d // 8) % 2 END AS INT) AS has_exif_chunk,
+      CAST(CASE WHEN d % 13 = 0 THEN -1
+           WHEN d % 11 = 0 OR d % 3 <> 0 THEN 0
+           ELSE (d // 16) % 2 END AS INT) AS has_xmp,
+      CAST(CASE WHEN d % 13 = 0 THEN -1
+           WHEN d % 11 = 0 THEN 1
+           WHEN d % 3 = 0 THEN 2 + (d // 8) % 2
+           ELSE 1 END AS INT) AS n_chunks,
+      CAST(CASE WHEN d % 13 = 0 THEN -1
+           WHEN d % 11 = 0 THEN 42
+           WHEN d % 3 = 0 THEN 60 + 18 * ((d // 8) % 2)
+           ELSE 42 END AS BIGINT) AS riff_bytes,
+      CAST(CASE WHEN d % 13 = 0 THEN -1
+           WHEN d % 11 = 0 THEN 0 ELSE 1 END AS INT) AS clean,
+      CASE WHEN d % 13 = 0 THEN 'not a RIFF/WebP payload' ELSE '' END
+        AS parse_error
+    FROM f
+    """,
+)
+def x149_riff_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIFF/WebP container metadata over image payloads — WebP is the
+    web's dominant crawled-image format, and its dimensions + feature
+    flags (alpha/animation/ICC/EXIF/XMP) are the fields an ingest
+    pipeline filters and routes on BEFORE paying for any decode
+    (``functions/multimodal.webp_metadata``). Pure fourcc-chunk walk:
+    VP8 sync-code dims (RFC 6386), VP8L packed 14-bit dims + alpha
+    bit, VP8X 24-bit canvas + flag byte, even-byte chunk padding.
+
+    Fixture corpus, closed-form from doc_id (``encode_webp``, the
+    inverse generator): doc_id%13==0 rows are GARBAGE (strict=False
+    containment); doc_id%11==0 rows are head-truncated right after
+    the first chunk header (format readable, dimensions not,
+    clean=0, DECLARED riff_bytes survives); the rest cycle the three
+    container layouts by doc_id%3 — VP8X extended (feature flags
+    from doc_id bit slices, an odd-sized EXIF chunk when flagged
+    exercising the pad rule, canvas past the 14-bit lossy limit),
+    plain lossy VP8, and lossless VP8L (alpha bit) — with dimensions
+    closed-form from doc_id.
+
+    Scale shape: x146-x148's — two Arrow-batched mapInPandas kernels
+    (attach → walk) fused in ONE scan stage, no shuffle; per-row
+    error containment. Reference: engine-added (SURVEY.md §2.2
+    multimodal family); RIFF/WebP container + VP8/VP8L public
+    specs."""
+    from etlp_spark.functions.multimodal import (
+        encode_webp,
+        extract_webp_metadata,
+    )
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+
+    def attach(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                if d % 13 == 0:
+                    payloads.append(b"garbage-not-webp-" + str(d).encode())
+                    continue
+                if d % 11 == 0:
+                    payloads.append(
+                        encode_webp(
+                            fmt="vp8", width=9, height=9,
+                            truncate_after_chunk_header=True,
+                        )
+                    )
+                    continue
+                w, h = d % 4000 + 1, d % 3000 + 1
+                if d % 3 == 0:
+                    payloads.append(
+                        encode_webp(
+                            fmt="vp8x", width=w, height=h,
+                            alpha=d % 2 == 1,
+                            anim=(d // 2) % 2 == 1,
+                            icc=(d // 4) % 2 == 1,
+                            exif=(d // 8) % 2 == 1,
+                            xmp=(d // 16) % 2 == 1,
+                        )
+                    )
+                elif d % 3 == 1:
+                    payloads.append(encode_webp(fmt="vp8", width=w, height=h))
+                else:
+                    payloads.append(
+                        encode_webp(
+                            fmt="vp8l", width=w, height=h, alpha=d % 2 == 1,
+                        )
+                    )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(attach, "media_id bigint, payload binary")
+    meta = extract_webp_metadata(media, strict=False)
+    # NULL-free output edge (x144/x146-x148's sentinel pattern)
+    return meta.select(
+        "media_id",
+        F.coalesce("format", F.lit("none")).alias("format"),
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce("has_alpha", F.lit(-1)).alias("has_alpha"),
+        F.coalesce("has_anim", F.lit(-1)).alias("has_anim"),
+        F.coalesce("has_icc", F.lit(-1)).alias("has_icc"),
+        F.coalesce("has_exif_chunk", F.lit(-1)).alias("has_exif_chunk"),
+        F.coalesce("has_xmp", F.lit(-1)).alias("has_xmp"),
+        F.coalesce("n_chunks", F.lit(-1)).alias("n_chunks"),
+        F.coalesce("riff_bytes", F.lit(-1)).alias("riff_bytes"),
+        F.coalesce("clean", F.lit(-1)).alias("clean"),
+        F.coalesce("parse_error", F.lit("")).alias("parse_error"),
+    )
+
+
+@_register(
+    "x150_png_text",
+    """
+    WITH f AS (SELECT doc_id AS d FROM documents)
+    SELECT CAST(d AS BIGINT) AS media_id,
+      CAST(CASE WHEN d % 13 = 0 THEN -1
+           ELSE d % 800 + 1 END AS INT) AS width,
+      CAST(CASE WHEN d % 13 = 0 THEN -1
+           ELSE d % 600 + 1 END AS INT) AS height,
+      CAST(CASE WHEN d % 13 = 0 THEN -1 ELSE 8 END AS INT) AS bit_depth,
+      CAST(CASE WHEN d % 13 = 0 THEN -1
+           WHEN d % 3 = 0 THEN 0 WHEN d % 3 = 1 THEN 2 ELSE 6
+           END AS INT) AS color_type,
+      CASE WHEN d % 13 = 0 OR (d % 11 <> 0 AND d % 9 = 0) THEN 'none'
+           ELSE 'Tïtle-' || CAST(d % 100 AS VARCHAR) END AS title,
+      CASE WHEN d % 13 = 0 OR d % 11 = 0 OR d % 9 = 0 THEN 'none'
+           ELSE 'Author-' || CAST(d % 50 AS VARCHAR) END AS author,
+      'none' AS description,
+      CASE WHEN d % 13 = 0 OR d % 11 = 0 OR d % 9 = 0 OR d % 4 <> 0
+             THEN 'none'
+           ELSE 'etlp-' || CAST(d % 7 AS VARCHAR) END AS software,
+      CAST(CASE WHEN d % 13 = 0 OR d % 11 = 0 OR d % 9 = 0 OR d % 5 <> 0
+             THEN -1 ELSE 45455 END AS BIGINT) AS gamma_scaled,
+      CAST(CASE WHEN d % 13 = 0 THEN -1
+           WHEN d % 11 = 0 THEN 4
+           WHEN d % 9 = 0 THEN 2
+           ELSE 5 + CASE WHEN d % 5 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN d % 4 = 0 THEN 1 ELSE 0 END
+           END AS INT) AS n_chunks,
+      CAST(CASE WHEN d % 13 = 0 THEN -1
+           WHEN d % 11 = 0 THEN 1
+           WHEN d % 9 = 0 THEN 0
+           ELSE 2 + CASE WHEN d % 4 = 0 THEN 1 ELSE 0 END
+           END AS INT) AS n_text_chunks,
+      CAST(CASE WHEN d % 13 = 0 THEN -1
+           WHEN d % 11 = 0 THEN 1 ELSE 0 END AS INT) AS n_crc_bad,
+      CAST(CASE WHEN d % 13 = 0 THEN -1
+           WHEN d % 11 = 0 OR d % 9 = 0 THEN 0 ELSE 1
+           END AS INT) AS clean,
+      CASE WHEN d % 13 = 0 THEN 'not a PNG payload (no signature)'
+           ELSE '' END AS parse_error
+    FROM f
+    """,
+)
+def x150_png_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG ancillary metadata over image payloads — the provenance
+    fields (Title/Author/Software text chunks), color intent (gAMA),
+    and structural IHDR fields a crawled-image pipeline routes on
+    WITHOUT inflating IDAT, plus a per-chunk CRC32 audit
+    (``functions/multimodal.png_text_metadata``). Complements the
+    existing decode_png pixel codec the way x148's EXIF walk
+    complements decode_jpeg.
+
+    Fixture corpus, closed-form from doc_id (``encode_png_text``,
+    the inverse generator): doc_id%13==0 rows are GARBAGE
+    (strict=False containment); doc_id%11==0 rows carry a
+    CRC-CORRUPTED title chunk — the text is still extracted but
+    n_crc_bad counts it and clean flips (extraction and audit are
+    separate concerns); doc_id%9==0 (and not %11) rows are truncated
+    inside the first text chunk (IHDR fields survive, no text,
+    clean=0); the rest are full streams cycling color types by
+    doc_id%3, Title as iTXt (UTF-8, non-ASCII) on even ids / tEXt
+    (latin-1) on odd, Author as zlib zTXt when doc_id%3==0, a
+    Software chunk when doc_id%4==0, and gAMA 45455 when doc_id%5==0.
+
+    Scale shape: x146-x149's — two Arrow-batched mapInPandas kernels
+    (attach → walk) fused in ONE scan stage, no shuffle; per-row
+    error containment. Reference: engine-added (SURVEY.md §2.2
+    multimodal family); W3C PNG spec chunk layouts."""
+    from etlp_spark.functions.multimodal import (
+        encode_png_text,
+        extract_png_text_metadata,
+    )
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+
+    def attach(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                if d % 13 == 0:
+                    payloads.append(b"not-a-png-" + str(d).encode())
+                    continue
+                w, h = d % 800 + 1, d % 600 + 1
+                ct = (0, 2, 6)[d % 3]
+                if d % 11 == 0:
+                    payloads.append(
+                        encode_png_text(
+                            width=w, height=h, color_type=ct,
+                            texts=(("Title", f"Tïtle-{d % 100}", "tEXt"),),
+                            corrupt_crc=True,
+                        )
+                    )
+                    continue
+                if d % 9 == 0:
+                    payloads.append(
+                        encode_png_text(
+                            width=w, height=h, color_type=ct,
+                            texts=(("Title", "cutcut", "tEXt"),),
+                            truncate_mid_chunk=True,
+                        )
+                    )
+                    continue
+                texts = [
+                    (
+                        "Title", f"Tïtle-{d % 100}",
+                        "iTXt" if d % 2 == 0 else "tEXt",
+                    ),
+                    (
+                        "Author", f"Author-{d % 50}",
+                        "zTXt" if d % 3 == 0 else "tEXt",
+                    ),
+                ]
+                if d % 4 == 0:
+                    texts.append(("Software", f"etlp-{d % 7}", "tEXt"))
+                payloads.append(
+                    encode_png_text(
+                        width=w, height=h, color_type=ct,
+                        texts=tuple(texts),
+                        gamma_scaled=45455 if d % 5 == 0 else None,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(attach, "media_id bigint, payload binary")
+    meta = extract_png_text_metadata(media, strict=False)
+    # NULL-free output edge (x144/x146-x149's sentinel pattern)
+    return meta.select(
+        "media_id",
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce("bit_depth", F.lit(-1)).alias("bit_depth"),
+        F.coalesce("color_type", F.lit(-1)).alias("color_type"),
+        F.coalesce("title", F.lit("none")).alias("title"),
+        F.coalesce("author", F.lit("none")).alias("author"),
+        F.coalesce("description", F.lit("none")).alias("description"),
+        F.coalesce("software", F.lit("none")).alias("software"),
+        F.coalesce("gamma_scaled", F.lit(-1)).alias("gamma_scaled"),
+        F.coalesce("n_chunks", F.lit(-1)).alias("n_chunks"),
+        F.coalesce("n_text_chunks", F.lit(-1)).alias("n_text_chunks"),
+        F.coalesce("n_crc_bad", F.lit(-1)).alias("n_crc_bad"),
+        F.coalesce("clean", F.lit(-1)).alias("clean"),
+        F.coalesce("parse_error", F.lit("")).alias("parse_error"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #

@@ -2640,3 +2640,186 @@ def test_exif_strict_and_id_passthrough_through_spark(spark):
 
     with _pt.raises(Exception, match="not a JPEG payload"):
         extract_exif_metadata(df, id_col="blob_id", strict=True).collect()
+
+
+def test_webp_walk_deterministic_cases():
+    """webp_metadata exactly inverts encode_webp across the three
+    container layouts (VP8 sync-code dims, VP8L packed 14-bit dims +
+    alpha bit, VP8X 24-bit canvas + flag byte + odd-chunk padding),
+    flags head truncation with the DECLARED RIFF size surviving, and
+    raises the containment error only for non-WebP payloads."""
+    import pytest as _pt
+
+    from etlp_spark.functions.multimodal import encode_webp, webp_metadata
+
+    m = webp_metadata(encode_webp(fmt="vp8", width=640, height=480))
+    assert (m["format"], m["width"], m["height"]) == ("vp8", 640, 480)
+    assert m["clean"] == 1 and m["n_chunks"] == 1 and m["riff_bytes"] == 42
+
+    # VP8L at the 14-bit dimension limit, alpha bit set
+    m = webp_metadata(encode_webp(fmt="vp8l", width=16383, height=1,
+                                  alpha=True))
+    assert (m["width"], m["height"], m["has_alpha"]) == (16383, 1, 1)
+
+    # VP8X: canvas past the lossy 14-bit limit, odd EXIF chunk pads
+    m = webp_metadata(encode_webp(fmt="vp8x", width=100000, height=2,
+                                  alpha=True, exif=True, xmp=True))
+    assert m["format"] == "vp8x" and m["width"] == 100000
+    assert m["has_alpha"] == 1 and m["has_exif_chunk"] == 1
+    assert m["has_xmp"] == 1 and m["has_anim"] == 0
+    assert m["n_chunks"] == 3 and m["riff_bytes"] == 78 and m["clean"] == 1
+
+    t = webp_metadata(
+        encode_webp(fmt="vp8", width=9, height=9,
+                    truncate_after_chunk_header=True)
+    )
+    assert t["clean"] == 0 and t["format"] == "vp8"
+    assert t["width"] is None and t["riff_bytes"] == 42
+
+    with _pt.raises(ValueError, match="not a RIFF/WebP"):
+        webp_metadata(b"garbage-not-webp")
+
+
+def test_webp_walk_property():
+    """Property (hypothesis over layouts / dimensions / flag
+    combinations): webp_metadata exactly inverts encode_webp —
+    dimensions round-trip through all three encodings and VP8X flag
+    bits map one-to-one."""
+    from hypothesis import given, settings, strategies as st
+
+    from etlp_spark.functions.multimodal import encode_webp, webp_metadata
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        fmt=st.sampled_from(("vp8", "vp8l", "vp8x")),
+        w=st.integers(1, 16383),
+        h=st.integers(1, 16383),
+        big=st.booleans(),
+        alpha=st.booleans(), anim=st.booleans(), icc=st.booleans(),
+        exif=st.booleans(), xmp=st.booleans(),
+    )
+    def check(fmt, w, h, big, alpha, anim, icc, exif, xmp):
+        if fmt == "vp8x" and big:
+            w, h = w + 16383, h + 16383  # past the 14-bit lossy limit
+        p = encode_webp(fmt=fmt, width=w, height=h, alpha=alpha,
+                        anim=anim, icc=icc, exif=exif, xmp=xmp)
+        m = webp_metadata(p)
+        assert m["format"] == fmt and m["clean"] == 1
+        assert (m["width"], m["height"]) == (w, h)
+        assert m["riff_bytes"] == len(p) - 8
+        if fmt == "vp8x":
+            assert m["has_alpha"] == int(alpha)
+            assert m["has_anim"] == int(anim)
+            assert m["has_icc"] == int(icc)
+            assert m["has_exif_chunk"] == int(exif)
+            assert m["has_xmp"] == int(xmp)
+            assert m["n_chunks"] == 2 + int(exif)
+        elif fmt == "vp8l":
+            assert m["has_alpha"] == int(alpha) and m["n_chunks"] == 1
+        else:
+            assert m["has_alpha"] == 0 and m["n_chunks"] == 1
+
+    check()
+
+
+def test_png_text_walk_deterministic_cases():
+    """png_text_metadata reads IHDR + all three text chunk forms +
+    gAMA, audits CRC32 per chunk WITHOUT hiding a readable field
+    behind a flipped bit, survives mid-chunk truncation with IHDR
+    intact, and raises the containment error only for non-PNG
+    payloads."""
+    import pytest as _pt
+
+    from etlp_spark.functions.multimodal import (
+        encode_png_text,
+        png_text_metadata,
+    )
+
+    p = encode_png_text(
+        width=320, height=200, color_type=6,
+        texts=(("Title", "Tïtle-7", "iTXt"), ("Author", "Auth-3", "zTXt"),
+               ("Software", "etlp-1", "tEXt")),
+        gamma_scaled=45455,
+    )
+    m = png_text_metadata(p)
+    assert (m["width"], m["height"], m["bit_depth"], m["color_type"]) == \
+        (320, 200, 8, 6)
+    assert m["title"] == "Tïtle-7" and m["author"] == "Auth-3"
+    assert m["software"] == "etlp-1" and m["description"] is None
+    assert m["gamma_scaled"] == 45455
+    assert m["n_chunks"] == 7 and m["n_text_chunks"] == 3
+    assert m["n_crc_bad"] == 0 and m["clean"] == 1
+
+    # iTXt compressed branch: 'Author' has an odd keyword byte-sum
+    mc = png_text_metadata(
+        encode_png_text(texts=(("Author", "zipped ünïcode", "iTXt"),))
+    )
+    assert mc["author"] == "zipped ünïcode" and mc["clean"] == 1
+
+    bad = png_text_metadata(
+        encode_png_text(texts=(("Title", "x", "tEXt"),), corrupt_crc=True)
+    )
+    assert bad["n_crc_bad"] == 1 and bad["clean"] == 0
+    assert bad["title"] == "x"  # audit separate from extraction
+
+    t = png_text_metadata(
+        encode_png_text(width=10, height=9,
+                        texts=(("Title", "cutcut", "tEXt"),),
+                        truncate_mid_chunk=True)
+    )
+    assert t["clean"] == 0 and t["width"] == 10 and t["height"] == 9
+    assert t["title"] is None and t["n_chunks"] == 2
+
+    with _pt.raises(ValueError, match="not a PNG payload"):
+        png_text_metadata(b"nope")
+
+
+def test_png_text_walk_property():
+    """Property (hypothesis over dims / color types / text-form mix /
+    gamma presence): png_text_metadata exactly inverts
+    encode_png_text — first-occurrence-wins keyword extraction,
+    text-chunk and total-chunk counts, CRC audit zero on clean
+    streams."""
+    from hypothesis import given, settings, strategies as st
+
+    from etlp_spark.functions.multimodal import (
+        encode_png_text,
+        png_text_metadata,
+    )
+
+    form = st.sampled_from(("tEXt", "zTXt", "iTXt"))
+    word = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=255,
+                               exclude_characters="\x00"),
+        min_size=0, max_size=16,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 2**31 - 1), h=st.integers(1, 2**31 - 1),
+        ct=st.sampled_from((0, 2, 3, 4, 6)),
+        title=st.one_of(st.none(), word), author=st.one_of(st.none(), word),
+        sw=st.one_of(st.none(), word),
+        tf=form, af=form, sf=form,
+        gamma=st.one_of(st.none(), st.integers(0, 100000)),
+    )
+    def check(w, h, ct, title, author, sw, tf, af, sf, gamma):
+        texts = []
+        if title is not None:
+            texts.append(("Title", title, tf))
+        if author is not None:
+            texts.append(("Author", author, af))
+        if sw is not None:
+            texts.append(("Software", sw, sf))
+        p = encode_png_text(width=w, height=h, color_type=ct,
+                            texts=tuple(texts), gamma_scaled=gamma)
+        m = png_text_metadata(p)
+        assert (m["width"], m["height"], m["color_type"]) == (w, h, ct)
+        assert m["gamma_scaled"] == gamma
+        assert m["title"] == title and m["author"] == author
+        assert m["software"] == sw
+        assert m["n_text_chunks"] == len(texts)
+        assert m["n_chunks"] == 3 + (1 if gamma is not None else 0) + len(texts)
+        assert m["n_crc_bad"] == 0 and m["clean"] == 1
+
+    check()
