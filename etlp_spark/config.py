@@ -467,6 +467,16 @@ def _s_funnel(c: dict[str, Any]):
     ): funnel_tws(df, _k, _t, _ts, steps=_s)
 
 
+def _s_paths(c: dict[str, Any]):
+    from etlp_spark.streaming import paths_tws
+
+    return lambda df, _k=c["key"], _t=c["type"], _ts=c["ts"], _i=c[
+        "id"
+    ], _g=int(c.get("gap_us", 1800 * 1_000_000)): paths_tws(
+        df, _k, _t, _ts, _i, gap_us=_g
+    )
+
+
 STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
     "running_counts": _s_running_counts,
     "ewma": _s_ewma,
@@ -482,6 +492,7 @@ STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
     "bootstrap_ci": _s_bootstrap_ci,
     "conformal": _s_conformal,
     "funnel": _s_funnel,
+    "paths": _s_paths,
 }
 
 

@@ -336,6 +336,7 @@ class SnapshotStore:
         batch_id: int | None = None,
         stats_cols: tuple[str, ...] = (),
         evolve: bool = False,
+        properties: "dict[str, Any] | None" = None,
     ) -> WriteResult:
         """Commit a new version.
 
@@ -355,7 +356,13 @@ class SnapshotStore:
         parquet's own row-group pruning. Sort/z-order ``df`` by the
         stats columns before writing to make the zones tight. Appends
         inherit the parent's stats for carried files (stats_cols
-        defaults to the parent's choice so a chain stays prunable)."""
+        defaults to the parent's choice so a chain stays prunable).
+
+        ``properties`` records JSON-native key/values verbatim in the
+        manifest (the Iceberg table-properties idea at snapshot
+        granularity) — train-time diagnostics, provenance, whatever a
+        writer wants readers to see next to the version. Appends
+        inherit the parent's properties, overlaid by this write's."""
         if mode not in ("snapshot", "append"):
             raise ValueError(f"mode must be snapshot|append, got {mode!r}")
         parent = self.latest_version()
@@ -417,6 +424,13 @@ class SnapshotStore:
         if stats_cols:
             manifest["stats_cols"] = list(stats_cols)
             manifest["stats"] = stats
+        props: dict[str, Any] = {}
+        if mode == "append" and parent is not None:
+            props.update(self.manifest(parent).get("properties", {}))
+        if properties:
+            props.update(properties)
+        if props:
+            manifest["properties"] = props
         # Monotonic batch-id watermark: EVERY manifest carries forward
         # max(parent's watermark, this write's batch_id), so the
         # exactly-once check survives ``expire`` deleting the manifest

@@ -50,14 +50,17 @@ def save_ivf_centroids(
     centroids: list[list[float]],
     *,
     commit_protocol: CommitProtocol | None = None,
+    properties: "dict | None" = None,
 ) -> int:
     """Persist a trained IVF centroid table as a new snapshot version.
 
     Rows are (cell, centroid). No zone-map stats are recorded: the
     table is MODEL-sized (k rows, one file) — the store's value here
     is the versioned atomic publish, and a stats pass would spend a
-    whole Spark job computing min/max over 8 rows. Returns the
-    committed version number.
+    whole Spark job computing min/max over 8 rows. ``properties``
+    (JSON-native) are recorded verbatim in the version's manifest —
+    ``ensure_ivf_index`` uses this for its train-time occupancy
+    diagnostics. Returns the committed version number.
     """
     if not centroids:
         raise ValueError("cannot persist an empty centroid table")
@@ -69,7 +72,7 @@ def save_ivf_centroids(
         schema=_CENTROID_SCHEMA,
     ).coalesce(1)  # k rows — one file keeps the manifest minimal
     store = SnapshotStore(root, commit_protocol=commit_protocol)
-    res = store.write(df, mode="snapshot")
+    res = store.write(df, mode="snapshot", properties=properties)
     return int(res.extra["version"])
 
 
@@ -165,7 +168,27 @@ def _ensure(spark, root, train, save, load):
     return load(spark, root)
 
 
-def ensure_ivf_index(spark: SparkSession, root: str, train) -> list[list[float]]:
+#: Occupancy-warning threshold factor: warn when the fattest cell
+#: holds more than this many times its fair share (1/k) of the
+#: corpus. The r13 mixture-of-Gaussians probe-skew study measured a
+#: genuinely imbalanced corpus at k=8 putting 38.9% of vectors in one
+#: cell (3.1x fair share, worst-case probe scans 51.3% of the
+#: corpus), while k=32 collapsed the top share to 13.8% (4.4x of a
+#: much smaller fair share but only 1/7th the absolute scan) — the
+#: measured remedy is centroid-count scaling (k ~ sqrt(N)), NOT
+#: ingest-time cell salting. 3.0x flags the k=8 shape without
+#: tripping on healthy mild skew (SCALE_BENCH_r13_mog.json).
+IVF_TOP_SHARE_FACTOR = 3.0
+
+
+def ensure_ivf_index(
+    spark: SparkSession,
+    root: str,
+    train,
+    *,
+    corpus: "DataFrame | None" = None,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
     """Load the centroid table at ``root`` if one is published, else
     call ``train()`` (a zero-arg callable returning centroids),
     publish, and load — the at-most-one-training lifecycle a 100 TB
@@ -174,8 +197,74 @@ def ensure_ivf_index(spark: SparkSession, root: str, train) -> list[list[float]]
     the training scans. Keying the root by corpus identity + trainer
     version is the CALLER's contract — a stale root silently serves
     the old index, which is exactly the version-pinning feature, but
-    only if the key says what the index was built from."""
-    return _ensure(spark, root, train, save_ivf_centroids, load_ivf_centroids)
+    only if the key says what the index was built from.
+
+    When ``corpus`` is given AND this call is the one that trains,
+    one extra assignment scan records occupancy diagnostics in the
+    published version's manifest (``properties``): ``ivf_k``,
+    ``ivf_n_vectors``, ``ivf_top_cell_share`` (fattest cell's corpus
+    fraction), and ``ivf_top_share_factor`` (share * k — 1.0 is
+    perfectly balanced). A factor above ``IVF_TOP_SHARE_FACTOR``
+    additionally emits a UserWarning naming the measured remedy
+    (train with more centroids, k ~ sqrt(N)) — the r13 MoG study's
+    conclusion, moved from prose into the artifact so a stale or
+    skewed index explains itself. The load path never re-scans:
+    diagnostics are train-time-only, and gated queries that omit
+    ``corpus`` are byte-identical to before."""
+    import os
+
+    from etlp_spark.connectors.snapshots import ConcurrentWriteError
+
+    if os.path.isdir(os.path.join(root, "_manifests")):
+        store = SnapshotStore(root)
+        if store.latest_version() is not None:
+            return load_ivf_centroids(spark, root)
+    model = train()
+    properties = None
+    if corpus is not None and model:
+        from pyspark.sql import functions as F
+
+        from etlp_spark.functions.similarity import ivf_assign
+
+        k = len(model)
+        # one scan: argmin assignment against literal centroids, then
+        # a k-row aggregate — no corpus shuffle, no collect beyond k
+        counts = (
+            ivf_assign(
+                corpus.select(F.lit(0).alias("__id"), vec_col),
+                model, id_col="__id", vec_col=vec_col,
+            )
+            .groupBy("cell").count().collect()
+        )
+        total = sum(r["count"] for r in counts)
+        top = max((r["count"] for r in counts), default=0)
+        if total:
+            share = top / total
+            factor = share * k
+            properties = {
+                "ivf_k": k,
+                "ivf_n_vectors": total,
+                "ivf_top_cell_share": round(share, 4),
+                "ivf_top_share_factor": round(factor, 2),
+            }
+            if factor > IVF_TOP_SHARE_FACTOR:
+                import warnings
+
+                warnings.warn(
+                    f"IVF index at {root}: fattest cell holds "
+                    f"{share:.1%} of {total} vectors ({factor:.1f}x "
+                    f"fair share at k={k}, threshold "
+                    f"{IVF_TOP_SHARE_FACTOR}x). Worst-case probes "
+                    "scan that whole cell; the measured remedy is "
+                    "MORE CENTROIDS (k ~ sqrt(N)), not cell salting "
+                    "(SCALE_BENCH_r13_mog).",
+                    stacklevel=2,
+                )
+    try:
+        save_ivf_centroids(spark, root, model, properties=properties)
+    except ConcurrentWriteError:
+        pass  # a concurrent trainer won — same input, same model
+    return load_ivf_centroids(spark, root)
 
 
 def ensure_pq_codebooks(

@@ -1708,3 +1708,97 @@ def funnel_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def paths_tws(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_us: int = 1800 * 1_000_000,
+) -> DataFrame:
+    """Streaming session-path analysis per key — w7's batch semantics
+    (gap sessionization, then the (ts, event_id)-ordered event-type
+    sequence per session) for an event stream that never ends: the
+    r13 verdict's item 5, the deferred half of the r12 streaming-twin
+    directive.
+
+    State is one RocksDB MAP per key over (t_micros, event_id) ->
+    event_type — the distinct events seen, O(distinct (ts, id)) per
+    key. Each update RECOMPUTES the session split and paths from the
+    stored events (funnel_tws' recompute-from-state discipline),
+    which makes the result ORDER-INSENSITIVE under replay: a LATE
+    event landing between two existing sessions retroactively MERGES
+    them when it bridges the gap, and a late event inside a session
+    reorders its path — exactly as a batch recompute would. A
+    frozen-session-pointer design (advance a current-session bound,
+    append to the current path) gets BOTH wrong; that failure mode is
+    structurally absent here. Emits (k, n_sessions, paths) where
+    ``paths`` is the '|'-joined list of '>'-joined session paths in
+    time order. w7's corpus-wide top-10 is the downstream
+    ``explode + count`` over each key's LATEST row — kept out of the
+    twin so per-key rows stay incremental and the global rank needs
+    no cross-key state.
+
+    Timestamps may arrive as TIMESTAMP or integer MICROSECONDS;
+    ``gap_us`` is in micros to match. NULL type/ts/id rows are
+    skipped. Update mode; RocksDB state store required. A production
+    deployment bounds state by ageing out closed sessions with
+    timers; the twin keeps full history so it stays byte-equal to
+    the batch walk (the same trade conformal_tws documents)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Paths(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getMapState(
+                "path_events", "t BIGINT, eid BIGINT", "et STRING"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            for pdf in rows:
+                for et, t, eid in zip(
+                    pdf[type_col], pdf[ts_col], pdf[id_col]
+                ):
+                    if et is None or t is None or t is pd.NaT or eid is None:
+                        continue
+                    tus = (
+                        int(t.value) // 1000
+                        if hasattr(t, "value")
+                        else int(t)
+                    )
+                    self._st.updateValue((tus, int(eid)), (str(et),))
+            # the batch walk, recomputed from state: (ts, id) order,
+            # split where the gap exceeds gap_us, join types with '>'
+            events = sorted(
+                (kk[0], kk[1], vv[0]) for kk, vv in self._st.iterator()
+            )
+            sessions: list[list[str]] = []
+            prev_t = None
+            for t, _eid, et in events:
+                if prev_t is None or t - prev_t > gap_us:
+                    sessions.append([])
+                sessions[-1].append(et)
+                prev_t = t
+            yield pd.DataFrame(
+                {
+                    "k": [key[0]],
+                    "n_sessions": [len(sessions)],
+                    "paths": ["|".join(">".join(s) for s in sessions)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _Paths(),
+        outputStructType="k string, n_sessions int, paths string",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -353,3 +353,80 @@ def test_ensure_pq_codebooks_prefers_published_version(spark, tmp_path):
         spark, root, lambda: [[[9.0, 9.0], [8.0, 8.0]]]
     )
     assert got == published
+
+
+def test_ensure_ivf_index_records_occupancy_diagnostics(spark, tmp_path):
+    """The r13 MoG study's k-guidance, moved from prose into the
+    artifact (r13 verdict item 7): training through ensure_ivf_index
+    with a corpus records ivf_k / ivf_n_vectors / ivf_top_cell_share
+    / ivf_top_share_factor in the published manifest's properties,
+    warns (UserWarning naming the k~sqrt(N) remedy) when the fattest
+    cell exceeds IVF_TOP_SHARE_FACTOR x fair share — a two-blob
+    mixture with a 9:1 mass split at k=4 trips it — and a balanced
+    corpus records diagnostics WITHOUT warning. The load path and
+    corpus-less calls are unchanged (no properties, no extra scan)."""
+    import warnings
+
+    from etlp_spark.connectors.snapshots import SnapshotStore
+    from etlp_spark.functions.ann_index import ensure_ivf_index
+
+    # mixture-of-two-blobs fixture: 90 vectors at ~(0,0), 10 spread
+    # far apart — k=4 leaves one fat cell holding the 90-blob
+    rows = [(i, [0.0 + (i % 3) * 0.01, 0.0 + (i % 5) * 0.01])
+            for i in range(90)]
+    rows += [(90 + j, [100.0 * (j + 1), -50.0 * (j + 1)])
+             for j in range(10)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+    def train():
+        from etlp_spark.functions.similarity import ivf_train
+        return ivf_train(corpus, k=4, iters=2)
+
+    root = str(tmp_path / "ivf_skewed")
+    with warnings.catch_warnings(record=True) as got:
+        warnings.simplefilter("always")
+        ensure_ivf_index(spark, root, train, corpus=corpus)
+    skew_warnings = [w for w in got if "fattest cell" in str(w.message)]
+    assert len(skew_warnings) == 1
+    assert "k ~ sqrt(N)" in str(skew_warnings[0].message)
+
+    props = SnapshotStore(root).manifest(1)["properties"]
+    assert props["ivf_k"] == 4 and props["ivf_n_vectors"] == 100
+    assert props["ivf_top_cell_share"] >= 0.9  # the 90-blob cell
+    assert props["ivf_top_share_factor"] == round(
+        props["ivf_top_cell_share"] * 4, 2
+    )
+
+    # the LOAD path never re-scans or re-warns, even with a corpus
+    with warnings.catch_warnings(record=True) as got2:
+        warnings.simplefilter("always")
+        again = ensure_ivf_index(spark, root, train, corpus=corpus)
+    assert not [w for w in got2 if "fattest cell" in str(w.message)]
+    assert again == ensure_ivf_index(spark, root, train)
+
+    # corpus-less training records NO properties (gated queries'
+    # existing byte-identical path)
+    root2 = str(tmp_path / "ivf_plain")
+    ensure_ivf_index(spark, root2, train)
+    assert "properties" not in SnapshotStore(root2).manifest(1)
+
+    # a balanced corpus: diagnostics recorded, no warning
+    brows = [(i, [float(i % 2) * 100, float((i // 2) % 2) * 100])
+             for i in range(64)]
+    balanced = spark.createDataFrame(
+        brows, "vec_id long, embedding array<double>"
+    )
+
+    def btrain():
+        from etlp_spark.functions.similarity import ivf_train
+        return ivf_train(balanced, k=4, iters=2)
+
+    root3 = str(tmp_path / "ivf_balanced")
+    with warnings.catch_warnings(record=True) as got3:
+        warnings.simplefilter("always")
+        ensure_ivf_index(spark, root3, btrain, corpus=balanced)
+    assert not [w for w in got3 if "fattest cell" in str(w.message)]
+    bp = SnapshotStore(root3).manifest(1)["properties"]
+    assert bp["ivf_top_share_factor"] <= 3.0

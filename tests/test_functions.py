@@ -2823,3 +2823,50 @@ def test_png_text_walk_property():
         assert m["n_crc_bad"] == 0 and m["clean"] == 1
 
     check()
+
+
+def test_id3_compressed_encrypted_frames_counted_not_decoded():
+    """r13 ADVICE: a compressed (v2.3 $80 / v2.4 $08) or encrypted
+    (v2.3 $40 / v2.4 $04) text frame is COUNTED but its body is never
+    decoded as text — the count-and-skip posture binary frames get —
+    so a later clean frame of another id still extracts."""
+    from etlp_spark.functions.multimodal import id3_tags
+
+    def v23_frame(fid: bytes, body: bytes, fflags: int) -> bytes:
+        return fid + len(body).to_bytes(4, "big") + bytes([0, fflags]) + body
+
+    def v24_frame(fid: bytes, body: bytes, fflags: int) -> bytes:
+        size = bytes((len(body) >> s) & 0x7F for s in (21, 14, 7, 0))
+        return fid + size + bytes([0, fflags]) + body
+
+    def tag(major: int, frames: bytes) -> bytes:
+        return (
+            b"ID3" + bytes([major, 0, 0])
+            + bytes((len(frames) >> s) & 0x7F for s in (21, 14, 7, 0))
+            + frames
+        )
+
+    # v2.3: compressed TIT2 (would decode as garbage text), clean TPE1
+    frames = (
+        v23_frame(b"TIT2", b"\x78\x9c\x03\x00\x00\x00\x00\x01", 0x80)
+        + v23_frame(b"TPE1", b"\x00Artist-OK", 0)
+    )
+    m = id3_tags(tag(3, frames))
+    assert m["n_frames"] == 2 and m["clean"] == 1
+    assert m["title"] is None  # counted, not decoded
+    assert m["artist"] == "Artist-OK"
+
+    # v2.3 encrypted flag
+    m = id3_tags(tag(3, v23_frame(b"TIT2", b"\x00secret", 0x40)))
+    assert m["n_frames"] == 1 and m["title"] is None
+
+    # v2.4: compressed ($08) and encrypted ($04) forms
+    frames = (
+        v24_frame(b"TIT2", b"\x03zipped", 0x08)
+        + v24_frame(b"TALB", b"\x03locked", 0x04)
+        + v24_frame(b"TPE1", b"\x03ok", 0)
+    )
+    m = id3_tags(tag(4, frames))
+    assert m["n_frames"] == 3
+    assert m["title"] is None and m["album"] is None
+    assert m["artist"] == "ok"

@@ -1603,3 +1603,124 @@ def test_bootstrap_ci_tws_matches_batch_arithmetic(spark, stream_dir, tmp_path):
             q.stop()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_paths_tws_matches_batch_sessionization(spark, stream_dir, tmp_path):
+    """Streaming session paths (paths_tws): after two micro-batches
+    the per-key (n_sessions, paths) equals w7's BATCH walk (gap
+    sessionization, (ts, event_id)-ordered type sequence per session)
+    over the concatenated events — and a chain of LATE events landing
+    between two existing sessions retroactively MERGES them into one,
+    while a late event inside a session reorders its path, exactly as
+    a batch recompute would (both are wrong under a
+    frozen-session-pointer design). Same-timestamp events order by
+    event_id on both engines."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.streaming import paths_tws
+
+    GAP = 1000  # micros, to keep fixture numbers small
+    b1 = [
+        # key 'a': two sessions under gap=1000 — [100, 200], [5000]
+        ("a", "view", 100, 1), ("a", "click", 200, 2),
+        ("a", "view", 5000, 3),
+        # key 'b': same-ts tiebreak — event_id orders A before B
+        ("b", "B", 10, 2), ("b", "A", 10, 1),
+    ]
+    b2 = [
+        # late event INSIDE a's first session: reorders its path
+        ("a", "addcart", 150, 4),
+        # late chain BRIDGING a's two sessions into one
+        ("a", "x1", 1100, 5), ("a", "x2", 2000, 6), ("a", "x3", 2900, 7),
+        ("a", "x4", 3800, 8), ("a", "x5", 4700, 9),
+        ("b", "C", 2000, 3),
+    ]
+
+    def batch_paths(rows):
+        # w7's batch idiom, parameterized by the integer gap
+        pts = spark.createDataFrame(
+            rows, "k string, et string, ts long, eid long"
+        )
+        w = W.partitionBy("k").orderBy("ts", "eid")
+        gaps = pts.select(
+            "k", "ts", "eid", "et",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (F.col("ts") - F.lag("ts").over(w) > GAP), 1,
+            ).otherwise(0).alias("new_sess"),
+        )
+        wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        sess = gaps.select(
+            "k", "ts", "eid", "et",
+            F.sum("new_sess").over(wcum).alias("sess_id"),
+        )
+        per_sess = sess.groupBy("k", "sess_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "eid", "et"))
+                    ),
+                    lambda s: s["et"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        out = {}
+        for r in per_sess.orderBy("k", "sess_id").collect():
+            ns, ps = out.get(r.k, (0, []))
+            ps.append(r.path)
+            out[r.k] = (ns + 1, ps)
+        return {k: (n, "|".join(ps)) for k, (n, ps) in out.items()}
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        _write_batch(
+            stream_dir, "pt1.jsonl",
+            [{"k": k, "et": et, "ts": ts, "eid": eid}
+             for k, et, ts, eid in b1],
+        )
+        src = file_stream(
+            spark, str(stream_dir),
+            "k string, et string, ts long, eid long", fmt="json",
+        )
+        q = (
+            paths_tws(src, "k", "et", "ts", "eid", gap_us=GAP)
+            .writeStream.format("memory")
+            .queryName("tws_paths")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_pt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            mid = {r.k: (r.n_sessions, r.paths)
+                   for r in spark.sql("select * from tws_paths").collect()}
+            assert mid["a"] == (2, "view>click|view")
+            assert mid["b"] == (1, "A>B")  # eid tiebreak at ts=10
+            _write_batch(
+                stream_dir, "pt2.jsonl",
+                [{"k": k, "et": et, "ts": ts, "eid": eid}
+                 for k, et, ts, eid in b2],
+            )
+            q.processAllAvailable()
+            latest = {r.k: (r.n_sessions, r.paths)
+                      for r in spark.sql("select * from tws_paths").collect()}
+            want = batch_paths(b1 + b2)
+            assert latest == want, (latest, want)
+            # the merge happened: a's two sessions became ONE, with
+            # the late in-session event reordered into place
+            assert latest["a"] == (
+                1, "view>addcart>click>x1>x2>x3>x4>x5>view",
+            )
+            # b gained a second session (2000 - 10 > gap)
+            assert latest["b"] == (2, "A>B|C")
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
