@@ -824,6 +824,22 @@ def _time_query(
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
+        # Release the rep's localCheckpoint blocks before the next
+        # one: checkpoint RDDs are freed by the ContextCleaner only
+        # after their driver-side objects are GC'd, so back-to-back
+        # deep-graph reps otherwise hold TWO generations of 67M-edge
+        # checkpoint blocks and OOM a 64 GiB heap (r14: x92's second
+        # x1000 rep died exactly this way; cells cost ~10 min each).
+        # Python gc drops the py4j refs; the JVM System.gc() makes
+        # the cleaner's weak references fire NOW, inside the
+        # un-timed window between reps.
+        import gc
+
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass  # Spark Connect has no _jvm; cleanup is best-effort
     return times[0], min(times)
 
 
