@@ -3969,7 +3969,18 @@ def _pixel_feature(pixels: np.ndarray, dims: int = 8) -> list[float]:
     """Real image feature from decoded pixels: per-channel means,
     luma std, and quadrant luma means, all scaled to [-1, 1] — the
     shape of a cheap perceptual descriptor, computed with actual
-    pixel math (vectorized numpy)."""
+    pixel math (vectorized numpy).
+
+    ORIENTATION CAVEAT (r13 verdict item 4): the quadrant terms are
+    NOT rotation-invariant — a camera-rotated duplicate (EXIF
+    Orientation 2-8, common in crawled JPEG corpora) permutes the
+    quadrant means and lands a different descriptor, so near-dup
+    clustering over raw payloads treats rotated copies as distinct.
+    Normalize BEFORE featurizing: read ``exif_metadata(payload)
+    ["orientation"]`` (one byte-walk, no decode) and apply the
+    inverse transform (np.rot90 / fliplr on the decoded array) for
+    values != 1. The same applies to any pHash variant built on
+    fixed pixel-position terms."""
     px = pixels.astype(np.float64)
     luma = px @ np.array([0.299, 0.587, 0.114])
     h, w = luma.shape
