@@ -856,6 +856,12 @@ def main() -> None:
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset of HEAVY to run")
     ap.add_argument(
+        "--graph-queries", default=None, metavar="LIST",
+        help="comma-separated subset of the graph family to run in "
+        "the --graph loop (same-session cross-scale confirmation "
+        "without the full family)",
+    )
+    ap.add_argument(
         "--zipf", type=int, default=None, metavar="N",
         help="generate the Zipf-vocabulary documents corpus at xN "
         "volume, run the text family against it (keys zipf_xN), and "
@@ -995,6 +1001,13 @@ def main() -> None:
         "x92_cooccurrence_triangles", "x100_kcore_membership",
         "x107_pagerank_topk", "x128_clustering_coefficient",
     ]
+    if args.graph_queries:
+        # same-session cross-scale confirmation runs: one query over
+        # several --graph scales without paying for the whole family
+        # (cross-SESSION scale ratios carry phase uncertainty — the
+        # r14 x92 question)
+        graph_family = [q for q in graph_family if q in
+                        set(args.graph_queries.split(","))]
     cadences = tuple(int(c) for c in args.cadences.split(","))
     cadence_scales = (
         {int(s) for s in args.cadence_scales.split(",")}
