@@ -361,28 +361,28 @@ def test_ensure_ivf_index_records_occupancy_diagnostics(spark, tmp_path):
     with a corpus records ivf_k / ivf_n_vectors / ivf_top_cell_share
     / ivf_top_share_factor in the published manifest's properties,
     warns (UserWarning naming the k~sqrt(N) remedy) when the fattest
-    cell exceeds IVF_TOP_SHARE_FACTOR x fair share — a two-blob
-    mixture with a 9:1 mass split at k=4 trips it — and a balanced
-    corpus records diagnostics WITHOUT warning. The load path and
-    corpus-less calls are unchanged (no properties, no extra scan)."""
+    cell exceeds IVF_TOP_SHARE_FACTOR x fair share, and a balanced
+    corpus records diagnostics WITHOUT warning. Centroids come from a
+    HAND-PICKED trainer so the assignment split is exact and the test
+    pins the diagnostic, not the trainer's init: a MoG-shaped corpus
+    (one 97-point blob + three far singletons) against one centroid
+    per mode puts 97% in one cell (3.88x fair share at k=4). The load
+    path and corpus-less calls are unchanged (no properties, no extra
+    scan)."""
     import warnings
 
     from etlp_spark.connectors.snapshots import SnapshotStore
     from etlp_spark.functions.ann_index import ensure_ivf_index
 
-    # mixture-of-two-blobs fixture: 90 vectors at ~(0,0), 10 spread
-    # far apart — k=4 leaves one fat cell holding the 90-blob
-    rows = [(i, [0.0 + (i % 3) * 0.01, 0.0 + (i % 5) * 0.01])
-            for i in range(90)]
-    rows += [(90 + j, [100.0 * (j + 1), -50.0 * (j + 1)])
-             for j in range(10)]
+    modes = [[0.0, 0.0], [1000.0, 0.0], [0.0, 1000.0], [1000.0, 1000.0]]
+    rows = [(i, [(i % 3) * 0.01, (i % 5) * 0.01]) for i in range(97)]
+    rows += [(97 + j, modes[1 + j]) for j in range(3)]
     corpus = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>"
     )
 
     def train():
-        from etlp_spark.functions.similarity import ivf_train
-        return ivf_train(corpus, k=4, iters=2)
+        return [list(m) for m in modes]
 
     root = str(tmp_path / "ivf_skewed")
     with warnings.catch_warnings(record=True) as got:
@@ -394,10 +394,8 @@ def test_ensure_ivf_index_records_occupancy_diagnostics(spark, tmp_path):
 
     props = SnapshotStore(root).manifest(1)["properties"]
     assert props["ivf_k"] == 4 and props["ivf_n_vectors"] == 100
-    assert props["ivf_top_cell_share"] >= 0.9  # the 90-blob cell
-    assert props["ivf_top_share_factor"] == round(
-        props["ivf_top_cell_share"] * 4, 2
-    )
+    assert props["ivf_top_cell_share"] == 0.97  # the blob cell, exact
+    assert props["ivf_top_share_factor"] == 3.88
 
     # the LOAD path never re-scans or re-warns, even with a corpus
     with warnings.catch_warnings(record=True) as got2:
@@ -412,21 +410,19 @@ def test_ensure_ivf_index_records_occupancy_diagnostics(spark, tmp_path):
     ensure_ivf_index(spark, root2, train)
     assert "properties" not in SnapshotStore(root2).manifest(1)
 
-    # a balanced corpus: diagnostics recorded, no warning
-    brows = [(i, [float(i % 2) * 100, float((i // 2) % 2) * 100])
-             for i in range(64)]
+    # a perfectly balanced corpus: diagnostics recorded, no warning
+    brows = [
+        (i, [float(i % 2) * 1000, float((i // 2) % 2) * 1000])
+        for i in range(64)
+    ]
     balanced = spark.createDataFrame(
         brows, "vec_id long, embedding array<double>"
     )
-
-    def btrain():
-        from etlp_spark.functions.similarity import ivf_train
-        return ivf_train(balanced, k=4, iters=2)
-
     root3 = str(tmp_path / "ivf_balanced")
     with warnings.catch_warnings(record=True) as got3:
         warnings.simplefilter("always")
-        ensure_ivf_index(spark, root3, btrain, corpus=balanced)
+        ensure_ivf_index(spark, root3, train, corpus=balanced)
     assert not [w for w in got3 if "fattest cell" in str(w.message)]
     bp = SnapshotStore(root3).manifest(1)["properties"]
-    assert bp["ivf_top_share_factor"] <= 3.0
+    assert bp["ivf_top_cell_share"] == 0.25
+    assert bp["ivf_top_share_factor"] == 1.0
