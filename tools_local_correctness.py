@@ -19,7 +19,7 @@ TABLES = [
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="LOCAL_CORRECTNESS_r13.json")
+    ap.add_argument("--out", default="LOCAL_CORRECTNESS_r14.json")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     args = ap.parse_args()
 
