@@ -3998,6 +3998,39 @@ def _pixel_feature(pixels: np.ndarray, dims: int = 8) -> list[float]:
     return [float(out[i % len(out)]) for i in range(dims)]
 
 
+def normalize_orientation(pixels: np.ndarray, orientation: "int | None") -> np.ndarray:
+    """Undo an EXIF Orientation tag (1-8) on a decoded (h, w[, c])
+    pixel array so rotated/mirrored duplicates featurize identically
+    — the concrete fix for the caveat on ``_pixel_feature``. Mapping
+    per the EXIF 2.3 table (value = how the STORED image must be
+    transformed to display upright):
+
+      1 = as-is                     5 = transpose (flip + rot270)
+      2 = flip horizontal           6 = rotate 90 CW
+      3 = rotate 180                7 = transverse (flip + rot90)
+      4 = flip vertical             8 = rotate 90 CCW
+
+    None or out-of-range values pass through unchanged (a crawled
+    corpus carries plenty of absent/garbage tags; pHash of the
+    as-stored bytes is still well-defined). Pure numpy views — no
+    copy unless the caller mutates."""
+    if orientation == 2:
+        return pixels[:, ::-1]
+    if orientation == 3:
+        return pixels[::-1, ::-1]
+    if orientation == 4:
+        return pixels[::-1, :]
+    if orientation == 5:
+        return np.rot90(pixels[:, ::-1], 1)
+    if orientation == 6:
+        return np.rot90(pixels, -1)
+    if orientation == 7:
+        return np.rot90(pixels[:, ::-1], -1)
+    if orientation == 8:
+        return np.rot90(pixels, 1)
+    return pixels
+
+
 def _resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resample (pure numpy index math)."""
     h, w = pixels.shape[:2]

@@ -2870,3 +2870,43 @@ def test_id3_compressed_encrypted_frames_counted_not_decoded():
     assert m["n_frames"] == 3
     assert m["title"] is None and m["album"] is None
     assert m["artist"] == "ok"
+
+
+def test_normalize_orientation_recovers_upright():
+    """normalize_orientation inverts each EXIF storage transform: for
+    every orientation value 1-8, storing an upright image under that
+    orientation and normalizing recovers the upright pixels exactly —
+    so rotated/mirrored duplicates featurize identically once
+    normalized (the _pixel_feature caveat's concrete fix). Unknown /
+    absent orientations pass through."""
+    import numpy as _np
+
+    from etlp_spark.functions.multimodal import normalize_orientation
+
+    upright = _np.arange(24, dtype=_np.uint8).reshape(4, 2, 3)
+    store = {
+        1: lambda a: a,
+        2: lambda a: a[:, ::-1],            # involution
+        3: lambda a: a[::-1, ::-1],         # involution
+        4: lambda a: a[::-1, :],            # involution
+        5: lambda a: _np.rot90(a[:, ::-1], 1),   # transpose, involution
+        6: lambda a: _np.rot90(a, 1),       # display rot90CW -> store CCW
+        7: lambda a: _np.rot90(a[:, ::-1], -1),  # transverse, involution
+        8: lambda a: _np.rot90(a, -1),      # display rot90CCW -> store CW
+    }
+    for o, f in store.items():
+        got = normalize_orientation(f(upright), o)
+        assert _np.array_equal(got, upright), f"orientation {o}"
+    assert normalize_orientation(upright, None) is upright
+    assert normalize_orientation(upright, 0) is upright
+    assert normalize_orientation(upright, 9) is upright
+
+    # the dedup consequence: a rotated duplicate's descriptor differs
+    # raw and matches after normalization
+    from etlp_spark.functions.multimodal import _pixel_feature
+
+    img = _np.zeros((8, 8, 3), dtype=_np.uint8)
+    img[:4, :4] = 200  # asymmetric quadrant
+    rot = _np.rot90(img, 1)  # stored with orientation 6
+    assert _pixel_feature(rot) != _pixel_feature(img)
+    assert _pixel_feature(normalize_orientation(rot, 6)) == _pixel_feature(img)
