@@ -997,3 +997,27 @@ def test_read_increment_refuses_rewrite_chains(spark, store):
     store.merge(_df(spark, [2, 9]), key_cols=["id"])
     with pytest.raises(ValueError, match="append chain"):
         store.read_increment(spark, 1, 2)
+
+
+def test_manifest_properties_recorded_and_append_inherited(spark, store):
+    """write(properties=): JSON-native key/values land verbatim in
+    the version's manifest; appends INHERIT the parent's properties
+    overlaid by their own; snapshots carry only what they pass; a
+    property-less write records no key at all (the r14 IVF occupancy
+    diagnostics ride this — Iceberg-style snapshot properties)."""
+    store.write(_df(spark, [1, 2]), properties={"owner": "pipe-a", "k": 4})
+    m1 = store.manifest(1)
+    assert m1["properties"] == {"owner": "pipe-a", "k": 4}
+
+    # append inherits + overlays
+    store.write(_df(spark, [3]), mode="append", properties={"k": 8})
+    m2 = store.manifest(2)
+    assert m2["properties"] == {"owner": "pipe-a", "k": 8}
+
+    # append with none passes the parent's through unchanged
+    store.write(_df(spark, [4]), mode="append")
+    assert store.manifest(3)["properties"] == {"owner": "pipe-a", "k": 8}
+
+    # a fresh SNAPSHOT does not inherit (it replaces the table)
+    store.write(_df(spark, [9]))
+    assert "properties" not in store.manifest(4)
