@@ -210,61 +210,69 @@ def ensure_ivf_index(
     conclusion, moved from prose into the artifact so a stale or
     skewed index explains itself. The load path never re-scans:
     diagnostics are train-time-only, and gated queries that omit
-    ``corpus`` are byte-identical to before."""
-    import os
+    ``corpus`` are byte-identical to before.
 
-    from etlp_spark.connectors.snapshots import ConcurrentWriteError
+    Lifecycle (load-if-published / train / publish / lose-the-race →
+    load winner) is ``_ensure``'s, shared with ``ensure_pq_codebooks``
+    — the diagnostics ride in through a wrapped save callable, so a
+    fix to the lifecycle propagates to both index types."""
 
-    if os.path.isdir(os.path.join(root, "_manifests")):
-        store = SnapshotStore(root)
-        if store.latest_version() is not None:
-            return load_ivf_centroids(spark, root)
-    model = train()
-    properties = None
-    if corpus is not None and model:
-        from pyspark.sql import functions as F
-
-        from etlp_spark.functions.similarity import ivf_assign
-
-        k = len(model)
-        # one scan: argmin assignment against literal centroids, then
-        # a k-row aggregate — no corpus shuffle, no collect beyond k
-        counts = (
-            ivf_assign(
-                corpus.select(F.lit(0).alias("__id"), vec_col),
-                model, id_col="__id", vec_col=vec_col,
-            )
-            .groupBy("cell").count().collect()
+    def _save_with_diagnostics(spark_, root_, model):
+        properties = (
+            _ivf_occupancy_properties(root_, corpus, vec_col, model)
+            if corpus is not None and model
+            else None
         )
-        total = sum(r["count"] for r in counts)
-        top = max((r["count"] for r in counts), default=0)
-        if total:
-            share = top / total
-            factor = share * k
-            properties = {
-                "ivf_k": k,
-                "ivf_n_vectors": total,
-                "ivf_top_cell_share": round(share, 4),
-                "ivf_top_share_factor": round(factor, 2),
-            }
-            if factor > IVF_TOP_SHARE_FACTOR:
-                import warnings
+        save_ivf_centroids(spark_, root_, model, properties=properties)
 
-                warnings.warn(
-                    f"IVF index at {root}: fattest cell holds "
-                    f"{share:.1%} of {total} vectors ({factor:.1f}x "
-                    f"fair share at k={k}, threshold "
-                    f"{IVF_TOP_SHARE_FACTOR}x). Worst-case probes "
-                    "scan that whole cell; the measured remedy is "
-                    "MORE CENTROIDS (k ~ sqrt(N)), not cell salting "
-                    "(SCALE_BENCH_r13_mog).",
-                    stacklevel=2,
-                )
-    try:
-        save_ivf_centroids(spark, root, model, properties=properties)
-    except ConcurrentWriteError:
-        pass  # a concurrent trainer won — same input, same model
-    return load_ivf_centroids(spark, root)
+    return _ensure(
+        spark, root, train, _save_with_diagnostics, load_ivf_centroids
+    )
+
+
+def _ivf_occupancy_properties(root, corpus, vec_col, model):
+    """Train-time-only occupancy scan: one argmin assignment against
+    the literal centroids, then a k-row aggregate — no corpus
+    shuffle, no collect beyond k rows. Returns the manifest
+    ``properties`` dict (or None on an empty corpus) and emits the
+    skew UserWarning above ``IVF_TOP_SHARE_FACTOR``."""
+    from pyspark.sql import functions as F
+
+    from etlp_spark.functions.similarity import ivf_assign
+
+    k = len(model)
+    counts = (
+        ivf_assign(
+            corpus.select(F.lit(0).alias("__id"), vec_col),
+            model, id_col="__id", vec_col=vec_col,
+        )
+        .groupBy("cell").count().collect()
+    )
+    total = sum(r["count"] for r in counts)
+    top = max((r["count"] for r in counts), default=0)
+    if not total:
+        return None
+    share = top / total
+    factor = share * k
+    if factor > IVF_TOP_SHARE_FACTOR:
+        import warnings
+
+        warnings.warn(
+            f"IVF index at {root}: fattest cell holds "
+            f"{share:.1%} of {total} vectors ({factor:.1f}x "
+            f"fair share at k={k}, threshold "
+            f"{IVF_TOP_SHARE_FACTOR}x). Worst-case probes "
+            "scan that whole cell; the measured remedy is "
+            "MORE CENTROIDS (k ~ sqrt(N)), not cell salting "
+            "(SCALE_BENCH_r13_mog).",
+            stacklevel=3,
+        )
+    return {
+        "ivf_k": k,
+        "ivf_n_vectors": total,
+        "ivf_top_cell_share": round(share, 4),
+        "ivf_top_share_factor": round(factor, 2),
+    }
 
 
 def ensure_pq_codebooks(

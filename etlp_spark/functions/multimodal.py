@@ -3346,6 +3346,11 @@ def png_text_metadata(payload: bytes) -> dict:
                     val = zlib.decompress(rest[1:]).decode("latin-1")
                 except zlib.error:
                     clean = 0
+            else:
+                # unknown compression method byte: the text is just as
+                # unreadable as a failed decompression — same audit
+                # posture (count the chunk, flip clean, keep walking)
+                clean = 0
             if val is not None:
                 texts.setdefault(kw.decode("latin-1"), val)
         elif ctype == b"iTXt":
@@ -3366,6 +3371,10 @@ def png_text_metadata(payload: bytes) -> dict:
                         )
                     except zlib.error:
                         clean = 0
+                else:
+                    # compressed with an unsupported method: same
+                    # audit posture as a failed decompression
+                    clean = 0
                 if val is not None:
                     texts.setdefault(kw.decode("latin-1"), val)
         elif ctype == b"IEND":

@@ -1743,10 +1743,16 @@ def paths_tws(
 
     Timestamps may arrive as TIMESTAMP or integer MICROSECONDS;
     ``gap_us`` is in micros to match. NULL type/ts/id rows are
-    skipped. Update mode; RocksDB state store required. A production
-    deployment bounds state by ageing out closed sessions with
-    timers; the twin keeps full history so it stays byte-equal to
-    the batch walk (the same trade conformal_tws documents)."""
+    skipped. Update mode; RocksDB state store required. COST of the
+    recompute-from-state discipline: every micro-batch that touches a
+    key re-reads and re-sorts that key's ENTIRE event map — O(n log n)
+    per update for a key holding n events, so a hot key's total work
+    is QUADRATIC over the stream's life, not just its state linear. A
+    production deployment bounds BOTH by ageing out closed sessions
+    with timers (events older than the gap can never merge into a
+    live session, so evicting them shrinks the re-sorted map as well
+    as storage); the twin keeps full history so it stays byte-equal
+    to the batch walk (the same trade conformal_tws documents)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

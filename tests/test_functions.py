@@ -2774,6 +2774,51 @@ def test_png_text_walk_deterministic_cases():
         png_text_metadata(b"nope")
 
 
+def test_png_text_unknown_compression_method_flips_clean():
+    """r14 ADVICE: a zTXt chunk declaring a non-zero compression
+    method byte, or an iTXt with comp_flag set and comp_method != 0,
+    is just as unreadable as a failed zlib decompression — both must
+    flip ``clean`` (count-don't-hide audit posture), not silently
+    drop the text with clean=1."""
+    import zlib as _zlib
+
+    from etlp_spark.functions.multimodal import (
+        encode_png_text,
+        png_text_metadata,
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (_zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    base = encode_png_text(width=4, height=4)
+    iend = chunk(b"IEND", b"")
+    assert base.endswith(iend)
+    head = base[: len(base) - len(iend)]
+
+    # zTXt with compression method byte 1 (only 0 = zlib is defined)
+    zt = chunk(b"zTXt", b"Title\x00\x01" + _zlib.compress(b"x"))
+    m = png_text_metadata(head + zt + iend)
+    assert m["n_text_chunks"] == 1 and m["title"] is None
+    assert m["clean"] == 0 and m["n_crc_bad"] == 0  # CRC fine; method unknown
+
+    # iTXt with comp_flag=1 but comp_method=1 (undefined)
+    it = chunk(
+        b"iTXt", b"Author\x00\x01\x01" + b"\x00\x00" + _zlib.compress(b"y")
+    )
+    m2 = png_text_metadata(head + it + iend)
+    assert m2["n_text_chunks"] == 1 and m2["author"] is None
+    assert m2["clean"] == 0 and m2["n_crc_bad"] == 0
+
+    # the uncompressed iTXt flavor (comp_flag=0) with a weird method
+    # byte stays CLEAN — the text is fully readable, method unused
+    it0 = chunk(b"iTXt", b"Author\x00\x00\x07" + b"\x00\x00" + b"ok")
+    m3 = png_text_metadata(head + it0 + iend)
+    assert m3["author"] == "ok" and m3["clean"] == 1
+
+
 def test_png_text_walk_property():
     """Property (hypothesis over dims / color types / text-form mix /
     gamma presence): png_text_metadata exactly inverts
