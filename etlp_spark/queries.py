@@ -15430,6 +15430,182 @@ def x150_png_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x151_warc_wet",
+    """
+    WITH f AS (SELECT doc_id AS d FROM documents),
+    n AS (
+      SELECT d,
+        CASE WHEN d % 13 = 0 THEN 'g'
+             WHEN d % 11 = 0 THEN 'z'
+             WHEN d % 9 = 0 THEN 't'
+             WHEN d % 7 = 0 THEN 'm'
+             ELSE 'p' END AS kind,
+        CASE WHEN d % 13 = 0 THEN 1
+             WHEN d % 11 = 0 THEN 2
+             WHEN d % 9 = 0 THEN 2
+             WHEN d % 7 = 0 THEN 3
+             ELSE 2 + d % 3 END AS nrows
+      FROM f),
+    r AS (SELECT d, kind, UNNEST(range(nrows)) AS i FROM n),
+    c AS (
+      SELECT d, kind, i,
+        kind <> 'g' AND i > 0 AND NOT (kind = 'm' AND i = 2) AS is_conv,
+        kind = 'm' AND i = 2 AS is_tail,
+        repeat('txt ' || CAST(d AS VARCHAR) || ' '
+               || CAST(i AS VARCHAR) || ' ',
+               CAST(1 + d % 3 AS INT)) AS body
+      FROM r)
+    SELECT
+      CAST(d AS BIGINT) AS media_id,
+      CAST(CASE WHEN kind = 'g' THEN -1 ELSE i END AS INT) AS rec_index,
+      CASE WHEN kind = 'g' THEN 'none'
+           WHEN is_tail THEN 'garbage'
+           WHEN i = 0 THEN 'warcinfo'
+           ELSE 'conversion' END AS warc_type,
+      CASE WHEN is_conv
+             THEN 'https://example.org/' || CAST(d AS VARCHAR)
+                  || '/' || CAST(i AS VARCHAR)
+           ELSE 'none' END AS target_uri,
+      CASE WHEN kind = 'g' OR is_tail THEN 'none'
+           ELSE '<urn:rec:' || CAST(d AS VARCHAR) || '-'
+                || CAST(i AS VARCHAR) || '>' END AS record_id,
+      CASE WHEN kind = 'g' OR is_tail THEN 'none'
+           ELSE '2026-01-02T03:04:05Z' END AS warc_date,
+      CASE WHEN kind = 'g' OR is_tail THEN 'none'
+           WHEN i = 0 THEN 'application/warc-fields'
+           ELSE 'text/plain' END AS content_type,
+      CAST(CASE WHEN kind = 'g' OR is_tail THEN -1
+           WHEN i = 0 THEN 22
+           ELSE length(body) END AS BIGINT) AS content_length,
+      CAST(CASE WHEN kind = 'g' OR is_tail THEN -1
+           WHEN i = 0 THEN 5 ELSE 6 END AS INT) AS n_headers,
+      CASE WHEN is_conv AND kind = 't' THEN substr(body, 1, 5)
+           WHEN is_conv THEN body
+           ELSE 'none' END AS text,
+      CAST(CASE WHEN kind = 'g' THEN -1
+           WHEN is_tail OR (kind = 't' AND i = 1) THEN 0
+           ELSE 1 END AS INT) AS clean,
+      CAST(CASE WHEN kind = 'g' THEN -1
+           WHEN kind = 'z' THEN 1 ELSE 0 END AS INT) AS compressed,
+      CASE WHEN kind = 'g' THEN 'not a WARC payload (no version line)'
+           ELSE '' END AS parse_error
+    FROM c
+    """,
+)
+def x151_warc_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET record extraction — the Common Crawl ingestion
+    container. The engine's dedup / quality / lang-id / contamination
+    operators consume a documents table; this is the operator that
+    PRODUCES it from what a real pretraining corpus ships as:
+    WARC/1.0 record framing (version line, named header block,
+    Content-Length payload, CRLF-CRLF terminator), WET conversion
+    records (Target-URI + text/plain payload), gzip-member-per-record
+    .warc.gz wire layout walked with stdlib zlib
+    (``functions/warc.warc_records`` / ``extract_warc_records``;
+    ``read_warc`` is the binaryFile source wrapper).
+
+    Fixture corpus, closed-form from doc_id (``encode_warc``, the
+    inverse generator): doc_id%13==0 rows are GARBAGE (strict=False
+    containment: one sentinel row + error string); doc_id%11==0 rows
+    arrive as GZIP MEMBERS (one per record — the .warc.gz layout;
+    compressed=1); doc_id%9==0 rows are cut 5 bytes into the last
+    conversion payload (declared Content-Length survives, text is
+    the partial bytes, clean=0); doc_id%7==0 rows carry non-WARC
+    garbage AFTER the last record (counted as a terminal
+    warc_type='garbage' row, clean=0, never silently skipped); the
+    rest are warcinfo + 1+doc_id%3 conversion records with
+    closed-form URIs and bodies.
+
+    Scale shape: one payload EXPLODES to one row per record inside
+    the same Arrow-batched scan stage (attach → walk fused, no
+    shuffle); real corpora swap the attach kernel for a binaryFile
+    scan (``read_warc``), parallel per file — Common Crawl's ~1 GB
+    segment granularity. Reference: engine-added (SURVEY.md §2.2
+    text-pipeline family); ISO 28500 / WARC 1.0 public layouts."""
+    from etlp_spark.functions.warc import encode_warc, extract_warc_records
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+
+    def attach(batches):
+        import pandas as pd
+
+        date = "2026-01-02T03:04:05Z"
+
+        def warcinfo(d):
+            return {
+                "warc_type": "warcinfo",
+                "record_id": f"<urn:rec:{d}-0>", "warc_date": date,
+                "content_type": "application/warc-fields",
+                "body": "software: etlp-spark\r\n",
+            }
+
+        def conv(d, i):
+            return {
+                "warc_type": "conversion",
+                "record_id": f"<urn:rec:{d}-{i}>", "warc_date": date,
+                "target_uri": f"https://example.org/{d}/{i}",
+                "content_type": "text/plain",
+                "body": f"txt {d} {i} " * (1 + d % 3),
+            }
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                if d % 13 == 0:
+                    payloads.append(b"not-a-warc-" + str(d).encode())
+                elif d % 11 == 0:
+                    payloads.append(
+                        encode_warc(
+                            [warcinfo(d), conv(d, 1)], gzip_members=True
+                        )
+                    )
+                elif d % 9 == 0:
+                    payloads.append(
+                        encode_warc(
+                            [warcinfo(d), conv(d, 1)],
+                            truncate_last_payload_at=5,
+                        )
+                    )
+                elif d % 7 == 0:
+                    payloads.append(
+                        encode_warc(
+                            [warcinfo(d), conv(d, 1)],
+                            trailing_garbage=b"garbage-tail-"
+                            + str(d).encode(),
+                        )
+                    )
+                else:
+                    payloads.append(
+                        encode_warc(
+                            [warcinfo(d)]
+                            + [conv(d, i) for i in range(1, 2 + d % 3)]
+                        )
+                    )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(attach, "media_id bigint, payload binary")
+    recs = extract_warc_records(media, strict=False)
+    # NULL-free output edge (x144/x146-x150's sentinel pattern)
+    return recs.select(
+        "media_id",
+        F.coalesce("rec_index", F.lit(-1)).alias("rec_index"),
+        F.coalesce("warc_type", F.lit("none")).alias("warc_type"),
+        F.coalesce("target_uri", F.lit("none")).alias("target_uri"),
+        F.coalesce("record_id", F.lit("none")).alias("record_id"),
+        F.coalesce("warc_date", F.lit("none")).alias("warc_date"),
+        F.coalesce("content_type", F.lit("none")).alias("content_type"),
+        F.coalesce("content_length", F.lit(-1)).alias("content_length"),
+        F.coalesce("n_headers", F.lit(-1)).alias("n_headers"),
+        F.coalesce("text", F.lit("none")).alias("text"),
+        F.coalesce("clean", F.lit(-1)).alias("clean"),
+        F.coalesce("compressed", F.lit(-1)).alias("compressed"),
+        F.coalesce("parse_error", F.lit("")).alias("parse_error"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #

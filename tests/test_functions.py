@@ -2955,3 +2955,173 @@ def test_normalize_orientation_recovers_upright():
     rot = _np.rot90(img, 1)  # stored with orientation 6
     assert _pixel_feature(rot) != _pixel_feature(img)
     assert _pixel_feature(normalize_orientation(rot, 6)) == _pixel_feature(img)
+
+
+def test_warc_walk_deterministic_cases():
+    """warc_records reads version line + named headers +
+    Content-Length framing, extracts text/* payloads, walks
+    gzip-member-per-record files with stdlib zlib, contains
+    truncation / inter-record garbage / missing Content-Length as
+    counted damage (clean=0), and raises the containment error only
+    for payloads that are not WARC at all."""
+    import pytest as _pt
+
+    from etlp_spark.functions.warc import encode_warc, warc_records
+
+    wi = {
+        "warc_type": "warcinfo", "record_id": "<urn:rec:0>",
+        "warc_date": "2026-01-02T03:04:05Z",
+        "content_type": "application/warc-fields",
+        "body": "software: etlp-spark\r\n",
+    }
+    cv = {
+        "warc_type": "conversion", "record_id": "<urn:rec:1>",
+        "warc_date": "2026-01-02T03:04:05Z",
+        "target_uri": "https://example.org/a",
+        "content_type": "text/plain; charset=utf-8",
+        "body": "page text ünïcode",
+    }
+    rs = warc_records(encode_warc([wi, cv]))
+    assert [r["warc_type"] for r in rs] == ["warcinfo", "conversion"]
+    assert rs[0]["text"] is None  # application/* payloads stay opaque
+    assert rs[0]["n_headers"] == 5 and rs[1]["n_headers"] == 6
+    assert rs[1]["text"] == "page text ünïcode"  # charset param handled
+    assert rs[1]["target_uri"] == "https://example.org/a"
+    assert rs[1]["content_length"] == len("page text ünïcode".encode())
+    assert all(r["clean"] == 1 and r["compressed"] == 0 for r in rs)
+
+    # .warc.gz wire layout: one gzip member per record
+    gz = encode_warc([wi, cv], gzip_members=True)
+    assert gz[:2] == b"\x1f\x8b"
+    rg = warc_records(gz)
+    assert [r["warc_type"] for r in rg] == ["warcinfo", "conversion"]
+    assert all(r["compressed"] == 1 and r["clean"] == 1 for r in rg)
+    assert rg[1]["text"] == "page text ünïcode"
+
+    # cut mid-payload: declared length survives, partial text, clean=0
+    rt = warc_records(encode_warc([wi, cv], truncate_last_payload_at=4))
+    assert rt[1]["clean"] == 0 and rt[1]["text"] == "page"
+    assert rt[1]["content_length"] == len("page text ünïcode".encode())
+    assert rt[0]["clean"] == 1
+
+    # garbage between/after records: its own counted row, walk ends
+    rm = warc_records(encode_warc([wi], trailing_garbage=b"XXXX"))
+    assert [r["warc_type"] for r in rm] == ["warcinfo", "garbage"]
+    assert rm[1]["clean"] == 0 and rm[1]["rec_index"] == 1
+
+    # a malformed header line (name containing whitespace — the colon
+    # inside the date value must NOT be mistaken for the separator)
+    # flips clean but the record and everything AFTER it still parse
+    raw = encode_warc([wi, cv])
+    bad = raw.replace(b"WARC-Date: ", b"WARC-Date ", 1)
+    rb = warc_records(bad)
+    assert rb[0]["clean"] == 0 and rb[0]["warc_date"] is None
+    assert rb[0]["n_headers"] == 4  # the damaged line is not counted
+    assert rb[1]["clean"] == 1 and rb[1]["text"] == "page text ünïcode"
+
+    # spec folding: a continuation line starting with SP extends the
+    # previous header's value (clean stays 1, one header)
+    folded = raw.replace(
+        b"WARC-Target-URI: https://example.org/a\r\n",
+        b"WARC-Target-URI: https://example.org\r\n /a\r\n", 1,
+    )
+    rf = warc_records(folded)
+    assert rf[1]["clean"] == 1 and rf[1]["n_headers"] == 6
+    assert rf[1]["target_uri"] == "https://example.org /a"
+
+    # missing Content-Length: the rest of the file is unframeable —
+    # damaged record, walk stops (never guesses an offset)
+    noclen = raw.replace(b"Content-Length: 22\r\n", b"", 1)
+    rn = warc_records(noclen)
+    assert rn[0]["clean"] == 0 and len(rn) == 1
+
+    with _pt.raises(ValueError, match="not a WARC payload"):
+        warc_records(b"HTTP/1.1 200 OK\r\n\r\n")
+    with _pt.raises(ValueError, match="bad gzip head"):
+        warc_records(b"\x1f\x8b not actually gzip")
+
+
+def test_warc_walk_property():
+    """Property (hypothesis over record counts / types / body sizes /
+    uri presence / gzip layout): warc_records exactly inverts
+    encode_warc — record order, header fields, declared lengths,
+    text extraction for text/* only, clean=1 throughout."""
+    from hypothesis import given, settings, strategies as st
+
+    from etlp_spark.functions.warc import encode_warc, warc_records
+
+    word = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=255,
+                               exclude_characters="\x00\r\n"),
+        min_size=0, max_size=24,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        bodies=st.lists(word, min_size=1, max_size=5),
+        kinds=st.lists(
+            st.sampled_from(("conversion", "response", "metadata")),
+            min_size=5, max_size=5,
+        ),
+        texty=st.lists(st.booleans(), min_size=5, max_size=5),
+        with_uri=st.lists(st.booleans(), min_size=5, max_size=5),
+        gz=st.booleans(),
+    )
+    def check(bodies, kinds, texty, with_uri, gz):
+        recs = []
+        for i, body in enumerate(bodies):
+            recs.append(
+                {
+                    "warc_type": kinds[i],
+                    "record_id": f"<urn:rec:{i}>",
+                    "content_type": (
+                        "text/plain" if texty[i] else "application/http"
+                    ),
+                    "target_uri": (
+                        f"https://e.org/{i}" if with_uri[i] else None
+                    ),
+                    "body": body,
+                }
+            )
+        rs = warc_records(encode_warc(recs, gzip_members=gz))
+        assert len(rs) == len(recs)
+        for i, (r, src) in enumerate(zip(rs, recs)):
+            assert r["rec_index"] == i
+            assert r["warc_type"] == src["warc_type"]
+            assert r["record_id"] == f"<urn:rec:{i}>"
+            assert r["target_uri"] == src["target_uri"]
+            assert r["content_length"] == len(src["body"].encode())
+            assert r["text"] == (src["body"] if texty[i] else None)
+            assert r["clean"] == 1 and r["compressed"] == int(gz)
+
+    check()
+
+
+def test_read_warc_source(spark, tmp_path):
+    """read_warc: binaryFile scan over a directory of .warc /
+    .warc.gz files explodes to one row per record, id = file path,
+    damaged files contained as audit rows (strict=False default)."""
+    from etlp_spark.functions.warc import encode_warc, read_warc
+
+    cv = lambda i: {  # noqa: E731
+        "warc_type": "conversion", "record_id": f"<urn:rec:{i}>",
+        "target_uri": f"https://e.org/{i}",
+        "content_type": "text/plain", "body": f"text {i}",
+    }
+    (tmp_path / "a.warc").write_bytes(encode_warc([cv(1), cv(2)]))
+    (tmp_path / "b.warc.gz").write_bytes(
+        encode_warc([cv(3)], gzip_members=True)
+    )
+    (tmp_path / "c.warc").write_bytes(b"junk, not warc")
+
+    out = read_warc(spark, str(tmp_path)).collect()
+    by_file = {}
+    for r in out:
+        by_file.setdefault(r["media_id"].rsplit("/", 1)[-1], []).append(r)
+    assert [r["text"] for r in sorted(
+        by_file["a.warc"], key=lambda r: r["rec_index"])] == [
+        "text 1", "text 2"]
+    assert by_file["b.warc.gz"][0]["compressed"] == 1
+    assert by_file["b.warc.gz"][0]["text"] == "text 3"
+    assert by_file["c.warc"][0]["parse_error"].startswith("not a WARC")
+    assert by_file["c.warc"][0]["rec_index"] is None
