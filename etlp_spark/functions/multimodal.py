@@ -4238,3 +4238,392 @@ def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media_df.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# FLAC + Ogg-Vorbis metadata (stdlib-only): crawled audio corpora are
+# not all MP3/WAV — FLAC's STREAMINFO block carries sample rate /
+# channels / bit depth / TOTAL SAMPLES (exact duration, no frame scan
+# needed), and both FLAC and Ogg-Vorbis carry provenance in Vorbis
+# comment blocks (TITLE/ARTIST/vendor, the audio analogue of PNG's
+# text chunks). Pure byte-walks per the public specs (xiph.org FLAC
+# format + Vorbis I + RFC 3533 Ogg framing): FLAC = "fLaC" magic then
+# 1+3-byte block headers; Ogg = "OggS" pages with lacing-value
+# segment tables, a CRC-32 (poly 0x04C11DB7, unreflected, init 0)
+# audited per page in PNG's count-don't-hide posture, and the Vorbis
+# id (\x01vorbis) / comment (\x03vorbis) header packets.
+# ---------------------------------------------------------------------------
+
+_OGG_CRC_TABLE = []
+for _b in range(256):
+    _r = _b << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7 if _r & 0x80000000 else _r << 1)
+        _r &= 0xFFFFFFFF
+    _OGG_CRC_TABLE.append(_r)
+
+
+def _ogg_crc(data: bytes) -> int:
+    """RFC 3533 page CRC: CRC-32/MPEG-2 variant with init 0 (poly
+    0x04C11DB7, no reflection, no final xor)."""
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[
+            ((crc >> 24) & 0xFF) ^ byte
+        ]
+    return crc
+
+
+def _vorbis_comments(data: bytes) -> "tuple[dict, int, int]":
+    """Parse a Vorbis comment structure (shared verbatim by FLAC's
+    VORBIS_COMMENT block and Ogg's \\x03vorbis packet body): LE32
+    vendor length + vendor, LE32 count, then per comment LE32 length
+    + UTF-8 ``KEY=value`` (keys case-insensitive per the Vorbis I
+    spec). Returns ({fields}, n_comments, clean) where fields holds
+    vendor/title/artist (first occurrence wins) and clean flips on
+    truncation or a comment without '=' — counted, not hidden."""
+    out: dict = {"vendor": None, "title": None, "artist": None}
+    clean = 1
+    n = len(data)
+    if n < 4:
+        return out, 0, 0
+    vlen = int.from_bytes(data[0:4], "little")
+    pos = 4
+    if pos + vlen > n:
+        return out, 0, 0
+    out["vendor"] = data[pos : pos + vlen].decode("utf-8", "replace")
+    pos += vlen
+    if pos + 4 > n:
+        return out, 0, 0
+    count = int.from_bytes(data[pos : pos + 4], "little")
+    pos += 4
+    n_comments = 0
+    for _ in range(count):
+        if pos + 4 > n:
+            clean = 0
+            break
+        clen = int.from_bytes(data[pos : pos + 4], "little")
+        pos += 4
+        if pos + clen > n:
+            clean = 0
+            break
+        raw = data[pos : pos + clen]
+        pos += clen
+        n_comments += 1
+        key, sep, val = raw.partition(b"=")
+        if not sep:
+            clean = 0  # spec requires KEY=value
+            continue
+        k = key.decode("utf-8", "replace").upper()
+        v = val.decode("utf-8", "replace")
+        if k == "TITLE" and out["title"] is None:
+            out["title"] = v
+        elif k == "ARTIST" and out["artist"] is None:
+            out["artist"] = v
+    return out, n_comments, clean
+
+
+def flac_metadata(payload: bytes) -> dict:
+    """Walk FLAC metadata blocks: STREAMINFO's packed 64-bit field
+    (sample rate 20 bits, channels-1 3 bits, bits-per-sample-1 5
+    bits, total samples 36 bits — EXACT duration with no frame scan)
+    and the VORBIS_COMMENT block. Truncation degrades to None+clean=0
+    (every read bounds-checked); non-FLAC raises ValueError."""
+    n = len(payload)
+    if n < 4 or payload[0:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (no fLaC magic)")
+    rec = {
+        "format": "flac", "sample_rate": None, "channels": None,
+        "bits_per_sample": None, "total_samples": None,
+        "duration_us": None, "vendor": None, "title": None,
+        "artist": None, "n_comments": None, "n_blocks": 0,
+        "n_crc_bad": 0, "clean": 1,
+    }
+    pos = 4
+    last = False
+    while not last and pos + 4 <= n:
+        hdr = payload[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        pos += 4
+        rec["n_blocks"] += 1
+        body = payload[pos : pos + blen]
+        if len(body) < blen:
+            rec["clean"] = 0  # declared block runs past the payload
+            break
+        pos += blen
+        if btype == 0 and blen >= 18:
+            packed = int.from_bytes(body[10:18], "big")
+            rec["sample_rate"] = packed >> 44
+            rec["channels"] = ((packed >> 41) & 0x7) + 1
+            rec["bits_per_sample"] = ((packed >> 36) & 0x1F) + 1
+            rec["total_samples"] = packed & ((1 << 36) - 1)
+            if rec["sample_rate"]:
+                rec["duration_us"] = (
+                    rec["total_samples"] * 1_000_000 // rec["sample_rate"]
+                )
+        elif btype == 0:
+            rec["clean"] = 0  # STREAMINFO too short to hold the field
+        elif btype == 4:
+            fields, n_comments, c_clean = _vorbis_comments(body)
+            rec.update(fields)
+            rec["n_comments"] = n_comments
+            if not c_clean:
+                rec["clean"] = 0
+    if not last:
+        rec["clean"] = 0  # ran out of bytes before the last-block flag
+    return rec
+
+
+def ogg_vorbis_metadata(payload: bytes) -> dict:
+    """Walk Ogg pages (RFC 3533: OggS capture, LE64 granule, lacing
+    segment table) auditing each COMPLETE page's CRC (counted in
+    n_crc_bad + clean, never hiding readable fields), then parse the
+    Vorbis id packet (\\x01vorbis: channels, sample rate) and comment
+    packet (\\x03vorbis) from the concatenated page payloads. Total
+    samples = max granule over complete pages (the Vorbis I duration
+    contract); exact duration derives as integer micros. Truncation
+    degrades to None+clean=0; non-Ogg raises ValueError."""
+    n = len(payload)
+    if n < 4 or payload[0:4] != b"OggS":
+        raise ValueError("not an Ogg payload (no OggS capture)")
+    rec = {
+        "format": "ogg", "sample_rate": None, "channels": None,
+        "bits_per_sample": None, "total_samples": None,
+        "duration_us": None, "vendor": None, "title": None,
+        "artist": None, "n_comments": None, "n_blocks": 0,
+        "n_crc_bad": 0, "clean": 1,
+    }
+    pos = 0
+    payloads: list[bytes] = []
+    max_granule = None
+    while pos + 27 <= n and payload[pos : pos + 4] == b"OggS":
+        header = payload[pos : pos + 27]
+        granule = int.from_bytes(header[6:14], "little", signed=True)
+        crc_declared = int.from_bytes(header[22:26], "little")
+        n_segs = header[26]
+        rec["n_blocks"] += 1
+        table = payload[pos + 27 : pos + 27 + n_segs]
+        if len(table) < n_segs:
+            rec["clean"] = 0
+            pos = n
+            break
+        body_len = sum(table)
+        body = payload[pos + 27 + n_segs : pos + 27 + n_segs + body_len]
+        if len(body) < body_len:
+            rec["clean"] = 0  # page cut mid-payload
+            pos = n
+            break
+        page = bytearray(header + table + body)
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc_declared:
+            rec["n_crc_bad"] += 1
+            rec["clean"] = 0
+        payloads.append(body)
+        if granule >= 0:
+            max_granule = max(max_granule or 0, granule)
+        pos += 27 + n_segs + body_len
+    if pos < n:
+        rec["clean"] = 0  # trailing non-page bytes
+    rec["total_samples"] = max_granule
+    stream = b"".join(payloads)
+    idp = stream.find(b"\x01vorbis")
+    if idp >= 0 and idp + 16 <= len(stream):
+        rec["channels"] = stream[idp + 11]
+        rec["sample_rate"] = int.from_bytes(
+            stream[idp + 12 : idp + 16], "little"
+        )
+    cmp_ = stream.find(b"\x03vorbis")
+    if cmp_ >= 0:
+        fields, n_comments, c_clean = _vorbis_comments(
+            stream[cmp_ + 7 :]
+        )
+        rec.update(fields)
+        rec["n_comments"] = n_comments
+        if not c_clean:
+            rec["clean"] = 0
+    if rec["sample_rate"] and rec["total_samples"] is not None:
+        rec["duration_us"] = (
+            rec["total_samples"] * 1_000_000 // rec["sample_rate"]
+        )
+    return rec
+
+
+def audio_container_metadata(payload: bytes) -> dict:
+    """Dispatch on container magic: fLaC → ``flac_metadata``, OggS →
+    ``ogg_vorbis_metadata``; anything else raises ValueError (the
+    strict=False containment hook)."""
+    if payload[0:4] == b"fLaC":
+        return flac_metadata(payload)
+    if payload[0:4] == b"OggS":
+        return ogg_vorbis_metadata(payload)
+    raise ValueError("not a FLAC or Ogg payload")
+
+
+def encode_flac(
+    *,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    bits_per_sample: int = 16,
+    total_samples: int = 0,
+    vendor: str = "etlp",
+    comments: "tuple[str, ...]" = (),
+    padding: bool = False,
+    truncate_streaminfo_at: "int | None" = None,
+) -> bytes:
+    """Inverse fixture generator: build a FLAC metadata stream whose
+    ``flac_metadata`` walk returns exactly the arguments. ``comments``
+    are raw ``KEY=value`` strings; ``padding`` appends a PADDING
+    block; ``truncate_streaminfo_at`` cuts the stream that many bytes
+    into the STREAMINFO body (declared length survives)."""
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | total_samples
+    )
+    streaminfo = (
+        (4096).to_bytes(2, "big") * 2  # min/max blocksize
+        + b"\x00\x00\x00" * 2  # min/max framesize (unknown)
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16  # md5
+    )
+    vc = vendor.encode("utf-8")
+    body = len(vc).to_bytes(4, "little") + vc
+    body += len(comments).to_bytes(4, "little")
+    for c in comments:
+        cb = c.encode("utf-8")
+        body += len(cb).to_bytes(4, "little") + cb
+    out = b"fLaC"
+    if truncate_streaminfo_at is not None:
+        out += bytes([0x00]) + len(streaminfo).to_bytes(3, "big")
+        return out + streaminfo[:truncate_streaminfo_at]
+    out += bytes([0x00]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    blocks = [(4, body)]
+    if padding:
+        blocks.append((1, b"\x00" * 8))
+    for i, (btype, b) in enumerate(blocks):
+        flag = 0x80 if i == len(blocks) - 1 else 0x00
+        out += bytes([flag | btype]) + len(b).to_bytes(3, "big") + b
+    return out
+
+
+def _ogg_page(
+    header_type: int, granule: int, seq: int, body: bytes,
+    *, corrupt_crc: bool = False,
+) -> bytes:
+    segs = []
+    rest = body
+    while len(rest) >= 255:
+        segs.append(255)
+        rest = rest[255:]
+    segs.append(len(rest))
+    header = (
+        b"OggS\x00" + bytes([header_type])
+        + granule.to_bytes(8, "little", signed=True)
+        + (777).to_bytes(4, "little")  # serial
+        + seq.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"  # crc placeholder
+        + bytes([len(segs)]) + bytes(segs)
+    )
+    crc = _ogg_crc(header + body)
+    if corrupt_crc:
+        crc ^= 0xDEADBEEF
+    page = bytearray(header + body)
+    page[22:26] = crc.to_bytes(4, "little")
+    return bytes(page)
+
+
+def encode_ogg_vorbis(
+    *,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    total_samples: int = 0,
+    vendor: str = "etlp",
+    comments: "tuple[str, ...]" = (),
+    corrupt_comment_crc: bool = False,
+    truncate_id_page_at: "int | None" = None,
+) -> bytes:
+    """Inverse fixture generator: a 3-page Ogg-Vorbis stream (BOS id
+    page, comment page, EOS audio page carrying the final granule)
+    whose ``ogg_vorbis_metadata`` walk returns exactly the arguments.
+    ``corrupt_comment_crc`` flips the comment page's CRC (fields stay
+    extracted; the audit counts); ``truncate_id_page_at`` cuts the
+    stream that many bytes into the id page's payload."""
+    idpkt = (
+        b"\x01vorbis" + (0).to_bytes(4, "little")
+        + bytes([channels]) + sample_rate.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 3 + b"\xb8\x01"
+    )
+    vc = vendor.encode("utf-8")
+    cbody = len(vc).to_bytes(4, "little") + vc
+    cbody += len(comments).to_bytes(4, "little")
+    for c in comments:
+        cb = c.encode("utf-8")
+        cbody += len(cb).to_bytes(4, "little") + cb
+    cmtpkt = b"\x03vorbis" + cbody + b"\x01"  # framing bit
+    p0 = _ogg_page(0x02, 0, 0, idpkt)  # BOS
+    if truncate_id_page_at is not None:
+        cut = len(p0) - len(idpkt) + truncate_id_page_at
+        return p0[:cut]
+    p1 = _ogg_page(0x00, 0, 1, cmtpkt, corrupt_crc=corrupt_comment_crc)
+    p2 = _ogg_page(0x04, total_samples, 2, b"\x00\x00")  # EOS
+    return p0 + p1 + p2
+
+
+_AUDIO_CONTAINER_COLS = (
+    ("format", "string"),
+    ("sample_rate", "int"),
+    ("channels", "int"),
+    ("bits_per_sample", "int"),
+    ("total_samples", "bigint"),
+    ("duration_us", "bigint"),
+    ("vendor", "string"),
+    ("title", "string"),
+    ("artist", "string"),
+    ("n_comments", "int"),
+    ("n_blocks", "int"),
+    ("n_crc_bad", "int"),
+    ("clean", "int"),
+)
+
+
+def extract_audio_container_metadata(
+    media_df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    *,
+    strict: bool = True,
+) -> DataFrame:
+    """mapInPandas FLAC/Ogg metadata extraction — identical 100 TB
+    shape to the other extract wrappers: Arrow-batched byte-walk in
+    the SCAN stage, no shuffle, one output row per payload, id
+    name/type preserved; ``strict=False`` contains other blobs as
+    NULL rows + ``parse_error``."""
+    id_type = dict(media_df.dtypes)[id_col]
+    cols = list(_AUDIO_CONTAINER_COLS)
+    if not strict:
+        cols.append(("parse_error", "string"))
+    schema = ", ".join(
+        [f"{id_col} {id_type}"] + [f"{n} {t}" for n, t in cols]
+    )
+
+    def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            metas = []
+            for b in pdf[payload_col]:
+                try:
+                    metas.append(audio_container_metadata(b))
+                except ValueError as e:
+                    if strict:
+                        raise
+                    metas.append({"parse_error": str(e)})
+            out = {id_col: pdf[id_col]}
+            for name, _t in cols:
+                out[name] = pd.Series(
+                    [m.get(name) for m in metas], dtype="object"
+                )
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(kernel, schema)

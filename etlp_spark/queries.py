@@ -15606,6 +15606,166 @@ def x151_warc_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x152_flac_ogg",
+    """
+    WITH f AS (SELECT doc_id AS d FROM documents),
+    c AS (
+      SELECT d,
+        CASE WHEN d % 13 = 0 THEN 'g'
+             WHEN d % 11 = 0 THEN 't'
+             WHEN d % 7 = 0 THEN 'x'
+             ELSE 'p' END AS kind,
+        CASE WHEN d % 2 = 0 THEN 'flac' ELSE 'ogg' END AS fmt,
+        CAST((CASE d % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              WHEN 2 THEN 22050 WHEN 3 THEN 44100
+              ELSE 48000 END) AS BIGINT) AS rate,
+        CAST(d * 1000 + d % 7 AS BIGINT) AS total
+      FROM f)
+    SELECT
+      CAST(d AS BIGINT) AS media_id,
+      CASE WHEN kind = 'g' THEN 'none' ELSE fmt END AS format,
+      CAST(CASE WHEN kind IN ('g', 't') THEN -1
+           ELSE rate END AS INT) AS sample_rate,
+      CAST(CASE WHEN kind IN ('g', 't') THEN -1
+           ELSE 1 + d % 3 END AS INT) AS channels,
+      CAST(CASE WHEN kind IN ('g', 't') OR fmt = 'ogg' THEN -1
+           ELSE CASE d % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END
+           END AS INT) AS bits_per_sample,
+      CAST(CASE WHEN kind IN ('g', 't') THEN -1
+           ELSE total END AS BIGINT) AS total_samples,
+      CAST(CASE WHEN kind IN ('g', 't') THEN -1
+           ELSE (total * 1000000) // rate END AS BIGINT) AS duration_us,
+      CASE WHEN kind IN ('g', 't') THEN 'none'
+           ELSE 'etlp-0.' || CAST(d % 4 AS VARCHAR) END AS vendor,
+      CASE WHEN kind IN ('g', 't') THEN 'none'
+           ELSE 'Träck-' || CAST(d % 100 AS VARCHAR) END AS title,
+      CASE WHEN kind IN ('g', 't') OR d % 3 = 0 THEN 'none'
+           ELSE 'Artist-' || CAST(d % 50 AS VARCHAR) END AS artist,
+      CAST(CASE WHEN kind IN ('g', 't') THEN -1
+           ELSE 1 + CASE WHEN d % 3 <> 0 THEN 1 ELSE 0 END
+                  + CASE WHEN d % 4 = 0 THEN 1 ELSE 0 END
+           END AS INT) AS n_comments,
+      CAST(CASE WHEN kind = 'g' THEN -1
+           WHEN kind = 't' THEN 1
+           WHEN fmt = 'ogg' THEN 3
+           WHEN kind = 'x' THEN 3 ELSE 2 END AS INT) AS n_blocks,
+      CAST(CASE WHEN kind = 'g' THEN -1
+           WHEN kind = 'x' AND fmt = 'ogg' THEN 1
+           ELSE 0 END AS INT) AS n_crc_bad,
+      CAST(CASE WHEN kind = 'g' THEN -1
+           WHEN kind = 't' OR (kind = 'x' AND fmt = 'ogg') THEN 0
+           ELSE 1 END AS INT) AS clean,
+      CASE WHEN kind = 'g' THEN 'not a FLAC or Ogg payload'
+           ELSE '' END AS parse_error
+    FROM c
+    """,
+)
+def x152_flac_ogg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC + Ogg-Vorbis container metadata over audio payloads —
+    crawled audio corpora are not all MP3/WAV: FLAC's STREAMINFO
+    block carries sample rate / channels / bit depth / TOTAL SAMPLES
+    (exact duration, no frame scan), and both formats carry
+    provenance (TITLE/ARTIST/vendor) in Vorbis comment structures —
+    the audio analogue of x150's PNG text chunks
+    (``functions/multimodal.flac_metadata`` /
+    ``ogg_vorbis_metadata`` / ``audio_container_metadata``). Ogg
+    pages are CRC-audited (RFC 3533 unreflected CRC-32) in the
+    count-don't-hide posture.
+
+    Fixture corpus, closed-form from doc_id, format alternating by
+    parity (``encode_flac`` / ``encode_ogg_vorbis``, the inverse
+    generators): doc_id%13==0 rows are GARBAGE (strict=False
+    containment); doc_id%11==0 rows are cut 10 bytes into the first
+    block/page (format readable, fields not, clean=0); doc_id%7==0
+    rows exercise per-format damage asymmetry — FLAC gains a PADDING
+    block (n_blocks=3, still clean), Ogg gets a CORRUPTED comment-
+    page CRC (fields still extracted, n_crc_bad=1, clean=0); the
+    rest are well-formed with rates/channels/samples/comments
+    closed-form from doc_id (ARTIST present iff doc_id%3!=0, an
+    uncaptured X-KEY comment counted iff doc_id%4==0, exact
+    integer-micros duration).
+
+    Scale shape: x146-x151's — two Arrow-batched mapInPandas kernels
+    (attach → walk) fused in ONE scan stage, no shuffle; per-row
+    error containment. Reference: engine-added (SURVEY.md §2.2
+    multimodal family); xiph.org FLAC/Vorbis I + RFC 3533 public
+    layouts."""
+    from etlp_spark.functions.multimodal import (
+        encode_flac,
+        encode_ogg_vorbis,
+        extract_audio_container_metadata,
+    )
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+
+    def attach(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                if d % 13 == 0:
+                    payloads.append(b"not-audio-" + str(d).encode())
+                    continue
+                flac = d % 2 == 0
+                if d % 11 == 0:
+                    payloads.append(
+                        encode_flac(truncate_streaminfo_at=10)
+                        if flac
+                        else encode_ogg_vorbis(truncate_id_page_at=10)
+                    )
+                    continue
+                rate = (8000, 16000, 22050, 44100, 48000)[d % 5]
+                comments = [f"TITLE=Träck-{d % 100}"]
+                if d % 3 != 0:
+                    comments.append(f"ARTIST=Artist-{d % 50}")
+                if d % 4 == 0:
+                    comments.append(f"X-KEY=v{d}")
+                kw = dict(
+                    sample_rate=rate, channels=1 + d % 3,
+                    total_samples=d * 1000 + d % 7,
+                    vendor=f"etlp-0.{d % 4}", comments=tuple(comments),
+                )
+                if flac:
+                    payloads.append(
+                        encode_flac(
+                            bits_per_sample=(8, 16, 24)[d % 3],
+                            padding=d % 7 == 0, **kw,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        encode_ogg_vorbis(
+                            corrupt_comment_crc=d % 7 == 0, **kw,
+                        )
+                    )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(attach, "media_id bigint, payload binary")
+    meta = extract_audio_container_metadata(media, strict=False)
+    # NULL-free output edge (x144/x146-x151's sentinel pattern)
+    return meta.select(
+        "media_id",
+        F.coalesce("format", F.lit("none")).alias("format"),
+        F.coalesce("sample_rate", F.lit(-1)).alias("sample_rate"),
+        F.coalesce("channels", F.lit(-1)).alias("channels"),
+        F.coalesce("bits_per_sample", F.lit(-1)).alias("bits_per_sample"),
+        F.coalesce("total_samples", F.lit(-1)).alias("total_samples"),
+        F.coalesce("duration_us", F.lit(-1)).alias("duration_us"),
+        F.coalesce("vendor", F.lit("none")).alias("vendor"),
+        F.coalesce("title", F.lit("none")).alias("title"),
+        F.coalesce("artist", F.lit("none")).alias("artist"),
+        F.coalesce("n_comments", F.lit(-1)).alias("n_comments"),
+        F.coalesce("n_blocks", F.lit(-1)).alias("n_blocks"),
+        F.coalesce("n_crc_bad", F.lit(-1)).alias("n_crc_bad"),
+        F.coalesce("clean", F.lit(-1)).alias("clean"),
+        F.coalesce("parse_error", F.lit("")).alias("parse_error"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #

@@ -3125,3 +3125,152 @@ def test_read_warc_source(spark, tmp_path):
     assert by_file["b.warc.gz"][0]["text"] == "text 3"
     assert by_file["c.warc"][0]["parse_error"].startswith("not a WARC")
     assert by_file["c.warc"][0]["rec_index"] is None
+
+
+def test_flac_ogg_walk_deterministic_cases():
+    """flac_metadata reads STREAMINFO's packed field (rate/channels/
+    bits/total samples -> exact integer-micros duration) + Vorbis
+    comments (case-insensitive keys, first-occurrence-wins);
+    ogg_vorbis_metadata walks pages with lacing tables, audits the
+    RFC 3533 CRC without hiding extracted fields, and takes duration
+    from the max granule; both contain truncation as clean=0 and
+    raise only for non-FLAC/Ogg payloads."""
+    import pytest as _pt
+
+    from etlp_spark.functions.multimodal import (
+        audio_container_metadata,
+        encode_flac,
+        encode_ogg_vorbis,
+        flac_metadata,
+        ogg_vorbis_metadata,
+    )
+
+    m = flac_metadata(
+        encode_flac(
+            sample_rate=44100, channels=2, bits_per_sample=16,
+            total_samples=441000, vendor="v-1",
+            comments=("title=Söng", "ARTIST=A", "TITLE=later-loses"),
+        )
+    )
+    assert (m["sample_rate"], m["channels"], m["bits_per_sample"]) == \
+        (44100, 2, 16)
+    assert m["total_samples"] == 441000
+    assert m["duration_us"] == 10_000_000  # exactly 10 s
+    assert m["title"] == "Söng"  # lowercase key + first wins
+    assert m["artist"] == "A" and m["vendor"] == "v-1"
+    assert m["n_comments"] == 3 and m["n_blocks"] == 2 and m["clean"] == 1
+
+    # 36-bit total samples + padding block + odd rate floor division
+    m2 = flac_metadata(
+        encode_flac(sample_rate=22050, total_samples=22051, padding=True)
+    )
+    assert m2["duration_us"] == 22051 * 1_000_000 // 22050
+    assert m2["n_blocks"] == 3 and m2["clean"] == 1
+
+    o = ogg_vorbis_metadata(
+        encode_ogg_vorbis(
+            sample_rate=48000, channels=1, total_samples=96000,
+            vendor="v-2", comments=("TITLE=T", "X=1"),
+        )
+    )
+    assert (o["sample_rate"], o["channels"]) == (48000, 1)
+    assert o["total_samples"] == 96000 and o["duration_us"] == 2_000_000
+    assert o["bits_per_sample"] is None  # not a Vorbis id field
+    assert o["title"] == "T" and o["n_comments"] == 2
+    assert o["n_blocks"] == 3 and o["n_crc_bad"] == 0 and o["clean"] == 1
+
+    # CRC corruption counts and flips clean but fields stay extracted
+    oc = ogg_vorbis_metadata(
+        encode_ogg_vorbis(comments=("TITLE=kept",),
+                          corrupt_comment_crc=True)
+    )
+    assert oc["n_crc_bad"] == 1 and oc["clean"] == 0
+    assert oc["title"] == "kept"
+
+    # truncation containment
+    ft = flac_metadata(encode_flac(truncate_streaminfo_at=10))
+    assert ft["clean"] == 0 and ft["sample_rate"] is None
+    assert ft["n_blocks"] == 1
+    ot = ogg_vorbis_metadata(encode_ogg_vorbis(truncate_id_page_at=10))
+    assert ot["clean"] == 0 and ot["sample_rate"] is None
+    assert ot["total_samples"] is None
+
+    # a comment without '=' is counted but flips clean (spec violation)
+    fb = flac_metadata(encode_flac(comments=("TITLE=x", "no-equals")))
+    assert fb["n_comments"] == 2 and fb["clean"] == 0 and fb["title"] == "x"
+
+    assert audio_container_metadata(encode_flac())["format"] == "flac"
+    assert audio_container_metadata(encode_ogg_vorbis())["format"] == "ogg"
+    with _pt.raises(ValueError, match="not a FLAC or Ogg"):
+        audio_container_metadata(b"RIFF....WAVE")
+    with _pt.raises(ValueError, match="no fLaC magic"):
+        flac_metadata(b"OggS")
+    with _pt.raises(ValueError, match="no OggS capture"):
+        ogg_vorbis_metadata(b"fLaC")
+
+
+def test_flac_ogg_walk_property():
+    """Property (hypothesis over rates / channels / bit depths /
+    sample totals / comment mixes / both formats): the walkers
+    exactly invert their encoders — packed STREAMINFO bits, granule
+    duration, comment extraction, integer-micros floor division."""
+    from hypothesis import given, settings, strategies as st
+
+    from etlp_spark.functions.multimodal import (
+        encode_flac,
+        encode_ogg_vorbis,
+        flac_metadata,
+        ogg_vorbis_metadata,
+    )
+
+    word = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=255,
+                               exclude_characters="\x00="),
+        min_size=0, max_size=12,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        rate=st.integers(1, (1 << 20) - 1),
+        ch=st.integers(1, 8),
+        bps=st.integers(4, 32),
+        total=st.integers(0, (1 << 36) - 1),
+        title=st.one_of(st.none(), word),
+        artist=st.one_of(st.none(), word),
+        pad=st.booleans(),
+        ogg=st.booleans(),
+    )
+    def check(rate, ch, bps, total, title, artist, pad, ogg):
+        comments = []
+        if title is not None:
+            comments.append(f"TITLE={title}")
+        if artist is not None:
+            comments.append(f"ARTIST={artist}")
+        if ogg:
+            if total >= 1 << 62:  # granule is signed LE64; way inside
+                total = 1 << 62
+            m = ogg_vorbis_metadata(
+                encode_ogg_vorbis(
+                    sample_rate=rate, channels=ch, total_samples=total,
+                    comments=tuple(comments),
+                )
+            )
+            assert m["bits_per_sample"] is None and m["n_blocks"] == 3
+        else:
+            m = flac_metadata(
+                encode_flac(
+                    sample_rate=rate, channels=ch, bits_per_sample=bps,
+                    total_samples=total, comments=tuple(comments),
+                    padding=pad,
+                )
+            )
+            assert m["bits_per_sample"] == bps
+            assert m["n_blocks"] == (3 if pad else 2)
+        assert m["sample_rate"] == rate and m["channels"] == ch
+        assert m["total_samples"] == total
+        assert m["duration_us"] == total * 1_000_000 // rate
+        assert m["title"] == title and m["artist"] == artist
+        assert m["n_comments"] == len(comments)
+        assert m["n_crc_bad"] == 0 and m["clean"] == 1
+
+    check()
