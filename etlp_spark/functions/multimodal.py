@@ -4627,3 +4627,41 @@ def extract_audio_container_metadata(
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(kernel, schema)
+
+
+def orientation_invariant_descriptor(
+    payload: bytes, *, bucket_width: int = 32
+) -> dict:
+    """EXIF-normalized perceptual descriptor for a JPEG payload — the
+    executable form of ``_pixel_feature``'s orientation caveat and
+    ``normalize_orientation``'s reason to exist: one byte-walk for
+    the Orientation tag (``exif_metadata``, no decode), one real
+    decode (``decode_jpeg``), normalize, then quantized quadrant-luma
+    buckets joined as a band key (the LSH-bucket shape: equal keys →
+    dedup candidates, compared via a shuffle on the key, never
+    all-pairs). Returns BOTH keys — ``norm_key`` (after undoing the
+    stored orientation) and ``raw_key`` (as stored) — so a pipeline
+    can measure exactly what normalization merged: a camera-rotated
+    duplicate shares ``norm_key`` with its upright original while its
+    ``raw_key`` differs (the quadrant permutation). ``clean`` is the
+    EXIF walk's audit flag."""
+    m = exif_metadata(payload)
+    px = decode_jpeg(payload)
+
+    def key(p: np.ndarray) -> str:
+        luma = p.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        h, w = luma.shape
+        qs = (
+            luma[: h // 2, : w // 2].mean(),
+            luma[: h // 2, w // 2 :].mean(),
+            luma[h // 2 :, : w // 2].mean(),
+            luma[h // 2 :, w // 2 :].mean(),
+        )
+        return "-".join(str(int(q) // bucket_width) for q in qs)
+
+    return {
+        "orientation": m["orientation"],
+        "raw_key": key(px),
+        "norm_key": key(normalize_orientation(px, m["orientation"])),
+        "clean": m["clean"],
+    }

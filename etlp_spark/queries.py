@@ -15766,6 +15766,167 @@ def x152_flac_ogg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x153_orientation_dedup",
+    """
+    WITH f AS (SELECT doc_id AS d FROM documents),
+    b AS (
+      SELECT d, 2 + d % 7 AS o,
+        ((d // 4) + (d + 0) % 4) % 8 AS b0,
+        ((d // 4) + (d + 1) % 4) % 8 AS b1,
+        ((d // 4) + (d + 2) % 4) % 8 AS b2,
+        ((d // 4) + (d + 3) % 4) % 8 AS b3
+      FROM f),
+    k AS (
+      SELECT d, o, b0, b1, b2, b3,
+        CAST(b0 AS VARCHAR) || '-' || CAST(b1 AS VARCHAR) || '-'
+          || CAST(b2 AS VARCHAR) || '-' || CAST(b3 AS VARCHAR)
+          AS norm_key
+      FROM b),
+    v AS (
+      SELECT d, norm_key, norm_key AS raw_key FROM k
+      UNION ALL
+      SELECT d, norm_key,
+        CASE o
+          WHEN 2 THEN CAST(b1 AS VARCHAR) || '-' || CAST(b0 AS VARCHAR)
+            || '-' || CAST(b3 AS VARCHAR) || '-' || CAST(b2 AS VARCHAR)
+          WHEN 3 THEN CAST(b3 AS VARCHAR) || '-' || CAST(b2 AS VARCHAR)
+            || '-' || CAST(b1 AS VARCHAR) || '-' || CAST(b0 AS VARCHAR)
+          WHEN 4 THEN CAST(b2 AS VARCHAR) || '-' || CAST(b3 AS VARCHAR)
+            || '-' || CAST(b0 AS VARCHAR) || '-' || CAST(b1 AS VARCHAR)
+          WHEN 5 THEN CAST(b0 AS VARCHAR) || '-' || CAST(b2 AS VARCHAR)
+            || '-' || CAST(b1 AS VARCHAR) || '-' || CAST(b3 AS VARCHAR)
+          WHEN 6 THEN CAST(b1 AS VARCHAR) || '-' || CAST(b3 AS VARCHAR)
+            || '-' || CAST(b0 AS VARCHAR) || '-' || CAST(b2 AS VARCHAR)
+          WHEN 7 THEN CAST(b3 AS VARCHAR) || '-' || CAST(b1 AS VARCHAR)
+            || '-' || CAST(b2 AS VARCHAR) || '-' || CAST(b0 AS VARCHAR)
+          ELSE CAST(b2 AS VARCHAR) || '-' || CAST(b0 AS VARCHAR)
+            || '-' || CAST(b3 AS VARCHAR) || '-' || CAST(b1 AS VARCHAR)
+        END AS raw_key
+      FROM k)
+    SELECT norm_key,
+      CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) AS BIGINT) AS n_variants,
+      CAST(COUNT(DISTINCT raw_key) AS BIGINT) AS n_raw_keys
+    FROM v GROUP BY norm_key
+    """,
+)
+def x153_orientation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF-orientation-normalized perceptual dedup — the gated query
+    behind r14's ``normalize_orientation``: camera-rotated/mirrored
+    duplicates (EXIF Orientation 2-8, ubiquitous in crawled JPEGs)
+    must land in the SAME dedup bucket as their upright originals,
+    which raw pixel descriptors structurally cannot do (the quadrant
+    terms permute). Pipeline per payload
+    (``multimodal.orientation_invariant_descriptor``): one EXIF
+    byte-walk for Orientation (x148's walker, no decode) → REAL
+    baseline-JPEG decode → ``normalize_orientation`` (the EXIF 2.3
+    inverse-transform table) → quantized quadrant-luma band key; the
+    groupBy on that key is the LSH-bucket shuffle, never all-pairs.
+
+    Fixture corpus, closed-form from doc_id: each doc yields TWO
+    JPEG payloads — the upright original (Orientation 1) and a
+    stored-transformed duplicate whose pixels are forward-transformed
+    by orientation o = 2 + doc_id%7 (all seven non-identity values
+    cycle) with the matching EXIF APP1 spliced in (``encode_exif``'s
+    segment inside ``encode_jpeg``'s real bitstream). Quadrant luma
+    levels are flat 8x8 blocks at 16+32*j with all four j distinct
+    (j_k = (d//4 + (d+k)%4) % 8), so quality-95 decode is EXACT and
+    every bucket sits 16 levels from its boundary — and every
+    rotation provably changes the raw key. Output per normalized
+    band key: n_docs, n_variants (2x), and n_raw_keys — the proof
+    column: >1 raw key per bucket means the rotated copies matched
+    ONLY via normalization (the oracle's CASE table encodes the
+    quadrant permutation of each orientation, verified against
+    numpy).
+
+    Scale shape: attach + descriptor fused in the scan stage
+    (Arrow-batched mapInPandas, real decode per payload), then ONE
+    shuffle on the band key — exactly how MinHash-LSH banding
+    shuffles (functions/dedup.py); cluster membership is never
+    compared all-pairs. Reference: engine-added (SURVEY.md §2.2
+    multimodal family); EXIF 2.3 orientation table."""
+    from etlp_spark.functions.multimodal import (
+        encode_exif,
+        encode_jpeg,
+        orientation_invariant_descriptor,
+    )
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+
+    def attach(batches):
+        import numpy as np
+        import pandas as pd
+
+        gens = {
+            2: lambda p: p[:, ::-1],
+            3: lambda p: p[::-1, ::-1],
+            4: lambda p: p[::-1, :],
+            5: lambda p: np.rot90(p, -1)[:, ::-1],
+            6: lambda p: np.rot90(p, 1),
+            7: lambda p: np.rot90(p, 1)[:, ::-1],
+            8: lambda p: np.rot90(p, -1),
+        }
+
+        def app1(orientation):
+            ex = encode_exif(byte_order="II", orientation=orientation)
+            seglen = int.from_bytes(ex[4:6], "big")
+            return ex[2 : 4 + seglen]
+
+        for pdf in batches:
+            ids, variants, payloads = [], [], []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                up = np.zeros((16, 16, 3), dtype=np.uint8)
+                levels = [
+                    16 + 32 * (((d // 4) + ((d + k) % 4)) % 8)
+                    for k in range(4)
+                ]
+                up[:8, :8] = levels[0]
+                up[:8, 8:] = levels[1]
+                up[8:, :8] = levels[2]
+                up[8:, 8:] = levels[3]
+                o = 2 + d % 7
+                stored = np.ascontiguousarray(gens[o](up))
+                for variant, px, tag in ((0, up, 1), (1, stored, o)):
+                    jp = encode_jpeg(px, quality=95)
+                    ids.append(d)
+                    variants.append(variant)
+                    payloads.append(jp[:2] + app1(tag) + jp[2:])
+            yield pd.DataFrame(
+                {"media_id": ids, "variant": variants, "payload": payloads}
+            )
+
+    def descriptors(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                orientation_invariant_descriptor(b)
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "raw_key": [r["raw_key"] for r in rows],
+                    "norm_key": [r["norm_key"] for r in rows],
+                }
+            )
+
+    media = docs.mapInPandas(
+        attach, "media_id bigint, variant int, payload binary"
+    )
+    keys = media.mapInPandas(
+        descriptors, "media_id bigint, raw_key string, norm_key string"
+    )
+    # the band-join shuffle: group candidates by normalized key
+    return keys.groupBy("norm_key").agg(
+        F.countDistinct("media_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_variants"),
+        F.countDistinct("raw_key").alias("n_raw_keys"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #

@@ -3274,3 +3274,55 @@ def test_flac_ogg_walk_property():
         assert m["n_crc_bad"] == 0 and m["clean"] == 1
 
     check()
+
+
+def test_orientation_invariant_descriptor_merges_rotated_pair():
+    """The x153 kernel contract: a camera-rotated duplicate (real
+    baseline JPEG with a spliced EXIF APP1) shares norm_key with its
+    upright original for ALL seven non-identity orientations while
+    its raw_key differs — the rotated copy matches ONLY via
+    normalization."""
+    import numpy as np
+
+    from etlp_spark.functions.multimodal import (
+        encode_exif,
+        encode_jpeg,
+        orientation_invariant_descriptor,
+    )
+
+    def app1(orientation):
+        ex = encode_exif(byte_order="MM", orientation=orientation)
+        seglen = int.from_bytes(ex[4:6], "big")
+        return ex[2 : 4 + seglen]
+
+    up = np.zeros((16, 16, 3), dtype=np.uint8)
+    for k, lv in enumerate((16, 80, 144, 208)):  # all-distinct quadrants
+        up[(k // 2) * 8 : (k // 2) * 8 + 8,
+           (k % 2) * 8 : (k % 2) * 8 + 8] = lv
+    base = encode_jpeg(up, quality=95)
+    ref = orientation_invariant_descriptor(
+        base[:2] + app1(1) + base[2:]
+    )
+    assert ref["raw_key"] == ref["norm_key"] == "0-2-4-6"
+    assert ref["orientation"] == 1 and ref["clean"] == 1
+
+    gens = {
+        2: lambda p: p[:, ::-1],
+        3: lambda p: p[::-1, ::-1],
+        4: lambda p: p[::-1, :],
+        5: lambda p: np.rot90(p, -1)[:, ::-1],
+        6: lambda p: np.rot90(p, 1),
+        7: lambda p: np.rot90(p, 1)[:, ::-1],
+        8: lambda p: np.rot90(p, -1),
+    }
+    for o, g in gens.items():
+        stored = np.ascontiguousarray(g(up))
+        jp = encode_jpeg(stored, quality=95)
+        m = orientation_invariant_descriptor(jp[:2] + app1(o) + jp[2:])
+        assert m["orientation"] == o
+        assert m["norm_key"] == ref["norm_key"], o  # merged
+        assert m["raw_key"] != ref["raw_key"], o  # only via normalization
+
+    # absent/garbage orientation passes through: raw == norm
+    m = orientation_invariant_descriptor(base)
+    assert m["orientation"] is None and m["raw_key"] == m["norm_key"]
