@@ -477,6 +477,14 @@ def _s_paths(c: dict[str, Any]):
     )
 
 
+def _s_cdc(c: dict[str, Any]):
+    from etlp_spark.streaming import cdc_tws
+
+    return lambda df, _k=c["key"], _o=c["op"], _s=c["seq"], _a=c[
+        "attr"
+    ], _n=c["num"]: cdc_tws(df, _k, _o, _s, _a, _n)
+
+
 STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
     "running_counts": _s_running_counts,
     "ewma": _s_ewma,
@@ -493,6 +501,7 @@ STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {
     "conformal": _s_conformal,
     "funnel": _s_funnel,
     "paths": _s_paths,
+    "cdc": _s_cdc,
 }
 
 

@@ -1808,3 +1808,95 @@ def paths_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def cdc_tws(
+    df: DataFrame,
+    key_col: str,
+    op_col: str,
+    seq_col: str,
+    attr_col: str,
+    num_col: str,
+) -> DataFrame:
+    """Streaming CDC apply per key — x96_cdc_apply_latest's
+    last-writer-wins semantics for the one query family whose real
+    deployment is INHERENTLY streaming (change feeds don't arrive in
+    batches): the r14 verdict's item 6, extending the twin family to
+    its last natural candidate.
+
+    State is one value per key: the winning (seq, op, attr, num)
+    under x96's exact ordering — highest sequence number wins, ties
+    break on the LOWEST op string (x96's ``orderBy(seq DESC, op
+    ASC)``: a conflicting same-seq 'D' beats 'I'/'U'). A LATE
+    out-of-order change (seq below the stored winner) updates
+    NOTHING — exactly the batch window's rn=1 row — so replaying a
+    shuffled feed converges to the same per-key answer. DELETES stay
+    in state as tombstones and are EMITTED with op='D': downstream
+    consumers (and the batch oracle's ``op != 'D'`` filter) decide
+    what a tombstone means; dropping the key from state would turn a
+    delete-then-late-update race into a resurrection.
+
+    Emits the winning (k, op, seq, attr, num) per touched key per
+    micro-batch. Update mode; RocksDB state store required. State is
+    O(keys) — the same bound as the batch apply's shuffle — and a
+    production deployment ages out tombstones with timers once the
+    feed's max lateness has passed (the standard Debezium-compaction
+    trade; kept here so the twin stays byte-equal to the batch
+    window)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _CDC(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "cdc_latest",
+                "seq BIGINT, op STRING, attr STRING, num BIGINT",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            cur = self._st.get() if self._st.exists() else None
+            for pdf in rows:
+                for op, seq, attr, num in zip(
+                    pdf[op_col], pdf[seq_col], pdf[attr_col], pdf[num_col]
+                ):
+                    if op is None or seq is None:
+                        continue
+                    cand = (
+                        int(seq), str(op),
+                        None if attr is None else str(attr),
+                        None if num is None else int(num),
+                    )
+                    # x96's ORDER BY seq DESC, op ASC winner
+                    if (
+                        cur is None
+                        or cand[0] > cur[0]
+                        or (cand[0] == cur[0] and cand[1] < cur[1])
+                    ):
+                        cur = cand
+            if cur is not None:
+                self._st.update(cur)
+                yield pd.DataFrame(
+                    {
+                        "k": [key[0]],
+                        "op": [cur[1]],
+                        "seq": [cur[0]],
+                        "attr": [cur[2]],
+                        "num": [cur[3]],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _CDC(),
+        outputStructType=(
+            "k string, op string, seq bigint, attr string, num bigint"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -1724,3 +1724,124 @@ def test_paths_tws_matches_batch_sessionization(spark, stream_dir, tmp_path):
             q.stop()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_cdc_tws_matches_batch_apply(spark, stream_dir, tmp_path):
+    """Streaming CDC apply (cdc_tws): after two micro-batches each
+    key's winning (op, seq, attr, num) equals x96's BATCH window
+    (ORDER BY seq DESC, op ASC, rn=1) over the concatenated feed —
+    including a LATE OUT-OF-ORDER update (lower seq arriving after
+    the winner: must change nothing), a same-seq D-vs-U conflict
+    (op-ascending tiebreak: D wins), and a delete followed by a late
+    stale update (the tombstone must NOT be resurrected)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.streaming import cdc_tws
+
+    b1 = [
+        # key 'a': insert then update — U@2 wins batch 1
+        ("a", "I", 1, "O", 100), ("a", "U", 2, "O", 107),
+        # key 'b': delete at seq 3
+        ("b", "I", 1, "F", 50), ("b", "D", 3, "F", 0),
+        # key 'c': same-seq conflict — D beats U at seq 4 (op asc)
+        ("c", "U", 4, "P", 70), ("c", "D", 4, "P", 0),
+    ]
+    b2 = [
+        # late OUT-OF-ORDER stale update for 'a' (seq 1 < winner 2)
+        ("a", "U", 1, "O", 999),
+        # late stale update for deleted 'b' — no resurrection
+        ("b", "U", 2, "F", 60),
+        # genuine newer update for 'c' overrides the tombstone
+        ("c", "U", 6, "P", 75),
+        # new key 'd'
+        ("d", "I", 1, "O", 10),
+    ]
+
+    def batch_apply(rows):
+        feed = spark.createDataFrame(
+            rows, "k string, op string, seq long, st string, cents long"
+        )
+        w = W.partitionBy("k").orderBy(F.col("seq").desc(), "op")
+        latest = (
+            feed.select(
+                "k", "op", "seq", "st", "cents",
+                F.row_number().over(w).alias("rn"),
+            ).where(F.col("rn") == 1)
+        )
+        return {
+            r.k: (r.op, r.seq, r.st, r.cents) for r in latest.collect()
+        }
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        _write_batch(
+            stream_dir, "cdc1.jsonl",
+            [{"k": k, "op": op, "seq": s, "st": st, "cents": c}
+             for k, op, s, st, c in b1],
+        )
+        src = file_stream(
+            spark, str(stream_dir),
+            "k string, op string, seq long, st string, cents long",
+            fmt="json",
+        )
+        q = (
+            cdc_tws(src, "k", "op", "seq", "st", "cents")
+            .writeStream.format("memory")
+            .queryName("tws_cdc")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            mid = {
+                r.k: (r.op, r.seq, r.attr, r.num)
+                for r in spark.sql("select * from tws_cdc").collect()
+            }
+            assert mid == batch_apply(b1)
+            assert mid["c"][0] == "D"  # same-seq tiebreak: D beat U
+
+            _write_batch(
+                stream_dir, "cdc2.jsonl",
+                [{"k": k, "op": op, "seq": s, "st": st, "cents": c}
+                 for k, op, s, st, c in b2],
+            )
+            q.processAllAvailable()
+            latest = {}
+            for r in spark.sql("select * from tws_cdc").collect():
+                # memory sink in update mode appends one row per
+                # touched key per batch; the state winner's seq is
+                # monotone non-decreasing, so max-by-(seq, op desc)
+                # picks the final emission without relying on
+                # collect() preserving batch order
+                cand = (r.op, r.seq, r.attr, r.num)
+                prev = latest.get(r.k)
+                if prev is None or (cand[1], prev[0]) > (prev[1], cand[0]):
+                    latest[r.k] = cand
+            expected = batch_apply(b1 + b2)
+            assert latest == expected
+            assert latest["a"] == ("U", 2, "O", 107)  # stale ignored
+            assert latest["b"] == ("D", 3, "F", 0)  # not resurrected
+            assert latest["c"] == ("U", 6, "P", 75)  # newer overrides D
+            assert latest["d"] == ("I", 1, "O", 10)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_cdc_config_nameable(spark):
+    """The 'cdc' op resolves from STREAM_STATEFUL_OPS config."""
+    from etlp_spark.config import STREAM_STATEFUL_OPS
+
+    build = STREAM_STATEFUL_OPS["cdc"](
+        {"key": "k", "op": "op", "seq": "seq", "attr": "st",
+         "num": "cents"}
+    )
+    assert callable(build)
