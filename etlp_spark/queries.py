@@ -15927,6 +15927,109 @@ def x153_orientation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x154_warc_ingest_quality",
+    r"""
+    WITH f AS (SELECT doc_id AS d FROM documents),
+    n AS (SELECT d, 1 + d % 3 AS nconv FROM f),
+    r AS (SELECT d, UNNEST(range(1, nconv + 1)) AS i FROM n),
+    t AS (
+      SELECT d, i,
+        repeat('The quick record ' || CAST(d AS VARCHAR) || '-'
+               || CAST(i AS VARCHAR) || ', is here. ',
+               CAST(1 + (d + i) % 2 AS INT)) AS text
+      FROM r)
+    SELECT
+      CAST(d AS BIGINT) AS media_id,
+      CAST(i AS INT) AS rec_index,
+      'https://example.org/' || CAST(d AS VARCHAR) || '/'
+        || CAST(i AS VARCHAR) AS target_uri,
+      CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               x -> x <> '')) AS INT) AS n_tokens,
+      CAST(length(replace(text, ' ', '')) AS INT) AS tok_chars,
+      CAST(length(text) - length(
+           regexp_replace(text, '[.,!?;:()\[\]"'']', '', 'g'))
+           AS INT) AS n_punct
+    FROM t
+    """,
+)
+def x154_warc_ingest_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC→text-pipeline composition — the end-to-end flow x151's
+    walker exists for: ingest WET containers (``extract_warc_records``),
+    keep the conversion records, and run the REAL text-analysis
+    operators (``functions.text``: whitespace tokenization, token
+    character mass, punctuation audit) on the extracted payload text
+    in the same job. This is the query a pretraining-data user runs
+    first against a crawl drop: container → text → per-document
+    quality numbers, no intermediate table.
+
+    Fixture corpus, closed-form from doc_id (``encode_warc``): each
+    doc is a clean WET file (warcinfo + 1+doc_id%3 conversion
+    records) whose record text repeats a punctuated sentence
+    1+(doc_id+i)%2 times — so token counts, token character mass,
+    and punctuation counts are all exact integers the oracle rebuilds
+    from the same string arithmetic (no cross-engine float surface).
+
+    Scale shape: binaryFile-equivalent attach → record explosion →
+    tokenize, ALL inside one Arrow-batched scan stage (the walk
+    yields text columns; the token expressions are codegen'd JVM
+    column math per x1's plan) — no shuffle anywhere: container
+    ingest to quality scores at parquet-scan speed. Reference:
+    engine-added (SURVEY.md §2.2 text-pipeline family); composes
+    x151's walker with x1's operators."""
+    from etlp_spark.functions import text as T
+    from etlp_spark.functions.warc import encode_warc, extract_warc_records
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+
+    def attach(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                recs = [
+                    {
+                        "warc_type": "warcinfo",
+                        "record_id": f"<urn:rec:{d}-0>",
+                        "content_type": "application/warc-fields",
+                        "body": "software: etlp-spark\r\n",
+                    }
+                ]
+                for i in range(1, 2 + d % 3):
+                    reps = 1 + (d + i) % 2
+                    recs.append(
+                        {
+                            "warc_type": "conversion",
+                            "record_id": f"<urn:rec:{d}-{i}>",
+                            "target_uri": f"https://example.org/{d}/{i}",
+                            "content_type": "text/plain",
+                            "body": f"The quick record {d}-{i}, is here. "
+                            * reps,
+                        }
+                    )
+                payloads.append(encode_warc(recs))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(attach, "media_id bigint, payload binary")
+    recs = extract_warc_records(media)
+    conv = recs.where(F.col("warc_type") == "conversion")
+    toks = T.tokens("text")
+    return conv.select(
+        "media_id",
+        "rec_index",
+        "target_uri",
+        T.token_count("text").alias("n_tokens"),
+        F.length(F.array_join(toks, "")).cast("int").alias("tok_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", T.PUNCT_CLASS, ""))
+        ).cast("int").alias("n_punct"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -16085,15 +16188,15 @@ _GATED_PRIOR_ROUNDS = [
 #: r10-evidence block (the freshest=r10 set, in CORRECTNESS_r10.json
 #: gate order — the judge-published histogram set), then the first 4
 #: of the 49-query r11-evidence block (CORRECTNESS_r11.json gate
-#: order; the verdict budgeted 9 — 5 are deferred to r16). Note the
+#: order; the verdict budgeted 9 — 6 are deferred to r16). Note the
 #: r11 pull-forwards lead with x141_ivf_index_staleness, which also
 #: covers this round's ``ensure_ivf_index``→``_ensure`` lifecycle
 #: refactor (behavior-preserving, but the index-lifecycle code path
-#: it executes was touched). Sized at 47 — three freed slots let the
-#: round-15 additions land via ``_ungated`` as slots 48-50 exactly
-#: as x146/x147 (r13) and x148-x150 (r14) did. After this gate the
-#: oldest driver evidence fleet-wide is r11 (the remaining 45
-#: r11-evidence queries lead the r16 window).
+#: it executes was touched). Sized at 46 — four freed slots let the
+#: round-15 additions (x151-x154) land via ``_ungated`` as slots
+#: 47-50 exactly as x146/x147 (r13) and x148-x150 (r14) did. After
+#: this gate the oldest driver evidence fleet-wide is r11 (the
+#: remaining 46 r11-evidence queries lead the r16 window).
 _NEWEST = [
     # changed-this-round (ADVICE r14 fixes: x148 fixture APP0 length
     # 18→16; x150 kernel unknown-compression-method clean flip),
@@ -16118,10 +16221,9 @@ _NEWEST = [
     "x21_quality_gates", "x22_dedup_canonical",
     "x23_sequence_packing", "x25_pii_scrub", "x26_shuffle_shard",
     "x27_repetition_stats",
-    # first 4 of the r11-evidence block (CORRECTNESS_r11.json gate
+    # first 3 of the r11-evidence block (CORRECTNESS_r11.json gate
     # order), pulled forward into the remaining slots:
     "x141_ivf_index_staleness", "x140_mann_whitney", "a1_counts",
-    "d5_union_merge",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
