@@ -73,10 +73,56 @@ _WARC_COLS = (
     ("content_type", "string"),
     ("content_length", "bigint"),
     ("n_headers", "int"),
+    ("http_status", "int"),
+    ("http_content_type", "string"),
     ("text", "string"),
     ("clean", "int"),
     ("compressed", "int"),
 )
+
+
+def _http_response_meta(body: bytes) -> "tuple[int | None, str | None, bytes | None, int]":
+    """Parse an ``application/http`` record payload (raw WARC
+    response records — the bulk of a Common Crawl drop): status line,
+    header block, entity body. Returns (status, content_type, body,
+    clean). Handles ``Content-Encoding: gzip/deflate`` with stdlib
+    zlib (failure → body None, clean=0 — counted, not hidden); a
+    payload that doesn't start with ``HTTP/`` is damage, not a
+    different format (the WARC header already declared msgtype)."""
+    if body[:5] != b"HTTP/":
+        return None, None, None, 0
+    clean = 1
+    head, sep, entity = body.partition(b"\r\n\r\n")
+    if not sep:
+        clean = 0  # header block never terminated: status may still read
+        entity = b""
+    lines = head.split(b"\r\n")
+    parts = lines[0].split(b" ", 2)
+    status = None
+    if len(parts) >= 2 and parts[1].isdigit():
+        status = int(parts[1])
+    else:
+        clean = 0
+    ctype = None
+    encoding = None
+    for line in lines[1:]:
+        name, hsep, value = line.partition(b":")
+        if not hsep:
+            clean = 0
+            continue
+        key = name.strip().lower()
+        if key == b"content-type":
+            ctype = value.strip().decode("utf-8", "replace")
+        elif key == b"content-encoding":
+            encoding = value.strip().lower()
+    if encoding in (b"gzip", b"deflate") and entity:
+        try:
+            entity = zlib.decompress(
+                entity, 47
+            )  # 47 = auto-detect zlib/gzip wrapper
+        except zlib.error:
+            return status, ctype, None, 0
+    return status, ctype, entity, clean
 
 _CRLF = b"\r\n"
 
@@ -150,6 +196,8 @@ def warc_records(payload: bytes) -> "list[dict]":
                     "content_type": None,
                     "content_length": None,
                     "n_headers": None,
+                    "http_status": None,
+                    "http_content_type": None,
                     "text": None,
                     "clean": 0,
                     "compressed": compressed,
@@ -165,6 +213,8 @@ def warc_records(payload: bytes) -> "list[dict]":
             "content_type": None,
             "content_length": None,
             "n_headers": 0,
+            "http_status": None,
+            "http_content_type": None,
             "text": None,
             "clean": 1,
             "compressed": compressed,
@@ -232,9 +282,23 @@ def warc_records(payload: bytes) -> "list[dict]":
         if len(body) < content_length:
             rec["clean"] = 0  # truncated inside the payload
         pos += len(body)
-        ct = rec["content_type"] or ""
-        if ct.split(";")[0].strip().startswith("text/"):
+        ct = (rec["content_type"] or "").split(";")[0].strip()
+        if ct.startswith("text/"):
             rec["text"] = body.decode("utf-8", "replace")
+        elif ct == "application/http":
+            # raw WARC response/request record: the payload is the
+            # full HTTP message (the bulk of a Common Crawl drop)
+            status, hct, entity, hclean = _http_response_meta(body)
+            rec["http_status"] = status
+            rec["http_content_type"] = hct
+            if not hclean:
+                rec["clean"] = 0
+            if (
+                entity is not None
+                and hct is not None
+                and hct.split(";")[0].strip().startswith("text/")
+            ):
+                rec["text"] = entity.decode("utf-8", "replace")
         if payload[pos : pos + 4] == _CRLF + _CRLF:
             pos += 4
         elif len(body) == content_length:
@@ -264,6 +328,30 @@ def encode_warc(
     recs = list(records)
     pieces: list[bytes] = []
     for i, r in enumerate(recs):
+        r = dict(r)
+        if "http" in r:
+            # build a raw response record: payload = full HTTP message
+            h = r["http"]
+            entity = h.get("body", b"")
+            if isinstance(entity, str):
+                entity = entity.encode("utf-8")
+            enc_hdr = b""
+            if h.get("gzip"):
+                obj = zlib.compressobj(6, zlib.DEFLATED, 31)
+                entity = obj.compress(entity) + obj.flush()
+                enc_hdr = b"Content-Encoding: gzip\r\n"
+            status_line = (
+                f"HTTP/1.1 {h.get('status', 200)} {h.get('reason', 'OK')}"
+            )
+            ct_line = f"Content-Type: {h.get('content_type', 'text/html')}"
+            r["body"] = (
+                status_line.encode("utf-8") + _CRLF
+                + ct_line.encode("utf-8") + _CRLF
+                + enc_hdr + _CRLF + entity
+            )
+            r.setdefault(
+                "content_type", "application/http; msgtype=response"
+            )
         body = r.get("body", b"")
         if isinstance(body, str):
             body = body.encode("utf-8")

@@ -15450,11 +15450,17 @@ def x150_png_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT d, kind, UNNEST(range(nrows)) AS i FROM n),
     c AS (
       SELECT d, kind, i,
-        kind <> 'g' AND i > 0 AND NOT (kind = 'm' AND i = 2) AS is_conv,
+        kind <> 'g' AND i > 0 AND NOT (kind = 'm' AND i = 2) AS is_doc,
+        kind = 'p' AND d % 5 = 0 AND i = 1 AS is_resp,
         kind = 'm' AND i = 2 AS is_tail,
         repeat('txt ' || CAST(d AS VARCHAR) || ' '
                || CAST(i AS VARCHAR) || ' ',
-               CAST(1 + d % 3 AS INT)) AS body
+               CAST(1 + d % 3 AS INT)) AS body,
+        '<html>resp ' || CAST(d AS VARCHAR) || '</html>' AS hbody,
+        CASE d % 3 WHEN 0 THEN 200 WHEN 1 THEN 301 ELSE 404
+          END AS hstatus,
+        CASE d % 3 WHEN 0 THEN 'OK' WHEN 1 THEN 'Moved Permanently'
+          ELSE 'Not Found' END AS hreason
       FROM r)
     SELECT
       CAST(d AS BIGINT) AS media_id,
@@ -15462,8 +15468,9 @@ def x150_png_text(spark: SparkSession, sf_dir: str) -> DataFrame:
       CASE WHEN kind = 'g' THEN 'none'
            WHEN is_tail THEN 'garbage'
            WHEN i = 0 THEN 'warcinfo'
+           WHEN is_resp THEN 'response'
            ELSE 'conversion' END AS warc_type,
-      CASE WHEN is_conv
+      CASE WHEN is_doc
              THEN 'https://example.org/' || CAST(d AS VARCHAR)
                   || '/' || CAST(i AS VARCHAR)
            ELSE 'none' END AS target_uri,
@@ -15474,14 +15481,24 @@ def x150_png_text(spark: SparkSession, sf_dir: str) -> DataFrame:
            ELSE '2026-01-02T03:04:05Z' END AS warc_date,
       CASE WHEN kind = 'g' OR is_tail THEN 'none'
            WHEN i = 0 THEN 'application/warc-fields'
+           WHEN is_resp THEN 'application/http; msgtype=response'
            ELSE 'text/plain' END AS content_type,
       CAST(CASE WHEN kind = 'g' OR is_tail THEN -1
            WHEN i = 0 THEN 22
+           WHEN is_resp THEN length(
+             'HTTP/1.1 ' || CAST(hstatus AS VARCHAR) || ' ' || hreason
+             || chr(13) || chr(10) || 'Content-Type: text/html'
+             || chr(13) || chr(10) || chr(13) || chr(10) || hbody)
            ELSE length(body) END AS BIGINT) AS content_length,
       CAST(CASE WHEN kind = 'g' OR is_tail THEN -1
            WHEN i = 0 THEN 5 ELSE 6 END AS INT) AS n_headers,
-      CASE WHEN is_conv AND kind = 't' THEN substr(body, 1, 5)
-           WHEN is_conv THEN body
+      CAST(CASE WHEN is_resp THEN hstatus ELSE -1 END
+           AS INT) AS http_status,
+      CASE WHEN is_resp THEN 'text/html' ELSE 'none'
+           END AS http_content_type,
+      CASE WHEN is_resp THEN hbody
+           WHEN is_doc AND kind = 't' THEN substr(body, 1, 5)
+           WHEN is_doc THEN body
            ELSE 'none' END AS text,
       CAST(CASE WHEN kind = 'g' THEN -1
            WHEN is_tail OR (kind = 't' AND i = 1) THEN 0
@@ -15514,8 +15531,13 @@ def x151_warc_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partial bytes, clean=0); doc_id%7==0 rows carry non-WARC
     garbage AFTER the last record (counted as a terminal
     warc_type='garbage' row, clean=0, never silently skipped); the
-    rest are warcinfo + 1+doc_id%3 conversion records with
-    closed-form URIs and bodies.
+    rest are warcinfo + 1+doc_id%3 content records with closed-form
+    URIs and bodies — and when doc_id%5==0 the first content record
+    is a raw RESPONSE record (application/http payload: status line
+    cycling 200/301/404, Content-Type header, HTML entity body —
+    the bulk of a real Common Crawl drop; the walker splits status /
+    content type / body and extracts text/* entities, gzip
+    Content-Encoding handled via stdlib zlib in the unit tests).
 
     Scale shape: one payload EXPLODES to one row per record inside
     the same Arrow-batched scan stage (attach → walk fused, no
@@ -15578,12 +15600,31 @@ def x151_warc_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
                         )
                     )
                 else:
-                    payloads.append(
-                        encode_warc(
-                            [warcinfo(d)]
-                            + [conv(d, i) for i in range(1, 2 + d % 3)]
-                        )
-                    )
+                    recs = [warcinfo(d)]
+                    for i in range(1, 2 + d % 3):
+                        if i == 1 and d % 5 == 0:
+                            status, reason = (
+                                (200, "OK"), (301, "Moved Permanently"),
+                                (404, "Not Found"),
+                            )[d % 3]
+                            recs.append(
+                                {
+                                    "warc_type": "response",
+                                    "record_id": f"<urn:rec:{d}-{i}>",
+                                    "warc_date": date,
+                                    "target_uri":
+                                        f"https://example.org/{d}/{i}",
+                                    "http": {
+                                        "status": status,
+                                        "reason": reason,
+                                        "content_type": "text/html",
+                                        "body": f"<html>resp {d}</html>",
+                                    },
+                                }
+                            )
+                        else:
+                            recs.append(conv(d, i))
+                    payloads.append(encode_warc(recs))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(attach, "media_id bigint, payload binary")
@@ -15599,6 +15640,10 @@ def x151_warc_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("content_type", F.lit("none")).alias("content_type"),
         F.coalesce("content_length", F.lit(-1)).alias("content_length"),
         F.coalesce("n_headers", F.lit(-1)).alias("n_headers"),
+        F.coalesce("http_status", F.lit(-1)).alias("http_status"),
+        F.coalesce("http_content_type", F.lit("none")).alias(
+            "http_content_type"
+        ),
         F.coalesce("text", F.lit("none")).alias("text"),
         F.coalesce("clean", F.lit(-1)).alias("clean"),
         F.coalesce("compressed", F.lit(-1)).alias("compressed"),

@@ -3041,6 +3041,69 @@ def test_warc_walk_deterministic_cases():
         warc_records(b"\x1f\x8b not actually gzip")
 
 
+def test_warc_http_response_records():
+    """Raw WARC response records (application/http payloads — the
+    bulk of a Common Crawl drop): status line + Content-Type split
+    out, text/* entity bodies extracted (gzip/deflate
+    Content-Encoding inflated via stdlib zlib), non-text entities
+    stay opaque, and a payload that isn't HTTP at all is counted
+    damage (the WARC header already declared msgtype)."""
+    from etlp_spark.functions.warc import encode_warc, warc_records
+
+    def resp(http):
+        return {
+            "warc_type": "response", "record_id": "<r>",
+            "warc_date": "2026-01-02T03:04:05Z",
+            "target_uri": "https://e.org/p", "http": http,
+        }
+
+    r = warc_records(
+        encode_warc([resp({"status": 404, "reason": "Not Found",
+                           "content_type": "text/html",
+                           "body": "<html>gone</html>"})])
+    )[0]
+    assert r["warc_type"] == "response" and r["clean"] == 1
+    assert r["content_type"].startswith("application/http")
+    assert r["http_status"] == 404
+    assert r["http_content_type"] == "text/html"
+    assert r["text"] == "<html>gone</html>"
+
+    # gzip Content-Encoding: entity inflates before text extraction
+    rg = warc_records(
+        encode_warc([resp({"status": 200, "content_type": "text/plain",
+                           "body": "hello gz", "gzip": True})])
+    )[0]
+    assert rg["http_status"] == 200 and rg["text"] == "hello gz"
+    assert rg["clean"] == 1
+
+    # non-text entity: status/ct extracted, body stays opaque
+    rb = warc_records(
+        encode_warc([resp({"status": 200, "content_type": "image/png",
+                           "body": b"\x89PNG..."})])
+    )[0]
+    assert rb["http_status"] == 200 and rb["text"] is None
+    assert rb["http_content_type"] == "image/png" and rb["clean"] == 1
+
+    # declared application/http but the payload isn't HTTP: damage
+    rd = warc_records(
+        encode_warc([{
+            "warc_type": "response",
+            "content_type": "application/http; msgtype=response",
+            "body": b"not http at all",
+        }])
+    )[0]
+    assert rd["http_status"] is None and rd["clean"] == 0
+
+    # corrupt gzip entity: status survives, body counted as damage
+    raw = encode_warc([resp({"status": 200, "content_type": "text/plain",
+                             "body": "x" * 64, "gzip": True})])
+    rc = warc_records(raw.replace(b"\x1f\x8b", b"\x1f\x00", 1))
+    # (the flipped byte lives inside the WARC payload, not the member
+    # framing — the record still parses, the entity does not)
+    assert rc[0]["http_status"] == 200 and rc[0]["text"] is None
+    assert rc[0]["clean"] == 0
+
+
 def test_warc_walk_property():
     """Property (hypothesis over record counts / types / body sizes /
     uri presence / gzip layout): warc_records exactly inverts
@@ -3075,7 +3138,8 @@ def test_warc_walk_property():
                     "warc_type": kinds[i],
                     "record_id": f"<urn:rec:{i}>",
                     "content_type": (
-                        "text/plain" if texty[i] else "application/http"
+                        "text/plain" if texty[i]
+                        else "application/octet-stream"
                     ),
                     "target_uri": (
                         f"https://e.org/{i}" if with_uri[i] else None
