@@ -283,7 +283,10 @@ def warc_records(payload: bytes) -> "list[dict]":
             rec["clean"] = 0  # truncated inside the payload
         pos += len(body)
         ct = (rec["content_type"] or "").split(";")[0].strip()
-        if ct.startswith("text/"):
+        if ct.startswith("text/") or ct in (
+            "application/json",  # WAT metadata records
+            "application/warc-fields",  # warcinfo key:value text
+        ):
             rec["text"] = body.decode("utf-8", "replace")
         elif ct == "application/http":
             # raw WARC response/request record: the payload is the
@@ -293,10 +296,9 @@ def warc_records(payload: bytes) -> "list[dict]":
             rec["http_content_type"] = hct
             if not hclean:
                 rec["clean"] = 0
-            if (
-                entity is not None
-                and hct is not None
-                and hct.split(";")[0].strip().startswith("text/")
+            hbase = (hct or "").split(";")[0].strip()
+            if entity is not None and (
+                hbase.startswith("text/") or hbase == "application/json"
             ):
                 rec["text"] = entity.decode("utf-8", "replace")
         if payload[pos : pos + 4] == _CRLF + _CRLF:

@@ -15499,6 +15499,8 @@ def x150_png_text(spark: SparkSession, sf_dir: str) -> DataFrame:
       CASE WHEN is_resp THEN hbody
            WHEN is_doc AND kind = 't' THEN substr(body, 1, 5)
            WHEN is_doc THEN body
+           WHEN kind <> 'g' AND i = 0
+             THEN 'software: etlp-spark' || chr(13) || chr(10)
            ELSE 'none' END AS text,
       CAST(CASE WHEN kind = 'g' THEN -1
            WHEN is_tail OR (kind = 't' AND i = 1) THEN 0

@@ -2983,7 +2983,8 @@ def test_warc_walk_deterministic_cases():
     }
     rs = warc_records(encode_warc([wi, cv]))
     assert [r["warc_type"] for r in rs] == ["warcinfo", "conversion"]
-    assert rs[0]["text"] is None  # application/* payloads stay opaque
+    # warc-fields is key:value text — extracted (WAT/warcinfo family)
+    assert rs[0]["text"] == "software: etlp-spark\r\n"
     assert rs[0]["n_headers"] == 5 and rs[1]["n_headers"] == 6
     assert rs[1]["text"] == "page text ünïcode"  # charset param handled
     assert rs[1]["target_uri"] == "https://example.org/a"
@@ -3008,6 +3009,23 @@ def test_warc_walk_deterministic_cases():
     rm = warc_records(encode_warc([wi], trailing_garbage=b"XXXX"))
     assert [r["warc_type"] for r in rm] == ["warcinfo", "garbage"]
     assert rm[1]["clean"] == 0 and rm[1]["rec_index"] == 1
+
+    # WAT metadata records: application/json payloads extract as text
+    wat = {
+        "warc_type": "metadata", "record_id": "<urn:rec:w>",
+        "target_uri": "https://e.org/w",
+        "content_type": "application/json",
+        "body": '{"Envelope": {"WARC-Header-Length": "257"}}',
+    }
+    rw = warc_records(encode_warc([wat]))[0]
+    assert rw["warc_type"] == "metadata" and rw["clean"] == 1
+    assert rw["text"] == '{"Envelope": {"WARC-Header-Length": "257"}}'
+    # ...but arbitrary binary application/* types stay opaque
+    rz = warc_records(encode_warc([{
+        "warc_type": "resource", "content_type": "application/pdf",
+        "body": b"%PDF-1.4",
+    }]))[0]
+    assert rz["text"] is None and rz["clean"] == 1
 
     # a malformed header line (name containing whitespace — the colon
     # inside the date value must NOT be mistaken for the separator)
