@@ -181,6 +181,8 @@ QUERY_TABLES = {
     "x90_repeated_substring_spans": ["documents"],
     "x91_matryoshka_recall": ["embeddings"],
     "x92_cooccurrence_triangles": ["events"],
+    "x151_warc_wet": ["documents"],
+    "x154_warc_ingest_quality": ["documents"],
     "x93_pq_adc_topk": ["embeddings"],
     "x94_ivf_adc_search": ["embeddings"],
     "x95_hybrid_rrf_fusion": ["documents", "embeddings"],
