@@ -81,14 +81,52 @@ _WARC_COLS = (
 )
 
 
+def _dechunk(entity: bytes) -> "tuple[bytes, int]":
+    """Decode ``Transfer-Encoding: chunked`` framing (RFC 9112 §7.1):
+    a hex chunk-size line (optional ``;ext`` dropped) + CRLF, that
+    many data bytes, CRLF — terminated by a 0-size chunk (trailer
+    fields and the final CRLF are ignored). Damage-contained: a bad
+    chunk-size line, a truncated chunk, or missing framing CRLF keeps
+    the decoded PREFIX and returns clean=0 — crawl WARCs preserve the
+    raw message, so a cut-off download lands exactly here."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = entity.find(_CRLF, pos)
+        if eol < 0:
+            return bytes(out), 0  # no size line: truncated framing
+        size_tok = entity[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return bytes(out), 0  # garbage where a hex size should be
+        pos = eol + 2
+        if size == 0:
+            return bytes(out), 1
+        chunk = entity[pos : pos + size]
+        out += chunk
+        if len(chunk) < size:
+            return bytes(out), 0  # truncated inside a chunk
+        pos += size
+        if entity[pos : pos + 2] != _CRLF:
+            return bytes(out), 0  # missing chunk-data CRLF
+        pos += 2
+
+
 def _http_response_meta(body: bytes) -> "tuple[int | None, str | None, bytes | None, int]":
     """Parse an ``application/http`` record payload (raw WARC
     response records — the bulk of a Common Crawl drop): status line,
     header block, entity body. Returns (status, content_type, body,
-    clean). Handles ``Content-Encoding: gzip/deflate`` with stdlib
-    zlib (failure → body None, clean=0 — counted, not hidden); a
-    payload that doesn't start with ``HTTP/`` is damage, not a
-    different format (the WARC header already declared msgtype)."""
+    clean). RFC-2822 header folding (continuation lines starting with
+    SP/HT) extends the previous value, exactly as the WARC-level
+    parser does. ``Transfer-Encoding: chunked`` is DECHUNKED first
+    (crawl WARCs preserve the raw wire message), THEN
+    ``Content-Encoding: gzip/deflate`` is inflated with stdlib zlib —
+    the inverse of how a server built the message. Any framing or
+    inflate failure keeps what decoded and flips clean=0 — counted,
+    not hidden; a payload that doesn't start with ``HTTP/`` is
+    damage, not a different format (the WARC header already declared
+    msgtype)."""
     if body[:5] != b"HTTP/":
         return None, None, None, 0
     clean = 1
@@ -103,9 +141,16 @@ def _http_response_meta(body: bytes) -> "tuple[int | None, str | None, bytes | N
         status = int(parts[1])
     else:
         clean = 0
+    folded: list[bytes] = []
+    for line in lines[1:]:
+        if line[:1] in (b" ", b"\t") and folded:
+            folded[-1] += b" " + line.strip()
+        else:
+            folded.append(line)
     ctype = None
     encoding = None
-    for line in lines[1:]:
+    transfer = None
+    for line in folded:
         name, hsep, value = line.partition(b":")
         if not hsep:
             clean = 0
@@ -115,6 +160,28 @@ def _http_response_meta(body: bytes) -> "tuple[int | None, str | None, bytes | N
             ctype = value.strip().decode("utf-8", "replace")
         elif key == b"content-encoding":
             encoding = value.strip().lower()
+        elif key == b"transfer-encoding":
+            transfer = value.strip().lower()
+    if transfer is not None and entity:
+        # apply transfer codings innermost-last, i.e. reversed list
+        # order ("gzip, chunked" means chunked was applied last)
+        for coding in reversed(transfer.split(b",")):
+            coding = coding.strip()
+            if coding in (b"", b"identity"):
+                continue
+            if coding == b"chunked":
+                entity, ok = _dechunk(entity)
+                if not ok:
+                    clean = 0
+                    break
+            elif coding in (b"gzip", b"x-gzip", b"deflate"):
+                try:
+                    entity = zlib.decompress(entity, 47)
+                except zlib.error:
+                    return status, ctype, None, 0
+            else:
+                clean = 0  # unknown transfer coding: bytes unusable
+                return status, ctype, None, 0
     if encoding in (b"gzip", b"deflate") and entity:
         try:
             entity = zlib.decompress(
@@ -127,28 +194,48 @@ def _http_response_meta(body: bytes) -> "tuple[int | None, str | None, bytes | N
 _CRLF = b"\r\n"
 
 
-def _gunzip_members(payload: bytes) -> tuple[bytes, int]:
+def _gunzip_members(payload: bytes) -> tuple[bytes, int, int]:
     """Decompress a concatenation of gzip members (the .warc.gz wire
-    layout) with stdlib zlib, returning (bytes, n_members). A corrupt
-    TAIL yields what decompressed so far — the record walk then sees
-    a truncated record and flips ``clean``; a head that yields
-    nothing raises ValueError (whole-payload containment)."""
+    layout) with stdlib zlib, returning (bytes, n_members, clean).
+    A corrupt TAIL — including a FIRST member cut mid-download —
+    yields what decompressed so far, fed in 1 MiB slices so a
+    mid-stream CRC or framing error keeps every fully-processed
+    slice; ``clean`` flips to 0 so the record walk can COUNT the
+    damage even when the cut member emitted no bytes at all (deflate
+    buffers — a 30-byte stub may decode to nothing). Only a payload
+    that yields NO bytes at all raises ValueError (whole-payload
+    containment: it was never a .warc.gz)."""
     out = bytearray()
     members = 0
+    clean = 1
     rest = payload
+    step = 1 << 20
     while rest[:2] == b"\x1f\x8b":
         obj = zlib.decompressobj(31)
+        after = b""
         try:
-            out += obj.decompress(rest)
+            for i in range(0, len(rest), step):
+                out += obj.decompress(rest[i : i + step])
+                if obj.eof:
+                    # unused_data holds only the current slice's
+                    # remainder — stitch the unfed tail back on
+                    after = obj.unused_data + rest[i + step :]
+                    break
         except zlib.error:
+            clean = 0
             break
         if not obj.eof:
+            clean = 0
             break  # member cut mid-stream: keep what decompressed
         members += 1
-        rest = obj.unused_data
-    if not members:
-        raise ValueError("not a WARC payload (bad gzip head)")
-    return bytes(out), members
+        rest = after
+    if rest and clean:
+        clean = 0  # leftover bytes that are not a gzip member
+    if not members and not out:
+        raise ValueError(
+            "not a WARC payload (no gzip member decompressed)"
+        )
+    return bytes(out), members, clean
 
 
 def warc_records(payload: bytes) -> "list[dict]":
@@ -173,10 +260,12 @@ def warc_records(payload: bytes) -> "list[dict]":
     (``warc_type='garbage'``, clean=0) and ends the walk — counted,
     never silently skipped."""
     compressed = 0
+    gz_dirty = 0
     n = len(payload)
     if payload[:2] == b"\x1f\x8b":
-        payload, _members = _gunzip_members(payload)
+        payload, _members, gz_clean = _gunzip_members(payload)
         compressed = 1
+        gz_dirty = 1 - gz_clean
         n = len(payload)
     if payload[:5] != b"WARC/":
         raise ValueError("not a WARC payload (no version line)")
@@ -306,6 +395,27 @@ def warc_records(payload: bytes) -> "list[dict]":
         elif len(body) == content_length:
             rec["clean"] = 0  # full payload but missing terminator
         records.append(rec)
+    if gz_dirty and (not records or records[-1]["clean"] == 1):
+        # a cut/corrupt gzip member whose partial deflate stream
+        # emitted NO bytes would otherwise vanish silently — count
+        # the compressed-tail damage as a terminal row
+        records.append(
+            {
+                "rec_index": len(records),
+                "warc_type": "garbage",
+                "target_uri": None,
+                "record_id": None,
+                "warc_date": None,
+                "content_type": None,
+                "content_length": None,
+                "n_headers": None,
+                "http_status": None,
+                "http_content_type": None,
+                "text": None,
+                "clean": 0,
+                "compressed": compressed,
+            }
+        )
     return records
 
 
@@ -326,7 +436,16 @@ def encode_warc(
     ``truncate_last_payload_at`` cuts the LAST record's payload that
     many bytes in and drops its terminator (a download cut mid-
     record); ``trailing_garbage`` appends non-WARC bytes after the
-    final record (both are uncompressed-layout damage knobs)."""
+    final record (both are uncompressed-layout damage knobs).
+
+    The ``http`` knob builds a raw ``application/http`` response
+    record from ``{status, reason, content_type, body, gzip,
+    chunked, chunk_size, truncate_chunked_at}``: ``gzip`` applies
+    ``Content-Encoding: gzip`` to the entity, ``chunked`` then frames
+    it as ``Transfer-Encoding: chunked`` (gzip-then-chunk — the
+    inverse of the reader's dechunk-then-inflate),
+    ``truncate_chunked_at`` cuts the chunked stream mid-framing (the
+    reader must keep the decoded prefix and flip clean)."""
     recs = list(records)
     pieces: list[bytes] = []
     for i, r in enumerate(recs):
@@ -342,6 +461,24 @@ def encode_warc(
                 obj = zlib.compressobj(6, zlib.DEFLATED, 31)
                 entity = obj.compress(entity) + obj.flush()
                 enc_hdr = b"Content-Encoding: gzip\r\n"
+            te_hdr = b""
+            if h.get("chunked"):
+                # chunk AFTER any Content-Encoding gzip: the decode
+                # order is dechunk-then-inflate, so the encode order
+                # is inflate's inverse first, framing last
+                step = int(h.get("chunk_size", 7))
+                chunks = bytearray()
+                for ci in range(0, len(entity), step):
+                    part = entity[ci : ci + step]
+                    chunks += (
+                        format(len(part), "x").encode("ascii") + _CRLF
+                        + part + _CRLF
+                    )
+                chunks += b"0" + _CRLF + _CRLF
+                if h.get("truncate_chunked_at") is not None:
+                    chunks = chunks[: int(h["truncate_chunked_at"])]
+                entity = bytes(chunks)
+                te_hdr = b"Transfer-Encoding: chunked\r\n"
             status_line = (
                 f"HTTP/1.1 {h.get('status', 200)} {h.get('reason', 'OK')}"
             )
@@ -349,7 +486,7 @@ def encode_warc(
             r["body"] = (
                 status_line.encode("utf-8") + _CRLF
                 + ct_line.encode("utf-8") + _CRLF
-                + enc_hdr + _CRLF + entity
+                + enc_hdr + te_hdr + _CRLF + entity
             )
             r.setdefault(
                 "content_type", "application/http; msgtype=response"
@@ -412,9 +549,11 @@ def extract_warc_records(
     def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import pandas as pd
 
+        # one output frame PER PAYLOAD, not per Arrow batch: a batch
+        # of ~1 GB crawl segments must never hold several files'
+        # decompressed records in Python memory at once — peak is one
+        # file's inflated records (~4-5x file size), the 100 TB bound
         for pdf in batches:
-            out_ids: list = []
-            metas: list[dict] = []
             for mid, b in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     rows = warc_records(b)
@@ -422,15 +561,12 @@ def extract_warc_records(
                     if strict:
                         raise
                     rows = [{"parse_error": str(e)}]
-                for r in rows:
-                    out_ids.append(mid)
-                    metas.append(r)
-            out = {id_col: pd.Series(out_ids)}
-            for name, _t in cols:
-                out[name] = pd.Series(
-                    [m.get(name) for m in metas], dtype="object"
-                )
-            yield pd.DataFrame(out)
+                out = {id_col: pd.Series([mid] * len(rows))}
+                for name, _t in cols:
+                    out[name] = pd.Series(
+                        [r.get(name) for r in rows], dtype="object"
+                    )
+                yield pd.DataFrame(out)
 
     return media_df.mapInPandas(kernel, schema)
 
@@ -447,8 +583,11 @@ def read_warc(
     segments, tens of thousands per crawl), each task walking its
     file's records inside the scan stage — no shuffle, and column
     pruning upstream of the walk is irrelevant because the walk IS
-    the scan. Defaults to ``strict=False``: real crawls contain
-    damaged members, and an audit row beats a dead executor."""
+    the scan. Per-task Python memory is bounded by ONE file's
+    inflated records (~4-5x the .warc.gz size — the kernel yields one
+    frame per payload, never a whole Arrow batch of files). Defaults
+    to ``strict=False``: real crawls contain damaged members, and an
+    audit row beats a dead executor."""
     from pyspark.sql import functions as F
 
     files = spark.read.format("binaryFile").load(path)

@@ -4427,10 +4427,14 @@ def w7_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     counted = paths.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # distributed top-k (TakeOrderedAndProject) FIRST, then rank the
+    # 10-row result — a global row_number window over ALL distinct
+    # paths would drag an unbounded frame to one partition (x92's
+    # idiom at its per-user top-20)
+    top = counted.orderBy(F.col("n").desc(), "path").limit(10)
     wr = Window.orderBy(F.col("n").desc(), "path")
-    return (
-        counted.select("path", "n", F.row_number().over(wr).cast("long").alias("rnk"))
-        .where(F.col("rnk") <= 10)
+    return top.select(
+        "path", "n", F.row_number().over(wr).cast("long").alias("rnk")
     )
 
 
@@ -5589,10 +5593,14 @@ def x53_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+    # distributed top-k (TakeOrderedAndProject) FIRST, then rank the
+    # 20-row result — bigram-pair cardinality is potentially
+    # O(vocab^2); a global row_number window over all scored pairs
+    # would single-partition that frame (x92's idiom)
+    top = scored.orderBy(F.col("pmi").desc(), "t1", "t2").limit(20)
     w = Window.orderBy(F.col("pmi").desc(), "t1", "t2")
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= 20)
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("t1", "t2", F.col("cb").cast("long").alias("cb"), "pmi", "rnk")
     )
 
@@ -15456,7 +15464,11 @@ def x150_png_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         repeat('txt ' || CAST(d AS VARCHAR) || ' '
                || CAST(i AS VARCHAR) || ' ',
                CAST(1 + d % 3 AS INT)) AS body,
-        '<html>resp ' || CAST(d AS VARCHAR) || '</html>' AS hbody,
+        CASE WHEN d % 4 = 0 THEN 'c' WHEN d % 4 = 2 THEN 'gc'
+          ELSE 'i' END AS henc,
+        CASE WHEN d % 4 = 2 THEN '<html>gzip+chunked entity</html>'
+          ELSE '<html>resp ' || CAST(d AS VARCHAR) || '</html>'
+          END AS hbody,
         CASE d % 3 WHEN 0 THEN 200 WHEN 1 THEN 301 ELSE 404
           END AS hstatus,
         CASE d % 3 WHEN 0 THEN 'OK' WHEN 1 THEN 'Moved Permanently'
@@ -15488,7 +15500,22 @@ def x150_png_text(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHEN is_resp THEN length(
              'HTTP/1.1 ' || CAST(hstatus AS VARCHAR) || ' ' || hreason
              || chr(13) || chr(10) || 'Content-Type: text/html'
-             || chr(13) || chr(10) || chr(13) || chr(10) || hbody)
+             || chr(13) || chr(10))
+             -- Transfer-Encoding line incl CRLF = 28, plus
+             -- Content-Encoding line incl CRLF = 24 when both
+             + CASE henc WHEN 'c' THEN 28 WHEN 'gc' THEN 52
+                 ELSE 0 END
+             + 2
+             -- wire entity: identity = the body; chunked framing
+             -- with 7-byte chunks = 12/full chunk + (rem+5) + the
+             -- final 0-chunk's 5; gzip+chunked of the FIXED body
+             -- is the constant 89 (49 gzip bytes, chunked)
+             + CASE henc
+                 WHEN 'i' THEN length(hbody)
+                 WHEN 'c' THEN 12 * (length(hbody) // 7)
+                   + CASE WHEN length(hbody) % 7 > 0
+                       THEN length(hbody) % 7 + 5 ELSE 0 END + 5
+                 ELSE 89 END
            ELSE length(body) END AS BIGINT) AS content_length,
       CAST(CASE WHEN kind = 'g' OR is_tail THEN -1
            WHEN i = 0 THEN 5 ELSE 6 END AS INT) AS n_headers,
@@ -15609,6 +15636,25 @@ def x151_warc_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (200, "OK"), (301, "Moved Permanently"),
                                 (404, "Not Found"),
                             )[d % 3]
+                            # wire encodings cycle by d%4: chunked
+                            # transfer framing (0), gzip+chunked with
+                            # a FIXED body so the declared length is
+                            # a constant (2), identity otherwise —
+                            # the walker must dechunk THEN inflate
+                            http = {
+                                "status": status,
+                                "reason": reason,
+                                "content_type": "text/html",
+                                "body": f"<html>resp {d}</html>",
+                            }
+                            if d % 4 == 0:
+                                http["chunked"] = True
+                            elif d % 4 == 2:
+                                http["body"] = (
+                                    "<html>gzip+chunked entity</html>"
+                                )
+                                http["gzip"] = True
+                                http["chunked"] = True
                             recs.append(
                                 {
                                     "warc_type": "response",
@@ -15616,12 +15662,7 @@ def x151_warc_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "warc_date": date,
                                     "target_uri":
                                         f"https://example.org/{d}/{i}",
-                                    "http": {
-                                        "status": status,
-                                        "reason": reason,
-                                        "content_type": "text/html",
-                                        "body": f"<html>resp {d}</html>",
-                                    },
+                                    "http": http,
                                 }
                             )
                         else:
@@ -16233,7 +16274,7 @@ _GATED_PRIOR_ROUNDS = [
 #: demotion-repayment policy (documented for r14 at this spot; this
 #: comment extends the record). Then the ENTIRE 41-query
 #: r10-evidence block (the freshest=r10 set, in CORRECTNESS_r10.json
-#: gate order — the judge-published histogram set), then the first 4
+#: gate order — the judge-published histogram set), then the first 3
 #: of the 49-query r11-evidence block (CORRECTNESS_r11.json gate
 #: order; the verdict budgeted 9 — 6 are deferred to r16). Note the
 #: r11 pull-forwards lead with x141_ivf_index_staleness, which also

@@ -3055,7 +3055,7 @@ def test_warc_walk_deterministic_cases():
 
     with _pt.raises(ValueError, match="not a WARC payload"):
         warc_records(b"HTTP/1.1 200 OK\r\n\r\n")
-    with _pt.raises(ValueError, match="bad gzip head"):
+    with _pt.raises(ValueError, match="no gzip member decompressed"):
         warc_records(b"\x1f\x8b not actually gzip")
 
 
@@ -3122,6 +3122,115 @@ def test_warc_http_response_records():
     assert rc[0]["clean"] == 0
 
 
+def test_warc_http_chunked_and_folding():
+    """Transfer-Encoding: chunked is dechunked BEFORE Content-Encoding
+    inflates (the inverse of how the server built the message); a
+    truncated chunked stream keeps the decoded prefix and flips
+    clean; RFC-2822 folded HTTP headers extend the previous value
+    exactly as the WARC-level parser does (ADVICE r15)."""
+    from etlp_spark.functions.warc import (
+        _dechunk, encode_warc, warc_records,
+    )
+
+    def resp(http):
+        return {
+            "warc_type": "response", "record_id": "<r>",
+            "target_uri": "https://e.org/p", "http": http,
+        }
+
+    # plain chunked: multi-chunk framing removed, text exact
+    body = "chunked body text " * 9
+    r = warc_records(
+        encode_warc([resp({"content_type": "text/plain", "body": body,
+                           "chunked": True, "chunk_size": 11})])
+    )[0]
+    assert r["text"] == body and r["clean"] == 1
+
+    # gzip + chunked: dechunk first, THEN inflate
+    rg = warc_records(
+        encode_warc([resp({"content_type": "text/plain", "body": body,
+                           "gzip": True, "chunked": True})])
+    )[0]
+    assert rg["text"] == body and rg["clean"] == 1
+
+    # truncated mid-chunk: decoded PREFIX survives, clean flips
+    rt = warc_records(
+        encode_warc([resp({"content_type": "text/plain",
+                           "body": "abcdefghij", "chunked": True,
+                           "chunk_size": 4,
+                           "truncate_chunked_at": 11})])
+    )[0]
+    assert rt["clean"] == 0 and rt["text"] == "abcd"
+
+    # dechunk kernel edges: bad hex size line, missing data CRLF,
+    # chunk extension dropped, trailers ignored after the 0 chunk
+    assert _dechunk(b"zz\r\nabc\r\n0\r\n\r\n") == (b"", 0)
+    assert _dechunk(b"3\r\nabcX\r\n0\r\n\r\n") == (b"abc", 0)
+    assert _dechunk(b"3;ext=v\r\nabc\r\n0\r\nX-T: 1\r\n\r\n") == (b"abc", 1)
+
+    # folded HTTP header: continuation joins the previous value
+    folded = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/plain;\r\n charset=utf-8\r\n\r\nhi"
+    )
+    rf = warc_records(
+        encode_warc([{
+            "warc_type": "response",
+            "content_type": "application/http; msgtype=response",
+            "body": folded,
+        }])
+    )[0]
+    assert rf["http_content_type"] == "text/plain; charset=utf-8"
+    assert rf["clean"] == 1 and rf["text"] == "hi"
+
+    # unknown transfer coding: bytes unusable, counted not guessed
+    ru = warc_records(
+        encode_warc([{
+            "warc_type": "response",
+            "content_type": "application/http; msgtype=response",
+            "body": (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                     b"Transfer-Encoding: brotli-ish\r\n\r\nxx"),
+        }])
+    )[0]
+    assert ru["clean"] == 0 and ru["text"] is None
+    assert ru["http_status"] == 200
+
+
+def test_warc_gzip_truncation_keeps_prefix():
+    """A .warc.gz cut mid-download (even inside the FIRST member)
+    yields the bytes that decompressed — the walk then reports a
+    truncated record with clean=0 — instead of discarding recoverable
+    data (ADVICE r15). Only a payload yielding nothing raises."""
+    from etlp_spark.functions.warc import _gunzip_members, encode_warc, warc_records
+
+    cv = {
+        "warc_type": "conversion", "record_id": "<urn:rec:1>",
+        "content_type": "text/plain", "body": "recoverable " * 400,
+    }
+    full = encode_warc([cv, dict(cv, record_id="<urn:rec:2>")],
+                       gzip_members=True)
+    first_len = len(encode_warc([cv], gzip_members=True))
+    # cut inside the SECOND member's deflate stream: first record
+    # intact; the cut member emits no bytes (deflate buffers) so the
+    # damage surfaces as a terminal garbage row — counted, not hidden
+    cut2 = full[: first_len + 30]
+    out, members, gz_clean = _gunzip_members(cut2)
+    assert members == 1 and gz_clean == 0
+    assert out.startswith(b"WARC/1.0")
+    rs = warc_records(cut2)
+    assert rs[0]["clean"] == 1 and rs[0]["text"] == cv["body"]
+    assert rs[-1]["warc_type"] == "garbage" and rs[-1]["clean"] == 0
+    # cut inside the FIRST member: the decompressed prefix still
+    # surfaces (members=0 but bytes recovered — no ValueError)
+    cut1 = full[: first_len - 20]
+    out1, m1, c1 = _gunzip_members(cut1)
+    assert m1 == 0 and c1 == 0 and len(out1) > 0
+    rs1 = warc_records(cut1)
+    assert rs1[-1]["clean"] == 0 and rs1[0]["compressed"] == 1
+    # an INTACT .warc.gz stays garbage-row-free
+    assert all(r["clean"] == 1 for r in warc_records(full))
+
+
 def test_warc_walk_property():
     """Property (hypothesis over record counts / types / body sizes /
     uri presence / gzip layout): warc_records exactly inverts
@@ -3175,6 +3284,46 @@ def test_warc_walk_property():
             assert r["content_length"] == len(src["body"].encode())
             assert r["text"] == (src["body"] if texty[i] else None)
             assert r["clean"] == 1 and r["compressed"] == int(gz)
+
+    check()
+
+
+def test_warc_http_wire_encodings_property():
+    """Property (hypothesis over body text x gzip x chunked x chunk
+    size): the response-record walk exactly inverts encode_warc's
+    wire encodings — dechunk-then-inflate recovers the original
+    entity text, clean=1, status preserved."""
+    from hypothesis import given, settings, strategies as st
+
+    from etlp_spark.functions.warc import encode_warc, warc_records
+
+    body_st = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=255,
+                               exclude_characters="\x00"),
+        min_size=0, max_size=200,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        body=body_st,
+        gz=st.booleans(),
+        chunked=st.booleans(),
+        chunk_size=st.integers(min_value=1, max_value=40),
+        status=st.sampled_from((200, 301, 404, 503)),
+    )
+    def check(body, gz, chunked, chunk_size, status):
+        payload = encode_warc([{
+            "warc_type": "response", "record_id": "<r>",
+            "http": {
+                "status": status, "content_type": "text/plain",
+                "body": body, "gzip": gz, "chunked": chunked,
+                "chunk_size": chunk_size,
+            },
+        }])
+        r = warc_records(payload)[0]
+        assert r["http_status"] == status
+        assert r["text"] == body
+        assert r["clean"] == 1
 
     check()
 
