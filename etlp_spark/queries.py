@@ -16118,6 +16118,129 @@ def x154_warc_ingest_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x155_html_extract",
+    """
+    WITH f AS (SELECT doc_id AS d FROM documents),
+    c AS (
+      SELECT d, d % 4 AS nl,
+        'Doc & ' || CAST(d AS VARCHAR) || ' Parégraph bold '
+          || CAST(d % 7 AS VARCHAR) || ' words here'
+          || CASE d % 4 WHEN 0 THEN '' WHEN 1 THEN ' link 0'
+             WHEN 2 THEN ' link 0 link 1'
+             ELSE ' link 0 link 1 link 2' END AS text
+      FROM f)
+    SELECT CAST(d AS BIGINT) AS media_id,
+      'Títle ' || CAST(d % 100 AS VARCHAR) AS title,
+      text,
+      CAST(10 + 2 * nl AS INT) AS n_tags,
+      CAST(nl AS INT) AS n_links,
+      CAST(2 AS INT) AS n_dropped,
+      CAST(8 + 2 * nl AS INT) AS n_words,
+      CAST(length(text) AS BIGINT) AS n_chars
+    FROM c
+    """,
+)
+def x155_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-crawl HTML→text extraction — the boilerplate-strip rung
+    between x151's response records and the text-quality family:
+    ingest WARC files whose content is raw ``application/http``
+    responses (the bulk of a real Common Crawl drop), walk out the
+    HTML entities (dechunk/inflate per wire encoding), strip markup
+    with the stdlib ``html.parser`` byte-walk
+    (``functions.html.extract_html_text``: script/style/comment
+    subtrees dropped, character references decoded, block tags
+    separate / inline tags glue, ``<title>`` captured separately,
+    whitespace collapsed), then run token stats on the PROSE — the
+    flow a pipeline needs when the crawl provider did NOT ship WET
+    extractions.
+
+    Fixture corpus, closed-form from doc_id (``encode_warc``'s http
+    knob): each doc is one response record whose HTML exercises a
+    named entity in the title (``&iacute;``), a numeric charref in
+    body prose (``&#233;``), a comment, a ``<style>`` and a
+    ``<script>`` subtree (the script body even contains a ``<`` —
+    the tokenizer must not resynchronize inside it), nested inline
+    tags gluing one word (``bo<i>ld</i>`` → ``bold``), and
+    doc_id%4 link divs; the WIRE encoding cycles by doc_id%3
+    (chunked transfer framing / gzip content-encoding / identity),
+    so the dechunk-then-inflate path runs inside a gated query, not
+    just unit tests. The oracle rebuilds title, prose, tag/link/
+    dropped-subtree counts, and token stats from the same integer
+    arithmetic — no float surface.
+
+    Scale shape: attach → WARC walk → HTML walk are CHAINED
+    Arrow-batched kernels in ONE scan stage (filters between them
+    stay in-stage), token math is codegen'd JVM column work — zero
+    shuffles end to end, the x154 posture. Real corpora swap the
+    attach kernel for ``read_warc``'s binaryFile scan, parallel per
+    file. Reference: engine-added (SURVEY.md §2.2 text-pipeline
+    family); stdlib html.parser behavior only."""
+    from etlp_spark.functions import text as T
+    from etlp_spark.functions.html import extract_html_text
+    from etlp_spark.functions.warc import encode_warc, extract_warc_records
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+
+    def attach(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                nl = d % 4
+                html = (
+                    f"<html><head><title>T&iacute;tle {d % 100}</title>"
+                    "<style>body{color:red}</style></head>"
+                    f"<body><!-- comment {d} -->"
+                    f"<h1>Doc &amp; {d}</h1>"
+                    f"<script>var x = {d} < 9000;</script>"
+                    f"<p>Par&#233;graph <b>bo<i>ld</i></b> {d % 7}"
+                    " words here</p>"
+                    + "".join(
+                        f'<div><a href="/l/{i}">link {i}</a></div>'
+                        for i in range(nl)
+                    )
+                    + "</body></html>"
+                )
+                http = {"content_type": "text/html", "body": html}
+                if d % 3 == 0:
+                    http["chunked"] = True
+                elif d % 3 == 1:
+                    http["gzip"] = True
+                payloads.append(
+                    encode_warc([
+                        {
+                            "warc_type": "response",
+                            "record_id": f"<urn:rec:{d}>",
+                            "target_uri": f"https://example.org/{d}",
+                            "http": http,
+                        }
+                    ])
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(attach, "media_id bigint, payload binary")
+    recs = extract_warc_records(media)
+    pages = recs.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_content_type") == "text/html")
+    ).select("media_id", F.col("text").alias("html"))
+    prose = extract_html_text(pages)
+    return prose.select(
+        "media_id",
+        "title",
+        "text",
+        "n_tags",
+        "n_links",
+        "n_dropped",
+        T.token_count("text").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -16259,8 +16382,34 @@ _GATED_PRIOR_ROUNDS = [
     # other 47 r14 slots were x143/x144 repayment + the full
     # r9-evidence block + 3 r10 pull-forwards, all listed above):
     "x148_jpeg_exif", "x149_riff_webp", "x150_png_text",
+    # round 15 gated these (CORRECTNESS_r15.json) — all green (the
+    # other 46 r15 slots were x148/x150 repayment + the full
+    # r10-evidence block + 3 r11 pull-forwards, all listed above):
+    "x151_warc_wet", "x152_flac_ogg", "x153_orientation_dedup",
+    "x154_warc_ingest_quality",
 ]
 
+#: Round-16 gate (the driver records the FIRST 50 registered),
+#: exactly the r15 verdict's directive (item 1) plus this round's
+#: three kernel-change debts, which lead as repayment slots per the
+#: documented policy: w7_session_paths and x53_bigram_pmi (their
+#: global top-k windows were swapped to the x92
+#: ``orderBy().limit(k)``-then-rank idiom — r15 verdict item 2; the
+#: OUTPUT is unchanged and both are locally oracle-exact on the new
+#: plan, but the kernel changed so each owes a driver row) and
+#: x151_warc_wet (its FIXTURE changed — response records now cycle
+#: chunked / gzip+chunked / identity wire encodings, exercising the
+#: new ``Transfer-Encoding: chunked`` dechunking of r15 verdict item
+#: 3). Then the ENTIRE remaining 46-query r11-evidence block (the
+#: freshest=r11 set — the judge-published histogram: the r1-r8-era
+#: gate blocks whose latest driver row is CORRECTNESS_r11) in
+#: CORRECTNESS_r11.json gate order. Sized at 49 — the one freed slot
+#: lets the round-16 addition (x155_html_extract, r15 verdict item
+#: 4) land via ``_ungated`` as slot 50, exactly as x146/x147 (r13),
+#: x148-x150 (r14), and x151-x154 (r15) did. After this gate the
+#: oldest driver evidence fleet-wide is r12.
+#:
+#: ---- retired round-15 rotation comment (kept for the audit trail):
 #: Round-15 gate (the driver records the FIRST 50 registered),
 #: exactly the r14 verdict's directive (item 1) plus the two
 #: kernel-change debts this round itself created: lead with
@@ -16286,32 +16435,32 @@ _GATED_PRIOR_ROUNDS = [
 #: this gate the oldest driver evidence fleet-wide is r11 (the
 #: remaining 46 r11-evidence queries lead the r16 window).
 _NEWEST = [
-    # changed-this-round (ADVICE r14 fixes: x148 fixture APP0 length
-    # 18→16; x150 kernel unknown-compression-method clean flip),
-    # owed a driver row under the repayment policy:
-    "x148_jpeg_exif", "x150_png_text",
-    # the full round-10 evidence block (freshest driver row = r10),
-    # in CORRECTNESS_r10.json gate order:
-    "x97_hll_registers", "x98_source_overlap_matrix",
-    "x105_unseen_mass", "x117_hll_set_algebra", "f8_try_functions",
-    "f9_bitwise_funcs", "r1_reachability_hops", "r2_pagerank_int",
-    "w13_ewma_smoothed", "w14_ohlc_candles", "w15_centered_ma",
-    "w16_distribution_ranks", "w17_bounce_rate", "w6_scd2_intervals",
-    "x61_zipf_slope", "x62_langid_calibration", "x63_retrieval_dcg",
-    "x64_corpus_drift", "x65_tokenizer_fertility",
-    "x66_hard_negatives", "x67_data_quality_report",
-    "x68_chunk_dedup_rate", "x69_countmin_heavyhitters",
-    "x70_segment_dedup", "x71_ann_recall", "x72_luhn_check",
-    "x73_bigram_logprob", "x74_touch_attribution", "x75_pq_codes",
-    "x76_semdedup_prune", "x78_ngram_novelty",
-    "x85_weighted_reservoir", "x139_psi_drift",
-    "x142_conformal_coverage", "x20_tfidf_topterms",
-    "x21_quality_gates", "x22_dedup_canonical",
-    "x23_sequence_packing", "x25_pii_scrub", "x26_shuffle_shard",
-    "x27_repetition_stats",
-    # first 3 of the r11-evidence block (CORRECTNESS_r11.json gate
-    # order), pulled forward into the remaining slots:
-    "x141_ivf_index_staleness", "x140_mann_whitney", "a1_counts",
+    # changed-this-round, owed a driver row under the repayment
+    # policy: w7/x53 swapped their global top-k window to the
+    # orderBy().limit(k)-then-rank idiom (plan change, same output);
+    # x151's fixture grew chunked / gzip+chunked wire encodings:
+    "w7_session_paths", "x53_bigram_pmi", "x151_warc_wet",
+    # the full remaining round-11 evidence block (freshest driver
+    # row = r11), in CORRECTNESS_r11.json gate order:
+    "d5_union_merge", "f1_string_funcs", "f2_date_funcs",
+    "f3_array_funcs", "f4_math_funcs", "g1_rollup_flags",
+    "g2_distinct_users_by_type", "g3_cube_flags",
+    "g4_time_bucket_rollup", "g5_percentiles",
+    "g6_approx_distinct_guard", "j12_asof_nearest",
+    "j1_order_customer", "j2_region_revenue",
+    "j3_semi_customers_with_orders", "j4_anti_orders_no_lineitem",
+    "j5_asof_last_signup", "j6_range_join_ship_window",
+    "j7_outer_join_counts", "j9_asof_forward_tolerance",
+    "k1_top_orders", "m1_mapping_dsl", "m2_envelope",
+    "m2b_envelope_roundtrip", "q01_pricing_summary",
+    "q03_shipping_priority", "s1_intersect_active_custs",
+    "s2_except_inactive_custs", "s3_distinct_pairs", "t4_keep_json_k",
+    "t5_batch_counts", "t6_array_sum", "t8_concat_flags",
+    "w1_rank_orders", "w2_lag_lead_events", "w3_running_sum",
+    "x1_text_stats", "x2_lang_id", "x3_quality_score",
+    "x4_exact_dedup", "x5_minhash_lsh", "x6_simhash",
+    "x7_cosine_topk", "x84_token_gini", "x8_srp_buckets",
+    "x9_multimodal_features",
 ]
 
 _gated = set(_GATED_PRIOR_ROUNDS)

@@ -3328,6 +3328,143 @@ def test_warc_http_wire_encodings_property():
     check()
 
 
+def test_html_to_text_deterministic_cases():
+    """html_to_text: script/style/template/noscript subtrees and
+    comments dropped, entities decoded, block tags separate while
+    inline tags glue, <title> captured separately, whitespace
+    collapsed, malformed markup contained (never raises)."""
+    from etlp_spark.functions.html import html_to_text
+
+    r = html_to_text(
+        "<html><head><title>T&iacute;tle 5</title>"
+        "<style>b{c:red}</style></head>"
+        "<body><!-- drop me --><h1>Doc &amp; 7</h1>"
+        "<script>var x = 1 < 2; // <p>not a tag</p></script>"
+        "<p>Par&#233;graph <b>bo<i>ld</i></b> ok</p>"
+        '<div><a href="/0">link 0</a></div></body></html>'
+    )
+    assert r["title"] == "Títle 5"
+    assert r["text"] == "Doc & 7 Parégraph bold ok link 0"
+    assert r["n_links"] == 1 and r["n_dropped"] == 2
+    # html head title style body h1 script p b i div a = 12
+    assert r["n_tags"] == 12
+
+    # block vs inline boundaries: p separates, b glues
+    assert html_to_text("<p>a</p><p>b</p>")["text"] == "a b"
+    assert html_to_text("x<b>y</b>z")["text"] == "xyz"
+    assert html_to_text("one<br/>two")["text"] == "one two"
+
+    # nested drop subtrees count once at top level
+    rn = html_to_text(
+        "<script>a</script>keep<noscript>x<style>y</style>z</noscript>"
+    )
+    assert rn["text"] == "keep" and rn["n_dropped"] == 2
+
+    # malformed: unclosed tags, bare ampersand, stray close — no raise
+    rm = html_to_text("<p>open & loose<div>deep</p>text")
+    assert "open & loose" in rm["text"] and "text" in rm["text"]
+    assert html_to_text(None)["text"] == ""
+    assert html_to_text("")["n_tags"] == 0
+
+    # title inside a dropped subtree is NOT prose or title
+    rt = html_to_text("<noscript><title>hidden</title></noscript><p>v</p>")
+    assert rt["title"] == "" and rt["text"] == "v"
+
+
+def test_html_to_text_property():
+    """Property (hypothesis over paragraphs of tokens with per-token
+    render modes): extraction inverts a structured HTML generator —
+    visible tokens in order, scripts/styles dropped, entity-encoded
+    tokens decoded, whitespace collapsed."""
+    from hypothesis import given, settings, strategies as st
+
+    from etlp_spark.functions.html import html_to_text
+
+    token = st.text(
+        alphabet=st.characters(
+            min_codepoint=33, max_codepoint=126,
+            exclude_characters="<>&\"'/;",
+        ),
+        min_size=1, max_size=8,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        paras=st.lists(
+            st.lists(
+                st.tuples(
+                    token,
+                    st.sampled_from(
+                        ("plain", "bold", "entity", "script", "style")
+                    ),
+                ),
+                min_size=0, max_size=6,
+            ),
+            min_size=0, max_size=5,
+        )
+    )
+    def check(paras):
+        html = ["<html><body>"]
+        expected: list[str] = []
+        for para in paras:
+            html.append("<p>")
+            first = True
+            for tok, mode in para:
+                if not first:
+                    html.append(" ")
+                first = False
+                if mode == "plain":
+                    html.append(tok)
+                    expected.append(tok)
+                elif mode == "bold":
+                    html.append(f"<b>{tok}</b>")
+                    expected.append(tok)
+                elif mode == "entity":
+                    html.append(
+                        "".join(f"&#{ord(ch)};" for ch in tok)
+                    )
+                    expected.append(tok)
+                elif mode == "script":
+                    html.append(f"<script>{tok}</script>")
+                else:
+                    html.append(f"<style>{tok}</style>")
+            html.append("</p>")
+        html.append("</body></html>")
+        r = html_to_text("".join(html))
+        assert r["text"] == " ".join(" ".join(expected).split())
+        n_drops = sum(
+            1 for para in paras for _, m in para if m in ("script", "style")
+        )
+        assert r["n_dropped"] == n_drops
+
+    check()
+
+
+def test_extract_html_text_spark(spark):
+    """extract_html_text: Arrow-batched wrapper preserves the id
+    column, contains None input, and the walk happens in the scan
+    stage (no exchange in the plan)."""
+    from pyspark.sql import functions as F
+
+    from etlp_spark.functions.html import extract_html_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "<p>hello <b>world</b></p><script>drop()</script>"),
+            (2, None),
+            (3, "<title>t</title>plain &amp; text"),
+        ],
+        "media_id bigint, html string",
+    )
+    out = extract_html_text(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows[1]["text"] == "hello world" and rows[1]["n_dropped"] == 1
+    assert rows[2]["text"] == "" and rows[2]["n_tags"] == 0
+    assert rows[3]["text"] == "plain & text" and rows[3]["title"] == "t"
+
+
 def test_read_warc_source(spark, tmp_path):
     """read_warc: binaryFile scan over a directory of .warc /
     .warc.gz files explodes to one row per record, id = file path,
