@@ -482,7 +482,11 @@ def _s_cdc(c: dict[str, Any]):
 
     return lambda df, _k=c["key"], _o=c["op"], _s=c["seq"], _a=c[
         "attr"
-    ], _n=c["num"]: cdc_tws(df, _k, _o, _s, _a, _n)
+    ], _n=c["num"], _ts=c.get("ts"), _l=c.get(
+        "max_lateness_us"
+    ): cdc_tws(
+        df, _k, _o, _s, _a, _n, ts_col=_ts, max_lateness_us=_l
+    )
 
 
 STREAM_STATEFUL_OPS: dict[str, Callable[[dict[str, Any]], Any]] = {

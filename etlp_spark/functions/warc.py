@@ -546,13 +546,31 @@ def extract_warc_records(
         [f"{id_col} {id_type}"] + [f"{n} {t}" for n, t in cols]
     )
 
+    # flush thresholds: output frames are emitted as soon as the
+    # accumulated INPUT payload bytes (a lower bound on the decoded
+    # record mass held in Python) or row count crosses these, so a
+    # task's peak is ~flush-budget + ONE file's inflated records
+    # (~4-5x file size) — never a whole Arrow batch of ~1 GB crawl
+    # segments — while small fixture payloads still amortize Arrow
+    # transfer instead of shipping one tiny frame per file.
+    _FLUSH_BYTES = 64 << 20
+    _FLUSH_ROWS = 8192
+
     def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import pandas as pd
 
-        # one output frame PER PAYLOAD, not per Arrow batch: a batch
-        # of ~1 GB crawl segments must never hold several files'
-        # decompressed records in Python memory at once — peak is one
-        # file's inflated records (~4-5x file size), the 100 TB bound
+        ids: list = []
+        metas: list[dict] = []
+        held = 0
+
+        def flush() -> "pd.DataFrame":
+            out = {id_col: pd.Series(ids)}
+            for name, _t in cols:
+                out[name] = pd.Series(
+                    [m.get(name) for m in metas], dtype="object"
+                )
+            return pd.DataFrame(out)
+
         for pdf in batches:
             for mid, b in zip(pdf[id_col], pdf[payload_col]):
                 try:
@@ -561,12 +579,14 @@ def extract_warc_records(
                     if strict:
                         raise
                     rows = [{"parse_error": str(e)}]
-                out = {id_col: pd.Series([mid] * len(rows))}
-                for name, _t in cols:
-                    out[name] = pd.Series(
-                        [r.get(name) for r in rows], dtype="object"
-                    )
-                yield pd.DataFrame(out)
+                ids.extend([mid] * len(rows))
+                metas.extend(rows)
+                held += len(b) if b is not None else 0
+                if held >= _FLUSH_BYTES or len(metas) >= _FLUSH_ROWS:
+                    yield flush()
+                    ids, metas, held = [], [], 0
+        if metas:
+            yield flush()
 
     return media_df.mapInPandas(kernel, schema)
 
@@ -583,11 +603,11 @@ def read_warc(
     segments, tens of thousands per crawl), each task walking its
     file's records inside the scan stage — no shuffle, and column
     pruning upstream of the walk is irrelevant because the walk IS
-    the scan. Per-task Python memory is bounded by ONE file's
-    inflated records (~4-5x the .warc.gz size — the kernel yields one
-    frame per payload, never a whole Arrow batch of files). Defaults
-    to ``strict=False``: real crawls contain damaged members, and an
-    audit row beats a dead executor."""
+    the scan. Per-task Python memory is bounded by the kernel's
+    64 MiB/8k-row flush budget plus ONE file's inflated records
+    (~4-5x the .warc.gz size) — never a whole Arrow batch of ~1 GB
+    segments. Defaults to ``strict=False``: real crawls contain
+    damaged members, and an audit row beats a dead executor."""
     from pyspark.sql import functions as F
 
     files = spark.read.format("binaryFile").load(path)

@@ -1817,6 +1817,9 @@ def cdc_tws(
     seq_col: str,
     attr_col: str,
     num_col: str,
+    *,
+    ts_col: "str | None" = None,
+    max_lateness_us: "int | None" = None,
 ) -> DataFrame:
     """Streaming CDC apply per key — x96_cdc_apply_latest's
     last-writer-wins semantics for the one query family whose real
@@ -1838,30 +1841,54 @@ def cdc_tws(
 
     Emits the winning (k, op, seq, attr, num) per touched key per
     micro-batch. Update mode; RocksDB state store required. State is
-    O(keys) — the same bound as the batch apply's shuffle — and a
-    production deployment ages out tombstones with timers once the
-    feed's max lateness has passed (the standard Debezium-compaction
-    trade; kept here so the twin stays byte-equal to the batch
-    window)."""
+    O(keys) — the same bound as the batch apply's shuffle.
+
+    TOMBSTONE AGEING (``ts_col`` + ``max_lateness_us``, r15 verdict
+    item 7 — the prose→executed-knob promotion): when set, the op
+    runs in EventTime mode (``ts_col`` must carry the upstream
+    watermark) and each tombstone arms a per-key timer at its change
+    time + max lateness; when the WATERMARK passes that deadline the
+    tombstone is dropped from state — the standard Kafka/Debezium
+    compaction trade (``delete.retention.ms``). The equivalence
+    boundary is exact and the replay test proves BOTH sides: inside
+    the window a late stale update still cannot resurrect the key
+    (batch-equal); after expiry the same stale update IS applied as
+    if the key were new — that divergence from the batch window is
+    the price of O(live keys) state, and max_lateness_us is
+    precisely the knob that says which replays you promised to
+    survive. Live (non-'D') winners never age: last-writer-wins
+    needs them forever (log-compaction keeps latest values too)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
 
+    ageing = ts_col is not None and max_lateness_us is not None
+    lateness_ms = (int(max_lateness_us) // 1000) if ageing else None
+
     class _CDC(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._st = handle.getValueState(
-                "cdc_latest",
-                "seq BIGINT, op STRING, attr STRING, num BIGINT",
-            )
+            self._handle = handle
+            schema = "seq BIGINT, op STRING, attr STRING, num BIGINT"
+            if ageing:
+                schema += ", ts BIGINT"  # winner's change time (ms)
+            self._st = handle.getValueState("cdc_latest", schema)
 
         def handleInputRows(self, key, rows, timerValues):
             import pandas as pd
 
-            cur = self._st.get() if self._st.exists() else None
+            cur = (
+                tuple(self._st.get()) if self._st.exists() else None
+            )
             for pdf in rows:
-                for op, seq, attr, num in zip(
-                    pdf[op_col], pdf[seq_col], pdf[attr_col], pdf[num_col]
+                tss = (
+                    pdf[ts_col]
+                    if ageing
+                    else pd.Series([None] * len(pdf))
+                )
+                for op, seq, attr, num, ts in zip(
+                    pdf[op_col], pdf[seq_col], pdf[attr_col],
+                    pdf[num_col], tss,
                 ):
                     if op is None or seq is None:
                         continue
@@ -1870,6 +1897,10 @@ def cdc_tws(
                         None if attr is None else str(attr),
                         None if num is None else int(num),
                     )
+                    if ageing:
+                        cand = cand + (
+                            int(pd.Timestamp(ts).value // 10**6),
+                        )
                     # x96's ORDER BY seq DESC, op ASC winner
                     if (
                         cur is None
@@ -1879,6 +1910,14 @@ def cdc_tws(
                         cur = cand
             if cur is not None:
                 self._st.update(cur)
+                if ageing:
+                    # one live timer per key: a tombstone winner arms
+                    # (re-arms) its compaction deadline; a live winner
+                    # must never expire — clear any armed timer
+                    for t in self._handle.listTimers():
+                        self._handle.deleteTimer(t)
+                    if cur[1] == "D":
+                        self._handle.registerTimer(cur[4] + lateness_ms)
                 yield pd.DataFrame(
                     {
                         "k": [key[0]],
@@ -1889,6 +1928,16 @@ def cdc_tws(
                     }
                 )
 
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # watermark passed tombstone time + max lateness: every
+            # replay we promised to survive has arrived — drop the
+            # tombstone (Kafka delete.retention semantics). Emits
+            # nothing; downstream already saw the 'D'.
+            cur = self._st.get() if self._st.exists() else None
+            if cur is not None and cur[1] == "D":
+                self._st.clear()
+            yield from ()
+
         def close(self) -> None:
             pass
 
@@ -1898,5 +1947,5 @@ def cdc_tws(
             "k string, op string, seq bigint, attr string, num bigint"
         ),
         outputMode="Update",
-        timeMode="None",
+        timeMode="EventTime" if ageing else "None",
     )

@@ -183,6 +183,7 @@ QUERY_TABLES = {
     "x92_cooccurrence_triangles": ["events"],
     "x151_warc_wet": ["documents"],
     "x154_warc_ingest_quality": ["documents"],
+    "x155_html_extract": ["documents"],
     "x93_pq_adc_topk": ["embeddings"],
     "x94_ivf_adc_search": ["embeddings"],
     "x95_hybrid_rrf_fusion": ["documents", "embeddings"],

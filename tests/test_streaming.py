@@ -1837,7 +1837,8 @@ def test_cdc_tws_matches_batch_apply(spark, stream_dir, tmp_path):
 
 
 def test_cdc_config_nameable(spark):
-    """The 'cdc' op resolves from STREAM_STATEFUL_OPS config."""
+    """The 'cdc' op resolves from STREAM_STATEFUL_OPS config —
+    including the optional tombstone-ageing knobs."""
     from etlp_spark.config import STREAM_STATEFUL_OPS
 
     build = STREAM_STATEFUL_OPS["cdc"](
@@ -1845,3 +1846,147 @@ def test_cdc_config_nameable(spark):
          "num": "cents"}
     )
     assert callable(build)
+    aged = STREAM_STATEFUL_OPS["cdc"](
+        {"key": "k", "op": "op", "seq": "seq", "attr": "st",
+         "num": "cents", "ts": "ts", "max_lateness_us": 300_000_000}
+    )
+    assert callable(aged)
+
+
+def test_cdc_tws_tombstone_ageing_boundary(spark, stream_dir, tmp_path):
+    """Tombstone ageing (cdc_tws ts_col + max_lateness_us, r15
+    verdict item 7): the equivalence boundary is proved on BOTH
+    sides of the max-lateness window.
+
+    - key 'a': tombstone D@5 whose change time is long past — the
+      watermark crosses its deadline, the timer DROPS it, and a
+      later stale update (seq 2 < 5) RESURRECTS the key. That is the
+      documented divergence from the batch window (which still says
+      D@5) — the price of O(live keys) state.
+    - key 'c': tombstone INSIDE the window — the same stale update
+      is ignored, batch-equal, exactly as the unaged twin behaves.
+    - key 'b': a genuine newer update overrides its tombstone before
+      the deadline; the timer is disarmed and a later stale update
+      still loses — LIVE winners never age (log-compaction keeps
+      latest values forever)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS needs a google.protobuf runtime; none vendorable",
+    )
+    from etlp_spark.streaming import cdc_tws, with_event_time
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    T = "2024-01-01T00:{m:02d}:00"
+
+    def row(k, op, seq, cents, m):
+        return {"k": k, "op": op, "seq": seq, "st": "S",
+                "cents": cents, "ts": T.format(m=m)}
+
+    try:
+        _write_batch(
+            stream_dir, "age1.jsonl",
+            [
+                row("a", "I", 1, 100, 0), row("a", "D", 5, 0, 0),
+                row("b", "D", 3, 0, 17),
+                row("c", "D", 2, 0, 18),
+            ],
+        )
+        src = with_event_time(
+            file_stream(
+                spark, str(stream_dir),
+                "k string, op string, seq long, st string, "
+                "cents long, ts timestamp",
+                fmt="json",
+            ),
+            "ts", "0 seconds",
+        )
+        q = (
+            cdc_tws(
+                src, "k", "op", "seq", "st", "cents",
+                ts_col="ts", max_lateness_us=5 * 60 * 1_000_000,
+            )
+            .writeStream.format("memory")
+            .queryName("tws_cdc_age")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_age"))
+            .start()
+        )
+
+        from collections import Counter
+
+        def emissions():
+            # memory sink in update mode: one row per touched key per
+            # batch; collect() order is not guaranteed, so per-batch
+            # deltas are MULTISET differences, never list slices
+            return Counter(
+                (r.k, r.op, r.seq, r.num)
+                for r in spark.sql("select * from tws_cdc_age").collect()
+            )
+
+        try:
+            # b1: watermark -> 00:18; a's deadline (00:00 + 5 min =
+            # 00:05) is already behind it, so the follow-up batch
+            # drops a's tombstone; b (00:22) and c (00:23) survive
+            q.processAllAvailable()
+            seen = emissions()
+            assert ("a", "D", 5, 0) in seen and ("c", "D", 2, 0) in seen
+
+            # b2 @00:19: stale seq for a RESURRECTS (tombstone aged);
+            # the SAME stale seq for c is ignored (inside window);
+            # b's genuine newer update disarms its timer
+            before = emissions()
+            _write_batch(
+                stream_dir, "age2.jsonl",
+                [row("a", "U", 2, 999, 19), row("c", "U", 1, 888, 19),
+                 row("b", "U", 9, 777, 19)],
+            )
+            q.processAllAvailable()
+            new = emissions() - before
+            assert ("a", "U", 2, 999) in new, "aged tombstone must resurrect"
+            assert ("b", "U", 9, 777) in new
+            # c was touched, so it RE-EMITS its winner — which must
+            # still be the tombstone, not the stale update
+            assert ("c", "D", 2, 0) in new
+            assert ("c", "U", 1, 888) not in new, (
+                "in-window tombstone must ignore the stale update"
+            )
+
+            # b3 @00:30: watermark passes c's 00:23 deadline (timer
+            # drops c AFTER this batch's inputs are applied — the
+            # stale update for b is still ignored: live winners never
+            # age even though b's old timer deadline has passed)
+            before = emissions()
+            _write_batch(
+                stream_dir, "age3.jsonl",
+                [row("z", "I", 1, 10, 30), row("b", "U", 4, 111, 30)],
+            )
+            q.processAllAvailable()
+            new = emissions() - before
+            assert ("z", "I", 1, 10) in new
+            assert ("b", "U", 9, 777) in new, (
+                "touched live key re-emits its retained winner"
+            )
+            assert ("b", "U", 4, 111) not in new, (
+                "stale update for the live key b must lose"
+            )
+
+            # b4 @00:31: c's tombstone is now aged out — the boundary
+            # crossed on the SAME key: the stale update that lost in
+            # b2 now resurrects c
+            before = emissions()
+            _write_batch(
+                stream_dir, "age4.jsonl", [row("c", "U", 1, 888, 31)]
+            )
+            q.processAllAvailable()
+            new = emissions() - before
+            assert ("c", "U", 1, 888) in new, (
+                "post-expiry stale update must apply as if new key"
+            )
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
