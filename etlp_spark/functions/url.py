@@ -1,0 +1,83 @@
+"""URL canonicalization: the dedup key every crawl pipeline needs
+before fetch scheduling and after ingest — the same page arrives as
+``HTTP://WWW.Example.COM:80/p/1?b=2&a=1&utm_source=x#frag`` and
+``http://www.example.com/p/1?a=1&b=2``, and near-dup/exact-dedup on
+page TEXT cannot catch the fetch-side waste (you already paid to
+crawl both). Canonicalize → group is the cheap, exact first rung of
+the dedup ladder (x4's fingerprint dedup, by key instead of hash).
+
+``canonical_url(col)`` is a PURE COLUMN EXPRESSION (no UDF — stays
+inside whole-stage codegen; the 100 TB cost is one projection in the
+scan stage). The normalization contract, in order:
+
+1. strip surrounding whitespace, drop the ``#fragment``;
+2. lowercase the SCHEME and HOST (never the path or query — those
+   are case-significant per RFC 3986 §6.2.2.1);
+3. drop a default port (``:80`` for http, ``:443`` for https; other
+   ports kept);
+4. drop tracking parameters (``utm_*``, ``gclid``, ``fbclid``) and
+   SORT the surviving query parameters bytewise (``a=1&b=2`` ==
+   ``b=2&a=1`` — parameter order is never semantic in practice, and
+   a canonical key must pick one);
+5. drop one trailing ``/`` from a non-root path (``/p/1/`` ==
+   ``/p/1``), keep the root ``/`` and add it when the path is empty;
+6. an empty surviving query drops its ``?``.
+
+Deliberately NOT done (each would merge distinct resources):
+percent-encoding normalization beyond case, ``..`` segment
+resolution, and IDN/punycode folding — documented so the contract
+is exactly what the oracle predicts.
+
+Reference: engine-added (SURVEY.md §2.2 dedup family, with x4/x22);
+RFC 3986 §6 public normalization forms only.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover - typing only
+    from pyspark.sql import Column
+
+__all__ = ["canonical_url", "TRACKING_PARAM_RE"]
+
+#: Query parameters that never identify a resource (analytics junk).
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid)(=.*)?$"
+
+
+def canonical_url(col: "Column | str") -> "Column":
+    """Canonical form of an absolute http(s) URL (see module
+    contract). Input that does not look like ``scheme://host...``
+    canonicalizes to NULL — containment for the garbage a real crawl
+    column carries (the caller counts NULLs, the key never lies)."""
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment first
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[^:/?]+://([^/?#]+)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(u, r"^[^:/?]+://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        path == "/", path
+    ).otherwise(F.regexp_replace(path, r"/$", ""))
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+    out = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qcanon == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), qcanon)
+        ),
+    )
+    return F.when(
+        (scheme == "") | (hostport == ""), F.lit(None).cast("string")
+    ).otherwise(out)

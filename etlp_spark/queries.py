@@ -16241,6 +16241,115 @@ def x155_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x156_url_canonicalize",
+    """
+    WITH f AS (SELECT doc_id AS d FROM documents),
+    c AS (
+      SELECT d,
+        CASE WHEN d % 2 = 0 THEN 'http' ELSE 'https' END
+          || '://www.h' || CAST(d % 5 AS VARCHAR) || '.example.org'
+          || CASE WHEN d % 4 = 1 THEN ':8080' ELSE '' END
+          || CASE WHEN d % 7 = 0 THEN '/'
+             ELSE '/p/' || CAST(d AS VARCHAR) END
+          || CASE WHEN d % 11 = 0 THEN ''
+             ELSE '?a=1&b=' || CAST(d % 9 AS VARCHAR) END AS canon,
+        d % 13 = 0 AS has_garbage
+      FROM f),
+    rows_ AS (
+      SELECT canon AS canonical, 2 AS n FROM c
+      UNION ALL
+      SELECT 'invalid', 1 FROM c WHERE has_garbage)
+    SELECT canonical,
+           CAST(sum(n) AS BIGINT) AS n_variants
+    FROM rows_ GROUP BY canonical
+    """,
+)
+def x156_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the fetch-side rung BELOW x4's
+    text dedup: the same page crawled as
+    ``HTTP://WWW.H2.Example.ORG:80/p/8/?b=8&a=1&utm_source=s2#sec``
+    and ``http://www.h2.example.org/p/8?a=1&b=8&gclid=g8`` must
+    collapse to ONE canonical key before you pay to fetch, store, or
+    near-dup either (``functions/url.canonical_url`` — scheme/host
+    lowercasing, default-port and fragment and tracking-param
+    dropping, bytewise query-param sort, trailing-slash fold; a pure
+    column expression, no UDF, whole-stage codegen).
+
+    Fixture corpus, closed-form from doc_id: every doc yields TWO
+    wire variants differing only in junk (case, default port,
+    trailing slash, param order, utm_/gclid params, fragment) that
+    must merge, and doc_id%13==0 docs add a non-URL garbage string
+    that canonicalizes to NULL → the 'invalid' sentinel group — the
+    count-don't-hide posture on a key column. Docs with residue
+    collisions (root-path doc_id%7==0 rows share scheme/host/port/
+    query residues) legitimately merge ACROSS docs; the oracle
+    groups the same closed-form keys and agrees exactly.
+
+    Scale shape: variant construction + canonicalization are one
+    codegen'd projection in the scan stage; the only shuffle is the
+    groupBy on the canonical key — the exact-dedup shape (x4), with
+    map-side partial counts. At 100 TB this is the URL-frontier
+    dedup that runs on every crawl segment. Reference: engine-added
+    (SURVEY.md §2.2 dedup family); RFC 3986 §6 normalization."""
+    from etlp_spark.functions.url import canonical_url
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    sch_raw = F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    host_raw = F.concat(
+        F.when(d % 3 == 0, F.lit("WWW.H")).otherwise(F.lit("www.h")),
+        s(d % 5),
+        F.when(d % 3 == 0, F.lit(".Example.ORG")).otherwise(
+            F.lit(".example.org")
+        ),
+    )
+    port_raw = (
+        F.when((d % 4 == 0) & (d % 2 == 0), F.lit(":80"))
+        .when((d % 4 == 0) & (d % 2 == 1), F.lit(":443"))
+        .when(d % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path_v1 = F.when(d % 7 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit("/p/"), s(d),
+            F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        )
+    )
+    path_v2 = F.when(d % 7 == 0, F.lit("/")).otherwise(
+        F.concat(F.lit("/p/"), s(d))
+    )
+    q_v1 = F.when(d % 11 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("?b="), s(d % 9), F.lit("&a=1&utm_source=s"), s(d % 3))
+    )
+    q_v2 = F.when(d % 11 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("?a=1&b="), s(d % 9), F.lit("&gclid=g"), s(d))
+    )
+    frag = F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    v1 = F.concat(sch_raw, F.lit("://"), host_raw, port_raw, path_v1,
+                  q_v1, frag)
+    v2 = F.concat(
+        F.lower(sch_raw), F.lit("://"), F.lower(host_raw),
+        F.when(d % 4 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        path_v2, q_v2,
+    )
+    variants = F.when(
+        d % 13 == 0,
+        F.array(v1, v2, F.concat(F.lit("not a url "), s(d))),
+    ).otherwise(F.array(v1, v2))
+    urls = docs.select(F.explode(variants).alias("url"))
+    return (
+        urls.select(
+            F.coalesce(canonical_url("url"), F.lit("invalid")).alias(
+                "canonical"
+            )
+        )
+        .groupBy("canonical")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_variants"))
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #

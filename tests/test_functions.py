@@ -3465,6 +3465,117 @@ def test_extract_html_text_spark(spark):
     assert rows[3]["text"] == "plain & text" and rows[3]["title"] == "t"
 
 
+def test_canonical_url_cases(spark):
+    """canonical_url: scheme/host lowercased, fragment dropped,
+    default ports stripped (non-default kept), tracking params
+    dropped, surviving params sorted bytewise, trailing slash folded
+    (root kept, empty path becomes root), path/query case preserved,
+    non-URL garbage canonicalizes to NULL."""
+    from etlp_spark.functions.url import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/p/1/?b=2&a=1&utm_source=x#f",
+         "http://www.ex.com/p/1?a=1&b=2"),
+        ("https://ex.com:443/P/Q?gclid=g&Z=1", "https://ex.com/P/Q?Z=1"),
+        ("http://ex.com:8080/p", "http://ex.com:8080/p"),
+        ("https://ex.com", "https://ex.com/"),
+        ("http://ex.com/", "http://ex.com/"),
+        ("http://ex.com/a/b/", "http://ex.com/a/b"),
+        ("http://ex.com/?utm_campaign=c", "http://ex.com/"),
+        ("  http://ex.com/x  ", "http://ex.com/x"),
+        ("http://ex.com/x?fbclid=1&fbclid=2", "http://ex.com/x"),
+        # param VALUE case and path case are preserved (RFC 3986:
+        # only scheme/host are case-insensitive)
+        ("HTTPS://EX.com/CaseSensitive?B=x&a=Y",
+         "https://ex.com/CaseSensitive?B=x&a=Y"),
+        ("not a url", None),
+        ("", None),
+        ("relative/path?a=1", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.c for r in df.select(canonical_url("url").alias("c")).collect()
+    ]
+    assert got == [e for _, e in cases]
+
+    # idempotence: canonicalizing a canonical form is a no-op
+    canon = [e for _, e in cases if e is not None]
+    df2 = spark.createDataFrame([(u,) for u in canon], "url string")
+    got2 = [
+        r.c for r in df2.select(canonical_url("url").alias("c")).collect()
+    ]
+    assert got2 == canon
+
+    # pure column expression: no Python eval, no exchange
+    plan = (
+        df.select(canonical_url("url").alias("c"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_canonical_url_property(spark):
+    """Property (hypothesis over scheme/host/port/path/params/junk):
+    a junked wire variant and its clean twin canonicalize to the
+    same closed-form key — one Spark round-trip over the whole
+    generated batch."""
+    from hypothesis import given, settings, strategies as st
+
+    from etlp_spark.functions.url import canonical_url
+
+    seg = st.text(alphabet="abcXYZ059", min_size=1, max_size=6)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.sampled_from(("http", "https")),
+                seg,  # host label
+                st.sampled_from((None, 8080)),  # non-default port or none
+                st.lists(seg, min_size=0, max_size=3),  # path segments
+                st.lists(
+                    st.tuples(seg, seg), min_size=0, max_size=3
+                ),  # query params
+                st.booleans(),  # add tracking junk
+                st.booleans(),  # add fragment
+                st.booleans(),  # uppercase scheme+host in the variant
+                st.booleans(),  # trailing slash in the variant
+            ),
+            min_size=1, max_size=12,
+        )
+    )
+    def check(data):
+        rows = []
+        for sch, label, port, segs, params, junk, frag, up, slash in data:
+            host = f"www.{label.lower()}.org"
+            p = ":8080" if port else ""
+            path = "/" + "/".join(segs) if segs else "/"
+            # expected key: sorted unique-order params, junk dropped
+            qs = sorted(f"{k}={v}" for k, v in params)
+            q = ("?" + "&".join(qs)) if qs else ""
+            expected = f"{sch}://{host}{p}{path}{q}"
+            # the junked wire variant
+            vhost = host.upper() if up else host
+            vsch = sch.upper() if up else sch
+            vport = p or (":80" if sch == "http" else ":443")
+            vpath = path + ("/" if slash and path != "/" else "")
+            vq = [f"{k}={v}" for k, v in params]
+            if junk:
+                vq.append("utm_medium=m")
+            vqs = ("?" + "&".join(reversed(vq))) if vq else ""
+            vfrag = "#sec" if frag else ""
+            rows.append(
+                (f"{vsch}://{vhost}{vport}{vpath}{vqs}{vfrag}", expected)
+            )
+        df = spark.createDataFrame(rows, "url string, expected string")
+        bad = df.select(
+            canonical_url("url").alias("c"), "expected", "url"
+        ).where(F.col("c") != F.col("expected"))
+        assert bad.count() == 0, bad.limit(5).collect()
+
+    check()
+
+
 def test_read_warc_source(spark, tmp_path):
     """read_warc: binaryFile scan over a directory of .warc /
     .warc.gz files explodes to one row per record, id = file path,
