@@ -60,6 +60,7 @@ __all__ = [
     "encode_warc",
     "extract_warc_records",
     "read_warc",
+    "read_warc_stream",
 ]
 
 #: Output columns of one record row (id + parse_error added by the
@@ -611,6 +612,42 @@ def read_warc(
     from pyspark.sql import functions as F
 
     files = spark.read.format("binaryFile").load(path)
+    return extract_warc_records(
+        files.select(
+            F.col("path").alias("media_id"), F.col("content").alias("payload")
+        ),
+        strict=strict,
+    )
+
+
+def read_warc_stream(
+    spark: "SparkSession",
+    path: str,
+    *,
+    strict: bool = False,
+    max_files_per_trigger: "int | None" = None,
+) -> "DataFrame":
+    """Streaming twin of ``read_warc``: a crawl DROP DIRECTORY as an
+    unbounded source — each new .warc/.warc.gz file landing under
+    ``path`` becomes one micro-batch unit, exploded to record rows by
+    the same Arrow-batched walk (mapInPandas runs unchanged on
+    streaming frames; the kernel is stateless per file, so exactly-
+    once replay is the file source's checkpoint contract, nothing
+    ours). ``max_files_per_trigger`` caps per-batch intake — the
+    backpressure knob for a 1000-executor cluster chewing a backlog
+    of ~1 GB segments (Common Crawl publishes ~80k per crawl; you
+    want steady batches, not one 80 TB batch). Downstream composes
+    exactly like batch: filter conversion/response records → text
+    family / html strip → windowed aggregates or sinks."""
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, "
+        "length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path)
     return extract_warc_records(
         files.select(
             F.col("path").alias("media_id"), F.col("content").alias("payload")

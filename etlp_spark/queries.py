@@ -15565,8 +15565,13 @@ def x151_warc_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a raw RESPONSE record (application/http payload: status line
     cycling 200/301/404, Content-Type header, HTML entity body —
     the bulk of a real Common Crawl drop; the walker splits status /
-    content type / body and extracts text/* entities, gzip
-    Content-Encoding handled via stdlib zlib in the unit tests).
+    content type / body and extracts text/* entities). Since r16 the
+    response WIRE encodings cycle by doc_id%4: ``Transfer-Encoding:
+    chunked`` framing (dechunked in the walk, its framed length
+    closed-form in the oracle), gzip Content-Encoding UNDER chunked
+    framing (dechunk-then-inflate — the fixed body makes the wire
+    length a verified constant), and identity — so the r15-verdict
+    chunked path runs inside the gated query, not just unit tests.
 
     Scale shape: one payload EXPLODES to one row per record inside
     the same Arrow-batched scan stage (attach → walk fused, no
