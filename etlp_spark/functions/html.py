@@ -68,6 +68,7 @@ class _TextWalk(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.parts: list[str] = []
         self.title_parts: list[str] = []
+        self.hrefs: list[str] = []
         self.drop_depth = 0
         self.title_depth = 0
         self.n_tags = 0
@@ -78,10 +79,17 @@ class _TextWalk(HTMLParser):
         if tag in BLOCK_TAGS:
             self.parts.append(" ")
 
+    def _link(self, attrs) -> None:
+        self.n_links += 1
+        for k, v in attrs:
+            if k == "href" and v:
+                self.hrefs.append(v)
+                break
+
     def handle_starttag(self, tag, attrs):  # noqa: D102
         self.n_tags += 1
         if tag == "a":
-            self.n_links += 1
+            self._link(attrs)
         if tag in _DROP_TAGS:
             if self.drop_depth == 0:
                 self.n_dropped += 1
@@ -108,7 +116,7 @@ class _TextWalk(HTMLParser):
         # drop/title state (there is no subtree)
         self.n_tags += 1
         if tag == "a":
-            self.n_links += 1
+            self._link(attrs)
         self._boundary(tag)
 
     def handle_data(self, data):  # noqa: D102
@@ -122,11 +130,14 @@ class _TextWalk(HTMLParser):
 
 def html_to_text(html: "str | None") -> dict:
     """Extract prose from one HTML string. Returns ``{text, title,
-    n_tags, n_links, n_dropped}`` — text/title are whitespace-
-    collapsed (single spaces, no leading/trailing), ``n_tags`` counts
-    start + self-closing tags (markup inside dropped subtrees is
-    character data to the tokenizer, not tags), ``n_links`` counts
-    ``<a>``, ``n_dropped`` counts top-level dropped subtrees
+    hrefs, n_tags, n_links, n_dropped}`` — text/title are whitespace-
+    collapsed (single spaces, no leading/trailing), ``hrefs`` is the
+    ordered list of ``<a href>`` values (entity-decoded by the
+    tokenizer; the crawl-frontier feed — resolve with
+    ``functions.url.resolve_url``), ``n_tags`` counts start +
+    self-closing tags (markup inside dropped subtrees is character
+    data to the tokenizer, not tags), ``n_links`` counts ``<a>``,
+    ``n_dropped`` counts top-level dropped subtrees
     (script/style/template/noscript). None/empty input yields empty
     text — containment, not an error."""
     w = _TextWalk()
@@ -136,6 +147,7 @@ def html_to_text(html: "str | None") -> dict:
     return {
         "text": " ".join("".join(w.parts).split()),
         "title": " ".join("".join(w.title_parts).split()),
+        "hrefs": w.hrefs,
         "n_tags": w.n_tags,
         "n_links": w.n_links,
         "n_dropped": w.n_dropped,
@@ -157,7 +169,7 @@ def extract_html_text(
     id_type = dict(df.dtypes)[id_col]
     schema = (
         f"{id_col} {id_type}, text string, title string, "
-        "n_tags int, n_links int, n_dropped int"
+        "hrefs array<string>, n_tags int, n_links int, n_dropped int"
     )
 
     def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -166,7 +178,9 @@ def extract_html_text(
         for pdf in batches:
             rows = [html_to_text(h) for h in pdf[html_col]]
             out = {id_col: pdf[id_col].reset_index(drop=True)}
-            for name in ("text", "title", "n_tags", "n_links", "n_dropped"):
+            for name in (
+                "text", "title", "hrefs", "n_tags", "n_links", "n_dropped"
+            ):
                 out[name] = pd.Series(
                     [r[name] for r in rows], dtype="object"
                 )

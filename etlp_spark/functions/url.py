@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 if TYPE_CHECKING:  # pragma: no cover - typing only
     from pyspark.sql import Column
 
-__all__ = ["canonical_url", "TRACKING_PARAM_RE"]
+__all__ = ["canonical_url", "resolve_url", "TRACKING_PARAM_RE"]
 
 #: Query parameters that never identify a resource (analytics junk).
 TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid)(=.*)?$"
@@ -81,3 +81,34 @@ def canonical_url(col: "Column | str") -> "Column":
     return F.when(
         (scheme == "") | (hostport == ""), F.lit(None).cast("string")
     ).otherwise(out)
+
+
+def resolve_url(base: "Column | str", ref: "Column | str") -> "Column":
+    """Resolve an ``<a href>`` reference against its page's base URL
+    — the step between ``html_to_text``'s hrefs and the crawl
+    frontier (RFC 3986 §5, the subset a frontier needs):
+
+    - absolute refs (``scheme://...``) pass through;
+    - protocol-relative refs (``//host/...``) take the base scheme;
+    - root-relative refs (``/path...``) take the base origin;
+    - everything else — path-relative refs, ``mailto:``/
+      ``javascript:`` and other non-fetchable schemes, empty refs —
+      resolves to NULL: counted by the caller, never guessed at
+      (path-relative resolution needs dot-segment semantics this
+      engine deliberately leaves out of the canonical contract).
+
+    Pure column expression, same posture as ``canonical_url``;
+    compose them: ``canonical_url(resolve_url(base, href))``."""
+    b = F.col(base) if isinstance(base, str) else base
+    r = F.trim(F.col(ref) if isinstance(ref, str) else ref)
+    scheme = F.lower(F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    origin = F.concat(
+        scheme, F.lit("://"),
+        F.regexp_extract(b, r"^[^:/?]+://([^/?#]+)", 1),
+    )
+    return (
+        F.when(r.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), r)
+        .when(r.startswith("//"), F.concat(scheme, F.lit(":"), r))
+        .when(r.startswith("/"), F.concat(origin, r))
+        .otherwise(F.lit(None).cast("string"))
+    )

@@ -16355,6 +16355,120 @@ def x156_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x157_link_frontier",
+    """
+    WITH f AS (SELECT doc_id AS d FROM documents),
+    c AS (
+      SELECT d,
+        'https://h' || CAST(d % 5 AS VARCHAR) || '.example.org/dir/'
+          || CAST(d AS VARCHAR) AS base
+      FROM f),
+    links AS (
+      SELECT base,
+        'http://h' || CAST(d % 3 AS VARCHAR) || '.example.org/abs/'
+          || CAST(d % 7 AS VARCHAR) AS canonical
+      FROM c
+      UNION ALL
+      SELECT base,
+        'https://h' || CAST(d % 5 AS VARCHAR) || '.example.org/r/'
+          || CAST(d % 4 AS VARCHAR) || '?q=' || CAST(d % 3 AS VARCHAR)
+      FROM c
+      UNION ALL
+      SELECT base, 'https://cdn.example.org/c/' || CAST(d % 3 AS VARCHAR)
+      FROM c WHERE d % 2 = 0
+      UNION ALL
+      SELECT base, 'unresolved' FROM c WHERE d % 3 = 0
+      UNION ALL
+      SELECT base, 'unresolved' FROM c WHERE d % 6 = 0)
+    SELECT canonical,
+           CAST(count(*) AS BIGINT) AS n_refs,
+           CAST(count(DISTINCT base) AS BIGINT) AS n_pages
+    FROM links GROUP BY canonical
+    """,
+)
+def x157_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier extraction — the composition the html + url
+    modules exist to feed: parse pages (``extract_html_text``
+    collects ordered ``<a href>`` values), RESOLVE each reference
+    against its page's base URL (``resolve_url``: absolute pass,
+    protocol-relative takes the base scheme, root-relative takes the
+    base origin, path-relative/mailto/javascript → NULL — counted as
+    the 'unresolved' sentinel group, never guessed), canonicalize
+    (``canonical_url``), and aggregate the frontier: per canonical
+    target, how many references and how many distinct pages link to
+    it. This is the seed list the next crawl round fetches — and the
+    in-degree signal quality filters weight.
+
+    Fixture, closed-form from doc_id: each page carries an absolute
+    link junked with case/default-port/trailing-slash (must
+    canonicalize), a root-relative link with a tracking param (must
+    resolve against the page origin and drop the junk), a
+    protocol-relative CDN link on even docs, and path-relative +
+    mailto refs on d%3/d%6 docs (the unresolved group). Residue
+    collisions merge targets ACROSS pages by construction — that is
+    the point of a frontier (n_pages counts distinct linkers).
+
+    Scale shape: page HTML is built and parsed in the scan stage
+    (one Arrow kernel; the page's base URL rides the id column
+    through the kernel, no join-back), resolve + canonicalize are
+    codegen'd column expressions over the exploded hrefs, and the
+    ONLY shuffle is the frontier groupBy on the canonical target —
+    x156's exact-dedup shape with a count-distinct. Reference:
+    engine-added (SURVEY.md §2.2 dedup/graph families); RFC 3986 §5
+    resolution subset, documented."""
+    from etlp_spark.functions.html import extract_html_text
+    from etlp_spark.functions.url import canonical_url, resolve_url
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    base = F.concat(
+        F.lit("https://h"), s(d % 5), F.lit(".example.org/dir/"), s(d)
+    )
+    a = lambda href: F.concat(  # noqa: E731
+        F.lit('<a href="'), href, F.lit('">x</a>')
+    )
+    l1 = F.concat(
+        F.lit("HTTP://H"), s(d % 3), F.lit(".Example.ORG:80/abs/"),
+        s(d % 7), F.lit("/"),
+    )
+    l2 = F.concat(
+        F.lit("/r/"), s(d % 4), F.lit("?utm_source=x&q="), s(d % 3)
+    )
+    l3 = F.concat(F.lit("//cdn.example.org/c/"), s(d % 3))
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        a(l1),
+        a(l2),
+        F.when(d % 2 == 0, a(l3)).otherwise(F.lit("")),
+        F.when(d % 3 == 0, a(F.lit("rel.html"))).otherwise(F.lit("")),
+        F.when(d % 6 == 0, a(F.lit("mailto:x@e.org"))).otherwise(
+            F.lit("")
+        ),
+        F.lit("</p></body></html>"),
+    )
+    pages = docs.select(base.alias("media_id"), html.alias("html"))
+    prose = extract_html_text(pages)
+    links = prose.select(
+        "media_id", F.explode("hrefs").alias("href")
+    )
+    return (
+        links.select(
+            "media_id",
+            F.coalesce(
+                canonical_url(resolve_url("media_id", "href")),
+                F.lit("unresolved"),
+            ).alias("canonical"),
+        )
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_refs"),
+            F.countDistinct("media_id").cast("long").alias("n_pages"),
+        )
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #

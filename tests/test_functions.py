@@ -3348,6 +3348,15 @@ def test_html_to_text_deterministic_cases():
     assert r["n_links"] == 1 and r["n_dropped"] == 2
     # html head title style body h1 script p b i div a = 12
     assert r["n_tags"] == 12
+    assert r["hrefs"] == ["/0"]
+
+    # hrefs: ordered, entity-decoded, href-less/empty anchors skipped
+    rh = html_to_text(
+        '<a href="/a?x=1&amp;y=2">1</a><a name="n">2</a>'
+        '<a href="">3</a><a href="//h.org/b"/>'
+    )
+    assert rh["hrefs"] == ["/a?x=1&y=2", "//h.org/b"]
+    assert rh["n_links"] == 4
 
     # block vs inline boundaries: p separates, b glues
     assert html_to_text("<p>a</p><p>b</p>")["text"] == "a b"
@@ -3512,6 +3521,40 @@ def test_canonical_url_cases(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_resolve_url_cases(spark):
+    """resolve_url: absolute pass-through, protocol-relative takes
+    the base scheme, root-relative takes the base origin,
+    path-relative / mailto / javascript / empty resolve to NULL
+    (counted, never guessed)."""
+    from etlp_spark.functions.url import canonical_url, resolve_url
+
+    base = "https://www.ex.org:8080/dir/page?z=1"
+    cases = [
+        ("http://other.org/x?a=1", "http://other.org/x?a=1"),
+        ("//cdn.org/lib.js", "https://cdn.org/lib.js"),
+        ("/root/path?b=2", "https://www.ex.org:8080/root/path?b=2"),
+        ("rel/path.html", None),
+        ("../up.html", None),
+        ("mailto:x@y.org", None),
+        ("javascript:void(0)", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame(
+        [(base, r) for r, _ in cases], "base string, ref string"
+    )
+    got = [
+        r.c
+        for r in df.select(resolve_url("base", "ref").alias("c")).collect()
+    ]
+    assert got == [e for _, e in cases]
+
+    # the frontier composition: resolve then canonicalize
+    comp = df.select(
+        canonical_url(resolve_url("base", "ref")).alias("c")
+    ).collect()
+    assert comp[2].c == "https://www.ex.org:8080/root/path?b=2"
 
 
 def test_canonical_url_property(spark):
