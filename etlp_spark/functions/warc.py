@@ -194,6 +194,41 @@ def _http_response_meta(body: bytes) -> "tuple[int | None, str | None, bytes | N
 
 _CRLF = b"\r\n"
 
+_CHARSET_RE = None  # compiled lazily (module import stays cheap)
+
+
+def _decode_text(body: bytes, content_type: "str | None") -> "tuple[str, int]":
+    """Decode a text payload honoring, in priority order: a BOM
+    (in-band truth beats any label), the ``charset=`` parameter of
+    the content type (crawled pages declare latin-1/windows-1251/...
+    constantly — decoding everything as UTF-8 reads mojibake), then
+    UTF-8; always ``errors=replace`` (damage shows as U+FFFD, the
+    walk never dies on bytes). Returns (text, clean): clean flips
+    when a DECLARED charset is unknown to the codec registry — the
+    fallback decode is a guess, and guesses are counted."""
+    global _CHARSET_RE
+    if body[:3] == b"\xef\xbb\xbf":
+        return body[3:].decode("utf-8", "replace"), 1
+    if body[:2] == b"\xff\xfe":
+        return body[2:].decode("utf-16-le", "replace"), 1
+    if body[:2] == b"\xfe\xff":
+        return body[2:].decode("utf-16-be", "replace"), 1
+    if content_type:
+        if _CHARSET_RE is None:
+            import re
+
+            _CHARSET_RE = re.compile(
+                r"charset\s*=\s*\"?([A-Za-z0-9_.:+-]+)\"?",
+                re.IGNORECASE,
+            )
+        m = _CHARSET_RE.search(content_type)
+        if m:
+            try:
+                return body.decode(m.group(1), "replace"), 1
+            except LookupError:
+                return body.decode("utf-8", "replace"), 0
+    return body.decode("utf-8", "replace"), 1
+
 
 def _gunzip_members(payload: bytes) -> tuple[bytes, int, int]:
     """Decompress a concatenation of gzip members (the .warc.gz wire
@@ -377,7 +412,9 @@ def warc_records(payload: bytes) -> "list[dict]":
             "application/json",  # WAT metadata records
             "application/warc-fields",  # warcinfo key:value text
         ):
-            rec["text"] = body.decode("utf-8", "replace")
+            rec["text"], dclean = _decode_text(body, rec["content_type"])
+            if not dclean:
+                rec["clean"] = 0
         elif ct == "application/http":
             # raw WARC response/request record: the payload is the
             # full HTTP message (the bulk of a Common Crawl drop)
@@ -390,7 +427,9 @@ def warc_records(payload: bytes) -> "list[dict]":
             if entity is not None and (
                 hbase.startswith("text/") or hbase == "application/json"
             ):
-                rec["text"] = entity.decode("utf-8", "replace")
+                rec["text"], dclean = _decode_text(entity, hct)
+                if not dclean:
+                    rec["clean"] = 0
         if payload[pos : pos + 4] == _CRLF + _CRLF:
             pos += 4
         elif len(body) == content_length:

@@ -3196,6 +3196,61 @@ def test_warc_http_chunked_and_folding():
     assert ru["http_status"] == 200
 
 
+def test_warc_charset_decoding():
+    """Text payload decoding honors, in priority order: a BOM, the
+    charset= parameter of the content type (latin-1/windows-1251
+    pages must not read as mojibake), then UTF-8; an UNKNOWN declared
+    charset falls back to UTF-8 with clean=0 (the fallback is a
+    guess, and guesses are counted)."""
+    from etlp_spark.functions.warc import encode_warc, warc_records
+
+    def rec(body, ctype):
+        return {"warc_type": "conversion", "record_id": "<r>",
+                "content_type": ctype, "body": body}
+
+    # declared latin-1: 0xE9 is é, not U+FFFD mojibake
+    r = warc_records(
+        encode_warc([rec(b"caf\xe9", "text/plain; charset=latin-1")])
+    )[0]
+    assert r["text"] == "café" and r["clean"] == 1
+
+    # windows-1251 cyrillic
+    r = warc_records(
+        encode_warc([rec("мир".encode("cp1251"),
+                         'text/plain; charset="windows-1251"')])
+    )[0]
+    assert r["text"] == "мир" and r["clean"] == 1
+
+    # BOM beats the (wrong) label — in-band truth
+    r = warc_records(
+        encode_warc([rec(b"\xff\xfe" + "hi".encode("utf-16-le"),
+                         "text/plain; charset=latin-1")])
+    )[0]
+    assert r["text"] == "hi" and r["clean"] == 1
+
+    # unknown charset label: utf-8 fallback, counted as damage
+    r = warc_records(
+        encode_warc([rec(b"plain", "text/plain; charset=x-bogus-9")])
+    )[0]
+    assert r["text"] == "plain" and r["clean"] == 0
+
+    # http entity path: charset parameter on the inner Content-Type
+    body = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=iso-8859-1\r\n\r\n"
+            b"<p>\xe9t\xe9</p>")
+    r = warc_records(encode_warc([{
+        "warc_type": "response",
+        "content_type": "application/http; msgtype=response",
+        "body": body,
+    }]))[0]
+    assert r["text"] == "<p>été</p>" and r["clean"] == 1
+    assert r["http_content_type"] == "text/html; charset=iso-8859-1"
+
+    # no charset: utf-8 as before
+    r = warc_records(encode_warc([rec("déjà", "text/plain")]))[0]
+    assert r["text"] == "déjà" and r["clean"] == 1
+
+
 def test_warc_gzip_truncation_keeps_prefix():
     """A .warc.gz cut mid-download (even inside the FIRST member)
     yields the bytes that decompressed — the walk then reports a
