@@ -16634,8 +16634,12 @@ _GATED_PRIOR_ROUNDS = [
 #: CORRECTNESS_r11.json gate order. Sized at 49 — the one freed slot
 #: lets the round-16 addition (x155_html_extract, r15 verdict item
 #: 4) land via ``_ungated`` as slot 50, exactly as x146/x147 (r13),
-#: x148-x150 (r14), and x151-x154 (r15) did. After this gate the
-#: oldest driver evidence fleet-wide is r12.
+#: x148-x150 (r14), and x151-x154 (r15) did. The round's two LATER
+#: additions (x156_url_canonicalize, x157_link_frontier) follow in
+#: ``_ungated`` order as slots 51-52 — OUTSIDE the 50-slot window:
+#: locally oracle-exact in LOCAL_CORRECTNESS_r16, owed their first
+#: driver row in the r17 gate. After this gate the oldest driver
+#: evidence fleet-wide is r12.
 #:
 #: ---- retired round-15 rotation comment (kept for the audit trail):
 #: Round-15 gate (the driver records the FIRST 50 registered),
