@@ -16695,6 +16695,15 @@ _NEWEST = [
     "x9_multimodal_features",
 ]
 
+#: Never-gated queries DELIBERATELY outside this round's 50-slot
+#: window (the window's arithmetic is fully committed: 3 repayments
+#: + the entire 46-query r11-evidence block + x155). Contract,
+#: enforced by tests/test_bench_contract.py: every entry must be
+#: locally oracle-verified this round (LOCAL_CORRECTNESS_r16:
+#: 246/246) and must LEAD the next round's ``_NEWEST`` as a
+#: first-gate debt, exactly like a repayment slot.
+_DEFER_TO_NEXT_GATE = ["x156_url_canonicalize", "x157_link_frontier"]
+
 _gated = set(_GATED_PRIOR_ROUNDS)
 _new = [n for n in _NEWEST if n in QUERIES]
 _ungated = [n for n in QUERIES if n not in _gated and n not in set(_NEWEST)]
