@@ -83,21 +83,48 @@ def canonical_url(col: "Column | str") -> "Column":
     ).otherwise(out)
 
 
+def _remove_dot_segments(path: "Column") -> "Column":
+    """RFC 3986 §5.2.4 as a JVM array fold (no UDF): split the path
+    on ``/``, fold segments onto a stack — ``..`` pops, ``.`` and
+    empty segments vanish, anything else pushes — and rejoin under a
+    leading slash. ``..`` past the root clamps (the spec's behavior).
+    Side effects shared with the canonical contract: duplicate and
+    trailing slashes fold. HOF lambdas stay off codegen but on the
+    JVM — and this runs only on href-sized strings, never corpora."""
+    segs = F.split(path, "/")
+    acc = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, x: (
+            F.when(
+                x == "..",
+                F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+            )
+            .when((x == ".") | (x == ""), acc)
+            .otherwise(F.concat(acc, F.array(x)))
+        ),
+    )
+    return F.concat(F.lit("/"), F.array_join(acc, "/"))
+
+
 def resolve_url(base: "Column | str", ref: "Column | str") -> "Column":
     """Resolve an ``<a href>`` reference against its page's base URL
     — the step between ``html_to_text``'s hrefs and the crawl
-    frontier (RFC 3986 §5, the subset a frontier needs):
+    frontier (RFC 3986 §5):
 
     - absolute refs (``scheme://...``) pass through;
     - protocol-relative refs (``//host/...``) take the base scheme;
-    - root-relative refs (``/path...``) take the base origin;
-    - everything else — path-relative refs, ``mailto:``/
-      ``javascript:`` and other non-fetchable schemes, empty refs —
-      resolves to NULL: counted by the caller, never guessed at
-      (path-relative resolution needs dot-segment semantics this
-      engine deliberately leaves out of the canonical contract).
+    - root-relative refs (``/path...``) take the base origin, with
+      §5.2.4 dot-segment removal;
+    - path-relative refs (``a/b.html``, ``../up``, ``./x``) merge
+      onto the base path's directory (§5.3) then remove dot
+      segments; the ref's ``?query#fragment`` tail rides along
+      (canonical_url strips the fragment downstream);
+    - non-hierarchical schemes (``mailto:``, ``javascript:``,
+      ``data:`` — anything ``scheme:`` without ``//``) and empty
+      refs resolve to NULL: not fetchable, counted by the caller.
 
-    Pure column expression, same posture as ``canonical_url``;
+    Pure column expressions, same posture as ``canonical_url``;
     compose them: ``canonical_url(resolve_url(base, href))``."""
     b = F.col(base) if isinstance(base, str) else base
     r = F.trim(F.col(ref) if isinstance(ref, str) else ref)
@@ -106,9 +133,28 @@ def resolve_url(base: "Column | str", ref: "Column | str") -> "Column":
         scheme, F.lit("://"),
         F.regexp_extract(b, r"^[^:/?]+://([^/?#]+)", 1),
     )
+    base_dir = F.regexp_replace(
+        F.regexp_extract(b, r"^[^:/?]+://[^/?#]+([^?#]*)", 1),
+        r"[^/]*$", "",
+    )
+    rpath = F.regexp_extract(r, r"^([^?#]*)", 1)
+    rtail = F.regexp_extract(r, r"([?#].*)$", 1)
     return (
         F.when(r.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), r)
         .when(r.startswith("//"), F.concat(scheme, F.lit(":"), r))
-        .when(r.startswith("/"), F.concat(origin, r))
-        .otherwise(F.lit(None).cast("string"))
+        .when(
+            r.startswith("/"),
+            F.concat(origin, _remove_dot_segments(rpath), rtail),
+        )
+        .when(
+            (r == "") | r.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(
+            F.concat(
+                origin,
+                _remove_dot_segments(F.concat(base_dir, rpath)),
+                rtail,
+            )
+        )
     )

@@ -16378,7 +16378,10 @@ def x156_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT base, 'https://cdn.example.org/c/' || CAST(d % 3 AS VARCHAR)
       FROM c WHERE d % 2 = 0
       UNION ALL
-      SELECT base, 'unresolved' FROM c WHERE d % 3 = 0
+      SELECT base,
+        'https://h' || CAST(d % 5 AS VARCHAR)
+          || '.example.org/up/' || CAST(d % 5 AS VARCHAR) || '.html'
+      FROM c WHERE d % 3 = 0
       UNION ALL
       SELECT base, 'unresolved' FROM c WHERE d % 6 = 0)
     SELECT canonical,
@@ -16393,8 +16396,10 @@ def x157_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     collects ordered ``<a href>`` values), RESOLVE each reference
     against its page's base URL (``resolve_url``: absolute pass,
     protocol-relative takes the base scheme, root-relative takes the
-    base origin, path-relative/mailto/javascript → NULL — counted as
-    the 'unresolved' sentinel group, never guessed), canonicalize
+    base origin, path-relative merges onto the base directory with
+    RFC 3986 §5.2.4 dot-segment removal, mailto/javascript/data →
+    NULL — counted as the 'unresolved' sentinel group, never
+    guessed), canonicalize
     (``canonical_url``), and aggregate the frontier: per canonical
     target, how many references and how many distinct pages link to
     it. This is the seed list the next crawl round fetches — and the
@@ -16404,8 +16409,9 @@ def x157_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     link junked with case/default-port/trailing-slash (must
     canonicalize), a root-relative link with a tracking param (must
     resolve against the page origin and drop the junk), a
-    protocol-relative CDN link on even docs, and path-relative +
-    mailto refs on d%3/d%6 docs (the unresolved group). Residue
+    protocol-relative CDN link on even docs, a ``../``-bearing
+    path-relative link on d%3 docs (merge + dot removal), and a
+    mailto ref on d%6 docs (the unresolved group). Residue
     collisions merge targets ACROSS pages by construction — that is
     the point of a frontier (n_pages counts distinct linkers).
 
@@ -16442,7 +16448,12 @@ def x157_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         a(l1),
         a(l2),
         F.when(d % 2 == 0, a(l3)).otherwise(F.lit("")),
-        F.when(d % 3 == 0, a(F.lit("rel.html"))).otherwise(F.lit("")),
+        # path-relative with a dot segment: merges onto /dir/ then
+        # §5.2.4 removes the .. — the frontier's hardest common case
+        F.when(
+            d % 3 == 0,
+            a(F.concat(F.lit("../up/"), s(d % 5), F.lit(".html"))),
+        ).otherwise(F.lit("")),
         F.when(d % 6 == 0, a(F.lit("mailto:x@e.org"))).otherwise(
             F.lit("")
         ),

@@ -3581,8 +3581,10 @@ def test_canonical_url_cases(spark):
 def test_resolve_url_cases(spark):
     """resolve_url: absolute pass-through, protocol-relative takes
     the base scheme, root-relative takes the base origin,
-    path-relative / mailto / javascript / empty resolve to NULL
-    (counted, never guessed)."""
+    path-relative merges onto the base directory with RFC 3986
+    §5.2.4 dot-segment removal (.. clamps at root), and
+    non-hierarchical schemes / empty refs resolve to NULL (counted,
+    never guessed)."""
     from etlp_spark.functions.url import canonical_url, resolve_url
 
     base = "https://www.ex.org:8080/dir/page?z=1"
@@ -3590,10 +3592,15 @@ def test_resolve_url_cases(spark):
         ("http://other.org/x?a=1", "http://other.org/x?a=1"),
         ("//cdn.org/lib.js", "https://cdn.org/lib.js"),
         ("/root/path?b=2", "https://www.ex.org:8080/root/path?b=2"),
-        ("rel/path.html", None),
-        ("../up.html", None),
+        # path-relative: RFC 3986 §5.3 merge + §5.2.4 dot removal
+        ("rel/path.html", "https://www.ex.org:8080/dir/rel/path.html"),
+        ("../up.html", "https://www.ex.org:8080/up.html"),
+        ("./y?q=1", "https://www.ex.org:8080/dir/y?q=1"),
+        ("../../../clamped", "https://www.ex.org:8080/clamped"),
+        ("/a/../b", "https://www.ex.org:8080/b"),
         ("mailto:x@y.org", None),
         ("javascript:void(0)", None),
+        ("data:text/plain,hi", None),
         ("", None),
     ]
     df = spark.createDataFrame(
