@@ -16480,6 +16480,146 @@ def x157_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x158_robots_gate",
+    """
+    WITH f AS (SELECT doc_id AS d FROM documents),
+    u AS (
+      SELECT d, d % 5 AS h, UNNEST([
+        '/p/' || CAST(d AS VARCHAR),
+        '/p/priv/' || CAST(d AS VARCHAR),
+        '/p/private-ok',
+        '/tmp/' || CAST(d AS VARCHAR)
+      ]) AS path
+      FROM f)
+    SELECT
+      'h' || CAST(h AS VARCHAR) || '.example.org' AS host,
+      path,
+      CAST(CASE
+        WHEN path LIKE '/p/priv/%' THEN 0
+        WHEN path LIKE '/tmp/%' AND h % 2 = 0 THEN 0
+        ELSE 1 END AS INT) AS allowed,
+      CASE
+        WHEN path LIKE '/p/priv/%' THEN '/p/priv*'
+        WHEN path = '/p/private-ok' THEN '/p/private-ok$'
+        WHEN path LIKE '/tmp/%' AND h % 2 = 0 THEN '/tmp/'
+        ELSE 'none' END AS matched,
+      CAST(1000 * (1 + h) AS BIGINT) AS crawl_delay_ms,
+      CAST(count(*) AS BIGINT) AS n_urls
+    FROM u
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def x158_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness gate (RFC 9309) — the filter between x157's
+    frontier and the fetch scheduler: parse each host's robots.txt
+    (``functions/robots``: group-structured, agent selection with
+    ``*`` fallback, empty-Disallow and comment semantics, Crawl-delay
+    as exact ms), explode to a HOSTS-SIZED rules table, and gate
+    every frontier URL by RFC 9309 §2.2.2 longest-match with Allow
+    winning ties — computed JVM-side as a BROADCAST join (urls x
+    rules on host), ``path RLIKE rule_regex`` (the * / trailing-$
+    pattern grammar compiled to regex in the rules table, so the
+    per-URL work is one regex match, no Python), then
+    ``max_by(allow, struct(pattern_len, allow))`` per URL; a URL
+    matching no rule is allowed.
+
+    Fixture, closed-form from doc_id: five hosts, each with an
+    ``evilbot`` group the ``*`` selection must SKIP, a ``*`` group
+    with ``Disallow: /p/priv*`` + ``Allow: /p/private-ok$`` (the
+    allow-wins-by-length case), per-host Crawl-delay 1+h seconds,
+    an unknown ``Host:`` directive (counted, not damage), and
+    ``Disallow: /tmp/`` on even hosts only; each doc contributes
+    four frontier paths hitting every branch (no match, wildcard
+    block, longest-match allow override, host-conditional block).
+    The oracle rebuilds the decisions as a closed-form CASE table —
+    an independent re-derivation of §2.2.2 on this rule set, not a
+    reimplementation of the parser.
+
+    Scale shape: the rules table is |hosts|-sized (5 rows x ~3
+    rules) and BROADCASTS; the frontier side is one scan; the only
+    shuffle is the final per-URL group (and at 100 TB you'd gate
+    BEFORE the frontier aggregate, fusing this into x157's
+    pre-shuffle stage). Reference: engine-added (SURVEY.md §2.2
+    ingestion family); RFC 9309 public semantics."""
+    from etlp_spark.functions.robots import extract_robots_rules
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+
+    hosts = docs.select((d % 5).alias("h")).distinct()
+    robots_txt = F.concat(
+        F.lit("# robots for host "), s(F.col("h")), F.lit("\n"),
+        F.lit("User-agent: evilbot\nDisallow: /\n\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /p/priv*\n"),
+        F.lit("Allow: /p/private-ok$\n"),
+        F.lit("Crawl-delay: "), s(F.col("h") + 1), F.lit("\n"),
+        F.lit("Host: example.org\n"),
+        F.lit("Sitemap: https://x/sitemap.xml\n"),
+        F.when(F.col("h") % 2 == 0, F.lit("Disallow: /tmp/\n"))
+        .otherwise(F.lit("")),
+    )
+    rules = extract_robots_rules(
+        hosts.select(
+            F.concat(F.lit("h"), s(F.col("h")), F.lit(".example.org"))
+            .alias("host"),
+            robots_txt.alias("robots"),
+        )
+    )
+    urls = docs.select(
+        d.alias("d"),
+        F.concat(F.lit("h"), s(d % 5), F.lit(".example.org")).alias("host"),
+        F.explode(
+            F.array(
+                F.concat(F.lit("/p/"), s(d)),
+                F.concat(F.lit("/p/priv/"), s(d)),
+                F.lit("/p/private-ok"),
+                F.concat(F.lit("/tmp/"), s(d)),
+            )
+        ).alias("path"),
+    )
+    # ONE broadcast join + ONE shuffle: every URL row fans out over
+    # its host's (tiny) rule set in the scan stage, the RFC 9309
+    # decision is a single grouped max_by ordered (hit, pattern_len,
+    # allow) — any matching rule beats every non-matching one, then
+    # longest pattern, then Allow on ties; no re-join of the
+    # frontier-sized best-match table back onto the frontier
+    joined = urls.join(F.broadcast(rules), "host")
+    hit = F.when(
+        F.col("rule_regex").isNotNull()
+        & F.expr("path RLIKE rule_regex"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    scored = joined.select(
+        "host", "path", "d", "allow", "pattern",
+        F.coalesce("pattern_len", F.lit(-1)).alias("plen"),
+        "crawl_delay_ms", hit.alias("hit"),
+    )
+    return (
+        scored.groupBy("host", "path")
+        .agg(
+            F.max_by(
+                F.struct("allow", "pattern"),
+                F.struct("hit", "plen", "allow"),
+            ).alias("m"),
+            F.max("hit").alias("any_hit"),
+            F.max("crawl_delay_ms").alias("delay"),
+            F.countDistinct("d").cast("long").alias("n_urls"),
+        )
+        .select(
+            "host", "path",
+            F.when(F.col("any_hit") == 1, F.col("m.allow"))
+            .otherwise(F.lit(1)).cast("int").alias("allowed"),
+            F.when(F.col("any_hit") == 1, F.col("m.pattern"))
+            .otherwise(F.lit("none")).alias("matched"),
+            F.col("delay").cast("long").alias("crawl_delay_ms"),
+            "n_urls",
+        )
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -16713,7 +16853,9 @@ _NEWEST = [
 #: locally oracle-verified this round (LOCAL_CORRECTNESS_r16:
 #: 246/246) and must LEAD the next round's ``_NEWEST`` as a
 #: first-gate debt, exactly like a repayment slot.
-_DEFER_TO_NEXT_GATE = ["x156_url_canonicalize", "x157_link_frontier"]
+_DEFER_TO_NEXT_GATE = [
+    "x156_url_canonicalize", "x157_link_frontier", "x158_robots_gate",
+]
 
 _gated = set(_GATED_PRIOR_ROUNDS)
 _new = [n for n in _NEWEST if n in QUERIES]

@@ -184,6 +184,9 @@ QUERY_TABLES = {
     "x151_warc_wet": ["documents"],
     "x154_warc_ingest_quality": ["documents"],
     "x155_html_extract": ["documents"],
+    "x156_url_canonicalize": ["documents"],
+    "x157_link_frontier": ["documents"],
+    "x158_robots_gate": ["documents"],
     "x93_pq_adc_topk": ["embeddings"],
     "x94_ivf_adc_search": ["embeddings"],
     "x95_hybrid_rrf_fusion": ["documents", "embeddings"],

@@ -3619,6 +3619,80 @@ def test_resolve_url_cases(spark):
     assert comp[2].c == "https://www.ex.org:8080/root/path?b=2"
 
 
+def test_parse_robots_semantics():
+    """parse_robots: group structure (shared User-agent lines, a new
+    UA after rules opens a new group), agent selection with *
+    fallback, empty-Disallow = no rule, comments stripped, unknown
+    directives counted not damaged, fractional Crawl-delay in exact
+    ms, rule_regex grammar (* wildcard, trailing-$ anchor, literal
+    mid-pattern $)."""
+    import re as _re
+
+    from etlp_spark.functions.robots import parse_robots, rule_regex
+
+    txt = (
+        "# politeness\n"
+        "User-agent: evilbot\nDisallow: /\n\n"
+        "User-agent: *\n"
+        "Disallow: /p/priv*\n"
+        "Allow: /p/private-ok$\n"
+        "Crawl-delay: 2.5\n"
+        "Host: example.org\n"
+        "Sitemap: https://h/sitemap.xml\n"
+    )
+    m = parse_robots(txt, "*")
+    assert m["rules"] == [(0, "/p/priv*"), (1, "/p/private-ok$")]
+    assert m["crawl_delay_ms"] == 2500
+    assert m["n_sitemaps"] == 1 and m["n_unknown"] == 1
+    assert m["clean"] == 1
+    # exact agent match takes ITS group, not *
+    assert parse_robots(txt, "EvilBot")["rules"] == [(0, "/")]
+    # shared UA lines, new group after rules
+    two = (
+        "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+        "User-agent: c\nDisallow: /y\n"
+    )
+    assert parse_robots(two, "b")["rules"] == [(0, "/x")]
+    assert parse_robots(two, "c")["rules"] == [(0, "/y")]
+    # empty Disallow = allow everything; no-colon line = damage
+    assert parse_robots("User-agent: *\nDisallow:\n", "*")["rules"] == []
+    assert parse_robots("User-agent *\nDisallow: /\n", "*")["clean"] == 0
+    assert parse_robots(None, "*")["rules"] == []
+    # pattern grammar
+    assert _re.match(rule_regex("/p/priv*"), "/p/private-ok")
+    assert _re.match(rule_regex("/p/private-ok$"), "/p/private-ok")
+    assert not _re.match(rule_regex("/p/private-ok$"), "/p/private-okX")
+    assert _re.match(rule_regex("/a$b"), "/a$bc")  # mid-$ is literal
+    assert _re.match(rule_regex("/*.php"), "/x/y.php")
+
+
+def test_extract_robots_rules_spark(spark):
+    """extract_robots_rules: one row per selected rule with compiled
+    regex + lengths; a rule-less host still yields one pattern-NULL
+    row carrying its crawl delay; hosts-sized output broadcasts."""
+    from etlp_spark.functions.robots import extract_robots_rules
+
+    df = spark.createDataFrame(
+        [
+            ("a.org", "User-agent: *\nDisallow: /x*\nAllow: /x/ok$\n"),
+            ("b.org", "User-agent: *\nCrawl-delay: 1\nDisallow:\n"),
+        ],
+        "host string, robots string",
+    )
+    rows = sorted(
+        extract_robots_rules(df).collect(),
+        key=lambda r: (r.host, r.pattern or ""),
+    )
+    a = [r for r in rows if r.host == "a.org"]
+    assert [(r.allow, r.pattern, r.pattern_len) for r in a] == [
+        (0, "/x*", 3), (1, "/x/ok$", 6)
+    ]
+    assert a[0].rule_regex == "^/x.*"
+    b = [r for r in rows if r.host == "b.org"]
+    assert len(b) == 1 and b[0].pattern is None
+    assert b[0].crawl_delay_ms == 1000
+
+
 def test_canonical_url_property(spark):
     """Property (hypothesis over scheme/host/port/path/params/junk):
     a junked wire variant and its clean twin canonicalize to the
