@@ -87,13 +87,20 @@ class _TextWalk(HTMLParser):
                 break
 
     def handle_starttag(self, tag, attrs):  # noqa: D102
+        # inside a dropped subtree NOTHING counts — script/style
+        # content never reaches the tokenizer as tags (CDATA), but
+        # template/noscript content DOES, and an <a> inside either
+        # must not leak into the counts or the href frontier feed
+        if self.drop_depth:
+            if tag in _DROP_TAGS:
+                self.drop_depth += 1
+            return
         self.n_tags += 1
         if tag == "a":
             self._link(attrs)
         if tag in _DROP_TAGS:
-            if self.drop_depth == 0:
-                self.n_dropped += 1
-            self.drop_depth += 1
+            self.n_dropped += 1
+            self.drop_depth = 1
             return
         if tag == "title":
             self.title_depth += 1
@@ -101,8 +108,8 @@ class _TextWalk(HTMLParser):
         self._boundary(tag)
 
     def handle_endtag(self, tag):  # noqa: D102
-        if tag in _DROP_TAGS:
-            if self.drop_depth:
+        if self.drop_depth:
+            if tag in _DROP_TAGS:
                 self.drop_depth -= 1
             return
         if tag == "title":
@@ -114,6 +121,8 @@ class _TextWalk(HTMLParser):
     def handle_startendtag(self, tag, attrs):  # noqa: D102
         # <br/> and friends: count once, boundary once, never push
         # drop/title state (there is no subtree)
+        if self.drop_depth:
+            return
         self.n_tags += 1
         if tag == "a":
             self._link(attrs)
@@ -135,8 +144,10 @@ def html_to_text(html: "str | None") -> dict:
     ordered list of ``<a href>`` values (entity-decoded by the
     tokenizer; the crawl-frontier feed — resolve with
     ``functions.url.resolve_url``), ``n_tags`` counts start +
-    self-closing tags (markup inside dropped subtrees is character
-    data to the tokenizer, not tags), ``n_links`` counts ``<a>``,
+    self-closing tags OUTSIDE dropped subtrees (script/style content
+    is character data to the tokenizer; template/noscript content IS
+    tokenized, so the walk suppresses its tags, links, and hrefs
+    explicitly), ``n_links`` counts ``<a>``,
     ``n_dropped`` counts top-level dropped subtrees
     (script/style/template/noscript). None/empty input yields empty
     text — containment, not an error."""

@@ -120,6 +120,8 @@ def resolve_url(base: "Column | str", ref: "Column | str") -> "Column":
       onto the base path's directory (§5.3) then remove dot
       segments; the ref's ``?query#fragment`` tail rides along
       (canonical_url strips the fragment downstream);
+    - query-only and fragment-only refs (``?page=2``, ``#sec``) keep
+      the base's FULL path (§5.3's empty-ref-path rule);
     - non-hierarchical schemes (``mailto:``, ``javascript:``,
       ``data:`` — anything ``scheme:`` without ``//``) and empty
       refs resolve to NULL: not fetchable, counted by the caller.
@@ -133,10 +135,9 @@ def resolve_url(base: "Column | str", ref: "Column | str") -> "Column":
         scheme, F.lit("://"),
         F.regexp_extract(b, r"^[^:/?]+://([^/?#]+)", 1),
     )
-    base_dir = F.regexp_replace(
-        F.regexp_extract(b, r"^[^:/?]+://[^/?#]+([^?#]*)", 1),
-        r"[^/]*$", "",
-    )
+    base_path = F.regexp_extract(b, r"^[^:/?]+://[^/?#]+([^?#]*)", 1)
+    base_path = F.when(base_path == "", F.lit("/")).otherwise(base_path)
+    base_dir = F.regexp_replace(base_path, r"[^/]*$", "")
     rpath = F.regexp_extract(r, r"^([^?#]*)", 1)
     rtail = F.regexp_extract(r, r"([?#].*)$", 1)
     return (
@@ -149,6 +150,13 @@ def resolve_url(base: "Column | str", ref: "Column | str") -> "Column":
         .when(
             (r == "") | r.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"),
             F.lit(None).cast("string"),
+        )
+        .when(
+            # query-only / fragment-only refs: RFC 3986 §5.3 keeps
+            # the base's FULL path ('?page=2' on /a/b.html is
+            # /a/b.html?page=2, not the directory)
+            rpath == "",
+            F.concat(origin, base_path, rtail),
         )
         .otherwise(
             F.concat(

@@ -97,10 +97,14 @@ def _dechunk(entity: bytes) -> "tuple[bytes, int]":
         if eol < 0:
             return bytes(out), 0  # no size line: truncated framing
         size_tok = entity[pos:eol].split(b";")[0].strip()
-        try:
-            size = int(size_tok, 16)
-        except ValueError:
+        # pure hex digits ONLY: int(x, 16) also accepts '-6'/'+5'/
+        # '0x5'/'1_0', and a negative size would move pos BACKWARD —
+        # an infinite loop on attacker-controlled crawl bytes
+        if not size_tok or any(
+            c not in b"0123456789abcdefABCDEF" for c in size_tok
+        ):
             return bytes(out), 0  # garbage where a hex size should be
+        size = int(size_tok, 16)
         pos = eol + 2
         if size == 0:
             return bytes(out), 1
@@ -114,6 +118,26 @@ def _dechunk(entity: bytes) -> "tuple[bytes, int]":
         pos += 2
 
 
+def _inflate_partial(data: bytes) -> "tuple[bytes, int]":
+    """zlib/gzip inflate (auto-detect wrapper) that keeps the PREFIX
+    on a mid-stream error — fed in 64 KiB slices so every fully-
+    processed slice's output survives a truncation or CRC failure
+    (the _gunzip_members discipline). Returns (bytes, clean); a
+    stream that never reached eof is clean=0 even when bytes came
+    out (the tail is missing)."""
+    obj = zlib.decompressobj(47)
+    out = bytearray()
+    step = 1 << 16
+    try:
+        for i in range(0, len(data), step):
+            out += obj.decompress(data[i : i + step])
+            if obj.eof:
+                return bytes(out), 1
+    except zlib.error:
+        return bytes(out), 0
+    return bytes(out), 0  # ran out of input before end-of-stream
+
+
 def _http_response_meta(body: bytes) -> "tuple[int | None, str | None, bytes | None, int]":
     """Parse an ``application/http`` record payload (raw WARC
     response records — the bulk of a Common Crawl drop): status line,
@@ -124,10 +148,13 @@ def _http_response_meta(body: bytes) -> "tuple[int | None, str | None, bytes | N
     (crawl WARCs preserve the raw wire message), THEN
     ``Content-Encoding: gzip/deflate`` is inflated with stdlib zlib —
     the inverse of how a server built the message. Any framing or
-    inflate failure keeps what decoded and flips clean=0 — counted,
-    not hidden; a payload that doesn't start with ``HTTP/`` is
-    damage, not a different format (the WARC header already declared
-    msgtype)."""
+    inflate failure keeps the decoded PREFIX and flips clean=0
+    (``_inflate_partial`` feeds slices so a truncated gzip stream
+    yields its head, exactly like ``_gunzip_members``); only an
+    UNKNOWN transfer coding drops the body to None (those bytes are
+    unreadable, not partially readable). A payload that doesn't
+    start with ``HTTP/`` is damage, not a different format (the WARC
+    header already declared msgtype)."""
     if body[:5] != b"HTTP/":
         return None, None, None, 0
     clean = 1
@@ -176,20 +203,17 @@ def _http_response_meta(body: bytes) -> "tuple[int | None, str | None, bytes | N
                     clean = 0
                     break
             elif coding in (b"gzip", b"x-gzip", b"deflate"):
-                try:
-                    entity = zlib.decompress(entity, 47)
-                except zlib.error:
-                    return status, ctype, None, 0
+                entity, ok = _inflate_partial(entity)
+                if not ok:
+                    clean = 0
+                    break  # prefix kept; deeper codings would misread
             else:
                 clean = 0  # unknown transfer coding: bytes unusable
                 return status, ctype, None, 0
     if encoding in (b"gzip", b"deflate") and entity:
-        try:
-            entity = zlib.decompress(
-                entity, 47
-            )  # 47 = auto-detect zlib/gzip wrapper
-        except zlib.error:
-            return status, ctype, None, 0
+        entity, ok = _inflate_partial(entity)
+        if not ok:
+            clean = 0  # decoded prefix kept, damage counted
     return status, ctype, entity, clean
 
 _CRLF = b"\r\n"
@@ -209,6 +233,12 @@ def _decode_text(body: bytes, content_type: "str | None") -> "tuple[str, int]":
     global _CHARSET_RE
     if body[:3] == b"\xef\xbb\xbf":
         return body[3:].decode("utf-8", "replace"), 1
+    # 4-byte UTF-32 BOMs BEFORE the 2-byte UTF-16 ones: the
+    # UTF-32-LE BOM starts with the UTF-16-LE BOM's bytes
+    if body[:4] == b"\xff\xfe\x00\x00":
+        return body[4:].decode("utf-32-le", "replace"), 1
+    if body[:4] == b"\x00\x00\xfe\xff":
+        return body[4:].decode("utf-32-be", "replace"), 1
     if body[:2] == b"\xff\xfe":
         return body[2:].decode("utf-16-le", "replace"), 1
     if body[:2] == b"\xfe\xff":

@@ -16310,9 +16310,12 @@ def x156_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".example.org")
         ),
     )
+    # default ports pair with the parity-derived scheme: d%4==0 is
+    # always even (http -> :80) and d%4==3 is always odd (https ->
+    # :443), so BOTH default-port drops are genuinely exercised
     port_raw = (
-        F.when((d % 4 == 0) & (d % 2 == 0), F.lit(":80"))
-        .when((d % 4 == 0) & (d % 2 == 1), F.lit(":443"))
+        F.when(d % 4 == 0, F.lit(":80"))
+        .when(d % 4 == 3, F.lit(":443"))
         .when(d % 4 == 1, F.lit(":8080"))
         .otherwise(F.lit(""))
     )
@@ -16785,12 +16788,13 @@ _GATED_PRIOR_ROUNDS = [
 #: CORRECTNESS_r11.json gate order. Sized at 49 — the one freed slot
 #: lets the round-16 addition (x155_html_extract, r15 verdict item
 #: 4) land via ``_ungated`` as slot 50, exactly as x146/x147 (r13),
-#: x148-x150 (r14), and x151-x154 (r15) did. The round's two LATER
-#: additions (x156_url_canonicalize, x157_link_frontier) follow in
-#: ``_ungated`` order as slots 51-52 — OUTSIDE the 50-slot window:
-#: locally oracle-exact in LOCAL_CORRECTNESS_r16, owed their first
-#: driver row in the r17 gate. After this gate the oldest driver
-#: evidence fleet-wide is r12.
+#: x148-x150 (r14), and x151-x154 (r15) did. The round's three LATER
+#: additions (x156_url_canonicalize, x157_link_frontier,
+#: x158_robots_gate) follow in ``_ungated`` order as slots 51-53 —
+#: OUTSIDE the 50-slot window: locally oracle-exact in
+#: LOCAL_CORRECTNESS_r16, enumerated in ``_DEFER_TO_NEXT_GATE``
+#: below, owed their first driver row at the head of the r17 gate.
+#: After this gate the oldest driver evidence fleet-wide is r12.
 #:
 #: ---- retired round-15 rotation comment (kept for the audit trail):
 #: Round-15 gate (the driver records the FIRST 50 registered),

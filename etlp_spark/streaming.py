@@ -1898,8 +1898,14 @@ def cdc_tws(
                         None if num is None else int(num),
                     )
                     if ageing:
+                        # a null event time must NOT become NaT
+                        # (-2**63 ms would arm a deep-past timer and
+                        # compact the tombstone on the next batch) —
+                        # a ts-less winner simply never ages
                         cand = cand + (
-                            int(pd.Timestamp(ts).value // 10**6),
+                            None
+                            if ts is None or pd.isna(ts)
+                            else int(pd.Timestamp(ts).value // 10**6),
                         )
                     # x96's ORDER BY seq DESC, op ASC winner
                     if (
@@ -1913,10 +1919,13 @@ def cdc_tws(
                 if ageing:
                     # one live timer per key: a tombstone winner arms
                     # (re-arms) its compaction deadline; a live winner
-                    # must never expire — clear any armed timer
+                    # must never expire — clear any armed timer. A
+                    # tombstone with NO event time never ages (no
+                    # deadline can be computed; conservative = the
+                    # unaged twin's batch-equal behavior)
                     for t in self._handle.listTimers():
                         self._handle.deleteTimer(t)
-                    if cur[1] == "D":
+                    if cur[1] == "D" and cur[4] is not None:
                         self._handle.registerTimer(cur[4] + lateness_ms)
                 yield pd.DataFrame(
                     {

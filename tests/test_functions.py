@@ -3112,14 +3112,29 @@ def test_warc_http_response_records():
     )[0]
     assert rd["http_status"] is None and rd["clean"] == 0
 
-    # corrupt gzip entity: status survives, body counted as damage
+    # corrupt gzip entity: status survives, the decoded PREFIX is
+    # kept (empty here — the corrupt byte is the header) and the
+    # damage is counted
     raw = encode_warc([resp({"status": 200, "content_type": "text/plain",
                              "body": "x" * 64, "gzip": True})])
     rc = warc_records(raw.replace(b"\x1f\x8b", b"\x1f\x00", 1))
     # (the flipped byte lives inside the WARC payload, not the member
     # framing — the record still parses, the entity does not)
-    assert rc[0]["http_status"] == 200 and rc[0]["text"] is None
+    assert rc[0]["http_status"] == 200 and rc[0]["text"] == ""
     assert rc[0]["clean"] == 0
+
+    # gzip entity truncated MID-STREAM: the inflated prefix survives
+    # with clean=0 (the _gunzip_members discipline, ADVICE-style)
+    full = encode_warc([resp({"status": 200, "content_type": "text/plain",
+                              "body": "prefix-recoverable " * 300,
+                              "gzip": True})])
+    cut = full[: len(full) - 30]  # cut inside the deflate stream
+    rt2 = warc_records(cut)
+    assert rt2[0]["clean"] == 0
+    assert rt2[0]["text"] is not None
+    # highly-compressible body: the cut leaves only a short inflated
+    # head — the contract is SOME prefix, not a specific length
+    assert rt2[0]["text"].startswith("prefix")
 
 
 def test_warc_http_chunked_and_folding():
@@ -3424,6 +3439,18 @@ def test_html_to_text_deterministic_cases():
     )
     assert rn["text"] == "keep" and rn["n_dropped"] == 2
 
+    # template/noscript CONTENT is tokenized (unlike script/style
+    # CDATA) — tags, links and hrefs inside them must not leak into
+    # counts or the frontier feed
+    rl = html_to_text(
+        '<p>ok</p><template><a href="/x">t</a><div>inner</div>'
+        '</template><noscript><a href="/y">n</a></noscript>'
+    )
+    assert rl["text"] == "ok"
+    assert rl["hrefs"] == [] and rl["n_links"] == 0
+    # p + template + noscript = 3 countable tags
+    assert rl["n_tags"] == 3 and rl["n_dropped"] == 2
+
     # malformed: unclosed tags, bare ampersand, stray close — no raise
     rm = html_to_text("<p>open & loose<div>deep</p>text")
     assert "open & loose" in rm["text"] and "text" in rm["text"]
@@ -3598,6 +3625,9 @@ def test_resolve_url_cases(spark):
         ("./y?q=1", "https://www.ex.org:8080/dir/y?q=1"),
         ("../../../clamped", "https://www.ex.org:8080/clamped"),
         ("/a/../b", "https://www.ex.org:8080/b"),
+        # query-only / fragment-only: the base's FULL path survives
+        ("?page=2", "https://www.ex.org:8080/dir/page?page=2"),
+        ("#sec", "https://www.ex.org:8080/dir/page#sec"),
         ("mailto:x@y.org", None),
         ("javascript:void(0)", None),
         ("data:text/plain,hi", None),
