@@ -120,8 +120,18 @@ class _TextWalk(HTMLParser):
 
     def handle_startendtag(self, tag, attrs):  # noqa: D102
         # <br/> and friends: count once, boundary once, never push
-        # drop/title state (there is no subtree)
+        # drop/title state (there is no subtree) — EXCEPT drop tags:
+        # browsers ignore the self-closing flag on script/style, so
+        # '<script/>body</script>' is an OPENED script whose body
+        # must not leak into prose; mirror handle_starttag
         if self.drop_depth:
+            if tag in _DROP_TAGS:
+                self.drop_depth += 1
+            return
+        if tag in _DROP_TAGS:
+            self.n_tags += 1
+            self.n_dropped += 1
+            self.drop_depth = 1
             return
         self.n_tags += 1
         if tag == "a":

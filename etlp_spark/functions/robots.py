@@ -35,6 +35,7 @@ x151/x155/x157); RFC 9309 public semantics only.
 
 from __future__ import annotations
 
+import math
 import re
 from typing import TYPE_CHECKING, Iterator
 
@@ -96,9 +97,15 @@ def parse_robots(text: "str | None", agent: str = "*") -> dict:
                 cur_rules.append((1 if key == "allow" else 0, val))
         elif key == "crawl-delay":
             in_rules = True
+            # untrusted input: 'Infinity'/'nan' parse as floats but
+            # int() then raises Overflow/ValueError — non-finite (or
+            # absurd) delays are parse damage, counted not crashed
             try:
-                cur_delay = int(float(val) * 1000)
-            except ValueError:
+                secs = float(val)
+                if not math.isfinite(secs) or abs(secs) > 86_400_000:
+                    raise ValueError(val)
+                cur_delay = int(secs * 1000)
+            except (ValueError, OverflowError):
                 clean = 0
         elif key == "sitemap":
             n_sitemaps += 1

@@ -15438,9 +15438,25 @@ def x150_png_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# x151's gzip+chunked wire length is DERIVED from the runtime zlib
+# (ADVICE r16: compressed size is not guaranteed stable across zlib
+# builds, e.g. zlib-ng) with the exact encode_warc parameters
+# (compressobj(6, DEFLATED, 31)) and its 7-byte chunk framing
+# (12 bytes per full chunk, rem+5 for a partial, 5 for the 0-chunk),
+# so a library swap moves fixture and oracle together.
+_X151_GC_GZ = (lambda o: len(
+    o.compress(b"<html>gzip+chunked entity</html>") + o.flush()
+))(__import__("zlib").compressobj(6, __import__("zlib").DEFLATED, 31))
+_X151_GC_WIRE = (
+    12 * (_X151_GC_GZ // 7)
+    + ((_X151_GC_GZ % 7) + 5 if _X151_GC_GZ % 7 else 0)
+    + 5
+)
+
+
 @_register(
     "x151_warc_wet",
-    """
+    f"""
     WITH f AS (SELECT doc_id AS d FROM documents),
     n AS (
       SELECT d,
@@ -15508,14 +15524,14 @@ def x150_png_text(spark: SparkSession, sf_dir: str) -> DataFrame:
              + 2
              -- wire entity: identity = the body; chunked framing
              -- with 7-byte chunks = 12/full chunk + (rem+5) + the
-             -- final 0-chunk's 5; gzip+chunked of the FIXED body
-             -- is the constant 89 (49 gzip bytes, chunked)
+             -- final 0-chunk's 5; gzip+chunked of the FIXED body is
+             -- derived from the runtime zlib at registration time
              + CASE henc
                  WHEN 'i' THEN length(hbody)
                  WHEN 'c' THEN 12 * (length(hbody) // 7)
                    + CASE WHEN length(hbody) % 7 > 0
                        THEN length(hbody) % 7 + 5 ELSE 0 END + 5
-                 ELSE 89 END
+                 ELSE {_X151_GC_WIRE} END
            ELSE length(body) END AS BIGINT) AS content_length,
       CAST(CASE WHEN kind = 'g' OR is_tail THEN -1
            WHEN i = 0 THEN 5 ELSE 6 END AS INT) AS n_headers,
@@ -16605,7 +16621,11 @@ def x158_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max_by(
                 F.struct("allow", "pattern"),
-                F.struct("hit", "plen", "allow"),
+                # pattern text is the FINAL tiebreaker: two hit rules
+                # tying on length and allow would otherwise leave
+                # 'matched' nondeterministic (ADVICE r16) — hit=1
+                # implies pattern is non-null, so the order is total
+                F.struct("hit", "plen", "allow", "pattern"),
             ).alias("m"),
             F.max("hit").alias("any_hit"),
             F.max("crawl_delay_ms").alias("delay"),

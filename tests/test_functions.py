@@ -3451,6 +3451,21 @@ def test_html_to_text_deterministic_cases():
     # p + template + noscript = 3 countable tags
     assert rl["n_tags"] == 3 and rl["n_dropped"] == 2
 
+    # self-closing drop tag: browsers ignore the self-closing flag
+    # on script/style (ADVICE r16) — '<script/>body</script>' is an
+    # OPENED script whose body must not leak; same nested
+    rs = html_to_text(
+        "<p>keep</p><script/>var leak=1;</script><p>after</p>"
+    )
+    assert rs["text"] == "keep after" and rs["n_dropped"] == 1
+    # nested: a self-closing script inside a template (whose content
+    # IS tokenized) must deepen the drop, so its stray </script>
+    # close does not re-open the template subtree early
+    rs2 = html_to_text(
+        "<template><script/>leak</script>still</template>out"
+    )
+    assert rs2["text"] == "out" and rs2["n_dropped"] == 1
+
     # malformed: unclosed tags, bare ampersand, stray close — no raise
     rm = html_to_text("<p>open & loose<div>deep</p>text")
     assert "open & loose" in rm["text"] and "text" in rm["text"]
@@ -3694,6 +3709,19 @@ def test_parse_robots_semantics():
     assert not _re.match(rule_regex("/p/private-ok$"), "/p/private-okX")
     assert _re.match(rule_regex("/a$b"), "/a$bc")  # mid-$ is literal
     assert _re.match(rule_regex("/*.php"), "/x/y.php")
+    # non-finite / absurd Crawl-delay is parse damage, never a crash
+    # (ADVICE r16: int(float('inf')*1000) raised OverflowError past
+    # the ValueError guard and killed the Arrow kernel task)
+    for bad in ("Infinity", "inf", "-inf", "nan", "1e400",
+                "99999999999999", "soon"):
+        r = parse_robots(
+            f"User-agent: *\nCrawl-delay: {bad}\nDisallow: /x\n"
+        )
+        assert r["clean"] == 0 and r["crawl_delay_ms"] is None, bad
+        assert r["rules"] == [(0, "/x")]
+    assert parse_robots("User-agent: *\nCrawl-delay: 1.5\n")[
+        "crawl_delay_ms"
+    ] == 1500
 
 
 def test_extract_robots_rules_spark(spark):
