@@ -13,8 +13,10 @@ x146+ walkers; no bs4/lxml):
   character references (named + numeric, via ``convert_charrefs``),
   separates BLOCK elements with whitespace while letting inline tags
   glue (``bo<i>ld</i>`` -> ``bold``), captures ``<title>`` separately
-  (it is NOT body prose), counts tags / links / dropped subtrees,
-  and collapses all whitespace runs to single spaces. Malformed
+  (it is NOT body prose), captures the FIRST ``<base href>`` (the
+  HTML-spec winner — the frontier feed must resolve hrefs against it
+  when present, RFC 3986 §5.1.1), counts tags / links / dropped
+  subtrees, and collapses all whitespace runs to single spaces. Malformed
   markup never raises — ``html.parser`` is a recovering tokenizer,
   exactly the posture a 100 TB crawl needs (real HTML is broken).
 - ``extract_html_text(df)`` — Arrow-batched ``mapInPandas`` wrapper
@@ -69,6 +71,7 @@ class _TextWalk(HTMLParser):
         self.parts: list[str] = []
         self.title_parts: list[str] = []
         self.hrefs: list[str] = []
+        self.base_href: "str | None" = None
         self.drop_depth = 0
         self.title_depth = 0
         self.n_tags = 0
@@ -86,6 +89,16 @@ class _TextWalk(HTMLParser):
                 self.hrefs.append(v)
                 break
 
+    def _base(self, attrs) -> None:
+        # HTML spec: the FIRST <base href> wins document-wide; later
+        # base elements are ignored
+        if self.base_href is not None:
+            return
+        for k, v in attrs:
+            if k == "href" and v:
+                self.base_href = v
+                break
+
     def handle_starttag(self, tag, attrs):  # noqa: D102
         # inside a dropped subtree NOTHING counts — script/style
         # content never reaches the tokenizer as tags (CDATA), but
@@ -98,6 +111,8 @@ class _TextWalk(HTMLParser):
         self.n_tags += 1
         if tag == "a":
             self._link(attrs)
+        elif tag == "base":
+            self._base(attrs)
         if tag in _DROP_TAGS:
             self.n_dropped += 1
             self.drop_depth = 1
@@ -136,6 +151,8 @@ class _TextWalk(HTMLParser):
         self.n_tags += 1
         if tag == "a":
             self._link(attrs)
+        elif tag == "base":
+            self._base(attrs)
         self._boundary(tag)
 
     def handle_data(self, data):  # noqa: D102
@@ -149,11 +166,15 @@ class _TextWalk(HTMLParser):
 
 def html_to_text(html: "str | None") -> dict:
     """Extract prose from one HTML string. Returns ``{text, title,
-    hrefs, n_tags, n_links, n_dropped}`` — text/title are whitespace-
-    collapsed (single spaces, no leading/trailing), ``hrefs`` is the
-    ordered list of ``<a href>`` values (entity-decoded by the
-    tokenizer; the crawl-frontier feed — resolve with
-    ``functions.url.resolve_url``), ``n_tags`` counts start +
+    hrefs, base_href, n_tags, n_links, n_dropped}`` — text/title are
+    whitespace-collapsed (single spaces, no leading/trailing),
+    ``hrefs`` is the ordered list of ``<a href>`` values
+    (entity-decoded by the tokenizer; the crawl-frontier feed —
+    resolve with ``functions.url.resolve_url``), ``base_href`` is
+    the FIRST ``<base href>`` value or None (per the HTML spec later
+    base elements lose; a page carrying one re-bases every relative
+    href, so the frontier resolves against
+    ``resolve_url(page_uri, base_href)``), ``n_tags`` counts start +
     self-closing tags OUTSIDE dropped subtrees (script/style content
     is character data to the tokenizer; template/noscript content IS
     tokenized, so the walk suppresses its tags, links, and hrefs
@@ -169,6 +190,7 @@ def html_to_text(html: "str | None") -> dict:
         "text": " ".join("".join(w.parts).split()),
         "title": " ".join("".join(w.title_parts).split()),
         "hrefs": w.hrefs,
+        "base_href": w.base_href,
         "n_tags": w.n_tags,
         "n_links": w.n_links,
         "n_dropped": w.n_dropped,
@@ -190,7 +212,8 @@ def extract_html_text(
     id_type = dict(df.dtypes)[id_col]
     schema = (
         f"{id_col} {id_type}, text string, title string, "
-        "hrefs array<string>, n_tags int, n_links int, n_dropped int"
+        "hrefs array<string>, base_href string, "
+        "n_tags int, n_links int, n_dropped int"
     )
 
     def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -200,7 +223,8 @@ def extract_html_text(
             rows = [html_to_text(h) for h in pdf[html_col]]
             out = {id_col: pdf[id_col].reset_index(drop=True)}
             for name in (
-                "text", "title", "hrefs", "n_tags", "n_links", "n_dropped"
+                "text", "title", "hrefs", "base_href",
+                "n_tags", "n_links", "n_dropped",
             ):
                 out[name] = pd.Series(
                     [r[name] for r in rows], dtype="object"

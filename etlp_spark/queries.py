@@ -16389,17 +16389,36 @@ def x156_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
           || CAST(d % 7 AS VARCHAR) AS canonical
       FROM c
       UNION ALL
+      -- root-relative: the d%4==1 pages carry an absolute
+      -- <base href> on the b-host (uppercase + :443 in the wire
+      -- form, canonicalized downstream), which re-bases the origin
       SELECT base,
-        'https://h' || CAST(d % 5 AS VARCHAR) || '.example.org/r/'
-          || CAST(d % 4 AS VARCHAR) || '?q=' || CAST(d % 3 AS VARCHAR)
+        CASE WHEN d % 4 = 1
+          THEN 'https://b' || CAST(d % 5 AS VARCHAR)
+            || '.example.org/r/1?q=' || CAST(d % 3 AS VARCHAR)
+          ELSE 'https://h' || CAST(d % 5 AS VARCHAR)
+            || '.example.org/r/' || CAST(d % 4 AS VARCHAR)
+            || '?q=' || CAST(d % 3 AS VARCHAR) END
       FROM c
       UNION ALL
       SELECT base, 'https://cdn.example.org/c/' || CAST(d % 3 AS VARCHAR)
       FROM c WHERE d % 2 = 0
       UNION ALL
+      -- path-relative ../up merge: against the absolute base's
+      -- /bdir/sub/ on d%4==1, against the RELATIVE base
+      -- deep/x.html's /dir/deep/ on d%4==2, else the page's /dir/
       SELECT base,
-        'https://h' || CAST(d % 5 AS VARCHAR)
+        CASE WHEN d % 4 = 1
+          THEN 'https://b' || CAST(d % 5 AS VARCHAR)
+            || '.example.org/bdir/up/' || CAST(d % 5 AS VARCHAR)
+            || '.html'
+        WHEN d % 4 = 2
+          THEN 'https://h' || CAST(d % 5 AS VARCHAR)
+            || '.example.org/dir/up/' || CAST(d % 5 AS VARCHAR)
+            || '.html'
+        ELSE 'https://h' || CAST(d % 5 AS VARCHAR)
           || '.example.org/up/' || CAST(d % 5 AS VARCHAR) || '.html'
+        END
       FROM c WHERE d % 3 = 0
       UNION ALL
       SELECT base, 'unresolved' FROM c WHERE d % 6 = 0)
@@ -16430,7 +16449,15 @@ def x157_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolve against the page origin and drop the junk), a
     protocol-relative CDN link on even docs, a ``../``-bearing
     path-relative link on d%3 docs (merge + dot removal), and a
-    mailto ref on d%6 docs (the unresolved group). Residue
+    mailto ref on d%6 docs (the unresolved group). ``<base href>``
+    is HONORED per RFC 3986 §5.1.1 (the r16 verdict's missing item
+    2): d%4==1 pages carry an absolute base on another host that
+    itself needs canonicalization (uppercase host, default :443) and
+    re-bases the root- and path-relative links; d%4==2 pages carry a
+    RELATIVE base (``deep/x.html``) that first resolves against the
+    page URI and shifts the merge directory; d%8==3 pages carry a
+    non-hierarchical base (``mailto:``) that resolves to NULL and
+    falls back to the page URI. Residue
     collisions merge targets ACROSS pages by construction — that is
     the point of a frontier (n_pages counts distinct linkers).
 
@@ -16462,8 +16489,29 @@ def x157_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("/r/"), s(d % 4), F.lit("?utm_source=x&q="), s(d % 3)
     )
     l3 = F.concat(F.lit("//cdn.example.org/c/"), s(d % 3))
+    # <base href> pages (RFC 3986 §5.1.1 precedence): d%4==1 carries
+    # an ABSOLUTE base that itself needs canonicalization (uppercase
+    # host, default :443) and re-bases the root-relative and
+    # path-relative links onto the b-host; d%4==2 carries a RELATIVE
+    # base ("deep/x.html") that must first resolve against the page
+    # URI and shifts only the path-relative merge directory; d%8==3
+    # carries a NON-HIERARCHICAL base (mailto:) that resolves to
+    # NULL and must FALL BACK to the page URI — containment, not a
+    # dead page
+    base_tag = (
+        F.when(
+            d % 4 == 1,
+            F.concat(
+                F.lit('<base href="HTTPS://B'), s(d % 5),
+                F.lit('.Example.ORG:443/bdir/sub/">'),
+            ),
+        )
+        .when(d % 4 == 2, F.lit('<base href="deep/x.html">'))
+        .when(d % 8 == 3, F.lit('<base href="mailto:root@h">'))
+        .otherwise(F.lit(""))
+    )
     html = F.concat(
-        F.lit("<html><body><p>"),
+        F.lit("<html><head>"), base_tag, F.lit("</head><body><p>"),
         a(l1),
         a(l2),
         F.when(d % 2 == 0, a(l3)).otherwise(F.lit("")),
@@ -16480,14 +16528,23 @@ def x157_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = docs.select(base.alias("media_id"), html.alias("html"))
     prose = extract_html_text(pages)
+    # effective base (RFC 3986 §5.1.1): a page's <base href> — itself
+    # resolved against the page URI, since it may be relative — wins
+    # over the page URI; a non-hierarchical/garbage base resolves to
+    # NULL and falls back to the page URI
+    eff_base = F.coalesce(
+        resolve_url(F.col("media_id"), F.col("base_href")),
+        F.col("media_id"),
+    )
     links = prose.select(
-        "media_id", F.explode("hrefs").alias("href")
+        "media_id", eff_base.alias("page_base"),
+        F.explode("hrefs").alias("href"),
     )
     return (
         links.select(
             "media_id",
             F.coalesce(
-                canonical_url(resolve_url("media_id", "href")),
+                canonical_url(resolve_url("page_base", "href")),
                 F.lit("unresolved"),
             ).alias("canonical"),
         )

@@ -3451,6 +3451,19 @@ def test_html_to_text_deterministic_cases():
     # p + template + noscript = 3 countable tags
     assert rl["n_tags"] == 3 and rl["n_dropped"] == 2
 
+    # <base href>: FIRST one wins (HTML spec), void/self-closing
+    # forms both count, one inside a dropped subtree does not
+    rb = html_to_text(
+        '<head><base target="_b"><base href="/first/">'
+        '<base href="/second/"></head><a href="x">y</a>'
+    )
+    assert rb["base_href"] == "/first/" and rb["hrefs"] == ["x"]
+    assert html_to_text('<base href="q/"/>')["base_href"] == "q/"
+    assert html_to_text(
+        '<template><base href="/t/"></template><p>x</p>'
+    )["base_href"] is None
+    assert html_to_text("<p>x</p>")["base_href"] is None
+
     # self-closing drop tag: browsers ignore the self-closing flag
     # on script/style (ADVICE r16) — '<script/>body</script>' is an
     # OPENED script whose body must not leak; same nested
@@ -3559,6 +3572,7 @@ def test_extract_html_text_spark(spark):
             (1, "<p>hello <b>world</b></p><script>drop()</script>"),
             (2, None),
             (3, "<title>t</title>plain &amp; text"),
+            (4, '<base href="/b/"><a href="rel.html">r</a>'),
         ],
         "media_id bigint, html string",
     )
@@ -3569,6 +3583,9 @@ def test_extract_html_text_spark(spark):
     assert rows[1]["text"] == "hello world" and rows[1]["n_dropped"] == 1
     assert rows[2]["text"] == "" and rows[2]["n_tags"] == 0
     assert rows[3]["text"] == "plain & text" and rows[3]["title"] == "t"
+    assert rows[1]["base_href"] is None
+    assert rows[4]["base_href"] == "/b/"
+    assert rows[4]["hrefs"] == ["rel.html"]
 
 
 def test_canonical_url_cases(spark):
