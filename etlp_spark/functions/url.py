@@ -21,12 +21,22 @@ scan stage). The normalization contract, in order:
    a canonical key must pick one);
 5. drop one trailing ``/`` from a non-root path (``/p/1/`` ==
    ``/p/1``), keep the root ``/`` and add it when the path is empty;
-6. an empty surviving query drops its ``?``.
+6. an empty surviving query drops its ``?``;
+7. percent-encoding normalization (RFC 3986 §6.2.2.2, applied
+   uniformly over the whole URL): hex digits of every ``%XX``
+   uppercased (``%2f`` == ``%2F``), and encodings of UNRESERVED
+   characters decoded (``%7E`` == ``~``, ``%41`` == ``A``) — real
+   crawl URLs differ on exactly these constantly; reserved
+   characters stay encoded (``%2F`` is NOT a path separator), and a
+   ``%`` not followed by two hex digits passes through literally
+   (damage is preserved, never guessed at). Implemented as a JVM
+   ``transform`` over the ``%``-split — per-row href-sized arrays,
+   the ``_remove_dot_segments`` posture (off codegen, on JVM).
 
 Deliberately NOT done (each would merge distinct resources):
-percent-encoding normalization beyond case, ``..`` segment
-resolution, and IDN/punycode folding — documented so the contract
-is exactly what the oracle predicts.
+``..`` segment resolution (that is ``resolve_url``'s job, against a
+base) and IDN/punycode folding — documented so the contract is
+exactly what the oracle predicts.
 
 Reference: engine-added (SURVEY.md §2.2 dedup family, with x4/x22);
 RFC 3986 §6 public normalization forms only.
@@ -47,6 +57,42 @@ __all__ = ["canonical_url", "resolve_url", "TRACKING_PARAM_RE"]
 TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid)(=.*)?$"
 
 
+def _normalize_pct(u: "Column") -> "Column":
+    """RFC 3986 §6.2.2.2 percent-encoding normalization (see module
+    contract item 7): split on ``%``; every later piece whose first
+    two chars are hex is an encoding — decode it when the octet is
+    an UNRESERVED character (ALPHA / DIGIT / ``-._~``), else re-emit
+    with UPPERCASE hex; a piece not starting with two hex digits
+    keeps its literal ``%``. The head piece passes through."""
+    parts = F.split(u, "%", -1)
+    head = F.element_at(parts, 1)
+    rest = F.slice(
+        parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))
+    )
+    norm = F.transform(
+        rest,
+        lambda p: F.when(
+            p.rlike("^[0-9A-Fa-f]{2}"),
+            F.concat(
+                F.when(
+                    F.char(
+                        F.conv(F.substring(p, 1, 2), 16, 10).cast("int")
+                    ).rlike("^[A-Za-z0-9._~-]$"),
+                    F.char(
+                        F.conv(F.substring(p, 1, 2), 16, 10).cast("int")
+                    ),
+                ).otherwise(
+                    F.concat(
+                        F.lit("%"), F.upper(F.substring(p, 1, 2))
+                    )
+                ),
+                F.substring(p, 3, 2_147_483_647),
+            ),
+        ).otherwise(F.concat(F.lit("%"), p)),
+    )
+    return F.concat(head, F.array_join(norm, ""))
+
+
 def canonical_url(col: "Column | str") -> "Column":
     """Canonical form of an absolute http(s) URL (see module
     contract). Input that does not look like ``scheme://host...``
@@ -54,6 +100,9 @@ def canonical_url(col: "Column | str") -> "Column":
     column carries (the caller counts NULLs, the key never lies)."""
     u = F.trim(F.col(col) if isinstance(col, str) else col)
     u = F.regexp_replace(u, r"#.*$", "")  # fragment first
+    # §6.2.2.2 BEFORE parsing: decoding unreserved octets never
+    # creates a delimiter, so component boundaries are stable
+    u = _normalize_pct(u)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(u, r"^[^:/?]+://([^/?#]+)", 1))
     host = (

@@ -16272,7 +16272,7 @@ def x155_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
           || '://www.h' || CAST(d % 5 AS VARCHAR) || '.example.org'
           || CASE WHEN d % 4 = 1 THEN ':8080' ELSE '' END
           || CASE WHEN d % 7 = 0 THEN '/'
-             ELSE '/p/' || CAST(d AS VARCHAR) END
+             ELSE '/p/' || CAST(d AS VARCHAR) || '/u~/s%2Fx' END
           || CASE WHEN d % 11 = 0 THEN ''
              ELSE '?a=1&b=' || CAST(d % 9 AS VARCHAR) END AS canon,
         d % 13 = 0 AS has_garbage
@@ -16294,12 +16294,17 @@ def x156_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse to ONE canonical key before you pay to fetch, store, or
     near-dup either (``functions/url.canonical_url`` — scheme/host
     lowercasing, default-port and fragment and tracking-param
-    dropping, bytewise query-param sort, trailing-slash fold; a pure
-    column expression, no UDF, whole-stage codegen).
+    dropping, bytewise query-param sort, trailing-slash fold, and
+    RFC 3986 §6.2.2.2 percent-encoding normalization: unreserved
+    octets decoded (``%7e`` → ``~``), reserved ones kept with
+    UPPERCASE hex (``%2f`` → ``%2F``); pure column expressions, no
+    UDF — the pct pass is a JVM ``transform`` over the ``%``-split,
+    the rest whole-stage codegen).
 
     Fixture corpus, closed-form from doc_id: every doc yields TWO
     wire variants differing only in junk (case, default port,
-    trailing slash, param order, utm_/gclid params, fragment) that
+    trailing slash, param order, utm_/gclid params, fragment,
+    percent-encoding of ``~`` and hex case of ``%2F``) that
     must merge, and doc_id%13==0 docs add a non-URL garbage string
     that canonicalizes to NULL → the 'invalid' sentinel group — the
     count-don't-hide posture on a key column. Docs with residue
@@ -16335,14 +16340,19 @@ def x156_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 4 == 1, F.lit(":8080"))
         .otherwise(F.lit(""))
     )
+    # the two wire variants also differ in percent-encoding junk
+    # (RFC 3986 §6.2.2.2): v1 carries %7e (unreserved -> decodes to
+    # ~) and lowercase-hex %2f (reserved -> stays encoded, hex
+    # uppercased); v2 carries the decoded ~ and the uppercase %2F —
+    # both canonicalize to .../u~/s%2Fx
     path_v1 = F.when(d % 7 == 0, F.lit("")).otherwise(
         F.concat(
-            F.lit("/p/"), s(d),
+            F.lit("/p/"), s(d), F.lit("/u%7e/s%2fx"),
             F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
         )
     )
     path_v2 = F.when(d % 7 == 0, F.lit("/")).otherwise(
-        F.concat(F.lit("/p/"), s(d))
+        F.concat(F.lit("/p/"), s(d), F.lit("/u~/s%2Fx"))
     )
     q_v1 = F.when(d % 11 == 0, F.lit("")).otherwise(
         F.concat(F.lit("?b="), s(d % 9), F.lit("&a=1&utm_source=s"), s(d % 3))

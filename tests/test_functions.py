@@ -3611,6 +3611,18 @@ def test_canonical_url_cases(spark):
         # only scheme/host are case-insensitive)
         ("HTTPS://EX.com/CaseSensitive?B=x&a=Y",
          "https://ex.com/CaseSensitive?B=x&a=Y"),
+        # RFC 3986 §6.2.2.2 percent-encoding normalization: decode
+        # unreserved (%7E->~, %41->A), uppercase reserved hex
+        # (%2f->%2F, never decoded — it is not a path separator),
+        # literal % preserved when not followed by two hex digits
+        ("http://ex.com/a%7eb", "http://ex.com/a~b"),
+        ("http://ex.com/a%7Eb", "http://ex.com/a~b"),
+        ("http://ex.com/%41%2fz", "http://ex.com/A%2Fz"),
+        ("http://ex.com/x%zz", "http://ex.com/x%zz"),
+        ("http://ex.com/x%a", "http://ex.com/x%a"),
+        ("http://ex.com/x%", "http://ex.com/x%"),
+        ("http://ex.com/a%%41", "http://ex.com/a%A"),
+        ("http://ex.com/p?k=%3d&a=%2E", "http://ex.com/p?a=.&k=%3D"),
         ("not a url", None),
         ("", None),
         ("relative/path?a=1", None),
