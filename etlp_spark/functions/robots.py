@@ -21,7 +21,9 @@ Pure stdlib, the x146+ walker posture:
 - ``extract_robots_rules(df)`` — Arrow-batched explosion to ONE ROW
   PER RULE (host, allow, pattern, pattern_len, rule_regex) plus the
   group's crawl_delay_ms and the file's sitemap/unknown/clean
-  counts repeated per row; a host whose selected group has NO rules
+  counts — AND the ``Sitemap:`` URLs themselves (``sitemaps``
+  array; they seed ``functions/sitemap.py``'s walker) — repeated
+  per row; a host whose selected group has NO rules
   still yields one pattern-NULL row so its delay/sitemap facts
   survive. Rules tables are HOSTS-sized (not corpus-sized): the
   downstream gate is a BROADCAST join — urls x rules filtered on
@@ -68,6 +70,7 @@ def parse_robots(text: "str | None", agent: str = "*") -> dict:
     cur_delay: "int | None" = None
     in_rules = False
     n_sitemaps = 0
+    sitemap_urls: list[str] = []
     n_unknown = 0
     clean = 1
 
@@ -109,6 +112,12 @@ def parse_robots(text: "str | None", agent: str = "*") -> dict:
                 clean = 0
         elif key == "sitemap":
             n_sitemaps += 1
+            # Sitemap is a FILE-level directive (outside any group,
+            # RFC 9309 §2.2.4 / sitemaps.org): keep the URL — it is
+            # the other half of frontier seeding (robots ->
+            # sitemap.xml -> URL list, functions/sitemap.py)
+            if val:
+                sitemap_urls.append(val)
         else:
             n_unknown += 1
     close_group()
@@ -122,6 +131,7 @@ def parse_robots(text: "str | None", agent: str = "*") -> dict:
             (g[2] for g in sel if g[2] is not None), None
         ),
         "n_sitemaps": n_sitemaps,
+        "sitemaps": sitemap_urls,
         "n_unknown": n_unknown,
         "clean": clean,
     }
@@ -143,7 +153,8 @@ def extract_robots_rules(
     schema = (
         f"{id_col} {id_type}, allow int, pattern string, "
         "pattern_len int, rule_regex string, crawl_delay_ms bigint, "
-        "n_sitemaps int, n_unknown int, clean int"
+        "n_sitemaps int, sitemaps array<string>, "
+        "n_unknown int, clean int"
     )
 
     def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -154,7 +165,7 @@ def extract_robots_rules(
                 id_col: [], "allow": [], "pattern": [],
                 "pattern_len": [], "rule_regex": [],
                 "crawl_delay_ms": [], "n_sitemaps": [],
-                "n_unknown": [], "clean": [],
+                "sitemaps": [], "n_unknown": [], "clean": [],
             }
             for hid, txt in zip(pdf[id_col], pdf[text_col]):
                 meta = parse_robots(txt, agent)
@@ -171,6 +182,7 @@ def extract_robots_rules(
                     )
                     out["crawl_delay_ms"].append(meta["crawl_delay_ms"])
                     out["n_sitemaps"].append(meta["n_sitemaps"])
+                    out["sitemaps"].append(meta["sitemaps"])
                     out["n_unknown"].append(meta["n_unknown"])
                     out["clean"].append(meta["clean"])
             yield pd.DataFrame(

@@ -16710,6 +16710,324 @@ def x158_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x159_sitemap_frontier",
+    """
+    WITH f AS (SELECT doc_id AS d FROM documents),
+    hosts AS (SELECT DISTINCT d % 5 AS h FROM f),
+    sm AS (
+      -- sm_a.xml urlsets: three /s/ URLs per host, lastmod ladder
+      -- (the i=1 wire loc carries :443, canonicalized away)
+      SELECT 'https://h' || CAST(h AS VARCHAR) || '.example.org/s/'
+               || CAST(h AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+               AS canonical,
+             '2026-01-0' || CAST(i + 1 AS VARCHAR) AS lastmod
+      FROM hosts CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS i) t
+      UNION ALL
+      -- sm_b.xml: a clean one-URL urlset on h%3<>0 hosts...
+      SELECT 'https://h' || CAST(h AS VARCHAR) || '.example.org/b/'
+               || CAST(h AS VARCHAR), NULL
+      FROM hosts WHERE h % 3 <> 0
+      UNION ALL
+      -- ...and NON-XML garbage on h%3=0 hosts: the walker's
+      -- loc-NULL sentinel row lands in the 'damaged' group
+      SELECT 'damaged', NULL FROM hosts WHERE h % 3 = 0
+      UNION ALL
+      -- extra.xml direct urlset on even hosts (robots lists a
+      -- second Sitemap:), wire locs uppercase + trailing slash
+      SELECT 'https://h' || CAST(h AS VARCHAR) || '.example.org/e/'
+               || CAST(j AS VARCHAR), NULL
+      FROM hosts CROSS JOIN (SELECT UNNEST([0, 1]) AS j) t2
+      WHERE h % 2 = 0),
+    ln AS (
+      SELECT 'https://h' || CAST(d % 5 AS VARCHAR)
+               || '.example.org/s/' || CAST(d % 5 AS VARCHAR) || '/'
+               || CAST(d % 7 AS VARCHAR) AS canonical
+      FROM f),
+    u AS (
+      SELECT canonical, lastmod, 1 AS is_sm, 0 AS is_link FROM sm
+      UNION ALL
+      SELECT canonical, NULL, 0, 1 FROM ln)
+    SELECT canonical,
+           CAST(sum(is_sm) AS BIGINT) AS n_sitemap_refs,
+           CAST(sum(is_link) AS BIGINT) AS n_link_refs,
+           COALESCE(max(lastmod), 'none') AS latest_lastmod
+    FROM u GROUP BY canonical
+    """,
+)
+def x159_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-seeded crawl frontier — the composition the r16
+    verdict's missing item 3 names: robots.txt ``Sitemap:`` URLs
+    (``functions/robots`` now KEEPS them, not just a count) join a
+    fetched-sitemap store, ``functions/sitemap.parse_sitemap`` walks
+    one ``sitemapindex`` level to its child sitemaps (bounded
+    recursion: each level is one hosts-sized broadcast join — an
+    index-of-indexes would surface further ``kind='sitemapindex'``
+    rows for the caller), the child urlsets (plus any urlset the
+    robots listed DIRECTLY) yield the seed URLs, and the canonical
+    seed list UNIONS with the x157-style link frontier: per
+    canonical URL, how many sitemap references, how many page links,
+    and the freshest ``<lastmod>`` — the fetch scheduler's priority
+    signal (sitemap-only URLs are the unlinked long tail; lastmod
+    orders re-crawls).
+
+    Fixture, closed-form from doc_id: five hosts; each robots.txt
+    lists ``idx.xml`` (a sitemapindex -> ``sm_a.xml`` + ``sm_b.xml``)
+    and on even hosts a second DIRECT urlset (``extra.xml``, wire
+    locs junked with uppercase host + trailing slash); ``sm_a.xml``
+    carries three ``/s/`` URLs with a lastmod ladder (the middle loc
+    junked with ``:443``); ``sm_b.xml`` is NON-XML garbage on h%3=0
+    hosts — the walker's loc-NULL sentinel row lands in the
+    'damaged' group, damage counted never hidden; the link side
+    contributes ``/s/{h}/{d%7}`` per doc, overlapping the sitemap
+    seeds exactly on d%7<=2. The oracle re-derives every group
+    closed-form.
+
+    Scale shape: robots/sitemap/store tables are all HOSTS-sized and
+    every join broadcasts; the corpus-sized side (page links) flows
+    straight to the final groupBy — ONE data-sized shuffle, the
+    x156/x157 exact-dedup shape. At 100 TB the store join is a
+    left-join with a missing-fetch counter; here every reference
+    resolves. Reference: engine-added (SURVEY.md §2.2 ingestion
+    family); sitemaps.org protocol + RFC 9309 Sitemap directive."""
+    from etlp_spark.functions.robots import extract_robots_rules
+    from etlp_spark.functions.sitemap import extract_sitemap_entries
+    from etlp_spark.functions.url import canonical_url
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    h = F.col("h")
+
+    hosts = docs.select((d % 5).alias("h")).distinct()
+    hs = F.concat(F.lit("https://h"), s(h), F.lit(".example.org"))
+    idx_url = F.concat(hs, F.lit("/idx.xml"))
+    sm_a_url = F.concat(hs, F.lit("/sm_a.xml"))
+    sm_b_url = F.concat(hs, F.lit("/sm_b.xml"))
+    extra_url = F.concat(hs, F.lit("/extra.xml"))
+    ns = "http://www.sitemaps.org/schemas/sitemap/0.9"
+    idx_xml = F.concat(
+        F.lit(f'<?xml version="1.0"?><sitemapindex xmlns="{ns}">'
+              "<sitemap><loc>"),
+        sm_a_url,
+        F.lit("</loc></sitemap><sitemap><loc>"),
+        sm_b_url,
+        F.lit("</loc></sitemap></sitemapindex>"),
+    )
+    sm_a_xml = F.concat(
+        F.lit(f'<urlset xmlns="{ns}"><url><loc>'),
+        hs, F.lit("/s/"), s(h),
+        F.lit("/0</loc><lastmod>2026-01-01</lastmod></url>"
+              "<url><loc>https://h"),
+        s(h), F.lit(".example.org:443/s/"), s(h),
+        F.lit("/1</loc><lastmod>2026-01-02</lastmod></url>"
+              "<url><loc>"),
+        hs, F.lit("/s/"), s(h),
+        F.lit("/2</loc><lastmod>2026-01-03</lastmod></url></urlset>"),
+    )
+    sm_b_xml = F.when(h % 3 == 0, F.lit("BROKEN <xml")).otherwise(
+        F.concat(
+            F.lit("<urlset><url><loc>"), hs, F.lit("/b/"), s(h),
+            F.lit("</loc></url></urlset>"),
+        )
+    )
+    extra_xml = F.concat(
+        F.lit("<urlset><url><loc>https://H"), s(h),
+        F.lit(".EXAMPLE.org/e/0/</loc></url><url><loc>https://H"),
+        s(h), F.lit(".EXAMPLE.org/e/1/</loc></url></urlset>"),
+    )
+    store = (
+        hosts.select(idx_url.alias("url"), idx_xml.alias("xml"))
+        .unionByName(
+            hosts.select(sm_a_url.alias("url"), sm_a_xml.alias("xml"))
+        )
+        .unionByName(
+            hosts.select(sm_b_url.alias("url"), sm_b_xml.alias("xml"))
+        )
+        .unionByName(
+            hosts.where(h % 2 == 0).select(
+                extra_url.alias("url"), extra_xml.alias("xml")
+            )
+        )
+    )
+    robots_txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /x\nSitemap: "), idx_url,
+        F.lit("\n"),
+        F.when(
+            h % 2 == 0, F.concat(F.lit("Sitemap: "), extra_url, F.lit("\n"))
+        ).otherwise(F.lit("")),
+    )
+    rules = extract_robots_rules(
+        hosts.select(
+            F.concat(F.lit("h"), s(h), F.lit(".example.org")).alias("host"),
+            robots_txt.alias("robots"),
+        )
+    )
+    # each host has exactly one rule row (Disallow /x), so the
+    # exploded Sitemap list is duplicate-free by construction — no
+    # distinct (= no extra shuffle) needed
+    seeds0 = rules.select(F.explode("sitemaps").alias("url"))
+    level0 = extract_sitemap_entries(
+        seeds0.join(F.broadcast(store), "url")
+    )
+    # one bounded recursion level: index children join back against
+    # the store (at 100 TB: LEFT join + missing-fetch counter)
+    level1 = extract_sitemap_entries(
+        level0.where(F.col("kind") == "sitemapindex")
+        .select(F.col("loc").alias("url"))
+        .join(F.broadcast(store), "url")
+    )
+    sm_entries = (
+        level0.where(F.col("kind") == "urlset")
+        .select("loc", "lastmod")
+        .unionByName(level1.select("loc", "lastmod"))
+    )
+    sm_side = sm_entries.select(
+        F.coalesce(canonical_url("loc"), F.lit("damaged")).alias(
+            "canonical"
+        ),
+        "lastmod",
+        F.lit(1).alias("is_sm"), F.lit(0).alias("is_link"),
+    )
+    link_url = F.concat(
+        F.lit("https://h"), s(d % 5), F.lit(".example.org/s/"),
+        s(d % 5), F.lit("/"), s(d % 7),
+    )
+    link_side = docs.select(
+        canonical_url(link_url).alias("canonical"),
+        F.lit(None).cast("string").alias("lastmod"),
+        F.lit(0).alias("is_sm"), F.lit(1).alias("is_link"),
+    )
+    return (
+        sm_side.unionByName(link_side)
+        .groupBy("canonical")
+        .agg(
+            F.sum("is_sm").cast("long").alias("n_sitemap_refs"),
+            F.sum("is_link").cast("long").alias("n_link_refs"),
+            F.coalesce(F.max("lastmod"), F.lit("none")).alias(
+                "latest_lastmod"
+            ),
+        )
+    )
+
+
+@_register(
+    "x160_crawl_schedule",
+    """
+    WITH f AS (SELECT doc_id AS d FROM documents),
+    u AS (
+      SELECT d, d % 5 AS h, '/p/' || CAST(d AS VARCHAR) AS path
+      FROM f),
+    r AS (
+      SELECT h, path,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY path) - 1
+               AS slot,
+             CAST(1000 * (1 + h) AS BIGINT) AS delay_ms
+      FROM u)
+    SELECT 'h' || CAST(h AS VARCHAR) || '.example.org' AS host,
+           path,
+           CAST(slot AS BIGINT) AS slot,
+           delay_ms,
+           CAST(slot * delay_ms AS BIGINT) AS sched_ms
+    FROM r
+    """,
+)
+def x160_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay fetch scheduling — the r16 verdict's item 6: x158
+    surfaces ``crawl_delay_ms`` but nothing consumed it; this turns
+    the politeness gate's output into a DISPATCHABLE fetch plan.
+    Per host: parse robots.txt (rules + Crawl-delay), gate the
+    frontier by the RFC 9309 longest-match decision (disallowed URLs
+    never reach the scheduler), then assign each surviving URL a
+    token-bucket slot — ``row_number() - 1`` over a window
+    PARTITIONED BY host, ordered by path (a deterministic total
+    order; any stable priority works) — and a dispatch offset
+    ``slot * delay_ms``: the earliest polite fetch time relative to
+    the host's first request (Crawl-delay means one request per
+    delay window per host).
+
+    Fixture, closed-form from doc_id: x158's five hosts with
+    Crawl-delay 1+h seconds and ``Disallow: /p/priv*``; each doc
+    contributes an allowed ``/p/{d}`` and a blocked ``/p/priv/{d}``
+    — the blocked half must be filtered by the GATE (not the
+    fixture) before slots are assigned, so a gate regression shifts
+    every downstream slot and the oracle catches it. The oracle
+    re-derives the schedule with its own window over the closed-form
+    allowed set.
+
+    Scale shape: rules broadcast (hosts-sized); the decision is the
+    x158 max_by; the ONLY corpus shuffle is the window's hash
+    partition on host. The per-host sort is inherent to sequential
+    politeness scheduling (a host's queue is consumed in order); a
+    pathological single-host frontier would shard into waves by
+    bucketed path ranges first — the linter-visible plan here is
+    Exchange hashpartitioning(host) -> Sort -> Window, never
+    SinglePartition. Reference: engine-added (SURVEY.md §2.2
+    ingestion family); RFC 9309 Crawl-delay semantics."""
+    from etlp_spark.functions.robots import extract_robots_rules
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    h = F.col("h")
+
+    hosts = docs.select((d % 5).alias("h")).distinct()
+    robots_txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /p/priv*\nCrawl-delay: "),
+        s(h + 1), F.lit("\n"),
+    )
+    rules = extract_robots_rules(
+        hosts.select(
+            F.concat(F.lit("h"), s(h), F.lit(".example.org")).alias("host"),
+            robots_txt.alias("robots"),
+        )
+    )
+    urls = docs.select(
+        F.concat(F.lit("h"), s(d % 5), F.lit(".example.org")).alias("host"),
+        F.explode(
+            F.array(
+                F.concat(F.lit("/p/"), s(d)),
+                F.concat(F.lit("/p/priv/"), s(d)),
+            )
+        ).alias("path"),
+    )
+    # the x158 gate: broadcast rules, RLIKE match, longest-match
+    # max_by — then ONLY allowed URLs reach the scheduler
+    joined = urls.join(F.broadcast(rules), "host")
+    hit = F.when(
+        F.col("rule_regex").isNotNull()
+        & F.expr("path RLIKE rule_regex"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    gated = (
+        joined.select(
+            "host", "path", "allow",
+            F.coalesce("pattern_len", F.lit(-1)).alias("plen"),
+            "crawl_delay_ms", hit.alias("hit"),
+        )
+        .groupBy("host", "path")
+        .agg(
+            F.max_by("allow", F.struct("hit", "plen", "allow")).alias(
+                "best_allow"
+            ),
+            F.max("hit").alias("any_hit"),
+            F.max("crawl_delay_ms").alias("delay_ms"),
+        )
+        .where(
+            (F.col("any_hit") == 0) | (F.col("best_allow") == 1)
+        )
+    )
+    w = Window.partitionBy("host").orderBy("path")
+    return gated.select(
+        "host", "path",
+        (F.row_number().over(w) - 1).cast("long").alias("slot"),
+        F.col("delay_ms").cast("long").alias("delay_ms"),
+    ).select(
+        "host", "path", "slot", "delay_ms",
+        (F.col("slot") * F.col("delay_ms")).cast("long").alias("sched_ms"),
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -16856,8 +17174,26 @@ _GATED_PRIOR_ROUNDS = [
     # r10-evidence block + 3 r11 pull-forwards, all listed above):
     "x151_warc_wet", "x152_flac_ogg", "x153_orientation_dedup",
     "x154_warc_ingest_quality",
+    # round 16 gated its 50 (CORRECTNESS_r16.json) — all green; the
+    # only name not already in a block above is slot 50:
+    "x155_html_extract",
 ]
 
+#: Round-17 gate (the driver records the FIRST 50 registered),
+#: exactly the r16 verdict's directive 1 adjusted for its own
+#: arithmetic: the three x156/x157/x158 deferral debts LEAD (the
+#: _DEFER_TO_NEXT_GATE contract's terms — their first driver rows),
+#: then the two changed-kernel repayments this round created
+#: (x151's derived oracle constant, x155's base_href + self-closing
+#: kernel change), then the first 43 of the 48-query r12-evidence
+#: block in CORRECTNESS_r12.json gate order. Sized at 48 so the two
+#: round-17 additions (x159_sitemap_frontier, x160_crawl_schedule)
+#: land via ``_ungated`` INSIDE the window as slots 49-50 —
+#: directive 4's "every declared query has a driver row at round
+#: close" invariant holds with an EMPTY deferral list. The 5
+#: unrotated r12-evidence queries (x93/x94/x95/x96/x145) lead r18.
+#:
+#: ---- retired round-16 rotation comment (kept for the audit trail):
 #: Round-16 gate (the driver records the FIRST 50 registered),
 #: exactly the r15 verdict's directive (item 1) plus this round's
 #: three kernel-change debts, which lead as repayment slots per the
@@ -16909,44 +17245,54 @@ _GATED_PRIOR_ROUNDS = [
 #: this gate the oldest driver evidence fleet-wide is r11 (the
 #: remaining 46 r11-evidence queries lead the r16 window).
 _NEWEST = [
-    # changed-this-round, owed a driver row under the repayment
-    # policy: w7/x53 swapped their global top-k window to the
-    # orderBy().limit(k)-then-rank idiom (plan change, same output);
-    # x151's fixture grew chunked / gzip+chunked wire encodings:
-    "w7_session_paths", "x53_bigram_pmi", "x151_warc_wet",
-    # the full remaining round-11 evidence block (freshest driver
-    # row = r11), in CORRECTNESS_r11.json gate order:
-    "d5_union_merge", "f1_string_funcs", "f2_date_funcs",
-    "f3_array_funcs", "f4_math_funcs", "g1_rollup_flags",
-    "g2_distinct_users_by_type", "g3_cube_flags",
-    "g4_time_bucket_rollup", "g5_percentiles",
-    "g6_approx_distinct_guard", "j12_asof_nearest",
-    "j1_order_customer", "j2_region_revenue",
-    "j3_semi_customers_with_orders", "j4_anti_orders_no_lineitem",
-    "j5_asof_last_signup", "j6_range_join_ship_window",
-    "j7_outer_join_counts", "j9_asof_forward_tolerance",
-    "k1_top_orders", "m1_mapping_dsl", "m2_envelope",
-    "m2b_envelope_roundtrip", "q01_pricing_summary",
-    "q03_shipping_priority", "s1_intersect_active_custs",
-    "s2_except_inactive_custs", "s3_distinct_pairs", "t4_keep_json_k",
-    "t5_batch_counts", "t6_array_sum", "t8_concat_flags",
-    "w1_rank_orders", "w2_lag_lead_events", "w3_running_sum",
-    "x1_text_stats", "x2_lang_id", "x3_quality_score",
-    "x4_exact_dedup", "x5_minhash_lsh", "x6_simhash",
-    "x7_cosine_topk", "x84_token_gini", "x8_srp_buckets",
-    "x9_multimodal_features",
+    # round-17 gate, per the r16 verdict directive 1: the three
+    # _DEFER_TO_NEXT_GATE debts LEAD (their first-ever driver rows;
+    # all three also changed THIS round — x156 gained §6.2.2.2
+    # percent normalization, x157 honors <base href> with a grown
+    # fixture, x158 gained the pattern tiebreaker + the Crawl-delay
+    # overflow fix):
+    "x156_url_canonicalize", "x157_link_frontier", "x158_robots_gate",
+    # changed-this-round repayments: x151's oracle constant is now
+    # DERIVED from the runtime zlib (ADVICE r16), x155's kernel
+    # changed (self-closing drop-tag fix + base_href capture):
+    "x151_warc_wet", "x155_html_extract",
+    # the r12-evidence block (freshest driver row = r12; the judge-
+    # published histogram set, 48 names) in CORRECTNESS_r12.json
+    # gate order — the first 43 fit this window; the remaining 5
+    # (x93_pq_adc_topk, x94_ivf_adc_search, x95_hybrid_rrf_fusion,
+    # x96_cdc_apply_latest, x145_t_closeness) keep their r12
+    # evidence and LEAD the r18 rotation. (The verdict's "oldest =
+    # r13" done-condition is arithmetically unreachable: 3 deferral
+    # debts + 48 r12 rows + 2 new queries = 53 > 50; this split
+    # pays every zero-evidence debt first and gates every query
+    # declared this round, per directive 4.)
+    "t1_map_revenue", "t2_filter_shipped", "t3_explode_words",
+    "x114_prefix_filter_jaccard", "x137_ivf_persisted_search",
+    "x138_pq_persisted_codes", "g10_rolling_distinct_users",
+    "g11_quality_deciles", "j10_nonequi_time_join",
+    "q02_min_acctbal_supplier", "q04_order_priority_check",
+    "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q07_volume_shipping", "q09_product_type_profit",
+    "q10_returned_items", "w5_batch_sessionize", "w8_retention_curve",
+    "x10_ann_rerank", "x11_bpe_tokens", "x13_char_ngram_jaccard",
+    "x14_edit_distance", "x15_profile", "x16_embedding_neardup",
+    "x17_winnow_fingerprint", "x18_neardup_clusters",
+    "x19_stratified_sample", "x32_bm25_retrieval",
+    "x33_time_decay_engagement", "x34_domain_mixture_sample",
+    "x35_weighted_sample", "x37_group_topk_sample",
+    "x38_incremental_dedup", "x39_funnel_conversion",
+    "x40_fuzzy_name_match", "x42_minhash_estimate_quality",
+    "x43_temperature_mixture", "x44_source_precedence_dedup",
+    "x45_domain_percent_rank", "x86_bloom_membership",
+    "x89_bpe_merge_candidates", "x90_repeated_substring_spans",
+    "x91_matryoshka_recall",
 ]
 
-#: Never-gated queries DELIBERATELY outside this round's 50-slot
-#: window (the window's arithmetic is fully committed: 3 repayments
-#: + the entire 46-query r11-evidence block + x155). Contract,
-#: enforced by tests/test_bench_contract.py: every entry must be
-#: locally oracle-verified this round (LOCAL_CORRECTNESS_r16:
-#: 246/246) and must LEAD the next round's ``_NEWEST`` as a
-#: first-gate debt, exactly like a repayment slot.
-_DEFER_TO_NEXT_GATE = [
-    "x156_url_canonicalize", "x157_link_frontier", "x158_robots_gate",
-]
+#: Empty this round (r16 verdict directive 4: land new queries
+#: BEFORE the final gate run). The round-17 additions
+#: (x159_sitemap_frontier, x160_crawl_schedule) land via
+#: ``_ungated`` as slots 49-50 INSIDE the window.
+_DEFER_TO_NEXT_GATE: list[str] = []
 
 _gated = set(_GATED_PRIOR_ROUNDS)
 _new = [n for n in _NEWEST if n in QUERIES]

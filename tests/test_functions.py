@@ -4071,3 +4071,125 @@ def test_orientation_invariant_descriptor_merges_rotated_pair():
     # absent/garbage orientation passes through: raw == norm
     m = orientation_invariant_descriptor(base)
     assert m["orientation"] is None and m["raw_key"] == m["norm_key"]
+
+
+def test_parse_sitemap_deterministic_cases():
+    """parse_sitemap: urlset vs sitemapindex detection by LOCAL tag
+    name (sitemaps.org namespace, foreign namespace, or none),
+    optional lastmod, loc whitespace trimmed, damage containment
+    (bad XML / wrong root / loc-less entry / stray child) keeps
+    every entry that did parse and flips clean."""
+    from etlp_spark.functions.sitemap import parse_sitemap
+
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    u = parse_sitemap(
+        f'<?xml version="1.0" encoding="UTF-8"?><urlset {ns}>'
+        "<url><loc> https://a/1 </loc><lastmod>2026-01-02</lastmod>"
+        "</url><url><loc>https://a/2</loc></url></urlset>"
+    )
+    assert u["kind"] == "urlset" and u["clean"] == 1
+    assert u["entries"] == [
+        ("https://a/1", "2026-01-02"), ("https://a/2", None)
+    ]
+    i = parse_sitemap(
+        "<sitemapindex><sitemap><loc>https://a/sm1.xml</loc>"
+        "<lastmod>2026-02-01</lastmod></sitemap></sitemapindex>"
+    )
+    assert i["kind"] == "sitemapindex"
+    assert i["entries"] == [("https://a/sm1.xml", "2026-02-01")]
+    # foreign namespace still matches on the local name
+    f = parse_sitemap(
+        '<x:urlset xmlns:x="urn:other"><x:url><x:loc>https://b'
+        "</x:loc></x:url></x:urlset>"
+    )
+    assert f["kind"] == "urlset" and f["entries"] == [("https://b", None)]
+    # damage: not XML / wrong root / empty — zero entries, clean=0
+    assert parse_sitemap("not xml")["clean"] == 0
+    assert parse_sitemap("<rss><item/></rss>")["parse_error"].startswith(
+        "unexpected root"
+    )
+    assert parse_sitemap(None)["parse_error"] == "empty input"
+    assert parse_sitemap("")["n_entries"] == 0
+    # partial damage: loc-less entry and stray child counted, the
+    # parsed entry survives
+    p = parse_sitemap(
+        "<urlset><url></url><junk/><url><loc>ok</loc></url></urlset>"
+    )
+    assert p["entries"] == [("ok", None)] and p["clean"] == 0
+
+
+def test_parse_sitemap_generator_roundtrip():
+    """Property: a generated urlset/sitemapindex document (random
+    entry count, optional lastmod, namespace presence) parses back
+    to exactly the generated (loc, lastmod) list with clean=1."""
+    from hypothesis import given, settings, strategies as st
+
+    from etlp_spark.functions.sitemap import parse_sitemap
+
+    entry = st.tuples(
+        st.integers(0, 10_000),
+        st.one_of(st.none(), st.integers(1, 28)),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        kind=st.sampled_from(("urlset", "sitemapindex")),
+        entries=st.lists(entry, min_size=0, max_size=8),
+        with_ns=st.booleans(),
+    )
+    def check(kind, entries, with_ns):
+        child = "url" if kind == "urlset" else "sitemap"
+        ns = (
+            ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+            if with_ns else ""
+        )
+        body = "".join(
+            f"<{child}><loc>https://e/{n}</loc>"
+            + (f"<lastmod>2026-01-{lm:02d}</lastmod>" if lm else "")
+            + f"</{child}>"
+            for n, lm in entries
+        )
+        m = parse_sitemap(f"<{kind}{ns}>{body}</{kind}>")
+        assert m["kind"] == kind and m["clean"] == 1
+        assert m["entries"] == [
+            (f"https://e/{n}", f"2026-01-{lm:02d}" if lm else None)
+            for n, lm in entries
+        ]
+        assert m["n_entries"] == len(entries)
+
+    check()
+
+
+def test_extract_sitemap_entries_spark(spark):
+    """extract_sitemap_entries: Arrow-batched explosion, one row per
+    entry, loc-NULL sentinel for damaged docs, scan-stage only."""
+    from etlp_spark.functions.sitemap import extract_sitemap_entries
+
+    df = spark.createDataFrame(
+        [
+            ("https://a/sm.xml",
+             "<urlset><url><loc>https://a/1</loc></url>"
+             "<url><loc>https://a/2</loc>"
+             "<lastmod>2026-03-01</lastmod></url></urlset>"),
+            ("https://b/idx.xml",
+             "<sitemapindex><sitemap><loc>https://b/child.xml</loc>"
+             "</sitemap></sitemapindex>"),
+            ("https://c/bad.xml", "garbage <<<"),
+        ],
+        "url string, xml string",
+    )
+    out = extract_sitemap_entries(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = sorted(
+        ((r["url"], r["kind"], r["loc"], r["lastmod"], r["clean"])
+         for r in out.collect()),
+        key=str,
+    )
+    assert rows == [
+        ("https://a/sm.xml", "urlset", "https://a/1", None, 1),
+        ("https://a/sm.xml", "urlset", "https://a/2", "2026-03-01", 1),
+        ("https://b/idx.xml", "sitemapindex", "https://b/child.xml",
+         None, 1),
+        ("https://c/bad.xml", "", None, None, 0),
+    ]
