@@ -101,8 +101,11 @@ def canonical_url(col: "Column | str") -> "Column":
     u = F.trim(F.col(col) if isinstance(col, str) else col)
     u = F.regexp_replace(u, r"#.*$", "")  # fragment first
     # §6.2.2.2 BEFORE parsing: decoding unreserved octets never
-    # creates a delimiter, so component boundaries are stable
-    u = _normalize_pct(u)
+    # creates a delimiter, so component boundaries are stable. The
+    # contains-guard keeps the overwhelmingly common no-%-at-all URL
+    # on the pure-codegen path (the split/transform fold only runs
+    # on rows that actually carry an encoding)
+    u = F.when(u.contains("%"), _normalize_pct(u)).otherwise(u)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(u, r"^[^:/?]+://([^/?#]+)", 1))
     host = (

@@ -709,6 +709,122 @@ def _mog_diagnostics(spark, sf_dir: str) -> dict:
     )
 
 
+def _gen_warc_segments(n_files: int, recs_per_file: int = 20) -> str:
+    """Synthetic .warc / .warc.gz segment directory for the
+    streaming-source throughput study (r16 verdict item 5) — cached
+    under .scale_data/ with the _DONE marker like every other
+    corpus. A third of the files use the gzip-member wire layout, a
+    third carry chunked/gzip-encoded HTTP responses, so the measured
+    per-file cost includes the dechunk+inflate path, not just header
+    walks."""
+    from etlp_spark.functions.warc import encode_warc
+
+    out = os.path.join(ROOT, f"warc_stream_{n_files}x{recs_per_file}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for f in range(n_files):
+        recs = [
+            {
+                "warc_type": "warcinfo",
+                "record_id": f"<urn:seg:{f}>",
+                "body": b"software: etlp-spark\r\n",
+            }
+        ]
+        for i in range(recs_per_file - 1):
+            if (f + i) % 3 == 0:
+                recs.append({
+                    "warc_type": "response",
+                    "record_id": f"<urn:rec:{f}-{i}>",
+                    "target_uri": f"https://example.org/{f}/{i}",
+                    "http": {
+                        "content_type": "text/html",
+                        "body": f"<html>seg {f} rec {i} "
+                                + "word " * (20 + i % 13)
+                                + "</html>",
+                        "gzip": i % 2 == 0,
+                        "chunked": True,
+                    },
+                })
+            else:
+                recs.append({
+                    "warc_type": "conversion",
+                    "record_id": f"<urn:rec:{f}-{i}>",
+                    "target_uri": f"https://example.org/{f}/{i}",
+                    "body": (f"txt {f} {i} " * (10 + i % 7)).encode(),
+                })
+        payload = encode_warc(recs, gzip_members=f % 3 == 0)
+        ext = "warc.gz" if f % 3 == 0 else "warc"
+        with open(os.path.join(out, f"seg-{f:05d}.{ext}"), "wb") as fh:
+            fh.write(payload)
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+    return out
+
+
+def _warc_stream_study(
+    spark, seg_dir: str, triggers: "tuple[int, ...]" = (4, 16, 64)
+) -> dict:
+    """Drain the segment backlog through ``read_warc_stream`` once
+    per ``maxFilesPerTrigger`` knob (availableNow trigger: the
+    source chews the whole directory in batches of K files, exactly
+    the backlog posture) into a noop sink, and record wall seconds,
+    files/sec, rows, and batch count — so the backpressure knob's
+    effect is MEASURED, not asserted. A batch ``read_warc`` pass
+    over the same directory is the zero-trigger-overhead
+    reference."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from etlp_spark.functions.warc import read_warc, read_warc_stream
+
+    n_files = len(_glob.glob(os.path.join(seg_dir, "seg-*")))
+    out: dict = {"n_files": n_files}
+    for k in triggers:
+        ckpt = tempfile.mkdtemp(prefix="warc_stream_ckpt_")
+        rows = read_warc_stream(
+            spark, os.path.join(seg_dir, "seg-*"),
+            max_files_per_trigger=k,
+        )
+        t0 = time.time()
+        q = (
+            rows.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        progress = q.recentProgress
+        n_rows = sum(int(p["numInputRows"]) for p in progress)
+        out[f"mft_{k}"] = {
+            "sec": round(wall, 3),
+            "files_per_sec": round(n_files / wall, 2),
+            "rows": n_rows,
+            "batches": len(progress),
+        }
+        shutil.rmtree(ckpt, ignore_errors=True)
+        print(f"warc_stream mft={k}: {wall:.2f}s "
+              f"({n_files / wall:.1f} files/s, {n_rows} rows, "
+              f"{len(progress)} batches)", flush=True)
+    t0 = time.time()
+    n_batch_rows = read_warc(
+        spark, os.path.join(seg_dir, "seg-*")
+    ).count()
+    wall = time.time() - t0
+    out["batch_reference"] = {
+        "sec": round(wall, 3),
+        "files_per_sec": round(n_files / wall, 2),
+        "rows": n_batch_rows,
+    }
+    print(f"warc_stream batch ref: {wall:.2f}s "
+          f"({n_files / wall:.1f} files/s, {n_batch_rows} rows)",
+          flush=True)
+    return out
+
+
 def _corpus_diagnostics(spark, sf_dir: str) -> dict:
     """The distributions the text-family filters' efficacy rides on,
     EXECUTED (not assumed) over a corpus: token/shingle frequency
@@ -912,6 +1028,14 @@ def main() -> None:
         "local JVM, and the study is a one-scale comparison anyway",
     )
     ap.add_argument(
+        "--warc-stream", type=int, default=None, metavar="N",
+        help="generate N synthetic .warc/.warc.gz segments and "
+        "drain them through read_warc_stream once per "
+        "maxFilesPerTrigger in {4,16,64} (availableNow backlog "
+        "posture, noop sink), recording files/sec per knob plus a "
+        "batch read_warc reference (r16 verdict item 5)",
+    )
+    ap.add_argument(
         "--mog", type=int, default=None, metavar="N",
         help="generate the mixture-of-Gaussians embeddings corpus "
         "at xN volume, run the IVF family against it (keys mog_xN), "
@@ -1100,6 +1224,13 @@ def main() -> None:
             "spark.sql.shuffle.partitions",
             os.environ.get("SPARK_GRAFT_CPUS", "32"),
         )
+
+    if args.warc_stream:
+        wn = args.warc_stream
+        wdir = _gen_warc_segments(wn)
+        diags = result.setdefault("diagnostics", {})
+        diags[f"warc_stream_{wn}"] = _warc_stream_study(spark, wdir)
+        dump()
 
     if args.mog:
         mn = args.mog
