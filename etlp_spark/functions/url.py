@@ -51,7 +51,10 @@ from pyspark.sql import functions as F
 if TYPE_CHECKING:  # pragma: no cover - typing only
     from pyspark.sql import Column
 
-__all__ = ["canonical_url", "resolve_url", "TRACKING_PARAM_RE"]
+__all__ = [
+    "canonical_url", "resolve_url", "trap_flags",
+    "resolve_redirects", "TRACKING_PARAM_RE", "SESSION_PARAM_RE",
+]
 
 #: Query parameters that never identify a resource (analytics junk).
 TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid)(=.*)?$"
@@ -217,4 +220,162 @@ def resolve_url(base: "Column | str", ref: "Column | str") -> "Column":
                 rtail,
             )
         )
+    )
+
+
+#: Query parameters that carry a per-visitor session token — a URL
+#: differing only here is the same resource, and a crawler that
+#: treats them as distinct re-fetches the whole site per session id.
+SESSION_PARAM_RE = r"(?i)(^|&)(phpsessid|jsessionid|sessionid|sid)="
+
+
+def trap_flags(col: "Column | str") -> "Column":
+    """Crawler-trap heuristics over one URL — the frontier hygiene
+    filter every large crawl runs BEFORE scheduling (a calendar
+    widget or a session-id mirror can mint unbounded URLs; Common
+    Crawl's published crawl configs cap exactly these shapes).
+    Returns a struct of per-URL signals, all pure column work:
+
+    - ``depth`` — path segment count; ``deep`` flags depth > 12
+      (real content almost never nests that far; traps do);
+    - ``max_seg_run`` — the highest multiplicity of any single path
+      segment; ``loop`` flags >= 3 (``/a/b/a/b/a`` — the classic
+      self-embedding trap). Computed by sorting the segment array
+      and folding a (prev, run, max) struct — JVM HOF on an
+      href-sized array, the ``_remove_dot_segments`` posture;
+    - ``calendar`` — a ``/YYYY/M(/D)`` date spine in the path
+      (infinite-calendar traps);
+    - ``session`` — a session-id query parameter
+      (``SESSION_PARAM_RE``);
+    - ``params`` — more than 8 query parameters (faceted-search
+      explosion);
+    - ``trap_score`` — the flag sum; schedulers drop or depth-limit
+      hosts whose trap share spikes.
+
+    The flags are HEURISTICS (documented, closed-form) — the
+    operator's contract is the exact rules above, which is what the
+    x161 oracle re-derives."""
+    u = F.col(col) if isinstance(col, str) else col
+    path = F.regexp_extract(u, r"^[^:/?]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    depth = F.size(segs)
+    run_acc = F.aggregate(
+        F.array_sort(segs),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("mx"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc.mx,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("mx"),
+        ),
+        lambda acc: acc.mx,
+    )
+    n_params = F.size(F.filter(F.split(query, "&"), lambda p: p != ""))
+    deep = (depth > 12).cast("int")
+    loop = (run_acc >= 3).cast("int")
+    calendar = path.rlike(r"/(19|20)\d{2}/\d{1,2}(/\d{1,2})?(/|$)").cast(
+        "int"
+    )
+    session = query.rlike(SESSION_PARAM_RE).cast("int")
+    params = (n_params > 8).cast("int")
+    return F.struct(
+        depth.alias("depth"),
+        run_acc.alias("max_seg_run"),
+        deep.alias("deep"),
+        loop.alias("loop"),
+        calendar.alias("calendar"),
+        session.alias("session"),
+        params.alias("params"),
+        (deep + loop + calendar + session + params).alias("trap_score"),
+    )
+
+
+def resolve_redirects(
+    df: "DataFrame",
+    url_col: str = "url",
+    next_col: str = "next",
+    *,
+    max_doublings: int = 4,
+):
+    """Resolve HTTP redirect chains to their final targets by
+    POINTER JUMPING — the log-hop idiom this engine already uses for
+    connected components (functions/dedup.py): each iteration joins
+    the current successor table onto itself, so a chain of length L
+    resolves in ceil(log2(L)) shuffles instead of L. At 100 TB a
+    30-hop chain costs 5 data-sized joins, not 30.
+
+    Input: one row per crawled URL — ``url_col`` and ``next_col``
+    (the 3xx Location target, already resolved+canonicalized by the
+    caller via ``canonical_url(resolve_url(url, location))``;
+    NULL for terminal pages, i.e. non-redirect responses).
+
+    Output: ``url_col``, ``final`` (string), ``hops`` (int),
+    ``status`` — ``'resolved'`` (reached a terminal page),
+    ``'dangling'`` (chain leaves the crawled set: the target was
+    never fetched — at crawl scale this feeds the next frontier),
+    or ``'unresolved'`` (a cycle, or deeper than ``2**max_doublings``
+    hops; real schedulers cap at ~20 — RFC-compliant clients give up
+    long before). Unresolved/dangling rows carry ``final='none'``
+    and ``hops=-1``: the partially-jumped pointer is an
+    implementation detail, not a contract, so it is masked.
+
+    Every iteration is one equi-join shuffle of the frontier-sized
+    pointer table; the loop is DRIVER-SIDE control flow over a fixed
+    ``max_doublings`` (no data-dependent collect)."""
+    from pyspark.sql import functions as _F
+
+    cur = df.select(
+        _F.col(url_col).alias("u"),
+        _F.coalesce(_F.col(next_col), _F.col(url_col)).alias("tgt"),
+        _F.col(next_col).isNull().alias("done"),
+        _F.when(_F.col(next_col).isNull(), 0).otherwise(1).alias("hops"),
+        _F.lit(False).alias("dangled"),
+    )
+    for _ in range(max_doublings):
+        nxt = cur.select(
+            _F.col("u").alias("n_u"), _F.col("tgt").alias("n_tgt"),
+            _F.col("done").alias("n_done"),
+            _F.col("hops").alias("n_hops"),
+            _F.col("dangled").alias("n_dangled"),
+        )
+        j = cur.join(nxt, cur.tgt == nxt.n_u, "left")
+        active = ~_F.col("done")
+        # the pointer leaves the crawled set: DANGLING (no row to
+        # jump through); a jump ONTO a dangled chain dangles too
+        hit_missing = active & _F.col("n_u").isNull()
+        advanced = active & _F.col("n_u").isNotNull()
+        cur = j.select(
+            "u",
+            _F.when(advanced, _F.col("n_tgt"))
+            .otherwise(_F.col("tgt")).alias("tgt"),
+            (
+                _F.col("done") | hit_missing
+                | (advanced & _F.col("n_done"))
+            ).alias("done"),
+            _F.when(advanced, _F.col("hops") + _F.col("n_hops"))
+            .otherwise(_F.col("hops")).alias("hops"),
+            (
+                _F.col("dangled") | hit_missing
+                | (advanced & _F.col("n_dangled"))
+            ).alias("dangled"),
+        )
+    return cur.select(
+        _F.col("u").alias(url_col),
+        _F.when(
+            _F.col("done") & ~_F.col("dangled"), _F.col("tgt")
+        ).otherwise(_F.lit("none")).alias("final"),
+        _F.when(
+            _F.col("done") & ~_F.col("dangled"), _F.col("hops")
+        ).otherwise(_F.lit(-1)).cast("int").alias("hops"),
+        _F.when(_F.col("dangled"), _F.lit("dangling"))
+        .when(_F.col("done"), _F.lit("resolved"))
+        .otherwise(_F.lit("unresolved")).alias("status"),
     )

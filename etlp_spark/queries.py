@@ -17028,6 +17028,209 @@ def x160_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x161_url_traps",
+    """
+    WITH f AS (SELECT doc_id AS d FROM documents),
+    u AS (
+      SELECT d, d % 5 AS h,
+        CASE WHEN d % 11 = 0 THEN 1 ELSE 0 END AS deep,
+        CASE WHEN d % 11 <> 0 AND d % 7 = 0 THEN 1 ELSE 0 END
+          AS lp,
+        CASE WHEN d % 11 <> 0 AND d % 7 <> 0 AND d % 13 = 0
+          THEN 1 ELSE 0 END AS cal,
+        CASE WHEN d % 3 = 0 THEN 1 ELSE 0 END AS sess,
+        CASE WHEN d % 3 <> 0 AND d % 17 = 0 THEN 1 ELSE 0 END
+          AS prm
+      FROM f)
+    SELECT 'h' || CAST(h AS VARCHAR) || '.example.org' AS host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(deep) AS BIGINT) AS n_deep,
+           CAST(sum(lp) AS BIGINT) AS n_loop,
+           CAST(sum(cal) AS BIGINT) AS n_calendar,
+           CAST(sum(sess) AS BIGINT) AS n_session,
+           CAST(sum(prm) AS BIGINT) AS n_params,
+           CAST(sum(CASE WHEN deep + lp + cal + sess + prm > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_trapped
+    FROM u GROUP BY 1
+    """,
+)
+def x161_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection — frontier hygiene BEFORE scheduling:
+    a calendar widget, a session-id mirror, or a self-embedding path
+    loop can mint unbounded URLs, and a 100 TB crawl that doesn't
+    cap them spends its budget on one host's infinite corner
+    (``functions/url.trap_flags``: path depth > 12, a path segment
+    repeated >= 3 times (``/a/b/a/b/a``), a ``/YYYY/M(/D)`` date
+    spine, session-id query params, > 8 query params — each a
+    documented closed-form heuristic; the flag fold is a JVM HOF on
+    an href-sized segment array, everything else codegen regex).
+    Output: per host, how many frontier URLs trip each trap class
+    and how many trip any — the signal a scheduler uses to
+    depth-limit or drop a host.
+
+    Fixture, closed-form from doc_id with EXCLUSIVE path branches
+    (deep elif loop elif calendar) and exclusive query branches
+    (session elif params), so every count is one modular-arithmetic
+    CASE in the oracle.
+
+    Scale shape: flags are one projection in the scan stage, the
+    only shuffle is the per-host groupBy with map-side partial sums.
+    Reference: engine-added (SURVEY.md §2.2 ingestion family);
+    public crawler-politeness practice (trap heuristics as in
+    Heritrix/Nutch docs), original closed-form rules."""
+    from etlp_spark.functions.url import trap_flags
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    path = (
+        F.when(
+            d % 11 == 0,
+            F.concat(
+                F.lit("/q0/q1/q2/q3/q4/q5/q6/q7/q8/q9/q10/q11/q12/"),
+                s(d),
+            ),
+        )
+        .when(d % 7 == 0, F.concat(F.lit("/a/b/a/b/a/"), s(d)))
+        .when(
+            d % 13 == 0,
+            F.concat(F.lit("/cal/2026/1/"), s(d % 28 + 1)),
+        )
+        .otherwise(F.concat(F.lit("/p/"), s(d)))
+    )
+    query = (
+        F.when(d % 3 == 0, F.concat(F.lit("?phpsessid="), s(d)))
+        .when(
+            d % 17 == 0,
+            F.lit("?a0=1&a1=1&a2=1&a3=1&a4=1&a5=1&a6=1&a7=1&a8=1"
+                  "&a9=1"),
+        )
+        .otherwise(F.lit(""))
+    )
+    urls = docs.select(
+        F.concat(F.lit("h"), s(d % 5), F.lit(".example.org")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("https://h"), s(d % 5), F.lit(".example.org"),
+            path, query,
+        ).alias("url"),
+    )
+    flagged = urls.select("host", trap_flags("url").alias("f"))
+    return flagged.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum("f.deep").cast("long").alias("n_deep"),
+        F.sum("f.loop").cast("long").alias("n_loop"),
+        F.sum("f.calendar").cast("long").alias("n_calendar"),
+        F.sum("f.session").cast("long").alias("n_session"),
+        F.sum("f.params").cast("long").alias("n_params"),
+        F.sum((F.col("f.trap_score") > 0).cast("long")).cast("long")
+        .alias("n_trapped"),
+    )
+
+
+@_register(
+    "x162_redirect_chains",
+    """
+    WITH f AS (SELECT DISTINCT doc_id % 24 AS g FROM documents),
+    chain AS (SELECT g, g % 5 AS h, 1 + g % 4 AS L FROM f),
+    nodes AS (
+      SELECT g, h, L, UNNEST(range(L + 1)) AS i FROM chain)
+    SELECT 'https://h' || CAST(h AS VARCHAR) || '.example.org/r/'
+             || CAST(g AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+             AS url,
+           'https://h' || CAST(h AS VARCHAR) || '.example.org/r/'
+             || CAST(g AS VARCHAR) || '/' || CAST(L AS VARCHAR)
+             AS final,
+           CAST(L - i AS INT) AS hops,
+           'resolved' AS status
+    FROM nodes
+    UNION ALL
+    SELECT 'https://h' || CAST(g % 5 AS VARCHAR)
+             || '.example.org/c/' || CAST(g AS VARCHAR) || '/'
+             || CAST(i AS VARCHAR),
+           'none', CAST(-1 AS INT), 'unresolved'
+    FROM f CROSS JOIN (SELECT UNNEST([0, 1]) AS i) t
+    WHERE g % 8 = 0
+    UNION ALL
+    SELECT 'https://h' || CAST(g % 5 AS VARCHAR)
+             || '.example.org/x/' || CAST(g AS VARCHAR),
+           'none', CAST(-1 AS INT), 'dangling'
+    FROM f WHERE g % 8 = 4
+    """,
+)
+def x162_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by POINTER JUMPING — the crawl-side
+    twin of x18's connected components: 3xx responses carry a
+    Location target, chains of them are endemic (http->https->www->
+    final), and the frontier must store FINAL targets or every
+    downstream dedup key is wrong. ``functions/url.resolve_redirects``
+    doubles the successor pointer each iteration, so a chain of
+    length L resolves in ceil(log2(L)) equi-join shuffles instead of
+    L — at 100 TB a 30-hop chain costs 5 data-sized joins, not 30.
+    Cycles (two pages 301-ing at each other — real) never terminate
+    and are reported ``unresolved``; a target outside the crawled
+    set is ``dangling`` (it feeds the next frontier). Both carry
+    masked final/hops — the partially-jumped pointer is an
+    implementation detail, not a contract.
+
+    Fixture, closed-form from doc_id: 24 distinct chains (length
+    1+g%4, terminal last node), a 2-cycle on g%8==0 groups, a
+    dangling edge on g%8==4 groups. The oracle re-derives final
+    target and EXACT hop count per node arithmetically — an
+    independent derivation, not a re-walk.
+
+    Scale shape: ``max_doublings`` is driver-side control flow over
+    a fixed constant (no data-dependent collect); each iteration is
+    one frontier-sized equi-join; AQE is free to broadcast the
+    shrinking active side. Reference: engine-added (SURVEY.md §2.2
+    ingestion/graph families); pointer jumping is textbook parallel
+    list-ranking (Wyllie 1979), applied as in x18."""
+    from etlp_spark.functions.url import resolve_redirects
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    g = F.col("g")
+
+    groups = docs.select((d % 24).alias("g")).distinct()
+    host = F.concat(F.lit("https://h"), s(g % 5), F.lit(".example.org"))
+    L = (F.lit(1) + g % 4).alias("L")
+    chain = groups.select("g", L)
+    node = lambda i: F.concat(  # noqa: E731
+        host, F.lit("/r/"), s(g), F.lit("/"), s(i)
+    )
+    chain_edges = chain.select(
+        "g", "L", F.explode(F.sequence(F.lit(0), F.col("L"))).alias("i")
+    ).select(
+        node(F.col("i")).alias("url"),
+        F.when(F.col("i") < F.col("L"), node(F.col("i") + 1)).alias(
+            "next"
+        ),
+    )
+    cyc = lambda i: F.concat(  # noqa: E731
+        host, F.lit("/c/"), s(g), F.lit("/"), F.lit(str(i))
+    )
+    cycle_edges = (
+        groups.where(g % 8 == 0)
+        .select(cyc(0).alias("url"), cyc(1).alias("next"))
+        .unionByName(
+            groups.where(g % 8 == 0).select(
+                cyc(1).alias("url"), cyc(0).alias("next")
+            )
+        )
+    )
+    dangling_edges = groups.where(g % 8 == 4).select(
+        F.concat(host, F.lit("/x/"), s(g)).alias("url"),
+        F.concat(host, F.lit("/gone/"), s(g)).alias("next"),
+    )
+    edges = chain_edges.unionByName(cycle_edges).unionByName(
+        dangling_edges
+    )
+    return resolve_redirects(edges)
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -17185,13 +17388,14 @@ _GATED_PRIOR_ROUNDS = [
 #: _DEFER_TO_NEXT_GATE contract's terms — their first driver rows),
 #: then the two changed-kernel repayments this round created
 #: (x151's derived oracle constant, x155's base_href + self-closing
-#: kernel change), then the first 43 of the 48-query r12-evidence
-#: block in CORRECTNESS_r12.json gate order. Sized at 48 so the two
-#: round-17 additions (x159_sitemap_frontier, x160_crawl_schedule)
-#: land via ``_ungated`` INSIDE the window as slots 49-50 —
-#: directive 4's "every declared query has a driver row at round
-#: close" invariant holds with an EMPTY deferral list. The 5
-#: unrotated r12-evidence queries (x93/x94/x95/x96/x145) lead r18.
+#: kernel change), then the first 41 of the 48-query r12-evidence
+#: block in CORRECTNESS_r12.json gate order. Sized at 46 so the
+#: FOUR round-17 additions (x159_sitemap_frontier,
+#: x160_crawl_schedule, x161_url_traps, x162_redirect_chains) land
+#: via ``_ungated`` INSIDE the window as slots 47-50 — directive
+#: 4's "every declared query has a driver row at round close"
+#: invariant holds with an EMPTY deferral list. The 7 unrotated
+#: r12-evidence queries (x90/x91/x93/x94/x95/x96/x145) lead r18.
 #:
 #: ---- retired round-16 rotation comment (kept for the audit trail):
 #: Round-16 gate (the driver records the FIRST 50 registered),
@@ -17284,8 +17488,7 @@ _NEWEST = [
     "x40_fuzzy_name_match", "x42_minhash_estimate_quality",
     "x43_temperature_mixture", "x44_source_precedence_dedup",
     "x45_domain_percent_rank", "x86_bloom_membership",
-    "x89_bpe_merge_candidates", "x90_repeated_substring_spans",
-    "x91_matryoshka_recall",
+    "x89_bpe_merge_candidates",
 ]
 
 #: Empty this round (r16 verdict directive 4: land new queries

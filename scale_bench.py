@@ -187,6 +187,10 @@ QUERY_TABLES = {
     "x156_url_canonicalize": ["documents"],
     "x157_link_frontier": ["documents"],
     "x158_robots_gate": ["documents"],
+    "x159_sitemap_frontier": ["documents"],
+    "x160_crawl_schedule": ["documents"],
+    "x161_url_traps": ["documents"],
+    "x162_redirect_chains": ["documents"],
     "x93_pq_adc_topk": ["embeddings"],
     "x94_ivf_adc_search": ["embeddings"],
     "x95_hybrid_rrf_fusion": ["documents", "embeddings"],

@@ -4193,3 +4193,85 @@ def test_extract_sitemap_entries_spark(spark):
          None, 1),
         ("https://c/bad.xml", "", None, None, 0),
     ]
+
+
+def test_trap_flags_cases(spark):
+    """trap_flags: each heuristic fires on exactly its shape —
+    depth > 12, a segment repeated >= 3x, a /YYYY/M(/D) date spine,
+    session-id params, > 8 params — and a clean URL trips none."""
+    from etlp_spark.functions.url import trap_flags
+
+    deep = "https://x.org/" + "/".join(f"d{i}" for i in range(13))
+    cases = [
+        ("https://x.org/a/b/a/b/a/z", dict(loop=1, max_seg_run=3)),
+        ("https://x.org/a/b/a/z", dict(loop=0, max_seg_run=2)),
+        ("https://x.org/p/1?phpsessid=9", dict(session=1)),
+        ("https://x.org/p/1?PHPSESSID=9", dict(session=1)),
+        ("https://x.org/p/1?sid=9&a=1", dict(session=1)),
+        ("https://x.org/cal/2026/1/15", dict(calendar=1)),
+        ("https://x.org/blog/2026/01/", dict(calendar=1)),
+        ("https://x.org/p/2026", dict(calendar=0)),
+        (deep, dict(deep=1, depth=13)),
+        ("https://x.org/p?" + "&".join(f"k{i}=1" for i in range(9)),
+         dict(params=1)),
+        ("https://x.org/p?a=1&b=2", dict(params=0)),
+        ("https://x.org/ok", dict(trap_score=0)),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    rows = df.select("url", trap_flags("url").alias("f")).collect()
+    got = {r["url"]: r["f"].asDict() for r in rows}
+    for url, want in cases:
+        for k, v in want.items():
+            assert got[url][k] == v, (url, k, got[url])
+    # plan: no Python, no exchange
+    plan = (
+        df.select(trap_flags("url").alias("f"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_resolve_redirects_semantics(spark):
+    """resolve_redirects: pointer jumping resolves chains up to
+    2^max_doublings hops, reports cycles as unresolved and
+    off-table targets (directly or transitively) as dangling, with
+    masked final/hops on both."""
+    from etlp_spark.functions.url import resolve_redirects
+
+    # chain of 5, 2-cycle, self-loop, dangling, chain INTO dangling
+    rows = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", None),
+        ("p", "q"), ("q", "p"),
+        ("s", "s"),
+        ("g", "off-table"),
+        ("m", "g"),
+    ]
+    df = spark.createDataFrame(rows, "url string, next string")
+    out = {
+        r["url"]: (r["final"], r["hops"], r["status"])
+        for r in resolve_redirects(df).collect()
+    }
+    assert out["a"] == ("e", 4, "resolved")
+    assert out["c"] == ("e", 2, "resolved")
+    assert out["e"] == ("e", 0, "resolved")
+    assert out["p"] == ("none", -1, "unresolved")
+    assert out["q"] == ("none", -1, "unresolved")
+    assert out["s"] == ("none", -1, "unresolved")
+    assert out["g"] == ("none", -1, "dangling")
+    # transitively dangling: m -> g -> off-table
+    assert out["m"] == ("none", -1, "dangling")
+
+    # a chain longer than 2^max_doublings stays unresolved at K=1
+    # (cap honored), resolves at K=3
+    long = [(f"n{i}", f"n{i+1}") for i in range(6)] + [("n6", None)]
+    ldf = spark.createDataFrame(long, "url string, next string")
+    k1 = {
+        r["url"]: r["status"]
+        for r in resolve_redirects(ldf, max_doublings=1).collect()
+    }
+    assert k1["n0"] == "unresolved"
+    k3 = {
+        r["url"]: (r["final"], r["hops"], r["status"])
+        for r in resolve_redirects(ldf, max_doublings=3).collect()
+    }
+    assert k3["n0"] == ("n6", 6, "resolved")
