@@ -802,16 +802,19 @@ def _warc_stream_study(
         q.awaitTermination()
         wall = time.time() - t0
         progress = q.recentProgress
-        n_rows = sum(int(p["numInputRows"]) for p in progress)
+        # numInputRows is SOURCE rows = files for binaryFile (the
+        # record explosion happens downstream of the source metric);
+        # it cross-checks file accounting, not record counts
+        n_src = sum(int(p["numInputRows"]) for p in progress)
         out[f"mft_{k}"] = {
             "sec": round(wall, 3),
             "files_per_sec": round(n_files / wall, 2),
-            "rows": n_rows,
+            "source_file_rows": n_src,
             "batches": len(progress),
         }
         shutil.rmtree(ckpt, ignore_errors=True)
         print(f"warc_stream mft={k}: {wall:.2f}s "
-              f"({n_files / wall:.1f} files/s, {n_rows} rows, "
+              f"({n_files / wall:.1f} files/s, {n_src} files seen, "
               f"{len(progress)} batches)", flush=True)
     t0 = time.time()
     n_batch_rows = read_warc(
