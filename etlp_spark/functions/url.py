@@ -53,7 +53,8 @@ if TYPE_CHECKING:  # pragma: no cover - typing only
 
 __all__ = [
     "canonical_url", "resolve_url", "trap_flags",
-    "resolve_redirects", "TRACKING_PARAM_RE", "SESSION_PARAM_RE",
+    "resolve_redirects", "registrable_domain",
+    "TRACKING_PARAM_RE", "SESSION_PARAM_RE", "PUBLIC_SUFFIXES",
 ]
 
 #: Query parameters that never identify a resource (analytics junk).
@@ -378,4 +379,61 @@ def resolve_redirects(
         _F.when(_F.col("dangled"), _F.lit("dangling"))
         .when(_F.col("done"), _F.lit("resolved"))
         .otherwise(_F.lit("unresolved")).alias("status"),
+    )
+
+
+#: Registrable-domain suffix subset (public-suffix semantics, PSL
+#: https://publicsuffix.org — embedded SUBSET, documented contract:
+#: exactly this list, longest match wins; a real deployment swaps in
+#: the full PSL snapshot as a broadcast table, same algorithm). The
+#: multi-label entries are the high-traffic country registries where
+#: host-level grouping is most wrong without them.
+PUBLIC_SUFFIXES = (
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "co",
+    "ai", "dev", "app", "info", "biz", "de", "fr", "nl", "ru",
+    "jp", "cn", "uk", "au", "br", "in",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "co.in",
+)
+
+
+def registrable_domain(col: "Column | str") -> "Column":
+    """The pay-level / registrable domain of a hostname — the unit
+    crawl budgets, politeness, and per-site dedup actually apply to
+    (``www.a.example.co.uk`` and ``cdn.b.example.co.uk`` are ONE
+    site, ``example.co.uk``; grouping by host undercounts, grouping
+    by last-two-labels calls every ``*.co.uk`` one site). Longest
+    matching suffix from ``PUBLIC_SUFFIXES`` + one label; a host
+    with no matching suffix falls back to its last two labels; a
+    single-label host passes through. Pure JVM column work: the
+    suffix scan is a fold over a constant array, the label math is
+    split/slice."""
+    host = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
+    sufs = F.array(*[F.lit(s) for s in PUBLIC_SUFFIXES])
+    best = F.aggregate(
+        sufs,
+        F.lit("").alias("b"),
+        lambda acc, x: F.when(
+            host.endswith(F.concat(F.lit("."), x))
+            & (F.length(x) > F.length(acc)),
+            x,
+        ).otherwise(acc),
+    )
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # labels consumed by the suffix = dots in it + 1
+    suf_labels = F.size(F.split(best, r"\."))
+    reg_from_suffix = F.concat(
+        F.element_at(labels, n - suf_labels), F.lit("."), best
+    )
+    last_two = F.concat(
+        F.element_at(labels, n - 1), F.lit("."), F.element_at(labels, n)
+    )
+    return (
+        F.when(n <= 1, host)
+        .when((best != "") & (n > suf_labels), reg_from_suffix)
+        .when(best != "", host)  # the host IS a bare suffix
+        .otherwise(last_two)
     )

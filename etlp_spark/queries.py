@@ -17231,6 +17231,117 @@ def x162_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_redirects(edges)
 
 
+@_register(
+    "x163_domain_budget",
+    """
+    WITH f AS (SELECT doc_id AS d FROM documents),
+    u AS (
+      SELECT d,
+        CASE WHEN d % 3 = 0 THEN 'www.s' || CAST(d % 7 AS VARCHAR)
+               || '.ex' || CAST(d % 5 AS VARCHAR) || '.co.uk'
+             WHEN d % 3 = 1 THEN 'ex' || CAST(d % 5 AS VARCHAR)
+               || '.com'
+             ELSE 'cdn.ex' || CAST(d % 5 AS VARCHAR) || '.org'
+        END AS host,
+        CASE WHEN d % 3 = 0 THEN 'ex' || CAST(d % 5 AS VARCHAR)
+               || '.co.uk'
+             WHEN d % 3 = 1 THEN 'ex' || CAST(d % 5 AS VARCHAR)
+               || '.com'
+             ELSE 'ex' || CAST(d % 5 AS VARCHAR) || '.org'
+        END AS pld
+      FROM f
+      UNION ALL
+      SELECT d, 'node' || CAST(d % 3 AS VARCHAR) || '.internal.corp',
+             'internal.corp'
+      FROM f WHERE d % 11 = 0
+      UNION ALL
+      SELECT d, 'localhost', 'localhost' FROM f WHERE d % 13 = 0)
+    SELECT pld,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(LEAST(count(*), 25) AS BIGINT) AS budget
+    FROM u GROUP BY pld
+    """,
+)
+def x163_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pay-level-domain crawl budgeting — the unit politeness and
+    per-site caps ACTUALLY apply to: ``www.a.example.co.uk`` and
+    ``cdn.b.example.co.uk`` are one site (``example.co.uk``), so
+    budgeting by host undercounts shared registrations and naive
+    last-two-labels calls every ``*.co.uk`` one site.
+    ``functions/url.registrable_domain`` implements public-suffix
+    semantics (longest matching suffix + one label) over an embedded
+    documented SUBSET of the PSL — pure JVM column work (constant-
+    array fold + label math; a real deployment swaps in the full PSL
+    snapshot, same algorithm). Output: per PLD, frontier size,
+    distinct-host count, and the per-domain fetch budget
+    ``least(n_urls, 25)`` (a politeness cap a scheduler consumes
+    directly — x160 assigns the slots).
+
+    Fixture, closed-form from doc_id: three host shapes per residue
+    class (a www+sub host under ``.co.uk`` — the multi-label suffix
+    case, a bare ``.com`` apex, a ``cdn.`` subdomain under
+    ``.org``), plus fallback rows (``*.internal.corp`` — no suffix
+    match, last-two-labels) and single-label ``localhost``
+    passthrough. The cap binds on the ``.com``/``.org`` groups at
+    sf0.01 — the oracle re-derives every PLD string and count.
+
+    Scale shape: PLD extraction is a projection in the scan stage;
+    the only shuffle is the per-PLD groupBy (count-distinct on
+    host). Reference: engine-added (SURVEY.md §2.2 ingestion
+    family); publicsuffix.org semantics, subset documented."""
+    from etlp_spark.functions.url import registrable_domain
+
+    docs = _t_fanout(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    base_host = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("www.s"), s(d % 7), F.lit(".ex"), s(d % 5),
+                F.lit(".co.uk"),
+            ),
+        )
+        .when(d % 3 == 1, F.concat(F.lit("ex"), s(d % 5), F.lit(".com")))
+        .otherwise(
+            F.concat(F.lit("cdn.ex"), s(d % 5), F.lit(".org"))
+        )
+    )
+    hosts = docs.select(
+        F.explode(
+            F.concat(
+                F.array(base_host),
+                F.when(
+                    d % 11 == 0,
+                    F.array(
+                        F.concat(
+                            F.lit("node"), s(d % 3),
+                            F.lit(".internal.corp"),
+                        )
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+                F.when(
+                    d % 13 == 0, F.array(F.lit("localhost"))
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("host")
+    )
+    return (
+        hosts.select(
+            "host", registrable_domain("host").alias("pld")
+        )
+        .groupBy("pld")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.least(F.count(F.lit(1)), F.lit(25)).cast("long").alias(
+                "budget"
+            ),
+        )
+    )
+
+
 # =====================================================================
 # Registration-order rotation for the correctness gate.
 #
@@ -17388,14 +17499,15 @@ _GATED_PRIOR_ROUNDS = [
 #: _DEFER_TO_NEXT_GATE contract's terms — their first driver rows),
 #: then the two changed-kernel repayments this round created
 #: (x151's derived oracle constant, x155's base_href + self-closing
-#: kernel change), then the first 41 of the 48-query r12-evidence
-#: block in CORRECTNESS_r12.json gate order. Sized at 46 so the
-#: FOUR round-17 additions (x159_sitemap_frontier,
-#: x160_crawl_schedule, x161_url_traps, x162_redirect_chains) land
-#: via ``_ungated`` INSIDE the window as slots 47-50 — directive
-#: 4's "every declared query has a driver row at round close"
-#: invariant holds with an EMPTY deferral list. The 7 unrotated
-#: r12-evidence queries (x90/x91/x93/x94/x95/x96/x145) lead r18.
+#: kernel change), then the first 40 of the 48-query r12-evidence
+#: block in CORRECTNESS_r12.json gate order. Sized at 45 so the
+#: FIVE round-17 additions (x159_sitemap_frontier,
+#: x160_crawl_schedule, x161_url_traps, x162_redirect_chains,
+#: x163_domain_budget) land via ``_ungated`` INSIDE the window as
+#: slots 46-50 — directive 4's "every declared query has a driver
+#: row at round close" invariant holds with an EMPTY deferral
+#: list. The 8 unrotated r12-evidence queries
+#: (x89/x90/x91/x93/x94/x95/x96/x145) lead r18.
 #:
 #: ---- retired round-16 rotation comment (kept for the audit trail):
 #: Round-16 gate (the driver records the FIRST 50 registered),
@@ -17488,7 +17600,6 @@ _NEWEST = [
     "x40_fuzzy_name_match", "x42_minhash_estimate_quality",
     "x43_temperature_mixture", "x44_source_precedence_dedup",
     "x45_domain_percent_rank", "x86_bloom_membership",
-    "x89_bpe_merge_candidates",
 ]
 
 #: Empty this round (r16 verdict directive 4: land new queries

@@ -1605,6 +1605,76 @@ def interval_join(
     )
 
 
+def robots_gate_stream(
+    urls: DataFrame,
+    rules: DataFrame,
+) -> DataFrame:
+    """Streaming twin of the x158 robots gate: an unbounded frontier
+    stream (``host``, ``path`` rows — e.g. x157's link extraction
+    over `read_warc_stream`) gated against a STATIC hosts-sized
+    rules table (``functions/robots.extract_robots_rules`` output)
+    via a STREAM-STATIC broadcast join — stateless, so no watermark
+    and no state store: each micro-batch joins, RLIKEs, and
+    longest-matches exactly like batch (RFC 9309 §2.2.2, Allow wins
+    ties, pattern text as final tiebreaker). Rules refresh = restart
+    with a new static frame (robots.txt re-fetch cadence is hours;
+    the politeness contract tolerates staleness, RFC 9309 §2.4
+    allows 24h caching).
+
+    Unlike the batch x158 (explode-then-groupBy), the decision here
+    is PER ROW — the static side is pre-collapsed to one rules
+    ARRAY per host (batch-side groupBy, paid once), and the
+    streamed URL folds over that tiny array with JVM HOFs: filter
+    the hits, ``array_max`` the (plen, allow, pattern) ordering.
+    One output row per input row, NO streaming aggregation — so
+    append mode works and there is no state store at all.
+
+    Output per streamed URL: ``host, path, allowed, matched,
+    crawl_delay_ms``."""
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(
+            F.when(
+                F.col("pattern").isNotNull(),
+                F.struct(
+                    "pattern_len", "allow", "pattern", "rule_regex"
+                ),
+            )
+        ).alias("rules"),
+        F.max("crawl_delay_ms").alias("crawl_delay_ms"),
+    )
+    joined = urls.join(F.broadcast(per_host), "host", "left")
+    rules_arr = F.coalesce(
+        F.filter(F.col("rules"), lambda r: r.isNotNull()),
+        F.array().cast(
+            "array<struct<pattern_len:int,allow:int,"
+            "pattern:string,rule_regex:string>>"
+        ),
+    )
+    hits = F.filter(
+        rules_arr,
+        lambda r: F.regexp_like(F.col("path"), r.rule_regex),
+    )
+    best = F.array_max(
+        F.transform(
+            hits,
+            lambda r: F.struct(
+                r.pattern_len.alias("plen"),
+                r.allow.alias("allow"),
+                r.pattern.alias("pattern"),
+            ),
+        )
+    )
+    return joined.select(
+        "host", "path",
+        F.when(F.size(hits) > 0, best.allow)
+        .otherwise(F.lit(1)).cast("int").alias("allowed"),
+        F.when(F.size(hits) > 0, best.pattern)
+        .otherwise(F.lit("none")).alias("matched"),
+        F.coalesce(F.col("crawl_delay_ms"), F.lit(-1))
+        .cast("long").alias("crawl_delay_ms"),
+    )
+
+
 def funnel_tws(
     df: DataFrame,
     key_col: str,

@@ -191,6 +191,7 @@ QUERY_TABLES = {
     "x160_crawl_schedule": ["documents"],
     "x161_url_traps": ["documents"],
     "x162_redirect_chains": ["documents"],
+    "x163_domain_budget": ["documents"],
     "x93_pq_adc_topk": ["embeddings"],
     "x94_ivf_adc_search": ["embeddings"],
     "x95_hybrid_rrf_fusion": ["documents", "embeddings"],

@@ -4275,3 +4275,42 @@ def test_resolve_redirects_semantics(spark):
         for r in resolve_redirects(ldf, max_doublings=3).collect()
     }
     assert k3["n0"] == ("n6", 6, "resolved")
+
+
+def test_registrable_domain_cases(spark):
+    """registrable_domain: longest public-suffix match + one label,
+    multi-label suffixes beat single (.co.uk over .uk), no-match
+    hosts fall back to last two labels, single-label hosts pass
+    through, bare-suffix hosts pass through."""
+    from etlp_spark.functions.url import registrable_domain
+
+    cases = [
+        ("www.a.example.co.uk", "example.co.uk"),
+        ("cdn.b.example.co.uk", "example.co.uk"),
+        ("example.co.uk", "example.co.uk"),
+        ("deep.sub.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("EXAMPLE.COM", "example.com"),
+        ("sub.example.de", "example.de"),
+        ("a.b.example.ac.uk", "example.ac.uk"),
+        # .uk alone is in the list; .co.uk must win by LENGTH
+        ("x.y.co.uk", "y.co.uk"),
+        # no suffix match: last two labels
+        ("node1.internal.corp", "internal.corp"),
+        ("a.b.c.internal.corp", "internal.corp"),
+        # single label passes through
+        ("localhost", "localhost"),
+        # host IS a bare suffix
+        ("co.uk", "co.uk"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [
+        r["p"]
+        for r in df.select(registrable_domain("host").alias("p")).collect()
+    ]
+    assert got == [e for _, e in cases], list(zip(cases, got))
+    plan = (
+        df.select(registrable_domain("host").alias("p"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan

@@ -2037,3 +2037,87 @@ def test_cdc_tws_tombstone_ageing_boundary(spark, stream_dir, tmp_path):
             q.stop()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_robots_gate_stream(spark, stream_dir, tmp_path):
+    """robots_gate_stream: stream-static gate — frontier rows landing
+    as files are gated per micro-batch against a static hosts-sized
+    rules table, decisions identical to the batch x158 semantics
+    (longest match, Allow wins ties, no-rule hosts allowed), with NO
+    streaming aggregation (append mode, no state store); late files
+    are gated by the next batch."""
+    import json
+
+    from etlp_spark.functions.robots import extract_robots_rules
+    from etlp_spark.streaming import robots_gate_stream
+
+    robots = (
+        "User-agent: *\n"
+        "Disallow: /p/priv*\n"
+        "Allow: /p/private-ok$\n"
+        "Crawl-delay: 2\n"
+    )
+    rules = extract_robots_rules(
+        spark.createDataFrame(
+            [("a.org", robots), ("open.org", "User-agent: *\n")],
+            "host string, robots string",
+        )
+    )
+    drop = stream_dir / "frontier"
+    drop.mkdir()
+    def put(name, rows):
+        (drop / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+    put("b1.json", [
+        {"host": "a.org", "path": "/p/1"},
+        {"host": "a.org", "path": "/p/priv/7"},
+        {"host": "a.org", "path": "/p/private-ok"},
+        {"host": "open.org", "path": "/anything"},
+        {"host": "unknown.org", "path": "/x"},
+    ])
+    urls = (
+        spark.readStream.schema("host string, path string")
+        .json(str(drop))
+    )
+    q = (
+        robots_gate_stream(urls, rules)
+        .writeStream.format("memory")
+        .queryName("robots_gate_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rgs"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.host, r.path): (r.allowed, r.matched, r.crawl_delay_ms)
+            for r in spark.sql(
+                "select * from robots_gate_stream"
+            ).collect()
+        }
+        assert got[("a.org", "/p/1")] == (1, "none", 2000)
+        assert got[("a.org", "/p/priv/7")] == (0, "/p/priv*", 2000)
+        # Allow wins by LENGTH over the /p/priv* wildcard
+        assert got[("a.org", "/p/private-ok")] == (
+            1, "/p/private-ok$", 2000
+        )
+        # rule-less host: allowed, delay surfaced as -1-free None?
+        # extract_robots_rules yields a pattern-NULL row with NULL
+        # delay -> coalesced to -1
+        assert got[("open.org", "/anything")] == (1, "none", -1)
+        # host with NO robots row at all: allowed (left join miss)
+        assert got[("unknown.org", "/x")] == (1, "none", -1)
+        # a late frontier file is gated by the NEXT micro-batch
+        put("b2.json", [{"host": "a.org", "path": "/p/priv/late"}])
+        q.processAllAvailable()
+        got2 = {
+            (r.host, r.path): (r.allowed, r.matched)
+            for r in spark.sql(
+                "select * from robots_gate_stream"
+            ).collect()
+        }
+        assert got2[("a.org", "/p/priv/late")] == (0, "/p/priv*")
+        assert len(got2) == 6
+    finally:
+        q.stop()
