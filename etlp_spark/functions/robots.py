@@ -105,7 +105,9 @@ def parse_robots(text: "str | None", agent: str = "*") -> dict:
             # absurd) delays are parse damage, counted not crashed
             try:
                 secs = float(val)
-                if not math.isfinite(secs) or abs(secs) > 86_400_000:
+                # > 1 day is not a politeness delay, it is damage
+                # (and 'Infinity' would overflow the ms conversion)
+                if not math.isfinite(secs) or abs(secs) > 86_400:
                     raise ValueError(val)
                 cur_delay = int(secs * 1000)
             except (ValueError, OverflowError):
