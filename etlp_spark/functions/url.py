@@ -67,7 +67,11 @@ def _normalize_pct(u: "Column") -> "Column":
     two chars are hex is an encoding — decode it when the octet is
     an UNRESERVED character (ALPHA / DIGIT / ``-._~``), else re-emit
     with UPPERCASE hex; a piece not starting with two hex digits
-    keeps its literal ``%``. The head piece passes through."""
+    keeps its literal ``%``. The head piece passes through.
+
+    Cost note: the fold is linear in the number of ``%`` signs; the
+    caller guards with ``contains('%')`` so %-free URLs never build
+    the array at all."""
     parts = F.split(u, "%", -1)
     head = F.element_at(parts, 1)
     rest = F.slice(
@@ -407,10 +411,12 @@ def registrable_domain(col: "Column | str") -> "Column":
     by last-two-labels calls every ``*.co.uk`` one site). Longest
     matching suffix from ``PUBLIC_SUFFIXES`` + one label; a host
     with no matching suffix falls back to its last two labels; a
-    single-label host passes through. Pure JVM column work: the
-    suffix scan is a fold over a constant array, the label math is
-    split/slice."""
+    single-label host passes through; a ``:port`` suffix is stripped
+    first (real frontier host columns carry them). Pure JVM column
+    work: the suffix scan is a fold over a constant array, the label
+    math is split/slice."""
     host = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
+    host = F.regexp_replace(host, r":\d+$", "")
     sufs = F.array(*[F.lit(s) for s in PUBLIC_SUFFIXES])
     best = F.aggregate(
         sufs,

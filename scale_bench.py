@@ -805,7 +805,11 @@ def _warc_stream_study(
         progress = q.recentProgress
         # numInputRows is SOURCE rows = files for binaryFile (the
         # record explosion happens downstream of the source metric);
-        # it cross-checks file accounting, not record counts
+        # it cross-checks file accounting, not record counts.
+        # CAVEAT: recentProgress retains only the LAST ~100 batches
+        # (spark.sql.streaming.numRecentProgressUpdates), so with
+        # >100 micro-batches this undercounts and `batches` reads
+        # ~100; files/sec is wall-clock based and unaffected
         n_src = sum(int(p["numInputRows"]) for p in progress)
         out[f"mft_{k}"] = {
             "sec": round(wall, 3),

@@ -3623,6 +3623,9 @@ def test_canonical_url_cases(spark):
         ("http://ex.com/x%", "http://ex.com/x%"),
         ("http://ex.com/a%%41", "http://ex.com/a%A"),
         ("http://ex.com/p?k=%3d&a=%2E", "http://ex.com/p?a=.&k=%3D"),
+        # multi-byte UTF-8 pairs are RESERVED-range octets: never
+        # decoded, hex uppercased only
+        ("http://ex.com/caf%c3%a9", "http://ex.com/caf%C3%A9"),
         ("not a url", None),
         ("", None),
         ("relative/path?a=1", None),
@@ -4116,6 +4119,13 @@ def test_parse_sitemap_deterministic_cases():
         "<urlset><url></url><junk/><url><loc>ok</loc></url></urlset>"
     )
     assert p["entries"] == [("ok", None)] and p["clean"] == 0
+    # protocol extras (changefreq/priority) are ignored, not damage;
+    # XML comments are dropped by the stdlib parser, not elements
+    q = parse_sitemap(
+        "<urlset><!-- c --><url><loc>u</loc><changefreq>daily"
+        "</changefreq><priority>0.8</priority></url></urlset>"
+    )
+    assert q["entries"] == [("u", None)] and q["clean"] == 1
 
 
 def test_parse_sitemap_generator_roundtrip():
@@ -4302,6 +4312,10 @@ def test_registrable_domain_cases(spark):
         ("localhost", "localhost"),
         # host IS a bare suffix
         ("co.uk", "co.uk"),
+        # :port stripped before matching (frontier host columns
+        # carry them)
+        ("sub.example.com:8080", "example.com"),
+        ("example.co.uk:443", "example.co.uk"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
     got = [
