@@ -334,7 +334,13 @@ def resolve_redirects(
 
     Every iteration is one equi-join shuffle of the frontier-sized
     pointer table; the loop is DRIVER-SIDE control flow over a fixed
-    ``max_doublings`` (no data-dependent collect)."""
+    ``max_doublings`` (no data-dependent collect). Each round ends
+    in an EAGER ``localCheckpoint`` — the connected-components /
+    PageRank discipline (functions/dedup.py:365, graph.py): the
+    doubling consumes CUR on BOTH join sides, so without pinning the
+    lineage (and the physical plan) doubles per round — 2^K copies
+    of the input scan by K=4 — and at 100 TB the recomputation, not
+    the join, becomes the cost."""
     from pyspark.sql import functions as _F
 
     cur = df.select(
@@ -345,6 +351,7 @@ def resolve_redirects(
         _F.lit(False).alias("dangled"),
     )
     for _ in range(max_doublings):
+        cur = cur.localCheckpoint(eager=True)
         nxt = cur.select(
             _F.col("u").alias("n_u"), _F.col("tgt").alias("n_tgt"),
             _F.col("done").alias("n_done"),
