@@ -4328,3 +4328,124 @@ def test_registrable_domain_cases(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_resolve_url_against_stdlib_urljoin(spark):
+    """Property: resolve_url agrees with stdlib urllib.parse.urljoin
+    (an INDEPENDENT RFC 3986 §5 implementation) on generated
+    (base, ref) pairs within the documented contract: hierarchical
+    http(s) refs only (non-hierarchical schemes resolve to NULL by
+    design), and bases/refs without '//' runs or trailing-dot
+    segments (the §5.2.4 fold DOCUMENTS duplicate/trailing-slash
+    folding as a canonical-contract side effect urljoin does not
+    share)."""
+    from urllib.parse import urljoin
+
+    from hypothesis import given, settings, strategies as st
+
+    from etlp_spark.functions.url import resolve_url
+
+    seg = st.sampled_from(["a", "b1", "x.html", "p-q", "Z"])
+    dots = st.sampled_from(["..", "."])
+
+    def path_of(parts):
+        return "/".join(parts)
+
+    base_st = st.builds(
+        lambda host, parts, f: (
+            f"http{'s' if f else ''}://{host}.example.org/"
+            + path_of(parts)
+        ),
+        st.sampled_from(["h0", "www.h1", "deep.sub.h2"]),
+        st.lists(seg, min_size=0, max_size=4),
+        st.booleans(),
+    )
+    ref_st = st.one_of(
+        # absolute
+        st.builds(
+            lambda h, p: f"http://{h}.other.org/" + path_of(p),
+            st.sampled_from(["r0", "r1"]),
+            st.lists(seg, max_size=3),
+        ),
+        # protocol-relative
+        st.builds(
+            lambda p: "//cdn.example.org/" + path_of(p),
+            st.lists(seg, max_size=3),
+        ),
+        # root-relative
+        st.builds(lambda p: "/" + path_of(p), st.lists(seg, max_size=3)),
+        # path-relative with dot segments
+        st.builds(
+            lambda d, p: path_of(list(d) + list(p)) or "x",
+            st.lists(dots, max_size=2),
+            st.lists(seg, min_size=1, max_size=3),
+        ),
+        # query-only
+        st.builds(lambda n: f"?page={n}", st.integers(0, 9)),
+    )
+
+    pairs: list = []
+
+    @settings(max_examples=120, deadline=None)
+    @given(base=base_st, ref=ref_st)
+    def collect(base, ref):
+        pairs.append((base, ref))
+
+    collect()
+    df = spark.createDataFrame(pairs, "base string, ref string")
+    got = [
+        r["out"]
+        for r in df.select(
+            resolve_url("base", "ref").alias("out")
+        ).collect()
+    ]
+    for (base, ref), mine in zip(pairs, got):
+        expect = urljoin(base, ref)
+        # urljoin keeps the fragmentless form here by construction;
+        # our contract strips nothing at resolve time for these refs
+        assert mine == expect, (base, ref, mine, expect)
+
+
+def test_canonical_url_idempotent_property(spark):
+    """Property: canonical_url is idempotent over generated URLs
+    carrying every junk class at once (case, default ports, tracking
+    params, fragments, trailing slashes, percent encodings)."""
+    from hypothesis import given, settings, strategies as st
+
+    from etlp_spark.functions.url import canonical_url
+
+    url_st = st.builds(
+        lambda sch, host, port, segs, pct, q, frag: (
+            sch + "://" + host + port + "/" + "/".join(segs + [pct])
+            + q + frag
+        ),
+        st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+        st.sampled_from(["Ex.COM", "www.ex.org", "A.B.ex.net"]),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.lists(st.sampled_from(["p", "Q2", "x.y"]), max_size=3),
+        st.sampled_from(["u%7e", "%41z", "s%2fx", "%zz", "plain"]),
+        st.sampled_from(
+            ["", "?b=2&a=1", "?utm_source=x&k=1", "?a=%3d"]
+        ),
+        st.sampled_from(["", "#frag"]),
+    )
+
+    urls: list = []
+
+    @settings(max_examples=150, deadline=None)
+    @given(u=url_st)
+    def collect(u):
+        urls.append(u)
+
+    collect()
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = [
+        r["c"] for r in df.select(canonical_url("url").alias("c")).collect()
+    ]
+    df2 = spark.createDataFrame([(c,) for c in once], "url string")
+    twice = [
+        r["c"] for r in df2.select(canonical_url("url").alias("c")).collect()
+    ]
+    for u, a, b in zip(urls, once, twice):
+        assert a == b, (u, a, b)
+        assert a is not None, u
