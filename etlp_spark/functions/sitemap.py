@@ -43,7 +43,7 @@ if TYPE_CHECKING:  # pragma: no cover - typing only
     import pandas as pd
     from pyspark.sql import DataFrame
 
-__all__ = ["parse_sitemap", "extract_sitemap_entries"]
+__all__ = ["parse_sitemap", "extract_sitemap_entries", "walk_sitemaps"]
 
 
 def _local(tag: str) -> str:
@@ -144,3 +144,88 @@ def extract_sitemap_entries(
             )
 
     return df.mapInPandas(kernel, schema)
+
+
+def walk_sitemaps(
+    store: "DataFrame",
+    seeds: "DataFrame",
+    *,
+    max_depth: int = 2,
+    id_col: str = "url",
+    xml_col: str = "xml",
+) -> "DataFrame":
+    """Bounded multi-level sitemap walk — the generalization of the
+    one-level composition x159 does inline: starting from robots
+    ``Sitemap:`` seed URLs, repeatedly join the fetched-document
+    ``store`` (``id_col``/``xml_col``), parse, collect urlset
+    entries, and feed ``sitemapindex`` child references into the
+    next level. The walk NEVER fetches; ``max_depth`` is
+    driver-side control flow over a constant (sitemaps.org practice
+    is index→urlset, so 2 covers real sites; an index-of-indexes
+    needs 3).
+
+    Output: one row per outcome —
+    ``(id_col, loc, lastmod, kind, depth)`` where ``kind`` is
+    ``'url'`` (a seed URL from a urlset, the frontier feed),
+    ``'damaged'`` (that document failed to parse — the loc-NULL
+    sentinel), ``'unfetched'`` (a referenced sitemap absent from
+    the store — at crawl scale this IS the next fetch list), or
+    ``'unexpanded'`` (an index reference still unexpanded when
+    ``max_depth`` ran out — depth starvation is reported, never
+    silent). Accounting is total: every seed and every discovered
+    reference lands in exactly one kind.
+
+    Scale shape: the store and every level are SITES-sized, so each
+    level is one broadcast join + one scan-stage Arrow parse; the
+    levels chain linearly (no self-join — no lineage doubling, no
+    checkpoint needed)."""
+    from pyspark.sql import functions as F
+
+    def out_row(df, loc, lastmod, kind: str, depth: int):
+        return df.select(
+            F.col(id_col),
+            loc.alias("loc"),
+            lastmod.alias("lastmod"),
+            F.lit(kind).alias("kind"),
+            F.lit(depth).alias("depth"),
+        )
+
+    null_s = F.lit(None).cast("string")
+    parts = []
+    level = seeds.select(id_col).distinct()
+    for depth in range(max_depth):
+        fetched = level.join(F.broadcast(store), id_col, "left")
+        parts.append(
+            out_row(
+                fetched.where(F.col(xml_col).isNull()),
+                null_s, null_s, "unfetched", depth,
+            )
+        )
+        parsed = extract_sitemap_entries(
+            fetched.where(F.col(xml_col).isNotNull()), id_col, xml_col
+        )
+        parts.append(
+            out_row(
+                parsed.where(F.col("kind") == "urlset"),
+                F.col("loc"), F.col("lastmod"), "url", depth,
+            )
+        )
+        parts.append(
+            out_row(
+                parsed.where(F.col("kind") == ""),
+                null_s, null_s, "damaged", depth,
+            )
+        )
+        level = (
+            parsed.where(
+                (F.col("kind") == "sitemapindex")
+                & F.col("loc").isNotNull()
+            )
+            .select(F.col("loc").alias(id_col))
+            .distinct()
+        )
+    parts.append(out_row(level, null_s, null_s, "unexpanded", max_depth))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

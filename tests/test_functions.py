@@ -4449,3 +4449,59 @@ def test_canonical_url_idempotent_property(spark):
     for u, a, b in zip(urls, once, twice):
         assert a == b, (u, a, b)
         assert a is not None, u
+
+
+def test_walk_sitemaps_bounded(spark):
+    """walk_sitemaps: total accounting across kinds — urlset entries
+    at each depth become 'url' rows, a missing store document is
+    'unfetched', a broken one is 'damaged', and index references
+    alive past max_depth are 'unexpanded' (starvation reported,
+    never silent)."""
+    from etlp_spark.functions.sitemap import walk_sitemaps
+
+    store = spark.createDataFrame(
+        [
+            ("https://s/idx.xml",
+             "<sitemapindex>"
+             "<sitemap><loc>https://s/a.xml</loc></sitemap>"
+             "<sitemap><loc>https://s/idx2.xml</loc></sitemap>"
+             "<sitemap><loc>https://s/missing.xml</loc></sitemap>"
+             "<sitemap><loc>https://s/bad.xml</loc></sitemap>"
+             "</sitemapindex>"),
+            ("https://s/a.xml",
+             "<urlset><url><loc>https://s/u1</loc>"
+             "<lastmod>2026-04-01</lastmod></url></urlset>"),
+            ("https://s/idx2.xml",
+             "<sitemapindex><sitemap><loc>https://s/b.xml</loc>"
+             "</sitemap></sitemapindex>"),
+            ("https://s/b.xml",
+             "<urlset><url><loc>https://s/u2</loc></url></urlset>"),
+            ("https://s/bad.xml", "garbage <<<"),
+            ("https://s/direct.xml",
+             "<urlset><url><loc>https://s/u0</loc></url></urlset>"),
+        ],
+        "url string, xml string",
+    )
+    seeds = spark.createDataFrame(
+        [("https://s/idx.xml",), ("https://s/direct.xml",)],
+        "url string",
+    )
+    out = walk_sitemaps(store, seeds, max_depth=2)
+    rows = {
+        (r["kind"], r["url"], r["loc"], r["depth"])
+        for r in out.collect()
+    }
+    assert ("url", "https://s/direct.xml", "https://s/u0", 0) in rows
+    assert ("url", "https://s/a.xml", "https://s/u1", 1) in rows
+    assert ("unfetched", "https://s/missing.xml", None, 1) in rows
+    assert ("damaged", "https://s/bad.xml", None, 1) in rows
+    # idx2 -> b.xml discovered at depth 1, unexpanded at cutoff 2
+    assert ("unexpanded", "https://s/b.xml", None, 2) in rows
+    assert len(rows) == 5
+    # depth 3 expands it
+    out3 = {
+        (r["kind"], r["loc"])
+        for r in walk_sitemaps(store, seeds, max_depth=3).collect()
+    }
+    assert ("url", "https://s/u2") in out3
+    assert not any(k == "unexpanded" for k, _ in out3)
