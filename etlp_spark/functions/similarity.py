@@ -51,6 +51,62 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------
+# SQL-text expression builders (perf r17, guide §1.2 step 2 "per-task
+# work" applied to the DRIVER: the literal-centroid fold expressions
+# below used to be built Column-by-Column — one py4j round-trip per
+# F.lit/F.array/F.zip_with call, ~2300 round-trips ≈ 5.6 s of pure
+# driver time for x94's plan CONSTRUCTION alone, measured in
+# plans/r17/). Rendering the identical expression as ONE SQL string
+# and parsing it JVM-side with a single F.expr call collapses that to
+# ~5 ms. The parsed Catalyst tree is the same operator-for-operator
+# (zip_with → aggregate left fold, double literals via shortest
+# round-trip repr, which the SQL lexer parses back to the identical
+# IEEE double), so every emitted value is bit-equal to the Column
+# form — verified by tests/test_functions.py and the per-query
+# oracles. Fast path requires the vector as a SQL expression string;
+# Column inputs keep the original builder.
+# ---------------------------------------------------------------------
+
+
+def _dlit(x: float) -> str:
+    """Shortest round-trip double literal for the SQL parser ('D'
+    suffix keeps the lexer in DOUBLE, never DECIMAL)."""
+    return repr(float(x)) + "D"
+
+
+def _arr_sql(vals) -> str:
+    return "array(" + ",".join(_dlit(x) for x in vals) + ")"
+
+
+def _l2_fold_sql(vexpr: str, cent) -> str:
+    """Squared-L2 of ``vexpr`` (SQL text) to one literal centroid —
+    the exact zip_with→aggregate fold `_l2_sq_per_centroid` builds."""
+    return (
+        "aggregate(zip_with(" + vexpr + "," + _arr_sql(cent)
+        + ",(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b))"
+        + ", 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _dot_fold_sql(vexpr: str, other: str) -> str:
+    """Ordered-fold dot product in DOUBLE — the exact fold `dot`
+    builds, as SQL text."""
+    return (
+        "aggregate(zip_with(" + vexpr + "," + other
+        + ",(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+        + ", 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _vexpr_sql(vec_col) -> str | None:
+    """SQL text for a vector column given as a plain name; None for
+    anything else (callers fall back to the Column builders)."""
+    if isinstance(vec_col, str):
+        return f"`{vec_col}`"
+    return None
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -171,7 +227,20 @@ def srp_bits(vec_col: Column | str, n_planes: int = 16, dims: int = 64) -> Colum
 
     Each plane is a literal array (md5 of literals → constant-folded
     by Catalyst), so per row this is n_planes ordered folds."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    vtxt = _vexpr_sql(vec_col)
+    if vtxt is not None:
+        # one SQL string, one py4j call (see the SQL-text builder note
+        # above) — the parsed tree is the identical CASE WHEN fold
+        bits_sql = ",".join(
+            "CASE WHEN ("
+            + _dot_fold_sql(
+                vtxt, _arr_sql(_plane_weight(j, d) for d in range(dims))
+            )
+            + ") > 0.0D THEN '1' ELSE '0' END"
+            for j in range(n_planes)
+        )
+        return F.expr(f"concat_ws('', {bits_sql})")
+    v = vec_col
     bits = []
     for j in range(n_planes):
         plane = F.array(*[F.lit(_plane_weight(j, d)) for d in range(dims)])
@@ -335,9 +404,10 @@ def ivf_train(df: DataFrame, k: int = 8, iters: int = 2,
     across engines, so x12's end-to-end IVF value-matches a DuckDB
     replay of the same Lloyd rounds.
     """
-    dims = len(df.select(vec_col).first()[0])
+    # dims rides the init collect — one bounded driver action, not two
     init = [list(r[1]) for r in df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()]
     centroids = [[float(x) for x in c] for c in init]
+    dims = len(centroids[0])
     for _ in range(iters):
         assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
         sums = (
@@ -386,20 +456,26 @@ def ivf_min_d2(vec_col: Column | str, centroids: list[list[float]]) -> Column:
     audit (mean distortion growing vs a fresh index = retrain
     signal). min over doubles is order-independent, so any engine's
     min over the same fold values agrees exactly."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return F.array_min(F.array(*_l2_sq_per_centroid(v, centroids)))
+    vtxt = _vexpr_sql(vec_col)
+    if vtxt is not None:
+        arr = "array(" + ",".join(_l2_fold_sql(vtxt, c) for c in centroids) + ")"
+        return F.expr(f"array_min({arr})")
+    return F.array_min(F.array(*_l2_sq_per_centroid(vec_col, centroids)))
 
 
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid cell (argmin L2²).
     Centroids ride as literal arrays — no join, no shuffle."""
-    v = F.col(vec_col)
-    d2s = _l2_sq_per_centroid(v, centroids)
-    best = F.array_position(
-        F.array(*d2s), F.array_min(F.array(*d2s))
-    ) - 1  # 1-based → 0-based cell id
-    return df.select(F.col(id_col), v.alias(vec_col), best.cast("int").alias("cell"))
+    # SQL-text fast path (see the builder note above): same argmin
+    # tree, one py4j call instead of ~550
+    arr = (
+        "array("
+        + ",".join(_l2_fold_sql(f"`{vec_col}`", c) for c in centroids)
+        + ")"
+    )
+    best = F.expr(f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)")
+    return df.select(F.col(id_col), F.col(vec_col), best.alias("cell"))
 
 
 def pq_codes(
@@ -424,7 +500,8 @@ def pq_codes(
     shuffle; encoding runs at scan speed (exactly ``ivf_assign``
     per subspace). ``keep_cols`` pass through unchanged — so cell
     assignment + encoding compose in ONE scan (the IVF-PQ layout)."""
-    v = F.col(vec_col)
+    # SQL-text fast path (see the builder note above): identical
+    # argmin-per-subspace tree, ~10 py4j calls instead of ~700
     out_cols = [F.col(id_col), *(F.col(c) for c in keep_cols)]
     err_terms = []
     offset = 0  # cumulative — books may have different subdims
@@ -435,26 +512,22 @@ def pq_codes(
                 f"codebook {s} has centroids of mixed dims; all centroids "
                 "in one book must share the book's subvector dim"
             )
-        sub = F.slice(v, offset + 1, subdim)
+        sub = f"slice(`{vec_col}`, {offset + 1}, {subdim})"
         offset += subdim
-        d2s = []
-        for cent in book:
-            carr = F.array(*[F.lit(float(x)) for x in cent])
-            diff2 = F.zip_with(
-                sub, carr,
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        darr = (
+            "array("
+            + ",".join(
+                _l2_fold_sql(sub, [float(x) for x in cent]) for cent in book
             )
-            d2s.append(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
-        darr = F.array(*d2s)
-        dmin = F.array_min(darr)
-        out_cols.append(
-            (F.array_position(darr, dmin) - 1).cast("int").alias(f"code_{s}")
+            + ")"
         )
-        err_terms.append(dmin)
-    err = err_terms[0]
-    for t in err_terms[1:]:
-        err = err + t
-    out_cols.append(err.alias("recon_err"))
+        out_cols.append(
+            F.expr(
+                f"CAST(array_position({darr}, array_min({darr})) - 1 AS INT)"
+            ).alias(f"code_{s}")
+        )
+        err_terms.append(f"array_min({darr})")
+    out_cols.append(F.expr(" + ".join(err_terms)).alias("recon_err"))
     return df.select(*out_cols)
 
 
@@ -526,20 +599,23 @@ def pq_adc_topk(
     corpus never shuffles; per-pair work is m lookups over the
     broadcast row. At 100 TB the coded corpus is ~5 bytes/vector —
     the whole point."""
+    # SQL-text fast path (see the builder note above): identical
+    # per-subspace LUT fold tree, one py4j call per book
     luts = []
     for s, book in enumerate(codebooks):
         subdim = len(book[0])
         offset = sum(len(b[0]) for b in codebooks[:s])
-        sub = F.slice(F.col(vec_col), offset + 1, subdim)
-        ds = []
-        for cent in book:
-            carr = F.array(*[F.lit(float(x)) for x in cent])
-            diff2 = F.zip_with(
-                sub, carr,
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            )
-            ds.append(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
-        luts.append(F.array(*ds).alias(f"_lut_{s}"))
+        sub = f"slice(`{vec_col}`, {offset + 1}, {subdim})"
+        luts.append(
+            F.expr(
+                "array("
+                + ",".join(
+                    _l2_fold_sql(sub, [float(x) for x in cent])
+                    for cent in book
+                )
+                + ")"
+            ).alias(f"_lut_{s}")
+        )
     q = queries.select(F.col(id_col).alias("query_id"), *luts)
     c = coded.select(
         F.col(id_col).alias("cand_id"),

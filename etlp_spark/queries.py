@@ -8776,7 +8776,7 @@ def x92_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ua", "ub")
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
         .where(F.col("shared") >= 3)
-        .localCheckpoint()  # multi-consumer pin: degree agg + ori join
+        .localCheckpoint(eager=True)  # multi-consumer pin: degree agg + ori join
     )
     deg = (
         pairs.select(F.col("ua").alias("u"))
@@ -8798,7 +8798,7 @@ def x92_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             # total order the orientation used, so carry dst's degree
             F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
         )
-        .localCheckpoint()  # multi-consumer pin: fans into e1/e2/e3
+        .localCheckpoint(eager=True)  # multi-consumer pin: fans into e1/e2/e3
     )
     e1 = ori.select(
         F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dd").alias("bd")
@@ -8984,41 +8984,37 @@ def x94_ivf_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     q = emb.where(F.col("vec_id") < 5)
-    qv = F.col("embedding")
-    d2s = []
-    for c in cents:
-        carr = F.array(*[F.lit(x) for x in c])
-        diff2 = F.zip_with(
-            qv, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+    # SQL-text builders (similarity.py's py4j-chatter note): the
+    # probe argsort and per-subspace LUT folds are rendered as SQL
+    # strings — identical Catalyst trees, ~6 py4j calls instead of
+    # ~1200 (x94's plan construction alone measured 5.6 s before)
+    from etlp_spark.functions.similarity import _l2_fold_sql
+
+    probe_txt = (
+        "slice(array_sort(array("
+        + ",".join(
+            f"struct({_l2_fold_sql('`embedding`', c)} AS d,"
+            f" CAST({i} AS INT) AS cid)"
+            for i, c in enumerate(cents)
         )
-        d2s.append(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
-    probe = F.slice(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(d.alias("d"), F.lit(i).cast("int").alias("cid"))
-                    for i, d in enumerate(d2s)
-                ]
-            )
-        ),
-        1,
-        2,
+        + ")), 1, 2)"
     )
     luts = []
     for s, book in enumerate(books):
-        sub = F.slice(qv, s * 16 + 1, 16)
-        ds = []
-        for cent in book:
-            carr = F.array(*[F.lit(float(x)) for x in cent])
-            diff2 = F.zip_with(
-                sub, carr,
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            )
-            ds.append(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
-        luts.append(F.array(*ds).alias(f"lut_{s}"))
+        sub = f"slice(`embedding`, {s * 16 + 1}, 16)"
+        luts.append(
+            F.expr(
+                "array("
+                + ",".join(
+                    _l2_fold_sql(sub, [float(x) for x in cent])
+                    for cent in book
+                )
+                + ")"
+            ).alias(f"lut_{s}")
+        )
     qp = q.select(
         F.col("vec_id").alias("query_id"),
-        F.explode(F.transform(probe, lambda p: p.cid)).alias("cell"),
+        F.explode(F.expr(f"transform({probe_txt}, p -> p.cid)")).alias("cell"),
         *luts,
     )
     adc = None
@@ -9444,7 +9440,7 @@ def x98_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     mc = (
         sets.groupBy("ss")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=True)
     )
     srcs = (
         mc.select(F.explode("ss").alias("source")).distinct().coalesce(1)
@@ -10345,13 +10341,13 @@ def x107_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     deg = dirs.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    ed = dirs.join(deg, "src").select("src", "dst", "d").localCheckpoint()
-    nodes = ed.select(F.col("src").alias("v")).distinct().localCheckpoint()
+    ed = dirs.join(deg, "src").select("src", "dst", "d").localCheckpoint(eager=True)
+    nodes = ed.select(F.col("src").alias("v")).distinct().localCheckpoint(eager=True)
     ncnt = nodes.agg(F.count(F.lit(1)).cast("long").alias("nn"))
     r = (
         nodes.crossJoin(F.broadcast(ncnt))
         .select("v", F.expr("1000000000000 div nn").cast("long").alias("r"))
-        .localCheckpoint()
+        .localCheckpoint(eager=True)
     )
     for _ in range(3):
         contrib = (
@@ -10373,7 +10369,7 @@ def x107_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("r"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=True)
         )
     top = r.orderBy(F.col("r").desc(), "v").limit(20)
     w = Window.orderBy(F.col("r").desc(), F.col("v"))
@@ -10903,7 +10899,7 @@ def x113_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = (
         s1.crossJoin(F.broadcast(m1))
         .select("dim", F.expr("(s * 1000000) div m").cast("long").alias("v_e6"))
-        .localCheckpoint()  # 64 rows; multi-consumer (y2 join + output)
+        .localCheckpoint(eager=True)  # 64 rows; multi-consumer (y2 join + output)
     )
     y2 = (
         emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
@@ -12722,13 +12718,13 @@ def x128_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = cooccurrence_edges(
         pres, "user_id", ("event_type", "hb"), min_shared=3, max_bucket=32
-    ).localCheckpoint()  # multi-consumer: degree agg + orientation join
+    ).localCheckpoint(eager=True)  # multi-consumer: degree agg + orientation join
     deg = (
         pairs.select(F.col("a").alias("u"))
         .unionAll(pairs.select(F.col("b").alias("u")))
         .groupBy("u")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .localCheckpoint()  # multi-consumer: orientation + final join
+        .localCheckpoint(eager=True)  # multi-consumer: orientation + final join
     )
     da = deg.select(F.col("u").alias("ua"), F.col("d").alias("da"))
     db = deg.select(F.col("u").alias("ub"), F.col("d").alias("db"))
@@ -12744,7 +12740,7 @@ def x128_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
             F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
         )
-        .localCheckpoint()  # fans into e1/e2/e3
+        .localCheckpoint(eager=True)  # fans into e1/e2/e3
     )
     e1 = ori.select(
         F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dd").alias("bd")
