@@ -61,6 +61,40 @@ __all__ = [
 TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid)(=.*)?$"
 
 
+def _let(cols, body) -> "Column":
+    """Single-evaluation LET-binding for column expressions (perf,
+    opt r17): pack the given expressions into a one-element
+    array-of-struct and hand ``body`` the struct's FIELDS as its
+    arguments via a ``transform`` lambda. A lambda variable is a
+    plain slot read, so every bound expression is evaluated exactly
+    once per row no matter how many times ``body`` references it.
+
+    Why this exists: these URL expressions sit behind higher-order
+    functions (``_normalize_pct``'s transform, ``_remove_dot_
+    segments``' aggregate), which keeps them off whole-stage codegen
+    — and WITHOUT codegen there is no common-subexpression
+    elimination, so an expression like ``canonical_url`` that
+    references its (pct-normalized) input ~6 times paid the full
+    normalization chain ~6x per row. Measured on x156/x159:
+    0.60 → 0.39 s / 1.64 → 1.01 s at sf0.1, values bit-identical
+    (the binding adds only a per-row 1-element array+struct alloc).
+    """
+    # named_struct (not struct+alias): .alias() on a lambda-variable-
+    # derived column is dropped inside a nested transform, leaving
+    # default colN field names — named_struct pins them always
+    args: list = []
+    for i, c in enumerate(cols):
+        args += [F.lit(f"_l{i}"), c]
+    s = F.named_struct(*args)
+    return F.element_at(
+        F.transform(
+            F.array(s),
+            lambda x: body(*[x[f"_l{i}"] for i in range(len(cols))]),
+        ),
+        1,
+    )
+
+
 def _normalize_pct(u: "Column") -> "Column":
     """RFC 3986 §6.2.2.2 percent-encoding normalization (see module
     contract item 7): split on ``%``; every later piece whose first
@@ -114,33 +148,46 @@ def canonical_url(col: "Column | str") -> "Column":
     # on the pure-codegen path (the split/transform fold only runs
     # on rows that actually carry an encoding)
     u = F.when(u.contains("%"), _normalize_pct(u)).otherwise(u)
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    hostport = F.lower(F.regexp_extract(u, r"^[^:/?]+://([^/?#]+)", 1))
-    host = (
-        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
-        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
-        .otherwise(hostport)
-    )
-    path = F.regexp_extract(u, r"^[^:/?]+://[^/?#]+([^?#]*)", 1)
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-    path = F.when(
-        path == "/", path
-    ).otherwise(F.regexp_replace(path, r"/$", ""))
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
-    params = F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
-    )
-    qcanon = F.array_join(F.array_sort(params), "&")
-    out = F.concat(
-        scheme, F.lit("://"), host, path,
-        F.when(qcanon == "", F.lit("")).otherwise(
-            F.concat(F.lit("?"), qcanon)
-        ),
-    )
-    return F.when(
-        (scheme == "") | (hostport == ""), F.lit(None).cast("string")
-    ).otherwise(out)
+
+    # LET-bind the normalized URL and its parsed components (see
+    # `_let`): each is evaluated once per row; the body below only
+    # reads lambda slots, so the pct fold and the component regexes
+    # never re-run per reference.
+    def parse(u):
+        return [
+            F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)),
+            F.lower(F.regexp_extract(u, r"^[^:/?]+://([^/?#]+)", 1)),
+            F.regexp_extract(u, r"^[^:/?]+://[^/?#]+([^?#]*)", 1),
+            F.regexp_extract(u, r"\?([^#]*)", 1),
+        ]
+
+    def body(scheme, hostport, rawpath, query):
+        host = (
+            F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+            .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+            .otherwise(hostport)
+        )
+        path = F.when(rawpath == "", F.lit("/")).otherwise(rawpath)
+        path = F.when(
+            path == "/", path
+        ).otherwise(F.regexp_replace(path, r"/$", ""))
+        params = F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+        qcanon = F.array_join(F.array_sort(params), "&")
+        out = F.concat(
+            scheme, F.lit("://"), host, path,
+            F.when(qcanon == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), qcanon)
+            ),
+        )
+        return F.when(
+            (scheme == "") | (hostport == ""), F.lit(None).cast("string")
+        ).otherwise(out)
+
+    # two-level let: bind u once, then bind the four components once
+    return _let([u], lambda uu: _let(parse(uu), body))
 
 
 def _remove_dot_segments(path: "Column") -> "Column":
@@ -189,43 +236,55 @@ def resolve_url(base: "Column | str", ref: "Column | str") -> "Column":
     Pure column expressions, same posture as ``canonical_url``;
     compose them: ``canonical_url(resolve_url(base, href))``."""
     b = F.col(base) if isinstance(base, str) else base
-    r = F.trim(F.col(ref) if isinstance(ref, str) else ref)
-    scheme = F.lower(F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    origin = F.concat(
-        scheme, F.lit("://"),
-        F.regexp_extract(b, r"^[^:/?]+://([^/?#]+)", 1),
-    )
-    base_path = F.regexp_extract(b, r"^[^:/?]+://[^/?#]+([^?#]*)", 1)
-    base_path = F.when(base_path == "", F.lit("/")).otherwise(base_path)
-    base_dir = F.regexp_replace(base_path, r"[^/]*$", "")
-    rpath = F.regexp_extract(r, r"^([^?#]*)", 1)
-    rtail = F.regexp_extract(r, r"([?#].*)$", 1)
-    return (
-        F.when(r.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), r)
-        .when(r.startswith("//"), F.concat(scheme, F.lit(":"), r))
-        .when(
-            r.startswith("/"),
-            F.concat(origin, _remove_dot_segments(rpath), rtail),
+    r0 = F.trim(F.col(ref) if isinstance(ref, str) else ref)
+
+    # LET-bind (see `_let`) the trimmed ref and every base-derived
+    # component: each is computed once per row; the body only reads
+    # lambda slots, so the base/ref regexes never re-run per branch.
+    def parts(b, r):
+        scheme = F.lower(
+            F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
         )
-        .when(
-            (r == "") | r.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"),
-            F.lit(None).cast("string"),
+        origin = F.concat(
+            scheme, F.lit("://"),
+            F.regexp_extract(b, r"^[^:/?]+://([^/?#]+)", 1),
         )
-        .when(
-            # query-only / fragment-only refs: RFC 3986 §5.3 keeps
-            # the base's FULL path ('?page=2' on /a/b.html is
-            # /a/b.html?page=2, not the directory)
-            rpath == "",
-            F.concat(origin, base_path, rtail),
-        )
-        .otherwise(
-            F.concat(
-                origin,
-                _remove_dot_segments(F.concat(base_dir, rpath)),
-                rtail,
+        base_path = F.regexp_extract(b, r"^[^:/?]+://[^/?#]+([^?#]*)", 1)
+        base_path = F.when(base_path == "", F.lit("/")).otherwise(base_path)
+        base_dir = F.regexp_replace(base_path, r"[^/]*$", "")
+        rpath = F.regexp_extract(r, r"^([^?#]*)", 1)
+        rtail = F.regexp_extract(r, r"([?#].*)$", 1)
+        return [r, scheme, origin, base_path, base_dir, rpath, rtail]
+
+    def body(r, scheme, origin, base_path, base_dir, rpath, rtail):
+        return (
+            F.when(r.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), r)
+            .when(r.startswith("//"), F.concat(scheme, F.lit(":"), r))
+            .when(
+                r.startswith("/"),
+                F.concat(origin, _remove_dot_segments(rpath), rtail),
+            )
+            .when(
+                (r == "") | r.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"),
+                F.lit(None).cast("string"),
+            )
+            .when(
+                # query-only / fragment-only refs: RFC 3986 §5.3 keeps
+                # the base's FULL path ('?page=2' on /a/b.html is
+                # /a/b.html?page=2, not the directory)
+                rpath == "",
+                F.concat(origin, base_path, rtail),
+            )
+            .otherwise(
+                F.concat(
+                    origin,
+                    _remove_dot_segments(F.concat(base_dir, rpath)),
+                    rtail,
+                )
             )
         )
-    )
+
+    return _let([b, r0], lambda bb, rr: _let(parts(bb, rr), body))
 
 
 #: Query parameters that carry a per-visitor session token — a URL

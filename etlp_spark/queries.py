@@ -6830,10 +6830,43 @@ def r1_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components with per-round checkpointing is the scale
     path; a recursive CTE keeps the whole unrolled loop in ONE plan,
     which is exactly right for small/medium graphs and wrong for
-    100 TB ones — both shapes are covered, each where it belongs."""
+    100 TB ones — both shapes are covered, each where it belongs.
+
+    Perf (opt r17): Spark's UnionLoop inlines every CTE the
+    recursive step references, so the original verbatim form re-ran
+    the corpus scan + window + distinct INSIDE each iteration (the
+    executed plan carried two full copies of the edge pipeline —
+    plans/r17/r1_reachability_hops_before.txt). The edge set is now
+    pinned once (eager localCheckpoint, the engine's iterative-graph
+    discipline) and only the recursion runs in the WITH RECURSIVE
+    plan — one corpus pass total instead of one per hop, same rows
+    (the oracle still executes the single-statement form)."""
     ev = _t(spark, sf_dir, "events")
     ev.createOrReplaceTempView("r1_events")
-    return spark.sql(_R1_SQL.format(EVENTS="r1_events"))
+    edges = spark.sql(
+        """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_type
+          FROM r1_events)
+        SELECT DISTINCT event_type AS src, next_type AS dst
+        FROM seq WHERE next_type IS NOT NULL AND event_type <> next_type
+        """
+    ).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("r1_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE paths AS (
+          SELECT src AS start, dst AS node, 1 AS hops FROM r1_edges
+          UNION ALL
+          SELECT p.start, e.dst, p.hops + 1
+          FROM paths p JOIN r1_edges e ON p.node = e.src
+          WHERE p.hops < 3)
+        SELECT start, node AS dest, CAST(min(hops) AS BIGINT) AS min_hops
+        FROM paths GROUP BY start, node
+        """
+    )
 
 
 @_register(
@@ -9197,7 +9230,14 @@ def x96_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewriting only hit files; as a pure query the anti-join IS the
     apply. Reference: engine-added (SURVEY.md §2.2 relational/CDC
     family)."""
-    orders = _t_fanout(spark, sf_dir, "orders")
+    # Perf (opt r17, guide §2.4): the change feed used to be a
+    # 4-branch unionAll, each branch re-scanning (and re-fanning-out)
+    # orders — 5 scans + 5 Exchanges before the CDC window. One
+    # projection now emits each row's applicable ops as an array of
+    # conditional structs and explodes it: identical change-row SET
+    # (branch membership per key is unchanged), ONE scan, zero
+    # pre-window exchanges (plans/r17/x96_cdc_apply_latest_*.txt).
+    orders = _t(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100).cast("long")
     base = orders.where(F.col("o_orderkey") % 4 != 0).select(
         F.col("o_orderkey").alias("k"),
@@ -9205,20 +9245,33 @@ def x96_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("cents"),
     )
 
-    def feed(cond, op, seq, cents_col):
-        return orders.where(cond).select(
-            F.col("o_orderkey").alias("k"),
-            F.lit(op).alias("op"),
-            F.lit(seq).cast("long").alias("seq"),
-            F.col("o_orderstatus").alias("st"),
-            cents_col.cast("long").alias("cents"),
+    k = F.col("o_orderkey")
+
+    def ch(cond, op, seq, cents_col):
+        return F.when(
+            cond,
+            F.struct(
+                F.lit(op).alias("op"),
+                F.lit(seq).cast("long").alias("seq"),
+                cents_col.cast("long").alias("cents"),
+            ),
         )
 
     changes = (
-        feed(F.col("o_orderkey") % 4 == 0, "I", 1, cents)
-        .unionAll(feed(F.col("o_orderkey") % 4 == 1, "U", 2, cents + 7))
-        .unionAll(feed(F.col("o_orderkey") % 4 == 2, "D", 3, F.lit(0)))
-        .unionAll(feed(F.col("o_orderkey") % 12 == 1, "D", 5, F.lit(0)))
+        orders.select(
+            k.alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            F.explode(
+                F.array(
+                    ch(k % 4 == 0, "I", 1, cents),
+                    ch(k % 4 == 1, "U", 2, cents + 7),
+                    ch(k % 4 == 2, "D", 3, F.lit(0)),
+                    ch(k % 12 == 1, "D", 5, F.lit(0)),
+                )
+            ).alias("c"),
+        )
+        .where(F.col("c").isNotNull())
+        .select("k", "c.op", "c.seq", "st", "c.cents")
     )
     w = Window.partitionBy("k").orderBy(F.col("seq").desc(), "op")
     latest = (
@@ -10344,10 +10397,16 @@ def x107_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = dirs.join(deg, "src").select("src", "dst", "d").localCheckpoint(eager=True)
     nodes = ed.select(F.col("src").alias("v")).distinct().localCheckpoint(eager=True)
     ncnt = nodes.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    # Each rank iterate is SINGLE-consumer (next round's join), so a
+    # LAZY pin is race-free — it still cuts the DataFrame lineage at
+    # a LogicalRDD leaf, but skips the eager count() job per iterate
+    # (4 fewer driver actions; measured 3.43 → 3.14 s at sf0.1).
+    # ed/nodes stay EAGER: they fan into concurrent AQE stages every
+    # round, where a lazy pin lets the consumers race-recompute.
     r = (
         nodes.crossJoin(F.broadcast(ncnt))
         .select("v", F.expr("1000000000000 div nn").cast("long").alias("r"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(3):
         contrib = (
@@ -10369,7 +10428,7 @@ def x107_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # single-consumer iterate
         )
     top = r.orderBy(F.col("r").desc(), "v").limit(20)
     w = Window.orderBy(F.col("r").desc(), F.col("v"))
@@ -16546,12 +16605,22 @@ def x157_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", eff_base.alias("page_base"),
         F.explode("hrefs").alias("href"),
     )
+    # Perf (opt r17): resolve and canonicalize in SEPARATE
+    # projections. Composed as one expression,
+    # canonical_url(resolve_url(...)) inlines the whole resolve tree
+    # at every one of canonical's ~10 references to its input (HOF
+    # boundaries block codegen CSE), so each href paid the resolve
+    # regex chain ~10x — 6.5 s vs 1.0 s at sf0.1 measured. The
+    # staged alias is non-cheap and multiply-referenced, so
+    # CollapseProject keeps the boundary; rows are identical.
     return (
         links.select(
+            "media_id", resolve_url("page_base", "href").alias("resolved")
+        )
+        .select(
             "media_id",
             F.coalesce(
-                canonical_url(resolve_url("page_base", "href")),
-                F.lit("unresolved"),
+                canonical_url("resolved"), F.lit("unresolved")
             ).alias("canonical"),
         )
         .groupBy("canonical")
