@@ -191,21 +191,39 @@ def jaccard_pairs(
     df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (the verify step
-    after LSH blocking). Set sizes are ints → exact on any engine."""
-    sh = df.select(
-        F.col(id_col), word_shingles(text_col, n).alias("sh"), F.size(word_shingles(text_col, n)).alias("sz")
+    after LSH blocking). Set sizes are ints → exact on any engine.
+
+    Perf (opt r17): the shingle pipeline is built ONCE per row — the
+    old form evaluated ``word_shingles`` twice in one projection (for
+    the array and its size; the HOF zip_with keeps it off codegen and
+    therefore off CSE) and then once more per JOIN SIDE. The staged
+    size select and the persist make it one pass; the staged
+    intersection select likewise evaluates ``array_intersect`` once
+    per pair instead of twice (numerator + denominator)."""
+    sh = (
+        df.select(F.col(id_col), word_shingles(text_col, n).alias("sh"))
+        .select(F.col(id_col), "sh", F.size("sh").alias("sz"))
+        .persist()  # two consumers: the a and b join sides
     )
     a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         pairs.join(a, "a").join(b, "b")
         .select(
             "a",
             "b",
-            F.round(inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter), 6).alias(
-                "jaccard"
-            ),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("_i"),
+            "sz_a",
+            "sz_b",
+        )
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("_i").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("_i")),
+                6,
+            ).alias("jaccard"),
         )
     )
 

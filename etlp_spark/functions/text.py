@@ -385,16 +385,25 @@ def dsir_scores(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("term"),
     ).withColumn("b", hashed_bigram_bucket("term", buckets))
-    bi = bi.localCheckpoint(eager=True)  # 3 consumers: tgt, src, join-back
-    tgt = bi.where(F.col("_tgt")).groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
-    src = bi.groupBy("b").agg(F.count(F.lit(1)).alias("sc"))
-    # sum() over an EMPTY target slice is NULL, which would propagate
-    # through log/floor into silently all-NULL scores — a mis-specified
-    # is_target predicate must fail loudly instead (in-plan, so no
-    # extra driver-side action is spent on the check)
-    nt = tgt.agg(
+    bi = bi.localCheckpoint(eager=True)  # 2 consumers: dist, join-back
+    # Perf (opt r17, guide §2.3 "aggregate before you shuffle"): the
+    # target and source distributions used to be TWO aggregations
+    # over bi plus a left join to align them; one aggregation now
+    # carries both counts (tc = conditional count of the target
+    # slice), removing a full pass over the bigram frame, one
+    # shuffle, and the src-tgt join. A bucket with no target rows
+    # gets tc = 0 — exactly what coalesce(tc, 0) produced before.
+    dist = bi.groupBy("b").agg(
+        F.count(F.lit(1)).alias("sc"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tc"),
+    )
+    # A zero total target count means is_target matched NOTHING — a
+    # mis-specified predicate must fail loudly instead of silently
+    # producing the degenerate all-source distribution (in-plan, so
+    # no extra driver-side action is spent on the check)
+    nt = dist.agg(
         F.when(
-            F.sum("tc").isNull(),
+            F.coalesce(F.sum("tc"), F.lit(0)) == 0,
             F.raise_error(
                 F.lit(
                     "dsir_scores: is_target matched zero rows — the "
@@ -405,10 +414,9 @@ def dsir_scores(
         .otherwise(F.sum("tc"))
         .alias("t_total")
     )
-    ns = src.agg(F.sum("sc").alias("s_total"))
+    ns = dist.agg(F.sum("sc").alias("s_total"))
     lscore = (
-        src.join(tgt, "b", "left")
-        .join(F.broadcast(nt))
+        dist.join(F.broadcast(nt))
         .join(F.broadcast(ns))
         .select(
             "b",
@@ -416,7 +424,7 @@ def dsir_scores(
                 F.floor(
                     1000000.0
                     * F.log(
-                        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                        (F.col("tc") + 1.0)
                         / (F.col("t_total") + buckets)
                     )
                 )

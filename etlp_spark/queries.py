@@ -4660,7 +4660,12 @@ def x42_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t_fanout(spark, sf_dir, "documents")
     sigs = minhash_signature(docs, k=_MINHASH_K, n=3)
-    est = lsh_candidates(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=50)
+    # est has TWO consumers (the verify's pair list + the final
+    # estimate join) — pin it, else the banding self-join recomputes
+    # per consumer (opt r17; candidate-pair-sized at any scale)
+    est = lsh_candidates(
+        sigs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=50
+    ).localCheckpoint(eager=True)
     exact = jaccard_pairs(docs, est.select("a", "b"), n=3)
     return est.join(exact, ["a", "b"]).select(
         "a", "b", "est_jaccard",
@@ -7484,25 +7489,26 @@ def x71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5)
     cands = emb.where(F.col("vec_id") >= 5)
     exact = cosine_topk(queries, cands, k=10)
-    qb = srp_buckets(queries, n_planes=8).select(
-        F.col("vec_id").alias("query_id"), "bucket"
-    )
-    cb = srp_buckets(cands, n_planes=8).select(
-        F.col("vec_id").alias("cand_id"), "bucket"
-    )
-    # bucket-restricted candidates, then the SAME exact rerank inside
-    from etlp_spark.functions.similarity import dot, norm
+    # bucket-restricted candidates, then the SAME exact rerank inside.
+    # Perf (opt r17, guide §2.4): the bucket used to be computed in a
+    # separate srp_buckets frame and JOINED back onto the same rows —
+    # a self-join (and its exchanges) to attach a column the select
+    # can compute in place. srp_bits here is the identical expression
+    # srp_buckets builds, so the values are unchanged.
+    from etlp_spark.functions.similarity import dot, norm, srp_bits
 
     qq = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         norm(F.col("embedding")).alias("qn"),
-    ).join(qb, "query_id")
+        srp_bits("embedding", n_planes=8).alias("bucket"),
+    )
     cc = cands.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cv"),
         norm(F.col("embedding")).alias("cn"),
-    ).join(cb, "cand_id")
+        srp_bits("embedding", n_planes=8).alias("bucket"),
+    )
     ann_scored = F.broadcast(qq).join(cc, "bucket").select(
         "query_id",
         "cand_id",
