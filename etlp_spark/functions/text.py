@@ -13,6 +13,7 @@ surface (SURVEY.md §7 M7).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
@@ -254,7 +255,15 @@ def char_shingles(col: Column | str, n: int = 5) -> Column:
     O(n·len) — the obvious substring-at-every-position form is
     O(len²) because substring on UTF8String re-scans for char
     boundaries from the front (measured ~30× slower at ~300-char
-    docs; the gap widens with doc length)."""
+    docs; the gap widens with doc length).
+
+    An Arrow-kernel form (the ``winnow_fingerprints`` §4.2
+    treatment) was tried in the r17 optimization round and REJECTED
+    by measurement: unlike winnowing's compact int64 hash arrays,
+    the output here is ~len small STRINGS per row, and shipping 6M
+    5-char strings back across the Arrow boundary cost more than the
+    interpreted ``zip_with`` it saved (x13 exec 0.77 → 1.20 s at
+    sf0.1, same session)."""
     c = F.col(col) if isinstance(col, str) else col
     norm = F.array_join(tokens(c), " ")
     chars = F.split(norm, "")
@@ -275,6 +284,59 @@ WINNOW_B = 257
 WINNOW_P = 1000000007
 
 
+#: Lazily-built pandas_udf per (k, w) — pandas_udf registration needs
+#: a live session, and one compiled kernel per parameter pair lets a
+#: bench/service reuse it across queries.
+_WINNOW_UDFS: dict = {}
+
+
+def _winnow_udf(k: int, w: int):
+    if (k, w) in _WINNOW_UDFS:
+        return _WINNOW_UDFS[(k, w)]
+    from pyspark.sql.functions import pandas_udf
+
+    B, P, kw = WINNOW_B, WINNOW_P, k + w - 1
+
+    @pandas_udf("array<bigint>")
+    def _winnow(norms: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for s in norms:
+            if s is None:
+                out.append(None)
+                continue
+            if len(s) < kw:
+                out.append([])
+                continue
+            # utf-32-le reinterpret = the code point of every char in
+            # one vectorized step (== ord(c) per char, == JVM
+            # ``ascii`` over ``split(norm, '')``).
+            codes = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            m = codes.size - (k - 1)  # number of k-grams (positional)
+            h = codes
+            g = 1
+            while g < k:  # doubling combine, log2(k) vector passes
+                mult = pow(B, g, P)
+                span = m + (k - 2 * g)
+                h = (h[:span] * mult + h[g : g + span]) % P
+                g *= 2
+            nw = m - (w - 1)  # number of full windows
+            mins = h
+            g = 1
+            while g < w:
+                span = nw + (w - 2 * g)
+                mins = np.minimum(mins[:span], mins[g : g + span])
+                g *= 2
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    _WINNOW_UDFS[(k, w)] = _winnow
+    return _winnow
+
+
 def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
     """Winnowing document fingerprint (the MOSS scheme): hash every
     char k-gram of the normalized text, slide a window of ``w``
@@ -286,50 +348,28 @@ def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
     fingerprint, so fingerprint overlap lower-bounds substring-level
     plagiarism/near-dup — positional, unlike bag-of-shingles Jaccard.
 
-    All pure Column expressions: positional k-grams via k shifted
-    array slices (O(k·len) like char_shingles), k-gram hash = Karp-
-    Rabin polynomial rolling hash over ascii codes (base WINNOW_B mod
-    WINNOW_P — bit-reproducible in any engine), window minima via w
-    shifted slices folded with ``least``. No shuffle, no UDF —
-    runs at scan speed at any corpus size. Docs shorter than
+    Normalization stays a codegen'd JVM expression (``tokens`` —
+    identical semantics to every other text operator); the rolling
+    hash + window minima run as a VECTORIZED Arrow kernel
+    (``pandas_udf`` → numpy int64), not Column expressions. The
+    expression form (k shifted slices + ``zip_with`` folds) was the
+    r17 text-family hotspot: Spark evaluates higher-order-function
+    lambdas INTERPRETED, per element — ~10M lambda evals at sf0.1 —
+    where numpy does the same doubling combine in log2(k)+log2(w)
+    vector ops per document (optimization guide §4.2). Arithmetic is
+    bit-identical: code points via utf-32 reinterpret (== JVM
+    ``ascii``), Karp-Rabin ``(a*mult + b) % P`` with every
+    intermediate < P² ≈ 1e18 inside int64 in both engines, minima +
+    sorted-distinct order-independent — enforced by the
+    ``_py_winnow`` left-fold property test and the unchanged DuckDB
+    oracle. Per-partition cost, zero shuffle, one ArrowEvalPython
+    node carrying only the normalized string. Docs shorter than
     k + w - 1 normalized chars yield an empty fingerprint set."""
     if k & (k - 1) or w & (w - 1):
         raise ValueError("k and w must be powers of two (doubling combine)")
     c = F.col(col) if isinstance(col, str) else col
     norm = F.array_join(tokens(c), " ")
-    chars = F.split(norm, "")
-    m = F.length(norm) - (k - 1)  # number of k-grams (positional)
-    # Karp-Rabin polynomial k-gram hash over char codes — the actual
-    # MOSS scheme, and ~10× cheaper than a per-position md5. Higher-
-    # order functions are INTERPRETED per element, so the dominant
-    # cost is lambda evaluations: the hashes are combined by DOUBLING
-    # (2-gram hashes from chars, 4-gram from 2-gram, ...) — log2(k)
-    # zip_with passes instead of k-1. The mod schedule differs from a
-    # left fold but modular arithmetic gives the same residue, so the
-    # DuckDB oracle (a plain left-to-right fold) still matches
-    # bit-for-bit. Intermediates stay < P² ≈ 1e18, inside int64.
-    codes = F.transform(chars, lambda ch: F.ascii(ch).cast("long"))
-    hashes = codes  # level g=1: 1-gram "hashes" are the codes
-    g = 1
-    while g < k:
-        mult = pow(WINNOW_B, g, WINNOW_P)
-        span = m + (k - 2 * g)  # number of 2g-grams that fit in the slice
-        lo = F.slice(hashes, 1, span)
-        hi = F.slice(hashes, g + 1, span)
-        hashes = F.zip_with(lo, hi, lambda a, b: (a * mult + b) % WINNOW_P)
-        g *= 2
-    nw = m - (w - 1)  # number of full windows
-    mins = hashes
-    g = 1
-    while g < w:
-        span = nw + (w - 2 * g)
-        lo = F.slice(mins, 1, span)
-        hi = F.slice(mins, g + 1, span)
-        mins = F.zip_with(lo, hi, lambda a, b: F.least(a, b))
-        g *= 2
-    return F.when(nw < 1, F.array().cast("array<bigint>")).otherwise(
-        F.sort_array(F.array_distinct(mins))
-    )
+    return _winnow_udf(k, w)(norm)
 
 
 def hashed_bigram_bucket(term: Column | str, buckets: int = 256) -> Column:

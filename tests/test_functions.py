@@ -551,6 +551,24 @@ def test_winnow_fingerprints_properties(spark):
     assert got[4] == []
 
 
+def test_winnow_kernel_edge_semantics(spark):
+    # The r17 Arrow-kernel rewrite must preserve the expression
+    # form's edge behavior: NULL text → NULL fingerprints (not []),
+    # and non-ASCII code points hash via their full code point (the
+    # utf-32 reinterpret == JVM ascii()), matching the left-fold
+    # reference arithmetic bit-for-bit.
+    from etlp_spark.functions.text import winnow_fingerprints
+    from tests.test_skew_and_properties import _py_winnow
+
+    rows = [(1, None), (2, "Parégraph naïve café über winnowing")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r.id: r.fp for r in df.select(
+        "id", winnow_fingerprints("text", k=8, w=4).alias("fp")).collect()}
+    assert got[1] is None
+    assert list(got[2]) == _py_winnow(rows[1][1])
+    assert len(got[2]) > 0
+
+
 def test_winnow_shared_substring_guarantee(spark):
     from etlp_spark.functions.text import winnow_fingerprints
 
