@@ -137,19 +137,34 @@ def quality_score(col: Column | str, scale: int = 6) -> Column:
     return F.round(0.4 * length_score + 0.3 * (1.0 - punct_ratio(c, scale=9)) + 0.3 * sw_score, scale)
 
 
+def lang_id_from_scores(scores: Column) -> Column:
+    """Argmax language from a ``lang_scores`` array: first-wins
+    tie-break in LANG_MARKERS order (``array_position`` returns the
+    FIRST index of the max, exactly the old when-chain's first
+    matching branch), ``'und'`` when the scores are null (null
+    text — the chain's unreachable-otherwise case). Taking the
+    ARRAY lets callers that need both prediction and margin stage
+    the 25-regexp score set once (see x62)."""
+    names = F.array(*[F.lit(lang) for lang in LANG_MARKERS])
+    return F.coalesce(
+        F.element_at(
+            names,
+            F.array_position(scores, F.array_max(scores)).cast("int"),
+        ),
+        F.lit("und"),
+    )
+
+
 def lang_id(col: Column | str) -> Column:
     """Marker-token language ID: score each language by marker-token
     hits, pick the argmax (first-wins tie-break in LANG_MARKERS
     order). One codegen'd regexp count per language per row — no
-    shuffle, no UDF, no interpreted lambdas."""
-    toks = tokens(col)
-    scores = {lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()}
-    best = F.greatest(*scores.values())
-    expr = None
-    for lang in LANG_MARKERS:
-        cond = scores[lang] == best
-        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
-    return expr.otherwise(F.lit("und"))
+    shuffle, no UDF, no interpreted lambdas. The argmax is
+    ``array_position(scores, array_max(scores))`` over the score
+    array rather than a ``when(w == greatest(*ws), lang)`` chain —
+    the chain inlined every score expression into every branch
+    (opt r17, the x132 finding)."""
+    return lang_id_from_scores(lang_scores(col))
 
 
 def lang_scores(col: Column | str) -> Column:
@@ -162,13 +177,19 @@ def lang_scores(col: Column | str) -> Column:
     return F.array(*[_marker_hits(toks, m) for m in LANG_MARKERS.values()])
 
 
+def lang_margin_from_scores(scores: Column) -> Column:
+    """``lang_margin`` from an already-computed score array — the
+    staged-select companion of ``lang_id_from_scores``."""
+    s = F.array_sort(scores)
+    return F.element_at(s, -1) - F.element_at(s, -2)
+
+
 def lang_margin(col: Column | str) -> Column:
     """Confidence margin of the language-ID decision: best minus
     second-best marker score (an exact integer — 0 means the argmax
     was a coin flip, large means unambiguous). The standard input to
     a classifier calibration curve."""
-    s = F.array_sort(lang_scores(col))
-    return F.element_at(s, -1) - F.element_at(s, -2)
+    return lang_margin_from_scores(lang_scores(col))
 
 
 def chunk_documents(

@@ -6340,15 +6340,26 @@ def x62_langid_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     one integer division per bucket.
 
     Scale shape: scoring and margin are scan-stage codegen (x2's
-    expressions + one array_sort over 5 ints); the output is a ≤6-row
-    aggregate. Reference: engine-added (SURVEY.md §7 M7)."""
-    from etlp_spark.functions.text import lang_id, lang_margin
+    expressions + one array_sort over 5 ints); the 25-regexp score
+    ARRAY is computed once in a staged projection and prediction +
+    margin both read the array column (opt r17 — lang_id and
+    lang_margin each re-derived the full score set before); the
+    output is a ≤6-row aggregate. Reference: engine-added
+    (SURVEY.md §7 M7)."""
+    from etlp_spark.functions.text import (
+        lang_id_from_scores,
+        lang_margin_from_scores,
+        lang_scores,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     preds = docs.select(
         F.col("lang").alias("lang_label"),
-        lang_id("text").alias("lang_pred"),
-        lang_margin("text").alias("margin"),
+        lang_scores("text").alias("ls"),
+    ).select(
+        "lang_label",
+        lang_id_from_scores(F.col("ls")).alias("lang_pred"),
+        lang_margin_from_scores(F.col("ls")).alias("margin"),
     )
     correct = F.when(F.col("lang_label") == F.col("lang_pred"), 1).otherwise(0)
     return preds.groupBy(
@@ -13211,25 +13222,36 @@ def x132_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     52 bits (and engine-identical regardless — both engines compare
     the same integers); balance/movement are integer e6 quotients.
 
-    Scale shape: 33 hashes per row at scan stage (16 + 17 shard
-    weights), one 16-group aggregate with map-side partials. The
-    100 TB plan is the sf0.001 plan. Reference: engine-added
-    (SURVEY.md §2.2 layout/sharding family, with x26/x102)."""
+    Scale shape: 17 hashes per row at scan stage — the 17-shard
+    weight ARRAY is computed once in a staged projection (the 16-
+    shard weights are its prefix slice) and the argmax is
+    ``array_position(ws, array_max(ws))``, first-match like the
+    when-chain it replaced. The r17 optimization round found the
+    original form (a 16/17-branch ``when(w == greatest(*ws), s)``
+    chain) inlined every weight into every branch — ~545 md5 nodes,
+    a 110 KB plan, and 33 md5 evals per row even after codegen
+    subexpression elimination; one 16-group aggregate with map-side
+    partials follows. The 100 TB plan is the sf0.001 plan.
+    Reference: engine-added (SURVEY.md §2.2 layout/sharding family,
+    with x26/x102)."""
     docs = _t_fanout(spark, sf_dir, "documents")
 
-    def hrw(n: int):
-        ws = [_h52(F.col("doc_id"), f"SH{s}") for s in range(n)]
-        g = F.greatest(*ws)
-        arm = F.lit(None).cast("int")
-        expr = None
-        for s, w in enumerate(ws):
-            expr = (
-                F.when(w == g, s) if expr is None else expr.when(w == g, s)
-            )
-        return expr
+    # ties impossible below the 52-bit birthday bound (docstring), so
+    # first-match argmax == the old when-chain's first-match branch
+    def argmax16(col: str, n: int) -> Column:
+        ws = F.slice(F.col(col), 1, n) if n < 17 else F.col(col)
+        return (F.array_position(ws, F.array_max(ws)) - 1).cast("int")
 
-    asg = docs.select(
-        "doc_id", hrw(16).alias("shard16"), hrw(17).alias("shard17")
+    staged = docs.select(
+        "doc_id",
+        F.array(
+            *[_h52(F.col("doc_id"), f"SH{s}") for s in range(17)]
+        ).alias("w17"),
+    )
+    asg = staged.select(
+        "doc_id",
+        argmax16("w17", 16).alias("shard16"),
+        argmax16("w17", 17).alias("shard17"),
     )
     per = asg.groupBy(F.col("shard16").alias("shard")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
