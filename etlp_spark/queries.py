@@ -12623,22 +12623,24 @@ def x127_removal_effect_attribution(
     attribution family, with x74/w10)."""
     ev = _t_fanout(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    orde = ev.select(
+    # ONE corpus window pass, pinned at its fan-out (steps + lasts) —
+    # the opt-r17 restructure: the un-pinned form re-ran this subtree
+    # once per consumer (steps, the per-user max-rn window, and the
+    # all-users anchor of lasts), three corpus window passes + a join
+    fp = ev.select(
         "user_id", "event_type", F.row_number().over(wu).alias("rn")
-    )
-    fp = orde.select(
+    ).select(
         "*",
         F.min(
             F.when(F.col("event_type") == "purchase", F.col("rn"))
         )
         .over(Window.partitionBy("user_id"))
         .alias("fp_rn"),
+    ).localCheckpoint(eager=True)
+    kc = (F.col("event_type") != "purchase") & (
+        F.col("fp_rn").isNull() | (F.col("rn") < F.col("fp_rn"))
     )
-    kept = fp.where(
-        (F.col("event_type") != "purchase")
-        & (F.col("fp_rn").isNull() | (F.col("rn") < F.col("fp_rn")))
-    )
-    steps = kept.select(
+    steps = fp.where(kc).select(
         F.coalesce(
             F.lag("event_type").over(
                 Window.partitionBy("user_id").orderBy("rn")
@@ -12647,21 +12649,16 @@ def x127_removal_effect_attribution(
         ).alias("src"),
         F.col("event_type").alias("dst"),
     )
-    konly = kept.select(
-        "user_id",
-        "event_type",
-        "rn",
-        F.max("rn").over(Window.partitionBy("user_id")).alias("mx"),
-    )
+    # last pre-purchase state per user straight off the pinned frame:
+    # max_by over the kept rows (rn is unique per user; all-null kept
+    # ordering -> NULL -> START, the no-kept-rows case the old form
+    # reached via its left join)
     lasts = (
-        fp.groupBy("user_id", "fp_rn")
-        .agg(F.lit(1).alias("_one"))
-        .join(konly, "user_id", "left")
-        .groupBy("user_id")
+        fp.groupBy("user_id")
         .agg(
             F.coalesce(
-                F.max(
-                    F.when(F.col("rn") == F.col("mx"), F.col("event_type"))
+                F.max_by(
+                    F.when(kc, F.col("event_type")), F.when(kc, F.col("rn"))
                 ),
                 F.lit("START"),
             ).alias("src"),
@@ -12708,9 +12705,10 @@ def x127_removal_effect_attribution(
         return conv
 
     full = absorb("NONE")
+    removed = {c: absorb(c) for c in _X127_CHANNELS}
     vals = ", ".join(
-        f"('{c}', {full // 1000000}, {absorb(c) // 1000000}, "
-        f"{((full - absorb(c)) * 1000000) // full})"
+        f"('{c}', {full // 1000000}, {removed[c] // 1000000}, "
+        f"{((full - removed[c]) * 1000000) // full})"
         for c in _X127_CHANNELS
     )
     return spark.sql(
