@@ -5543,36 +5543,45 @@ def x53_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t_fanout(spark, sf_dir, "documents")
     tk = docs.select(tokens("text").alias("tk"))
-    uni = tk.select(F.explode("tk").alias("t"))
-    # |vocab| rows with THREE consumers (u1, u2, corpus total) —
-    # materialize once or the corpus scan + token aggregate reruns
-    # per consumer (same reasoning as bc_all below)
-    uc = (
-        uni.groupBy("t")
+    m = F.size("tk") - 1
+    # ONE corpus pass for BOTH count tables: each doc emits its
+    # unigrams (t2 = NULL — tokens() elements are never null/empty,
+    # so the sentinel cannot collide with a real bigram) and its
+    # positional bigrams into one exploded stream, aggregated by
+    # (t1, t2) in a single shuffle. Previously unigram and bigram
+    # counts were two separate pinned passes, i.e. two full corpus
+    # scans + tokenizations for one report.
+    uni_structs = F.transform(
+        "tk",
+        lambda a: F.struct(
+            a.alias("t1"), F.lit(None).cast("string").alias("t2")
+        ),
+    )
+    bi_structs = F.when(
+        m >= 1,
+        F.zip_with(
+            F.slice("tk", 1, F.greatest(m, F.lit(0))),
+            F.slice("tk", 2, F.greatest(m, F.lit(0))),
+            lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<t1:string,t2:string>>"))
+    pairs = tk.select(
+        F.explode(F.concat(uni_structs, bi_structs)).alias("p")
+    ).select("p.t1", "p.t2")
+    # |vocab| + |bigram vocab| rows with FIVE consumers (u1, u2, n1,
+    # bc, n2) — materialize once or the corpus scan + token aggregate
+    # reruns per consumer
+    counts = (
+        pairs.groupBy("t1", "t2")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
+    uc = counts.where(F.col("t2").isNull()).select(
+        F.col("t1").alias("t"), "c"
+    )
     n1 = uc.agg(F.sum("c").alias("n"))
-    m = F.size("tk") - 1
-    bi = tk.select(
-        F.explode(
-            F.when(
-                m >= 1,
-                F.zip_with(
-                    F.slice("tk", 1, F.greatest(m, F.lit(0))),
-                    F.slice("tk", 2, F.greatest(m, F.lit(0))),
-                    lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
-                ),
-            ).otherwise(F.array().cast("array<struct<t1:string,t2:string>>"))
-        ).alias("p")
-    ).select("p.t1", "p.t2")
-    # bigram counts feed two consumers (the support-filtered table and
-    # the corpus total) — materialize the |bigram vocab| frame once so
-    # the scan+explode+aggregate doesn't run twice (x28's tf pattern)
-    bc_all = (
-        bi.groupBy("t1", "t2")
-        .agg(F.count(F.lit(1)).alias("cb"))
-        .localCheckpoint(eager=True)
+    bc_all = counts.where(F.col("t2").isNotNull()).select(
+        "t1", "t2", F.col("c").alias("cb")
     )
     n2_all = bc_all.agg(F.sum("cb").alias("nb"))
     # proportional min support — 0.1% of all corpus bigrams (integer
