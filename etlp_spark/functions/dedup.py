@@ -23,7 +23,7 @@ stage bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Observation, functions as F
 
 from etlp_spark.functions.text import fingerprint, tokens
 
@@ -410,15 +410,19 @@ def connected_components(
         # Step 2 — pointer jump: cluster ← cluster's cluster. Labels
         # are monotone non-increasing component ids, so the jump is
         # safe and collapses chains exponentially. The round ends in an
-        # eager localCheckpoint: it materializes the join ONCE (the
-        # convergence count and both next-round consumers then read
-        # the blocks) and truncates the plan so the next round's
-        # analysis starts from a leaf — an uncheckpointed loop
-        # re-analyzes a 2^rounds-sized plan (the self-join doubles it
-        # per round) and stalls in Catalyst long before any data moves.
+        # eager localCheckpoint: it materializes the join ONCE (both
+        # next-round consumers then read the blocks) and truncates the
+        # plan so the next round's analysis starts from a leaf — an
+        # uncheckpointed loop re-analyzes a 2^rounds-sized plan (the
+        # self-join doubles it per round) and stalls in Catalyst long
+        # before any data moves. The convergence probe rides the SAME
+        # materialization job as an observed metric (CollectMetrics)
+        # instead of a separate count() job re-reading the checkpoint
+        # blocks — one pass over the labels per round, not two.
         parents = stepped.select(
             F.col(id_col).alias("_pid"), F.col("mid_cluster").alias("_pcl")
         )
+        conv = Observation()
         joined = (
             stepped.join(parents, stepped["mid_cluster"] == parents["_pid"], "left")
             .select(
@@ -426,10 +430,19 @@ def connected_components(
                 F.col("old_cluster"),
                 F.coalesce("_pcl", "mid_cluster").alias("cluster"),
             )
+            .observe(
+                conv,
+                F.coalesce(
+                    F.sum(
+                        (F.col("cluster") != F.col("old_cluster")).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
         stepped.unpersist()
-        changed = joined.where(F.col("cluster") != F.col("old_cluster")).count()
+        changed = conv.get["changed"]
         labels = joined.select(id_col, "cluster")
         # Checkpoint blocks can't be unpersisted safely (locally-
         # checkpointed RDDs serve reads FROM their blocks), but rounds
