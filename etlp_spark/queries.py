@@ -4336,15 +4336,24 @@ def x39_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     are single-row aggregates combined with a cross join of
     broadcast scalars."""
     ev = _t(spark, sf_dir, "events")
+    # Each stage frame feeds the NEXT stage's join AND its own cohort
+    # count — unpinned, every consumer re-derived the whole prefix of
+    # the funnel (6 events scans in the executed plan, opt r17: the
+    # purchase stage alone re-ran signup+click). Pinned, each stage is
+    # one filtered corpus pass and the pins are (user_id, ts) cohort
+    # tables — far smaller than the passes they replace. `p` has a
+    # single consumer, so it needs no pin.
     s = (
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id").agg(F.min("ts").alias("s_ts"))
+        .localCheckpoint(eager=True)
     )
     c = (
         ev.where(F.col("event_type") == "click")
         .join(s, "user_id")
         .where(F.col("ts") > F.col("s_ts"))
         .groupBy("user_id").agg(F.min("ts").alias("c_ts"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
@@ -7508,7 +7517,12 @@ def x71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t_fanout(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     cands = emb.where(F.col("vec_id") >= 5)
-    exact = cosine_topk(queries, cands, k=10)
+    # |queries|×10 rows, consumed by BOTH the n_exact count and the
+    # overlap join — unpinned, each consumer re-ran the full exact
+    # brute-force pass (8 embeddings scans measured in the executed
+    # plan, opt r17; `ann` below was likewise re-run per consumer).
+    # Pinned, the corpus is scored once per audit side.
+    exact = cosine_topk(queries, cands, k=10).localCheckpoint(eager=True)
     # bucket-restricted candidates, then the SAME exact rerank inside.
     # Perf (opt r17, guide §2.4): the bucket used to be computed in a
     # separate srp_buckets frame and JOINED back onto the same rows —
@@ -7537,8 +7551,10 @@ def x71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
-    ann = ann_scored.withColumn("rnk", F.row_number().over(w)).where(
-        F.col("rnk") <= 10
+    ann = (
+        ann_scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .localCheckpoint(eager=True)  # 2 consumers: n_ann count + overlap
     )
     ne = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     na = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
@@ -8205,7 +8221,17 @@ def r2_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # 3 iterations × 2 consumers
     )
     outd = edges.groupBy("src").agg(F.sum("cnt").cast("long").alias("outc"))
-    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    # |types|-sized node list feeds the init ranks plus every teleport
+    # term of the 3 unrolled iterations (and `nn` below derives from
+    # it) — unpinned, each reference inlined a fresh corpus scan +
+    # distinct into the final plan (8 events scans measured, opt r17).
+    # One eager pin makes the corpus enter exactly once per pass the
+    # docstring promises.
+    nodes = (
+        ev.select(F.col("event_type").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.expr("CAST(1000000000000 div n AS BIGINT)").alias("r")
@@ -8704,12 +8730,16 @@ def x91_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t_fanout(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     cands = emb.where(F.col("vec_id") >= 5)
-    exact = cosine_topk(queries, cands, k=10)
+    # Both |queries|×10 ranking frames feed a count AND the overlap
+    # join — unpinned, each consumer re-ran its full corpus scoring
+    # pass (8 embeddings scans measured in the executed plan, opt
+    # r17). Pinned, each side scores the corpus exactly once.
+    exact = cosine_topk(queries, cands, k=10).localCheckpoint(eager=True)
     pref = cosine_topk(
         queries.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
         cands.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
         k=10,
-    )
+    ).localCheckpoint(eager=True)
     ne = exact.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_exact")
     )
@@ -9852,12 +9882,33 @@ def x102_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = s.withColumn("zb", F.expr(f"({_z16_sql('sa', 'sb')}) div 256"))
     cols = ["a", "b", "lo_a", "hi_a", "lo_b", "hi_b"]
-    lay = (
-        z.select(F.lit("linear").alias("layout"), F.col("so").alias("bucket"), *cols)
-        .unionAll(
-            z.select(F.lit("sorted_a"), F.col("sa").alias("bucket"), *cols)
-        )
-        .unionAll(z.select(F.lit("zorder"), F.col("zb").alias("bucket"), *cols))
+    # One corpus pass for all three layouts: the 3-way unionAll ran
+    # the scan + scale/interleave projection once PER BRANCH (6
+    # lineitem scans in the executed plan, opt r17). Each row now
+    # emits its three (layout, bucket) tags from a single evaluation
+    # of `z` — same rows into the same shuffle, one scan.
+    lay = z.select(
+        F.explode_outer(  # array is always size 3: explode_outer skips
+            F.array(      # the size>0 pushdown that would duplicate it
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.col("so").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("sorted_a").alias("layout"),
+                    F.col("sa").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.col("zb").alias("bucket"),
+                ),
+            )
+        ).alias("lb"),
+        *cols,
+    ).select(
+        F.col("lb.layout").alias("layout"),
+        F.col("lb.bucket").alias("bucket"),
+        *cols,
     )
     st = lay.groupBy("layout", "bucket").agg(
         F.min("a").alias("amin"), F.max("a").alias("amax"),
@@ -12468,11 +12519,21 @@ def x126_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s2")
         )
     )
-    wts = dev.select(
-        "source",
-        "n_h",
-        F.floor(F.sqrt(F.col("s2").cast("double"))).cast("long").alias("s_h"),
-    ).withColumn("w_h", F.col("n_h") * F.col("s_h"))
+    # |sources|-sized weight table feeds tw, base, and through base
+    # the leftover aggregate AND the remainder-rank window — unpinned,
+    # every consumer re-ran BOTH corpus aggregates (8 documents scans
+    # measured, opt r17). Pinned, the corpus is touched exactly twice
+    # (the two fundamental passes) and everything downstream runs on
+    # |sources| rows.
+    wts = (
+        dev.select(
+            "source",
+            "n_h",
+            F.floor(F.sqrt(F.col("s2").cast("double"))).cast("long").alias("s_h"),
+        )
+        .withColumn("w_h", F.col("n_h") * F.col("s_h"))
+        .localCheckpoint(eager=True)
+    )
     tw = wts.agg(F.sum("w_h").alias("tot_w"))
     base = wts.join(F.broadcast(tw)).select(
         "source",
