@@ -9357,9 +9357,14 @@ def x96_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "c.op", "c.seq", "st", "c.cents")
     )
     w = Window.partitionBy("k").orderBy(F.col("seq").desc(), "op")
+    # |changed keys|-sized; consumed by the anti-join AND the apply
+    # side — unpinned, each re-ran the change-feed scan + CDC window
+    # (3 orders scans in the executed plan, opt r17). Pinned: one feed
+    # pass, one snapshot pass — the CDC floor.
     latest = (
         changes.select("k", "op", "st", "cents", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") == 1)
+        .localCheckpoint(eager=True)
     )
     untouched = base.join(latest.select("k"), "k", "left_anti")
     applied = latest.where(F.col("op") != "D").select("k", "st", "cents")
