@@ -21,7 +21,13 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import (
+    DataFrame,
+    Observation,
+    SparkSession,
+    Window,
+    functions as F,
+)
 
 from etlp_spark import io, ops
 
@@ -8239,14 +8245,24 @@ def r2_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct into the final plan (8 events scans measured, opt r17).
     # One eager pin makes the corpus enter exactly once per pass the
     # docstring promises.
+    # |types| rides the pin job as an observed metric instead of an
+    # aggregate frame cross-joined per iterate (the nn subtree's agg +
+    # broadcast build executed once per reference). Python // on
+    # positive ints ≡ Spark div, so the literals are bit-identical to
+    # the old in-plan expressions; max(1) guards the empty-events
+    # frame where the old expression was never evaluated.
+    nn_obs = Observation()
     nodes = (
         ev.select(F.col("event_type").alias("node"))
         .distinct()
+        .observe(nn_obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", F.expr("CAST(1000000000000 div n AS BIGINT)").alias("r")
+    n = max(int(nn_obs.get["n"]), 1)
+    init_r = 1000000000000 // n
+    tele = (15 * init_r) // 100
+    ranks = nodes.select(
+        "node", F.lit(init_r).cast("long").alias("r")
     )
     for _ in range(3):
         contrib = (
@@ -8260,13 +8276,11 @@ def r2_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("c"))
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(contrib, "node", "left")
+            nodes.join(contrib, "node", "left")
             .select(
                 "node",
                 F.expr(
-                    "CAST((15 * (1000000000000 div n)) div 100"
-                    " + (85 * coalesce(c, 0)) div 100 AS BIGINT)"
+                    f"CAST({tele} + (85 * coalesce(c, 0)) div 100 AS BIGINT)"
                 ).alias("r"),
             )
         )
@@ -10504,8 +10518,23 @@ def x107_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = dirs.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
     ed = dirs.join(deg, "src").select("src", "dst", "d").localCheckpoint(eager=True)
-    nodes = ed.select(F.col("src").alias("v")).distinct().localCheckpoint(eager=True)
-    ncnt = nodes.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    # |nodes| rides the pin job as an observed metric instead of a
+    # separate aggregate frame: the old ncnt subtree (agg + broadcast
+    # build) executed once per reference — 4 extra job trees in the
+    # final plan for one scalar the pin materialization already knows.
+    # The integer arithmetic is unchanged: Python // on positive ints
+    # ≡ Spark div, and both engines see the identical literal.
+    ncnt_obs = Observation()
+    nodes = (
+        ed.select(F.col("src").alias("v"))
+        .distinct()
+        .observe(ncnt_obs, F.count(F.lit(1)).alias("nn"))
+        .localCheckpoint(eager=True)
+    )
+    # max(1): an edgeless graph gives an EMPTY nodes frame, where the
+    # old in-plan expression was simply never evaluated — the literal
+    # must not raise on the division either.
+    nn = max(int(ncnt_obs.get["nn"]), 1)
     # Each rank iterate is SINGLE-consumer (next round's join), so a
     # LAZY pin is race-free — it still cuts the DataFrame lineage at
     # a LogicalRDD leaf, but skips the eager count() job per iterate
@@ -10513,10 +10542,12 @@ def x107_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ed/nodes stay EAGER: they fan into concurrent AQE stages every
     # round, where a lazy pin lets the consumers race-recompute.
     r = (
-        nodes.crossJoin(F.broadcast(ncnt))
-        .select("v", F.expr("1000000000000 div nn").cast("long").alias("r"))
+        nodes.select(
+            "v", F.lit(1000000000000 // nn).cast("long").alias("r")
+        )
         .localCheckpoint(eager=False)
     )
+    tele = 15000000000000 // (100 * nn)
     for _ in range(3):
         contrib = (
             ed.join(r.withColumnRenamed("v", "src"), "src")
@@ -10527,13 +10558,9 @@ def x107_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         r = (
             nodes.join(contrib.withColumnRenamed("dst", "v"), "v", "left")
-            .crossJoin(F.broadcast(ncnt))
             .select(
                 "v",
-                (
-                    F.expr("15000000000000 div (100 * nn)")
-                    + F.coalesce("s", F.lit(0))
-                )
+                (F.lit(tele) + F.coalesce("s", F.lit(0)))
                 .cast("long")
                 .alias("r"),
             )
