@@ -199,11 +199,31 @@ def test_matryoshka_recall_broadcasts_queries(spark):
     """x91: both ranking passes (full-dim and prefix-dim) must score
     via the broadcast-queries pattern — the query side broadcast into
     a nested-loop cross, so the candidate corpus is scored without
-    shuffling for the pair expansion. (The |queries|-row aggregate
-    joins at the end may plan however AQE likes — they are k×|q|
-    rows, not corpus-sized.)"""
+    shuffling for the pair expansion. Since opt r17 both |q|×10
+    ranking frames are eagerly pinned (each feeds a count AND the
+    overlap join — unpinned, every consumer re-scored the corpus), so
+    the scoring subtree executes in the pin jobs and the FINAL plan
+    must read only the pinned leaves: assert the broadcast pattern on
+    the scoring unit itself (the same cosine_topk call x91 pins), and
+    that the final plan re-scans nothing."""
+    from pyspark.sql import functions as F
+
+    from etlp_spark.functions.similarity import cosine_topk
+    from etlp_spark.io import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    score_plan = _executed_plan(
+        cosine_topk(
+            emb.where(F.col("vec_id") < 5),
+            emb.where(F.col("vec_id") >= 5),
+            k=10,
+        )
+    )
+    assert score_plan.count("BroadcastNestedLoopJoin") >= 1, score_plan[:2000]
+    assert "CartesianProduct" not in score_plan, score_plan[:2000]
     plan = _executed_plan(QUERIES["x91_matryoshka_recall"].fn(spark, SF))
-    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan[:2000]
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert "Scan parquet" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
 
 
@@ -475,10 +495,38 @@ def test_neyman_broadcast_means_and_tiny_windows(spark):
     """x126: the means join back into the variance pass by BROADCAST
     (per-stratum frame), and no corpus-sized sort-merge join may
     appear; everything after the two aggregates runs on |strata|
-    rows."""
+    rows. Since opt r17 the |strata| weight table is eagerly pinned
+    (tw/base/leftover/rank each re-ran BOTH corpus aggregates
+    unpinned), so the two-aggregate prefix executes in the pin job:
+    assert the broadcast shape on that prefix, and that the final
+    plan reads only the pinned leaf."""
+    from pyspark.sql import functions as F
+
+    from etlp_spark.io import load_table
+
+    docs = load_table(spark, SF, "documents")
+    st = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.expr("sum(n_chars) div count(*)").alias("mean_c"),
+    )
+    dev = (
+        docs.join(F.broadcast(st), "source")
+        .groupBy("source", "n_h")
+        .agg(
+            F.expr(
+                "sum((n_chars - mean_c) * (n_chars - mean_c)) div n_h"
+            ).alias("s2")
+        )
+    )
+    prefix_plan = _executed_plan(dev)
+    assert "SortMergeJoin" not in prefix_plan, prefix_plan[:2000]
+    assert "BroadcastHashJoin" in prefix_plan, (
+        "means join de-broadcast:\n" + prefix_plan[:2000]
+    )
     plan = _executed_plan(QUERIES["x126_neyman_allocation"].fn(spark, SF))
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert "Scan parquet" not in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
-    assert "BroadcastHashJoin" in plan, "means join de-broadcast:\n" + plan[:2000]
 
 
 def test_clustering_coefficient_checkpointed_oriented(spark):
