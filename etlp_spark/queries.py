@@ -13687,6 +13687,15 @@ def x135_sequence_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.row_number().over(wu).alias("rn"),
     )
+    # The (fold, src, dst) step stream is the §8 narrow proxy of the
+    # corpus — pin it ONCE so the per-user window pass runs exactly
+    # once: unpinned, the transition counts, the row totals, and the
+    # eval side each re-ran it (3 corpus window passes in the
+    # executed plan, opt r17; pinning only the tiny transition table
+    # instead still left TWO window passes, one per fold, and
+    # measured SLOWER at a 10× corpus because they serialize). The
+    # three consumers below are cheap aggregations/filters over the
+    # pinned narrow blocks.
     steps = ordd.select(
         "fold",
         F.coalesce(
@@ -13696,17 +13705,11 @@ def x135_sequence_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("START"),
         ).alias("src"),
         F.col("event_type").alias("dst"),
-    )
-    # |types|²-sized transition table, consumed by the row-total
-    # aggregate AND the eval join — unpinned, `tot` re-ran the whole
-    # fold-0 window pass (3 events scans in the executed plan, opt
-    # r17; the fold filter itself pushes below the per-user window, so
-    # the two folds are disjoint passes). Pinned: one pass per fold.
+    ).localCheckpoint(eager=True)
     tr = (
         steps.where(F.col("fold") == 0)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
     )
     tot = tr.groupBy("src").agg(F.sum("c").alias("ctot"))
     ev = (
