@@ -4351,23 +4351,25 @@ def x39_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast scalars."""
     ev = _t(spark, sf_dir, "events")
     # Each stage frame feeds the NEXT stage's join AND its own cohort
-    # count — unpinned, every consumer re-derived the whole prefix of
+    # count — unshared, every consumer re-derived the whole prefix of
     # the funnel (6 events scans in the executed plan, opt r17: the
-    # purchase stage alone re-ran signup+click). Pinned, each stage is
-    # one filtered corpus pass and the pins are (user_id, ts) cohort
-    # tables — far smaller than the passes they replace. `p` has a
-    # single consumer, so it needs no pin.
+    # purchase stage alone re-ran signup+click). persist(), not an
+    # eager checkpoint: the (user_id, ts) cohort caches are far
+    # smaller than the passes they replace, and the LAZY cache keeps
+    # all three stage passes inside ONE job (an eager pin per stage
+    # serialized them — measured 42% slower at a 10× corpus). `p` has
+    # a single consumer, so it needs no cache.
     s = (
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id").agg(F.min("ts").alias("s_ts"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     c = (
         ev.where(F.col("event_type") == "click")
         .join(s, "user_id")
         .where(F.col("ts") > F.col("s_ts"))
         .groupBy("user_id").agg(F.min("ts").alias("c_ts"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
@@ -7539,7 +7541,10 @@ def x71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overlap join — unpinned, each consumer re-ran the full exact
     # brute-force pass (8 embeddings scans measured in the executed
     # plan, opt r17; `ann` below was likewise re-run per consumer).
-    # Pinned, the corpus is scored once per audit side.
+    # Pinned, the corpus is scored once per audit side (a lazy
+    # persist() was also measured: flat at 1×, ~0.2 s slower at a
+    # 10× corpus than the eager pin — cache-lock contention on the
+    # shared scoring partitions; the pin kept).
     exact = cosine_topk(queries, cands, k=10).localCheckpoint(eager=True)
     # bucket-restricted candidates, then the SAME exact rerank inside.
     # Perf (opt r17, guide §2.4): the bucket used to be computed in a
@@ -8766,7 +8771,9 @@ def x91_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Both |queries|×10 ranking frames feed a count AND the overlap
     # join — unpinned, each consumer re-ran its full corpus scoring
     # pass (8 embeddings scans measured in the executed plan, opt
-    # r17). Pinned, each side scores the corpus exactly once.
+    # r17). Pinned, each side scores the corpus exactly once (a lazy
+    # persist() was also measured: flat at 1×, ~0.3 s slower at a
+    # 10× corpus than the eager pin; the pin kept).
     exact = cosine_topk(queries, cands, k=10).localCheckpoint(eager=True)
     pref = cosine_topk(
         queries.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
@@ -14026,14 +14033,16 @@ def x142_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cal = pts.where(F.col("event_id") % 2 == 0)
     # |event_types|-sized; consumed by the residual join, the rank
-    # threshold `k`, and (through q) the eval join — unpinned, each
+    # threshold `k`, and (through q) the eval join — unshared, each
     # re-ran the calibration aggregate's corpus pass (4 events scans
-    # in the executed plan, opt r17). Pinned: one calibration pass,
-    # one residual pass, one eval pass.
+    # in the executed plan, opt r17). persist(), not an eager
+    # checkpoint: the LAZY cache keeps the calibration pass inside
+    # the final job alongside the residual/eval passes (an eager pin
+    # serialized it first — measured 28% slower at a 10× corpus).
     mu = cal.groupBy("event_type").agg(
         F.expr("sum(cents) div count(*)").cast("long").alias("mu_cents"),
         F.count(F.lit(1)).cast("long").alias("n_cal"),
-    ).localCheckpoint(eager=True)
+    ).persist()
     res = cal.join(F.broadcast(mu), "event_type").select(
         "event_type", F.abs(F.col("cents") - F.col("mu_cents")).alias("r")
     )
