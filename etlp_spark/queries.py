@@ -10517,14 +10517,31 @@ def x107_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pres = ev.select(
         "event_type", F.date_trunc("hour", "ts").alias("hb"), "user_id"
     )
+    # Pin the edge list BEFORE the dirs/deg fan-out: unpinned, the ed
+    # pin job below carried FOUR copies of the full edge-construction
+    # pipeline (dirs references edges twice, deg re-derives dirs) —
+    # 4 corpus scans / 14 exchanges in the executed pin plan. One
+    # eager pin makes every downstream reference a leaf read (§2.4).
     edges = cooccurrence_edges(
         pres, "user_id", ("event_type", "hb"), min_shared=3, max_bucket=32
-    )
+    ).localCheckpoint(eager=True)
     dirs = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    deg = dirs.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    ed = dirs.join(deg, "src").select("src", "dst", "d").localCheckpoint(eager=True)
+    # Degree via a window over the SAME key the old groupBy+join pair
+    # shuffled on: one exchange instead of two plus a join (§2.4
+    # "window partitioned like the preceding aggregation").
+    ed = (
+        dirs.select(
+            "src",
+            "dst",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("src"))
+            .cast("long")
+            .alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
     # |nodes| rides the pin job as an observed metric instead of a
     # separate aggregate frame: the old ncnt subtree (agg + broadcast
     # build) executed once per reference — 4 extra job trees in the
@@ -10563,13 +10580,16 @@ def x107_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.expr("(r * 85) div (100 * d)")).cast("long").alias("s")
             )
         )
+        # The nodes LEFT JOIN the oracle writes is an identity here:
+        # dirs is the symmetric closure of ed, so every node has at
+        # least one INCOMING arc and contrib's dst domain equals the
+        # node set exactly (coalesce(s, 0) never fires). Dropping the
+        # join removes one shuffle+join per power step (§2.4; problem
+        # knowledge the optimizer cannot prove).
         r = (
-            nodes.join(contrib.withColumnRenamed("dst", "v"), "v", "left")
-            .select(
-                "v",
-                (F.lit(tele) + F.coalesce("s", F.lit(0)))
-                .cast("long")
-                .alias("r"),
+            contrib.select(
+                F.col("dst").alias("v"),
+                (F.lit(tele) + F.col("s")).cast("long").alias("r"),
             )
             .localCheckpoint(eager=False)  # single-consumer iterate
         )
