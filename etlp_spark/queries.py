@@ -8944,10 +8944,13 @@ def x92_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(e3, ["b", "c"])
     )
+    # ONE copy of the wedge-join pipeline: the oracle's 3-way UNION of
+    # tri's corners would triplicate the unpinned e1/e2/e3 joins in the
+    # executed plan (6 joins instead of 2); exploding array(a,b,c)
+    # emits the same three corner rows per triangle from a single join
+    # subtree (§2.4 duplicated-subtree removal).
     per_user = (
-        tri.select(F.col("a").alias("u"))
-        .unionAll(tri.select(F.col("b").alias("u")))
-        .unionAll(tri.select(F.col("c").alias("u")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("u"))
         .groupBy("u")
         .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
     )
@@ -12991,10 +12994,11 @@ def x128_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(e3, ["b", "c"])
     )
+    # ONE copy of the wedge-join pipeline (see x92): explode(array)
+    # replaces the 3-way union that triplicated the unpinned tri joins
+    # in the executed plan.
     per_user = (
-        tri.select(F.col("a").alias("u"))
-        .unionAll(tri.select(F.col("b").alias("u")))
-        .unionAll(tri.select(F.col("c").alias("u")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("u"))
         .groupBy("u")
         .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
     )
