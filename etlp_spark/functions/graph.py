@@ -79,10 +79,14 @@ def cooccurrence_edges(
 
 
 def degrees(edges: DataFrame) -> DataFrame:
-    """(v, d) degree table of an undirected (a, b) edge list."""
+    """(v, d) degree table of an undirected (a, b) edge list.
+
+    explode(array(a, b)) instead of a self-union: one reference to the
+    input subtree in the executed plan instead of two (an unpinned or
+    lazily-chained edge frame would be evaluated twice by the union
+    form — the r18 duplicate-subtree rule)."""
     return (
-        edges.select(F.col("a").alias("v"))
-        .unionAll(edges.select(F.col("b").alias("v")))
+        edges.select(F.explode(F.array(F.col("a"), F.col("b"))).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -126,6 +130,11 @@ def kcore(
             .join(ok.withColumnRenamed("v", "b"), "b", "left_semi")
             .select("a", "b")
         )
-        if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
+        if (i + 1) % checkpoint_every == 0 and i != rounds - 1:
             cur = cur.localCheckpoint(eager=True)
+    # The LAST round is returned lazy: its two semi-joins chain onto
+    # the previous checkpoint and fuse into the caller's action (one
+    # pin job fewer). Safe because the returned frame is referenced
+    # once by the explode-based degrees() and by single-action tests;
+    # a caller that fans it into several subtrees should pin it.
     return cur
