@@ -11281,9 +11281,21 @@ def x114_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wd).alias("rk"),
         "n",
     )
-    prefix = ranked.where(
-        F.col("rk") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
-    ).select("doc_id", "t", "rk", "n")
+    # persist(), not an eager pin: both sides of the candidate
+    # self-join below reference this frame, and unpersisted the
+    # executed plan carried TWO copies of the explode→freq→window
+    # pipeline (the broadcast build side defeats ReusedExchange). The
+    # sides consume it sequentially (build then probe) inside one
+    # action, so the lazy cache shares without the racing-consumer
+    # penalty the graph family measured; an eager pin was A/B'd and
+    # slower (sf0.1 min 2.66 cur / 2.63 pin / 2.38 persist s).
+    prefix = (
+        ranked.where(
+            F.col("rk") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+        )
+        .select("doc_id", "t", "rk", "n")
+        .persist()
+    )
     # PPJoin LENGTH filter (Xiao et al. 2008 §3.1): J(A,B) <=
     # min(|A|,|B|)/max(|A|,|B|), so J >= 4/5 requires 5*min >= 4*max.
     # Sizes already ride on every prefix row (the window count), so
