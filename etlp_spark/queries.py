@@ -11629,14 +11629,25 @@ def x116_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("u") < 65296, 4)
         .otherwise(5)
     )
+    # The point estimate RIDES the replicate aggregate: every (flag,
+    # r) group sees the identical cents multiset (each base row
+    # explodes into every replicate), so ``sum(cents) div count(*)``
+    # per (flag, r) equals the oracle's per-flag estimate exactly and
+    # min() collapses the 32 identical copies. The old separate
+    # ``pt = base.groupBy(...)`` branch re-scanned lineitem (2 corpus
+    # scans in the executed plan) and joined it back (§2.4).
     rm = (
         wts.select("l_returnflag", "r", w.alias("w"), "cents")
         .groupBy("l_returnflag", "r")
-        .agg(F.expr("sum(w * cents) div sum(w)").alias("mean_r"))
+        .agg(
+            F.expr("sum(w * cents) div sum(w)").alias("mean_r"),
+            F.expr("sum(cents) div count(*)").alias("est"),
+        )
     )
     rk = rm.select(
         "l_returnflag",
         "mean_r",
+        "est",
         F.row_number()
         .over(Window.partitionBy("l_returnflag").orderBy("mean_r", "r"))
         .alias("rn"),
@@ -11644,11 +11655,9 @@ def x116_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ci = rk.groupBy("l_returnflag").agg(
         F.min(F.when(F.col("rn") == 2, F.col("mean_r"))).alias("lo"),
         F.min(F.when(F.col("rn") == 31, F.col("mean_r"))).alias("hi"),
+        F.min("est").alias("est"),
     )
-    pt = base.groupBy("l_returnflag").agg(
-        F.expr("sum(cents) div count(*)").alias("est")
-    )
-    return pt.join(ci, "l_returnflag").select(
+    return ci.select(
         "l_returnflag",
         F.col("est").cast("long").alias("est_cents"),
         F.col("lo").cast("long").alias("boot_lo_cents"),
