@@ -145,13 +145,20 @@ def lsh_candidates(
     # single shuffle on bucket instead of one groupBy per band. The
     # band index is baked into the key so equal rows in different
     # bands never collide.
+    # unhex(md5(...)): the bucket key shuffles as 16 raw bytes instead
+    # of a 32-char hex string (~40 B as UTF8String). Equality on the
+    # binary is exactly equality on the hex digest, so the bucket
+    # partitioning — and every downstream row — is unchanged (§2.3
+    # narrower types); the key never escapes this function.
     band_keys = F.array(
         *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit(str(b)),
-                    *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)],
+            F.unhex(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)],
+                    )
                 )
             )
             for b in range(bands)
