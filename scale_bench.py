@@ -971,6 +971,11 @@ def _time_query(
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
+        # SQL-cache entries (persist() frames in query paths) are NOT
+        # freed by gc — drop them between reps like bench.py does, or
+        # a multi-query sweep accumulates cached relations and churns
+        # storage memory.
+        spark.catalog.clearCache()
         # Release the rep's localCheckpoint blocks before the next
         # one: checkpoint RDDs are freed by the ContextCleaner only
         # after their driver-side objects are GC'd, so back-to-back

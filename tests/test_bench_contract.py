@@ -96,3 +96,17 @@ def test_gate_window_rotation_invariants():
     # first in line for the next rotation
     assert names[50:50 + len(deferred)] == deferred
     assert len(names) == len(set(names))
+
+
+def test_entry_leaves_no_cached_relations(spark):
+    """entry() must not leak SQL-cache entries into a long-lived
+    session (PERF.md r18 cache-lifetime posture): after running the
+    flagship query end to end, the cache manager is empty — and when
+    a query path DOES persist (by design, consumers overlapping in
+    one action), clearCache() is the documented caller-side release."""
+    import __spark_entry__ as e
+
+    spark.catalog.clearCache()
+    e.entry(spark).collect()
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    assert jcache.isEmpty(), "entry() left relations in the SQL cache"

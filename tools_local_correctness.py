@@ -78,6 +78,10 @@ def main() -> None:
             "problems": problems,
             "sec": round(time.time() - t0, 2),
         }
+        # persist() frames in query paths accumulate across a
+        # 252-query sweep unless dropped (gc frees checkpoint blocks
+        # but never SQL-cache entries) — mirror bench.py.
+        spark.catalog.clearCache()
         print(name, status, flush=True)
     n_ok = sum(1 for v in out.values() if v["status"] == "ok")
     print(f"{n_ok}/{len(out)} ok")
