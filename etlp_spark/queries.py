@@ -8712,6 +8712,24 @@ def x90_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _matryoshka_rank_frames(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """x91's two UNPINNED ranking frames (full-dim and 16-dim prefix
+    cosine top-10 with x91's actual query/candidate filters), shared
+    with tests/test_plan_shapes.py so the broadcast-shape assertion
+    runs on the query's ACTUAL pinned prefix (r17 advice item 2)."""
+    from etlp_spark.functions.similarity import cosine_topk
+
+    queries = emb.where(F.col("vec_id") < 5)
+    cands = emb.where(F.col("vec_id") >= 5)
+    exact = cosine_topk(queries, cands, k=10)
+    pref = cosine_topk(
+        queries.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
+        cands.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
+        k=10,
+    )
+    return exact, pref
+
+
 @_register(
     "x91_matryoshka_recall",
     f"""
@@ -8763,23 +8781,16 @@ def x91_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix pass reads 4x fewer vector bytes — exactly the saving the
     audit is pricing. Reference: engine-added (SURVEY.md §2.2
     similarity family)."""
-    from etlp_spark.functions.similarity import cosine_topk
-
     emb = _t_fanout(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5)
-    cands = emb.where(F.col("vec_id") >= 5)
+    exact_u, pref_u = _matryoshka_rank_frames(emb)
     # Both |queries|×10 ranking frames feed a count AND the overlap
     # join — unpinned, each consumer re-ran its full corpus scoring
     # pass (8 embeddings scans measured in the executed plan, opt
     # r17). Pinned, each side scores the corpus exactly once (a lazy
     # persist() was also measured: flat at 1×, ~0.3 s slower at a
     # 10× corpus than the eager pin; the pin kept).
-    exact = cosine_topk(queries, cands, k=10).localCheckpoint(eager=True)
-    pref = cosine_topk(
-        queries.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
-        cands.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
-        k=10,
-    ).localCheckpoint(eager=True)
+    exact = exact_u.localCheckpoint(eager=True)
+    pref = pref_u.localCheckpoint(eager=True)
     ne = exact.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_exact")
     )
@@ -12559,6 +12570,27 @@ def x125_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neyman_stratum_dev(docs: DataFrame) -> DataFrame:
+    """x126's pinned two-aggregate prefix (per-stratum size, mean and
+    integer variance), shared with tests/test_plan_shapes.py so the
+    broadcast-shape assertion runs on the query's ACTUAL subtree (r17
+    advice item 2) — a drift between query and test replica can no
+    longer hide a de-broadcast regression."""
+    st = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.expr("sum(n_chars) div count(*)").alias("mean_c"),
+    )
+    return (
+        docs.join(F.broadcast(st), "source")
+        .groupBy("source", "n_h")
+        .agg(
+            F.expr(
+                "sum((n_chars - mean_c) * (n_chars - mean_c)) div n_h"
+            ).alias("s2")
+        )
+    )
+
+
 @_register(
     "x126_neyman_allocation",
     """
@@ -12620,19 +12652,7 @@ def x126_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-added (SURVEY.md §2.2 sampling family, with
     x19/x34/x106)."""
     docs = _t_fanout(spark, sf_dir, "documents")
-    st = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_h"),
-        F.expr("sum(n_chars) div count(*)").alias("mean_c"),
-    )
-    dev = (
-        docs.join(F.broadcast(st), "source")
-        .groupBy("source", "n_h")
-        .agg(
-            F.expr(
-                "sum((n_chars - mean_c) * (n_chars - mean_c)) div n_h"
-            ).alias("s2")
-        )
-    )
+    dev = _neyman_stratum_dev(docs)
     # |sources|-sized weight table feeds tw, base, and through base
     # the leftover aggregate AND the remainder-rank window — unpinned,
     # every consumer re-ran BOTH corpus aggregates (8 documents scans

@@ -206,21 +206,16 @@ def test_matryoshka_recall_broadcasts_queries(spark):
     must read only the pinned leaves: assert the broadcast pattern on
     the scoring unit itself (the same cosine_topk call x91 pins), and
     that the final plan re-scans nothing."""
-    from pyspark.sql import functions as F
-
-    from etlp_spark.functions.similarity import cosine_topk
     from etlp_spark.io import load_table
+    from etlp_spark.queries import _matryoshka_rank_frames
 
     emb = load_table(spark, SF, "embeddings")
-    score_plan = _executed_plan(
-        cosine_topk(
-            emb.where(F.col("vec_id") < 5),
-            emb.where(F.col("vec_id") >= 5),
-            k=10,
-        )
-    )
-    assert score_plan.count("BroadcastNestedLoopJoin") >= 1, score_plan[:2000]
-    assert "CartesianProduct" not in score_plan, score_plan[:2000]
+    # the query's ACTUAL pinned prefix (shared helper, r17 advice 2)
+    exact_u, pref_u = _matryoshka_rank_frames(emb)
+    for frame in (exact_u, pref_u):
+        score_plan = _executed_plan(frame)
+        assert score_plan.count("BroadcastNestedLoopJoin") >= 1, score_plan[:2000]
+        assert "CartesianProduct" not in score_plan, score_plan[:2000]
     plan = _executed_plan(QUERIES["x91_matryoshka_recall"].fn(spark, SF))
     assert "Scan ExistingRDD" in plan, plan[:2000]
     assert "Scan parquet" not in plan, plan[:2000]
@@ -500,24 +495,12 @@ def test_neyman_broadcast_means_and_tiny_windows(spark):
     unpinned), so the two-aggregate prefix executes in the pin job:
     assert the broadcast shape on that prefix, and that the final
     plan reads only the pinned leaf."""
-    from pyspark.sql import functions as F
-
     from etlp_spark.io import load_table
+    from etlp_spark.queries import _neyman_stratum_dev
 
     docs = load_table(spark, SF, "documents")
-    st = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_h"),
-        F.expr("sum(n_chars) div count(*)").alias("mean_c"),
-    )
-    dev = (
-        docs.join(F.broadcast(st), "source")
-        .groupBy("source", "n_h")
-        .agg(
-            F.expr(
-                "sum((n_chars - mean_c) * (n_chars - mean_c)) div n_h"
-            ).alias("s2")
-        )
-    )
+    # the query's ACTUAL pinned prefix (shared helper, r17 advice 2)
+    dev = _neyman_stratum_dev(docs)
     prefix_plan = _executed_plan(dev)
     assert "SortMergeJoin" not in prefix_plan, prefix_plan[:2000]
     assert "BroadcastHashJoin" in prefix_plan, (
