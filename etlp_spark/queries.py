@@ -9480,7 +9480,7 @@ def x97_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-distinct audit column is the only corpus-sized aggregate
     (drop it in production and the whole estimate pipeline never
     shuffles more than m rows per group)."""
-    from etlp_spark.functions.sketches import hll_estimate, hll_registers
+    from etlp_spark.functions.sketches import hll_estimate
     from etlp_spark.functions.text import tokens
 
     docs = _t_fanout(spark, sf_dir, "documents")
@@ -9490,19 +9490,46 @@ def x97_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tk.select(
         "source", F.explode(word_ngrams(F.col("tk"), 3)).alias("t")
     )
-    regs = hll_registers(toks, "t", keys=("source",))
-    est = hll_estimate(regs, keys=("source",))
-    # audit distinct on the 60-bit md5 prefix, NOT the raw trigram
-    # string: countDistinct(t) shuffled full trigram text and bent
-    # superlinear at x300 (113.8s, 1.68x per-replica drift); the
-    # fingerprint cuts shuffle bytes ~5x and the count is identical
-    # below the ~2^30 birthday bound (engine-identical regardless —
-    # both sides count the same md5 prefixes)
-    ex = toks.select(
-        "source",
-        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("tfp"),
-    ).groupBy("source").agg(
-        F.countDistinct("tfp").cast("long").alias("n_exact")
+    # ONE tokenize+md5 corpus pass serves BOTH outputs (r18: the old
+    # form scanned and re-tokenized the corpus twice). The register
+    # bits are a pure function of the audit's 60-bit md5 prefix:
+    # p=8 bucket = hex chars 1-2 = tfp div 2^52, and rho's v = hex
+    # chars 3-15 = tfp % 2^52 — so the distinct-fingerprint frame
+    # (which the exact audit always needed to shuffle) also yields
+    # the registers exactly (max rho over duplicates == max over
+    # distinct), and the audit count rides the register aggregate as
+    # sum of per-bucket distinct counts. countDistinct(t) on raw
+    # trigram strings was already rejected at r11 (superlinear at
+    # x300); the fingerprint keeps the shuffle narrow. The combined
+    # frame is <= 256 rows per source — eager-pinned so its two
+    # consumers (estimate + audit sum) read a leaf.
+    v = F.col("tfp") % F.lit(1 << 52)
+    regs2 = (
+        toks.select(
+            "source",
+            F.conv(F.substring(F.md5("t"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("tfp"),
+        )
+        .distinct()
+        .select(
+            "source",
+            F.expr(f"tfp div {1 << 52}").cast("long").alias("bucket"),
+            F.when(v == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin(v)))
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.max("rho").alias("reg"),
+            F.count(F.lit(1)).alias("nfp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    est = hll_estimate(regs2.select("source", "bucket", "reg"), keys=("source",))
+    ex = regs2.groupBy("source").agg(
+        F.sum("nfp").cast("long").alias("n_exact")
     )
     # recompute e inside the join for the error column (e is a
     # deterministic function of est's inputs; cheaper: carry e)
