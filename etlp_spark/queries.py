@@ -1968,10 +1968,17 @@ def x16_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etlp_spark.functions.similarity import embedding_neardup
 
     emb = _t_fanout(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    # ONE corpus scan for base + synthetic dup rows (r18): the old
+    # base-union-dup form scanned embeddings twice to materialize the
+    # persisted frame; exploding a 1-or-2-element struct array emits
+    # the same rows from a single scan.
+    base_s = F.struct(
+        F.col("vec_id").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
     )
-    dup = emb.where(F.col("vec_id") % 10 == 0).select(
+    dup_s = F.struct(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform(
             "embedding",
@@ -1981,7 +1988,17 @@ def x16_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Persist: the corpus feeds signature computation AND both sides
     # of the candidate verify join (3 consumers).
-    allv = base.unionByName(dup).persist()
+    allv = (
+        emb.select(
+            F.explode(
+                F.when(
+                    F.col("vec_id") % 10 == 0, F.array(base_s, dup_s)
+                ).otherwise(F.array(base_s))
+            ).alias("r")
+        )
+        .select("r.vec_id", "r.embedding")
+        .persist()
+    )
     return embedding_neardup(allv, threshold=0.99, bands=2, planes_per_band=8)
 
 
