@@ -12224,25 +12224,36 @@ def x121_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-scaled shuffle (drop it in production). Reference:
     engine-added (SURVEY.md §2.2 sketch family)."""
     ev = _t_fanout(spark, sf_dir, "events")
-    hs = ev.select(
-        "event_type",
-        (_h52(F.col("user_id"), "F2B") % 64).alias("b"),
-        F.when((_h52(F.col("user_id"), "F2S") % 2) == 0, 1)
-        .otherwise(-1)
-        .alias("s"),
-    )
-    sk = hs.groupBy("event_type", "b").agg(F.sum("s").alias("sb"))
-    est = sk.groupBy("event_type").agg(
-        F.sum(F.col("sb") * F.col("sb")).alias("f2_est")
-    )
+    # ONE corpus pass for sketch AND audit (r18; was two scans + a
+    # join): the per-(type, user) count the exact audit needs also
+    # yields the sketch — sum of ±1 per occurrence == sum over users
+    # of sign(user)·count(user), all integers, order-free. Each user
+    # lands in exactly one bucket, so the bucket aggregate carries
+    # both sum(s·c) and sum(c²), and ONE final groupBy(type) emits
+    # est and exact together (no join, and the md5 sign/bucket
+    # hashes run once per distinct (type, user), not per event).
     cu = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
-    ex = cu.groupBy("event_type").agg(
-        F.sum(F.col("c") * F.col("c")).alias("f2_exact")
+    bk = (
+        cu.select(
+            "event_type",
+            (_h52(F.col("user_id"), "F2B") % 64).alias("b"),
+            (
+                F.when((_h52(F.col("user_id"), "F2S") % 2) == 0, 1)
+                .otherwise(-1)
+                * F.col("c")
+            ).alias("sc"),
+            (F.col("c") * F.col("c")).alias("c2"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.sum("sc").alias("sb"), F.sum("c2").alias("e2"))
     )
-    return est.join(ex, "event_type").select(
+    return bk.groupBy("event_type").agg(
+        F.sum(F.col("sb") * F.col("sb")).cast("long").alias("f2_est"),
+        F.sum("e2").cast("long").alias("f2_exact"),
+    ).select(
         "event_type",
-        F.col("f2_est").cast("long").alias("f2_est"),
-        F.col("f2_exact").cast("long").alias("f2_exact"),
+        "f2_est",
+        "f2_exact",
         F.expr("(abs(f2_est - f2_exact) * 1000000) div f2_exact")
         .cast("long")
         .alias("err_e6"),
