@@ -7267,21 +7267,28 @@ def x69_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             16, 10,
         ).cast("long") % 64
 
+    # ONE corpus pass (r18; was two): the per-word count both outputs
+    # need is aggregated once and pinned (|vocab| rows); the sketch
+    # cells are sum(n) over words hashing into each cell — identical
+    # integers to counting occurrences directly — and the md5 bucket
+    # hash now runs 4x per VOCAB WORD instead of 4x per token
+    # occurrence.
+    wc = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     cells = (
-        words.select(
+        wc.select(
             "word",
+            "n",
             F.explode(F.array(*[F.lit(r) for r in range(4)])).alias("r"),
         )
         .withColumn("b", bucket(F.col("r"), F.col("word")))
         .groupBy("r", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("n").alias("c"))
     )
-    exact = (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "word")
-        .limit(20)
-    )
+    exact = wc.orderBy(F.col("n").desc(), "word").limit(20)
     probes = exact.select(
         "word", "n", F.explode(F.array(*[F.lit(r) for r in range(4)])).alias("r")
     ).withColumn("b", bucket(F.col("r"), F.col("word")))
